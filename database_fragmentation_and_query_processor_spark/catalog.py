@@ -1,0 +1,124 @@
+"""Fragment-catalog metadata sidecar.
+
+The reference keeps two singleton PostgreSQL tables:
+``RANGE_METADATA(range_total_partitions, min_value, max_value, interval)``
+(Interface1.py:77-81, defaults ``(0, 0.0, 5.0, 0)``) and
+``ROUND_ROBIN_METADATA(round_robin_total_partitions,
+round_robin_last_inserted)`` (Interface1.py:52-58, defaults ``(0, -1)``).
+Partial updates use ``>= 0`` sentinel guards (Interface1.py:61-69,
+Interface1.py:84-95).
+
+Here the same state lives in one JSON sidecar per warehouse
+(``_frag_metadata.json``). It must survive across sessions exactly like
+the Postgres singleton rows; writes are single-writer read-modify-write,
+the same concurrency model as the reference (one client connection).
+
+At 100 TB scale this sidecar stays O(1): it holds only the partitioning
+function's parameters (scheme, n, domain bounds, RR cursor), never any
+per-row or per-file state — fragment membership is a computed column and
+file layout, both handled by Spark's partitioned-dataset machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+METADATA_FILENAME = "_frag_metadata.json"
+
+
+@dataclass
+class RangeMetadata:
+    """Mirrors RANGE_METADATA defaults (Interface1.py:81)."""
+
+    n: int = 0
+    min_value: float = 0.0
+    max_value: float = 5.0
+    interval: float = 0.0
+
+
+@dataclass
+class RoundRobinMetadata:
+    """Mirrors ROUND_ROBIN_METADATA defaults (Interface1.py:58)."""
+
+    n: int = 0
+    last_inserted: int = -1
+
+
+class FragmentCatalog:
+    """Read-modify-write access to the per-warehouse metadata sidecar."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        self.path = os.path.join(warehouse, METADATA_FILENAME)
+
+    # -- raw IO ---------------------------------------------------------
+    def _read(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _write(self, doc: dict) -> None:
+        os.makedirs(self.warehouse, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, self.path)
+
+    # -- range ----------------------------------------------------------
+    def range_meta(self) -> RangeMetadata:
+        doc = self._read().get("range")
+        return RangeMetadata(**doc) if doc else RangeMetadata()
+
+    def update_range(
+        self,
+        n: int = -1,
+        min_value: float = -1.0,
+        max_value: float = -1.0,
+        interval: float = -1.0,
+    ) -> RangeMetadata:
+        """Partial update with the reference's ``>= 0`` sentinel semantics
+        (Interface1.py:84-95): a negative argument means "don't touch"."""
+        meta = self.range_meta()
+        if n >= 0:
+            meta.n = int(n)
+        if min_value >= 0:
+            meta.min_value = float(min_value)
+        if max_value >= 0:
+            meta.max_value = float(max_value)
+        if interval >= 0:
+            meta.interval = float(interval)
+        doc = self._read()
+        doc["range"] = asdict(meta)
+        self._write(doc)
+        return meta
+
+    # -- round robin ----------------------------------------------------
+    def round_robin_meta(self) -> RoundRobinMetadata:
+        doc = self._read().get("round_robin")
+        return RoundRobinMetadata(**doc) if doc else RoundRobinMetadata()
+
+    def update_round_robin(self, n: int = -1, last_inserted: int = -2) -> RoundRobinMetadata:
+        """Partial update; ``last_inserted`` uses ``>= -1`` because -1 is a
+        legal cursor value (reference guard at Interface1.py:66 is ``>= 0``
+        but its init path writes -1 directly, Interface1.py:58)."""
+        meta = self.round_robin_meta()
+        if n >= 0:
+            meta.n = int(n)
+        if last_inserted >= -1:
+            meta.last_inserted = int(last_inserted)
+        doc = self._read()
+        doc["round_robin"] = asdict(meta)
+        self._write(doc)
+        return meta
+
+    def clear(self, scheme: str | None = None) -> None:
+        if scheme is None:
+            if os.path.exists(self.path):
+                os.remove(self.path)
+            return
+        doc = self._read()
+        doc.pop(scheme, None)
+        self._write(doc)
