@@ -1,0 +1,925 @@
+"""The driver-contract correctness surface.
+
+Each entry pairs a Spark DataFrame builder (``QUERIES``) with an exact
+ANSI-SQL mirror for DuckDB (``ORACLE_SQL``). Column names, types and
+values are engineered to hash-match:
+
+- **Money/measure aggregation is DECIMAL-exact**: cast to DECIMAL before
+  SUM (both engines sum decimals exactly), cast the total to DOUBLE once
+  at the end. This removes float-summation-order divergence entirely.
+- **Counts are BIGINT** on both sides (DuckDB SUM(int)→HUGEINT is cast).
+- **Hashes are md5-derived arithmetic**, never engine-native ``hash()``.
+- **Top-k/window queries carry explicit unique tie-breaks.**
+- Floating similarity scores are rounded to 6 digits on both sides.
+
+The fragmentation queries re-express the reference engine's semantics
+(fixed-domain range buckets, deterministic round-robin, provenance +
+dual-scheme emission — Interface1.py:122-140, 169-174, 261-347) over
+the driver's synthetic ``lineitem`` table, per FIXTURES.md §1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .functions import vectors as V
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators.fragmentation import range_fragment_expr
+
+# ---------------------------------------------------------------------------
+# shared constants (embedded into BOTH the Spark plans and the oracle SQL)
+# ---------------------------------------------------------------------------
+RANGE_N = 5
+RANGE_MIN, RANGE_MAX = 0.0, 5.0
+RANGE_INTERVAL = (RANGE_MAX - RANGE_MIN) / RANGE_N
+RQ_LO, RQ_HI = 1.5, 3.5
+PQ_VALUE = 4.5
+Q1_CUTOFF = "2000-12-01"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q5_REGION = "ASIA"
+Q5_LO, Q5_HI = "1996-01-01", "1997-01-01"
+MINHASH_K = 8
+MINHASH_BANDS = 4
+SHINGLE_N = 3
+NEAR_DUP_THRESHOLD = 0.8
+EMB_DIM = 64
+KNN_K = 10
+EMB_DUP_THRESHOLD = 0.99
+DUP_SALT = 100_000  # synthesized duplicate doc_id offset
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects (SPARK timestamps are micros). Read nanos as BIGINT
+    and derive time columns with exact integer arithmetic — raw ``ts``
+    is never emitted in query output (DuckDB keeps ns precision, Spark
+    can't represent it)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+NS_PER_HOUR = 3_600_000_000_000
+US_PER_HOUR = 3_600_000_000
+
+
+def _ts_hour(ns_col: F.Column) -> F.Column:
+    """Floor a nanos-since-epoch bigint to the hour as a timestamp."""
+    hours = (ns_col.cast("bigint") - (ns_col.cast("bigint") % NS_PER_HOUR)) / F.lit(NS_PER_HOUR)
+    return F.timestamp_micros((hours.cast("bigint") * US_PER_HOUR))
+
+
+# ---------------------------------------------------------------------------
+# ratings derivation (FIXTURES.md §1): deterministic mapping of lineitem
+# into the reference's ratings(userid, movieid, rating) relation, with a
+# stable row number for round-robin assignment.
+# ---------------------------------------------------------------------------
+RATINGS_CTE = """
+ratings AS (
+  SELECT CAST(l_orderkey AS INTEGER) AS userid,
+         CAST(l_partkey AS INTEGER)  AS movieid,
+         ROUND((l_quantity % 5.5) * 2) / 2.0 AS rating,
+         ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn
+  FROM lineitem
+)
+"""
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return li.select(
+        F.col("l_orderkey").cast("int").alias("userid"),
+        F.col("l_partkey").cast("int").alias("movieid"),
+        (F.round((F.col("l_quantity") % 5.5) * 2) / 2.0).alias("rating"),
+        (F.row_number().over(w) - 1).alias("rn"),
+    )
+
+
+def _bucket_sql(col: str = "rating") -> str:
+    """SQL mirror of range_fragment_expr for the fixed [0,5] domain."""
+    return (
+        f"CAST(LEAST(GREATEST(CASE WHEN {col} - {RANGE_MIN} <= {RANGE_INTERVAL} "
+        f"THEN 0 ELSE CAST(CEIL(({col} - {RANGE_MIN}) / {RANGE_INTERVAL}) AS INTEGER) - 1 END, "
+        f"0), {RANGE_N - 1}) AS INTEGER)"
+    )
+
+
+def _bucket_col() -> F.Column:
+    return range_fragment_expr(F.col("rating"), RANGE_N, RANGE_MIN, RANGE_MAX)
+
+
+# ---------------------------------------------------------------------------
+# 1-5: fragmentation family
+# ---------------------------------------------------------------------------
+
+def q_frag_range_counts(spark, sf_dir):
+    return (
+        _ratings(spark, sf_dir)
+        .withColumn("fragment_id", _bucket_col())
+        .groupBy("fragment_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_FRAG_RANGE_COUNTS = f"""
+WITH {RATINGS_CTE}
+SELECT {_bucket_sql()} AS fragment_id, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ratings GROUP BY 1
+"""
+
+
+def q_frag_rr_counts(spark, sf_dir):
+    return (
+        _ratings(spark, sf_dir)
+        .withColumn("fragment_id", (F.col("rn") % RANGE_N).cast("int"))
+        .groupBy("fragment_id")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("movieid").cast("bigint")).alias("movieid_checksum"),
+        )
+    )
+
+
+SQL_FRAG_RR_COUNTS = f"""
+WITH {RATINGS_CTE}
+SELECT CAST(rn % {RANGE_N} AS INTEGER) AS fragment_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(movieid) AS BIGINT) AS movieid_checksum
+FROM ratings GROUP BY 1
+"""
+
+
+def q_frag_range_query(spark, sf_dir):
+    """Reference rangeQuery(1.5, 3.5): pruned range side + full RR side,
+    provenance column, duplicate emission (Interface1.py:261-308)."""
+    r = _ratings(spark, sf_dir)
+    rng = (
+        r.withColumn("fragment_id", _bucket_col())
+        .where(F.col("rating").between(RQ_LO, RQ_HI))
+        .select(
+            F.concat(F.lit("range_ratings_part"), F.col("fragment_id").cast("string")
+                     ).alias("fragment_name"),
+            "userid", "movieid", "rating",
+        )
+    )
+    rr = (
+        r.withColumn("fragment_id", (F.col("rn") % RANGE_N).cast("int"))
+        .where(F.col("rating").between(RQ_LO, RQ_HI))
+        .select(
+            F.concat(F.lit("round_robin_ratings_part"),
+                     F.col("fragment_id").cast("string")).alias("fragment_name"),
+            "userid", "movieid", "rating",
+        )
+    )
+    return rng.unionAll(rr)
+
+
+SQL_FRAG_RANGE_QUERY = f"""
+WITH {RATINGS_CTE}
+SELECT 'range_ratings_part' || CAST({_bucket_sql()} AS VARCHAR) AS fragment_name,
+       userid, movieid, rating
+FROM ratings WHERE rating BETWEEN {RQ_LO} AND {RQ_HI}
+UNION ALL
+SELECT 'round_robin_ratings_part' || CAST(rn % {RANGE_N} AS VARCHAR) AS fragment_name,
+       userid, movieid, rating
+FROM ratings WHERE rating BETWEEN {RQ_LO} AND {RQ_HI}
+"""
+
+
+def q_frag_point_query(spark, sf_dir):
+    r = _ratings(spark, sf_dir)
+    rng = (
+        r.withColumn("fragment_id", _bucket_col())
+        .where(F.col("rating") == PQ_VALUE)
+        .select(
+            F.concat(F.lit("range_ratings_part"), F.col("fragment_id").cast("string")
+                     ).alias("fragment_name"),
+            "userid", "movieid", "rating",
+        )
+    )
+    rr = (
+        r.withColumn("fragment_id", (F.col("rn") % RANGE_N).cast("int"))
+        .where(F.col("rating") == PQ_VALUE)
+        .select(
+            F.concat(F.lit("round_robin_ratings_part"),
+                     F.col("fragment_id").cast("string")).alias("fragment_name"),
+            "userid", "movieid", "rating",
+        )
+    )
+    return rng.unionAll(rr)
+
+
+SQL_FRAG_POINT_QUERY = f"""
+WITH {RATINGS_CTE}
+SELECT 'range_ratings_part' || CAST({_bucket_sql()} AS VARCHAR) AS fragment_name,
+       userid, movieid, rating
+FROM ratings WHERE rating = {PQ_VALUE}
+UNION ALL
+SELECT 'round_robin_ratings_part' || CAST(rn % {RANGE_N} AS VARCHAR) AS fragment_name,
+       userid, movieid, rating
+FROM ratings WHERE rating = {PQ_VALUE}
+"""
+
+
+def q_frag_reconstruction(spark, sf_dir):
+    """Completeness/disjointness/reconstruction triple as one row
+    (testHelper1.py:116-150 style)."""
+    r = _ratings(spark, sf_dir).withColumn("fragment_id", _bucket_col())
+    base = r.agg(F.count("*").alias("base_cnt"))
+    rng = r.agg(
+        F.count("*").alias("range_cnt"),
+        F.countDistinct("fragment_id").alias("n_range_fragments"),
+    )
+    rr = r.withColumn("rr_id", (F.col("rn") % RANGE_N).cast("int")).agg(
+        F.count("*").alias("rr_cnt"),
+        F.countDistinct("rr_id").alias("n_rr_fragments"),
+    )
+    return base.crossJoin(rng).crossJoin(rr)
+
+
+SQL_FRAG_RECONSTRUCTION = f"""
+WITH {RATINGS_CTE}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ratings) AS base_cnt,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ratings) AS range_cnt,
+       (SELECT CAST(COUNT(DISTINCT {_bucket_sql()}) AS BIGINT) FROM ratings) AS n_range_fragments,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ratings) AS rr_cnt,
+       (SELECT CAST(COUNT(DISTINCT rn % {RANGE_N}) AS BIGINT) FROM ratings) AS n_rr_fragments
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6-14: relational family (TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+def _dec2(c):
+    return c.cast("decimal(18,2)")
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    charge_mult = _dec2(F.lit(1)) + _dec2(F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec2(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("sum_disc_price"),
+            F.sum(_dec2(F.col("l_extendedprice")) * disc * charge_mult).cast("double").alias("sum_charge"),
+            (F.sum(_dec2(F.col("l_quantity"))).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(_dec2(F.col("l_extendedprice"))).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(_dec2(F.col("l_discount"))).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    """Join + agg + deterministic top-k. customer is small → broadcast."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == Q3_SEGMENT)
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_nation_revenue(spark, sf_dir):
+    """Star-join through region→nation→(customer,supplier)→orders→lineitem.
+    All dims broadcast; the only shuffle is the final groupBy (tiny)."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_HI).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_LO} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q5_HI} 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join: customers that never ordered, per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_customers_with_open_orders(spark, sf_dir):
+    """Semi join: customers having at least one open ('O') order, per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_CUSTOMERS_WITH_OPEN_ORDERS = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_nationkey
+"""
+
+
+def q_top_order_per_customer(spark, sf_dir):
+    """Window row_number with unique tie-break (o_orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOP_ORDER_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk = 1
+"""
+
+
+def q_sales_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+SQL_SALES_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_orders_cube(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec2(F.col("o_totalprice"))).cast("double").alias("sum_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+SQL_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_distinct_parts_per_flag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_DISTINCT_PARTS_PER_FLAG = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# 15-17: events family (JSON, time, window)
+# ---------------------------------------------------------------------------
+
+def q_events_json_kpis(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k_val", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k_val").alias("sum_k"),
+            (F.sum("k_val").cast("double") / F.count("*")).alias("avg_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_KPIS = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(_ts_hour(F.col("ts")).alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_top_event_per_user(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+SQL_TOP_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 18-21: text-analysis family (documents)
+# ---------------------------------------------------------------------------
+
+TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+              "ELSE regexp_split_to_array(trim(text), '\\s+') END")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", T.token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS total_tokens,
+       CAST(MAX(len({TOKENS_SQL})) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def _docs_with_dups(spark, sf_dir):
+    """Corpus with synthesized duplicates: every doc_id % 7 == 0 appears
+    again under doc_id + DUP_SALT (same text) — gives the dedup operators
+    real duplicate groups to find."""
+    docs = _t(spark, sf_dir, "documents")
+    dups = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + DUP_SALT
+    )
+    return docs.unionByName(dups)
+
+
+DOCS_WITH_DUPS_CTE = f"""
+corpus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_SALT} AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    return D.duplicate_groups(_docs_with_dups(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT_GROUPS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+fp AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM corpus
+),
+groups AS (SELECT fp, COUNT(*) AS group_size FROM fp GROUP BY fp)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM groups GROUP BY group_size
+"""
+
+
+def _occ_sql(expr: str, needle: str) -> str:
+    return (f"CAST((length({expr}) - length(replace({expr}, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+def _lang_score_sql(lang: str) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    return " + ".join(_occ_sql(padded, m) for m in T.LANG_MARKERS[lang])
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted_lang", T.predicted_lang(F.col("text")))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_LANG_ID_CONFUSION = f"""
+WITH scored AS (
+  SELECT lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS predicted_lang
+  FROM scored
+)
+SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, predicted_lang
+"""
+
+# quality score: identical arithmetic on both sides, then DECIMAL-exact avg
+_ALPHA_SQL = ("(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))"
+              " / NULLIF(CAST(length(text) AS DOUBLE), 0.0)")
+_PUNCT_SQL = ("length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g'))"
+              " / NULLIF(CAST(length(text) AS DOUBLE), 0.0)")
+_AVG_TOK_LEN_SQL = (
+    f"list_sum(list_transform({TOKENS_SQL}, t -> CAST(length(t) AS BIGINT)))"
+    f" / NULLIF(CAST(len({TOKENS_SQL}) AS DOUBLE), 0.0)"
+)
+_NTOK_SQL = f"CAST(len({TOKENS_SQL}) AS BIGINT)"
+_QUALITY_SQL = (
+    f"0.4 * COALESCE({_ALPHA_SQL}, 0.0)"
+    f" + 0.3 * LEAST(CAST({_NTOK_SQL} AS DOUBLE) / 100.0, 1.0)"
+    f" + 0.2 * (CASE WHEN ({_AVG_TOK_LEN_SQL}) >= 3 AND ({_AVG_TOK_LEN_SQL}) <= 10"
+    f" THEN 1.0 ELSE 0.5 END)"
+    f" - 0.1 * COALESCE({_PUNCT_SQL}, 0.0)"
+)
+
+
+def q_quality_by_source(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    q = T.quality_score(F.col("text"))
+    return (
+        docs.withColumn("q", q)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum(F.col("q").cast("decimal(18,8)")).cast("double") / F.count("*")
+             ).alias("avg_quality"),
+        )
+    )
+
+
+SQL_QUALITY_BY_SOURCE = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(({_QUALITY_SQL}) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_quality
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 22-25: dedup (minhash) + similarity (embeddings)
+# ---------------------------------------------------------------------------
+
+_MINHASH_SQL_HASHES = (
+    f"list_transform(list_distinct(s), x -> "
+    f"CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % {D.MINHASH_PRIME})"
+)
+
+
+def _minhash_cte() -> str:
+    """CTE producing doc_id, mh0..mh{k-1} from `corpus`."""
+    mh_cols = ", ".join(
+        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {D.MINHASH_PRIME})) AS mh{i}"
+        for i, (a, b) in enumerate(D.minhash_params(MINHASH_K))
+    )
+    return f"""
+toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM corpus),
+sh AS (SELECT doc_id,
+       CASE WHEN len(t) < {SHINGLE_N} THEN [array_to_string(t, ' ')]
+            ELSE list_transform(range(0, len(t) - {SHINGLE_N - 1}),
+                                i -> array_to_string(t[i+1:i+{SHINGLE_N}], ' '))
+       END AS s
+       FROM toks),
+hs AS (SELECT doc_id, {_MINHASH_SQL_HASHES} AS h FROM sh),
+mh AS (SELECT doc_id, {mh_cols} FROM hs)
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _docs_with_dups(spark, sf_dir)
+    sig = docs.select(
+        "doc_id", D.minhash_signature(F.col("text"), MINHASH_K, SHINGLE_N).alias("sig")
+    )
+    cols = [F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(MINHASH_K)]
+    return sig.select("doc_id", *cols)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+{_minhash_cte()}
+SELECT * FROM mh
+"""
+
+
+def q_minhash_near_dup_pairs(spark, sf_dir):
+    """Full generate-then-verify near-dup pipeline: banded MinHash-LSH
+    candidates, exact n-gram-Jaccard verification."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return D.near_dup_pairs(
+        docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _bands_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    cases = " ".join(
+        "WHEN {band} THEN {expr}".format(
+            band=b,
+            expr=" || ',' || ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return (
+        f"SELECT doc_id, band, CASE band {cases} END AS bucket "
+        f"FROM mh, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band)"
+    )
+
+
+SQL_MINHASH_NEAR_DUP_PAIRS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+{_minhash_cte()},
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+shingle_sets AS (SELECT doc_id, list_distinct(s) AS ss FROM sh),
+verified AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+         / NULLIF(CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE), 0.0) AS j
+  FROM cand
+  JOIN shingle_sets a ON a.doc_id = id_a
+  JOIN shingle_sets b ON b.doc_id = id_b
+)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+FROM verified WHERE j >= {NEAR_DUP_THRESHOLD}
+"""
+
+_COS_SQL_TEMPLATE = (
+    "list_sum(list_transform(range(1, {dim1}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    dim1 = EMB_DIM + 1
+    dot = _COS_SQL_TEMPLATE.format(dim1=dim1, a=a, b=b)
+    na = _COS_SQL_TEMPLATE.format(dim1=dim1, a=a, b=a)
+    nb = _COS_SQL_TEMPLATE.format(dim1=dim1, a=b, b=b)
+    return f"({dot}) / NULLIF(sqrt({na}) * sqrt({nb}), 0.0)"
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-k against the vec_id=0 embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.brute_force_topk(emb, list(qvec), k=KNN_K)
+
+
+SQL_KNN_BRUTEFORCE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({_cosine_sql('embedding', 'q.qv')}, 6) AS cosine_sim
+FROM embeddings, q
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """All-pairs cosine ≥ threshold (exact variant — oracle-checkable;
+    the LSH-bucketed variant is the 100 TB path, see similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(
+        emb, threshold=EMB_DUP_THRESHOLD, bucketed=False
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= {EMB_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "frag_range_counts": q_frag_range_counts,
+    "frag_rr_counts": q_frag_rr_counts,
+    "frag_range_query": q_frag_range_query,
+    "frag_point_query": q_frag_point_query,
+    "frag_reconstruction": q_frag_reconstruction,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_region_nation_revenue": q5_region_nation_revenue,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_open_orders": q_customers_with_open_orders,
+    "top_order_per_customer": q_top_order_per_customer,
+    "sales_rollup": q_sales_rollup,
+    "orders_cube": q_orders_cube,
+    "distinct_parts_per_flag": q_distinct_parts_per_flag,
+    "events_json_kpis": q_events_json_kpis,
+    "events_hourly": q_events_hourly,
+    "top_event_per_user": q_top_event_per_user,
+    "doc_token_stats": q_doc_token_stats,
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "lang_id_confusion": q_lang_id_confusion,
+    "quality_by_source": q_quality_by_source,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "frag_range_counts": SQL_FRAG_RANGE_COUNTS,
+    "frag_rr_counts": SQL_FRAG_RR_COUNTS,
+    "frag_range_query": SQL_FRAG_RANGE_QUERY,
+    "frag_point_query": SQL_FRAG_POINT_QUERY,
+    "frag_reconstruction": SQL_FRAG_RECONSTRUCTION,
+    "q1_pricing_summary": SQL_Q1,
+    "q3_top_revenue_orders": SQL_Q3,
+    "q5_region_nation_revenue": SQL_Q5,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "customers_with_open_orders": SQL_CUSTOMERS_WITH_OPEN_ORDERS,
+    "top_order_per_customer": SQL_TOP_ORDER_PER_CUSTOMER,
+    "sales_rollup": SQL_SALES_ROLLUP,
+    "orders_cube": SQL_ORDERS_CUBE,
+    "distinct_parts_per_flag": SQL_DISTINCT_PARTS_PER_FLAG,
+    "events_json_kpis": SQL_EVENTS_JSON_KPIS,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "top_event_per_user": SQL_TOP_EVENT_PER_USER,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
+    "lang_id_confusion": SQL_LANG_ID_CONFUSION,
+    "quality_by_source": SQL_QUALITY_BY_SOURCE,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "minhash_near_dup_pairs": SQL_MINHASH_NEAR_DUP_PAIRS,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+}

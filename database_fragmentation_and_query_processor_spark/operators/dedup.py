@@ -1,0 +1,230 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four families, all shuffle-conscious:
+
+- **Exact**: hash-groupBy on a normalized md5 fingerprint. One shuffle
+  on a high-cardinality uniform key — the optimal plan at any scale.
+- **MinHash + LSH**: shingle → k minhashes → band buckets → candidate
+  pairs via self-join on (band, bucket). The join key is the band
+  bucket, so only near-duplicates ever meet in a shuffle partition;
+  brute-force O(n²) never happens.
+- **SimHash**: 64-bit signature via per-token hash bit-voting; near-dup
+  = small Hamming distance within LSH-style prefix buckets.
+- **N-gram Jaccard**: exact verification on candidate pairs only.
+
+Hashes are explicit arithmetic over md5 (bit-identical across engines)
+rather than Spark's `hash()` (Murmur3, engine-specific) so the DuckDB
+oracle can reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, tokens
+
+# fixed affine-permutation constants for minhash: h_i(x) = (a_i*x + b_i) mod P
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — small odd multipliers, fixed seeds.
+    No RNG: the oracle SQL embeds the same constants."""
+    return [((2 * i + 1) * 2654435761 % MINHASH_PRIME, (i * 40503 + 7) % MINHASH_PRIME)
+            for i in range(k)]
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 53-bit token hash: first 13 hex chars of md5 → bigint.
+    `conv(hex, 16, 10)` in Spark == `CAST('0x'||hex AS BIGINT)`-style in
+    DuckDB; 13 hex digits keeps it exactly representable everywhere."""
+    return F.conv(F.substring(F.md5(tok), 1, 13), 16, 10).cast("bigint")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (space-joined token windows)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_from_shingles(sh: Column, k: int = 16) -> Column:
+    """Array of k minhash values over a precomputed distinct shingle
+    array — pure column expression (transform + aggregate), no UDF."""
+    # reduce mod P before multiplying: (h % P) * a < 2^62 — no int64
+    # overflow (Spark 4 runs ANSI mode, overflow would raise)
+    hashes = F.transform(sh, lambda s: token_hash(s) % F.lit(MINHASH_PRIME))
+    sigs = []
+    for a, b in minhash_params(k):
+        permuted = F.transform(
+            hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+        )
+        sigs.append(
+            F.aggregate(
+                permuted,
+                F.lit(MINHASH_PRIME).cast("bigint"),
+                lambda acc, x: F.least(acc, x),
+            )
+        )
+    return F.array(*sigs)
+
+
+def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
+    """Minhash signature straight from text (one-shot convenience)."""
+    return minhash_from_shingles(F.array_distinct(shingles(text, shingle_n)), k)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one representative (min doc_id) per normalized-text group."""
+    fp = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    w = fp.groupBy("_fp").agg(F.min("doc_id").alias("keep_id"))
+    # broadcast-free: both sides shuffle on _fp (high-cardinality key)
+    return (
+        fp.join(w, "_fp")
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .drop("_fp", "keep_id")
+    )
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Histogram of duplicate-group sizes (the dedup audit query)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+    )
+
+
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, distinct shingle array) — the shared input of minhash
+    signatures AND exact Jaccard verification. Compute once, reuse."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("shingle_set"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    shingle_df: DataFrame | None = None,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    rows = k/bands minhashes per band; docs sharing any full band land
+    in the same bucket. The self-join shuffles on (band, bucket) —
+    bucket cardinality grows with corpus size, so partitions stay small
+    at 100 TB. Returns distinct (id_a < id_b) candidate pairs.
+    """
+    rows_per_band = k // bands
+    base = (shingle_df if shingle_df is not None
+            else shingle_sets(df, id_col, text_col, shingle_n))
+    sig = base.select(
+        "id", minhash_from_shingles(F.col("shingle_set"), k).alias("sig")
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(
+                    ",",
+                    *[F.element_at("sig", b * rows_per_band + r + 1)
+                      for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact Jaccard over word n-gram shingle sets (verification stage)."""
+    sa = F.array_distinct(shingles(text_a, n))
+    sb = F.array_distinct(shingles(text_b, n))
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return inter / F.nullif(union, F.lit(0.0))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates verified by exact Jaccard — the standard
+    generate-then-verify near-dup pipeline.
+
+    Shingle sets are computed ONCE and persisted; signatures, the band
+    join and the verification all reuse them (the naive form recomputes
+    the shingle expression per join side, which multiplies both runtime
+    and codegen cost). At scale the persisted set df is O(corpus
+    tokens) but streams from disk; the band join only ever shuffles
+    (id, band, bucket) tuples."""
+    base = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_df=base)
+    a = base.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("ss_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("ss_b"))
+    pairs = cands.join(a, "id_a").join(b, "id_b")
+    jaccard = (
+        F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
+        / F.nullif(F.size(F.array_union("ss_a", "ss_b")).cast("double"), F.lit(0.0))
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash signature: per-token 53-bit hash, bit-vote per position,
+    sign of the vote → signature bit. Pure expressions; `bits`≤53."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, token_hash)
+    sig = F.lit(0).cast("bigint")
+    for i in range(bits):
+        # vote_i = sum over tokens of (bit_i(h) ? 1 : -1)
+        vote = F.aggregate(
+            F.transform(
+                hashes,
+                lambda h: F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.shiftleft((vote > 0).cast("bigint"), i)
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
