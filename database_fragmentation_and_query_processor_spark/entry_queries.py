@@ -865,6 +865,239 @@ WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= {EMB_DUP_THRESHOL
 
 
 # ---------------------------------------------------------------------------
+# 26-33: multimodal, simhash, ANN, sessionization, as-of join, range join,
+# streaming
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata path: bytes → (size, content hash) with
+    JVM expressions only (multimodal/binary_ops.py)."""
+    from .multimodal.binary_ops import documents_as_media, with_media_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_media_meta(documents_as_media(docs), mime="text/plain")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched (mapInPandas) stub feature extraction — rows-only
+    check (the decode step is the designated stub; no SQL equivalent)."""
+    from .multimodal.binary_ops import documents_as_media, extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
+SIMHASH_BITS = 32
+
+
+def q_simhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", D.simhash(F.col("text"), SIMHASH_BITS).alias("simhash32")
+    )
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"list_sum(list_transform(h, v -> CASE WHEN (v >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+h AS (SELECT doc_id,
+      list_transform(list_distinct(t),
+                     x -> CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT)) AS h
+      FROM toks),
+votes AS (SELECT doc_id, {votes} FROM h)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash32 FROM votes
+"""
+
+
+SQL_SIMHASH_SIGNATURES = _simhash_sql()
+
+ANN_PLANES = 16
+ANN_PROBE_HAMMING = 2
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-k: sign-random-projection bucket probe + exact re-rank
+    (the 100 TB path — only candidate buckets are scanned)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.lsh_topk(
+        emb, list(qvec), k=KNN_K, n_planes=ANN_PLANES,
+        probe_hamming=ANN_PROBE_HAMMING, dim=EMB_DIM,
+    )
+
+
+def _plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in p) + "]"
+
+
+def _sig_sql(col: str) -> str:
+    planes = S.deterministic_planes(EMB_DIM, ANN_PLANES)
+    terms = []
+    for i, p in enumerate(planes):
+        dot = (f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+               f"j -> CAST({col}[j] AS DOUBLE) * ({_plane_literal(p)})[j]))")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qs AS (SELECT {_sig_sql('qv')} AS qsig, qv FROM q),
+sigs AS (SELECT vec_id, embedding, {_sig_sql('embedding')} AS sig FROM embeddings),
+cands AS (
+  SELECT s.vec_id, s.embedding, qs.qv
+  FROM sigs s, qs
+  WHERE bit_count(xor(s.sig, qs.qsig)) <= {ANN_PROBE_HAMMING}
+)
+SELECT vec_id, ROUND({_cosine_sql('embedding', 'qv')}, 6) AS cosine_sim
+FROM cands
+ORDER BY cosine_sim DESC, vec_id
+LIMIT {KNN_K}
+"""
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (batch form): lag + cumulative-sum
+    session ids, per-user session stats. The streaming form of the same
+    semantics lives in streaming/events.py (applyInPandasWithState)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("ts") - prev) > SESSION_GAP_NS), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("sess_id", F.sum(new_s).over(wc))
+        .groupBy("user_id")
+        .agg(
+            F.max("sess_id").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZATION = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events
+),
+flagged AS (
+  SELECT user_id, tsn, event_id,
+         CASE WHEN lag(tsn) OVER w IS NULL
+                   OR tsn - lag(tsn) OVER w > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+def q_asof_click_attribution(spark, sf_dir):
+    """As-of join (operator Spark lacks natively, operators/joins.py):
+    each purchase attributed to the user's most recent prior click."""
+    from .operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(purchases, clicks, on=["user_id"], ts_col="ts")
+    # gap in MICROseconds: DuckDB's parquet reader truncates ns
+    # timestamps to micros, so ns-precision gaps can't be compared.
+    return joined.select(
+        "purchase_id", "user_id",
+        F.col("click_id_right").alias("click_id"),
+        (F.expr("ts div 1000") - F.expr("ts_right div 1000"))
+        .cast("bigint").alias("gap_us"),
+    )
+
+
+SQL_ASOF_CLICK_ATTRIBUTION = """
+SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+PRICE_BANDS = [
+    ("p0_50k", 0.0, 50_000.0),
+    ("p50_100k", 50_000.0, 100_000.0),
+    ("p100_200k", 100_000.0, 200_000.0),
+    ("p200_350k", 200_000.0, 350_000.0),
+    ("p350k_up", 350_000.0, 500_000.0),
+]
+
+
+def q_range_join_price_bands(spark, sf_dir):
+    """Interval/range join (operators/joins.py): orders classified into
+    price bands; small band table broadcasts."""
+    from .operators.joins import range_join_bucketed
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band_name string, lo double, hi double")
+    joined = range_join_bucketed(orders, bands, "o_totalprice", "lo", "hi")
+    return joined.groupBy("band_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec2(F.col("o_totalprice"))).cast("double").alias("sum_price"),
+    )
+
+
+_BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+SQL_RANGE_JOIN_PRICE_BANDS = f"""
+SELECT band_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+JOIN (VALUES {_BANDS_VALUES}) b(band_name, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_name
+"""
+
+
+def q_streaming_hourly(spark, sf_dir):
+    """Structured Streaming (AvailableNow) hourly rollup — must equal
+    the batch hourly aggregate (same oracle as events_hourly)."""
+    from .streaming.events import hourly_rollup, read_events_stream, run_available_now
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_available_now(hourly_rollup(stream), spark)
+
+
+SQL_STREAMING_HOURLY = SQL_EVENTS_HOURLY
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -894,6 +1127,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_pairs": q_minhash_near_dup_pairs,
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "simhash_signatures": q_simhash_signatures,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "sessionization": q_sessionization,
+    "asof_click_attribution": q_asof_click_attribution,
+    "range_join_price_bands": q_range_join_price_bands,
+    "streaming_hourly": q_streaming_hourly,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -922,4 +1163,12 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_near_dup_pairs": SQL_MINHASH_NEAR_DUP_PAIRS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    # multimodal_features: rows-only (stubbed decode, no SQL equivalent)
+    "simhash_signatures": SQL_SIMHASH_SIGNATURES,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "sessionization": SQL_SESSIONIZATION,
+    "asof_click_attribution": SQL_ASOF_CLICK_ATTRIBUTION,
+    "range_join_price_bands": SQL_RANGE_JOIN_PRICE_BANDS,
+    "streaming_hourly": SQL_STREAMING_HOURLY,
 }

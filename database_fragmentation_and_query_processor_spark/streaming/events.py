@@ -1,0 +1,170 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference is fully batch (SURVEY.md §2.2: streaming ABSENT) — this
+is the [EXT] streaming surface: file-source streams, watermarked
+tumbling-window aggregation, and a custom stateful sessionizer via
+``applyInPandasWithState``.
+
+The events parquet stores TIMESTAMP(NANOS); streams read ``ts`` as a
+nanos BIGINT (``nanosAsLong``) and derive an event-time timestamp at
+microsecond precision for watermarking.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos since epoch (nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a DIRECTORY; expose the single
+    # parquet fixture through a symlinked temp dir
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"dfqp_events_stream_{abs(hash(sf_dir))}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(stream_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window hourly aggregate. Late rows beyond
+    the watermark are dropped; state is bounded by watermark horizon ×
+    group cardinality — the standard scale-safe shape."""
+    return (
+        stream.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "n_events", "sum_value")
+    )
+
+
+def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available input
+    (Trigger.AvailableNow), collect into an in-memory sink, return the
+    final table. Used to batch-test streaming semantics."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ns", LongType()),
+        StructField("session_end_ns", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("open_start", LongType()),
+        StructField("open_end", LongType()),
+        StructField("open_count", LongType()),
+    ]
+)
+
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
+
+
+def sessionize_stateful(stream: DataFrame):
+    """Custom stateful operator: gap-based sessionization per user via
+    ``applyInPandasWithState`` (GroupState). Emits closed sessions;
+    keeps at most one open session per user in state. Timeout closes
+    sessions when a user goes quiet past the watermark."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, c = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {"user_id": [user_id], "session_start_ns": [s],
+                     "session_end_ns": [e], "n_events": [c]}
+                )
+            return
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(int(t) for t in pdf["ts"])
+        ts_all.sort()
+        if state.exists:
+            s, e, c = state.get
+        else:
+            s = e = None
+            c = 0
+        closed = []
+        for t in ts_all:
+            if s is None:
+                s, e, c = t, t, 1
+            elif t - e > SESSION_GAP_NS:
+                closed.append((s, e, c))
+                s, e, c = t, t, 1
+            else:
+                e, c = t, c + 1
+        state.update((s, e, c))
+        state.setTimeoutDuration(60_000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_ns": [x[0] for x in closed],
+                    "session_end_ns": [x[1] for x in closed],
+                    "n_events": [x[2] for x in closed],
+                }
+            )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
