@@ -1,0 +1,176 @@
+"""Unit tests for the [EXT] operator libraries: as-of/range joins,
+dedup (minhash/simhash), similarity, multimodal plumbing, streaming
+sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_fragmentation_and_query_processor_spark.functions import vectors as V
+from database_fragmentation_and_query_processor_spark.operators import dedup as D
+from database_fragmentation_and_query_processor_spark.operators import similarity as S
+from database_fragmentation_and_query_processor_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+def test_asof_join_matches_bruteforce(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 25, "p2"), (2, 5, "p3"), (3, 9, "p4")],
+        "uid int, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "c1"), (1, 20, "c2"), (1, 25, "c3"), (2, 6, "c4")],
+        "uid int, ts long, cid string",
+    )
+    got = {
+        (r.pid, r.cid_right)
+        for r in asof_join(left, right, on=["uid"], ts_col="ts").collect()
+    }
+    # p1@10 → c1@8; p2@25 → c3@25 (inclusive >=); p3@5 → none (c4@6 later);
+    # p4 (uid 3) → none
+    assert got == {("p1", "c1"), ("p2", "c3")}
+
+
+def test_range_join_bucketed_equals_broadcast_path(spark):
+    fact = spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(50)], "id int, v double"
+    )
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 30.0), ("mid", 30.0, 70.0), ("hi", 70.0, 100.0)],
+        "band string, lo double, hi double",
+    )
+    a = sorted(
+        (r.id, r.band)
+        for r in range_join_bucketed(fact, bands, "v", "lo", "hi").collect()
+    )
+    b = sorted(
+        (r.id, r.band)
+        for r in range_join_bucketed(
+            fact, bands, "v", "lo", "hi", bucket_width=25.0
+        ).collect()
+    )
+    assert a == b and len(a) == 50
+
+
+def test_minhash_lsh_finds_planted_duplicates(spark):
+    base = [
+        (i, " ".join(f"tok{(i * 13 + j) % 97}" for j in range(30)))
+        for i in range(40)
+    ]
+    # plant two exact dups and one near-dup (one token changed)
+    rows = base + [(100, base[0][1]), (101, base[1][1]),
+                   (102, base[2][1].replace("tok26", "tokX"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.near_dup_pairs(df, threshold=0.5, k=16, bands=8).collect()
+    }
+    assert (0, 100) in pairs and (1, 101) in pairs and (2, 102) in pairs
+
+
+def test_simhash_close_for_near_texts(spark):
+    t1 = " ".join(f"w{i}" for i in range(50))
+    t2 = t1.replace("w25", "zzz")  # one token differs
+    t3 = " ".join(f"q{i}" for i in range(50))  # unrelated
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "id long, text string"
+    )
+    sigs = {r.id: r.s for r in df.select("id", D.simhash(F.col("text"), 32).alias("s")).collect()}
+    d12 = bin(sigs[1] ^ sigs[2]).count("1")
+    d13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert d12 < d13, (d12, d13)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT "), (3, "other")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in D.exact_dedup(df).collect())
+    assert kept == [1, 3]  # normalization: case + whitespace folding
+
+
+def test_lsh_topk_contains_true_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.where(F.col("vec_id") == 0).head()[1])
+    exact = [r.vec_id for r in S.brute_force_topk(emb, qvec, k=1).collect()]
+    approx = [r.vec_id for r in S.lsh_topk(emb, qvec, k=10, probe_hamming=3).collect()]
+    assert exact[0] in approx  # query vector itself (cos=1) must be found
+
+
+def test_knn_join_bruteforce_self_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    ).limit(5)
+    res = S.knn_join_bruteforce(emb, queries, k=1)
+    got = {(r.query_id, r.vec_id) for r in res.collect()}
+    assert got == {(i, i) for i, _ in enumerate(range(5))} or all(
+        q == v for q, v in got
+    )
+
+
+def test_multimodal_feature_extraction_shape(spark, sf_dir):
+    from database_fragmentation_and_query_processor_spark.multimodal import (
+        extract_features,
+    )
+    from database_fragmentation_and_query_processor_spark.multimodal.binary_ops import (
+        documents_as_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    feats = extract_features(documents_as_media(docs)).collect()
+    assert len(feats) == 20
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+    # deterministic: same input → same feature
+    again = extract_features(documents_as_media(docs)).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))
+
+
+def test_streaming_sessionizer_closes_gap_sessions(spark, tmp_path):
+    """Drive the applyInPandasWithState sessionizer on a crafted stream:
+    two bursts 45 min apart → the first session closes when the second
+    burst arrives."""
+    import pandas as pd
+
+    from database_fragmentation_and_query_processor_spark.streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        sessionize_stateful,
+    )
+
+    ns = 1_000_000_000
+    rows = [
+        # user 7: burst A (3 events in 2 min), 45 min silence, burst B
+        (1, 0 * ns, 7, "click", 1.0, "{}"),
+        (2, 60 * ns, 7, "click", 1.0, "{}"),
+        (3, 120 * ns, 7, "click", 1.0, "{}"),
+        (4, (120 + 2700) * ns, 7, "click", 1.0, "{}"),
+        (5, (180 + 2700) * ns, 7, "click", 1.0, "{}"),
+    ]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    spark.createDataFrame(pdf, EVENTS_STREAM_SCHEMA).coalesce(1).write.parquet(
+        str(src / "batch0")
+    )
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(src / "batch0"))
+    out = sessionize_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    closed = sorted(spark.table("sess_test").collect(),
+                    key=lambda r: r.session_start_ns)
+    # burst A closed by the gap (3 events); burst B closed by the
+    # processing-time timeout during the final AvailableNow batch
+    assert [r.n_events for r in closed] == [3, 2]
+    assert closed[0].session_start_ns == 0 and closed[0].session_end_ns == 120 * ns
+    assert closed[1].session_start_ns == (120 + 2700) * ns
