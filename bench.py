@@ -34,6 +34,17 @@ HEADLINE = [
     "quality_by_source",
     "minhash_near_dup_pairs",
     "knn_bruteforce",
+    "q6_forecast_revenue",
+    "q4_priority_returns",
+    "q17_small_qty_revenue",
+    "doc_fingerprints",
+    "bpe_token_stats",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "ann_lsh_topk",
+    "sessionization",
+    "asof_click_attribution",
+    "range_join_price_bands",
 ]
 
 

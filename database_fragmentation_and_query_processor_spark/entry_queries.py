@@ -30,6 +30,7 @@ from .functions import vectors as V
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators.fragmentation import range_fragment_expr
+from .operators.scaling import stable_row_number, widen
 
 # ---------------------------------------------------------------------------
 # shared constants (embedded into BOTH the Spark plans and the oracle SQL)
@@ -56,6 +57,18 @@ DUP_SALT = 100_000  # synthesized duplicate doc_id offset
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, widened: the test file is a single parquet split, and
+    the doc operators are CPU-bound per row (shingles, hashes) — one
+    split would serialize them on one core. No-op on real clusters
+    where the scan is already wide (operators/scaling.py)."""
+    return widen(_t(spark, sf_dir, "documents"), key="doc_id")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return widen(_t(spark, sf_dir, "embeddings"), key="vec_id")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,13 +108,19 @@ ratings AS (
 
 
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    """Matches RATINGS_CTE exactly. The global row number (round-robin
+    assignment order) is computed with stable_row_number — bucketed,
+    parallel, deterministic — NOT a no-PARTITION window, which would
+    sort the whole relation in one task (operators/scaling.py)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_linenumber"
+    )
+    li = stable_row_number(li, ["l_orderkey", "l_linenumber"], out_col="rn")
     return li.select(
         F.col("l_orderkey").cast("int").alias("userid"),
         F.col("l_partkey").cast("int").alias("movieid"),
         (F.round((F.col("l_quantity") % 5.5) * 2) / 2.0).alias("rating"),
-        (F.row_number().over(w) - 1).alias("rn"),
+        "rn",
     )
 
 
@@ -582,7 +601,7 @@ TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
 
 
 def q_doc_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.withColumn("n_tokens", T.token_count(F.col("text")))
         .groupBy("lang")
@@ -609,7 +628,7 @@ def _docs_with_dups(spark, sf_dir):
     """Corpus with synthesized duplicates: every doc_id % 7 == 0 appears
     again under doc_id + DUP_SALT (same text) — gives the dedup operators
     real duplicate groups to find."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     dups = docs.where(F.col("doc_id") % 7 == 0).withColumn(
         "doc_id", F.col("doc_id") + DUP_SALT
     )
@@ -654,7 +673,7 @@ def _lang_score_sql(lang: str) -> str:
 
 
 def q_lang_id_confusion(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.withColumn("predicted_lang", T.predicted_lang(F.col("text")))
         .groupBy("lang", "predicted_lang")
@@ -704,7 +723,7 @@ _QUALITY_SQL = (
 
 
 def q_quality_by_source(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     q = T.quality_score(F.col("text"))
     return (
         docs.withColumn("q", q)
@@ -833,7 +852,7 @@ def _cosine_sql(a: str, b: str) -> str:
 
 def q_knn_bruteforce(spark, sf_dir):
     """Exact cosine top-k against the vec_id=0 embedding."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.brute_force_topk(emb, list(qvec), k=KNN_K)
 
@@ -850,7 +869,7 @@ LIMIT {KNN_K}
 def q_embedding_near_dup(spark, sf_dir):
     """All-pairs cosine ≥ threshold (exact variant — oracle-checkable;
     the LSH-bucketed variant is the 100 TB path, see similarity.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return S.embedding_near_dup_pairs(
         emb, threshold=EMB_DUP_THRESHOLD, bucketed=False
     )
@@ -874,7 +893,7 @@ def q_multimodal_meta(spark, sf_dir):
     JVM expressions only (multimodal/binary_ops.py)."""
     from .multimodal.binary_ops import documents_as_media, with_media_meta
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return with_media_meta(documents_as_media(docs), mime="text/plain")
 
 
@@ -892,7 +911,7 @@ def q_multimodal_features(spark, sf_dir):
     check (the decode step is the designated stub; no SQL equivalent)."""
     from .multimodal.binary_ops import documents_as_media, extract_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return extract_features(documents_as_media(docs))
 
 
@@ -900,7 +919,7 @@ SIMHASH_BITS = 32
 
 
 def q_simhash_signatures(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", D.simhash(F.col("text"), SIMHASH_BITS).alias("simhash32")
     )
@@ -935,7 +954,7 @@ ANN_PROBE_HAMMING = 2
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN top-k: sign-random-projection bucket probe + exact re-rank
     (the 100 TB path — only candidate buckets are scanned)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.lsh_topk(
         emb, list(qvec), k=KNN_K, n_planes=ANN_PLANES,
@@ -1098,6 +1117,198 @@ SQL_STREAMING_HOURLY = SQL_EVENTS_HOURLY
 
 
 # ---------------------------------------------------------------------------
+# 34-39: TPC-H q6/q4/q17 shapes + rolling-hash fingerprints, BPE tokens,
+# blocked exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+Q6_LO, Q6_HI = "1995-01-01", "1996-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY = 24
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: scan + conjunctive filter + global agg, zero
+    joins — the pure pushdown showcase (all three predicates reach the
+    parquet scan, see tests/test_plan_quality.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(Q6_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_HI).cast("timestamp"))
+            & F.col("l_discount").between(Q6_DISC_LO, Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.sum(_dec2(F.col("l_extendedprice")) * _dec2(F.col("l_discount")))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q6 = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_HI} 00:00:00'
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+def q4_priority_returns(spark, sf_dir):
+    """TPC-H Q4 shape: grouped EXISTS — orders with ≥1 returned line,
+    counted per priority. Left-semi join: the lineitem side is reduced
+    to its join key before the shuffle, no row multiplication."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    quantity) decorrelated into an aggregate + self-join — the form
+    Catalyst can plan as a shuffle join on l_partkey with AQE sizing.
+    The threshold avg is DECIMAL-exact so both engines agree."""
+    li = _t(spark, sf_dir, "lineitem")
+    th = li.groupBy("l_partkey").agg(
+        ((F.sum(_dec2(F.col("l_quantity"))).cast("double") / F.count("*"))
+         * F.lit(0.5)).alias("qty_thresh")
+    )
+    return (
+        li.join(th, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(_dec2(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+            .alias("avg_yearly"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q17 = """
+WITH th AS (
+  SELECT l_partkey,
+         (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 0.5 AS qty_thresh
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN th USING (l_partkey)
+WHERE l_quantity < qty_thresh
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting (functions/text.py): an
+    order-sensitive polynomial fold over the token-hash stream."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("fp_roll")
+    )
+
+
+SQL_DOC_FINGERPRINTS = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+h AS (SELECT doc_id,
+      list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT) % {T.ROLL_MOD}) AS h
+      FROM toks)
+SELECT doc_id,
+       CAST(CASE WHEN len(h) = 0 THEN 0
+            ELSE list_reduce(h, (acc, x) -> (acc * {T.ROLL_BASE} + x) % {T.ROLL_MOD})
+            END AS BIGINT) AS fp_roll
+FROM h
+"""
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / single symbols) next to plain whitespace tokens."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("n_bpe", T.bpe_token_count(F.col("text")))
+        .withColumn("n_ws", T.token_count(F.col("text")))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            (F.sum("n_bpe").cast("double") / F.count("*")).alias("avg_bpe_tokens"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+        )
+    )
+
+
+_BPE_LEN_SQL = f"CAST(len(regexp_extract_all(text, '{T.BPE_PATTERN}')) AS BIGINT)"
+
+SQL_BPE_TOKEN_STATS = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({_BPE_LEN_SQL}) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM({_BPE_LEN_SQL}) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens,
+       CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS total_ws_tokens
+FROM documents GROUP BY source
+"""
+
+
+LEN_BUCKET = 64  # chars per length-blocking bucket
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Standalone exact n-gram Jaccard dedup (no LSH): total recall
+    within a blocking key (operators/dedup.py:blocked_jaccard_pairs).
+    Blocked on (lang, length bucket) — near-dups virtually always agree
+    on language and approximate length, and the composite key keeps
+    each block's pair count quadratic in a SMALL group regardless of
+    corpus size."""
+    docs = _docs_with_dups(spark, sf_dir).withColumn(
+        "len_bucket", F.floor(F.col("n_chars") / F.lit(LEN_BUCKET))
+    )
+    return D.blocked_jaccard_pairs(
+        docs, block_cols=("lang", "len_bucket"),
+        threshold=NEAR_DUP_THRESHOLD, shingle_n=SHINGLE_N,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_JACCARD_EXPR = (
+    "CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)"
+    " / NULLIF(CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE), 0.0)"
+)
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+toksj AS (SELECT doc_id, lang, FLOOR(n_chars / {LEN_BUCKET}) AS len_bucket,
+                 {TOKENS_SQL} AS t FROM corpus),
+shj AS (SELECT doc_id, lang, len_bucket,
+        CASE WHEN len(t) < {SHINGLE_N} THEN [array_to_string(t, ' ')]
+             ELSE list_transform(range(0, len(t) - {SHINGLE_N - 1}),
+                                 i -> array_to_string(t[i+1:i+{SHINGLE_N}], ' '))
+        END AS s
+        FROM toksj),
+ssj AS (SELECT doc_id, lang, len_bucket, list_distinct(s) AS ss FROM shj)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({_JACCARD_EXPR}, 6) AS jaccard
+FROM ssj a JOIN ssj b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE {_JACCARD_EXPR} >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1135,6 +1346,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_click_attribution": q_asof_click_attribution,
     "range_join_price_bands": q_range_join_price_bands,
     "streaming_hourly": q_streaming_hourly,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_priority_returns": q4_priority_returns,
+    "q17_small_qty_revenue": q17_small_qty_revenue,
+    "doc_fingerprints": q_doc_fingerprints,
+    "bpe_token_stats": q_bpe_token_stats,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1171,4 +1388,10 @@ ORACLE_SQL: dict[str, str] = {
     "asof_click_attribution": SQL_ASOF_CLICK_ATTRIBUTION,
     "range_join_price_bands": SQL_RANGE_JOIN_PRICE_BANDS,
     "streaming_hourly": SQL_STREAMING_HOURLY,
+    "q6_forecast_revenue": SQL_Q6,
+    "q4_priority_returns": SQL_Q4,
+    "q17_small_qty_revenue": SQL_Q17,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "bpe_token_stats": SQL_BPE_TOKEN_STATS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
 }

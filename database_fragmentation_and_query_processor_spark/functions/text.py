@@ -117,3 +117,43 @@ def fingerprint(text: Column) -> Column:
     is bit-identical everywhere) — the exact-dedup key."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 53-bit token hash: first 13 hex chars of md5 → bigint.
+    `conv(hex, 16, 10)` in Spark == `CAST('0x'||hex AS BIGINT)`-style in
+    DuckDB; 13 hex digits keeps it exactly representable everywhere."""
+    return F.conv(F.substring(F.md5(tok), 1, 13), 16, 10).cast("bigint")
+
+
+# polynomial rolling-hash constants — mirrored verbatim in the oracle SQL
+ROLL_BASE = 31
+ROLL_MOD = 2_147_483_647  # 2^31 - 1: acc*31 + x < 2^36, no int64 overflow
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over the token-hash sequence, ``h = (h*B + t_i) mod M``. Unlike the
+    md5 fingerprint it is incrementally computable over a token stream
+    and cheap to band into buckets; a pure fold expression (no UDF), so
+    it stays inside codegen. Empty text → 0."""
+    hashes = F.transform(tokens(text), lambda t: token_hash(t) % F.lit(ROLL_MOD))
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single non-space
+#: symbols — the GPT-2-style split classes, portable between Java regex
+#: and RE2 (no lookarounds, no \p classes).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text)).cast("bigint")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, tokens
+from ..functions.text import fingerprint, token_hash, tokens
 
 # fixed affine-permutation constants for minhash: h_i(x) = (a_i*x + b_i) mod P
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
@@ -33,13 +33,6 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     No RNG: the oracle SQL embeds the same constants."""
     return [((2 * i + 1) * 2654435761 % MINHASH_PRIME, (i * 40503 + 7) % MINHASH_PRIME)
             for i in range(k)]
-
-
-def token_hash(tok: Column) -> Column:
-    """Portable 53-bit token hash: first 13 hex chars of md5 → bigint.
-    `conv(hex, 16, 10)` in Spark == `CAST('0x'||hex AS BIGINT)`-style in
-    DuckDB; 13 hex digits keeps it exactly representable everywhere."""
-    return F.conv(F.substring(F.md5(tok), 1, 13), 16, 10).cast("bigint")
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -199,6 +192,49 @@ def near_dup_pairs(
     )
     return (
         pairs.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup with cheap blocking (no LSH): all
+    pairs *within a blocking key* are verified, so recall is total
+    inside a block and zero across blocks. Complements MinHash-LSH
+    (probabilistic recall, no blocking assumption).
+
+    The self-join shuffles on the blocking key — pick keys whose group
+    sizes stay bounded as the corpus grows (language alone is fine for
+    a demo corpus; at 100 TB compose with a coarse length bucket or a
+    cheap content prefix so per-block pair counts stay quadratic in a
+    SMALL group, never in the corpus).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("ss"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), *block_cols, F.col("ss").alias("ss_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), *block_cols, F.col("ss").alias("ss_b")
+    )
+    jaccard = (
+        F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
+        / F.nullif(F.size(F.array_union("ss_a", "ss_b")).cast("double"), F.lit(0.0))
+    )
+    return (
+        a.join(b, list(block_cols))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

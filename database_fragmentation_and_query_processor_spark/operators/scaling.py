@@ -1,0 +1,91 @@
+"""Physical-parallelism operators: the two places where a plan that is
+correct at any scale is *slow* at one of them.
+
+``stable_row_number``
+    The reference's round-robin assignment needs a deterministic global
+    row number (row k → fragment k mod n, Interface1.py:169-174). The
+    naive Spark translation — ``row_number() OVER (ORDER BY keys)`` with
+    no PARTITION BY — sorts the whole relation in ONE task: correct at
+    60k rows, dead at 100 TB. This operator computes the identical
+    numbering with bounded per-task work: deterministically range-bucket
+    on the leading key, count per bucket (tiny aggregate), turn counts
+    into bucket offsets, then number within buckets in parallel.
+
+``widen``
+    A 600 KB parquet file scans as a single split, so CPU-heavy per-row
+    work downstream (shingling, minhash, hashing) runs on ONE core. On a
+    real cluster the same table is thousands of splits and no reshuffle
+    is wanted — so widening must be conditional: only repartition when
+    the scan is narrower than the session's parallelism. Hash-partition
+    on a provided key so the placement stays deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stable_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rn",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """0-based global row number by ``order_cols`` without a global sort.
+
+    Equivalent to ``ROW_NUMBER() OVER (ORDER BY order_cols) - 1`` when
+    ``order_cols`` form a unique key. Two extra *narrow* passes (min/max
+    of the leading key; per-bucket counts — both column-pruned scans),
+    then one parallel window partitioned by bucket. Buckets are computed
+    from fixed arithmetic on the leading key, so the assignment is
+    deterministic across jobs and re-executions (a data-sampled
+    ``repartitionByRange`` would not be).
+    """
+    spark = df.sparkSession
+    n = n_buckets or spark.sparkContext.defaultParallelism
+    lead = order_cols[0]
+
+    lo_hi = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).head()
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:  # empty input
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    span = max(int(hi) - int(lo) + 1, 1)
+    width = -(-span // n)  # ceil — last bucket absorbs the remainder
+    bucket = F.least(
+        F.floor((F.col(lead).cast("bigint") - F.lit(int(lo))) / F.lit(width)),
+        F.lit(n - 1),
+    ).cast("int")
+
+    b = df.withColumn("_bk", bucket)
+    counts = {row["_bk"]: row["cnt"]
+              for row in b.groupBy("_bk").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    off_map = F.create_map(
+        *[F.lit(v) for k in sorted(offsets) for v in (k, offsets[k])]
+    )
+
+    w = Window.partitionBy("_bk").orderBy(*order_cols)
+    return (
+        b.withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + off_map[F.col("_bk")]).cast("bigint"),
+        )
+        .drop("_bk")
+    )
+
+
+def widen(df: DataFrame, key: str | None = None, target: int | None = None) -> DataFrame:
+    """Repartition a narrow scan up to session parallelism — only when
+    actually narrow, so cluster-scale scans (already thousands of
+    splits) pass through untouched. ``key`` hash-partitions
+    deterministically; without it Spark round-robins."""
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= t:
+        return df
+    return df.repartition(t, F.col(key)) if key else df.repartition(t)
