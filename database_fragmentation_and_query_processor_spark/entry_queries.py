@@ -1309,6 +1309,160 @@ WHERE {_JACCARD_EXPR} >= {NEAR_DUP_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# 40-44: sliding windows, native session windows, exact quantiles,
+# set operations, pivot
+# ---------------------------------------------------------------------------
+
+SLIDE_US = 900_000_000  # 15 min
+WIN_US = 3_600_000_000  # 1 hour
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _event_time(ev: DataFrame) -> DataFrame:
+    return ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_events_sliding_windows(spark, sf_dir):
+    """Sliding-window aggregate (1h window, 15min slide): each event
+    lands in 4 overlapping windows — Spark's window() generator; the
+    oracle reproduces it with an explicit 4-offset unnest."""
+    ev = _event_time(_events(spark, sf_dir))
+    return (
+        ev.groupBy(F.window("event_time", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOWS = f"""
+WITH ev AS (SELECT epoch_us(ts) AS tus, value FROM events),
+assigned AS (
+  SELECT (tus - (tus % {SLIDE_US})) - CAST(k AS BIGINT) * {SLIDE_US} AS win_start_us, value
+  FROM ev, (SELECT unnest([0, 1, 2, 3]) AS k)
+  WHERE (tus - (tus % {SLIDE_US})) - CAST(k AS BIGINT) * {SLIDE_US} > tus - {WIN_US}
+)
+SELECT make_timestamp(win_start_us) AS win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY win_start_us
+"""
+
+SESSION_GAP_US = SESSION_GAP_NS // 1000
+
+
+def q_session_windows(spark, sf_dir):
+    """Native session_window (gap-merged event-time windows) — the
+    built-in counterpart of the custom applyInPandasWithState
+    sessionizer; window end = last event + gap."""
+    ev = _event_time(_events(spark, sf_dir))
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("event_time", "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+flagged AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER w IS NULL
+                   OR tus - lag(tus) OVER w >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+sess AS (
+  SELECT user_id, tus,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       make_timestamp(MIN(tus)) AS session_start,
+       make_timestamp(MAX(tus) + {SESSION_GAP_US}) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_events_value_quantiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — percentile(), not the
+    approx sketch) per event type; rounded to 6 digits on both sides."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_EVENTS_VALUE_QUANTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_user_setops(spark, sf_dir):
+    """Set operations: INTERSECT / EXCEPT / UNION-DISTINCT over the
+    clicker and buyer user-id sets, as one row of counts."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    click_only = clicks.subtract(buys).agg(F.count("*").alias("n_click_only"))
+    both = clicks.intersect(buys).agg(F.count("*").alias("n_both"))
+    either = clicks.union(buys).distinct().agg(F.count("*").alias("n_either"))
+    return click_only.crossJoin(both).crossJoin(either)
+
+
+SQL_USER_SETOPS = """
+WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+buys AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM clicks EXCEPT SELECT * FROM buys)) AS n_click_only,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM clicks INTERSECT SELECT * FROM buys)) AS n_both,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM clicks UNION SELECT * FROM buys)) AS n_either
+"""
+
+
+def q_events_pivot(spark, sf_dir):
+    """Pivot: hour-of-day × event_type matrix of decimal-exact value
+    sums (explicit pivot values for a deterministic schema)."""
+    ev = _events(spark, sf_dir)
+    hod = ((F.col("ts").cast("bigint") / F.lit(NS_PER_HOUR)).cast("bigint") % 24).cast("int")
+    return (
+        ev.withColumn("hod", hod)
+        .groupBy("hod")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"))
+    )
+
+
+_PIVOT_COLS_SQL = ",\n       ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS \"{t}\""
+    for t in EVENT_TYPES
+)
+
+SQL_EVENTS_PIVOT = f"""
+SELECT CAST((epoch_us(ts) // {US_PER_HOUR}) % 24 AS INTEGER) AS hod,
+       {_PIVOT_COLS_SQL}
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1352,6 +1506,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "bpe_token_stats": q_bpe_token_stats,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "events_sliding_windows": q_events_sliding_windows,
+    "session_windows": q_session_windows,
+    "events_value_quantiles": q_events_value_quantiles,
+    "user_setops": q_user_setops,
+    "events_pivot": q_events_pivot,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1394,4 +1553,9 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprints": SQL_DOC_FINGERPRINTS,
     "bpe_token_stats": SQL_BPE_TOKEN_STATS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "events_sliding_windows": SQL_EVENTS_SLIDING_WINDOWS,
+    "session_windows": SQL_SESSION_WINDOWS,
+    "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
+    "user_setops": SQL_USER_SETOPS,
+    "events_pivot": SQL_EVENTS_PIVOT,
 }
