@@ -1083,7 +1083,14 @@ def q_range_join_price_bands(spark, sf_dir):
     from .operators.joins import range_join_bucketed
 
     orders = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(PRICE_BANDS, "band_name string, lo double, hi double")
+    # VALUES literal, not createDataFrame: keeps the tiny dim table
+    # JVM-side (createDataFrame routes through a Python RDD scan that
+    # costs a Python-worker spin-up per execution)
+    bands = spark.sql(
+        "SELECT band_name, CAST(lo AS DOUBLE) lo, CAST(hi AS DOUBLE) hi FROM (VALUES "
+        + ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+        + ") AS t(band_name, lo, hi)"
+    )
     joined = range_join_bucketed(orders, bands, "o_totalprice", "lo", "hi")
     return joined.groupBy("band_name").agg(
         F.count("*").alias("n_orders"),
