@@ -991,6 +991,17 @@ ORDER BY cosine_sim DESC, vec_id
 LIMIT {KNN_K}
 """
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: deterministic k-means coarse quantizer (seeded by
+    lowest-id vectors, one Lloyd step as DataFrame aggs), nprobe-list
+    probe, exact re-rank (operators/similarity.py:ivf_topk). Rows-only
+    check: the learned quantizer is iterative and data-dependent, not
+    expressible as a static oracle SQL string."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.ivf_topk(emb, list(qvec), k=KNN_K, n_lists=16, nprobe=4)
+
+
 SESSION_GAP_NS = 30 * 60 * 1_000_000_000
 
 
@@ -1518,6 +1529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_quantiles": q_events_value_quantiles,
     "user_setops": q_user_setops,
     "events_pivot": q_events_pivot,
+    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (iterative quantizer)
 }
 
 ORACLE_SQL: dict[str, str] = {

@@ -105,6 +105,94 @@ def extract_features(
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, width: int = 8, height: int = 8,
+    id_col: str = "media_id", bytes_col: str = "payload",
+) -> DataFrame:
+    """Image resize plumbing over ``mapInPandas`` (Arrow batches).
+
+    The pixel work is the designated STUB (no codec libs in this
+    container): the fake "resize" strides the payload down to
+    width×height bytes, deterministically. The distributed shape is
+    real — binary in/out schema, batch iteration, one decoder init per
+    task — so swapping in PIL/OpenCV touches only the inner loop.
+    """
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[bytes_col]:
+                raw = bytes(payload)
+                d = decode_stub(raw)  # stub decode; raises if impossible
+                if d["n_bytes"] == 0:
+                    out.append(b"\x00" * target)
+                    continue
+                stride = max(d["n_bytes"] // target, 1)
+                out.append(raw[::stride][:target].ljust(target, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int64"),
+                    "height": pd.Series([height] * len(pdf), dtype="int64"),
+                    "resized": out,
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4,
+    id_col: str = "media_id", bytes_col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to
+    ``n_frames`` output rows (the 1→N ``mapInPandas`` shape a real
+    ffmpeg keyframe sampler needs). Frame extraction is the STUB: the
+    payload is split into n equal byte slices standing in for decoded
+    frames."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(payload)
+                decode_stub(raw)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    frames.append(raw[i * step : (i + 1) * step] or b"\x00")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media payload
     (the container ships no real image/audio fixtures)."""

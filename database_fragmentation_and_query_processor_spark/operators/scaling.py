@@ -79,6 +79,34 @@ def stable_row_number(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: a content-derived salt fans each hot
+    key of the big side across ``n_salts`` shuffle partitions; the
+    small side is replicated once per salt. Result is row-identical to
+    ``big.join(small, key, how)`` — only the shuffle distribution
+    changes. For when one key holds a double-digit percentage of a
+    100 TB fact table and AQE's skew split (which this engine also
+    enables) isn't enough. ``how``: inner or left (big side preserved
+    exactly once per row).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left only")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+    ).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
 def widen(df: DataFrame, key: str | None = None, target: int | None = None) -> DataFrame:
     """Repartition a narrow scan up to session parallelism — only when
     actually narrow, so cluster-scale scans (already thousands of

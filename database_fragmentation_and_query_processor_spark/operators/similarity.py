@@ -136,6 +136,87 @@ def lsh_topk(
     )
 
 
+def _sq_l2(vec: Column, cent: list[float]) -> Column:
+    c = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """0-based argmin of squared-L2 distance to literal centroids —
+    a pure column expression (array of distances + array_position)."""
+    d = F.array(*[_sq_l2(vec, c) for c in centroids])
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_lists: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF: seeds are the n_lists
+    lowest-id vectors (no RNG), refined by Lloyd iterations executed as
+    DataFrame aggregations — assign via ``nearest_centroid_expr``, new
+    means via posexplode + groupBy(list, dim). Only n_lists × dim
+    scalars ever reach the driver; the corpus never does."""
+    seeds = emb.orderBy(id_col).limit(n_lists).select(vec_col).collect()
+    cents = [[float(v) for v in r[vec_col]] for r in seeds]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "_list", nearest_centroid_expr(F.col(vec_col), cents)
+        )
+        means = (
+            assigned.select("_list", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("_list", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]  # empty lists keep their centroid
+        for r in means:
+            new[r["_list"]][r["pos"]] = float(r["m"])
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: k-means coarse quantizer → probe the nprobe
+    nearest inverted lists → exact cosine re-rank of candidates only.
+    At scale ``_list`` is the partition key of the stored index, so a
+    probe reads nprobe/n_lists of the corpus. Complements ``lsh_topk``
+    (same contract, hyperplane buckets instead of learned lists)."""
+    cents = kmeans_centroids(emb, n_lists, iters, id_col, vec_col)
+    dists = [
+        sum((float(a) - b) ** 2 for a, b in zip(query_vec, c)) for c in cents
+    ]
+    probe = sorted(range(len(cents)), key=lambda i: (dists[i], i))[:nprobe]
+    assigned = emb.withColumn("_list", nearest_centroid_expr(F.col(vec_col), cents))
+    cands = assigned.where(F.col("_list").isin([int(p) for p in probe]))
+    q = _as_literal_vec(query_vec)
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

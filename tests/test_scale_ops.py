@@ -1,0 +1,82 @@
+"""Unit tests for operators/scaling.py: distributed row numbering,
+skew-salted joins, conditional scan widening."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from database_fragmentation_and_query_processor_spark.operators.scaling import (
+    salted_join,
+    stable_row_number,
+    widen,
+)
+
+
+def test_stable_row_number_matches_global_window(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 7 % 997).alias("k"), F.col("id").alias("tie")
+    )
+    got = {
+        (r["k"], r["tie"]): r["rn"]
+        for r in stable_row_number(df, ["k", "tie"], n_buckets=8).collect()
+    }
+    w = Window.orderBy("k", "tie")
+    want = {
+        (r["k"], r["tie"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w) - 1).collect()
+    }
+    assert got == want
+
+
+def test_stable_row_number_no_single_task_sort(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    out = stable_row_number(df, ["k"], n_buckets=4)
+    # the window must be partitioned (bucketed), never a global
+    # no-PARTITION window (single-task sort)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "partitionBy" not in plan or "SinglePartition" not in plan
+
+
+def test_stable_row_number_skewed_and_sparse_keys(spark):
+    rows = [(5, i) for i in range(50)] + [(1_000_000, i) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, tie int")
+    out = stable_row_number(df, ["k", "tie"], n_buckets=8).collect()
+    rns = sorted(r["rn"] for r in out)
+    assert rns == list(range(55))  # dense, unique, 0-based
+    by_key = {(r["k"], r["tie"]): r["rn"] for r in out}
+    assert by_key[(5, 0)] == 0 and by_key[(1_000_000, 4)] == 54
+
+
+def test_stable_row_number_empty(spark):
+    df = spark.createDataFrame([], "k long, tie int")
+    assert stable_row_number(df, ["k", "tie"]).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed fact: 90% of rows share one key
+    fact = spark.range(0, 1000).select(
+        F.when(F.col("id") % 10 != 0, 7).otherwise(F.col("id") % 5).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(10)], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r) for r in salted_join(fact, dim, "k", n_salts=4, how=how)
+            .select("k", "payload", "label").collect()
+        )
+        want = sorted(
+            tuple(r) for r in fact.join(dim, "k", how)
+            .select("k", "payload", "label").collect()
+        )
+        assert got == want, how
+
+
+def test_widen_narrow_and_wide(spark):
+    narrow = spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1)
+    assert widen(narrow, key="id").rdd.getNumPartitions() > 1
+    wide = spark.range(0, 100).repartition(64, "id")
+    assert widen(wide, key="id", target=8).rdd.getNumPartitions() == 64
