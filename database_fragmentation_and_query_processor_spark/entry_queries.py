@@ -1481,6 +1481,109 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# 46-48: grouping sets, scalar-function battery, array-function battery
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): status×priority,
+    status, and grand total in one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec2(F.col("o_totalprice"))).cast("double").alias("sum_price"),
+        )
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_scalar_functions(spark, sf_dir):
+    """Scalar-function battery (string/date/math/conditional) with an
+    exact cross-engine mirror — pins the semantics of each function,
+    not just 'some expression ran'."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("s_upper"),
+        F.substring("o_orderpriority", 1, 3).alias("pr_sub"),
+        F.length("o_orderpriority").cast("bigint").alias("pr_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("joined"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("o_custkey") % 7 + 1, 2), 6).alias("pow2"),
+        F.greatest(F.col("o_custkey") % 7, F.lit(3)).cast("bigint").alias("gmax"),
+        F.least(F.col("o_custkey") % 7, F.lit(3)).cast("bigint").alias("lmin"),
+        F.when(F.col("o_totalprice") > 100000, "hi").otherwise("lo").alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias("status_or_open"),
+    )
+
+
+SQL_SCALAR_FUNCTIONS = """
+SELECT o_orderkey,
+       upper(o_orderstatus) AS s_upper,
+       substr(o_orderpriority, 1, 3) AS pr_sub,
+       CAST(length(o_orderpriority) AS BIGINT) AS pr_len,
+       o_orderstatus || '|' || o_orderpriority AS joined,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       date_trunc('month', o_orderdate) AS month_start,
+       ROUND(sqrt(o_totalprice), 6) AS price_sqrt,
+       ROUND(ln(o_totalprice), 6) AS price_ln,
+       ROUND(pow(o_custkey % 7 + 1, 2), 6) AS pow2,
+       CAST(greatest(o_custkey % 7, 3) AS BIGINT) AS gmax,
+       CAST(least(o_custkey % 7, 3) AS BIGINT) AS lmin,
+       CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END AS bucket,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+def q_array_functions(spark, sf_dir):
+    """Array-function battery over token arrays: distinct, sort, slice,
+    contains, intersect with a literal vocabulary."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    vocab = F.array(F.lit("the"), F.lit("data"), F.lit("query"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(toks)), 1, 5)).alias("first5_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.size(F.array_intersect(F.array_distinct(toks), vocab)).cast("bigint").alias("vocab_hits"),
+    )
+
+
+SQL_ARRAY_FUNCTIONS = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+       array_to_string(list_sort(list_distinct(t))[1:5], ',') AS first5_sorted,
+       list_contains(t, 'the') AS has_the,
+       CAST(len(list_intersect(list_distinct(t), ['the', 'data', 'query'])) AS BIGINT) AS vocab_hits
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1530,6 +1633,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_setops": q_user_setops,
     "events_pivot": q_events_pivot,
     "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (iterative quantizer)
+    "grouping_sets": q_grouping_sets,
+    "scalar_functions": q_scalar_functions,
+    "array_functions": q_array_functions,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1577,4 +1683,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_value_quantiles": SQL_EVENTS_VALUE_QUANTILES,
     "user_setops": SQL_USER_SETOPS,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "scalar_functions": SQL_SCALAR_FUNCTIONS,
+    "array_functions": SQL_ARRAY_FUNCTIONS,
 }
