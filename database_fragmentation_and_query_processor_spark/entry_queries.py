@@ -107,21 +107,33 @@ ratings AS (
 """
 
 
+#: plan cache for the ratings derivation: stable_row_number runs two
+#: tiny prep jobs (key min/max, bucket counts) at plan-build time; the
+#: inputs are immutable parquet, so the built plan is reusable across
+#: the five fragmentation queries within a session.
+_RATINGS_PLANS: dict[tuple[int, str], DataFrame] = {}
+
+
 def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matches RATINGS_CTE exactly. The global row number (round-robin
     assignment order) is computed with stable_row_number — bucketed,
     parallel, deterministic — NOT a no-PARTITION window, which would
     sort the whole relation in one task (operators/scaling.py)."""
+    key = (id(spark), sf_dir)
+    if key in _RATINGS_PLANS:
+        return _RATINGS_PLANS[key]
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_linenumber"
     )
     li = stable_row_number(li, ["l_orderkey", "l_linenumber"], out_col="rn")
-    return li.select(
+    out = li.select(
         F.col("l_orderkey").cast("int").alias("userid"),
         F.col("l_partkey").cast("int").alias("movieid"),
         (F.round((F.col("l_quantity") % 5.5) * 2) / 2.0).alias("rating"),
         "rn",
     )
+    _RATINGS_PLANS[key] = out
+    return out
 
 
 def _bucket_sql(col: str = "rating") -> str:
