@@ -37,6 +37,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q4_priority_returns",
     "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
     "doc_fingerprints",
     "bpe_token_stats",
     "ngram_jaccard_pairs",

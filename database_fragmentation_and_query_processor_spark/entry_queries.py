@@ -1595,6 +1595,43 @@ FROM toks
 """
 
 
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: equi-join with an OR of conjunctive residual
+    predicates — exercises Catalyst's filter normalization (the common
+    p_partkey=l_partkey conjunct is extracted into the join key; the
+    disjunction stays a residual). part is small → broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond1 | cond2)
+        .agg(
+            F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1648,6 +1685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "scalar_functions": q_scalar_functions,
     "array_functions": q_array_functions,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1698,4 +1736,5 @@ ORACLE_SQL: dict[str, str] = {
     "grouping_sets": SQL_GROUPING_SETS,
     "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "array_functions": SQL_ARRAY_FUNCTIONS,
+    "q19_disjunctive_revenue": SQL_Q19,
 }
