@@ -8,6 +8,8 @@ would serialize every vector through Arrow per batch; these don't.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,6 +37,31 @@ def l2_distance(a: Column, b: Column) -> Column:
         a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
     )
     return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def make_cosine_pandas_udf(query_vec: list[float]):
+    """Arrow-batched Pandas UDF cosine against a fixed query vector —
+    the escape hatch for vector ops the expression DSL can't reach
+    (learned re-rankers, numpy-only kernels). The closure captures the
+    query vector; numpy does one matmul per Arrow batch, not per row.
+    Prefer ``cosine`` (JVM expression) when expressible: it avoids the
+    JVM↔Python Arrow hop entirely.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype="float64")
+    qn = float(np.linalg.norm(q))
+
+    @pandas_udf("double")
+    def cos(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.apply(lambda v: np.asarray(v, dtype="float64")))
+        norms = np.linalg.norm(m, axis=1) * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = (m @ q) / norms
+        out[norms == 0] = np.nan
+        return pd.Series(out)
+
+    return cos
 
 
 def sign_bits(a: Column, planes: list[list[float]]) -> Column:

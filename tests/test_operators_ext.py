@@ -174,3 +174,25 @@ def test_streaming_sessionizer_closes_gap_sessions(spark, tmp_path):
     assert [r.n_events for r in closed] == [3, 2]
     assert closed[0].session_start_ns == 0 and closed[0].session_end_ns == 120 * ns
     assert closed[1].session_start_ns == (120 + 2700) * ns
+
+
+def test_pandas_udf_cosine_matches_expression(spark, sf_dir):
+    """The Arrow-batched Pandas UDF path must agree with the JVM
+    expression path to 1e-9 (both are float64 cosine)."""
+    from database_fragmentation_and_query_processor_spark.functions.vectors import (
+        cosine,
+        make_cosine_pandas_udf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    qvec = [float(v) for v in emb.head()["embedding"]]
+    udf = make_cosine_pandas_udf(qvec)
+    q = F.array(*[F.lit(v) for v in qvec])
+    both = emb.select(
+        "vec_id",
+        cosine(F.col("embedding"), q).alias("expr_cos"),
+        udf(F.col("embedding")).alias("udf_cos"),
+    ).collect()
+    assert len(both) == 200
+    for r in both:
+        assert abs(r["expr_cos"] - r["udf_cos"]) < 1e-9, r

@@ -40,6 +40,28 @@ def test_q3_q5_broadcast_no_sort_merge(spark, sf_dir):
         assert sort_merge_join_count(df) == 0, name
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = EQ.QUERIES["q6_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    # only the 4 referenced lineitem columns reach the scan
+    schemas = scan_read_schemas(df)
+    assert all(sch.count(":") <= 4 for sch in schemas), schemas
+
+
+def test_q19_disjunction_pushed_per_side(spark, sf_dir):
+    """Catalyst must decompose the OR-of-conjuncts into per-side
+    residuals pushed to BOTH scans (lineitem gets the quantity
+    disjunction, part gets the brand/size disjunction)."""
+    df = EQ.QUERIES["q19_disjunctive_revenue"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+
+
 def test_q3_dimension_filters_pushed(spark, sf_dir):
     df = EQ.QUERIES["q3_top_revenue_orders"](spark, sf_dir)
     pushed = " ".join(pushed_filters(df))
