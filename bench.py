@@ -46,6 +46,14 @@ HEADLINE = [
     "sessionization",
     "asof_click_attribution",
     "range_join_price_bands",
+    "grouping_sets",
+    "scalar_functions",
+    "array_functions",
+    "events_sliding_windows",
+    "session_windows",
+    "events_value_quantiles",
+    "user_setops",
+    "events_pivot",
 ]
 
 
