@@ -1595,6 +1595,19 @@ FROM toks
 """
 
 
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ sketch: approx distinct users per event type plus
+    the exact count for self-audit. Rows-only check: sketch estimates
+    are engine-specific by construction (tests/test_operators_ext.py
+    bounds the relative error instead)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19 shape: equi-join with an OR of conjunctive residual
     predicates — exercises Catalyst's filter normalization (the common
@@ -1686,6 +1699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions": q_scalar_functions,
     "array_functions": q_array_functions,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
 }
 
 ORACLE_SQL: dict[str, str] = {

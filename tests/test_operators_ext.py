@@ -196,3 +196,13 @@ def test_pandas_udf_cosine_matches_expression(spark, sf_dir):
     assert len(both) == 200
     for r in both:
         assert abs(r["expr_cos"] - r["udf_cos"]) < 1e-9, r
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ estimate must land within 5% of the exact distinct count
+    (rsd is configured at 2%)."""
+    from database_fragmentation_and_query_processor_spark import entry_queries as EQ
+
+    for r in EQ.QUERIES["approx_distinct_users"](spark, sf_dir).collect():
+        rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
