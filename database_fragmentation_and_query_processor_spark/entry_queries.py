@@ -1595,6 +1595,48 @@ FROM toks
 """
 
 
+Q10_LO, Q10_HI = "1995-01-01", "1995-07-01"
+
+
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer over a date
+    window, nation-decorated, deterministic top-20. Orders shrink to the
+    window before the lineitem join → broadcastable."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_HI).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_LO} 00:00:00'
+  AND o_orderdate <  TIMESTAMP '{Q10_HI} 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ sketch: approx distinct users per event type plus
     the exact count for self-audit. Rows-only check: sketch estimates
@@ -1699,6 +1741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions": q_scalar_functions,
     "array_functions": q_array_functions,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "q10_returned_revenue": q10_returned_revenue,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
 }
 
@@ -1751,4 +1794,5 @@ ORACLE_SQL: dict[str, str] = {
     "scalar_functions": SQL_SCALAR_FUNCTIONS,
     "array_functions": SQL_ARRAY_FUNCTIONS,
     "q19_disjunctive_revenue": SQL_Q19,
+    "q10_returned_revenue": SQL_Q10,
 }

@@ -206,3 +206,37 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for r in EQ.QUERIES["approx_distinct_users"](spark, sf_dir).collect():
         rel = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
         assert rel <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from database_fragmentation_and_query_processor_spark.sources.jsonl import (
+        quarantine_split,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ])
+    back = read_jsonl(spark, out, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    # corrupt-line quarantine: 2 good lines + 1 broken one
+    mixed = tmp_path / "mixed.jsonl"
+    mixed.write_text(
+        '{"doc_id": 1, "lang": "en", "source": "a"}\n'
+        "{not json at all\n"
+        '{"doc_id": 2, "lang": "de", "source": "b"}\n'
+    )
+    raw = read_jsonl(spark, str(mixed), schema, keep_corrupt=True)
+    good, bad = quarantine_split(raw)
+    assert good.count() == 2 and bad.count() == 1
