@@ -584,6 +584,33 @@ FROM events GROUP BY 1
 """
 
 
+def q_rollup_cascade_daily(spark, sf_dir):
+    """Multi-resolution rollup cascade (the hypertable / continuous-
+    aggregate pattern): the daily aggregate is computed FROM the hourly
+    aggregate, not from raw events — at scale each coarser resolution
+    reads the one below it (24 rows/day instead of millions), which is
+    how incremental rollup trees stay cheap."""
+    hourly = q_events_hourly(spark, sf_dir)
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("sum_value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+
+
+SQL_ROLLUP_CASCADE_DAILY = f"""
+WITH hourly AS ({SQL_EVENTS_HOURLY})
+SELECT date_trunc('day', hour) AS day,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(sum_value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS n_hours
+FROM hourly GROUP BY 1
+"""
+
+
 def q_top_event_per_user(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
@@ -1742,6 +1769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_functions": q_array_functions,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q10_returned_revenue": q10_returned_revenue,
+    "rollup_cascade_daily": q_rollup_cascade_daily,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
 }
 
@@ -1795,4 +1823,5 @@ ORACLE_SQL: dict[str, str] = {
     "array_functions": SQL_ARRAY_FUNCTIONS,
     "q19_disjunctive_revenue": SQL_Q19,
     "q10_returned_revenue": SQL_Q10,
+    "rollup_cascade_daily": SQL_ROLLUP_CASCADE_DAILY,
 }
