@@ -38,6 +38,8 @@ HEADLINE = [
     "q4_priority_returns",
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
+    "q10_returned_revenue",
+    "rollup_cascade_daily",
     "doc_fingerprints",
     "bpe_token_stats",
     "ngram_jaccard_pairs",
@@ -83,6 +85,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # each query timed cold: drop persisted intermediates (e.g. the
+        # minhash shingle cache) so queries don't interfere
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
