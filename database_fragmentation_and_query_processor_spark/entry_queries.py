@@ -1664,6 +1664,52 @@ LIMIT 20
 """
 
 
+def q_event_funnel(spark, sf_dir):
+    """Strict ordered-funnel analysis (view → click → purchase, each
+    stage strictly after the previous): per-stage conditional-min
+    cascade with reaggregation — no row explosion, two tiny shuffles on
+    user_id. The match_recognize-style op a pipeline needs without a
+    pattern-matching engine."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("bigint").alias("tsn")
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("tsn").alias("t1")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("tsn") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tsn").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("tsn") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tsn").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+v AS (SELECT user_id, MIN(tsn) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(tsn) AS t2 FROM ev e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND tsn > t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(tsn) AS t3 FROM ev e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND tsn > t2 GROUP BY e.user_id)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_view_click_purchase
+"""
+
+
 def q_approx_distinct_users(spark, sf_dir):
     """HyperLogLog++ sketch: approx distinct users per event type plus
     the exact count for self-audit. Rows-only check: sketch estimates
@@ -1770,6 +1816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "q10_returned_revenue": q10_returned_revenue,
     "rollup_cascade_daily": q_rollup_cascade_daily,
+    "event_funnel": q_event_funnel,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
 }
 
@@ -1824,4 +1871,5 @@ ORACLE_SQL: dict[str, str] = {
     "q19_disjunctive_revenue": SQL_Q19,
     "q10_returned_revenue": SQL_Q10,
     "rollup_cascade_daily": SQL_ROLLUP_CASCADE_DAILY,
+    "event_funnel": SQL_EVENT_FUNNEL,
 }
