@@ -964,7 +964,8 @@ def q_simhash_signatures(spark, sf_dir):
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_cte(table: str = "documents") -> str:
+    """CTE body producing (doc_id, simhash32) from ``table``."""
     votes = ", ".join(
         f"list_sum(list_transform(h, v -> CASE WHEN (v >> {i}) & 1 = 1 "
         f"THEN 1 ELSE -1 END)) AS v{i}"
@@ -974,17 +975,77 @@ def _simhash_sql() -> str:
         f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
-h AS (SELECT doc_id,
+tokss AS (SELECT doc_id, {TOKENS_SQL} AS t FROM {table}),
+hs2 AS (SELECT doc_id,
       list_transform(list_distinct(t),
                      x -> CAST(('0x' || substr(md5(x), 1, 13)) AS BIGINT)) AS h
-      FROM toks),
-votes AS (SELECT doc_id, {votes} FROM h)
-SELECT doc_id, CAST({sig} AS BIGINT) AS simhash32 FROM votes
+      FROM tokss),
+votes AS (SELECT doc_id, {votes} FROM hs2),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash32 FROM votes)
 """
 
 
-SQL_SIMHASH_SIGNATURES = _simhash_sql()
+SQL_SIMHASH_SIGNATURES = f"""
+WITH {_simhash_cte('documents')}
+SELECT doc_id, simhash32 FROM sigs
+"""
+
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3  # < bands ⇒ banding has FULL recall (pigeonhole)
+
+
+def q_simhash_near_dup_pairs(spark, sf_dir):
+    """SimHash near-dup pair finding: band the 32-bit signature into 4
+    bytes; docs sharing any band byte are candidates (pigeonhole: any
+    pair within Hamming 3 shares ≥1 untouched band → total recall);
+    verify with bit_count(xor). The join key is (band, byte) — bounded
+    bucket sizes, never O(n²)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    sig = docs.select("doc_id", D.simhash(F.col("text"), SIMHASH_BITS).alias("sig"))
+    band_vals = F.array(*[
+        F.shiftright("sig", b * 8).bitwiseAND(F.lit(255)) for b in range(SIMHASH_BANDS)
+    ])
+    banded = sig.select(
+        "doc_id", "sig", F.posexplode(band_vals).alias("band", "bval")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"),
+            F.col("x.sig").alias("sa"), F.col("y.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cands.where(hamming <= SIMHASH_MAX_HAMMING)
+        .select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+SQL_SIMHASH_NEAR_DUP_PAIRS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+{_simhash_cte('corpus')},
+banded AS (
+  SELECT doc_id, simhash32, band,
+         (simhash32 >> (band * 8)) & 255 AS bval
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                  x.simhash32 AS sa, y.simhash32 AS sb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 ANN_PLANES = 16
 ANN_PROBE_HAMMING = 2
@@ -1817,6 +1878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_revenue": q10_returned_revenue,
     "rollup_cascade_daily": q_rollup_cascade_daily,
     "event_funnel": q_event_funnel,
+    "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
 }
 
@@ -1872,4 +1934,5 @@ ORACLE_SQL: dict[str, str] = {
     "q10_returned_revenue": SQL_Q10,
     "rollup_cascade_daily": SQL_ROLLUP_CASCADE_DAILY,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "simhash_near_dup_pairs": SQL_SIMHASH_NEAR_DUP_PAIRS,
 }
