@@ -1821,6 +1821,114 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+Q18_QTY = 250.0
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a join aggregate — customers whose
+    total ordered quantity exceeds a threshold. The HAVING filter runs
+    on the aggregated (small) side before the customer join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("order_qty"))
+        .where(F.col("order_qty") > Q18_QTY)
+    )
+    return (
+        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_big_orders"),
+            F.sum(F.col("order_qty").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+SQL_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS order_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > {Q18_QTY}
+)
+SELECT c_custkey, c_name,
+       CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+       CAST(SUM(CAST(order_qty AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_user_rolling_avg(spark, sf_dir):
+    """Bounded window frame: per-user 3-event rolling value average
+    (ROWS 2 PRECEDING..CURRENT), decimal-exact inside the frame."""
+    ev = _events(spark, sf_dir)
+    # order by micros (ts div 1000) so tie-breaks match DuckDB, whose
+    # TIMESTAMP_NS parquet reads truncate to micro precision
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("ts div 1000"), "event_id")
+        .rowsBetween(-2, 0)
+    )
+    roll = (
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(roll, 6).alias("rolling_avg_3")
+    )
+
+
+SQL_USER_ROLLING_AVG = """
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS rolling_avg_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_event_gaps(spark, sf_dir):
+    """lead/lag as output: per-event gap to the user's next event, then
+    per-type mean gap (decimal-exact in micros)."""
+    ev = _events(spark, sf_dir).withColumn("tus", F.expr("ts div 1000"))
+    # micros on both engines: DuckDB truncates TIMESTAMP_NS to micros,
+    # so Spark must floor-div the raw nanos before differencing
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap_us = F.lead("tus").over(w) - F.col("tus")
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .where(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("*")).alias("avg_gap_us"),
+        )
+    )
+
+
+SQL_EVENT_GAPS = """
+WITH g AS (
+  SELECT event_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1880,6 +1988,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "user_rolling_avg": q_user_rolling_avg,
+    "event_gaps": q_event_gaps,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1935,4 +2046,7 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_cascade_daily": SQL_ROLLUP_CASCADE_DAILY,
     "event_funnel": SQL_EVENT_FUNNEL,
     "simhash_near_dup_pairs": SQL_SIMHASH_NEAR_DUP_PAIRS,
+    "q18_large_volume_customers": SQL_Q18,
+    "user_rolling_avg": SQL_USER_ROLLING_AVG,
+    "event_gaps": SQL_EVENT_GAPS,
 }
