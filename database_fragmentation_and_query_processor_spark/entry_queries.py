@@ -1929,6 +1929,165 @@ GROUP BY event_type
 """
 
 
+Q12_LO, Q12_HI = "1996-01-01", "1997-01-01"
+
+
+def q12_priority_line_counts(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional (CASE-sum) aggregation —
+    per line-status counts of high- vs low-priority order lines in a
+    ship-date year. The priority test is a map-side expression, so the
+    only shuffle is the tiny final groupBy."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q12_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_HI).cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+SQL_Q12 = f"""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_LO} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q12_HI} 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: filtered LEFT OUTER join + two-level aggregate —
+    distribution of customers by how many non-pending orders they have
+    (customers with zero orders kept by the outer join). The first
+    groupBy shuffles on c_custkey; the histogram groupBy is tiny."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+SQL_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus <> 'P'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+
+Q14_LO, Q14_HI = "1996-09-01", "1996-10-01"
+
+
+def q14_promo_revenue_ratio(spark, sf_dir):
+    """TPC-H Q14 shape: join + ratio of a conditional sum to the total
+    sum (promo-type revenue share for one ship month). Both sums are
+    decimal-exact; the division happens once on the final doubles."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    rev = _dec2(F.col("l_extendedprice")) * disc
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(_dec2(F.lit(0)))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+            .alias("promo_pct"),
+        )
+    )
+
+
+SQL_Q14 = f"""
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_LO} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q14_HI} 00:00:00'
+"""
+
+
+Q22_CODES = ("01", "13", "25", "37", "49", "61")
+Q22_DORMANT_AFTER = "2000-06-01"
+
+
+def q22_dormant_high_balance(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-average subquery + anti join — per
+    customer-code (last two digits of c_name, the fixture's stand-in
+    for a phone country code) counts of dormant customers (no order on
+    or after the cutoff) whose balance beats the positive-balance
+    average. The 1-row average is broadcast, never collected; the anti
+    join's build side is pre-shrunk by the date filter."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "code", F.expr("right(c_name, 2)")
+    ).where(F.col("code").isin(*Q22_CODES))
+    # decimal-exact average => identical threshold double on both engines
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec2(F.col("c_acctbal"))).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(Q22_DORMANT_AFTER).cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("code")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum(_dec2(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+SQL_Q22 = f"""
+WITH eligible AS (
+  SELECT c_custkey, c_acctbal, right(c_name, 2) AS code
+  FROM customer WHERE right(c_name, 2) IN {Q22_CODES!r}
+),
+avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM eligible WHERE c_acctbal > 0.0
+)
+SELECT code,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM eligible e, avg_bal
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = e.c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_DORMANT_AFTER} 00:00:00')
+GROUP BY code
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1991,6 +2150,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "user_rolling_avg": q_user_rolling_avg,
     "event_gaps": q_event_gaps,
+    "q12_priority_line_counts": q12_priority_line_counts,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+    "q22_dormant_high_balance": q22_dormant_high_balance,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2049,4 +2212,8 @@ ORACLE_SQL: dict[str, str] = {
     "q18_large_volume_customers": SQL_Q18,
     "user_rolling_avg": SQL_USER_ROLLING_AVG,
     "event_gaps": SQL_EVENT_GAPS,
+    "q12_priority_line_counts": SQL_Q12,
+    "q13_order_count_distribution": SQL_Q13,
+    "q14_promo_revenue_ratio": SQL_Q14,
+    "q22_dormant_high_balance": SQL_Q22,
 }
