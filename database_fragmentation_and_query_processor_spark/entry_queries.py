@@ -333,7 +333,9 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q3_top_revenue_orders(spark, sf_dir):
-    """Join + agg + deterministic top-k. customer is small → broadcast."""
+    """Join + agg + deterministic top-k. orders/customer scale with the
+    data, so no forced broadcast — AQE converts to broadcast joins at
+    runtime when the filtered sides are actually small."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == Q3_SEGMENT)
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
@@ -343,8 +345,8 @@ def q3_top_revenue_orders(spark, sf_dir):
     )
     disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -369,7 +371,9 @@ LIMIT 10
 
 def q5_region_nation_revenue(spark, sf_dir):
     """Star-join through region→nation→(customer,supplier)→orders→lineitem.
-    All dims broadcast; the only shuffle is the final groupBy (tiny)."""
+    Only the constant-size dims (region: 5 rows, nation: 25 rows) are
+    force-broadcast; customer/supplier/orders scale with the data, so
+    those joins are left to AQE."""
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -381,10 +385,10 @@ def q5_region_nation_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -1689,7 +1693,9 @@ Q10_LO, Q10_HI = "1995-01-01", "1995-07-01"
 def q10_returned_revenue(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue per customer over a date
     window, nation-decorated, deterministic top-20. Orders shrink to the
-    window before the lineitem join → broadcastable."""
+    window before the lineitem join; AQE broadcasts them at runtime if
+    the window is actually small (forced broadcast would not survive a
+    wide date window at scale)."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders").where(
@@ -1699,8 +1705,8 @@ def q10_returned_revenue(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"))
@@ -1803,7 +1809,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         & F.col("l_quantity").between(10, 35)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .where(cond1 | cond2)
         .agg(
             F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"),
@@ -1827,7 +1833,9 @@ Q18_QTY = 250.0
 def q18_large_volume_customers(spark, sf_dir):
     """TPC-H Q18 shape: HAVING over a join aggregate — customers whose
     total ordered quantity exceeds a threshold. The HAVING filter runs
-    on the aggregated (small) side before the customer join."""
+    on the aggregated side before the order/customer joins; the shrunk
+    side is left to AQE to broadcast (its size still scales with the
+    data, so a forced broadcast is not scale-safe)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -1837,8 +1845,8 @@ def q18_large_volume_customers(spark, sf_dir):
         .where(F.col("order_qty") > Q18_QTY)
     )
     return (
-        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("n_big_orders"),
@@ -1944,7 +1952,7 @@ def q12_priority_line_counts(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
@@ -2009,7 +2017,7 @@ def q14_promo_revenue_ratio(spark, sf_dir):
     rev = _dec2(F.col("l_extendedprice")) * disc
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(_dec2(F.lit(0)))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(promo).cast("double").alias("promo_revenue"),
             F.sum(rev).cast("double").alias("total_revenue"),

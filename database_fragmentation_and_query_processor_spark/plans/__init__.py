@@ -5,6 +5,7 @@ from .explain import (
     broadcast_join_count,
     exchange_count,
     explain_formatted,
+    final_explain_formatted,
     partition_filters,
     pushed_filters,
     scan_read_schemas,
@@ -15,6 +16,7 @@ __all__ = [
     "broadcast_join_count",
     "exchange_count",
     "explain_formatted",
+    "final_explain_formatted",
     "partition_filters",
     "pushed_filters",
     "scan_read_schemas",

@@ -46,6 +46,20 @@ def scan_read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (\S+)", explain_formatted(df))
 
 
+def final_explain_formatted(df: DataFrame) -> str:
+    """Execute the plan, then return the post-AQE FINAL physical plan.
+
+    Join-strategy assertions belong here, not on the static plan:
+    scale-variable joins carry no broadcast hints (a hint that is wrong
+    at 1000x the data is a bug), so the static plan shows shuffle joins
+    and AQE re-plans them to broadcast at runtime when a side turns out
+    small. ``collect()`` drives ``df``'s own QueryExecution, so the
+    adaptive plan it mutates is the one this explain reads back
+    (``count()``/``write`` would build a different QueryExecution)."""
+    df.collect()
+    return explain_formatted(df)
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     return explain_formatted(df).count("BroadcastHashJoin")
 
