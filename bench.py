@@ -56,6 +56,16 @@ HEADLINE = [
     "events_value_quantiles",
     "user_setops",
     "events_pivot",
+    "q12_priority_line_counts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q22_dormant_high_balance",
+    "user_rolling_avg",
+    "event_gaps",
+    "doc_sample_stratified",
+    "tfidf_top_terms",
+    "orders_merge_upsert",
 ]
 
 

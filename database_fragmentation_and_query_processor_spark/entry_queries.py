@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from .functions import text as T
 from .functions import vectors as V
 from .operators import dedup as D
+from .operators import merge as MergeOp
+from .operators import sampling as SampleOp
 from .operators import similarity as S
 from .operators.fragmentation import range_fragment_expr
 from .operators.scaling import stable_row_number, widen
@@ -2097,6 +2099,162 @@ GROUP BY code
 
 
 # ---------------------------------------------------------------------------
+# deterministic sampling / tf-idf / merge-upsert (training-pipeline ops)
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 500, "de": 250, "fr": 125}
+SAMPLE_DEFAULT = 50
+SAMPLE_SALT = "docs"
+
+
+def q_doc_sample_stratified(spark, sf_dir):
+    """Deterministic per-language document sampling: the keep decision
+    is a portable md5-hash threshold (operators/sampling.py), so the
+    sample is reproducible across runs, partitionings, and engines —
+    a pure map-side filter, zero shuffle before the tiny groupBy."""
+    docs = _docs(spark, sf_dir)
+    sampled = SampleOp.stratified_sample(
+        docs,
+        key=F.col("doc_id"),
+        stratum=F.col("lang"),
+        rates_permille=SAMPLE_RATES,
+        salt=SAMPLE_SALT,
+        default_permille=SAMPLE_DEFAULT,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+_SAMPLE_CASE = " ".join(
+    f"WHEN '{lang}' THEN {p}" for lang, p in sorted(SAMPLE_RATES.items())
+)
+
+SQL_DOC_SAMPLE_STRATIFIED = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST('0x' || substr(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 1000
+      < CASE lang {_SAMPLE_CASE} ELSE {SAMPLE_DEFAULT} END
+GROUP BY lang
+"""
+
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-k distinctive terms per document. Whole pipeline is
+    built-in exprs: explode → tf groupBy (shuffle on doc_id+term) →
+    df groupBy (shuffle on term) → unhinted term join (AQE) → per-doc
+    window. The corpus size is a broadcast 1-row aggregate, never a
+    global window. Scores round to 6 digits on both engines before
+    ranking; ties break on the term itself."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rk
+      FROM scored)
+WHERE rk <= {TFIDF_TOP_K}
+"""
+
+
+MERGE_UPD_MOD = 10
+
+
+def q_orders_merge_upsert(spark, sf_dir):
+    """Merge/upsert (SCD-1): a derived updates batch (every
+    MERGE_UPD_MOD-th order re-priced +10%, re-statused 'U') is applied
+    over the full orders snapshot via operators/merge.py — union + one
+    per-key window, a single shuffle however many rows update."""
+    orders = _t(spark, sf_dir, "orders")
+    upd = (
+        orders.where(F.col("o_orderkey") % MERGE_UPD_MOD == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn(
+            "o_totalprice",
+            (_dec2(F.col("o_totalprice")) * _dec2(F.lit(1.10))).cast("double"),
+        )
+    )
+    merged = MergeOp.merge_upsert(orders, upd, key_cols=["o_orderkey"])
+    # scale-4 decimal sum: the +10% product has 4 decimals, and summing
+    # at (18,2) would re-round it — half-up in Spark, half-even in
+    # DuckDB — so the wider scale keeps both engines rounding-free
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("total_price"),
+    )
+
+
+SQL_ORDERS_MERGE_UPSERT = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {MERGE_UPD_MOD} = 0
+),
+tagged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS src FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS src FROM upd
+),
+merged AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rk
+    FROM tagged
+  ) WHERE rk = 1
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2162,6 +2320,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
     "q22_dormant_high_balance": q22_dormant_high_balance,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "orders_merge_upsert": q_orders_merge_upsert,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2224,4 +2385,7 @@ ORACLE_SQL: dict[str, str] = {
     "q13_order_count_distribution": SQL_Q13,
     "q14_promo_revenue_ratio": SQL_Q14,
     "q22_dormant_high_balance": SQL_Q22,
+    "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "orders_merge_upsert": SQL_ORDERS_MERGE_UPSERT,
 }

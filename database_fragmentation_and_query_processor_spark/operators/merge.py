@@ -1,0 +1,52 @@
+"""Merge / upsert (SCD-1 "last write wins") as a batch operator.
+
+Spark has no MERGE INTO on plain parquet, and the reference engine has
+no update path at all (its only mutation is the routed INSERT,
+Interface1.py:183-259). The scalable batch idiom is union + one
+row_number window per key:
+
+    base ∪ updates  →  row_number() over (partition by key
+                                          order by version desc)  → rk=1
+
+- ONE shuffle (on the merge key) regardless of update count;
+- no driver-side diffing, no per-row lookups;
+- at 100 TB the shuffle partitions by key exactly like the downstream
+  consumers, so the merge can share a bucketed layout (see
+  operators/bucketing.py) and skip even that exchange.
+
+A full-outer-join merge would also work but shuffles BOTH sides and
+builds a wider row; the window form wins once updates are a small
+fraction of base — the common CDC-compaction case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SRC = "__merge_src"
+_RK = "__merge_rk"
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply ``updates`` over ``base`` by key: a key present in both
+    keeps only the updates row; a key only in updates is inserted.
+    Schemas must match (unionByName). ``tiebreak_cols`` deterministically
+    orders duplicate keys WITHIN one side (highest wins)."""
+    tagged = base.withColumn(_SRC, F.lit(0)).unionByName(
+        updates.withColumn(_SRC, F.lit(1))
+    )
+    order: list[Column] = [F.desc(_SRC)]
+    for c in tiebreak_cols or []:
+        order.append(F.desc(c))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        tagged.withColumn(_RK, F.row_number().over(w))
+        .where(F.col(_RK) == 1)
+        .drop(_SRC, _RK)
+    )
