@@ -66,6 +66,11 @@ HEADLINE = [
     "doc_sample_stratified",
     "tfidf_top_terms",
     "orders_merge_upsert",
+    "q7_nation_trade_flows",
+    "q8_market_share",
+    "q11_important_parts",
+    "q15_top_suppliers",
+    "q16_supplier_variety",
 ]
 
 

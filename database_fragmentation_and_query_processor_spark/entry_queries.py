@@ -2202,6 +2202,228 @@ WHERE rk <= {TFIDF_TOP_K}
 """
 
 
+Q7_NATION_A, Q7_NATION_B = "NATION_1", "NATION_2"
+
+
+def q7_nation_trade_flows(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year —
+    nation joined twice under different roles (supplier side vs
+    customer side), keeping only the two cross pairs. The nation dim is
+    constant-size → broadcast; the fact-side joins are AQE's call."""
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == nation_s.s_nkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == nation_c.c_nkey)
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("volume"))
+    )
+
+
+SQL_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+   OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')
+GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INTEGER)
+"""
+
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_3"
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of a region's yearly order
+    revenue — grouped conditional-sum / total-sum ratio. Share stays a
+    ratio of two decimal-exact sums, divided once per group."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    nation_c = _t(spark, sf_dir, "nation").select(
+        "n_regionkey", F.col("n_nationkey").alias("c_nkey")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    rev = _dec2(F.col("l_extendedprice")) * disc
+    target = F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(_dec2(F.lit(0)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == nation_c.c_nkey)
+        .join(F.broadcast(region), nation_c.n_regionkey == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == nation_s.s_nkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(target).cast("double").alias("nation_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            (F.sum(target).cast("double") / F.sum(rev).cast("double")).alias("mkt_share"),
+        )
+    )
+
+
+SQL_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{Q8_REGION}'
+GROUP BY CAST(year(o_orderdate) AS INTEGER)
+"""
+
+
+Q11_MULTIPLIER = 1.5  # keep parts whose value exceeds this x the mean
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a global scalar threshold — parts
+    whose lineitem value exceeds a multiple of the MEAN part value (the
+    mean-relative form stays meaningful at any scale factor, unlike a
+    fixed corpus fraction). The global 1-row aggregate is broadcast into
+    the filter, never collected to the driver."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = _dec2(F.col("l_extendedprice")) * _dec2(F.col("l_quantity"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(val).cast("double").alias("part_value")
+    )
+    total = li.agg(
+        F.sum(val).cast("double").alias("total_value"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("part_value")
+            > F.lit(Q11_MULTIPLIER) * F.col("total_value") / F.col("n_parts")
+        )
+        .select("l_partkey", "part_value")
+    )
+
+
+SQL_Q11 = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+total AS (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM lineitem
+)
+SELECT l_partkey, part_value
+FROM per_part, total
+WHERE part_value > {Q11_MULTIPLIER} * total_value / n_parts
+"""
+
+
+def q15_top_suppliers(spark, sf_dir):
+    """TPC-H Q15 shape: max-of-aggregate — supplier(s) with the highest
+    revenue, ties kept. The 1-row max re-joins the per-supplier
+    aggregate (broadcast), reproducing the view + scalar-subquery
+    pattern without a second scan of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("total_revenue")
+    )
+    best = per_supp.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        per_supp.crossJoin(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, per_supp.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_Q15 = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+"""
+
+
+Q16_EXCLUDED_BRAND = "Brand#5"
+Q16_SIZES = (1, 7, 13, 19, 25, 31)
+
+
+def q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-count after a join with an exclusion
+    predicate — distinct suppliers per (brand, size) for selected sizes,
+    excluding one brand. The distinct agg shuffles once on the group
+    key; part is scale-variable so its join is AQE's call."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_EXCLUDED_BRAND) & F.col("p_size").isin(*Q16_SIZES)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+SQL_Q16 = f"""
+SELECT p_brand, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCLUDED_BRAND}' AND p_size IN {Q16_SIZES!r}
+GROUP BY p_brand, p_size
+"""
+
+
 MERGE_UPD_MOD = 10
 
 
@@ -2323,6 +2545,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "tfidf_top_terms": q_tfidf_top_terms,
     "orders_merge_upsert": q_orders_merge_upsert,
+    "q7_nation_trade_flows": q7_nation_trade_flows,
+    "q8_market_share": q8_market_share,
+    "q11_important_parts": q11_important_parts,
+    "q15_top_suppliers": q15_top_suppliers,
+    "q16_supplier_variety": q16_supplier_variety,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2388,4 +2615,9 @@ ORACLE_SQL: dict[str, str] = {
     "doc_sample_stratified": SQL_DOC_SAMPLE_STRATIFIED,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "orders_merge_upsert": SQL_ORDERS_MERGE_UPSERT,
+    "q7_nation_trade_flows": SQL_Q7,
+    "q8_market_share": SQL_Q8,
+    "q11_important_parts": SQL_Q11,
+    "q15_top_suppliers": SQL_Q15,
+    "q16_supplier_variety": SQL_Q16,
 }
