@@ -92,7 +92,11 @@ def round_robin_partition(spark: SparkSession, table: str, n, warehouse: str) ->
         print("Invalid number of partitions:", n)
         return
     df = spark.read.parquet(_base_path(warehouse, table))
-    assigned = frag.assign_round_robin_fragments(df, n)
+    # (userid, movieid) is the ratings natural key → JVM-side bucketed
+    # numbering (operators/scaling.py), no Python RDD round-trip.
+    assigned = frag.assign_round_robin_fragments(
+        df, n, order_cols=["userid", "movieid"]
+    )
     frag.write_fragmented(assigned, _rr_path(warehouse, table))
     total = df.count()
     # cursor = index of the last inserted row mod n (Interface1.py:176-177)

@@ -911,19 +911,47 @@ LIMIT {KNN_K}
 """
 
 
+ANN_PLANES = 16
+EMB_DUP_PLANES = 12
+
+
+def _plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in p) + "]"
+
+
+def _sig_sql(col: str, n_planes: int = ANN_PLANES) -> str:
+    """DuckDB mirror of ``vectors.sign_bits`` for the deterministic
+    hyperplanes (same xorshift64 sequence, same bit order)."""
+    planes = S.deterministic_planes(EMB_DIM, n_planes)
+    terms = []
+    for i, p in enumerate(planes):
+        dot = (f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+               f"j -> CAST({col}[j] AS DOUBLE) * ({_plane_literal(p)})[j]))")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """All-pairs cosine ≥ threshold (exact variant — oracle-checkable;
-    the LSH-bucketed variant is the 100 TB path, see similarity.py)."""
+    """LSH-bucketed near-dup pairs — the 100 TB path IS the declared
+    query: candidates come from a self-join on the 12-bit sign-random-
+    projection signature (bounded buckets, never O(n²)), then exact
+    cosine verify. The all-pairs exact variant survives as the small-sf
+    recall audit (tests/test_operators_ext.py)."""
     emb = _emb(spark, sf_dir)
     return S.embedding_near_dup_pairs(
-        emb, threshold=EMB_DUP_THRESHOLD, bucketed=False
+        emb, threshold=EMB_DUP_THRESHOLD, bucketed=True,
+        n_planes=EMB_DUP_PLANES, dim=EMB_DIM,
     )
 
 
 SQL_EMBEDDING_NEAR_DUP = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_sig_sql('embedding', EMB_DUP_PLANES)} AS sig
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
 WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= {EMB_DUP_THRESHOLD}
 """
 
@@ -953,11 +981,23 @@ FROM documents
 
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched (mapInPandas) stub feature extraction — rows-only
-    check (the decode step is the designated stub; no SQL equivalent)."""
+    check (the decode step is the designated stub; no SQL equivalent).
+
+    The library API (multimodal/binary_ops.py) returns the feature as
+    ``array<double>``; the declared query projects it to a canonical
+    comma-joined string so the driver's pandas canonicalizer (which
+    sorts/hashes scalar cells) can handle it."""
     from .multimodal.binary_ops import documents_as_media, extract_features
 
     docs = _docs(spark, sf_dir)
-    return extract_features(documents_as_media(docs))
+    feats = extract_features(documents_as_media(docs))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("feature", lambda v: F.format_string("%.6f", v))
+        ).alias("feature_csv"),
+    )
 
 
 SIMHASH_BITS = 32
@@ -1053,13 +1093,12 @@ SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
 """
 
-ANN_PLANES = 16
 ANN_PROBE_HAMMING = 2
 
 
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN top-k: sign-random-projection bucket probe + exact re-rank
-    (the 100 TB path — only candidate buckets are scanned)."""
+    (in-memory variant; the storage-pruned variant is ann_lsh_indexed)."""
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.lsh_topk(
@@ -1068,18 +1107,25 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
-def _plane_literal(p: list[float]) -> str:
-    return "[" + ", ".join(repr(v) for v in p) + "]"
+def q_ann_lsh_indexed(spark, sf_dir):
+    """ANN top-k against a MATERIALIZED signature-partitioned index
+    (similarity.write_lsh_index → partitionBy(sig_prefix)): the probe
+    enumerates the Hamming-ball bucket values, so the parquet scan is
+    partition-pruned (PartitionFilters, asserted in
+    tests/test_plan_quality.py) — result-identical to ann_lsh_topk."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
 
-
-def _sig_sql(col: str) -> str:
-    planes = S.deterministic_planes(EMB_DIM, ANN_PLANES)
-    terms = []
-    for i, p in enumerate(planes):
-        dot = (f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
-               f"j -> CAST({col}[j] AS DOUBLE) * ({_plane_literal(p)})[j]))")
-        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    digest = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    idx_path = _os.path.join(_tf.gettempdir(), f"dfqp_lsh_index_{digest}")
+    S.write_lsh_index(emb, idx_path, n_planes=ANN_PLANES, dim=EMB_DIM)
+    return S.lsh_topk_indexed(
+        spark, idx_path, list(qvec), k=KNN_K, n_planes=ANN_PLANES,
+        probe_hamming=ANN_PROBE_HAMMING, dim=EMB_DIM,
+    )
 
 
 SQL_ANN_LSH_TOPK = f"""
@@ -1097,15 +1143,87 @@ ORDER BY cosine_sim DESC, vec_id
 LIMIT {KNN_K}
 """
 
+IVF_N_LISTS = 16
+IVF_NPROBE = 4
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN top-k: deterministic k-means coarse quantizer (seeded by
     lowest-id vectors, one Lloyd step as DataFrame aggs), nprobe-list
-    probe, exact re-rank (operators/similarity.py:ivf_topk). Rows-only
-    check: the learned quantizer is iterative and data-dependent, not
-    expressible as a static oracle SQL string."""
+    probe, exact re-rank (operators/similarity.py:ivf_topk). The whole
+    pipeline — seeds, round-6 Lloyd means, round-6 distance argmins —
+    is deterministic arithmetic, so the DuckDB oracle replays it as
+    static SQL (SQL_ANN_IVF_TOPK)."""
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.ivf_topk(emb, list(qvec), k=KNN_K, n_lists=16, nprobe=4)
+    return S.ivf_topk(
+        emb, list(qvec), k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE
+    )
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    """Squared-L2 between two DuckDB lists, mirroring similarity._sq_l2
+    (elementwise (x-y)*(x-y), summed)."""
+    diff = f"(CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))"
+    return (f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"j -> {diff} * {diff}))")
+
+
+# Static-SQL replay of the deterministic IVF pipeline: seeds = the
+# n_lists lowest-id vectors; one Lloyd step whose per-dim means are
+# ROUND(..., 6); every argmin compares ROUND(dist, 6) with ties to the
+# lowest list index — exactly similarity.kmeans_centroids/ivf_topk.
+SQL_ANN_IVF_TOPK = f"""
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         embedding AS seed
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_N_LISTS}
+),
+assign0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, s.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_sq_l2_sql('e.embedding', 's.seed')}, 6), s.list_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+dims AS (SELECT CAST(range AS INT) AS j FROM range(1, {EMB_DIM + 1})),
+means AS (
+  SELECT a.list_id, d.j, ROUND(AVG(CAST(e.embedding[d.j] AS DOUBLE)), 6) AS m
+  FROM assign0 a JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+  GROUP BY a.list_id, d.j
+),
+cents AS (
+  SELECT s.list_id,
+         COALESCE(mm.c, list_transform(s.seed, v -> CAST(v AS DOUBLE))) AS cent
+  FROM seeds s LEFT JOIN (
+    SELECT list_id, list(m ORDER BY j) AS c FROM means GROUP BY list_id
+  ) mm USING (list_id)
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.list_id FROM cents c, q
+  ORDER BY ROUND({_sq_l2_sql('q.qv', 'c.cent')}, 6), c.list_id
+  LIMIT {IVF_NPROBE}
+),
+assign1 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_sq_l2_sql('e.embedding', 'c.cent')}, 6), c.list_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+)
+SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q.qv')}, 6) AS cosine_sim
+FROM embeddings e JOIN assign1 a USING (vec_id) CROSS JOIN q
+WHERE a.list_id IN (SELECT list_id FROM probe)
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT {KNN_K}
+"""
 
 
 SESSION_GAP_NS = 30 * 60 * 1_000_000_000
@@ -2510,6 +2628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "simhash_signatures": q_simhash_signatures,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_lsh_indexed": q_ann_lsh_indexed,
     "sessionization": q_sessionization,
     "asof_click_attribution": q_asof_click_attribution,
     "range_join_price_bands": q_range_join_price_bands,
@@ -2525,7 +2644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_quantiles": q_events_value_quantiles,
     "user_setops": q_user_setops,
     "events_pivot": q_events_pivot,
-    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (iterative quantizer)
+    "ann_ivf_topk": q_ann_ivf_topk,
     "grouping_sets": q_grouping_sets,
     "scalar_functions": q_scalar_functions,
     "array_functions": q_array_functions,
@@ -2582,6 +2701,8 @@ ORACLE_SQL: dict[str, str] = {
     # multimodal_features: rows-only (stubbed decode, no SQL equivalent)
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_lsh_indexed": SQL_ANN_LSH_TOPK,  # result-identical by design
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "sessionization": SQL_SESSIONIZATION,
     "asof_click_attribution": SQL_ASOF_CLICK_ATTRIBUTION,
     "range_join_price_bands": SQL_RANGE_JOIN_PRICE_BANDS,

@@ -55,11 +55,13 @@ def range_fragment_expr(
 def with_row_index(df: DataFrame, name: str = "_row_idx") -> DataFrame:
     """Stable 0-based global row index in current partition/row order.
 
-    Uses ``zipWithIndex`` semantics: one lightweight count-per-partition
-    pass to compute offsets, then a narrow map — no shuffle, no
-    single-partition window, scales linearly with executors. This is the
-    deterministic substitute for the reference's "scan order" assumption
-    (Interface1.py:169: ``SELECT *`` order == insertion order).
+    KEYLESS FALLBACK ONLY: ``zipWithIndex`` pickles every row through
+    Python workers and back — at 100 TB that round-trip dominates.
+    Prefer ``assign_round_robin_fragments(order_cols=[...])``, which
+    numbers rows JVM-side via ``scaling.stable_row_number``; use this
+    path only when no stable key exists and the *physical* scan order
+    must be preserved (the reference's Interface1.py:169 assumption:
+    ``SELECT *`` order == insertion order).
     """
     spark = df.sparkSession
     schema = df.schema
@@ -87,14 +89,30 @@ def assign_range_fragments(
     )
 
 
-def assign_round_robin_fragments(df: DataFrame, n: int, start: int = 0) -> DataFrame:
-    """Deterministic (row k → k mod n) assignment in current row order.
+def assign_round_robin_fragments(
+    df: DataFrame, n: int, start: int = 0, order_cols: list[str] | None = None
+) -> DataFrame:
+    """Deterministic (row k → k mod n) assignment.
 
     The reference's test oracle demands exact ``(rownum-1) % n``
-    (testHelper1.py:95-99), so Spark's built-in non-deterministic
-    round-robin ``repartition(n)`` is NOT usable here.
+    (testHelper1.py:95-99) — an oracle on per-fragment COUNTS, which any
+    deterministic bijective numbering satisfies (fragment i always
+    receives ``|{k < total : k ≡ i (mod n)}|`` rows). So Spark's
+    non-deterministic ``repartition(n)`` is NOT usable, but the
+    numbering ORDER is free to be any stable total order.
+
+    When ``order_cols`` (a unique key) is given, rows are numbered with
+    ``scaling.stable_row_number`` — bucketed, JVM-side, no global sort,
+    no Python round-trip: the 100 TB path. Without a key, falls back to
+    ``with_row_index`` (zipWithIndex) to preserve physical scan order —
+    documented as the keyless fallback only.
     """
-    with_idx = with_row_index(df, "_row_idx")
+    if order_cols:
+        from .scaling import stable_row_number
+
+        with_idx = stable_row_number(df, order_cols, out_col="_row_idx")
+    else:
+        with_idx = with_row_index(df, "_row_idx")
     return with_idx.withColumn(
         FRAGMENT_COL, round_robin_fragment_expr(F.col("_row_idx"), n, start)
     ).drop("_row_idx")

@@ -110,20 +110,122 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """ANN top-k: restrict to vectors whose LSH signature is within
-    ``probe_hamming`` bits of the query signature, then exact re-rank.
-    At scale the signature is a partition/bucket key, so the probe reads
-    only matching buckets instead of the full corpus."""
+    """ANN top-k over an IN-MEMORY corpus: restrict to vectors whose LSH
+    signature is within ``probe_hamming`` bits of the query signature,
+    then exact re-rank. This variant computes signatures on the fly and
+    filters a full scan — use it when the corpus is already loaded or
+    signatures can't be precomputed. For storage-level pruning (read
+    only the matching buckets of a 100 TB corpus) materialize the index
+    once with ``write_lsh_index`` and probe with ``lsh_topk_indexed``,
+    which enumerates the Hamming-ball bucket values so Catalyst
+    partition-prunes the read."""
     planes = deterministic_planes(dim, n_planes)
-    import math
-
-    q_sig = 0
-    for i, p in enumerate(planes):
-        d = sum(a * b for a, b in zip(query_vec, p))
-        q_sig |= (1 if d >= 0 else 0) << i
+    q_sig = query_signature(query_vec, planes)
     sig = with_lsh_signature(emb, n_planes, vec_col, "_sig", dim)
     cands = sig.where(
         F.bit_count(F.col("_sig").bitwiseXOR(F.lit(q_sig))) <= probe_hamming
+    )
+    q = _as_literal_vec(query_vec)
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def query_signature(query_vec: list[float], planes: list[list[float]]) -> int:
+    """Driver-side signature of one query vector (same bit order as
+    ``functions.vectors.sign_bits``)."""
+    sig = 0
+    for i, p in enumerate(planes):
+        d = sum(float(a) * b for a, b in zip(query_vec, p))
+        sig |= (1 if d >= 0 else 0) << i
+    return sig
+
+
+def hamming_ball(value: int, bits: int, radius: int) -> list[int]:
+    """All ``bits``-wide values within Hamming distance ``radius`` of
+    ``value`` — the bucket values a radius-``radius`` probe must read.
+    Size is sum(C(bits, r) for r<=radius): tiny for the prefix widths
+    used here (8 bits, radius 2 → 37 of 256 buckets)."""
+    from itertools import combinations
+
+    out = {value}
+    for r in range(1, radius + 1):
+        for pos in combinations(range(bits), r):
+            v = value
+            for p in pos:
+                v ^= 1 << p
+            out.add(v)
+    return sorted(out)
+
+
+def write_lsh_index(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 16,
+    prefix_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the ANN index: vectors + full LSH signature, written
+    ``partitionBy(sig_prefix)`` (low ``prefix_bits`` of the signature).
+
+    The prefix — not the full signature — is the partition key so the
+    bucket count stays bounded (2^prefix_bits directories, each holding
+    ~corpus/2^prefix_bits vectors) independent of ``n_planes``. A probe
+    within Hamming radius h can then enumerate its candidate prefixes
+    (any signature within h of the query has prefix within h of the
+    query's prefix) and Catalyst prunes the rest at file-listing time —
+    the same storage trick ``fragmentation.write_fragmented`` plays for
+    range fragments.
+    """
+    sig = with_lsh_signature(emb, n_planes, vec_col, "lsh_sig", dim)
+    out = sig.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("lsh_sig"),
+        F.col("lsh_sig")
+        .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+        .cast("int")
+        .alias("sig_prefix"),
+    )
+    out.write.mode(mode).partitionBy("sig_prefix").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    probe_hamming: int = 2,
+    prefix_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Partition-pruned ANN probe against a ``write_lsh_index`` layout.
+
+    Reads ONLY the ≤ sum(C(prefix_bits, r), r<=h) bucket directories
+    whose prefix lies in the query's Hamming ball (an ``isin`` on the
+    partition column → PartitionFilters in the scan, asserted by
+    tests/test_plan_quality.py), then applies the exact
+    ``bit_count(sig XOR qsig) <= h`` filter and re-ranks by true cosine.
+    Result-identical to ``lsh_topk`` on the same corpus/parameters.
+    """
+    planes = deterministic_planes(dim, n_planes)
+    q_sig = query_signature(query_vec, planes)
+    q_prefix = q_sig & ((1 << prefix_bits) - 1)
+    prefixes = hamming_ball(q_prefix, prefix_bits, probe_hamming)
+    idx = spark.read.parquet(index_path).where(F.col("sig_prefix").isin(prefixes))
+    cands = idx.where(
+        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(q_sig))) <= probe_hamming
     )
     q = _as_literal_vec(query_vec)
     return (
@@ -147,8 +249,14 @@ def _sq_l2(vec: Column, cent: list[float]) -> Column:
 
 def nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """0-based argmin of squared-L2 distance to literal centroids —
-    a pure column expression (array of distances + array_position)."""
-    d = F.array(*[_sq_l2(vec, c) for c in centroids])
+    a pure column expression (array of distances + array_position).
+
+    Distances are rounded to 6 decimals before the argmin so the
+    assignment is reproducible bit-for-bit across engines (the DuckDB
+    oracle mirrors the same rounding); ties break to the LOWEST list
+    index in both (``array_position`` returns the first match).
+    """
+    d = F.array(*[F.round(_sq_l2(vec, c), 6) for c in centroids])
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
@@ -179,7 +287,11 @@ def kmeans_centroids(
         )
         new = [list(c) for c in cents]  # empty lists keep their centroid
         for r in means:
-            new[r["_list"]][r["pos"]] = float(r["m"])
+            # round-6 kills double-summation-order divergence so the
+            # quantizer (and hence the whole IVF result) is identical
+            # across engines — this is what makes the DuckDB oracle for
+            # ivf_topk expressible as static SQL.
+            new[r["_list"]][r["pos"]] = round(float(r["m"]), 6)
         cents = new
     return cents
 
@@ -200,8 +312,11 @@ def ivf_topk(
     probe reads nprobe/n_lists of the corpus. Complements ``lsh_topk``
     (same contract, hyperplane buckets instead of learned lists)."""
     cents = kmeans_centroids(emb, n_lists, iters, id_col, vec_col)
+    # (d*d, not d**2: libm pow() isn't guaranteed exact, and the DuckDB
+    # oracle mirrors this as an explicit multiply)
     dists = [
-        sum((float(a) - b) ** 2 for a, b in zip(query_vec, c)) for c in cents
+        round(sum((float(a) - b) * (float(a) - b) for a, b in zip(query_vec, c)), 6)
+        for c in cents
     ]
     probe = sorted(range(len(cents)), key=lambda i: (dists[i], i))[:nprobe]
     assigned = emb.withColumn("_list", nearest_centroid_expr(F.col(vec_col), cents))

@@ -12,6 +12,7 @@ microsecond precision for watermarking.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 import uuid
@@ -45,11 +46,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source requires a DIRECTORY; expose the single
     # parquet fixture through a symlinked temp dir
     src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"dfqp_events_stream_{abs(hash(sf_dir))}"
-    )
+    # stable digest (NOT built-in hash(): that is PYTHONHASHSEED-salted
+    # per process, which would leak a fresh stale dir every run)
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stream_dir = os.path.join(tempfile.gettempdir(), f"dfqp_events_stream_{digest}")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
+    if os.path.islink(link) and not os.path.exists(link):
+        os.unlink(link)  # dangling symlink from a deleted fixture dir
     if not os.path.exists(link):
         os.symlink(src, link)
     return (

@@ -240,3 +240,37 @@ def test_jsonl_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     raw = read_jsonl(spark, str(mixed), schema, keep_corrupt=True)
     good, bad = quarantine_split(raw)
     assert good.count() == 2 and bad.count() == 1
+
+
+def test_embedding_near_dup_bucketed_recall_audit(spark):
+    """Small-sf recall audit: the LSH-bucketed near-dup path (the
+    declared 100 TB query) must find the same pairs as the exact
+    O(n²) variant when the near-dups are genuine (cosine ≈ 1 vectors
+    agree on every sign bit, so bucketing loses nothing)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    for i in range(40):
+        vec = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, vec))
+    # three true near-dups of vector 0: tiny perturbations
+    for j, eps in ((100, 1e-4), (101, 5e-4), (102, 1e-3)):
+        rows.append((j, [v + eps for v in rows[0][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs(
+            emb, threshold=0.99, bucketed=False
+        ).collect()
+    )
+    bucketed = sorted(
+        (r.id_a, r.id_b)
+        for r in S.embedding_near_dup_pairs(
+            emb, threshold=0.99, bucketed=True, n_planes=12, dim=64
+        ).collect()
+    )
+    assert len(exact) >= 3  # the planted pairs are found at all
+    assert bucketed == exact

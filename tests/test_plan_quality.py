@@ -105,3 +105,39 @@ def test_range_join_broadcasts(spark, sf_dir):
     ).explain_formatted(df)
     assert plan_has_bnlj or broadcast_join_count(df) >= 1
     assert sort_merge_join_count(df) == 0
+
+
+def test_lsh_index_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """The materialized ANN index (write_lsh_index → partitionBy
+    sig_prefix) must turn a Hamming-ball probe into file-listing-level
+    partition pruning: PartitionFilters on sig_prefix, and the full
+    signature test pushed to the pruned scan."""
+    from database_fragmentation_and_query_processor_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(v) for v in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    idx = str(tmp_path / "lsh_index")
+    S.write_lsh_index(emb, idx, n_planes=16, dim=64)
+    df = S.lsh_topk_indexed(spark, idx, qvec, k=10, n_planes=16,
+                            probe_hamming=2, dim=64)
+    parts = " ".join(partition_filters(df))
+    assert "sig_prefix" in parts, parts
+    # result-identical to the in-memory variant on the same corpus
+    mem = S.lsh_topk(emb, qvec, k=10, n_planes=16, probe_hamming=2, dim=64)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_round_robin_partition_path_has_no_python_rdd(spark, ratings_file, warehouse):
+    """The bulk RR fragmentation path must stay JVM-side: numbering via
+    stable_row_number (bucketed window), never a zipWithIndex Python
+    round-trip. Asserted structurally: the assigned plan contains no
+    RDD scan barrier (ExistingRDD / PythonEval nodes)."""
+    from database_fragmentation_and_query_processor_spark.operators import fragmentation as frag
+
+    api.load_ratings(spark, "ratings", ratings_file, warehouse)
+    df = spark.read.parquet(f"{warehouse}/ratings/base")
+    assigned = frag.assign_round_robin_fragments(
+        df, 5, order_cols=["userid", "movieid"]
+    )
+    plan = assigned._jdf.queryExecution().analyzed().toString()
+    assert "ExistingRDD" not in plan and "PythonUDF" not in plan, plan
