@@ -2542,6 +2542,270 @@ GROUP BY p_brand, p_size
 """
 
 
+Q2_SIZE = 5
+Q2_TYPE = "STANDARD"
+Q2_REGION = "EUROPE"
+
+
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated MIN subquery with a multi-key
+    tie-broken top-k. The testdata has no partsupp, so the part-supplier
+    cost relation is derived from lineitem (min unit price per
+    (part, supplier) — deterministic: MIN of identical IEEE divisions).
+    The correlation (cost == min cost among eligible suppliers of the
+    same part) is a per-part window MIN — one shuffle on p_partkey, no
+    re-scan of the subquery per outer row."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE)
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    eligible = (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(sup, ps.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("supply_cost").over(w))
+        .where(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.round("supply_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_Q2 = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, ps.supply_cost,
+         MIN(ps.supply_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+  FROM ps
+  JOIN part p ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE p.p_size = {Q2_SIZE} AND p.p_type = '{Q2_TYPE}' AND r.r_name = '{Q2_REGION}'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ROUND(supply_cost, 6) AS supply_cost
+FROM eligible WHERE supply_cost = min_cost
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+Q9_PART_SUBSTR = "widget"
+Q9_COST_FACTOR = 0.6
+
+
+def q9_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by (nation, year) across a 5-way
+    multi-fact join (lineitem x part x supplier x nation x orders).
+    Supply cost is proxied as Q9_COST_FACTOR x p_retailprice (no
+    partsupp table). Both money sums are DECIMAL-exact and cast to
+    DOUBLE once; the factor is applied to the already-exact total so no
+    3-decimal product overflows precision rules on either engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_PART_SUBSTR)
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    rev = _dec2(F.col("l_extendedprice")) * (_dec2(F.lit(1)) - _dec2(F.col("l_discount")))
+    cost = _dec2(F.col("p_retailprice")) * _dec2(F.col("l_quantity"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(rev).cast("double").alias("sum_rev"),
+            F.sum(cost).cast("double").alias("sum_cost"),
+        )
+        .select(
+            "nation", "o_year",
+            (F.col("sum_rev") - F.lit(Q9_COST_FACTOR) * F.col("sum_cost")).alias("profit"),
+        )
+    )
+
+
+SQL_Q9 = f"""
+WITH agg AS (
+  SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_rev,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%{Q9_PART_SUBSTR}%'
+  GROUP BY n_name, YEAR(o_orderdate)
+)
+SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+       sum_rev - {Q9_COST_FACTOR} * sum_cost AS profit
+FROM agg
+"""
+
+
+Q20_PART_PREFIX = "small "
+Q20_YEAR = 1996
+Q20_FRACTION = 0.5
+Q20_REGION = "ASIA"
+
+
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join chain — suppliers (in a
+    region) who shipped, of some name-filtered part in one year, more
+    than a fraction of that part's total shipped quantity (the
+    availqty > 0.5*sum(qty) predicate re-expressed over lineitem).
+    Both quantity totals are DECIMAL-exact; the part total comes from a
+    window over the same aggregate, not a second scan. The supplier
+    join is leftsemi — no fan-out, no dedup shuffle."""
+    li = _t(spark, sf_dir, "lineitem").where(F.year("l_shipdate") == Q20_YEAR)
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(Q20_PART_PREFIX)
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = (
+        per_ps.withColumn("part_total", F.sum("qty").over(w))
+        .where(F.col("qty") > F.lit(Q20_FRACTION) * F.col("part_total"))
+        .join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == Q20_REGION)
+    in_region = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return (
+        sup.join(excess, sup.s_suppkey == excess.l_suppkey, "leftsemi")
+        .join(in_region.select("n_nationkey"), sup.s_nationkey == F.col("n_nationkey"), "leftsemi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+SQL_Q20 = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem WHERE YEAR(l_shipdate) = {Q20_YEAR}
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT * FROM (
+    SELECT l_partkey, l_suppkey, qty,
+           SUM(qty) OVER (PARTITION BY l_partkey) AS part_total
+    FROM per_ps
+  ) WHERE qty > {Q20_FRACTION} * part_total
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PART_PREFIX}%')
+)
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q20_REGION}'
+  )
+ORDER BY s_name
+"""
+
+
+Q21_LATE_DAYS = 90
+Q21_REGION = "AMERICA"
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS pair over other
+    suppliers of the same order, rewritten as per-order aggregates —
+    "another supplier exists" ⟺ the order has ≥2 distinct suppliers;
+    "no OTHER supplier was late" ⟺ exactly 1 distinct late supplier
+    (the candidate itself). Lateness is l_shipdate > o_orderdate + N
+    days (no commit/receipt dates in the testdata). One join pass +
+    two small per-order aggregates instead of two correlated
+    self-joins — the scale-sane plan for the same semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderstatus", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    late = lo.where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    )
+    n_sups = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sups")
+    )
+    n_late = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
+        F.countDistinct("l_suppkey").alias("n_late_sups")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == Q21_REGION)
+    in_region = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    cand = (
+        late.where(F.col("o_orderstatus") == "F")
+        .join(n_sups, "l_orderkey")
+        .join(n_late, F.col("l_orderkey") == F.col("lk"))
+        .where((F.col("n_sups") >= 2) & (F.col("n_late_sups") == 1))
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .join(in_region.select("n_nationkey"), sup.s_nationkey == F.col("n_nationkey"), "leftsemi")
+    )
+    return (
+        cand.groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_Q21 = f"""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey, o.o_orderstatus
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+),
+n_sups AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_sups
+  FROM lineitem GROUP BY l_orderkey
+),
+n_late AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_late_sups
+  FROM late GROUP BY l_orderkey
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late c
+JOIN n_sups USING (l_orderkey)
+JOIN n_late USING (l_orderkey)
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE c.o_orderstatus = 'F' AND n_sups >= 2 AND n_late_sups = 1
+  AND s.s_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q21_REGION}'
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
 MERGE_UPD_MOD = 10
 
 
@@ -2669,6 +2933,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_parts": q11_important_parts,
     "q15_top_suppliers": q15_top_suppliers,
     "q16_supplier_variety": q16_supplier_variety,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_nation_profit": q9_nation_profit,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2741,4 +3009,8 @@ ORACLE_SQL: dict[str, str] = {
     "q11_important_parts": SQL_Q11,
     "q15_top_suppliers": SQL_Q15,
     "q16_supplier_variety": SQL_Q16,
+    "q2_min_cost_supplier": SQL_Q2,
+    "q9_nation_profit": SQL_Q9,
+    "q20_excess_suppliers": SQL_Q20,
+    "q21_waiting_suppliers": SQL_Q21,
 }
