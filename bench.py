@@ -71,6 +71,16 @@ HEADLINE = [
     "q11_important_parts",
     "q15_top_suppliers",
     "q16_supplier_variety",
+    "q2_min_cost_supplier",
+    "q9_nation_profit",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "dedup_clusters",
+    "contamination_pairs",
+    "doc_repetition",
+    "token_histogram",
+    "ann_lsh_indexed",
+    "embedding_near_dup",
 ]
 
 

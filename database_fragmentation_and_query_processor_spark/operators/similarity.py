@@ -195,7 +195,12 @@ def write_lsh_index(
         .cast("int")
         .alias("sig_prefix"),
     )
-    out.write.mode(mode).partitionBy("sig_prefix").parquet(path)
+    # cluster by the partition key before writing: one writer per bucket
+    # directory instead of n_tasks x n_buckets small files — at 100 TB
+    # the difference between a healthy index and a metadata explosion
+    out.repartition(F.col("sig_prefix")).write.mode(mode).partitionBy(
+        "sig_prefix"
+    ).parquet(path)
 
 
 def lsh_topk_indexed(

@@ -274,3 +274,24 @@ def test_embedding_near_dup_bucketed_recall_audit(spark):
     )
     assert len(exact) >= 3  # the planted pairs are found at all
     assert bucketed == exact
+
+
+def test_connected_components_chain_and_stars(spark):
+    """Min-label propagation must converge past star graphs: a chain
+    9-8-7-...-0 needs multiple rounds to pull every node down to 0."""
+    from database_fragmentation_and_query_processor_spark.operators.graph import (
+        cluster_sizes,
+        connected_components,
+    )
+
+    edges = [(i, i + 1) for i in range(9)]          # one chain, comp 0
+    edges += [(100, 101), (100, 102), (100, 103)]   # star, comp 100
+    edges += [(200, 201)]                           # pair, comp 200
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = {r.node: r.label for r in connected_components(df).collect()}
+    assert all(labels[i] == 0 for i in range(10))
+    assert all(labels[i] == 100 for i in (100, 101, 102, 103))
+    assert labels[200] == labels[201] == 200
+    sizes = {r.cluster_id: r.n_docs for r in cluster_sizes(
+        connected_components(df)).collect()}
+    assert sizes == {0: 10, 100: 4, 200: 2}
