@@ -81,6 +81,7 @@ HEADLINE = [
     "token_histogram",
     "ann_lsh_indexed",
     "embedding_near_dup",
+    "streaming_enriched",
 ]
 
 

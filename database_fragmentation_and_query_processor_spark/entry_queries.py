@@ -1124,11 +1124,17 @@ def q_ann_lsh_indexed(spark, sf_dir):
     # build-once, probe-many: the index is the durable artifact (like
     # the fragment warehouse); rebuild only when absent. The fixture
     # data per sf_dir is immutable, so _SUCCESS ⇒ index is current.
+    # prefix_bits sizes the bucket directory count: 6 bits (64 dirs,
+    # radius-2 ball reads 22) fits the test corpus; at 100 TB raise it
+    # so each bucket stays a few hundred MB — pruning ratio improves
+    # with every bit.
     if not _os.path.exists(_os.path.join(idx_path, "_SUCCESS")):
-        S.write_lsh_index(emb, idx_path, n_planes=ANN_PLANES, dim=EMB_DIM)
+        S.write_lsh_index(
+            emb, idx_path, n_planes=ANN_PLANES, prefix_bits=6, dim=EMB_DIM
+        )
     return S.lsh_topk_indexed(
         spark, idx_path, list(qvec), k=KNN_K, n_planes=ANN_PLANES,
-        probe_hamming=ANN_PROBE_HAMMING, dim=EMB_DIM,
+        probe_hamming=ANN_PROBE_HAMMING, prefix_bits=6, dim=EMB_DIM,
     )
 
 
@@ -1360,6 +1366,37 @@ def q_streaming_hourly(spark, sf_dir):
 
 
 SQL_STREAMING_HOURLY = SQL_EVENTS_HOURLY
+
+
+def q_streaming_enriched(spark, sf_dir):
+    """Stream-static dimension enrichment (AvailableNow): the events
+    stream joins the static customer table per micro-batch (no join
+    state — streaming/events.py:enrich_with_dimension), then aggregates
+    spend by market segment. Must equal the batch join, which is the
+    oracle."""
+    from .streaming.events import (
+        enrich_with_dimension,
+        read_events_stream,
+        run_available_now,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_with_dimension(stream, dim, "user_id", "c_custkey")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return run_available_now(agg, spark)
+
+
+SQL_STREAMING_ENRICHED = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3126,6 +3163,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_nation_profit": q9_nation_profit,
     "q20_excess_suppliers": q20_excess_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    "streaming_enriched": q_streaming_enriched,
     "dedup_clusters": q_dedup_clusters,
     "contamination_pairs": q_contamination_pairs,
     "doc_repetition": q_doc_repetition,
@@ -3206,6 +3244,7 @@ ORACLE_SQL: dict[str, str] = {
     "q9_nation_profit": SQL_Q9,
     "q20_excess_suppliers": SQL_Q20,
     "q21_waiting_suppliers": SQL_Q21,
+    "streaming_enriched": SQL_STREAMING_ENRICHED,
     "dedup_clusters": _sql_dedup_clusters(),
     "contamination_pairs": SQL_CONTAMINATION_PAIRS,
     "doc_repetition": SQL_DOC_REPETITION,

@@ -94,6 +94,22 @@ def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+def enrich_with_dimension(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Stream-static enrichment join — the standard streaming lookup:
+    the static side is planned per micro-batch (broadcast when small,
+    AQE's call otherwise), the stream side carries NO join state, so
+    memory stays flat no matter how long the stream runs. This is the
+    scale-correct shape for dimension enrichment; stream-stream joins
+    (which buffer both sides in state) are reserved for genuinely
+    bi-temporal correlation."""
+    return stream.join(dim, stream[stream_key] == dim[dim_key], "inner")
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
