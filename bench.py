@@ -82,6 +82,11 @@ HEADLINE = [
     "ann_lsh_indexed",
     "embedding_near_dup",
     "streaming_enriched",
+    "fuzzy_name_pairs",
+    "events_gap_fill",
+    "customer_window_battery",
+    "lineitem_unpivot",
+    "scd2_order_history",
 ]
 
 

@@ -3085,6 +3085,219 @@ FROM documents GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# fuzzy matching, gap fill, window battery, unpivot, SCD-2, multimodal
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy self-join: distinct part names within
+    Levenshtein 2 of each other, via the length-bucket-blocked
+    fuzzy_join (operators/joins.py) — full recall, no cross join."""
+    from .operators.joins import fuzzy_join
+
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        fuzzy_join(a, b, "name_a", "name_b", max_distance=FUZZY_MAX_DIST)
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("distance"),
+        )
+    )
+
+
+SQL_FUZZY_NAME_PAIRS = f"""
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+def q_events_gap_fill(spark, sf_dir):
+    """Time-series gap fill (resample): the (hour × event_type) grid is
+    generated from the aggregated bounds (a 1-row agg → sequence →
+    explode, never a driver loop), then left-joined against the actual
+    hourly aggregate with zero-fill. At scale the spine is thousands of
+    rows while events are billions — the join broadcasts the spine."""
+    ev = _events(spark, sf_dir)
+    hour = _ts_hour(F.col("ts"))
+    hourly = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    return grid.join(hourly, ["hour", "event_type"], "left").select(
+        "hour", "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('hour', ts)) AS TIMESTAMP) AS lo,
+         CAST(MAX(date_trunc('hour', ts)) AS TIMESTAMP) AS hi
+  FROM events
+),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT s.hour, t.event_type,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+       COALESCE(h.sv, 0.0) AS sum_value
+FROM spine s CROSS JOIN types t
+LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type
+"""
+
+
+def q_customer_window_battery(spark, sf_dir):
+    """Analytic-function battery: ntile / percent_rank / cume_dist /
+    rank / dense_rank per market segment by account balance. The order
+    key carries the unique c_custkey tie-break so every function is
+    deterministic cross-engine."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+    )
+
+
+SQL_CUSTOMER_WINDOW_BATTERY = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(rank() OVER w AS BIGINT) AS rk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drk
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_lineitem_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): the wide per-flag aggregate goes long —
+    (flag, metric, value) — with the built-in unpivot operator (a
+    zero-shuffle generate step over the already-aggregated rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(_dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(_dec2(F.col("l_extendedprice"))).cast("double").alias("sum_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_items"], "metric", "value"
+    )
+
+
+SQL_LINEITEM_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_items
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'n_items', n_items FROM wide
+"""
+
+
+def q_scd2_order_history(spark, sf_dir):
+    """SCD-2 validity intervals from a versioned changelog: base orders
+    (version 0) + the re-priced update batch (version 1, same derivation
+    as orders_merge_upsert) become per-key [valid_from, valid_to)
+    rows with an is_current flag — operators/merge.py:scd2_history,
+    one shuffle on the key."""
+    from .operators.merge import scd2_history
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd = orders.where(F.col("o_orderkey") % MERGE_UPD_MOD == 0).withColumn(
+        "o_totalprice",
+        (_dec2(F.col("o_totalprice")) * _dec2(F.lit(1.10))).cast("double"),
+    )
+    versions = orders.withColumn("version", F.lit(0)).unionByName(
+        upd.withColumn("version", F.lit(1))
+    )
+    return scd2_history(versions, ["o_orderkey"], "version").select(
+        "o_orderkey", "o_totalprice",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.col("valid_to").cast("bigint").alias("valid_to"),
+        "is_current",
+    )
+
+
+SQL_SCD2_ORDER_HISTORY = f"""
+WITH upd AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % {MERGE_UPD_MOD} = 0
+),
+versions AS (
+  SELECT o_orderkey, o_totalprice, 0 AS version FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 1 AS version FROM upd
+)
+SELECT o_orderkey, o_totalprice,
+       CAST(version AS BIGINT) AS valid_from,
+       CAST(LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS BIGINT) AS valid_to,
+       LEAD(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL AS is_current
+FROM versions
+"""
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (rows-only: stubbed codec): Arrow-batched
+    mapInPandas resize, output projected to scalar digests so the check
+    can hash it."""
+    from .multimodal.binary_ops import documents_as_media, resize_images
+
+    docs = _docs(spark, sf_dir)
+    out = resize_images(documents_as_media(docs), width=8, height=8)
+    return out.select(
+        "media_id", "width", "height",
+        F.sha2(F.col("resized"), 256).alias("resized_sha256"),
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (rows-only: stubbed codec): 1→N
+    mapInPandas fan-out, scalar digests out."""
+    from .multimodal.binary_ops import documents_as_media, sample_frames
+
+    docs = _docs(spark, sf_dir)
+    out = sample_frames(documents_as_media(docs), n_frames=4)
+    return out.select(
+        "media_id", "frame_idx", F.sha2(F.col("frame"), 256).alias("frame_sha256")
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3168,6 +3381,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_pairs": q_contamination_pairs,
     "doc_repetition": q_doc_repetition,
     "token_histogram": q_token_histogram,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "events_gap_fill": q_events_gap_fill,
+    "customer_window_battery": q_customer_window_battery,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "scd2_order_history": q_scd2_order_history,
+    "multimodal_resize": q_multimodal_resize,   # rows-only (stubbed codec)
+    "multimodal_frames": q_multimodal_frames,   # rows-only (stubbed codec)
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3249,4 +3469,10 @@ ORACLE_SQL: dict[str, str] = {
     "contamination_pairs": SQL_CONTAMINATION_PAIRS,
     "doc_repetition": SQL_DOC_REPETITION,
     "token_histogram": SQL_TOKEN_HISTOGRAM,
+    "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
+    "events_gap_fill": SQL_EVENTS_GAP_FILL,
+    "customer_window_battery": SQL_CUSTOMER_WINDOW_BATTERY,
+    "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
+    "scd2_order_history": SQL_SCD2_ORDER_HISTORY,
+    # multimodal_resize / multimodal_frames: rows-only (stubbed decode)
 }

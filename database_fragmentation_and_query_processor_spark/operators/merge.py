@@ -50,3 +50,25 @@ def merge_upsert(
         .where(F.col(_RK) == 1)
         .drop(_SRC, _RK)
     )
+
+
+def scd2_history(
+    versions: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Build SCD-2 validity intervals from a versioned changelog: each
+    key's versions become rows with ``valid_from`` = own version and
+    ``valid_to`` = next version (NULL for the current row, which also
+    gets ``is_current = true``).
+
+    One window per key (single shuffle on the merge key, like
+    ``merge_upsert``); no self-join — ``lead`` supplies the closing
+    version. The changelog itself can be arbitrarily large: state per
+    key is bounded by its version count, never materialized driver-side.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    nxt = F.lead(version_col).over(w)
+    return versions.withColumn("valid_to", nxt).withColumn(
+        "is_current", nxt.isNull()
+    ).withColumnRenamed(version_col, "valid_from")
