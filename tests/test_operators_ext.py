@@ -295,3 +295,39 @@ def test_connected_components_chain_and_stars(spark):
     sizes = {r.cluster_id: r.n_docs for r in cluster_sizes(
         connected_components(df)).collect()}
     assert sizes == {0: 10, 100: 4, 200: 2}
+
+
+def test_fuzzy_join_full_recall_vs_cross_join(spark):
+    """The length-bucket blocking must lose NOTHING: compare against the
+    exact cross-join Levenshtein filter on a vocabulary with pairs that
+    straddle bucket boundaries (lengths 1..12, distance up to 3)."""
+    import itertools
+    import random
+
+    from database_fragmentation_and_query_processor_spark.operators.joins import fuzzy_join
+
+    rng = random.Random(11)
+    alphabet = "abcde"
+    vocab = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(80)
+    })
+    df = spark.createDataFrame([(w,) for w in vocab], "w string")
+    for d in (1, 2, 3):
+        a = df.select(F.col("w").alias("wa"))
+        b = df.select(F.col("w").alias("wb"))
+        exact = sorted(
+            (r.wa, r.wb)
+            for r in a.crossJoin(b)
+            .where(
+                (F.levenshtein("wa", "wb") <= d) & (F.col("wa") < F.col("wb"))
+            )
+            .collect()
+        )
+        blocked = sorted(
+            (r.wa, r.wb)
+            for r in fuzzy_join(a, b, "wa", "wb", max_distance=d)
+            .where(F.col("wa") < F.col("wb"))
+            .collect()
+        )
+        assert blocked == exact, f"recall loss at d={d}"

@@ -82,3 +82,18 @@ def test_merge_upsert_tiebreak_within_updates(spark):
     )
     out = M.merge_upsert(base, upd, key_cols=["k"], tiebreak_cols=["ver"]).collect()
     assert len(out) == 1 and out[0]["v"] == "new" and out[0]["ver"] == 2
+
+
+def test_scd2_history_intervals(spark):
+    from database_fragmentation_and_query_processor_spark.operators.merge import scd2_history
+
+    versions = spark.createDataFrame(
+        [(1, 10.0, 0), (1, 12.0, 1), (1, 13.0, 2), (2, 5.0, 0)],
+        "k long, v double, ver long",
+    )
+    out = {(r.k, r.valid_from): (r.valid_to, r.is_current)
+           for r in scd2_history(versions, ["k"], "ver").collect()}
+    assert out[(1, 0)] == (1, False)
+    assert out[(1, 1)] == (2, False)
+    assert out[(1, 2)] == (None, True)
+    assert out[(2, 0)] == (None, True)
