@@ -87,6 +87,15 @@ HEADLINE = [
     "customer_window_battery",
     "lineitem_unpivot",
     "scd2_order_history",
+    "embedding_centroids",
+    "chunk_dedup",
+    "term_masking",
+    "data_profile",
+    "heavy_hitters_salted",
+    "user_zscore_outliers",
+    "value_regression",
+    "streaming_dedup",
+    "quality_gate_funnel",
 ]
 
 

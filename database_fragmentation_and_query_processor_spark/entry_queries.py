@@ -3298,6 +3298,429 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus curation II: centroids, chunk dedup, masking, profiling, gates
+# ---------------------------------------------------------------------------
+
+#: fixed-point quantization scale for cross-engine float aggregation:
+#: FLOOR(CAST(x AS DOUBLE) * SCALE) is the identical IEEE op in Spark and
+#: DuckDB, and the resulting bigints sum exactly in any order — the only
+#: fully order-independent way to aggregate floats across a shuffle.
+EMB_Q_SCALE = 1_000_000
+VAL_Q_SCALE = 1_000
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding corpus, dimension-wise — the
+    class-prototype aggregate ANN/IVF training starts from. posexplode
+    turns (label, vec[64]) into 64 (label, dim, x) rows; ONE shuffle on
+    the (label, dim) composite — never a collect, never a driver-side
+    vector sum. Elements are fixed-point-quantized so the distributed
+    sum is order-exact (see EMB_Q_SCALE)."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+    q = F.floor(F.col("x").cast("double") * EMB_Q_SCALE).cast("bigint")
+    return (
+        ex.select("label", F.col("dim").cast("bigint").alias("dim"), q.alias("q"))
+        .groupBy("label", "dim")
+        .agg(
+            (F.sum("q").cast("double") / F.lit(float(EMB_Q_SCALE)) / F.count("*")
+             ).alias("centroid"),
+            F.count("*").cast("bigint").alias("n_vecs"),
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = f"""
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT)) AS DOUBLE)
+         / {EMB_Q_SCALE}.0 / COUNT(*) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM ex GROUP BY 1, 2
+"""
+
+
+CHUNK_TOKENS = 16
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document (chunk-level) dedup census: split every document
+    into fixed 16-token chunks, hash each, count how many documents
+    share each chunk, report the sharing histogram. The cross-corpus
+    unit of work is the (chunk-hash, doc_id) pair — one shuffle, keys
+    uniformly spread by md5. This is the paragraph-dedup shape
+    (boilerplate detection) that document-level fingerprints miss."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ),
+        )
+    )
+    ex = docs.select("doc_id", F.explode(chunks).alias("chunk"))
+    per_chunk = ex.groupBy(F.md5("chunk").alias("h")).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        per_chunk.groupBy("n_docs")
+        .agg(F.count("*").cast("bigint").alias("n_chunks"))
+        .select(F.col("n_docs").cast("bigint").alias("n_docs"), "n_chunks")
+    )
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(CEIL(len(t) / {CHUNK_TOKENS}.0) AS INT)),
+                i -> array_to_string(t[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' '))) AS chunk
+  FROM toks
+),
+per_chunk AS (
+  SELECT md5(chunk) AS h, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_chunks
+FROM per_chunk GROUP BY 1
+"""
+
+
+MASK_TERMS = ("key", "join", "merge")
+
+
+def q_term_masking(spark, sf_dir):
+    """Redaction/term-masking audit (the PII-scrub shape): count tokens
+    matching a deny-list per document, aggregate per source. The scrub
+    itself is a pure JVM array filter — no UDF, no regex backtracking —
+    so it rides inside codegen at full scan speed."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    terms = F.array(*[F.lit(t) for t in MASK_TERMS])
+    n_masked = F.size(F.filter(toks, lambda t: F.array_contains(terms, t))).cast("bigint")
+    d = docs.select(
+        "source",
+        n_masked.alias("n_masked"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_masked") > 0, 1).otherwise(0)).cast("bigint").alias("docs_affected"),
+        F.sum("n_masked").cast("bigint").alias("masked_tokens"),
+        (F.sum("n_masked").cast("double") / F.sum("n_tokens")).alias("masked_ratio"),
+    )
+
+
+_MASK_IN = ", ".join(f"'{t}'" for t in MASK_TERMS)
+SQL_TERM_MASKING = f"""
+WITH d AS (
+  SELECT source,
+         CAST(len(list_filter({TOKENS_SQL}, x -> x IN ({_MASK_IN}))) AS BIGINT) AS n_masked,
+         CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_masked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+       CAST(SUM(n_masked) AS BIGINT) AS masked_tokens,
+       CAST(SUM(n_masked) AS DOUBLE) / SUM(n_tokens) AS masked_ratio
+FROM d GROUP BY source
+"""
+
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_data_profile(spark, sf_dir):
+    """Column-profiling operator (the data-quality sweep every ingest
+    runs): count/nulls/exact-distinct/min/max/sum per measure column in
+    ONE aggregate pass over the fact table, pivoted long. Distinct
+    counts share the scan via Spark's Expand; the unpivot is a
+    zero-shuffle generate over the 1-row aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__dist"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            F.sum(col.cast("decimal(18,2)")).alias(f"{c}__sum"),
+        ]
+    wide = li.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__n").cast("bigint").alias("n_rows"),
+                F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__dist").cast("bigint").alias("n_distinct"),
+                F.col(f"{c}__min").cast("double").alias("min_val"),
+                F.col(f"{c}__max").cast("double").alias("max_val"),
+                F.col(f"{c}__sum").cast("double").alias("sum_val"),
+            )
+            for c in PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+SQL_DATA_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_val,
+       CAST(MAX({c}) AS DOUBLE) AS max_val,
+       CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
+HH_SALTS = 16
+
+
+def q_heavy_hitters_salted(spark, sf_dir):
+    """Per-event-type heavy-hitter stats with BOTH skew guards: counts
+    and value sums via the salted two-phase aggregate
+    (operators/scaling.py:salted_aggregate — hot keys fan across 16
+    reducers), exact distinct users via two-phase distinct (dedup
+    shuffles on the naturally-spread composite key, the count merge is
+    tiny). Row-identical to the naive GROUP BY; only the shuffle
+    distribution differs."""
+    from .operators.scaling import salted_aggregate
+
+    ev = _events(spark, sf_dir)
+    counts = salted_aggregate(
+        ev,
+        ["event_type"],
+        {"sum_value": F.sum(F.col("value").cast("decimal(18,6)"))},
+        n_salts=HH_SALTS,
+    ).select(
+        "event_type",
+        F.col("n_rows").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+    users = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    return counts.join(users, "event_type")
+
+
+SQL_HEAVY_HITTERS_SALTED = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+Z_THRESH = 3.0
+
+
+def q_user_zscore_outliers(spark, sf_dir):
+    """Per-user anomaly detection: events whose value is >3σ from that
+    user's own mean. Moments (n, Σq, Σq²) come from ONE groupBy over
+    fixed-point-quantized values — exact integer sums, order-free —
+    then join back to the events (both sides shuffle on user_id once).
+    No window over the raw stream, so per-user event lists never
+    materialize in memory."""
+    ev = _events(spark, sf_dir)
+    q = F.floor(F.col("value") * VAL_Q_SCALE).cast("bigint")
+    e = ev.select("event_id", "user_id", q.alias("q"))
+    stats = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("q").alias("sq"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sqq"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    j = e.join(stats, "user_id")
+    scale = F.lit(float(VAL_Q_SCALE))
+    mean = F.col("sq").cast("double") / scale / F.col("n")
+    msq = F.col("sqq").cast("double") / (scale * scale) / F.col("n")
+    var = F.greatest((msq - mean * mean) * F.col("n") / (F.col("n") - 1), F.lit(0.0))
+    x = F.col("q").cast("double") / scale
+    z = (x - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
+    out = j.select("user_id", "event_id", F.round(z, 4).alias("z"))
+    return out.where(F.abs(F.col("z")) > Z_THRESH)
+
+
+SQL_USER_ZSCORE_OUTLIERS = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(FLOOR(value * {VAL_Q_SCALE}) AS BIGINT) AS q
+  FROM events
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(q) AS sq,
+         SUM(CAST(q * q AS DECIMAL(38,0))) AS sqq
+  FROM e GROUP BY 1 HAVING COUNT(*) >= 2
+),
+z AS (
+  SELECT user_id, event_id,
+         ROUND((CAST(q AS DOUBLE) / {VAL_Q_SCALE}.0
+                - CAST(sq AS DOUBLE) / {VAL_Q_SCALE}.0 / n)
+               / NULLIF(SQRT(GREATEST(
+                   (CAST(sqq AS DOUBLE) / ({VAL_Q_SCALE}.0 * {VAL_Q_SCALE}.0) / n
+                    - (CAST(sq AS DOUBLE) / {VAL_Q_SCALE}.0 / n)
+                      * (CAST(sq AS DOUBLE) / {VAL_Q_SCALE}.0 / n)) * n / (n - 1),
+                   0.0)), 0.0), 4) AS z
+  FROM e JOIN s USING (user_id)
+)
+SELECT user_id, event_id, z FROM z WHERE ABS(z) > {Z_THRESH}
+"""
+
+
+def q_value_regression(spark, sf_dir):
+    """Closed-form least-squares slope/intercept of event value on
+    hour-of-day, per event type — the trend-fit aggregate. The five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact integer sums
+    over quantized values in ONE map-side-combined pass; the solve is
+    two double divisions at the end. This is how regression scales:
+    never an iterative fit over the raw rows."""
+    ev = _events(spark, sf_dir)
+    ts = F.col("ts").cast("bigint")
+    x = ((ts - ts % NS_PER_HOUR) / NS_PER_HOUR).cast("bigint") % 24
+    y = F.floor(F.col("value") * VAL_Q_SCALE).cast("bigint")
+    e = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    num = nd * sxyd - sxd * syd
+    den = nd * sxxd - sxd * sxd
+    slope = num / den / VAL_Q_SCALE
+    intercept = (syd / VAL_Q_SCALE - slope * sxd) / nd
+    return s.select(
+        "event_type",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.col("n").alias("n_events"),
+    )
+
+
+SQL_VALUE_REGRESSION = f"""
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(FLOOR(value * {VAL_Q_SCALE}) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM e GROUP BY 1
+)
+SELECT event_type,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / {VAL_Q_SCALE}, 6) AS slope,
+       ROUND((CAST(sy AS DOUBLE) / {VAL_Q_SCALE}
+              - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / {VAL_Q_SCALE} * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept,
+       n AS n_events
+FROM s
+"""
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming dedup (AvailableNow): the events stream unioned with
+    itself — every event arrives twice — then watermarked
+    dropDuplicates on event_id (streaming/events.py:dedup_events) and a
+    per-type rollup. Must equal the batch aggregate over the ORIGINAL
+    events, which is the oracle: the dedup provably removed the
+    duplicate arrivals."""
+    from .streaming.events import dedup_events, read_events_stream, run_available_now
+
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = dedup_events(doubled)
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return run_available_now(agg, spark)
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+GATE_LANGS = ("en", "de", "fr", "es")
+GATE_MIN_TOKENS, GATE_MAX_TOKENS = 20, 80
+GATE_MIN_QUALITY = 0.5
+
+
+def q_quality_gate_funnel(spark, sf_dir):
+    """Curation-funnel audit: per source, how many documents survive
+    each gate (language allow-list, token-length band, quality floor)
+    and all three — conditional aggregation in ONE pass, the shape used
+    to tune corpus filters before committing to a full re-run."""
+    docs = _docs(spark, sf_dir)
+    n_tok = T.token_count(F.col("text"))
+    qual = T.quality_score(F.col("text"))
+    pass_lang = F.col("lang").isin(*GATE_LANGS)
+    pass_len = (n_tok >= GATE_MIN_TOKENS) & (n_tok <= GATE_MAX_TOKENS)
+    pass_q = qual >= GATE_MIN_QUALITY
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(pass_lang.cast("int")).cast("bigint").alias("n_pass_lang"),
+        F.sum(pass_len.cast("int")).cast("bigint").alias("n_pass_len"),
+        F.sum(pass_q.cast("int")).cast("bigint").alias("n_pass_quality"),
+        F.sum((pass_lang & pass_len & pass_q).cast("int")).cast("bigint").alias("n_final"),
+    )
+
+
+_GATE_LANG_IN = ", ".join(f"'{lang}'" for lang in GATE_LANGS)
+SQL_QUALITY_GATE_FUNNEL = f"""
+WITH d AS (
+  SELECT source,
+         (lang IN ({_GATE_LANG_IN})) AS pass_lang,
+         (CAST(len({TOKENS_SQL}) AS BIGINT) BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}) AS pass_len,
+         (({_QUALITY_SQL}) >= {GATE_MIN_QUALITY}) AS pass_q
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang,
+       CAST(SUM(CASE WHEN pass_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+       CAST(SUM(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+       CAST(SUM(CASE WHEN pass_lang AND pass_len AND pass_q THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM d GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3388,6 +3811,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_order_history": q_scd2_order_history,
     "multimodal_resize": q_multimodal_resize,   # rows-only (stubbed codec)
     "multimodal_frames": q_multimodal_frames,   # rows-only (stubbed codec)
+    "embedding_centroids": q_embedding_centroids,
+    "chunk_dedup": q_chunk_dedup,
+    "term_masking": q_term_masking,
+    "data_profile": q_data_profile,
+    "heavy_hitters_salted": q_heavy_hitters_salted,
+    "user_zscore_outliers": q_user_zscore_outliers,
+    "value_regression": q_value_regression,
+    "streaming_dedup": q_streaming_dedup,
+    "quality_gate_funnel": q_quality_gate_funnel,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3475,4 +3907,13 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
     "scd2_order_history": SQL_SCD2_ORDER_HISTORY,
     # multimodal_resize / multimodal_frames: rows-only (stubbed decode)
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "term_masking": SQL_TERM_MASKING,
+    "data_profile": SQL_DATA_PROFILE,
+    "heavy_hitters_salted": SQL_HEAVY_HITTERS_SALTED,
+    "user_zscore_outliers": SQL_USER_ZSCORE_OUTLIERS,
+    "value_regression": SQL_VALUE_REGRESSION,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
+    "quality_gate_funnel": SQL_QUALITY_GATE_FUNNEL,
 }

@@ -107,6 +107,43 @@ def salted_join(
     return b.join(s, [key, "_salt"], how).drop("_salt")
 
 
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, "F.Column"],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe two-phase aggregate for algebraic measures (COUNT/SUM).
+
+    Phase 1 groups by ``keys + salt`` (a content-derived salt fans each
+    hot key across ``n_salts`` reducers), phase 2 merges the partials by
+    ``keys`` alone — at most ``n_salts`` tiny rows per key. Map-side
+    partial aggregation already bounds reducer input by (#map tasks ×
+    #keys); the salt matters when a single key's partials still
+    concentrate on one reducer at 100 TB (millions of map tasks).
+    Result is row-identical to ``df.groupBy(keys).agg(...)``.
+
+    ``sums`` maps output column name → a SUM-remergeable aggregate
+    expression (e.g. ``F.sum(col.cast("decimal(18,6)"))``); a
+    ``n_rows`` count is always included.
+    """
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).cast("int")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            F.count("*").alias("_pn"),
+            *[expr.alias(f"_p_{name}") for name, expr in sums.items()],
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_pn").cast("bigint").alias("n_rows"),
+        *[F.sum(f"_p_{name}").alias(name) for name in sums],
+    )
+
+
 def widen(df: DataFrame, key: str | None = None, target: int | None = None) -> DataFrame:
     """Repartition a narrow scan up to session parallelism — only when
     actually narrow, so cluster-scale scans (already thousands of

