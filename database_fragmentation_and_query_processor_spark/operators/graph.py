@@ -36,9 +36,14 @@ def connected_components(
     """(node, label) for every node in ``edges``; label = min node id
     reachable — i.e. the component's canonical id. Deterministic for
     any edge order."""
+    # materialize the edge list ONCE before mirroring: the union below
+    # references ``edges`` twice, and an unmaterialized edge plan (e.g.
+    # the whole MinHash-LSH pipeline) would execute per reference
+    edges = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
     bidir = (
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
-        .union(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+        edges.union(edges.select(F.col("e_dst"), F.col("e_src")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -54,6 +59,9 @@ def connected_components(
             .groupBy("e_src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # the change flag rides along in the SAME join that updates the
+        # labels — a separate old-vs-new join would add a third shuffle
+        # to every round
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.e_src, "left")
             .select(
@@ -61,16 +69,13 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")
+                 ).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels
