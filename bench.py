@@ -96,6 +96,12 @@ HEADLINE = [
     "value_regression",
     "streaming_dedup",
     "quality_gate_funnel",
+    "bloom_pruned_revenue",
+    "incremental_rollup",
+    "dedup_keep_canonical",
+    "latest_event_per_user",
+    "join_null_semantics",
+    "trimmed_mean_per_segment",
 ]
 
 

@@ -3721,6 +3721,255 @@ FROM d GROUP BY source
 
 
 # ---------------------------------------------------------------------------
+# runtime filters, incremental maintenance, agg/join semantics batteries
+# ---------------------------------------------------------------------------
+
+BLOOM_PRIORITY = "1-URGENT"
+
+
+def q_bloom_pruned_revenue(spark, sf_dir):
+    """Revenue per return flag for lineitems of urgent orders, with the
+    fact side pruned through the hand-built Bloom runtime filter
+    (operators/joins.py:bloom_semi_join) before the join shuffle. The
+    oracle is the plain semi join — identical rows prove the Bloom
+    introduced no loss and the exact finish removed all false
+    positives."""
+    from .operators.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == BLOOM_PRIORITY
+    )
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    pruned = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"),
+    )
+
+
+SQL_BLOOM_PRUNED_REVENUE = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '{BLOOM_PRIORITY}')
+GROUP BY l_returnflag
+"""
+
+
+NS_PER_DAY = 86_400_000_000_000
+INCR_SPLIT_DAY_MOD = 3  # delta = days where unix_day % 3 == 0 (interleaved "new" days)
+
+
+def q_incremental_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance: the daily rollup is kept as
+    snapshot + delta — the snapshot partials (old days) and the delta
+    partials (newly-arrived days) merge by re-summing SUM/COUNT partials,
+    never rescanning the snapshot's raw rows. At 100 TB this is the
+    difference between touching one day and touching three years. The
+    oracle recomputes from scratch; equality proves the maintenance
+    identity."""
+    ev = _events(spark, sf_dir)
+    day = (F.col("ts").cast("bigint") - F.col("ts").cast("bigint") % NS_PER_DAY) / NS_PER_DAY
+    ev = ev.withColumn("_day", day.cast("bigint"))
+    is_delta = F.col("_day") % INCR_SPLIT_DAY_MOD == 0
+    def rollup(part):
+        return part.groupBy("_day", "event_type").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        )
+    snapshot = rollup(ev.where(~is_delta))
+    delta = rollup(ev.where(is_delta))
+    merged = snapshot.unionByName(delta).groupBy("_day", "event_type").agg(
+        F.sum("pn").cast("bigint").alias("n_events"),
+        F.sum("pv").cast("double").alias("sum_value"),
+    )
+    return merged.select(
+        F.date_format(
+            F.date_from_unix_date(F.col("_day").cast("int")), "yyyy-MM-dd"
+        ).alias("day"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+SQL_INCREMENTAL_ROLLUP = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """The actionable output of exact dedup: per source, how many docs
+    are kept vs dropped when each fingerprint group keeps its minimum
+    doc_id (the canonical-selection convention). groupBy + join back —
+    two shuffles on uniformly-spread md5 keys, no per-group window over
+    raw text."""
+    docs = _docs_with_dups(spark, sf_dir)
+    d = docs.select("doc_id", "source", T.fingerprint(F.col("text")).alias("fp"))
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        d.join(keep, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("doc_id") == F.col("keep_id")).cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((F.col("doc_id") != F.col("keep_id")).cast("int")).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
+SQL_DEDUP_KEEP_CANONICAL = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+d AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM corpus
+),
+keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM d GROUP BY fp)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM d JOIN keep USING (fp)
+GROUP BY source
+"""
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Sort-free top-1-per-group: the latest event per user via
+    MAX(struct(ts, event_id, ...)) — ONE hash aggregate with map-side
+    combine, no per-user window sort, no shuffle beyond the agg. The
+    struct's (ts, event_id) prefix is unique so the lexicographic max is
+    deterministic; the oracle pins the same answer with a row_number
+    window."""
+    ev = _events(spark, sf_dir)
+    m = F.max(
+        F.struct(F.col("ts").cast("bigint").alias("ts"), "event_id", "event_type")
+    ).alias("m")
+    return (
+        ev.groupBy("user_id")
+        .agg(m, F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.event_type").alias("last_event_type"),
+            "n_events",
+        )
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       CAST(n_events AS BIGINT) AS n_events
+FROM ranked WHERE rn = 1
+"""
+
+
+NULLJOIN_MOD = 10
+
+
+def q_join_null_semantics(spark, sf_dir):
+    """Join-semantics battery over keys WITH nulls: inner equality
+    (nulls never match), null-safe equality (<=> / IS NOT DISTINCT
+    FROM: nulls match nulls), left-outer, left-anti (null-key rows ARE
+    kept: the probe can't prove membership), and full-outer row counts
+    — the five behaviors that silently diverge between engines, pinned
+    cross-engine in one long result."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a = orders.select(
+        F.when(F.col("o_orderkey") % NULLJOIN_MOD == 0, None)
+        .otherwise(F.col("o_custkey")).alias("k")
+    )
+    b = cust.select(
+        F.when(F.col("c_custkey") % NULLJOIN_MOD == 0, None)
+        .otherwise(F.col("c_custkey")).alias("k2")
+    ).distinct()
+    def n(label, joined):
+        return joined.agg(
+            F.lit(label).alias("join_type"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+
+    out = n("inner_eq", a.join(b, a.k == b.k2, "inner"))
+    for label, joined in [
+        ("inner_nullsafe", a.join(b, a.k.eqNullSafe(b.k2), "inner")),
+        ("left_outer", a.join(b, a.k == b.k2, "left")),
+        ("left_anti", a.join(b, a.k == b.k2, "left_anti")),
+        ("full_outer", a.join(b, a.k == b.k2, "full")),
+    ]:
+        out = out.unionByName(n(label, joined))
+    return out
+
+
+SQL_JOIN_NULL_SEMANTICS = f"""
+WITH a AS (
+  SELECT CASE WHEN o_orderkey % {NULLJOIN_MOD} = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders
+),
+b AS (
+  SELECT DISTINCT CASE WHEN c_custkey % {NULLJOIN_MOD} = 0 THEN NULL ELSE c_custkey END AS k2
+  FROM customer
+)
+SELECT 'inner_eq' AS join_type, CAST(COUNT(*) AS BIGINT) AS n_rows FROM a JOIN b ON a.k = b.k2
+UNION ALL
+SELECT 'inner_nullsafe', CAST(COUNT(*) AS BIGINT) FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+UNION ALL
+SELECT 'left_outer', CAST(COUNT(*) AS BIGINT) FROM a LEFT JOIN b ON a.k = b.k2
+UNION ALL
+SELECT 'left_anti', CAST(COUNT(*) AS BIGINT) FROM a ANTI JOIN b ON a.k = b.k2
+UNION ALL
+SELECT 'full_outer', CAST(COUNT(*) AS BIGINT) FROM a FULL JOIN b ON a.k = b.k2
+"""
+
+
+TRIM_LO, TRIM_HI = 0.1, 0.9
+
+
+def q_trimmed_mean_per_segment(spark, sf_dir):
+    """Robust aggregation: 10%-trimmed mean of account balance per
+    market segment. percent_rank over the (balance, custkey) unique
+    order — partitioned window, parallel across segments — then a
+    decimal-exact mean of the kept middle band."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select(
+        "c_mktsegment", "c_acctbal", F.percent_rank().over(w).alias("pr")
+    )
+    kept = ranked.where((F.col("pr") >= TRIM_LO) & (F.col("pr") <= TRIM_HI))
+    return kept.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        (F.sum(_dec2(F.col("c_acctbal"))).cast("double") / F.count("*")
+         ).alias("trimmed_mean_bal"),
+    )
+
+
+SQL_TRIMMED_MEAN_PER_SEGMENT = f"""
+WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+         percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS pr
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS trimmed_mean_bal
+FROM ranked
+WHERE pr >= {TRIM_LO} AND pr <= {TRIM_HI}
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3820,6 +4069,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_regression": q_value_regression,
     "streaming_dedup": q_streaming_dedup,
     "quality_gate_funnel": q_quality_gate_funnel,
+    "bloom_pruned_revenue": q_bloom_pruned_revenue,
+    "incremental_rollup": q_incremental_rollup,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "latest_event_per_user": q_latest_event_per_user,
+    "join_null_semantics": q_join_null_semantics,
+    "trimmed_mean_per_segment": q_trimmed_mean_per_segment,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3916,4 +4171,10 @@ ORACLE_SQL: dict[str, str] = {
     "value_regression": SQL_VALUE_REGRESSION,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "quality_gate_funnel": SQL_QUALITY_GATE_FUNNEL,
+    "bloom_pruned_revenue": SQL_BLOOM_PRUNED_REVENUE,
+    "incremental_rollup": SQL_INCREMENTAL_ROLLUP,
+    "dedup_keep_canonical": SQL_DEDUP_KEEP_CANONICAL,
+    "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "join_null_semantics": SQL_JOIN_NULL_SEMANTICS,
+    "trimmed_mean_per_segment": SQL_TRIMMED_MEAN_PER_SEGMENT,
 }

@@ -144,3 +144,46 @@ def fuzzy_join(
         .where(F.levenshtein(F.col(left_col), F.col(right_col)) <= max_distance)
         .drop("_fz_bucket")
     )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join reduction through a hand-built Bloom filter — the
+    runtime-filter pattern for joining a 100 TB fact against a selective
+    dim: the dim side collapses to a ≤``n_bits``-entry sparse bitset
+    (one sorted array in ONE row, ~512 KB at the 64 Ki default),
+    broadcast to every fact task, and the fact is pruned MAP-SIDE before
+    it ever reaches the join shuffle. A final exact left-semi join
+    removes the Bloom's false positives, so the result is row-identical
+    to ``fact.join(dim, fact[fact_key] == dim[dim_key], "left_semi")``
+    — the filter only cuts shuffle input (by ~the dim's selectivity).
+
+    The bitset is exact-by-construction: ``n_hashes`` xxhash64 probes
+    mod ``n_bits`` per key, aggregated with collect_set (bounded by
+    ``n_bits`` regardless of dim cardinality).
+    """
+    def probes(col: str) -> list:
+        return [
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+
+    bits = dim.select(F.explode(F.array(*probes(dim_key))).alias("p")).agg(
+        F.sort_array(F.collect_set("p")).alias("_bloom")
+    )
+    pre = fact.crossJoin(F.broadcast(bits))
+    cond = None
+    for p in probes(fact_key):
+        c = F.array_contains(F.col("_bloom"), p)
+        cond = c if cond is None else (cond & c)
+    pre = pre.where(cond).drop("_bloom")
+    keys = dim.select(F.col(dim_key).alias("_bsj_key")).distinct()
+    return pre.join(
+        keys, pre[fact_key] == keys["_bsj_key"], "left_semi"
+    )

@@ -331,3 +331,23 @@ def test_fuzzy_join_full_recall_vs_cross_join(spark):
             .collect()
         )
         assert blocked == exact, f"recall loss at d={d}"
+
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    from pyspark.sql import functions as F
+
+    from database_fragmentation_and_query_processor_spark.operators.joins import (
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 5000).select((F.col("id") % 700).alias("fk"), "id")
+    dim = spark.range(0, 700, 7).select(F.col("id").alias("dk"))
+    got = sorted(
+        (r["fk"], r["id"])
+        for r in bloom_semi_join(fact, dim, "fk", "dk", n_bits=256, n_hashes=3).collect()
+    )
+    want = sorted(
+        (r["fk"], r["id"])
+        for r in fact.join(dim, fact.fk == dim.dk, "left_semi").collect()
+    )
+    assert got == want and len(got) > 0
