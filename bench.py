@@ -102,6 +102,7 @@ HEADLINE = [
     "latest_event_per_user",
     "join_null_semantics",
     "trimmed_mean_per_segment",
+    "streaming_attribution",
 ]
 
 

@@ -3969,6 +3969,44 @@ GROUP BY c_mktsegment
 """
 
 
+ATTR_HORIZON_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def q_streaming_attribution(spark, sf_dir):
+    """Stream-stream join (AvailableNow): click→purchase attribution
+    pairs within a 1-hour horizon, both sides watermarked so join state
+    stays bounded (streaming/events.py:stream_stream_attribution). The
+    oracle replays the same correlation as a batch self-join at
+    microsecond precision (the stream's event-time granularity)."""
+    from .streaming.events import (
+        read_events_stream,
+        run_available_now_append,
+        stream_stream_attribution,
+    )
+
+    s = read_events_stream(spark, sf_dir)
+    clicks = s.where(F.col("event_type") == "click")
+    purchases = s.where(F.col("event_type") == "purchase")
+    return run_available_now_append(
+        stream_stream_attribution(clicks, purchases), spark
+    )
+
+
+SQL_STREAMING_ATTRIBUTION = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS ct
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, click_id, purchase_id
+FROM c JOIN p ON c.user_id = p.user_id
+WHERE pt >= ct AND pt <= ct + {ATTR_HORIZON_US}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4075,6 +4113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event_per_user": q_latest_event_per_user,
     "join_null_semantics": q_join_null_semantics,
     "trimmed_mean_per_segment": q_trimmed_mean_per_segment,
+    "streaming_attribution": q_streaming_attribution,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4177,4 +4216,5 @@ ORACLE_SQL: dict[str, str] = {
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "join_null_semantics": SQL_JOIN_NULL_SEMANTICS,
     "trimmed_mean_per_segment": SQL_TRIMMED_MEAN_PER_SEGMENT,
+    "streaming_attribution": SQL_STREAMING_ATTRIBUTION,
 }

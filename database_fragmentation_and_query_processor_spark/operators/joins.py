@@ -164,25 +164,47 @@ def bloom_semi_join(
     to ``fact.join(dim, fact[fact_key] == dim[dim_key], "left_semi")``
     — the filter only cuts shuffle input (by ~the dim's selectivity).
 
-    The bitset is exact-by-construction: ``n_hashes`` xxhash64 probes
-    mod ``n_bits`` per key, aggregated with collect_set (bounded by
-    ``n_bits`` regardless of dim cardinality).
+    The bitset is a DENSE array of ``n_bits/64`` bigint words — probe
+    cost is O(1) per hash (array index + bit test), never a scan of the
+    filter. It is built with one tiny aggregate (``n_hashes`` positions
+    per dim key, map-side-combined ``bit_or`` into ≤ ``n_bits/64``
+    groups), collected (bounded by the word count, NOT dim cardinality)
+    and embedded as a literal — the same bounded-collect pattern as the
+    IVF centroid literals.
     """
+    n_words = n_bits // 64
+
     def probes(col: str) -> list:
         return [
             F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits))
             for i in range(n_hashes)
         ]
 
-    bits = dim.select(F.explode(F.array(*probes(dim_key))).alias("p")).agg(
-        F.sort_array(F.collect_set("p")).alias("_bloom")
+    word_rows = (
+        dim.select(F.explode(F.array(*probes(dim_key))).alias("p"))
+        .selectExpr(
+            "cast(p div 64 as int) AS w",
+            "shiftleft(cast(1 as bigint), cast(p % 64 as int)) AS b",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
     )
-    pre = fact.crossJoin(F.broadcast(bits))
+    words = [0] * n_words
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    bitset = F.array(*[F.lit(x).cast("bigint") for x in words])
+
+    pre = fact.withColumn("_bs", bitset)
     cond = None
-    for p in probes(fact_key):
-        c = F.array_contains(F.col("_bloom"), p)
+    for i, p in enumerate(probes(fact_key)):
+        pre = pre.withColumn(f"_p{i}", p)
+        c = F.expr(
+            f"(element_at(_bs, cast(_p{i} div 64 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(_p{i} % 64 as int))) != 0"
+        )
         cond = c if cond is None else (cond & c)
-    pre = pre.where(cond).drop("_bloom")
+    pre = pre.where(cond).drop("_bs", *[f"_p{i}" for i in range(n_hashes)])
     keys = dim.select(F.col(dim_key).alias("_bsj_key")).distinct()
     return pre.join(
         keys, pre[fact_key] == keys["_bsj_key"], "left_semi"

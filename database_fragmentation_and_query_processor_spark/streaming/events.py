@@ -121,6 +121,58 @@ def enrich_with_dimension(
     return stream.join(dim, stream[stream_key] == dim[dim_key], "inner")
 
 
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join — genuinely bi-temporal correlation,
+    the one case that DOES buffer both sides in state: every purchase
+    pairs with every click by the same user in the preceding
+    ``horizon``. Both sides carry watermarks and the join condition
+    carries the time bound, so each side's buffered state is evicted
+    once event time passes watermark + horizon — bounded by
+    (arrival rate x horizon), not stream length.
+
+    Emits (user_id, click_id, purchase_id) pairs in append mode.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    ).withWatermark("click_time", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_time").alias("purchase_time"),
+    ).withWatermark("purchase_time", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (F.col("purchase_time") <= F.col("click_time") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+
+
+def run_available_now_append(result: DataFrame, spark: SparkSession) -> DataFrame:
+    """Like run_available_now but for append-mode outputs (stream-stream
+    joins emit append-only)."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

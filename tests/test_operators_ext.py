@@ -351,3 +351,80 @@ def test_bloom_semi_join_equals_plain_semi(spark):
         for r in fact.join(dim, fact.fk == dim.dk, "left_semi").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_csv_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from database_fragmentation_and_query_processor_spark.sources.csv_src import (
+        quarantine_split as csv_quarantine,
+        read_csv,
+        write_csv,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source"
+    )
+    out = str(tmp_path / "docs_csv")
+    write_csv(docs, out)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+    ])
+    back = read_csv(spark, out, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    # malformed-line quarantine: bad type in doc_id
+    mixed = tmp_path / "mixed.csv"
+    mixed.write_text(
+        "doc_id,lang,source\n"
+        "1,en,a\n"
+        "notanumber,xx,broken\n"
+        "2,de,b\n"
+    )
+    raw = read_csv(spark, str(mixed), schema, keep_corrupt=True)
+    good, bad = csv_quarantine(raw)
+    assert good.count() == 2 and bad.count() == 1
+
+
+def test_stream_stream_attribution_state_bounds(spark, sf_dir):
+    """The join must carry watermarks on both sides (bounded state) and
+    produce exactly the batch correlation."""
+    from pyspark.sql import functions as F
+
+    from database_fragmentation_and_query_processor_spark.streaming.events import (
+        read_events_stream,
+        run_available_now_append,
+        stream_stream_attribution,
+    )
+
+    s = read_events_stream(spark, sf_dir)
+    got = run_available_now_append(
+        stream_stream_attribution(
+            s.where(F.col("event_type") == "click"),
+            s.where(F.col("event_type") == "purchase"),
+        ),
+        spark,
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts div 1000").alias("us"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("us").alias("ct"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("pt"),
+    )
+    want = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pt") >= F.col("ct"))
+        & (F.col("pt") <= F.col("ct") + 3_600_000_000),
+    ).select(F.col("cu").alias("user_id"), "click_id", "purchase_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
