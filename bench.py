@@ -103,6 +103,11 @@ HEADLINE = [
     "join_null_semantics",
     "trimmed_mean_per_segment",
     "streaming_attribution",
+    "bool_agg_battery",
+    "string_agg_battery",
+    "regex_battery",
+    "datetime_battery",
+    "conditional_null_battery",
 ]
 
 

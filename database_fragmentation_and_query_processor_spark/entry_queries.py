@@ -4008,6 +4008,159 @@ WHERE pt >= ct AND pt <= ct + {ATTR_HORIZON_US}
 
 
 # ---------------------------------------------------------------------------
+# cross-engine semantics batteries: the SQL corners that silently diverge
+# ---------------------------------------------------------------------------
+
+
+def q_bool_agg_battery(spark, sf_dir):
+    """Boolean aggregate battery: bool_and / bool_or / count_if per
+    order status — the every/any/conditional-count trio, pinned
+    cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count_if(F.col("o_custkey") % 2 == 0).cast("bigint").alias("n_even_cust"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+SQL_BOOL_AGG_BATTERY = """
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       CAST(count_if(o_custkey % 2 = 0) AS BIGINT) AS n_even_cust,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_string_agg_battery(spark, sf_dir):
+    """Ordered string aggregation (listagg): nations per region as a
+    sorted CSV — collect_list is non-deterministic across partitions,
+    so the battery pins the ONLY portable form: sort-then-join."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+            F.count("*").cast("bigint").alias("n_nations"),
+        )
+    )
+
+
+SQL_STRING_AGG_BATTERY = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_regex_battery(spark, sf_dir):
+    """Regex battery over the portable Java∩RE2 subset (char classes,
+    anchors, alternation — no lookarounds): rlike filter-count, group
+    extraction, global replace. DuckDB's regexp_replace needs the 'g'
+    flag to match Spark's replace-all default — exactly the kind of
+    silent divergence this battery pins."""
+    part = _t(spark, sf_dir, "part")
+    first_tok = F.regexp_extract(F.col("p_name"), r"^([a-z]+)", 1)
+    brand_digits = F.length(F.regexp_replace(F.col("p_brand"), r"[^0-9]", ""))
+    return part.groupBy("p_brand").agg(
+        F.count_if(F.col("p_name").rlike(r"^[aeiou]")).cast("bigint").alias("n_vowel_start"),
+        F.countDistinct(first_tok).cast("bigint").alias("n_first_tokens"),
+        F.sum(brand_digits).cast("bigint").alias("sum_brand_digits"),
+        F.count_if(F.col("p_type").rlike(r"(BRASS|STEEL)$")).cast("bigint").alias("n_metal_type"),
+    )
+
+
+SQL_REGEX_BATTERY = """
+SELECT p_brand,
+       CAST(count_if(regexp_matches(p_name, '^[aeiou]')) AS BIGINT) AS n_vowel_start,
+       CAST(COUNT(DISTINCT regexp_extract(p_name, '^([a-z]+)', 1)) AS BIGINT) AS n_first_tokens,
+       CAST(SUM(length(regexp_replace(p_brand, '[^0-9]', '', 'g'))) AS BIGINT) AS sum_brand_digits,
+       CAST(count_if(regexp_matches(p_type, '(BRASS|STEEL)$')) AS BIGINT) AS n_metal_type
+FROM part GROUP BY p_brand
+"""
+
+
+DATE_ANCHOR = "1995-01-01"
+
+
+def q_datetime_battery(spark, sf_dir):
+    """Date/time battery: year/quarter buckets, ISO day-of-week (the
+    classic off-by-one between engines: Spark dayofweek is 1=Sunday,
+    DuckDB dayofweek is 0=Sunday — only isodow/weekday+1 is portable),
+    month arithmetic (add_months), end-of-month, and day diffs from a
+    fixed anchor."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    isodow = F.weekday(d) + 1  # Mon=1 .. Sun=7
+    return orders.groupBy(
+        F.year(d).alias("yr"), F.quarter(d).alias("qtr")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.countDistinct(F.date_trunc("month", d)).cast("bigint").alias("n_months"),
+        F.min(isodow).cast("bigint").alias("min_isodow"),
+        F.max(isodow).cast("bigint").alias("max_isodow"),
+        F.max(F.dayofmonth(F.last_day(d))).cast("bigint").alias("max_eom_day"),
+        F.min(F.datediff(d, F.lit(DATE_ANCHOR).cast("date"))).cast("bigint").alias("min_days_from_anchor"),
+        F.countDistinct(F.date_format(F.add_months(d, 6), "yyyy-MM")).cast("bigint").alias("n_shifted_months"),
+    )
+
+
+SQL_DATETIME_BATTERY = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT) AS n_months,
+       CAST(MIN(isodow(o_orderdate)) AS BIGINT) AS min_isodow,
+       CAST(MAX(isodow(o_orderdate)) AS BIGINT) AS max_isodow,
+       CAST(MAX(day(last_day(CAST(o_orderdate AS DATE)))) AS BIGINT) AS max_eom_day,
+       CAST(MIN(datediff('day', DATE '{DATE_ANCHOR}', CAST(o_orderdate AS DATE))) AS BIGINT) AS min_days_from_anchor,
+       CAST(COUNT(DISTINCT strftime(CAST(o_orderdate AS DATE) + INTERVAL 6 MONTH, '%Y-%m')) AS BIGINT) AS n_shifted_months
+FROM orders GROUP BY 1, 2
+"""
+
+
+NULLBAT_MOD = 7
+
+
+def q_conditional_null_battery(spark, sf_dir):
+    """NULL-handling battery: nullif / coalesce / least / greatest /
+    null-aware counts over a column with synthesized nulls. Pins that
+    least/greatest SKIP nulls in both engines (returning null only when
+    all inputs are null) and that COUNT(col) vs COUNT(*) differ exactly
+    by the null count."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.nullif(F.col("c_custkey") % NULLBAT_MOD, F.lit(0))
+    return cust.select("c_mktsegment", k.alias("k"), "c_acctbal").groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("k").cast("bigint").alias("n_nonnull"),
+        F.sum(F.coalesce(F.col("k"), F.lit(-1))).cast("bigint").alias("sum_coalesced"),
+        F.sum(F.least(F.col("k"), F.lit(3))).cast("bigint").alias("sum_least"),
+        F.sum(F.greatest(F.col("k"), F.lit(3))).cast("bigint").alias("sum_greatest"),
+    )
+
+
+SQL_CONDITIONAL_NULL_BATTERY = f"""
+WITH d AS (
+  SELECT c_mktsegment, NULLIF(c_custkey % {NULLBAT_MOD}, 0) AS k FROM customer
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(k) AS BIGINT) AS n_nonnull,
+       CAST(SUM(COALESCE(k, -1)) AS BIGINT) AS sum_coalesced,
+       CAST(SUM(LEAST(k, 3)) AS BIGINT) AS sum_least,
+       CAST(SUM(GREATEST(k, 3)) AS BIGINT) AS sum_greatest
+FROM d GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4114,6 +4267,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_null_semantics": q_join_null_semantics,
     "trimmed_mean_per_segment": q_trimmed_mean_per_segment,
     "streaming_attribution": q_streaming_attribution,
+    "bool_agg_battery": q_bool_agg_battery,
+    "string_agg_battery": q_string_agg_battery,
+    "regex_battery": q_regex_battery,
+    "datetime_battery": q_datetime_battery,
+    "conditional_null_battery": q_conditional_null_battery,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4217,4 +4375,9 @@ ORACLE_SQL: dict[str, str] = {
     "join_null_semantics": SQL_JOIN_NULL_SEMANTICS,
     "trimmed_mean_per_segment": SQL_TRIMMED_MEAN_PER_SEGMENT,
     "streaming_attribution": SQL_STREAMING_ATTRIBUTION,
+    "bool_agg_battery": SQL_BOOL_AGG_BATTERY,
+    "string_agg_battery": SQL_STRING_AGG_BATTERY,
+    "regex_battery": SQL_REGEX_BATTERY,
+    "datetime_battery": SQL_DATETIME_BATTERY,
+    "conditional_null_battery": SQL_CONDITIONAL_NULL_BATTERY,
 }
