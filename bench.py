@@ -108,6 +108,8 @@ HEADLINE = [
     "regex_battery",
     "datetime_battery",
     "conditional_null_battery",
+    "frag_rebalance",
+    "frag_skew_report",
 ]
 
 

@@ -3450,7 +3450,6 @@ def q_data_profile(spark, sf_dir):
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(col).alias(f"{c}__dist"),
             F.min(col).alias(f"{c}__min"),
             F.max(col).alias(f"{c}__max"),
             F.sum(col.cast("decimal(18,2)")).alias(f"{c}__sum"),
@@ -3462,7 +3461,6 @@ def q_data_profile(spark, sf_dir):
                 F.lit(c).alias("col_name"),
                 F.col(f"{c}__n").cast("bigint").alias("n_rows"),
                 F.col(f"{c}__nulls").cast("bigint").alias("n_nulls"),
-                F.col(f"{c}__dist").cast("bigint").alias("n_distinct"),
                 F.col(f"{c}__min").cast("double").alias("min_val"),
                 F.col(f"{c}__max").cast("double").alias("max_val"),
                 F.col(f"{c}__sum").cast("double").alias("sum_val"),
@@ -3470,7 +3468,24 @@ def q_data_profile(spark, sf_dir):
             for c in PROFILE_COLS
         ]
     )
-    return wide.select(F.explode(structs).alias("p")).select("p.*")
+    metrics = wide.select(F.explode(structs).alias("p")).select("p.*")
+    # exact distinct counts via ONE union-distinct pass over (col, value)
+    # pairs — each branch is a single-column pruned scan, and the
+    # distinct shuffles narrow 2-field rows, instead of an Expand that
+    # multiplies every metric column by the number of distinct aggs
+    pairs = None
+    for c in PROFILE_COLS:
+        p = li.select(F.lit(c).alias("col_name"), F.col(c).cast("double").alias("v"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    dist = (
+        pairs.distinct()
+        .groupBy("col_name")
+        .agg(F.count("v").cast("bigint").alias("n_distinct"))
+    )
+    return metrics.join(dist, "col_name").select(
+        "col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_val", "max_val", "sum_val",
+    )
 
 
 SQL_DATA_PROFILE = "\nUNION ALL\n".join(
@@ -4161,6 +4176,85 @@ FROM d GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# fragmentation lifecycle: rebalance + skew audit
+# ---------------------------------------------------------------------------
+
+REBALANCE_N = 8
+
+
+def _bucket_sql_n(col: str, n: int) -> str:
+    """_bucket_sql generalized to any fragment count (same fixed-domain
+    closed/open boundary rule, Interface1.py:127-137)."""
+    iv = (RANGE_MAX - RANGE_MIN) / n
+    return (
+        f"CAST(LEAST(GREATEST(CASE WHEN {col} - {RANGE_MIN} <= {iv} "
+        f"THEN 0 ELSE CAST(CEIL(({col} - {RANGE_MIN}) / {iv}) AS INTEGER) - 1 END, "
+        f"0), {n - 1}) AS INTEGER)"
+    )
+
+
+def q_frag_rebalance(spark, sf_dir):
+    """Fragmentation lifecycle: re-partition the 5-fragment range scheme
+    to 8 fragments and report the movement matrix (old → new → rows).
+    Both assignments are the same fixed-domain bucket expression — pure
+    narrow transformations, ONE shuffle for the matrix aggregate; no
+    data is rewritten to compute the plan, which is exactly how a
+    rebalance should be costed before committing to it."""
+    r = _ratings(spark, sf_dir)
+    return (
+        r.withColumn("old_fragment", _bucket_col())
+        .withColumn(
+            "new_fragment",
+            range_fragment_expr(F.col("rating"), REBALANCE_N, RANGE_MIN, RANGE_MAX),
+        )
+        .groupBy("old_fragment", "new_fragment")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+SQL_FRAG_REBALANCE = f"""
+WITH {RATINGS_CTE}
+SELECT {_bucket_sql("rating")} AS old_fragment,
+       {_bucket_sql_n("rating", REBALANCE_N)} AS new_fragment,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ratings GROUP BY 1, 2
+"""
+
+
+def q_frag_skew_report(spark, sf_dir):
+    """Fragmentation quality audit: per-fragment row count, key range
+    actually observed, and the fragment's share of the table — the
+    skew report that decides whether a range scheme needs rebalancing.
+    One aggregate + a broadcast 1-row total."""
+    r = _ratings(spark, sf_dir).withColumn("fragment_id", _bucket_col())
+    per = r.groupBy("fragment_id").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.min("rating").alias("min_rating"),
+        F.max("rating").alias("max_rating"),
+    )
+    total = r.agg(F.count("*").cast("bigint").alias("total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "fragment_id", "cnt", "min_rating", "max_rating",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+    )
+
+
+SQL_FRAG_SKEW_REPORT = f"""
+WITH {RATINGS_CTE},
+assigned AS (SELECT rating, {_bucket_sql("rating")} AS fragment_id FROM ratings),
+per AS (
+  SELECT fragment_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         MIN(rating) AS min_rating, MAX(rating) AS max_rating
+  FROM assigned GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM assigned)
+SELECT fragment_id, cnt, min_rating, max_rating,
+       ROUND(cnt / CAST(total AS DOUBLE), 6) AS share
+FROM per, tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4272,6 +4366,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_battery": q_regex_battery,
     "datetime_battery": q_datetime_battery,
     "conditional_null_battery": q_conditional_null_battery,
+    "frag_rebalance": q_frag_rebalance,
+    "frag_skew_report": q_frag_skew_report,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4380,4 +4476,6 @@ ORACLE_SQL: dict[str, str] = {
     "regex_battery": SQL_REGEX_BATTERY,
     "datetime_battery": SQL_DATETIME_BATTERY,
     "conditional_null_battery": SQL_CONDITIONAL_NULL_BATTERY,
+    "frag_rebalance": SQL_FRAG_REBALANCE,
+    "frag_skew_report": SQL_FRAG_SKEW_REPORT,
 }

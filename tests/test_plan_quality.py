@@ -141,3 +141,45 @@ def test_round_robin_partition_path_has_no_python_rdd(spark, ratings_file, wareh
     )
     plan = assigned._jdf.queryExecution().analyzed().toString()
     assert "ExistingRDD" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_bloom_probe_prunes_before_join(spark, sf_dir):
+    """The Bloom bitset filter must sit BELOW the semi join (map-side,
+    pre-shuffle) and its probe must be an O(1) bit test (shiftleft /
+    element_at), never an array scan."""
+    df = EQ.QUERIES["bloom_pruned_revenue"](spark, sf_dir)
+    plan = final_explain_formatted(df)
+    assert "shiftleft" in plan, "bit-test probe missing from plan"
+    assert "array_contains" not in plan, "probe degraded to an array scan"
+    filter_pos = plan.find("shiftleft")
+    join_pos = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    assert filter_pos > join_pos >= 0, "bloom filter must be below (after in explain text) the join"
+
+
+def test_latest_event_per_user_no_window_sort(spark, sf_dir):
+    """Top-1-per-group via MAX(struct): no Window operator, and the
+    aggregate must combine map-side (partial_max BEFORE the exchange) —
+    the shuffle then moves one row per (task, user), not the raw
+    events. (Struct max plans as SortAggregate, not HashAggregate —
+    the sort is over the already-combined partials, which is fine.)"""
+    df = EQ.QUERIES["latest_event_per_user"](spark, sf_dir)
+    plan = final_explain_formatted(df)
+    assert "Window" not in plan
+    assert "partial_max" in plan, "map-side combine missing"
+    assert plan.find("partial_max") > plan.find("Exchange"), \
+        "partial aggregate must sit below the shuffle"
+
+
+def test_salted_aggregate_two_phase(spark):
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        salted_aggregate,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    out = salted_aggregate(df, ["k"], {"sv": F.sum("v")}, n_salts=8)
+    plan = final_explain_formatted(out)
+    # two aggregation levels: (k, salt) partials then k merge — at least
+    # 4 HashAggregate nodes (partial+final per level)
+    assert plan.count("HashAggregate") >= 4, plan.count("HashAggregate")
