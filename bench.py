@@ -110,6 +110,9 @@ HEADLINE = [
     "conditional_null_battery",
     "frag_rebalance",
     "frag_skew_report",
+    "embedding_quantization",
+    "mixture_weights",
+    "stopword_discovery",
 ]
 
 

@@ -4255,6 +4255,153 @@ FROM per, tot
 
 
 # ---------------------------------------------------------------------------
+# corpus curation III: quantization, mixture weighting, stopword discovery
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127
+ERR_Q_SCALE = 1_000_000_000
+
+
+def q_embedding_quantization(spark, sf_dir):
+    """Int8 vector-quantization audit: per-vector max-abs scaling to
+    [-127,127], dequantization error per dimension, max/avg error per
+    label — the compression check before serving embeddings quantized.
+    Entirely per-row array exprs (zero shuffle until the final tiny
+    agg); the avg is fixed-point-quantized so the distributed sum is
+    order-exact."""
+    emb = _emb(spark, sf_dir)
+    absx = F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    m = F.nullif(F.array_max(absx), F.lit(0.0))
+    emb = emb.withColumn("_m", m)
+
+    def xi(i):
+        return F.element_at(F.col("embedding"), i).cast("double")
+
+    errs = F.transform(
+        F.sequence(F.lit(1), F.lit(EMB_DIM)),
+        lambda i: F.abs(
+            xi(i)
+            - F.round(xi(i) / F.col("_m") * QUANT_LEVELS, 0) * F.col("_m") / QUANT_LEVELS
+        ),
+    )
+    e = emb.select("label", F.array_max(errs).alias("err"))
+    return e.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.max("err"), 6).alias("max_err"),
+        (
+            F.sum(F.floor(F.col("err") * ERR_Q_SCALE).cast("bigint")).cast("double")
+            / ERR_Q_SCALE / F.count("*")
+        ).alias("avg_err"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZATION = f"""
+WITH e AS (
+  SELECT label,
+         list_max(list_transform(range(1, {EMB_DIM + 1}),
+           i -> abs(CAST(embedding[i] AS DOUBLE)
+                    - round(CAST(embedding[i] AS DOUBLE)
+                            / NULLIF(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 0.0)
+                            * {QUANT_LEVELS}, 0)
+                      * NULLIF(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 0.0)
+                      / {QUANT_LEVELS}))) AS err
+  FROM embeddings
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(MAX(err), 6) AS max_err,
+       CAST(SUM(CAST(FLOOR(err * {ERR_Q_SCALE}) AS BIGINT)) AS DOUBLE)
+         / {ERR_Q_SCALE} / COUNT(*) AS avg_err
+FROM e GROUP BY label
+"""
+
+
+#: target corpus mixture by language — the data-mixing spec a training
+#: run would hand the sampler
+MIXTURE_TARGET = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Data-mixing weights: actual token share per language vs the
+    target mixture → per-lang sampling weight (target/actual). One
+    aggregate + a broadcast 1-row total; the weight column is what a
+    weighted sampler consumes downstream."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("lang_tokens")
+    )
+    total = per.agg(F.sum("lang_tokens").cast("bigint").alias("total_tokens"))
+    target = F.create_map(
+        *[F.lit(v) for kv in MIXTURE_TARGET.items() for v in kv]
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang", "lang_tokens",
+        F.round(F.col("lang_tokens") / F.col("total_tokens"), 6).alias("actual_share"),
+        F.round(
+            target[F.col("lang")]
+            / (F.col("lang_tokens") / F.col("total_tokens")),
+            6,
+        ).alias("weight"),
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {share}" for lang, share in MIXTURE_TARGET.items()
+)
+SQL_MIXTURE_WEIGHTS = f"""
+WITH per AS (
+  SELECT lang, CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per)
+SELECT lang, lang_tokens,
+       ROUND(lang_tokens / CAST(total_tokens AS DOUBLE), 6) AS actual_share,
+       ROUND((CASE lang {_MIX_CASE} END)
+             / (lang_tokens / CAST(total_tokens AS DOUBLE)), 6) AS weight
+FROM per, tot
+"""
+
+
+STOPWORD_TOP_K = 20
+
+
+def q_stopword_discovery(spark, sf_dir):
+    """Corpus-driven stopword discovery: the top-k tokens by document
+    frequency with their df share — the empirical stopword list quality
+    filters are seeded from. Distinct (doc, term) pairs shuffle once on
+    the term; top-k is a TakeOrdered, never a global sort."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    dfreq = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term", "df",
+            F.round(F.col("df") / F.col("n_docs"), 6).alias("df_share"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(STOPWORD_TOP_K)
+    )
+
+
+SQL_STOPWORD_DISCOVERY = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({TOKENS_SQL.replace('text', 'lower(text)')}) AS term
+  FROM documents
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term, df, ROUND(df / CAST(n_docs AS DOUBLE), 6) AS df_share
+FROM dfreq, n
+ORDER BY df DESC, term
+LIMIT {STOPWORD_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4368,6 +4515,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conditional_null_battery": q_conditional_null_battery,
     "frag_rebalance": q_frag_rebalance,
     "frag_skew_report": q_frag_skew_report,
+    "embedding_quantization": q_embedding_quantization,
+    "mixture_weights": q_mixture_weights,
+    "stopword_discovery": q_stopword_discovery,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4478,4 +4628,7 @@ ORACLE_SQL: dict[str, str] = {
     "conditional_null_battery": SQL_CONDITIONAL_NULL_BATTERY,
     "frag_rebalance": SQL_FRAG_REBALANCE,
     "frag_skew_report": SQL_FRAG_SKEW_REPORT,
+    "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "stopword_discovery": SQL_STOPWORD_DISCOVERY,
 }
