@@ -113,6 +113,8 @@ HEADLINE = [
     "embedding_quantization",
     "mixture_weights",
     "stopword_discovery",
+    "near_dup_audit",
+    "ann_recall_audit",
 ]
 
 

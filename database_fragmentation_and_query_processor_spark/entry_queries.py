@@ -4402,6 +4402,103 @@ LIMIT {STOPWORD_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# pipeline evaluation audits: recall/precision of the approximate paths
+# ---------------------------------------------------------------------------
+
+
+def q_near_dup_audit(spark, sf_dir):
+    """Dedup-pipeline evaluation as a first-class query: MinHash-LSH
+    pairs vs the blocked exact-Jaccard ground truth at the same
+    threshold — n_lsh / n_exact / overlap / recall / precision in one
+    row. This is the audit that decides whether k, bands, or the
+    blocking key need retuning before a full-corpus run."""
+    docs = _docs_with_dups(spark, sf_dir)
+    lsh = (
+        D.near_dup_pairs(
+            docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
+        )
+        .select("id_a", "id_b")
+        .withColumn("in_lsh", F.lit(True))
+    )
+    d2 = docs.withColumn("len_bucket", F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)))
+    exact = (
+        D.blocked_jaccard_pairs(
+            d2, block_cols=("lang", "len_bucket"),
+            threshold=NEAR_DUP_THRESHOLD, shingle_n=SHINGLE_N,
+        )
+        .select("id_a", "id_b")
+        .withColumn("in_exact", F.lit(True))
+    )
+    t = lsh.join(exact, ["id_a", "id_b"], "full")
+    n_lsh = F.count_if(F.col("in_lsh"))
+    n_exact = F.count_if(F.col("in_exact"))
+    n_common = F.count_if(F.col("in_lsh") & F.col("in_exact"))
+    return t.agg(
+        n_lsh.cast("bigint").alias("n_lsh"),
+        n_exact.cast("bigint").alias("n_exact"),
+        n_common.cast("bigint").alias("n_common"),
+        F.round(n_common / n_exact.cast("double"), 6).alias("lsh_recall"),
+        F.round(n_common / n_lsh.cast("double"), 6).alias("lsh_precision"),
+    )
+
+
+SQL_NEAR_DUP_AUDIT = f"""
+WITH lsh AS ({SQL_MINHASH_NEAR_DUP_PAIRS}),
+exact AS ({SQL_NGRAM_JACCARD_PAIRS}),
+t AS (
+  SELECT (l.id_a IS NOT NULL) AS in_lsh, (e.id_a IS NOT NULL) AS in_exact
+  FROM lsh l FULL JOIN exact e ON l.id_a = e.id_a AND l.id_b = e.id_b
+)
+SELECT CAST(count_if(in_lsh) AS BIGINT) AS n_lsh,
+       CAST(count_if(in_exact) AS BIGINT) AS n_exact,
+       CAST(count_if(in_lsh AND in_exact) AS BIGINT) AS n_common,
+       ROUND(count_if(in_lsh AND in_exact) / CAST(count_if(in_exact) AS DOUBLE), 6) AS lsh_recall,
+       ROUND(count_if(in_lsh AND in_exact) / CAST(count_if(in_lsh) AS DOUBLE), 6) AS lsh_precision
+FROM t
+"""
+
+
+def q_ann_recall_audit(spark, sf_dir):
+    """ANN evaluation: recall@k of the sign-LSH probe against the exact
+    brute-force top-k for the same query vector — the tuning loop for
+    n_planes / probe_hamming, as a one-row query."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = S.brute_force_topk(emb, qvec, k=KNN_K).select("vec_id").withColumn(
+        "in_exact", F.lit(True)
+    )
+    ann = S.lsh_topk(
+        emb, qvec, k=KNN_K, n_planes=ANN_PLANES,
+        probe_hamming=ANN_PROBE_HAMMING, dim=EMB_DIM,
+    ).select("vec_id").withColumn("in_ann", F.lit(True))
+    t = exact.join(ann, "vec_id", "full")
+    n_exact = F.count_if(F.col("in_exact"))
+    n_ann = F.count_if(F.col("in_ann"))
+    n_common = F.count_if(F.col("in_exact") & F.col("in_ann"))
+    return t.agg(
+        n_exact.cast("bigint").alias("n_exact"),
+        n_ann.cast("bigint").alias("n_ann"),
+        n_common.cast("bigint").alias("n_common"),
+        F.round(n_common / F.lit(float(KNN_K)), 6).alias("recall_at_k"),
+    )
+
+
+SQL_ANN_RECALL_AUDIT = f"""
+WITH exact AS ({SQL_KNN_BRUTEFORCE}),
+ann AS ({SQL_ANN_LSH_TOPK}),
+t AS (
+  SELECT (e.vec_id IS NOT NULL) AS in_exact, (a.vec_id IS NOT NULL) AS in_ann
+  FROM exact e FULL JOIN ann a ON e.vec_id = a.vec_id
+)
+SELECT CAST(count_if(in_exact) AS BIGINT) AS n_exact,
+       CAST(count_if(in_ann) AS BIGINT) AS n_ann,
+       CAST(count_if(in_exact AND in_ann) AS BIGINT) AS n_common,
+       ROUND(count_if(in_exact AND in_ann) / {KNN_K}.0, 6) AS recall_at_k
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4518,6 +4615,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantization": q_embedding_quantization,
     "mixture_weights": q_mixture_weights,
     "stopword_discovery": q_stopword_discovery,
+    "near_dup_audit": q_near_dup_audit,
+    "ann_recall_audit": q_ann_recall_audit,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4631,4 +4730,6 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_quantization": SQL_EMBEDDING_QUANTIZATION,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "stopword_discovery": SQL_STOPWORD_DISCOVERY,
+    "near_dup_audit": SQL_NEAR_DUP_AUDIT,
+    "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
 }
