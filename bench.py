@@ -115,6 +115,8 @@ HEADLINE = [
     "stopword_discovery",
     "near_dup_audit",
     "ann_recall_audit",
+    "frag_hash_counts",
+    "frame_semantics_battery",
 ]
 
 

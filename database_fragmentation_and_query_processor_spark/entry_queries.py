@@ -4499,6 +4499,91 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# hash fragmentation + window frame semantics
+# ---------------------------------------------------------------------------
+
+HASH_FRAG_N = 6
+
+
+def q_frag_hash_counts(spark, sf_dir):
+    """[EXT] The third classic fragmentation scheme next to the
+    reference's range and round-robin: hash partitioning on the key.
+    The hash is md5-derived 53-bit arithmetic (functions/text.py:
+    token_hash convention) — portable across engines, unlike
+    engine-native hash() — so routing is verifiable cross-engine.
+    Uniformity check rides along: per-fragment count plus the key
+    checksum."""
+    r = _ratings(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("userid").cast("string")), 1, 13), 16, 10)
+    return (
+        r.withColumn("fragment_id", (h.cast("bigint") % HASH_FRAG_N).cast("int"))
+        .groupBy("fragment_id")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("userid").cast("bigint")).cast("bigint").alias("userid_checksum"),
+        )
+    )
+
+
+SQL_FRAG_HASH_COUNTS = f"""
+WITH {RATINGS_CTE}
+SELECT CAST(CAST(('0x' || substr(md5(CAST(userid AS VARCHAR)), 1, 13)) AS BIGINT)
+            % {HASH_FRAG_N} AS INTEGER) AS fragment_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(userid AS BIGINT)) AS BIGINT) AS userid_checksum
+FROM ratings GROUP BY 1
+"""
+
+
+def q_frame_semantics_battery(spark, sf_dir):
+    """Window-frame battery: ROWS BETWEEN (physical rows) vs RANGE
+    BETWEEN (value-based peers) running sums over the same ordered
+    partition — the two frames agree only when the order key is unique,
+    and the default frame silently switches to RANGE when ORDER BY is
+    present: exactly the corner this battery pins. Decimal-exact sums;
+    o_orderkey output keeps rows addressable."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 20 == 0
+    )
+    base = orders.select(
+        "o_custkey", "o_orderkey",
+        _dec2(F.col("o_totalprice")).alias("p"),
+        (F.col("o_orderkey") % 5).alias("grp_val"),
+    )
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy("grp_val")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey", "o_orderkey",
+        F.sum("p").over(w_rows).cast("double").alias("running_rows"),
+        F.sum("p").over(w_range).cast("double").alias("running_range_peers"),
+    )
+
+
+SQL_FRAME_SEMANTICS_BATTERY = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+         o_orderkey % 5 AS grp_val
+  FROM orders WHERE o_orderkey % 20 = 0
+)
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rows,
+       CAST(SUM(p) OVER (PARTITION BY o_custkey ORDER BY grp_val
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_range_peers
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4617,6 +4702,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stopword_discovery": q_stopword_discovery,
     "near_dup_audit": q_near_dup_audit,
     "ann_recall_audit": q_ann_recall_audit,
+    "frag_hash_counts": q_frag_hash_counts,
+    "frame_semantics_battery": q_frame_semantics_battery,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4732,4 +4819,6 @@ ORACLE_SQL: dict[str, str] = {
     "stopword_discovery": SQL_STOPWORD_DISCOVERY,
     "near_dup_audit": SQL_NEAR_DUP_AUDIT,
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
+    "frag_hash_counts": SQL_FRAG_HASH_COUNTS,
+    "frame_semantics_battery": SQL_FRAME_SEMANTICS_BATTERY,
 }
