@@ -174,6 +174,65 @@ def point_query(
     return df
 
 
+def _hash_path(warehouse: str, table: str) -> str:
+    return os.path.join(warehouse, f"{table}_hash")
+
+
+def hash_partition(
+    spark: SparkSession, table: str, n, warehouse: str, key: str = "userid"
+) -> None:
+    """[EXT] Fragment the base table by portable hash of ``key`` — the
+    third classic scheme (no reference counterpart). Same warehouse
+    layout and partition-pruned reads as the range/RR schemes."""
+    if not _valid_n(n):
+        print("Invalid number of partitions:", n)
+        return
+    df = spark.read.parquet(_base_path(warehouse, table))
+    frag.write_fragmented(
+        frag.assign_hash_fragments(df, key, n), _hash_path(warehouse, table)
+    )
+    FragmentCatalog(warehouse).update_hash(n=n, key=key)
+
+
+def hash_insert(
+    spark: SparkSession, table: str, userid: int, itemid: int, rating: float,
+    warehouse: str,
+) -> None:
+    """[EXT] Dual-write routed by the catalog's hash scheme."""
+    row = _new_row(spark, userid, itemid, rating)
+    row.write.mode("append").parquet(_base_path(warehouse, table))
+    meta = FragmentCatalog(warehouse).hash_meta()
+    if meta.n <= 0:
+        print("There are no hash partitions to insert")
+        return
+    routed = row.withColumn(
+        FRAGMENT_COL, frag.hash_fragment_expr(F.col(meta.key), meta.n)
+    )
+    routed.write.mode("append").partitionBy(FRAGMENT_COL).parquet(
+        _hash_path(warehouse, table)
+    )
+
+
+def hash_key_lookup(
+    spark: SparkSession, key_value: int, warehouse: str, table: str = "ratings"
+) -> DataFrame:
+    """[EXT] Point lookup by routing key: computes the owning fragment
+    from the catalog (driver-side arithmetic on the key literal) and
+    reads ONLY that fragment — partition pruning by construction, the
+    1-of-n scan the reference's pointQuery does for the range scheme
+    (Interface1.py:310-347), here for the hash scheme."""
+    meta = FragmentCatalog(warehouse).hash_meta()
+    if meta.n <= 0:
+        raise ValueError("no hash partitions exist")
+    import hashlib
+
+    owner = int(hashlib.md5(str(int(key_value)).encode()).hexdigest()[:13], 16) % meta.n
+    df = spark.read.parquet(_hash_path(warehouse, table))
+    return df.where(
+        (F.col(FRAGMENT_COL) == owner) & (F.col(meta.key) == key_value)
+    )
+
+
 def delete_tables(spark: SparkSession, table_or_all: str, warehouse: str) -> None:
     """Drop a named table's datasets, or everything (op #10).
 
@@ -187,6 +246,7 @@ def delete_tables(spark: SparkSession, table_or_all: str, warehouse: str) -> Non
         os.path.join(warehouse, table_or_all),
         _range_path(warehouse, table_or_all),
         _rr_path(warehouse, table_or_all),
+        _hash_path(warehouse, table_or_all),
     ):
         if os.path.isdir(p):
             shutil.rmtree(p)

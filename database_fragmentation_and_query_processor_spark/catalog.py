@@ -46,6 +46,15 @@ class RoundRobinMetadata:
     last_inserted: int = -1
 
 
+@dataclass
+class HashMetadata:
+    """[EXT] hash-scheme parameters (no reference counterpart): the
+    routing key column and fragment count fully determine membership."""
+
+    n: int = 0
+    key: str = ""
+
+
 class FragmentCatalog:
     """Read-modify-write access to the per-warehouse metadata sidecar."""
 
@@ -111,6 +120,22 @@ class FragmentCatalog:
             meta.last_inserted = int(last_inserted)
         doc = self._read()
         doc["round_robin"] = asdict(meta)
+        self._write(doc)
+        return meta
+
+    # -- hash [EXT] -----------------------------------------------------
+    def hash_meta(self) -> HashMetadata:
+        doc = self._read().get("hash")
+        return HashMetadata(**doc) if doc else HashMetadata()
+
+    def update_hash(self, n: int = -1, key: str | None = None) -> HashMetadata:
+        meta = self.hash_meta()
+        if n >= 0:
+            meta.n = int(n)
+        if key is not None:
+            meta.key = key
+        doc = self._read()
+        doc["hash"] = asdict(meta)
         self._write(doc)
         return meta
 

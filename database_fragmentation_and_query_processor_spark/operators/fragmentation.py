@@ -127,3 +127,19 @@ def write_fragmented(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     (Interface1.py:273-290).
     """
     df.write.mode(mode).partitionBy(FRAGMENT_COL).parquet(path)
+
+
+def hash_fragment_expr(key: Column, n: int) -> Column:
+    """[EXT] Hash-routing expression — the third classic fragmentation
+    scheme next to the reference's range (Interface1.py:101-148) and
+    round-robin (:150-181). The hash is md5-derived 53-bit arithmetic
+    (the repo-wide portable-hash convention, functions/text.py:
+    token_hash) rather than an engine-native hash(), so routing is
+    reproducible across engines and versions — a re-run or an oracle
+    can verify fragment membership bit-for-bit."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("bigint")
+    return (h % F.lit(n)).cast("int")
+
+
+def assign_hash_fragments(df: DataFrame, key_col: str, n: int) -> DataFrame:
+    return df.withColumn(FRAGMENT_COL, hash_fragment_expr(F.col(key_col), n))

@@ -150,3 +150,42 @@ def test_bucket_expr_hits_every_boundary(spark):
         }
         exp = {v: _expected_range_fragment(v, n) for v in vals}
         assert got == exp, f"n={n}"
+
+
+def test_hash_partition_complete_disjoint_and_routed(spark, ratings_file, warehouse):
+    """[EXT] hash scheme: fragments are complete + disjoint, routing is
+    the portable md5 arithmetic, and inserts land in the owning
+    fragment."""
+    from pyspark.sql import functions as F
+
+    from database_fragmentation_and_query_processor_spark import api
+    from database_fragmentation_and_query_processor_spark.schema import FRAGMENT_COL
+
+    base = api.load_ratings(spark, "ratings", ratings_file, warehouse)
+    total = base.count()
+    api.hash_partition(spark, "ratings", 4, warehouse)
+    fragged = spark.read.parquet(f"{warehouse}/ratings_hash")
+    assert fragged.count() == total
+    # disjoint: every (userid, movieid) appears exactly once
+    assert fragged.select("userid", "movieid").distinct().count() == total
+    # all rows of one user share a fragment (routing is key-functional)
+    per_user = fragged.groupBy("userid").agg(
+        F.countDistinct(FRAGMENT_COL).alias("nf")
+    )
+    assert per_user.where(F.col("nf") > 1).count() == 0
+
+    api.hash_insert(spark, "ratings", 999, 123, 2.5, warehouse)
+    hit = api.hash_key_lookup(spark, 999, warehouse)
+    rows = hit.collect()
+    assert len(rows) == 1 and rows[0]["movieid"] == 123
+
+
+def test_hash_key_lookup_prunes_partitions(spark, ratings_file, warehouse):
+    from database_fragmentation_and_query_processor_spark import api
+    from database_fragmentation_and_query_processor_spark.plans import partition_filters
+
+    api.load_ratings(spark, "ratings", ratings_file, warehouse)
+    api.hash_partition(spark, "ratings", 4, warehouse)
+    df = api.hash_key_lookup(spark, 1, warehouse)
+    pf = " ".join(partition_filters(df))
+    assert "fragment_id" in pf, pf
