@@ -233,6 +233,71 @@ def hash_key_lookup(
     )
 
 
+def catalog_report(
+    spark: SparkSession, warehouse: str, table: str = "ratings"
+) -> DataFrame:
+    """[EXT] One-stop catalog/layout report: every materialized scheme
+    with its catalog parameters and per-fragment row counts — the
+    operational view the reference never had. Counts come from pruned
+    per-scheme scans (one tiny agg per scheme)."""
+    cat = FragmentCatalog(warehouse)
+    rows = []
+    for scheme, path, n in (
+        ("range", _range_path(warehouse, table), cat.range_meta().n),
+        ("round_robin", _rr_path(warehouse, table), cat.round_robin_meta().n),
+        ("hash", _hash_path(warehouse, table), cat.hash_meta().n),
+    ):
+        if n <= 0 or not os.path.isdir(path):
+            continue
+        counts = (
+            spark.read.parquet(path)
+            .groupBy(FRAGMENT_COL)
+            .count()
+            .collect()
+        )
+        for r in counts:
+            rows.append((scheme, n, int(r[FRAGMENT_COL]), int(r["count"])))
+    return spark.createDataFrame(
+        rows, "scheme string, n_fragments int, fragment_id int, n_rows long"
+    )
+
+
+def compact_fragments(
+    spark: SparkSession, warehouse: str, table: str, scheme: str,
+    target_files_per_fragment: int = 1,
+) -> None:
+    """[EXT] Small-file compaction: routed single-row inserts accumulate
+    one parquet file each (the classic streaming/trickle-insert
+    pathology — at scale, file-listing cost alone kills scans). Rewrite
+    each fragment directory down to ``target_files_per_fragment`` files
+    with a fragment-local repartition; fragment membership, row content
+    and partition pruning are unchanged. Write-then-swap keeps the old
+    layout readable until the new one is complete."""
+    paths = {
+        "range": _range_path(warehouse, table),
+        "round_robin": _rr_path(warehouse, table),
+        "hash": _hash_path(warehouse, table),
+    }
+    path = paths[scheme]
+    df = spark.read.parquet(path)
+    tmp = path + ".compact"
+    if target_files_per_fragment <= 1:
+        # hash-cluster by fragment: each fragment lands whole in one
+        # task → exactly one file per fragment directory
+        clustered = df.repartition(F.col(FRAGMENT_COL))
+    else:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(target_files_per_fragment),
+        )
+        clustered = df.repartition(F.col(FRAGMENT_COL), salt)
+    clustered.write.mode("overwrite").partitionBy(FRAGMENT_COL).parquet(tmp)
+    old = path + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
 def delete_tables(spark: SparkSession, table_or_all: str, warehouse: str) -> None:
     """Drop a named table's datasets, or everything (op #10).
 

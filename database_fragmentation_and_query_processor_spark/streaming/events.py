@@ -173,6 +173,54 @@ def run_available_now_append(result: DataFrame, spark: SparkSession) -> DataFram
     return spark.table(name)
 
 
+def upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    version_col: str,
+    spark: SparkSession,
+):
+    """Streaming merge/upsert sink via foreachBatch: each micro-batch
+    SCD-1-merges (last write wins by ``version_col``) into the parquet
+    target with write-then-swap. foreachBatch is the standard bridge
+    from a stream to a batch-only sink operation; the merge itself is
+    operators/merge.py:merge_upsert — one per-key window shuffle over
+    target ∪ batch. Returns the started StreamingQuery.
+
+    At real scale the target would be a transactional table format
+    (partition-level rewrite); the swap here is the single-writer
+    parquet equivalent with the same merge plan.
+    """
+    from ..operators.merge import merge_upsert
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if os.path.isdir(target_path):
+            current = spark.read.parquet(target_path)
+            merged = merge_upsert(current, batch_df, keys, [version_col])
+        else:
+            merged = merge_upsert(
+                batch_df.limit(0), batch_df, keys, [version_col]
+            )
+        tmp = target_path + ".merge"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path + ".old"
+        if os.path.isdir(target_path):
+            os.rename(target_path, old)
+            os.rename(tmp, target_path)
+            import shutil
+
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, target_path)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

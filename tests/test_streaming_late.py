@@ -72,3 +72,54 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # later windows stay open (watermark never passes their ends), so
     # append mode must not have emitted them
     assert all(k == win0 for k in got), got
+
+
+def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path):
+    """Streaming upsert: after the stream drains, the target holds
+    exactly one row per event_id (last write wins)."""
+    from pyspark.sql import functions as F
+
+    from database_fragmentation_and_query_processor_spark.streaming.events import (
+        read_events_stream,
+        upsert_sink,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", F.col("ts").alias("version")
+    )
+    target = str(tmp_path / "events_upserted")
+    q = upsert_sink(stream, target, keys=["event_id"], version_col="version", spark=spark)
+    q.awaitTermination()
+    out = spark.read.parquet(target)
+    n_distinct = out.select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert n_distinct == src.select("event_id").distinct().count()
+
+
+def test_catalog_report_and_compaction(spark, ratings_file, warehouse):
+    import glob
+
+    from database_fragmentation_and_query_processor_spark import api
+
+    api.load_ratings(spark, "ratings", ratings_file, warehouse)
+    api.range_partition(spark, "ratings", 5, warehouse)
+    api.hash_partition(spark, "ratings", 4, warehouse)
+    rep = api.catalog_report(spark, warehouse)
+    rows = {(r["scheme"], r["fragment_id"]): r["n_rows"] for r in rep.collect()}
+    assert sum(v for (s, _), v in rows.items() if s == "range") == 20
+    assert sum(v for (s, _), v in rows.items() if s == "hash") == 20
+
+    # trickle inserts create extra files; compaction rewrites to 1/fragment
+    for i in range(3):
+        api.hash_insert(spark, "ratings", 100 + i, i, 1.0, warehouse)
+    before = len(glob.glob(f"{warehouse}/ratings_hash/fragment_id=*/*.parquet"))
+    total_before = spark.read.parquet(f"{warehouse}/ratings_hash").count()
+    api.compact_fragments(spark, warehouse, "ratings", "hash")
+    after = len(glob.glob(f"{warehouse}/ratings_hash/fragment_id=*/*.parquet"))
+    assert after < before
+    frag_dirs = glob.glob(f"{warehouse}/ratings_hash/fragment_id=*")
+    for d in frag_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    assert spark.read.parquet(f"{warehouse}/ratings_hash").count() == total_before
