@@ -140,25 +140,51 @@ def main() -> None:
     # warmup: JIT + codegen + filesystem metadata, not measured
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
 
-    timings: dict[str, float] = {}
+    # Fault-isolated: one broken query must never cost the whole run's
+    # measurement — errors are recorded as "ERR <type>" and skipped in
+    # the total, and the final JSON line is ALWAYS emitted.
+    timings: dict[str, float | str] = {}
+    errors = 0
     for name in HEADLINE:
         fn = EQ.QUERIES[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            timings[name] = f"ERR {type(exc).__name__}"
+            errors += 1
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
         # each query timed cold: drop persisted intermediates (e.g. the
         # minhash shingle cache) so queries don't interfere
-        spark.catalog.clearCache()
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "sf": sf,
         "cpus": int(cpus),
-    }))
+    }
+    # apples-to-apples vs the round-1 baseline (52.738s / 53 queries):
+    # the headline list has since grown, so also report the total over
+    # exactly the query set BENCH_r01 measured.
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_r01.json")) as f:
+            r1_names = set(json.load(f)["parsed"]["queries"])
+        out["r1_subset_total"] = round(
+            sum(v for k, v in timings.items()
+                if k in r1_names and isinstance(v, float)), 3)
+        out["r1_subset_n"] = sum(1 for k in timings if k in r1_names)
+    except Exception:
+        pass
+    print(json.dumps(out))
     spark.stop()
 
 

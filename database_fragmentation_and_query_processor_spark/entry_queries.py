@@ -74,23 +74,40 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects (SPARK timestamps are micros). Read nanos as BIGINT
-    and derive time columns with exact integer arithmetic — raw ``ts``
-    is never emitted in query output (DuckDB keeps ns precision, Spark
-    can't represent it)."""
+    """Schema-adaptive events loader. The fixture's physical ``ts``
+    encoding has drifted across generations (TIMESTAMP(NANOS) readable
+    only as nanos-BIGINT via ``nanosAsLong``; currently timestamp[us] →
+    Spark TIMESTAMP_NTZ). Normalize to two canonical columns so no query
+    ever touches the physical encoding:
+
+      ``event_time`` TIMESTAMP — micros precision (UTC session tz)
+      ``tsn``        BIGINT    — micros since epoch
+
+    Raw ``ts`` is dropped: any stale reference fails analysis loudly
+    instead of silently reading a wrong scale. DuckDB mirrors use
+    ``epoch_us(ts)`` for ``tsn`` (DuckDB reads the same parquet as a
+    naive-UTC TIMESTAMP at micros precision on every encoding)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # harmless for micros files; required to even read TIMESTAMP(NANOS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":  # legacy: nanos since epoch as long
+        tsn = F.expr("ts div 1000")
+    elif ts_type.startswith("timestamp"):  # timestamp / timestamp_ntz
+        tsn = F.unix_micros(F.col("ts").cast("timestamp"))
+    else:
+        raise TypeError(f"unsupported events.ts type: {ts_type}")
+    return (
+        ev.withColumn("tsn", tsn.cast("bigint"))
+        .withColumn("event_time", F.timestamp_micros(F.col("tsn")))
+        .drop("ts")
+    )
 
 
-NS_PER_HOUR = 3_600_000_000_000
 US_PER_HOUR = 3_600_000_000
-
-
-def _ts_hour(ns_col: F.Column) -> F.Column:
-    """Floor a nanos-since-epoch bigint to the hour as a timestamp."""
-    hours = (ns_col.cast("bigint") - (ns_col.cast("bigint") % NS_PER_HOUR)) / F.lit(NS_PER_HOUR)
-    return F.timestamp_micros((hours.cast("bigint") * US_PER_HOUR))
+US_PER_DAY = 86_400_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in micros
 
 
 # ---------------------------------------------------------------------------
@@ -574,7 +591,7 @@ FROM events GROUP BY event_type
 def q_events_hourly(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy(_ts_hour(F.col("ts")).alias("hour"))
+        ev.groupBy(F.date_trunc("hour", F.col("event_time")).alias("hour"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
@@ -979,18 +996,24 @@ FROM documents
 """
 
 
-def q_multimodal_features(spark, sf_dir):
-    """Arrow-batched (mapInPandas) stub feature extraction — rows-only
-    check (the decode step is the designated stub; no SQL equivalent).
+MM_FEATURE_DIM = 8
 
-    The library API (multimodal/binary_ops.py) returns the feature as
-    ``array<double>``; the declared query projects it to a canonical
-    comma-joined string so the driver's pandas canonicalizer (which
-    sorts/hashes scalar cells) can handle it."""
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched (mapInPandas) stub feature extraction. The decode
+    step is the designated stub (multimodal/binary_ops.py:decode_stub)
+    but it is DETERMINISTIC byte arithmetic, so it has an exact DuckDB
+    mirror — per-byte access via hex()+substr over the same UTF-8
+    payload.
+
+    The library API returns the feature as ``array<double>``; the
+    declared query projects it to a canonical comma-joined string so the
+    driver's pandas canonicalizer (which sorts/hashes scalar cells) can
+    handle it."""
     from .multimodal.binary_ops import documents_as_media, extract_features
 
     docs = _docs(spark, sf_dir)
-    feats = extract_features(documents_as_media(docs))
+    feats = extract_features(documents_as_media(docs), dim=MM_FEATURE_DIM)
     return feats.select(
         "media_id",
         "n_bytes",
@@ -998,6 +1021,30 @@ def q_multimodal_features(spark, sf_dir):
             ",", F.transform("feature", lambda v: F.format_string("%.6f", v))
         ).alias("feature_csv"),
     )
+
+
+#: DuckDB mirror of decode_stub + extract_features: mean_byte is the
+#: byte-histogram mean over the UTF-8 payload; feature[i] = (mean+i)%256.
+SQL_MULTIMODAL_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS h
+  FROM documents
+),
+s AS (
+  SELECT media_id, n,
+         CASE WHEN n = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(range(0, n),
+                     i -> CAST(concat('0x', substr(h, i*2+1, 2)) AS INT))) AS DOUBLE) / n
+         END AS mean_byte
+  FROM m
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+       array_to_string(list_transform(range(0, {MM_FEATURE_DIM}),
+         i -> printf('%.6f', fmod(mean_byte + i, 256))), ',') AS feature_csv
+FROM s
+"""
 
 
 SIMHASH_BITS = 32
@@ -1236,17 +1283,14 @@ LIMIT {KNN_K}
 """
 
 
-SESSION_GAP_NS = 30 * 60 * 1_000_000_000
-
-
 def q_sessionization(spark, sf_dir):
     """Gap-based sessionization (batch form): lag + cumulative-sum
     session ids, per-user session stats. The streaming form of the same
     semantics lives in streaming/events.py (applyInPandasWithState)."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_s = F.when(prev.isNull() | ((F.col("ts") - prev) > SESSION_GAP_NS), 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    prev = F.lag("tsn").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("tsn") - prev) > SESSION_GAP_US), 1).otherwise(0)
     wc = w.rowsBetween(Window.unboundedPreceding, 0)
     return (
         ev.withColumn("sess_id", F.sum(new_s).over(wc))
@@ -1260,12 +1304,12 @@ def q_sessionization(spark, sf_dir):
 
 SQL_SESSIONIZATION = f"""
 WITH ev AS (
-  SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events
+  SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
 ),
 flagged AS (
   SELECT user_id, tsn, event_id,
          CASE WHEN lag(tsn) OVER w IS NULL
-                   OR tsn - lag(tsn) OVER w > {SESSION_GAP_NS}
+                   OR tsn - lag(tsn) OVER w > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS new_s
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
 ),
@@ -1289,19 +1333,16 @@ def q_asof_click_attribution(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        F.col("event_id").alias("purchase_id"), "user_id", "tsn"
     )
     clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
+        "user_id", "tsn", F.col("event_id").alias("click_id")
     )
-    joined = asof_join(purchases, clicks, on=["user_id"], ts_col="ts")
-    # gap in MICROseconds: DuckDB's parquet reader truncates ns
-    # timestamps to micros, so ns-precision gaps can't be compared.
+    joined = asof_join(purchases, clicks, on=["user_id"], ts_col="tsn")
     return joined.select(
         "purchase_id", "user_id",
         F.col("click_id_right").alias("click_id"),
-        (F.expr("ts div 1000") - F.expr("ts_right div 1000"))
-        .cast("bigint").alias("gap_us"),
+        (F.col("tsn") - F.col("tsn_right")).cast("bigint").alias("gap_us"),
     )
 
 
@@ -1601,15 +1642,11 @@ WIN_US = 3_600_000_000  # 1 hour
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
-def _event_time(ev: DataFrame) -> DataFrame:
-    return ev.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
-
-
 def q_events_sliding_windows(spark, sf_dir):
     """Sliding-window aggregate (1h window, 15min slide): each event
     lands in 4 overlapping windows — Spark's window() generator; the
     oracle reproduces it with an explicit 4-offset unnest."""
-    ev = _event_time(_events(spark, sf_dir))
+    ev = _events(spark, sf_dir)
     return (
         ev.groupBy(F.window("event_time", "1 hour", "15 minutes").alias("win"))
         .agg(
@@ -1633,14 +1670,11 @@ SELECT make_timestamp(win_start_us) AS win_start,
 FROM assigned GROUP BY win_start_us
 """
 
-SESSION_GAP_US = SESSION_GAP_NS // 1000
-
-
 def q_session_windows(spark, sf_dir):
     """Native session_window (gap-merged event-time windows) — the
     built-in counterpart of the custom applyInPandasWithState
     sessionizer; window end = last event + gap."""
-    ev = _event_time(_events(spark, sf_dir))
+    ev = _events(spark, sf_dir)
     return (
         ev.groupBy(
             "user_id", F.session_window("event_time", "30 minutes").alias("sw")
@@ -1724,7 +1758,7 @@ def q_events_pivot(spark, sf_dir):
     """Pivot: hour-of-day × event_type matrix of decimal-exact value
     sums (explicit pivot values for a deterministic schema)."""
     ev = _events(spark, sf_dir)
-    hod = ((F.col("ts").cast("bigint") / F.lit(NS_PER_HOUR)).cast("bigint") % 24).cast("int")
+    hod = F.expr(f"CAST((tsn div {US_PER_HOUR}) % 24 AS INT)")
     return (
         ev.withColumn("hod", hod)
         .groupBy("hod")
@@ -1898,9 +1932,7 @@ def q_event_funnel(spark, sf_dir):
     cascade with reaggregation — no row explosion, two tiny shuffles on
     user_id. The match_recognize-style op a pipeline needs without a
     pattern-matching engine."""
-    ev = _events(spark, sf_dir).select(
-        "user_id", "event_type", F.col("ts").cast("bigint").alias("tsn")
-    )
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "tsn")
     v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
         F.min("tsn").alias("t1")
     )
@@ -1926,7 +1958,7 @@ def q_event_funnel(spark, sf_dir):
 
 
 SQL_EVENT_FUNNEL = """
-WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tsn FROM events),
 v AS (SELECT user_id, MIN(tsn) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, MIN(tsn) AS t2 FROM ev e JOIN v USING (user_id)
       WHERE event_type = 'click' AND tsn > t1 GROUP BY e.user_id),
@@ -2037,11 +2069,9 @@ def q_user_rolling_avg(spark, sf_dir):
     """Bounded window frame: per-user 3-event rolling value average
     (ROWS 2 PRECEDING..CURRENT), decimal-exact inside the frame."""
     ev = _events(spark, sf_dir)
-    # order by micros (ts div 1000) so tie-breaks match DuckDB, whose
-    # TIMESTAMP_NS parquet reads truncate to micro precision
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.expr("ts div 1000"), "event_id")
+        .orderBy("tsn", "event_id")
         .rowsBetween(-2, 0)
     )
     roll = (
@@ -2066,11 +2096,9 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
 def q_event_gaps(spark, sf_dir):
     """lead/lag as output: per-event gap to the user's next event, then
     per-type mean gap (decimal-exact in micros)."""
-    ev = _events(spark, sf_dir).withColumn("tus", F.expr("ts div 1000"))
-    # micros on both engines: DuckDB truncates TIMESTAMP_NS to micros,
-    # so Spark must floor-div the raw nanos before differencing
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    gap_us = F.lead("tus").over(w) - F.col("tus")
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    gap_us = F.lead("tsn").over(w) - F.col("tsn")
     return (
         ev.withColumn("gap_us", gap_us)
         .where(F.col("gap_us").isNotNull())
@@ -3126,7 +3154,7 @@ def q_events_gap_fill(spark, sf_dir):
     hourly aggregate with zero-fill. At scale the spine is thousands of
     rows while events are billions — the join broadcasts the spine."""
     ev = _events(spark, sf_dir)
-    hour = _ts_hour(F.col("ts"))
+    hour = F.date_trunc("hour", F.col("event_time"))
     hourly = ev.groupBy(hour.alias("hour"), "event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
@@ -3271,30 +3299,78 @@ FROM versions
 """
 
 
+MM_RESIZE_W, MM_RESIZE_H = 8, 8
+MM_N_FRAMES = 4
+
+
 def q_multimodal_resize(spark, sf_dir):
-    """Image-resize plumbing (rows-only: stubbed codec): Arrow-batched
-    mapInPandas resize, output projected to scalar digests so the check
-    can hash it."""
+    """Image-resize plumbing (stubbed codec, but deterministic byte
+    striding → exact DuckDB mirror): Arrow-batched mapInPandas resize,
+    output projected to a lowercase-hex payload so both engines emit a
+    comparable scalar."""
     from .multimodal.binary_ops import documents_as_media, resize_images
 
     docs = _docs(spark, sf_dir)
-    out = resize_images(documents_as_media(docs), width=8, height=8)
+    out = resize_images(documents_as_media(docs), width=MM_RESIZE_W, height=MM_RESIZE_H)
     return out.select(
         "media_id", "width", "height",
-        F.sha2(F.col("resized"), 256).alias("resized_sha256"),
+        F.lower(F.hex(F.col("resized"))).alias("resized_hex"),
     )
+
+
+#: mirror of resize_images' stub: raw[::stride][:target] right-padded
+#: with zero bytes, stride = max(n // target, 1), target = w*h.
+_MM_TARGET = MM_RESIZE_W * MM_RESIZE_H
+SQL_MULTIMODAL_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS h
+  FROM documents
+),
+r AS (SELECT media_id, n, h, greatest(n // {_MM_TARGET}, 1) AS stride FROM m)
+SELECT media_id,
+       CAST({MM_RESIZE_W} AS BIGINT) AS width,
+       CAST({MM_RESIZE_H} AS BIGINT) AS height,
+       lower(array_to_string(list_transform(range(0, {_MM_TARGET}),
+         i -> CASE WHEN i * stride < n THEN substr(h, i*stride*2+1, 2)
+                   ELSE '00' END), '')) AS resized_hex
+FROM r
+"""
 
 
 def q_multimodal_frames(spark, sf_dir):
-    """Video frame-sampling plumbing (rows-only: stubbed codec): 1→N
-    mapInPandas fan-out, scalar digests out."""
+    """Video frame-sampling plumbing (stubbed codec, deterministic byte
+    slicing → exact DuckDB mirror): 1→N mapInPandas fan-out, lowercase
+    hex frames out."""
     from .multimodal.binary_ops import documents_as_media, sample_frames
 
     docs = _docs(spark, sf_dir)
-    out = sample_frames(documents_as_media(docs), n_frames=4)
+    out = sample_frames(documents_as_media(docs), n_frames=MM_N_FRAMES)
     return out.select(
-        "media_id", "frame_idx", F.sha2(F.col("frame"), 256).alias("frame_sha256")
+        "media_id", "frame_idx", F.lower(F.hex(F.col("frame"))).alias("frame_hex")
     )
+
+
+#: mirror of sample_frames' stub: frame i = raw[i*step:(i+1)*step] (or a
+#: single zero byte when empty), step = max(n // n_frames, 1).
+SQL_MULTIMODAL_FRAMES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS h
+  FROM documents
+),
+f AS (
+  SELECT media_id, n, h, greatest(n // {MM_N_FRAMES}, 1) AS step,
+         unnest(range(0, {MM_N_FRAMES})) AS frame_idx
+  FROM m
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       lower(CASE WHEN substr(h, frame_idx*step*2+1, step*2) = '' THEN '00'
+                  ELSE substr(h, frame_idx*step*2+1, step*2) END) AS frame_hex
+FROM f
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3609,8 +3685,7 @@ def q_value_regression(spark, sf_dir):
     two double divisions at the end. This is how regression scales:
     never an iterative fit over the raw rows."""
     ev = _events(spark, sf_dir)
-    ts = F.col("ts").cast("bigint")
-    x = ((ts - ts % NS_PER_HOUR) / NS_PER_HOUR).cast("bigint") % 24
+    x = F.expr(f"(tsn div {US_PER_HOUR}) % 24")
     y = F.floor(F.col("value") * VAL_Q_SCALE).cast("bigint")
     e = ev.select("event_type", x.alias("x"), y.alias("y"))
     s = e.groupBy("event_type").agg(
@@ -3774,7 +3849,6 @@ GROUP BY l_returnflag
 """
 
 
-NS_PER_DAY = 86_400_000_000_000
 INCR_SPLIT_DAY_MOD = 3  # delta = days where unix_day % 3 == 0 (interleaved "new" days)
 
 
@@ -3787,8 +3861,7 @@ def q_incremental_rollup(spark, sf_dir):
     oracle recomputes from scratch; equality proves the maintenance
     identity."""
     ev = _events(spark, sf_dir)
-    day = (F.col("ts").cast("bigint") - F.col("ts").cast("bigint") % NS_PER_DAY) / NS_PER_DAY
-    ev = ev.withColumn("_day", day.cast("bigint"))
+    ev = ev.withColumn("_day", F.expr(f"tsn div {US_PER_DAY}"))
     is_delta = F.col("_day") % INCR_SPLIT_DAY_MOD == 0
     def rollup(part):
         return part.groupBy("_day", "event_type").agg(
@@ -3862,9 +3935,7 @@ def q_latest_event_per_user(spark, sf_dir):
     deterministic; the oracle pins the same answer with a row_number
     window."""
     ev = _events(spark, sf_dir)
-    m = F.max(
-        F.struct(F.col("ts").cast("bigint").alias("ts"), "event_id", "event_type")
-    ).alias("m")
+    m = F.max(F.struct("tsn", "event_id", "event_type")).alias("m")
     return (
         ev.groupBy("user_id")
         .agg(m, F.count("*").cast("bigint").alias("n_events"))
@@ -4009,11 +4080,11 @@ def q_streaming_attribution(spark, sf_dir):
 
 SQL_STREAMING_ATTRIBUTION = f"""
 WITH c AS (
-  SELECT user_id, event_id AS click_id, epoch_ns(ts) // 1000 AS ct
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
   FROM events WHERE event_type = 'click'
 ),
 p AS (
-  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS pt
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
   FROM events WHERE event_type = 'purchase'
 )
 SELECT c.user_id, click_id, purchase_id
@@ -4587,12 +4658,93 @@ FROM base
 # registry
 # ---------------------------------------------------------------------------
 
+#: ORDER MATTERS: the driver stamps correctness rows for the FIRST 50
+#: entries only. Policy: the 5 reference fragmentation rows stay pinned
+#: first (they must re-earn green every round), then the window is
+#: filled with queries that have never received a driver stamp (rounds
+#: 1-2 stamped the same 50-entry prefix; see CORRECTNESS_r01/r02).
+#: Previously-stamped queries keep their r1/r2 evidence and move below
+#: position 50; the remaining never-stamped entries sit right after the
+#: window for the next rotation.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- pinned reference surface (positions 1-5, every round) --
     "frag_range_counts": q_frag_range_counts,
     "frag_rr_counts": q_frag_rr_counts,
     "frag_range_query": q_frag_range_query,
     "frag_point_query": q_frag_point_query,
     "frag_reconstruction": q_frag_reconstruction,
+    # -- round-3 window (positions 6-50): never stamped before, or
+    #    never green (multimodal_features: err in r1+r2, has an exact
+    #    DuckDB mirror as of this round) --
+    "multimodal_features": q_multimodal_features,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q7_nation_trade_flows": q7_nation_trade_flows,
+    "q8_market_share": q8_market_share,
+    "q9_nation_profit": q9_nation_profit,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_line_counts": q12_priority_line_counts,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
+    "q15_top_suppliers": q15_top_suppliers,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_dormant_high_balance": q22_dormant_high_balance,
+    "rollup_cascade_daily": q_rollup_cascade_daily,
+    "event_funnel": q_event_funnel,
+    "user_rolling_avg": q_user_rolling_avg,
+    "event_gaps": q_event_gaps,
+    "events_gap_fill": q_events_gap_fill,
+    "value_regression": q_value_regression,
+    "incremental_rollup": q_incremental_rollup,
+    "latest_event_per_user": q_latest_event_per_user,
+    "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "contamination_pairs": q_contamination_pairs,
+    "doc_repetition": q_doc_repetition,
+    "token_histogram": q_token_histogram,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "orders_merge_upsert": q_orders_merge_upsert,
+    "scd2_order_history": q_scd2_order_history,
+    "streaming_enriched": q_streaming_enriched,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_attribution": q_streaming_attribution,
+    "customer_window_battery": q_customer_window_battery,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "embedding_centroids": q_embedding_centroids,
+    "chunk_dedup": q_chunk_dedup,
+    "term_masking": q_term_masking,
+    "frag_hash_counts": q_frag_hash_counts,
+    "frag_rebalance": q_frag_rebalance,
+    # -- past the window: still never stamped, queued for round 4 --
+    "frag_skew_report": q_frag_skew_report,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frames": q_multimodal_frames,
+    "data_profile": q_data_profile,
+    "heavy_hitters_salted": q_heavy_hitters_salted,
+    "user_zscore_outliers": q_user_zscore_outliers,
+    "quality_gate_funnel": q_quality_gate_funnel,
+    "bloom_pruned_revenue": q_bloom_pruned_revenue,
+    "join_null_semantics": q_join_null_semantics,
+    "trimmed_mean_per_segment": q_trimmed_mean_per_segment,
+    "bool_agg_battery": q_bool_agg_battery,
+    "string_agg_battery": q_string_agg_battery,
+    "regex_battery": q_regex_battery,
+    "datetime_battery": q_datetime_battery,
+    "conditional_null_battery": q_conditional_null_battery,
+    "embedding_quantization": q_embedding_quantization,
+    "mixture_weights": q_mixture_weights,
+    "stopword_discovery": q_stopword_discovery,
+    "near_dup_audit": q_near_dup_audit,
+    "ann_recall_audit": q_ann_recall_audit,
+    "frame_semantics_battery": q_frame_semantics_battery,
+    "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
+    # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
     "q5_region_nation_revenue": q5_region_nation_revenue,
@@ -4614,7 +4766,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_meta": q_multimodal_meta,
-    "multimodal_features": q_multimodal_features,
     "simhash_signatures": q_simhash_signatures,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_lsh_indexed": q_ann_lsh_indexed,
@@ -4638,72 +4789,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions": q_scalar_functions,
     "array_functions": q_array_functions,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
-    "q10_returned_revenue": q10_returned_revenue,
-    "rollup_cascade_daily": q_rollup_cascade_daily,
-    "event_funnel": q_event_funnel,
-    "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
-    "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "user_rolling_avg": q_user_rolling_avg,
-    "event_gaps": q_event_gaps,
-    "q12_priority_line_counts": q12_priority_line_counts,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q14_promo_revenue_ratio": q14_promo_revenue_ratio,
-    "q22_dormant_high_balance": q22_dormant_high_balance,
-    "doc_sample_stratified": q_doc_sample_stratified,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "orders_merge_upsert": q_orders_merge_upsert,
-    "q7_nation_trade_flows": q7_nation_trade_flows,
-    "q8_market_share": q8_market_share,
-    "q11_important_parts": q11_important_parts,
-    "q15_top_suppliers": q15_top_suppliers,
-    "q16_supplier_variety": q16_supplier_variety,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q9_nation_profit": q9_nation_profit,
-    "q20_excess_suppliers": q20_excess_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "streaming_enriched": q_streaming_enriched,
-    "dedup_clusters": q_dedup_clusters,
-    "contamination_pairs": q_contamination_pairs,
-    "doc_repetition": q_doc_repetition,
-    "token_histogram": q_token_histogram,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "events_gap_fill": q_events_gap_fill,
-    "customer_window_battery": q_customer_window_battery,
-    "lineitem_unpivot": q_lineitem_unpivot,
-    "scd2_order_history": q_scd2_order_history,
-    "multimodal_resize": q_multimodal_resize,   # rows-only (stubbed codec)
-    "multimodal_frames": q_multimodal_frames,   # rows-only (stubbed codec)
-    "embedding_centroids": q_embedding_centroids,
-    "chunk_dedup": q_chunk_dedup,
-    "term_masking": q_term_masking,
-    "data_profile": q_data_profile,
-    "heavy_hitters_salted": q_heavy_hitters_salted,
-    "user_zscore_outliers": q_user_zscore_outliers,
-    "value_regression": q_value_regression,
-    "streaming_dedup": q_streaming_dedup,
-    "quality_gate_funnel": q_quality_gate_funnel,
-    "bloom_pruned_revenue": q_bloom_pruned_revenue,
-    "incremental_rollup": q_incremental_rollup,
-    "dedup_keep_canonical": q_dedup_keep_canonical,
-    "latest_event_per_user": q_latest_event_per_user,
-    "join_null_semantics": q_join_null_semantics,
-    "trimmed_mean_per_segment": q_trimmed_mean_per_segment,
-    "streaming_attribution": q_streaming_attribution,
-    "bool_agg_battery": q_bool_agg_battery,
-    "string_agg_battery": q_string_agg_battery,
-    "regex_battery": q_regex_battery,
-    "datetime_battery": q_datetime_battery,
-    "conditional_null_battery": q_conditional_null_battery,
-    "frag_rebalance": q_frag_rebalance,
-    "frag_skew_report": q_frag_skew_report,
-    "embedding_quantization": q_embedding_quantization,
-    "mixture_weights": q_mixture_weights,
-    "stopword_discovery": q_stopword_discovery,
-    "near_dup_audit": q_near_dup_audit,
-    "ann_recall_audit": q_ann_recall_audit,
-    "frag_hash_counts": q_frag_hash_counts,
-    "frame_semantics_battery": q_frame_semantics_battery,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4733,7 +4818,7 @@ ORACLE_SQL: dict[str, str] = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,
-    # multimodal_features: rows-only (stubbed decode, no SQL equivalent)
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "simhash_signatures": SQL_SIMHASH_SIGNATURES,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_lsh_indexed": SQL_ANN_LSH_TOPK,  # result-identical by design
@@ -4790,7 +4875,8 @@ ORACLE_SQL: dict[str, str] = {
     "customer_window_battery": SQL_CUSTOMER_WINDOW_BATTERY,
     "lineitem_unpivot": SQL_LINEITEM_UNPIVOT,
     "scd2_order_history": SQL_SCD2_ORDER_HISTORY,
-    # multimodal_resize / multimodal_frames: rows-only (stubbed decode)
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "term_masking": SQL_TERM_MASKING,

@@ -5,9 +5,14 @@ is the [EXT] streaming surface: file-source streams, watermarked
 tumbling-window aggregation, and a custom stateful sessionizer via
 ``applyInPandasWithState``.
 
-The events parquet stores TIMESTAMP(NANOS); streams read ``ts`` as a
-nanos BIGINT (``nanosAsLong``) and derive an event-time timestamp at
-microsecond precision for watermarking.
+The fixture's physical ``ts`` encoding has drifted across generations
+(TIMESTAMP(NANOS) readable only as a nanos BIGINT; currently
+timestamp[us] → TIMESTAMP_NTZ), so the stream reader is
+schema-adaptive: it probes the parquet's actual schema with a batch
+read (metadata-only, no data scan) and normalizes to the same two
+canonical columns the batch loader emits (entry_queries._events):
+``event_time`` TIMESTAMP and ``tsn`` BIGINT micros. Raw ``ts`` is
+dropped so stale references fail loudly.
 """
 
 from __future__ import annotations
@@ -29,19 +34,43 @@ from pyspark.sql.types import (
     StructType,
 )
 
+#: canonical NORMALIZED stream schema (what read_events_stream emits and
+#: what the stateful operators below consume): tsn = micros since epoch.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos since epoch (nanosAsLong)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
         StructField("props", StringType()),
+        StructField("tsn", LongType()),  # micros since epoch
     ]
 )
 
 
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Emit canonical ``tsn`` (bigint micros) + ``event_time``
+    (timestamp) from whatever physical ``ts`` the source carries, and
+    drop ``ts``. Shared by the batch loader's mirror in entry_queries
+    and every streaming pipeline here — one schema source of truth."""
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type is None:  # already normalized
+        return df
+    if ts_type == "bigint":  # legacy nanos-as-long
+        tsn = F.expr("ts div 1000")
+    elif ts_type.startswith("timestamp"):
+        tsn = F.unix_micros(F.col("ts").cast("timestamp"))
+    else:
+        raise TypeError(f"unsupported events.ts type: {ts_type}")
+    return (
+        df.withColumn("tsn", tsn.cast("bigint"))
+        .withColumn("event_time", F.timestamp_micros(F.col("tsn")))
+        .drop("ts")
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source requires a DIRECTORY; expose the single
     # parquet fixture through a symlinked temp dir
@@ -56,10 +85,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.unlink(link)  # dangling symlink from a deleted fixture dir
     if not os.path.exists(link):
         os.symlink(src, link)
-    return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .parquet(stream_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    # schema probe: streams need an explicit schema; take the file's
+    # ACTUAL one (footer metadata only) instead of hardcoding an
+    # assumption that silently mis-reads the next fixture regeneration
+    physical = spark.read.parquet(src).schema
+    return normalize_event_time(
+        spark.readStream.schema(physical).parquet(stream_dir)
     )
 
 
@@ -224,8 +255,8 @@ def upsert_sink(
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("session_start_ns", LongType()),
-        StructField("session_end_ns", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
         StructField("n_events", LongType()),
     ]
 )
@@ -238,7 +269,7 @@ SESSION_STATE_SCHEMA = StructType(
     ]
 )
 
-SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 min
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in micros
 
 
 def sessionize_stateful(stream: DataFrame):
@@ -255,13 +286,13 @@ def sessionize_stateful(stream: DataFrame):
                 s, e, c = state.get
                 state.remove()
                 yield pd.DataFrame(
-                    {"user_id": [user_id], "session_start_ns": [s],
-                     "session_end_ns": [e], "n_events": [c]}
+                    {"user_id": [user_id], "session_start_us": [s],
+                     "session_end_us": [e], "n_events": [c]}
                 )
             return
         ts_all = []
         for pdf in pdf_iter:
-            ts_all.extend(int(t) for t in pdf["ts"])
+            ts_all.extend(int(t) for t in pdf["tsn"])
         ts_all.sort()
         if state.exists:
             s, e, c = state.get
@@ -272,7 +303,7 @@ def sessionize_stateful(stream: DataFrame):
         for t in ts_all:
             if s is None:
                 s, e, c = t, t, 1
-            elif t - e > SESSION_GAP_NS:
+            elif t - e > SESSION_GAP_US:
                 closed.append((s, e, c))
                 s, e, c = t, t, 1
             else:
@@ -283,8 +314,8 @@ def sessionize_stateful(stream: DataFrame):
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
-                    "session_start_ns": [x[0] for x in closed],
-                    "session_end_ns": [x[1] for x in closed],
+                    "session_start_us": [x[0] for x in closed],
+                    "session_end_us": [x[1] for x in closed],
                     "n_events": [x[2] for x in closed],
                 }
             )

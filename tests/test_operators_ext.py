@@ -142,18 +142,21 @@ def test_streaming_sessionizer_closes_gap_sessions(spark, tmp_path):
         sessionize_stateful,
     )
 
-    ns = 1_000_000_000
+    us = 1_000_000
     rows = [
         # user 7: burst A (3 events in 2 min), 45 min silence, burst B
-        (1, 0 * ns, 7, "click", 1.0, "{}"),
-        (2, 60 * ns, 7, "click", 1.0, "{}"),
-        (3, 120 * ns, 7, "click", 1.0, "{}"),
-        (4, (120 + 2700) * ns, 7, "click", 1.0, "{}"),
-        (5, (180 + 2700) * ns, 7, "click", 1.0, "{}"),
+        (1, 7, "click", 1.0, "{}", 0 * us),
+        (2, 7, "click", 1.0, "{}", 60 * us),
+        (3, 7, "click", 1.0, "{}", 120 * us),
+        (4, 7, "click", 1.0, "{}", (120 + 2700) * us),
+        (5, 7, "click", 1.0, "{}", (180 + 2700) * us),
     ]
     src = tmp_path / "stream_src"
     src.mkdir()
-    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "user_id", "event_type", "value", "props", "tsn"],
+    )
     spark.createDataFrame(pdf, EVENTS_STREAM_SCHEMA).coalesce(1).write.parquet(
         str(src / "batch0")
     )
@@ -168,12 +171,12 @@ def test_streaming_sessionizer_closes_gap_sessions(spark, tmp_path):
     )
     q.awaitTermination(120)
     closed = sorted(spark.table("sess_test").collect(),
-                    key=lambda r: r.session_start_ns)
+                    key=lambda r: r.session_start_us)
     # burst A closed by the gap (3 events); burst B closed by the
     # processing-time timeout during the final AvailableNow batch
     assert [r.n_events for r in closed] == [3, 2]
-    assert closed[0].session_start_ns == 0 and closed[0].session_end_ns == 120 * ns
-    assert closed[1].session_start_ns == (120 + 2700) * ns
+    assert closed[0].session_start_us == 0 and closed[0].session_end_us == 120 * us
+    assert closed[1].session_start_us == (120 + 2700) * us
 
 
 def test_pandas_udf_cosine_matches_expression(spark, sf_dir):
@@ -407,10 +410,10 @@ def test_stream_stream_attribution_state_bounds(spark, sf_dir):
         ),
         spark,
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id", "user_id", "event_type",
-        F.expr("ts div 1000").alias("us"),
+    from database_fragmentation_and_query_processor_spark import entry_queries as EQ
+
+    ev = EQ._events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.col("tsn").alias("us")
     )
     c = ev.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),

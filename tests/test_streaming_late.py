@@ -85,7 +85,7 @@ def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path):
     )
 
     stream = read_events_stream(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "value", F.col("ts").alias("version")
+        "event_id", "user_id", "event_type", "value", F.col("tsn").alias("version")
     )
     target = str(tmp_path / "events_upserted")
     q = upsert_sink(stream, target, keys=["event_id"], version_col="version", spark=spark)
