@@ -2329,6 +2329,87 @@ GROUP BY lang
 """
 
 
+def q_doc_sample_weighted(spark, sf_dir):
+    """Quality-weighted deterministic sampling: each document is kept
+    with probability equal to its quality score (operators/sampling.py:
+    weighted_sample — portable md5 threshold, pure map-side filter,
+    zero shuffle). The importance-sampling primitive for corpus mixing:
+    high-quality docs survive at higher rates without an RNG, so the
+    sampled corpus is reproducible across runs and engines."""
+    docs = _docs(spark, sf_dir)
+    q = T.quality_score(F.col("text"))
+    sampled = SampleOp.weighted_sample(
+        docs.withColumn("q", q), key=F.col("doc_id"), weight=F.col("q"),
+        salt=SAMPLE_SALT,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_sampled"),
+        (F.sum(F.col("q").cast("decimal(18,8)")).cast("double") / F.count("*")
+         ).alias("avg_quality_kept"),
+    )
+
+
+SQL_DOC_SAMPLE_WEIGHTED = f"""
+WITH d AS (
+  SELECT lang, doc_id, ({_QUALITY_SQL}) AS q FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(CAST(q AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_quality_kept
+FROM d
+WHERE CAST('0x' || substr(md5('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) % 1000
+      < CAST(FLOOR(q * 1000) AS INT)
+GROUP BY lang
+"""
+
+
+SEQ_LEN = 2048
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Training-sequence packing (concat-and-split): documents are laid
+    out contiguously per language in doc_id order; each doc's global
+    token offset determines which fixed-length training sequence it
+    starts in and at what offset. The offset comes from
+    operators/scaling.py:stable_prefix_sum — a two-phase distributed
+    prefix sum (deterministic range buckets, per-(group,bucket) partial
+    sums, broadcast base offsets) instead of a whole-group window sort,
+    so a handful of language groups over 100 TB still packs in
+    parallel across every bucket."""
+    from .operators.scaling import stable_prefix_sum
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = stable_prefix_sum(
+        docs, order_cols=["doc_id"], value_col="n_tokens",
+        group_cols=["lang"], out_col="start_tok",
+    )
+    return packed.select(
+        "lang", "doc_id", "n_tokens",
+        F.expr(f"start_tok div {SEQ_LEN}").alias("seq_id"),
+        F.expr(f"start_tok % {SEQ_LEN}").alias("seq_offset"),
+    )
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH d AS (
+  SELECT lang, doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM d
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(start_tok // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(start_tok % {SEQ_LEN} AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -4743,6 +4824,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_audit": q_near_dup_audit,
     "ann_recall_audit": q_ann_recall_audit,
     "frame_semantics_battery": q_frame_semantics_battery,
+    "sequence_packing": q_sequence_packing,
+    "doc_sample_weighted": q_doc_sample_weighted,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -4907,4 +4990,6 @@ ORACLE_SQL: dict[str, str] = {
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
     "frag_hash_counts": SQL_FRAG_HASH_COUNTS,
     "frame_semantics_battery": SQL_FRAME_SEMANTICS_BATTERY,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
+    "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
 }

@@ -42,6 +42,19 @@ def deterministic_sample(
     return df.where(hash_bucket(key, salt) < F.lit(rate_permille))
 
 
+def weighted_sample(
+    df: DataFrame, key: Column, weight: Column, salt: str = "sample"
+) -> DataFrame:
+    """Per-row weighted Bernoulli keep: row kept with probability
+    ``weight`` (a deterministic column in [0,1], e.g. a quality score) —
+    the importance-sampling primitive for quality-weighted corpus
+    mixing. Same portable md5 threshold as the uniform variants, so the
+    decision is reproducible across runs/partitionings/engines, and
+    still a pure map-side filter with zero shuffle."""
+    threshold = F.floor(weight * F.lit(HASH_BUCKETS)).cast("int")
+    return df.where(hash_bucket(key, salt) < threshold)
+
+
 def stratified_sample(
     df: DataFrame,
     key: Column,

@@ -79,6 +79,92 @@ def stable_row_number(
     )
 
 
+def stable_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str = "psum",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` by ``order_cols`` (within
+    ``group_cols`` if given) without a global sort — the distributed
+    prefix-sum primitive sequence packing and offset assignment need.
+
+    Equivalent to ``COALESCE(SUM(v) OVER (PARTITION BY g ORDER BY o
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)`` when
+    ``order_cols`` form a unique key — but the naive window sorts each
+    whole group in ONE task (a handful of languages over 100 TB = a
+    handful of tasks). Same two-phase shape as ``stable_row_number``:
+    deterministic range-bucket on the leading order key, per
+    (group, bucket) partial sums (tiny aggregate, bounded by
+    #groups × #buckets), driver turns partials into bucket base
+    offsets, then an in-bucket window runs in parallel.
+    """
+    spark = df.sparkSession
+    n = n_buckets or spark.sparkContext.defaultParallelism
+    gcols = list(group_cols or [])
+    lead = order_cols[0]
+
+    lo_hi = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).head()
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:  # empty input
+        return df.withColumn(out_col, F.lit(0).cast("bigint"))
+    span = max(int(hi) - int(lo) + 1, 1)
+    width = -(-span // n)
+    bucket = F.least(
+        F.floor((F.col(lead).cast("bigint") - F.lit(int(lo))) / F.lit(width)),
+        F.lit(n - 1),
+    ).cast("int")
+
+    b = df.withColumn("_bk", bucket)
+    # bounded collect: one row per (group, bucket) ≤ #groups × n_buckets
+    partials = (
+        b.groupBy(*gcols, "_bk")
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
+        .collect()
+    )
+    sep = "\x1f"
+
+    def gkey(row) -> str:
+        return sep.join(str(row[c]) for c in gcols)
+
+    offsets: dict[tuple[str, int], int] = {}
+    acc: dict[str, int] = {}
+    for row in sorted(partials, key=lambda r: (gkey(r), r["_bk"])):
+        g = gkey(row)
+        offsets[(g, row["_bk"])] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + int(row["s"] or 0)
+
+    def composite(g: str, bk: int) -> str:
+        # mirrors concat_ws below: no leading separator when ungrouped
+        return f"{g}{sep}{bk}" if gcols else str(bk)
+
+    off_map = F.create_map(
+        *[
+            F.lit(v)
+            for (g, bk) in sorted(offsets)
+            for v in (composite(g, bk), offsets[(g, bk)])
+        ]
+    )
+    map_key = F.concat_ws(
+        sep, *[F.col(c).cast("string") for c in gcols], F.col("_bk").cast("string")
+    )
+
+    w = (
+        Window.partitionBy(*gcols, "_bk")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_bucket = F.coalesce(
+        F.sum(F.col(value_col).cast("bigint")).over(w), F.lit(0)
+    )
+    return (
+        b.withColumn(out_col, (in_bucket + off_map[map_key]).cast("bigint"))
+        .drop("_bk")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

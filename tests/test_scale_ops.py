@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from database_fragmentation_and_query_processor_spark.operators.scaling import (
     salted_join,
+    stable_prefix_sum,
     stable_row_number,
     widen,
 )
@@ -52,6 +53,39 @@ def test_stable_row_number_skewed_and_sparse_keys(spark):
 def test_stable_row_number_empty(spark):
     df = spark.createDataFrame([], "k long, tie int")
     assert stable_row_number(df, ["k", "tie"]).count() == 0
+
+
+def test_stable_prefix_sum_matches_global_window(spark):
+    df = spark.range(0, 500).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        ((F.col("id") * 13) % 29 + 1).alias("v"),
+    )
+    got = {
+        (r["g"], r["k"]): r["psum"]
+        for r in stable_prefix_sum(
+            df, ["k"], "v", group_cols=["g"], n_buckets=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["g"], r["k"]): r["psum"]
+        for r in df.withColumn(
+            "psum", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stable_prefix_sum_ungrouped_and_empty(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    got = {r["k"]: r["psum"] for r in stable_prefix_sum(df, ["k"], "v").collect()}
+    assert got == {1: 0, 2: 10, 3: 30}
+    empty = spark.createDataFrame([], "k long, v long")
+    assert stable_prefix_sum(empty, ["k"], "v").count() == 0
 
 
 def test_salted_join_equals_plain_join(spark):
