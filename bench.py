@@ -117,6 +117,9 @@ HEADLINE = [
     "ann_recall_audit",
     "frag_hash_counts",
     "frame_semantics_battery",
+    "sequence_packing",
+    "doc_sample_weighted",
+    "benchmark_decontamination",
 ]
 
 

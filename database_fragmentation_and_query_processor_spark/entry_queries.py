@@ -3120,6 +3120,77 @@ HAVING COUNT(DISTINCT a.gh) >= {CONTAM_MIN_SHARED}
 """
 
 
+DECON_BENCH_MOD = 17  # benchmark set = docs where doc_id % 17 == 0
+
+
+def q_benchmark_decontamination(spark, sf_dir):
+    """Operational benchmark decontamination (the GPT-style n-gram
+    screen, as a removal op rather than pair detection): a deterministic
+    slice of the corpus stands in for the benchmark/eval set; every
+    training document sharing ANY distinct word 5-gram with it is
+    flagged. The benchmark gram set reaches the training side through
+    the dense-bitset Bloom runtime filter (operators/joins.py:
+    bloom_semi_join) — the train-side gram stream is pruned MAP-SIDE
+    before the join shuffle, which at 100 TB is the difference between
+    shuffling the corpus and shuffling ~the contaminated sliver; an
+    exact left-semi finish removes Bloom false positives. Output: per
+    source, train-doc counts kept vs removed. Runs over the
+    duplicate-synthesized corpus so the screen provably fires: every
+    benchmark doc whose verbatim copy sits in the training slice drags
+    that copy out."""
+    from .operators.joins import bloom_semi_join
+
+    docs = _docs_with_dups(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    grams = F.array_distinct(_word_grams(toks, CONTAM_N))
+    g = docs.select(
+        "doc_id", "source", F.explode(grams).alias("gram")
+    ).select("doc_id", "source", F.md5("gram").alias("gh"))
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_grams = g.where(is_bench).select("gh").distinct()
+    train_grams = g.where(~is_bench)
+    contaminated = (
+        bloom_semi_join(train_grams, bench_grams, "gh", "gh")
+        .select("doc_id").distinct().withColumn("_c", F.lit(1))
+    )
+    train_docs = docs.where(~is_bench).select("doc_id", "source")
+    return (
+        train_docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("bigint").alias("n_removed"),
+            F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+SQL_BENCHMARK_DECONTAMINATION = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+toks AS (SELECT doc_id, source, {TOKENS_SQL} AS t FROM corpus),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {CONTAM_N - 2}, 1)),
+           j -> md5(array_to_string(t[j:j+{CONTAM_N - 1}], ' '))
+         )) AS gh
+  FROM toks
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % {DECON_BENCH_MOD} <> 0 AND gh IN (SELECT gh FROM bench)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM corpus d LEFT JOIN contam c USING (doc_id)
+WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+GROUP BY d.source
+"""
+
+
 REP_N = 3
 
 
@@ -4826,6 +4897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_semantics_battery": q_frame_semantics_battery,
     "sequence_packing": q_sequence_packing,
     "doc_sample_weighted": q_doc_sample_weighted,
+    "benchmark_decontamination": q_benchmark_decontamination,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -4992,4 +5064,5 @@ ORACLE_SQL: dict[str, str] = {
     "frame_semantics_battery": SQL_FRAME_SEMANTICS_BATTERY,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
+    "benchmark_decontamination": SQL_BENCHMARK_DECONTAMINATION,
 }

@@ -170,6 +170,18 @@ def test_latest_event_per_user_no_window_sort(spark, sf_dir):
         "partial aggregate must sit below the shuffle"
 
 
+def test_sequence_packing_no_single_task_window(spark, sf_dir):
+    """The packing offsets come from the two-phase distributed prefix
+    sum: the physical plan's Window must be partitioned by (group,
+    bucket) — never a per-language-only (or global) window that would
+    serialize a whole language in one task."""
+    df = EQ.QUERIES["sequence_packing"](spark, sf_dir)
+    plan = final_explain_formatted(df)
+    assert "Window" in plan
+    # the bucket column participates in the window partitioning
+    assert "_bk" in plan, "bucketed window missing — global sort fallback?"
+
+
 def test_salted_aggregate_two_phase(spark):
     from database_fragmentation_and_query_processor_spark.operators.scaling import (
         salted_aggregate,
