@@ -120,6 +120,7 @@ HEADLINE = [
     "sequence_packing",
     "doc_sample_weighted",
     "benchmark_decontamination",
+    "incremental_near_dup",
 ]
 
 

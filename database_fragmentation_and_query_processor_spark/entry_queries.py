@@ -860,6 +860,27 @@ def q_minhash_near_dup_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+INCR_BATCH_MOD = 5  # "new batch" = docs where doc_id % 5 == 0 (pre-dup ids)
+
+
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental LSH index maintenance as a checkable query: the
+    standing corpus's materialized index (operators/dedup.py:
+    build_dedup_index) plus a new-batch probe must produce EXACTLY the
+    full-recompute near-dup pairs restricted to pairs touching the
+    batch — the identity that makes O(batch)-cost ingest dedup safe to
+    run instead of corpus-wide recompute. The oracle replays the full
+    SQL pipeline with that restriction."""
+    docs = _docs_with_dups(spark, sf_dir)
+    is_new = (F.col("doc_id") % DUP_SALT) % INCR_BATCH_MOD == 0
+    index = D.build_dedup_index(docs.where(~is_new), k=MINHASH_K)
+    pairs, _updated = D.incremental_near_dup_pairs(
+        index, docs.where(is_new),
+        threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _bands_sql() -> str:
     rows = MINHASH_K // MINHASH_BANDS
     cases = " ".join(
@@ -897,6 +918,12 @@ verified AS (
 )
 SELECT id_a, id_b, ROUND(j, 6) AS jaccard
 FROM verified WHERE j >= {NEAR_DUP_THRESHOLD}
+"""
+
+SQL_INCREMENTAL_NEAR_DUP = f"""
+SELECT id_a, id_b, jaccard FROM ({SQL_MINHASH_NEAR_DUP_PAIRS}) p
+WHERE (id_a % {DUP_SALT}) % {INCR_BATCH_MOD} = 0
+   OR (id_b % {DUP_SALT}) % {INCR_BATCH_MOD} = 0
 """
 
 _COS_SQL_TEMPLATE = (
@@ -4898,6 +4925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_packing": q_sequence_packing,
     "doc_sample_weighted": q_doc_sample_weighted,
     "benchmark_decontamination": q_benchmark_decontamination,
+    "incremental_near_dup": q_incremental_near_dup,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -5065,4 +5093,5 @@ ORACLE_SQL: dict[str, str] = {
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
     "benchmark_decontamination": SQL_BENCHMARK_DECONTAMINATION,
+    "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
 }

@@ -105,6 +105,98 @@ def shingle_sets(
     )
 
 
+def band_buckets(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
+    """Explode an (id, sig) signature table into the banded LSH keying
+    (id, band, bucket): rows_per_band consecutive minhashes concatenated
+    per band. The one place the band layout is defined — candidate
+    generation and incremental index probes must agree on it."""
+    rows_per_band = k // bands
+    return sig_df.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(
+                    ",",
+                    *[F.element_at("sig", b * rows_per_band + r + 1)
+                      for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Materializable near-dup index: (id, shingle_set, sig). Write this
+    once for the standing corpus; `incremental_near_dup_pairs` then
+    prices new-batch dedup at O(batch), not O(corpus)."""
+    base = shingle_sets(df, id_col, text_col, shingle_n)
+    return base.withColumn("sig", minhash_from_shingles(F.col("shingle_set"), k))
+
+
+def incremental_near_dup_pairs(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental LSH index maintenance: given the standing corpus's
+    materialized index (from ``build_dedup_index``) and a NEW document
+    batch, return (near-dup pairs involving ≥1 new doc, updated index).
+
+    The standing corpus is NEVER re-shingled, re-signed, or self-joined:
+    only the new batch's signatures are computed, and the band join
+    probes the index solely on buckets the batch actually touches (the
+    batch side of the join is small → AQE broadcasts it). At 100 TB
+    this is the difference between re-running corpus-wide dedup per
+    ingest and paying for the ingest alone. Pair ids are normalized
+    (id_a < id_b) and verified by exact Jaccard, identical semantics to
+    ``near_dup_pairs`` restricted to pairs touching the batch.
+    """
+    new_index = build_dedup_index(new_docs, id_col, text_col, k, shingle_n).persist()
+    updated = index.unionByName(new_index)
+
+    new_banded = band_buckets(new_index.select("id", "sig"), k, bands)
+    all_banded = band_buckets(updated.select("id", "sig"), k, bands)
+    cands = (
+        new_banded.alias("n")
+        .join(
+            all_banded.alias("a"),
+            (F.col("n.band") == F.col("a.band"))
+            & (F.col("n.bucket") == F.col("a.bucket"))
+            & (F.col("n.id") != F.col("a.id")),
+        )
+        .select(
+            F.least("n.id", "a.id").alias("id_a"),
+            F.greatest("n.id", "a.id").alias("id_b"),
+        )
+        .distinct()
+    )
+    a = updated.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("ss_a"))
+    b = updated.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("ss_b"))
+    jaccard = (
+        F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
+        / F.nullif(F.size(F.array_union("ss_a", "ss_b")).cast("double"), F.lit(0.0))
+    )
+    pairs = (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs, updated
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -121,25 +213,12 @@ def minhash_lsh_candidates(
     bucket cardinality grows with corpus size, so partitions stay small
     at 100 TB. Returns distinct (id_a < id_b) candidate pairs.
     """
-    rows_per_band = k // bands
     base = (shingle_df if shingle_df is not None
             else shingle_sets(df, id_col, text_col, shingle_n))
     sig = base.select(
         "id", minhash_from_shingles(F.col("shingle_set"), k).alias("sig")
     )
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.array(*[
-                F.concat_ws(
-                    ",",
-                    *[F.element_at("sig", b * rows_per_band + r + 1)
-                      for r in range(rows_per_band)],
-                )
-                for b in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    )
+    banded = band_buckets(sig, k, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

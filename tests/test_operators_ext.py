@@ -71,6 +71,46 @@ def test_minhash_lsh_finds_planted_duplicates(spark):
     assert (0, 100) in pairs and (1, 101) in pairs and (2, 102) in pairs
 
 
+def test_incremental_near_dup_matches_full_recompute(spark):
+    """Index + batch must equal the full-corpus pipeline restricted to
+    pairs touching the batch, and the updated index must equal a fresh
+    build over the whole corpus."""
+    base = [
+        (i, " ".join(f"tok{(i * 13 + j) % 97}" for j in range(30)))
+        for i in range(40)
+    ]
+    # dups planted across the old/new split: 100 duplicates old doc 0,
+    # 41 (new) duplicates old doc 1; 42/43 are a near-dup pair inside
+    # the new batch
+    rows = base + [
+        (100, base[0][1]),
+        (41, base[1][1]),
+        (42, base[2][1]),
+        (43, base[2][1].replace("tok26", "tokX")),
+    ]
+    old = [(i, t) for i, t in rows if i < 41 or i == 100]
+    new = [(i, t) for i, t in rows if 41 <= i <= 43]
+    full_df = spark.createDataFrame(rows, "doc_id long, text string")
+    old_df = spark.createDataFrame(old, "doc_id long, text string")
+    new_df = spark.createDataFrame(new, "doc_id long, text string")
+
+    kw = dict(threshold=0.5, k=16, bands=8)
+    index = D.build_dedup_index(old_df, k=16)
+    inc_pairs, updated = D.incremental_near_dup_pairs(index, new_df, **kw)
+    got = {(r.id_a, r.id_b) for r in inc_pairs.collect()}
+
+    new_ids = {41, 42, 43}
+    want = {
+        (r.id_a, r.id_b)
+        for r in D.near_dup_pairs(full_df, **kw).collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got == want and (1, 41) in got and (42, 43) in got
+    # updated index ≡ fresh full build
+    fresh = D.build_dedup_index(full_df, k=16)
+    assert sorted(map(repr, updated.collect())) == sorted(map(repr, fresh.collect()))
+
+
 def test_simhash_close_for_near_texts(spark):
     t1 = " ".join(f"w{i}" for i in range(50))
     t2 = t1.replace("w25", "zzz")  # one token differs
