@@ -1424,13 +1424,23 @@ GROUP BY band_name
 """
 
 
+#: state shards for the AvailableNow replays: one state store opens per
+#: shuffle partition per micro-batch, so at test scale fewer, fuller
+#: shards beat 32 nearly-empty ones (~5x on the stream-stream join).
+#: See streaming/events.py:_run_to_memory for how to size this at
+#: cluster scale.
+STREAM_STATE_SHARDS = 8
+
+
 def q_streaming_hourly(spark, sf_dir):
     """Structured Streaming (AvailableNow) hourly rollup — must equal
     the batch hourly aggregate (same oracle as events_hourly)."""
     from .streaming.events import hourly_rollup, read_events_stream, run_available_now
 
     stream = read_events_stream(spark, sf_dir)
-    return run_available_now(hourly_rollup(stream), spark)
+    return run_available_now(
+        hourly_rollup(stream), spark, state_partitions=STREAM_STATE_SHARDS
+    )
 
 
 SQL_STREAMING_HOURLY = SQL_EVENTS_HOURLY
@@ -1455,7 +1465,7 @@ def q_streaming_enriched(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
-    return run_available_now(agg, spark)
+    return run_available_now(agg, spark, state_partitions=STREAM_STATE_SHARDS)
 
 
 SQL_STREAMING_ENRICHED = """
@@ -3934,7 +3944,7 @@ def q_streaming_dedup(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
-    return run_available_now(agg, spark)
+    return run_available_now(agg, spark, state_partitions=STREAM_STATE_SHARDS)
 
 
 SQL_STREAMING_DEDUP = """
@@ -4253,7 +4263,8 @@ def q_streaming_attribution(spark, sf_dir):
     clicks = s.where(F.col("event_type") == "click")
     purchases = s.where(F.col("event_type") == "purchase")
     return run_available_now_append(
-        stream_stream_attribution(clicks, purchases), spark
+        stream_stream_attribution(clicks, purchases), spark,
+        state_partitions=STREAM_STATE_SHARDS,
     )
 
 

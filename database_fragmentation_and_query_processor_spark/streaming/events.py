@@ -109,20 +109,50 @@ def hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def run_available_now(result: DataFrame, spark: SparkSession) -> DataFrame:
+def _run_to_memory(
+    result: DataFrame,
+    spark: SparkSession,
+    output_mode: str,
+    state_partitions: int | None,
+) -> DataFrame:
+    """Drain a streaming DataFrame (Trigger.AvailableNow) into an
+    in-memory sink and return the final table.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    run (restored afterwards): a stateful operator opens one state store
+    per shuffle partition per micro-batch, and that per-store overhead
+    (init + checkpoint I/O) dominates when per-shard state is small —
+    the local[32] default of 32 shards makes the sf0.1 stream-stream
+    join ~5x slower than 8 shards carrying ~75k rows each. Size it like
+    any state shard count: arrival rate × watermark horizon / what one
+    executor's memory holds — MORE shards at cluster scale, fewer for
+    small replays. The count is baked into the checkpoint on first run,
+    so pick it before going to production, not after."""
+    name = "s" + uuid.uuid4().hex[:12]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
+
+
+def run_available_now(
+    result: DataFrame, spark: SparkSession, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input
     (Trigger.AvailableNow), collect into an in-memory sink, return the
     final table. Used to batch-test streaming semantics."""
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(result, spark, "complete", state_partitions)
 
 
 def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -189,19 +219,12 @@ def stream_stream_attribution(
     )
 
 
-def run_available_now_append(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_available_now_append(
+    result: DataFrame, spark: SparkSession, state_partitions: int | None = None
+) -> DataFrame:
     """Like run_available_now but for append-mode outputs (stream-stream
     joins emit append-only)."""
-    name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_to_memory(result, spark, "append", state_partitions)
 
 
 def upsert_sink(
