@@ -121,6 +121,7 @@ HEADLINE = [
     "doc_sample_weighted",
     "benchmark_decontamination",
     "incremental_near_dup",
+    "orders_cdc_apply",
 ]
 
 

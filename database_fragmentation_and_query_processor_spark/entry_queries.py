@@ -2993,6 +2993,60 @@ LIMIT 100
 """
 
 
+CDC_MOD = 10
+CDC_INS_OFFSET = 10_000_000
+
+
+def q_orders_cdc_apply(spark, sf_dir):
+    """CDC changelog application (insert/update/delete in one batch):
+    every 10th order is deleted, the next tenth is re-priced 2x, and a
+    synthetic insert batch lands under shifted keys —
+    operators/merge.py:apply_cdc resolves all three with ONE per-key
+    window over base ∪ changes and a tombstone filter; no join, no
+    driver-side diffing. The oracle replays the same semantics as
+    set algebra (deleted/updated keys excluded, replacements and
+    inserts unioned in)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    m = F.col("o_orderkey") % CDC_MOD
+    dels = orders.where(m == 0).withColumn("op", F.lit("D"))
+    upds = (
+        orders.where(m == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+    )
+    ins = (
+        orders.where(m == 2)
+        .withColumn("o_orderkey", F.col("o_orderkey") + CDC_INS_OFFSET)
+        .withColumn("op", F.lit("I"))
+    )
+    changes = dels.unionByName(upds).unionByName(ins)
+    merged = MergeOp.apply_cdc(orders, changes, key_cols=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(_dec2(F.col("o_totalprice"))).cast("double").alias("total_price"),
+    )
+
+
+SQL_ORDERS_CDC_APPLY = f"""
+WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+merged AS (
+  SELECT * FROM base WHERE o_orderkey % {CDC_MOD} NOT IN (0, 1)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+  FROM base WHERE o_orderkey % {CDC_MOD} = 1
+  UNION ALL
+  SELECT o_orderkey + {CDC_INS_OFFSET} AS o_orderkey, o_orderstatus, o_totalprice
+  FROM base WHERE o_orderkey % {CDC_MOD} = 2
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 MERGE_UPD_MOD = 10
 
 
@@ -4937,6 +4991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sample_weighted": q_doc_sample_weighted,
     "benchmark_decontamination": q_benchmark_decontamination,
     "incremental_near_dup": q_incremental_near_dup,
+    "orders_cdc_apply": q_orders_cdc_apply,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -5105,4 +5160,5 @@ ORACLE_SQL: dict[str, str] = {
     "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
     "benchmark_decontamination": SQL_BENCHMARK_DECONTAMINATION,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
+    "orders_cdc_apply": SQL_ORDERS_CDC_APPLY,
 }

@@ -52,6 +52,37 @@ def merge_upsert(
     )
 
 
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    version_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete) over a base table —
+    the missing piece between ``merge_upsert`` (no deletes) and a real
+    transactional MERGE. ``changes`` carries ``op_col`` ∈ {'I','U','D'}
+    plus the full row payload; per key, the LATEST change (by
+    ``version_col``, highest wins) decides: D → key removed, I/U → row
+    replaced/inserted. Same single-shuffle shape as ``merge_upsert``:
+    union + one per-key window, then a filter drops tombstones — no
+    join, no driver-side diffing, and the shuffle keys match downstream
+    consumers so a bucketed layout removes even that exchange.
+    """
+    order: list[Column] = [F.desc(_SRC)]
+    if version_col:
+        order.append(F.desc(version_col))
+    tagged = base.withColumn(_SRC, F.lit(0)).withColumn(
+        op_col, F.lit("I")
+    ).unionByName(changes.withColumn(_SRC, F.lit(1)))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        tagged.withColumn(_RK, F.row_number().over(w))
+        .where((F.col(_RK) == 1) & (F.col(op_col) != "D"))
+        .drop(_SRC, _RK, op_col)
+    )
+
+
 def scd2_history(
     versions: DataFrame,
     key_cols: list[str],

@@ -84,6 +84,32 @@ def test_merge_upsert_tiebreak_within_updates(spark):
     assert len(out) == 1 and out[0]["v"] == "new" and out[0]["ver"] == 2
 
 
+def test_apply_cdc_insert_update_delete(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, "c", "D"), (4, "d", "I")], "k int, v string, op string"
+    )
+    out = {r["k"]: r["v"] for r in
+           M.apply_cdc(base, changes, key_cols=["k"]).collect()}
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_apply_cdc_latest_change_wins_by_version(spark):
+    base = spark.createDataFrame([(1, "old", 0)], "k int, v string, ver int")
+    # delete at ver 1, re-insert at ver 2 → the re-insert survives;
+    # key 2 updated at ver 1 then deleted at ver 2 → gone
+    changes = spark.createDataFrame(
+        [(1, "gone", 1, "D"), (1, "back", 2, "I"),
+         (2, "upd", 1, "U"), (2, "x", 2, "D")],
+        "k int, v string, ver int, op string",
+    )
+    out = {r["k"]: (r["v"], r["ver"]) for r in
+           M.apply_cdc(base, changes, key_cols=["k"], version_col="ver").collect()}
+    assert out == {1: ("back", 2)}
+
+
 def test_scd2_history_intervals(spark):
     from database_fragmentation_and_query_processor_spark.operators.merge import scd2_history
 
