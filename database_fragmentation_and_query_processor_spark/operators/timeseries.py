@@ -1,0 +1,81 @@
+"""Time-partitioned event storage (the hypertable layout).
+
+The reference fragments by rating value (Interface1.py:101-148); event
+streams fragment by TIME: parquet partitioned on a derived day column,
+so a time-range query prunes whole partitions at the file-listing step
+(PartitionFilters in the scan node) before any row is read, and
+retention is a partition drop, not a rewrite. At 100 TB this is the
+difference between listing 3 directories and scanning 3 years.
+
+Chunk granularity is a real tradeoff: daily chunks × 1000 executors is
+fine to ~tens of TB/day; beyond that, compose with an hour column or a
+hash subsplit so a single day's chunk count matches writer parallelism.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "p_day"
+
+
+def write_time_partitioned(
+    events: DataFrame,
+    path: str,
+    time_col: str = "event_time",
+    mode: str = "overwrite",
+) -> None:
+    """Write events partitioned by UTC day of ``time_col``. The derived
+    day column is redundant with the timestamp, so readers filter BOTH:
+    the day bound prunes partitions, the timestamp bound trims edges."""
+    (
+        events.withColumn(PARTITION_COL, F.date_format(time_col, "yyyy-MM-dd"))
+        .write.mode(mode)
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def read_time_range(
+    spark: SparkSession,
+    path: str,
+    lo: str,
+    hi: str,
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Time-range scan over the partitioned layout: [lo, hi) as ISO
+    timestamps. The day predicate is derived from the range so Spark
+    prunes partitions from the directory listing; the timestamp
+    predicate handles partial days at the edges. Both reach the scan
+    (PushedFilters / PartitionFilters — asserted by the plan tests)."""
+    lo_day, hi_day = lo[:10], hi[:10]
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col(PARTITION_COL) >= lo_day)
+            & (F.col(PARTITION_COL) <= hi_day)
+            & (F.col(time_col) >= F.lit(lo).cast("timestamp"))
+            & (F.col(time_col) < F.lit(hi).cast("timestamp"))
+        )
+    )
+
+
+def drop_before(spark: SparkSession, path: str, cutoff_day: str) -> list[str]:
+    """Retention: drop whole chunks older than ``cutoff_day``
+    (yyyy-MM-dd). A directory delete per expired day — no rewrite, no
+    scan; returns the dropped partition names. (On a real lakehouse
+    this is the table format's drop-partition; the filesystem form here
+    has identical semantics for a parquet directory layout.)"""
+    import os
+
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith(f"{PARTITION_COL}=") and entry.split("=", 1)[1] < cutoff_day:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(entry)
+    return dropped
