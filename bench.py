@@ -122,6 +122,7 @@ HEADLINE = [
     "benchmark_decontamination",
     "incremental_near_dup",
     "orders_cdc_apply",
+    "events_variant_kpis",
 ]
 
 

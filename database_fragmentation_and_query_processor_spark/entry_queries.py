@@ -607,6 +607,45 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_variant_kpis(spark, sf_dir):
+    """Semi-structured ingestion via Spark 4 VARIANT: ``props`` is
+    parsed ONCE into a typed variant column (binary-encoded — repeated
+    extraction doesn't re-parse the JSON text, the way repeated
+    get_json_object does) and fields come out with
+    ``try_variant_get(..., type)``. Output is a k-value histogram
+    (bucket width 20), a different shape from events_json_kpis so both
+    extraction paths stay covered."""
+    ev = _events(spark, sf_dir)
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .withColumn("k_bucket", F.expr("k div 20"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_VARIANT_KPIS = """
+WITH e AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT k // 20 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM e WHERE k IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_rollup_cascade_daily(spark, sf_dir):
     """Multi-resolution rollup cascade (the hypertable / continuous-
     aggregate pattern): the daily aggregate is computed FROM the hourly
@@ -4992,6 +5031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "benchmark_decontamination": q_benchmark_decontamination,
     "incremental_near_dup": q_incremental_near_dup,
     "orders_cdc_apply": q_orders_cdc_apply,
+    "events_variant_kpis": q_events_variant_kpis,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -5161,4 +5201,5 @@ ORACLE_SQL: dict[str, str] = {
     "benchmark_decontamination": SQL_BENCHMARK_DECONTAMINATION,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "orders_cdc_apply": SQL_ORDERS_CDC_APPLY,
+    "events_variant_kpis": SQL_EVENTS_VARIANT_KPIS,
 }
