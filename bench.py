@@ -123,6 +123,8 @@ HEADLINE = [
     "incremental_near_dup",
     "orders_cdc_apply",
     "events_variant_kpis",
+    "user_growth",
+    "retention_cohorts",
 ]
 
 

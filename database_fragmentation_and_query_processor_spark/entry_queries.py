@@ -646,6 +646,79 @@ GROUP BY 1
 """
 
 
+def q_user_growth(spark, sf_dir):
+    """Growth accounting: daily new users + cumulative user base. The
+    scale shape: cumulative distinct-to-date is NOT a COUNT(DISTINCT)
+    over expanding windows (that rescans history per day) — each user
+    contributes only their FIRST active day (one groupBy on user_id),
+    daily news collapse to a ~thousands-row day series, and the
+    cumulative sum windows over THAT series (the no-PARTITION window is
+    fine: it sorts days, not events)."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("event_time")).alias("first_day")
+    )
+    daily = first.groupBy("first_day").agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+SQL_USER_GROWTH = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+daily AS (SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users FROM first GROUP BY first_day)
+SELECT strftime(first_day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_users
+FROM daily
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Retention triangle: daily signup cohorts × week offset → distinct
+    active users. Built from (user, active-day) pairs de-duplicated
+    FIRST (one distinct on the composite key), joined to each user's
+    cohort day, then one aggregate on (cohort, offset) — the whole
+    history is never rescanned per cohort."""
+    ev = _events(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("event_time")).alias("first_day")
+    )
+    act = ev.select("user_id", F.to_date("event_time").alias("d")).distinct()
+    j = act.join(first, "user_id").select(
+        "user_id", "first_day",
+        F.floor(F.datediff("d", "first_day") / 7).cast("bigint").alias("wk"),
+    )
+    return (
+        j.groupBy("first_day", "wk")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .select(
+            F.date_format("first_day", "yyyy-MM-dd").alias("cohort_day"),
+            "wk", "n_active",
+        )
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH first AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT strftime(first_day, '%Y-%m-%d') AS cohort_day,
+       CAST((d - first_day) // 7 AS BIGINT) AS wk,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM act JOIN first USING (user_id)
+GROUP BY first_day, (d - first_day) // 7
+"""
+
+
 def q_rollup_cascade_daily(spark, sf_dir):
     """Multi-resolution rollup cascade (the hypertable / continuous-
     aggregate pattern): the daily aggregate is computed FROM the hourly
@@ -5032,6 +5105,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_near_dup": q_incremental_near_dup,
     "orders_cdc_apply": q_orders_cdc_apply,
     "events_variant_kpis": q_events_variant_kpis,
+    "user_growth": q_user_growth,
+    "retention_cohorts": q_retention_cohorts,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -5202,4 +5277,6 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
     "orders_cdc_apply": SQL_ORDERS_CDC_APPLY,
     "events_variant_kpis": SQL_EVENTS_VARIANT_KPIS,
+    "user_growth": SQL_USER_GROWTH,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
 }
