@@ -80,6 +80,35 @@ def test_stable_prefix_sum_matches_global_window(spark):
     assert got == want
 
 
+def test_stable_prefix_sum_adversarial_shapes(spark):
+    """Skewed groups, negative values, sparse keys, and degenerate
+    bucket counts must all reproduce the window-cumsum exactly."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.choice("ab"), i, rnd.randint(-5, 5)) for i in range(300)]
+    rows += [("a", 100_000 + i, 1) for i in range(200)]  # skew + sparse keys
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    w = (
+        Window.partitionBy("g").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        (r["g"], r["k"]): r["psum"]
+        for r in df.withColumn(
+            "psum", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    for nb in (1, 3, 64):
+        got = {
+            (r["g"], r["k"]): r["psum"]
+            for r in stable_prefix_sum(
+                df, ["k"], "v", group_cols=["g"], n_buckets=nb
+            ).collect()
+        }
+        assert got == want, f"n_buckets={nb}"
+
+
 def test_stable_prefix_sum_ungrouped_and_empty(spark):
     df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
     got = {r["k"]: r["psum"] for r in stable_prefix_sum(df, ["k"], "v").collect()}
