@@ -3346,9 +3346,12 @@ def q_benchmark_decontamination(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     toks = T.tokens(F.col("text"))
     grams = F.array_distinct(_word_grams(toks, CONTAM_N))
+    # persisted: the gram pipeline (tokenize + window + md5 per gram) is
+    # otherwise re-evaluated three times — the Bloom build action, the
+    # train probe, and the exact semi finish
     g = docs.select(
         "doc_id", "source", F.explode(grams).alias("gram")
-    ).select("doc_id", "source", F.md5("gram").alias("gh"))
+    ).select("doc_id", "source", F.md5("gram").alias("gh")).persist()
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench_grams = g.where(is_bench).select("gh").distinct()
     train_grams = g.where(~is_bench)
