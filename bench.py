@@ -125,6 +125,7 @@ HEADLINE = [
     "events_variant_kpis",
     "user_growth",
     "retention_cohorts",
+    "curation_pipeline",
 ]
 
 

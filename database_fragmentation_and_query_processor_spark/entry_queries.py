@@ -5054,6 +5054,179 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# flagship: end-to-end corpus curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The full corpus-curation funnel as ONE composed pipeline — the
+    operational shape a training-data run actually executes, built
+    entirely from the individually-verified stages:
+
+      raw → quality gates (lang allowlist + token band + quality floor)
+          → exact dedup (min doc_id per md5 fingerprint)
+          → near-dup canonical (MinHash-LSH pairs → connected
+            components; each cluster keeps its min surviving doc_id)
+          → benchmark decontamination (bench slice removed; training
+            docs sharing any 5-gram with the bench slice removed)
+
+    Output: per source, the count surviving each stage. Every stage is
+    one or two key-shuffles (fingerprint / band-bucket / gram hash /
+    label) — nothing quadratic, nothing driver-side beyond the bounded
+    cluster propagation; the same plan shapes as the standalone stage
+    queries, so the 100 TB arguments carry over unchanged."""
+    from .operators.graph import connected_components
+
+    docs = _docs_with_dups(spark, sf_dir)
+    n_tok = T.token_count(F.col("text"))
+    qual = T.quality_score(F.col("text"))
+    pass_gates = (
+        F.col("lang").isin(*GATE_LANGS)
+        & (n_tok >= GATE_MIN_TOKENS) & (n_tok <= GATE_MAX_TOKENS)
+        & (qual >= GATE_MIN_QUALITY)
+    )
+    gated = docs.where(pass_gates).select("doc_id", "source", "text")
+
+    fp = gated.select("doc_id", "source", T.fingerprint(F.col("text")).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    exact_kept = (
+        fp.join(keep, "fp").where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source")
+    )
+
+    pairs = D.near_dup_pairs(
+        docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
+    ).select("id_a", "id_b")
+    labels = connected_components(pairs)  # (node, label)
+    lbl = exact_kept.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    cluster_min = (
+        lbl.where(F.col("label").isNotNull())
+        .groupBy("label").agg(F.min("doc_id").alias("cluster_keep"))
+    )
+    neardup_kept = (
+        lbl.join(cluster_min, "label", "left")
+        .where(F.col("label").isNull() | (F.col("doc_id") == F.col("cluster_keep")))
+        .select("doc_id", "source")
+    )
+
+    toks = T.tokens(F.col("text"))
+    grams = F.array_distinct(_word_grams(toks, CONTAM_N))
+    g = docs.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", F.md5("gram").alias("gh")
+    ).persist()
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench_grams = g.where(is_bench).select("gh").distinct()
+    contaminated = (
+        g.where(~is_bench)
+        .join(bench_grams, "gh", "left_semi")
+        .select("doc_id").distinct()
+    )
+    final = (
+        neardup_kept.where(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source")
+    )
+
+    def cnt(df, name):
+        return df.groupBy("source").agg(F.count("*").cast("bigint").alias(name))
+
+    out = (
+        cnt(docs, "n_raw")
+        .join(cnt(gated, "n_gated"), "source", "left")
+        .join(cnt(exact_kept, "n_exact"), "source", "left")
+        .join(cnt(neardup_kept, "n_neardup"), "source", "left")
+        .join(cnt(final, "n_final"), "source", "left")
+    )
+    return out.select(
+        "source",
+        "n_raw",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ("n_gated", "n_exact", "n_neardup", "n_final")],
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH RECURSIVE {DOCS_WITH_DUPS_CTE.strip().lstrip()},
+gated AS (
+  SELECT doc_id, source, text FROM corpus
+  WHERE lang IN ({_GATE_LANG_IN})
+    AND CAST(len({TOKENS_SQL}) AS BIGINT) BETWEEN {GATE_MIN_TOKENS} AND {GATE_MAX_TOKENS}
+    AND ({_QUALITY_SQL}) >= {GATE_MIN_QUALITY}
+),
+fp AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM gated
+),
+keep_exact AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp),
+exact_kept AS (
+  SELECT f.doc_id, f.source FROM fp f JOIN keep_exact k USING (fp)
+  WHERE f.doc_id = k.keep_id
+),
+pairs AS (SELECT id_a, id_b FROM ({SQL_MINHASH_NEAR_DUP_PAIRS}) p),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst AS node, w.label
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.label < e.dst
+),
+labels AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node),
+lbl AS (
+  SELECT e.doc_id, e.source, l.label
+  FROM exact_kept e LEFT JOIN labels l ON l.node = e.doc_id
+),
+cluster_min AS (
+  SELECT label, MIN(doc_id) AS cluster_keep FROM lbl
+  WHERE label IS NOT NULL GROUP BY label
+),
+neardup_kept AS (
+  SELECT b.doc_id, b.source FROM lbl b LEFT JOIN cluster_min m USING (label)
+  WHERE b.label IS NULL OR b.doc_id = m.cluster_keep
+),
+toks2 AS (SELECT doc_id, {TOKENS_SQL} AS t FROM corpus),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {CONTAM_N - 2}, 1)),
+           j -> md5(array_to_string(t[j:j+{CONTAM_N - 1}], ' '))
+         )) AS gh
+  FROM toks2
+),
+bench AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0),
+contam AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % {DECON_BENCH_MOD} <> 0 AND gh IN (SELECT gh FROM bench)
+),
+final AS (
+  SELECT n.doc_id, n.source FROM neardup_kept n
+  WHERE n.doc_id % {DECON_BENCH_MOD} <> 0
+    AND n.doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT r.source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COALESCE(MAX(g.n), 0) AS BIGINT) AS n_gated,
+       CAST(COALESCE(MAX(e.n), 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(nd.n), 0) AS BIGINT) AS n_neardup,
+       CAST(COALESCE(MAX(f.n), 0) AS BIGINT) AS n_final
+FROM corpus r
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM gated GROUP BY source) g USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM exact_kept GROUP BY source) e USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM neardup_kept GROUP BY source) nd USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM final GROUP BY source) f USING (source)
+GROUP BY r.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5150,6 +5323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_variant_kpis": q_events_variant_kpis,
     "user_growth": q_user_growth,
     "retention_cohorts": q_retention_cohorts,
+    "curation_pipeline": q_curation_pipeline,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -5322,4 +5496,5 @@ ORACLE_SQL: dict[str, str] = {
     "events_variant_kpis": SQL_EVENTS_VARIANT_KPIS,
     "user_growth": SQL_USER_GROWTH,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
 }
