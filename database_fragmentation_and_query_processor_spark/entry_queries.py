@@ -4912,9 +4912,11 @@ def q_ann_recall_audit(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    # persisted: the brute-force side is shared by all three method
+    # joins — without it the full exact scan re-runs per method
     exact = S.brute_force_topk(emb, qvec, k=KNN_K).select("vec_id").withColumn(
         "in_exact", F.lit(True)
-    )
+    ).persist()
     methods = {
         "ivf": S.ivf_topk(
             emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE
