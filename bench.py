@@ -126,6 +126,7 @@ HEADLINE = [
     "user_growth",
     "retention_cohorts",
     "curation_pipeline",
+    "events_time_pruned",
 ]
 
 

@@ -5055,6 +5055,52 @@ FROM base
 """
 
 
+def q_events_time_pruned(spark, sf_dir):
+    """Hypertable read path as a checkable query: events are laid out
+    day-partitioned ONCE per sf_dir (build-once temp artifact, the same
+    convention as the materialized LSH index), then a 2-day range scan
+    prunes whole partitions at file listing (PartitionFilters —
+    operators/timeseries.py, plan-asserted in tests/test_timeseries.py)
+    and must equal the raw filter, which is the oracle. The probed
+    window is derived from the data's own min day, so the result is
+    deterministic per fixture."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from .operators.timeseries import read_time_range, write_time_partitioned
+
+    ev = _events(spark, sf_dir)
+    digest = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    path = _os.path.join(_tf.gettempdir(), f"dfqp_events_by_day_{digest}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        write_time_partitioned(ev, path)
+    d0 = ev.agg(F.min(F.to_date("event_time")).alias("d0")).head()["d0"]
+    import datetime as _dt
+
+    lo = (d0 + _dt.timedelta(days=1)).strftime("%Y-%m-%d 00:00:00")
+    hi = (d0 + _dt.timedelta(days=3)).strftime("%Y-%m-%d 00:00:00")
+    return (
+        read_time_range(spark, path, lo, hi)
+        .groupBy(F.date_format(F.to_date("event_time"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_TIME_PRUNED = """
+WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events)
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events, b
+WHERE CAST(ts AS DATE) >= d0 + 1 AND CAST(ts AS DATE) < d0 + 3
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship: end-to-end corpus curation pipeline
 # ---------------------------------------------------------------------------
@@ -5326,6 +5372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_growth": q_user_growth,
     "retention_cohorts": q_retention_cohorts,
     "curation_pipeline": q_curation_pipeline,
+    "events_time_pruned": q_events_time_pruned,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -5499,4 +5546,5 @@ ORACLE_SQL: dict[str, str] = {
     "user_growth": SQL_USER_GROWTH,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "events_time_pruned": SQL_EVENTS_TIME_PRUNED,
 }
