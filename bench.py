@@ -127,6 +127,7 @@ HEADLINE = [
     "retention_cohorts",
     "curation_pipeline",
     "events_time_pruned",
+    "lineitem_zorder_skip",
 ]
 
 

@@ -5101,6 +5101,53 @@ GROUP BY 1
 """
 
 
+def q_lineitem_zorder_skip(spark, sf_dir):
+    """Z-order read path as a checkable query: a z-ordered copy of
+    lineitem (Morton interleave of l_orderkey × l_partkey,
+    operators/layout.py) is built once per sf_dir; a 2-D range
+    predicate over it must equal the raw filter, which is the oracle.
+    The skipping property itself — per-file min-max narrowness on BOTH
+    clustered columns — is asserted from the parquet footers in
+    tests/test_layout.py; this query pins that the clustered layout
+    loses no rows. Bounds derive from the data's own key maxima
+    (bottom decile of each), so the result is deterministic per
+    fixture."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from .operators.layout import zorder_by
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    digest = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    path = _os.path.join(_tf.gettempdir(), f"dfqp_lineitem_zorder_{digest}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        zorder_by(li, ["l_orderkey", "l_partkey"]).write.mode("overwrite").parquet(path)
+    m = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_partkey").alias("mp")
+    ).head()
+    ok_hi, pk_hi = int(m["mo"]) // 10, int(m["mp"]) // 10
+    z = spark.read.parquet(path)
+    return (
+        z.where((F.col("l_orderkey") <= ok_hi) & (F.col("l_partkey") <= pk_hi))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+SQL_LINEITEM_ZORDER_SKIP = """
+WITH m AS (SELECT MAX(l_orderkey) AS mo, MAX(l_partkey) AS mp FROM lineitem)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem, m
+WHERE l_orderkey <= mo // 10 AND l_partkey <= mp // 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # flagship: end-to-end corpus curation pipeline
 # ---------------------------------------------------------------------------
@@ -5373,6 +5420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_cohorts": q_retention_cohorts,
     "curation_pipeline": q_curation_pipeline,
     "events_time_pruned": q_events_time_pruned,
+    "lineitem_zorder_skip": q_lineitem_zorder_skip,
     "approx_distinct_users": q_approx_distinct_users,  # rows-only (sketch)
     # -- stamped green in r1/r2 (evidence on file) --
     "q1_pricing_summary": q1_pricing_summary,
@@ -5547,4 +5595,5 @@ ORACLE_SQL: dict[str, str] = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "events_time_pruned": SQL_EVENTS_TIME_PRUNED,
+    "lineitem_zorder_skip": SQL_LINEITEM_ZORDER_SKIP,
 }
