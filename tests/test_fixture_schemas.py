@@ -68,3 +68,46 @@ def test_fixture_schema_pinned(sf_dir, table):
             f"{sorted(allowed)} — extend the adaptive loaders before "
             f"trusting query output"
         )
+
+
+def test_dedup_ann_stack_assumptions(sf_dir):
+    """The dedup/ANN operators additionally assume: no null doc text or
+    embedding, a single fixed embedding dimensionality (the sig/dot
+    kernels hardcode dim), and non-null join keys. Pin those here so a
+    regen that introduces nulls or ragged vectors fails loudly."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    assert docs["doc_id"].null_count == 0
+    assert docs["text"].null_count == 0
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assert emb["vec_id"].null_count == 0
+    assert emb["embedding"].null_count == 0
+    lens = pc.unique(pc.list_value_length(emb["embedding"].combine_chunks()))
+    assert len(lens) == 1, f"ragged embedding dims: {lens.to_pylist()}"
+
+
+def test_artifact_cache_invalidates_on_fixture_regen(tmp_path):
+    """Build-once artifacts (LSH index, day-partitioned events,
+    z-ordered lineitem) must re-key when the source parquet changes:
+    fixtures are regenerated IN PLACE between rounds, and a path keyed
+    on sf_dir alone would serve stale derived data against a fresh
+    oracle."""
+    import os
+
+    from database_fragmentation_and_query_processor_spark.entry_queries import _artifact_cache_path
+
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"v1-payload")
+    p1 = _artifact_cache_path(str(tmp_path), "t", "events")
+    assert p1 == _artifact_cache_path(str(tmp_path), "t", "events")
+
+    src.write_bytes(b"v2-payload-longer")  # size change
+    p2 = _artifact_cache_path(str(tmp_path), "t", "events")
+    assert p2 != p1
+
+    os.utime(src, ns=(1, 1))  # same bytes, new generation timestamp
+    p3 = _artifact_cache_path(str(tmp_path), "t", "events")
+    assert p3 != p2
