@@ -949,14 +949,15 @@ _MINHASH_SQL_HASHES = (
 )
 
 
-def _minhash_cte() -> str:
-    """CTE producing doc_id, mh0..mh{k-1} from `corpus`."""
+def _minhash_cte(src: str = "corpus") -> str:
+    """CTE producing doc_id, mh0..mh{k-1} from ``src`` (any relation
+    with doc_id + text columns)."""
     mh_cols = ", ".join(
         f"list_min(list_transform(h, v -> (v * {a} + {b}) % {D.MINHASH_PRIME})) AS mh{i}"
         for i, (a, b) in enumerate(D.minhash_params(MINHASH_K))
     )
     return f"""
-toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM corpus),
+toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM {src}),
 sh AS (SELECT doc_id,
        CASE WHEN len(t) < {SHINGLE_N} THEN [array_to_string(t, ' ')]
             ELSE list_transform(range(0, len(t) - {SHINGLE_N - 1}),
@@ -1031,9 +1032,10 @@ def _bands_sql() -> str:
     )
 
 
-SQL_MINHASH_NEAR_DUP_PAIRS = f"""
-WITH {DOCS_WITH_DUPS_CTE},
-{_minhash_cte()},
+def _near_dup_ctes(src: str = "corpus") -> str:
+    """CTE chain producing ``verified``(id_a, id_b, j) — the MinHash-LSH
+    generate-then-verify pipeline over ``src`` (doc_id + text)."""
+    return f"""{_minhash_cte(src)},
 bands AS ({_bands_sql()}),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1048,7 +1050,12 @@ verified AS (
   FROM cand
   JOIN shingle_sets a ON a.doc_id = id_a
   JOIN shingle_sets b ON b.doc_id = id_b
-)
+)"""
+
+
+SQL_MINHASH_NEAR_DUP_PAIRS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+{_near_dup_ctes()}
 SELECT id_a, id_b, ROUND(j, 6) AS jaccard
 FROM verified WHERE j >= {NEAR_DUP_THRESHOLD}
 """
@@ -2156,16 +2163,40 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
 
 
 def q_approx_distinct_users(spark, sf_dir):
-    """HyperLogLog++ sketch: approx distinct users per event type plus
-    the exact count for self-audit. Rows-only check: sketch estimates
-    are engine-specific by construction (tests/test_operators_ext.py
-    bounds the relative error instead)."""
+    """HyperLogLog++ sketch with a hash-checkable shape: the raw sketch
+    estimate is engine-specific by construction, so the declared columns
+    are the EXACT distinct count plus the sketch's error-bound claim as
+    a boolean (|approx - exact| <= 5% of exact). The oracle computes the
+    exact side and asserts TRUE for the bound — making the sketch's
+    accuracy contract itself the checked value. The raw estimate stays
+    observable via the `approx_users` column in pytest
+    (tests/test_operators_ext.py::test_approx_distinct_error_bound,
+    which bounds the relative error numerically)."""
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("hll_within_5pct"),
+    )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS hll_within_5pct
+FROM events
+GROUP BY event_type
+"""
 
 
 def q19_disjunctive_revenue(spark, sf_dir):
@@ -5186,10 +5217,21 @@ def q_curation_pipeline(spark, sf_dir):
 
       raw → quality gates (lang allowlist + token band + quality floor)
           → exact dedup (min doc_id per md5 fingerprint)
-          → near-dup canonical (MinHash-LSH pairs → connected
-            components; each cluster keeps its min surviving doc_id)
-          → benchmark decontamination (bench slice removed; training
-            docs sharing any 5-gram with the bench slice removed)
+          → near-dup canonical (MinHash-LSH pairs over the GATE+EXACT
+            SURVIVORS → connected components; each cluster keeps its
+            min surviving doc_id)
+          → benchmark decontamination (bench slice removed; surviving
+            training docs sharing any 5-gram with the bench slice
+            removed)
+
+    Each expensive stage consumes only the previous stage's survivors:
+    LSH shingles/signatures are computed over the exact-dedup output
+    (not the raw corpus — at 100 TB the gates typically reject 30-50%,
+    and shingling rejected docs is the single largest avoidable cost in
+    the funnel), and the training-side gram stream of the decontam
+    stage covers only near-dup survivors (the bench side must stay the
+    raw bench slice — contamination is defined against the benchmark as
+    published, not its gated subset).
 
     Output: per source, the count surviving each stage. Every stage is
     one or two key-shuffles (fingerprint / band-bucket / gram hash /
@@ -5215,8 +5257,11 @@ def q_curation_pipeline(spark, sf_dir):
         .select("doc_id", "source")
     )
 
+    survivors = gated.join(exact_kept.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
     pairs = D.near_dup_pairs(
-        docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
+        survivors, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
     ).select("id_a", "id_b")
     labels = connected_components(pairs)  # (node, label)
     lbl = exact_kept.join(
@@ -5234,13 +5279,17 @@ def q_curation_pipeline(spark, sf_dir):
 
     toks = T.tokens(F.col("text"))
     grams = F.array_distinct(_word_grams(toks, CONTAM_N))
-    g = docs.select("doc_id", F.explode(grams).alias("gram")).select(
-        "doc_id", F.md5("gram").alias("gh")
-    ).persist()
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
-    bench_grams = g.where(is_bench).select("gh").distinct()
+
+    def gram_stream(df):
+        return df.select("doc_id", F.explode(grams).alias("gram")).select(
+            "doc_id", F.md5("gram").alias("gh")
+        )
+
+    bench_grams = gram_stream(docs.where(is_bench)).select("gh").distinct()
+    train = docs.where(~is_bench).join(neardup_kept.select("doc_id"), "doc_id")
     contaminated = (
-        g.where(~is_bench)
+        gram_stream(train)
         .join(bench_grams, "gh", "left_semi")
         .select("doc_id").distinct()
     )
@@ -5286,7 +5335,11 @@ exact_kept AS (
   SELECT f.doc_id, f.source FROM fp f JOIN keep_exact k USING (fp)
   WHERE f.doc_id = k.keep_id
 ),
-pairs AS (SELECT id_a, id_b FROM ({SQL_MINHASH_NEAR_DUP_PAIRS}) p),
+survivors AS (
+  SELECT g.doc_id, g.text FROM gated g JOIN exact_kept e USING (doc_id)
+),
+{_near_dup_ctes("survivors")},
+pairs AS (SELECT id_a, id_b FROM verified WHERE j >= {NEAR_DUP_THRESHOLD}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -5625,4 +5678,5 @@ ORACLE_SQL: dict[str, str] = {
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "events_time_pruned": SQL_EVENTS_TIME_PRUNED,
     "lineitem_zorder_skip": SQL_LINEITEM_ZORDER_SKIP,
+    "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
 }
