@@ -169,6 +169,9 @@ def main() -> None:
         # each query timed cold: drop persisted intermediates (e.g. the
         # minhash shingle cache) so queries don't interfere
         try:
+            from database_fragmentation_and_query_processor_spark.cache import release_all
+
+            release_all()  # also empties the tracked-DataFrame registry
             spark.catalog.clearCache()
         except Exception:
             pass

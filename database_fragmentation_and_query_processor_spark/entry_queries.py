@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .cache import track as _track_cached
 from .functions import text as T
 from .functions import vectors as V
 from .operators import dedup as D
@@ -3419,6 +3420,7 @@ def q_benchmark_decontamination(spark, sf_dir):
     g = docs.select(
         "doc_id", "source", F.explode(grams).alias("gram")
     ).select("doc_id", "source", F.md5("gram").alias("gh")).persist()
+    _track_cached(g)
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench_grams = g.where(is_bench).select("gh").distinct()
     train_grams = g.where(~is_bench)
@@ -4978,6 +4980,7 @@ def q_ann_recall_audit(spark, sf_dir):
     exact = S.brute_force_topk(emb, qvec, k=KNN_K).select("vec_id").withColumn(
         "in_exact", F.lit(True)
     ).persist()
+    _track_cached(exact)
     methods = {
         "ivf": S.ivf_topk(
             emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track
 from ..functions.text import fingerprint, token_hash, tokens
 
 # fixed affine-permutation constants for minhash: h_i(x) = (a_i*x + b_i) mod P
@@ -163,7 +164,9 @@ def incremental_near_dup_pairs(
     (id_a < id_b) and verified by exact Jaccard, identical semantics to
     ``near_dup_pairs`` restricted to pairs touching the batch.
     """
-    new_index = build_dedup_index(new_docs, id_col, text_col, k, shingle_n).persist()
+    new_index = track(
+        build_dedup_index(new_docs, id_col, text_col, k, shingle_n).persist()
+    )
     updated = index.unionByName(new_index)
 
     new_banded = band_buckets(new_index.select("id", "sig"), k, bands)
@@ -260,7 +263,7 @@ def near_dup_pairs(
     and codegen cost). At scale the persisted set df is O(corpus
     tokens) but streams from disk; the band join only ever shuffles
     (id, band, bucket) tuples."""
-    base = shingle_sets(df, id_col, text_col, shingle_n).persist()
+    base = track(shingle_sets(df, id_col, text_col, shingle_n).persist())
     cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_df=base)
     a = base.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("ss_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("ss_b"))
@@ -283,6 +286,7 @@ def blocked_jaccard_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.8,
     shingle_n: int = 3,
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup with cheap blocking (no LSH): all
     pairs *within a blocking key* are verified, so recall is total
@@ -294,12 +298,31 @@ def blocked_jaccard_pairs(
     a demo corpus; at 100 TB compose with a coarse length bucket or a
     cheap content prefix so per-block pair counts stay quadratic in a
     SMALL group, never in the corpus).
+
+    ``sample_frac`` is the 100 TB audit procedure: a DETERMINISTIC
+    per-document md5 threshold (operators/sampling.py:hash_bucket — no
+    RNG, so reruns audit the identical stratum, permille granularity)
+    keeps that fraction of each block's documents BEFORE the self-join,
+    cutting pair cost by sample_frac² per block while the surviving
+    pairs remain exact ground truth for recall estimation on the
+    sampled stratum. None (the default) keeps the audit exhaustive —
+    right for oracle-checked test corpora, quadratically wrong at
+    production scale.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("ss"),
     )
+    if sample_frac is not None:
+        if not 0.0 < sample_frac <= 1.0:
+            raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+        from .sampling import HASH_BUCKETS, hash_bucket
+
+        base = base.where(
+            hash_bucket(F.col("id"), "jaccard_audit")
+            < F.lit(int(round(sample_frac * HASH_BUCKETS)))
+        )
     a = base.select(
         F.col("id").alias("id_a"), *block_cols, F.col("ss").alias("ss_a")
     )

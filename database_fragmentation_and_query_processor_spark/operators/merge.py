@@ -68,13 +68,28 @@ def apply_cdc(
     union + one per-key window, then a filter drops tombstones — no
     join, no driver-side diffing, and the shuffle keys match downstream
     consumers so a bucketed layout removes even that exchange.
+
+    Determinism: with ``version_col``, ties on (key, version) — and,
+    without it, multiple changes to one key in a single batch — would
+    leave the survivor to partition luck. Two last-resort tie-breaks
+    (op code, then a hash over the full payload) pin ONE stable winner,
+    so repeated runs over the same input always agree. The choice among
+    genuinely conflicting same-version changes is still arbitrary —
+    feeds that carry several changes per key per batch should supply
+    ``version_col`` to make it meaningful, not merely stable.
     """
-    order: list[Column] = [F.desc(_SRC)]
-    if version_col:
-        order.append(F.desc(version_col))
     tagged = base.withColumn(_SRC, F.lit(0)).withColumn(
         op_col, F.lit("I")
     ).unionByName(changes.withColumn(_SRC, F.lit(1)))
+    order: list[Column] = [F.desc(_SRC)]
+    if version_col:
+        order.append(F.desc(version_col))
+    # stable last-resort tie-breaks: never let row_number() fall through
+    # to partition order
+    order.append(F.desc(op_col))
+    order.append(
+        F.desc(F.hash(*[c for c in tagged.columns if c != _SRC]))
+    )
     w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         tagged.withColumn(_RK, F.row_number().over(w))

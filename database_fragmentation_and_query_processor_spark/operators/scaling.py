@@ -100,14 +100,32 @@ def stable_prefix_sum(
     (group, bucket) partial sums (tiny aggregate, bounded by
     #groups × #buckets), driver turns partials into bucket base
     offsets, then an in-bucket window runs in parallel.
+
+    The leading order column must be non-null (a null has no range
+    bucket; rejected loudly here rather than crashing in the driver
+    sort). Null GROUP values are supported: they key to a reserved
+    sentinel consistently on the driver side and the executor-side map
+    key, so a null group gets its own correct running sum.
     """
     spark = df.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
     gcols = list(group_cols or [])
     lead = order_cols[0]
 
-    lo_hi = df.agg(F.min(lead).alias("lo"), F.max(lead).alias("hi")).head()
+    lo_hi = df.agg(
+        F.min(lead).alias("lo"),
+        F.max(lead).alias("hi"),
+        F.count("*").alias("n_all"),
+        F.count(lead).alias("n_lead"),
+    ).head()
     lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo_hi["n_lead"] < lo_hi["n_all"]:
+        raise ValueError(
+            f"stable_prefix_sum: leading order column {lead!r} contains "
+            f"{lo_hi['n_all'] - lo_hi['n_lead']} null(s); a null has no "
+            "position in the range-bucket order — filter or sentinel it "
+            "before calling"
+        )
     if lo is None:  # empty input
         return df.withColumn(out_col, F.lit(0).cast("bigint"))
     span = max(int(hi) - int(lo) + 1, 1)
@@ -125,9 +143,12 @@ def stable_prefix_sum(
         .collect()
     )
     sep = "\x1f"
+    null_sentinel = "\x1e\x00null"  # can't collide with real cast-to-string values
 
     def gkey(row) -> str:
-        return sep.join(str(row[c]) for c in gcols)
+        return sep.join(
+            null_sentinel if row[c] is None else str(row[c]) for c in gcols
+        )
 
     offsets: dict[tuple[str, int], int] = {}
     acc: dict[str, int] = {}
@@ -147,8 +168,15 @@ def stable_prefix_sum(
             for v in (composite(g, bk), offsets[(g, bk)])
         ]
     )
+    # concat_ws silently DROPS nulls, which would alias a null group onto
+    # its neighbor — coalesce to the same sentinel the driver key used
     map_key = F.concat_ws(
-        sep, *[F.col(c).cast("string") for c in gcols], F.col("_bk").cast("string")
+        sep,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(null_sentinel))
+            for c in gcols
+        ],
+        F.col("_bk").cast("string"),
     )
 
     w = (

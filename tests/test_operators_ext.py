@@ -392,6 +392,44 @@ def test_fuzzy_join_full_recall_vs_cross_join(spark):
         assert blocked == exact, f"recall loss at d={d}"
 
 
+def test_blocked_jaccard_sample_frac(spark, sf_dir):
+    """The audit's stratum-sampling knob: the sampled run's pairs must
+    be exactly the exhaustive pairs restricted to sampled doc ids
+    (deterministic md5 stratum — two runs agree), and full-rate
+    sampling must equal no sampling."""
+    from database_fragmentation_and_query_processor_spark.operators import dedup as D
+    from database_fragmentation_and_query_processor_spark.operators.sampling import (
+        hash_bucket,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.blocked_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    frac = 0.5
+    sampled = {
+        (r.id_a, r.id_b)
+        for r in D.blocked_jaccard_pairs(
+            docs, threshold=0.3, sample_frac=frac
+        ).collect()
+    }
+    kept_ids = {
+        r.doc_id
+        for r in docs.where(
+            hash_bucket(F.col("doc_id"), "jaccard_audit") < int(frac * 1000)
+        ).collect()
+    }
+    want = {(a, b) for (a, b) in full if a in kept_ids and b in kept_ids}
+    assert sampled == want
+    assert {
+        (r.id_a, r.id_b)
+        for r in D.blocked_jaccard_pairs(
+            docs, threshold=0.3, sample_frac=1.0
+        ).collect()
+    } == full
+
+
 def test_bloom_semi_join_equals_plain_semi(spark):
     from pyspark.sql import functions as F
 

@@ -77,6 +77,46 @@ def test_point_query_golden_semantics(spark, fragmented, tmp_path):
     assert all((r[1], r[2], r[3]) == (1, 185, 4.5) for r in rows)
 
 
+REFERENCE_DIR = "/root/reference"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(f"{REFERENCE_DIR}/test_data1.txt"),
+    reason="reference fixture not present",
+)
+def test_reference_fixture_byte_parity(spark, warehouse, tmp_path):
+    """End-to-end byte parity on the reference's OWN fixture: load
+    test_data1.txt, 5-way partition both schemes, then rangeQuery(1.5,
+    3.5) and pointQuery(4.5) (the exact tester1.py invocation) must
+    reproduce rangeResult.txt / pointResult.txt verbatim — including
+    the ``str(2.0)`` float rendering and the range-side-first ordering.
+    The committed reference files lack a trailing newline; our sink
+    terminates the last line, so the expectation is ref + '\\n'."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "ratings.txt")
+    shutil.copy(f"{REFERENCE_DIR}/test_data1.txt", src)
+    api.load_ratings(spark, "ratings", src, warehouse)
+    api.range_partition(spark, "ratings", N, warehouse)
+    api.round_robin_partition(spark, "ratings", N, warehouse)
+
+    range_out = str(tmp_path / "rangeResult.txt")
+    point_out = str(tmp_path / "pointResult.txt")
+    api.range_query(spark, 1.5, 3.5, warehouse, output_path=range_out)
+    api.point_query(spark, 4.5, warehouse, output_path=point_out)
+
+    for got_path, ref_name in (
+        (range_out, "rangeResult.txt"),
+        (point_out, "pointResult.txt"),
+    ):
+        with open(got_path, "rb") as f:
+            got = f.read()
+        with open(os.path.join(REFERENCE_DIR, ref_name), "rb") as f:
+            ref = f.read()
+        assert got == ref + b"\n", f"{ref_name}: byte mismatch"
+
+
 def test_point_query_endpoint_absorb(spark, fragmented):
     """rating==5.0 → last fragment; rating==0.0 → fragment 0."""
     hi = api.point_query(spark, 5.0, fragmented).collect()

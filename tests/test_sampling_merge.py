@@ -96,6 +96,24 @@ def test_apply_cdc_insert_update_delete(spark):
     assert out == {1: "a", 2: "B", 4: "d"}
 
 
+def test_apply_cdc_same_batch_tie_is_deterministic(spark):
+    """No version_col + several changes to one key in a batch: the
+    survivor must be identical across runs and partitionings (op-code
+    then payload-hash tie-breaks), never partition luck."""
+    base = spark.createDataFrame([(1, "old")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(1, "x", "U"), (1, "y", "U"), (1, "z", "I")], "k int, v string, op string"
+    )
+    winners = set()
+    for nparts in (1, 2, 7):
+        out = M.apply_cdc(
+            base, changes.repartition(nparts), key_cols=["k"]
+        ).collect()
+        assert len(out) == 1
+        winners.add(out[0]["v"])
+    assert len(winners) == 1, winners
+
+
 def test_apply_cdc_latest_change_wins_by_version(spark):
     base = spark.createDataFrame([(1, "old", 0)], "k int, v string, ver int")
     # delete at ver 1, re-insert at ver 2 → the re-insert survives;

@@ -117,6 +117,28 @@ def test_stable_prefix_sum_ungrouped_and_empty(spark):
     assert stable_prefix_sum(empty, ["k"], "v").count() == 0
 
 
+def test_stable_prefix_sum_null_handling(spark):
+    """A null LEADING order key is rejected loudly (it has no range
+    bucket); a null GROUP value is a legal group of its own and must
+    accumulate separately — and never be aliased onto a neighbor by
+    concat_ws's null-dropping."""
+    import pytest
+
+    bad = spark.createDataFrame([(None, 1), (2, 2)], "k long, v long")
+    with pytest.raises(ValueError, match="null"):
+        stable_prefix_sum(bad, ["k"], "v")
+
+    rows = [(None, 1, 10), (None, 2, 20), ("a", 1, 1), ("a", 2, 2)]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    got = {
+        (r["g"], r["k"]): r["psum"]
+        for r in stable_prefix_sum(
+            df, ["k"], "v", group_cols=["g"], n_buckets=4
+        ).collect()
+    }
+    assert got == {(None, 1): 0, (None, 2): 10, ("a", 1): 0, ("a", 2): 1}
+
+
 def test_salted_join_equals_plain_join(spark):
     # skewed fact: 90% of rows share one key
     fact = spark.range(0, 1000).select(
