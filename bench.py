@@ -128,6 +128,11 @@ HEADLINE = [
     "curation_pipeline",
     "events_time_pruned",
     "lineitem_zorder_skip",
+    "paragraph_dedup",
+    "doc_char_entropy",
+    "pmi_collocations",
+    "pii_redaction",
+    "bucketed_join_revenue",
 ]
 
 

@@ -5404,6 +5404,375 @@ GROUP BY r.source
 
 
 # ---------------------------------------------------------------------------
+# round-4 additions: sub-document dedup-rewrite, information-theoretic
+# quality, collocation mining, PII redaction, bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style sub-document dedup WITH REWRITE: split every
+    document into fixed 16-token chunks, keep only each chunk's
+    corpus-wide FIRST occurrence (by (doc_id, position)), and reassemble
+    the surviving chunks in original order. Complements chunk_dedup
+    (census only) — this is the operator that actually rewrites the
+    corpus, the way C4 strips repeated boilerplate lines.
+
+    One shuffle on the chunk hash (window row_number picks the owner
+    instance), one shuffle on doc_id to reassemble — both uniform
+    high-cardinality keys. The rewritten text is emitted as md5 + kept
+    counts so the row stays O(1) wide; the full rewrite is the same
+    concat minus the hash."""
+    docs = _docs_with_dups(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ),
+        )
+    )
+    ex = docs.select("doc_id", F.posexplode(chunks).alias("idx", "chunk"))
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    kept = ex.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("rewrite_md5"),
+    )
+    totals = ex.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_chunks"))
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("rewrite_md5", F.md5(F.lit(""))).alias("rewrite_md5"),
+        )
+    )
+
+
+SQL_PARAGRAPH_DEDUP = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM corpus),
+chunked AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(
+                     range(0, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS INT)),
+                     i -> array_to_string(t[i*{CHUNK_TOKENS}+1:i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' '))
+         END AS cs
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, unnest(cs) AS chunk, generate_subscripts(cs, 1) AS idx
+  FROM chunked
+),
+ranked AS (
+  SELECT doc_id, idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rk
+  FROM ex
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(chunk, ' ' ORDER BY idx)) AS rewrite_md5
+  FROM ranked WHERE rk = 1 GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ex GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.rewrite_md5, md5('')) AS rewrite_md5
+FROM corpus c
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_doc_char_entropy(spark, sf_dir):
+    """Information-theoretic quality scoring: per-document character
+    unigram entropy (low entropy ⇒ repetitive/degenerate text, the
+    cheap perplexity proxy corpus filters gate on). Computed from
+    integer counts as log2(n) - Σ c·log2(c) / n so both engines do the
+    same float ops; one shuffle on (doc_id, char), one on doc_id —
+    alphabet-bounded state per doc."""
+    docs = _docs(spark, sf_dir)
+    ch = docs.where(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), ""), lambda c: c != "")).alias("c"),
+    )
+    per = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(
+                F.col("cnt").cast("double") * F.log2(F.col("cnt").cast("double"))
+            ).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars_counted"),
+            F.round(
+                F.log2(F.col("n").cast("double"))
+                - F.col("clogc") / F.col("n").cast("double"),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+
+
+SQL_DOC_CHAR_ENTROPY = """
+WITH ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> substr(text, CAST(i AS INT), 1))) AS c
+  FROM documents WHERE length(text) > 0
+),
+per AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c),
+agg AS (
+  SELECT doc_id, SUM(cnt) AS n,
+         SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS clogc
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+       ROUND(log2(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 6) AS char_entropy
+FROM agg
+"""
+
+
+PMI_MIN_COUNT = 30
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation mining: corpus-wide adjacent-token pairs scored by
+    pointwise mutual information, floored at PMI_MIN_COUNT occurrences
+    (the classic phrase-mining primitive for tokenizer/vocab work).
+    Bigram and unigram counts are two hash aggregations on uniform
+    string keys; the totals are 1-row cross-joined scalars — no
+    driver-side math, no skew (the min-count floor also bounds the
+    result set at any corpus size)."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    tl = docs.select(toks.alias("t")).where(F.size("t") >= 2)
+    big = tl.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    nb = big.agg(F.count("*").alias("n_bigrams"))
+    nu = docs.select(F.explode(toks).alias("w")).agg(F.count("*").alias("n_tokens"))
+    pmi = F.log2(
+        (F.col("c12").cast("double") / F.col("n_bigrams"))
+        / (
+            (F.col("c1").cast("double") / F.col("n_tokens"))
+            * (F.col("c2").cast("double") / F.col("n_tokens"))
+        )
+    )
+    return (
+        cb.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(nb)
+        .crossJoin(nu)
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(pmi, 6).alias("pmi"),
+        )
+    )
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH toks AS (SELECT {TOKENS_SQL} AS t FROM documents),
+big AS (
+  SELECT unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+uni AS (SELECT unnest(t) AS w FROM toks),
+cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+nb AS (SELECT COUNT(*) AS n_bigrams FROM big),
+nu AS (SELECT COUNT(*) AS n_tokens FROM uni)
+SELECT cb.w1, cb.w2, CAST(cb.c12 AS BIGINT) AS c12,
+       ROUND(log2((CAST(cb.c12 AS DOUBLE) / n_bigrams)
+                  / ((CAST(a.c AS DOUBLE) / n_tokens)
+                     * (CAST(b.c AS DOUBLE) / n_tokens))), 6) AS pmi
+FROM cb
+JOIN cu a ON a.w = cb.w1
+JOIN cu b ON b.w = cb.w2, nb, nu
+WHERE cb.c12 >= {PMI_MIN_COUNT}
+"""
+
+
+#: deterministic synthetic PII injection (the fixture corpus is clean
+#: word soup): every 4th doc gets an email, every 6th a phone — so the
+#: scrubber provably fires and the per-source rates are non-trivial.
+PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def q_pii_redaction(spark, sf_dir):
+    """Structured-PII scrub audit: regex detection (emails, phone-like
+    numbers) + redaction, reported per source as docs affected, match
+    counts by type, and characters removed. Complements term_masking
+    (deny-list token filter) with the pattern-based scrub every
+    training-data pipeline runs before release. Pure JVM regex in one
+    projection — no UDF, no extra shuffle beyond the final per-source
+    aggregate; patterns are anchored-free POSIX classes so Java and
+    DuckDB RE engines agree."""
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("source", injected.alias("t"))
+    n_emails = F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", PII_EMAIL_RE, "<EMAIL>"), PII_PHONE_RE, "<PHONE>"
+    )
+    scored = d.select(
+        "source",
+        n_emails.alias("ne"),
+        n_phones.alias("np"),
+        (F.length("t") - F.length(redacted)).alias("removed"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when((F.col("ne") > 0) | (F.col("np") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_with_pii"),
+        F.sum("ne").cast("bigint").alias("n_emails"),
+        F.sum("np").cast("bigint").alias("n_phones"),
+        F.sum("removed").cast("bigint").alias("chars_removed"),
+    )
+
+
+SQL_PII_REDACTION = f"""
+WITH d AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS np,
+         length(t) - length(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS removed
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(SUM(removed) AS BIGINT) AS chars_removed
+FROM scored GROUP BY source
+"""
+
+
+def q_bucketed_join_revenue(spark, sf_dir):
+    """Bucketed co-located join as a checkable query (the read path of
+    operators/bucketing.py, whose zero-Exchange plan property is
+    asserted in tests/test_bucketing.py): orders and lineitem are
+    written ONCE per fixture as 8-bucket tables on the order key, then
+    the revenue-per-priority rollup joins them with no shuffle of
+    either scan. At fixture scale Catalyst (rightly) broadcasts the
+    small orders side — also exchange-free on the scans; at fact-fact
+    scale the bucket metadata yields the zero-Exchange SortMergeJoin
+    that tests/test_bucketing.py pins with broadcast disabled. At
+    100 TB this is THE fact-fact join strategy — the shuffle is paid
+    once at layout time, every subsequent join/agg on the key rides
+    it. Build-once artifacts are content-keyed like the
+    LSH index / hypertable / z-order layouts; table registration is
+    session-scoped, so a fresh session re-registers (cheap overwrite)
+    while repeated calls in one session reuse the catalog entry."""
+    import os as _os
+
+    from .operators.bucketing import bucketed_equi_join, write_bucketed
+
+    art = _artifact_cache_path(sf_dir, "bucketed_oj", "orders", "lineitem")
+    digest = art.rsplit("_", 1)[-1]
+    t_orders, t_lineitem = f"dfqp_b_orders_{digest}", f"dfqp_b_li_{digest}"
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            t_orders, "o_orderkey", n_buckets=8,
+            sort_cols=["o_orderkey"], path=_os.path.join(art, "orders"),
+        )
+    if not spark.catalog.tableExists(t_lineitem):
+        write_bucketed(
+            _t(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                "l_extendedprice", "l_discount",
+            ),
+            t_lineitem, "o_orderkey", n_buckets=8,
+            sort_cols=["o_orderkey"], path=_os.path.join(art, "lineitem"),
+        )
+    j = bucketed_equi_join(spark, t_orders, t_lineitem, "o_orderkey")
+    disc = _dec2(F.lit(1)) - _dec2(F.col("l_discount"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(_dec2(F.col("l_extendedprice")) * disc).cast("double").alias("revenue"),
+    )
+
+
+SQL_BUCKETED_JOIN_REVENUE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5469,6 +5838,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_windows": q_events_sliding_windows,
     "session_windows": q_session_windows,
     "events_pivot": q_events_pivot,
+    # new round-4 operators (positions 46-50):
+    "paragraph_dedup": q_paragraph_dedup,
+    "doc_char_entropy": q_doc_char_entropy,
+    "pmi_collocations": q_pmi_collocations,
+    "pii_redaction": q_pii_redaction,
+    "bucketed_join_revenue": q_bucketed_join_revenue,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -5682,4 +6057,9 @@ ORACLE_SQL: dict[str, str] = {
     "events_time_pruned": SQL_EVENTS_TIME_PRUNED,
     "lineitem_zorder_skip": SQL_LINEITEM_ZORDER_SKIP,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "doc_char_entropy": SQL_DOC_CHAR_ENTROPY,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "pii_redaction": SQL_PII_REDACTION,
+    "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
 }
