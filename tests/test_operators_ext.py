@@ -392,6 +392,20 @@ def test_fuzzy_join_full_recall_vs_cross_join(spark):
         assert blocked == exact, f"recall loss at d={d}"
 
 
+def test_cache_registry_releases_tracked_persists(spark, sf_dir):
+    """Operators that persist shared intermediates route them through
+    cache.track; release_all must actually unpersist them (long-lived
+    sessions composing queries would otherwise leak storage memory)."""
+    from database_fragmentation_and_query_processor_spark.cache import release_all
+    from database_fragmentation_and_query_processor_spark.operators import dedup as D
+
+    release_all()  # start clean
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    D.near_dup_pairs(docs, threshold=0.9).count()  # persists shingle_sets
+    assert release_all() >= 1
+    assert release_all() == 0  # registry drained
+
+
 def test_blocked_jaccard_sample_frac(spark, sf_dir):
     """The audit's stratum-sampling knob: the sampled run's pairs must
     be exactly the exhaustive pairs restricted to sampled doc ids

@@ -182,6 +182,40 @@ def test_sequence_packing_no_single_task_window(spark, sf_dir):
     assert "_bk" in plan, "bucketed window missing — global sort fallback?"
 
 
+def test_paragraph_dedup_window_on_chunk_hash(spark, sf_dir):
+    """The first-occurrence pick must be a window partitioned by the
+    chunk hash (uniform high-cardinality key) — never a global sort,
+    and the text column must not survive past the scan projection
+    (only doc_id + derived chunks travel)."""
+    df = EQ.QUERIES["paragraph_dedup"](spark, sf_dir)
+    plan = final_explain_formatted(df)
+    assert "Window" in plan
+    assert "md5" in plan, "chunk-hash window partitioning missing"
+    # a global row_number (empty partitionBy) would plan a single-
+    # partition Exchange; the hash-partitioned form never does
+    assert "SinglePartition" not in plan, "global window detected"
+
+
+def test_pii_redaction_no_udf_single_agg(spark, sf_dir):
+    """The scrub is pure JVM regex in one projection: no Python eval
+    node, exactly one aggregation level (partial+final on source)."""
+    df = EQ.QUERIES["pii_redaction"](spark, sf_dir)
+    plan = final_explain_formatted(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_doc_char_entropy_map_side_combine(spark, sf_dir):
+    """Char counting must partially aggregate BEFORE the exchange —
+    the shuffle carries (doc, char) partials, never raw exploded
+    characters (at 100 TB that difference is the whole design)."""
+    df = EQ.QUERIES["doc_char_entropy"](spark, sf_dir)
+    plan = final_explain_formatted(df)
+    assert "partial_count" in plan, "map-side combine missing"
+    assert plan.find("partial_count") > plan.find("Exchange"), \
+        "partial aggregate must sit below the shuffle"
+
+
 def test_salted_aggregate_two_phase(spark):
     from database_fragmentation_and_query_processor_spark.operators.scaling import (
         salted_aggregate,
