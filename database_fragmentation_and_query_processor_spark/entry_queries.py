@@ -5251,13 +5251,21 @@ def q_curation_pipeline(spark, sf_dir):
         & (n_tok >= GATE_MIN_TOKENS) & (n_tok <= GATE_MAX_TOKENS)
         & (qual >= GATE_MIN_QUALITY)
     )
-    gated = docs.where(pass_gates).select("doc_id", "source", "text")
+    # stage frontiers are persisted (and registered with cache.track):
+    # each one feeds BOTH the census counts and every later stage, and
+    # the gate predicate / fingerprint are the CPU-heavy text kernels —
+    # without materialization Spark recomputes that subtree once per
+    # consumer. At 100 TB these become checkpointed tables between
+    # pipeline stages; same idea, durable medium.
+    gated = _track_cached(
+        docs.where(pass_gates).select("doc_id", "source", "text").persist()
+    )
 
     fp = gated.select("doc_id", "source", T.fingerprint(F.col("text")).alias("fp"))
     keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    exact_kept = (
+    exact_kept = _track_cached(
         fp.join(keep, "fp").where(F.col("doc_id") == F.col("keep_id"))
-        .select("doc_id", "source")
+        .select("doc_id", "source").persist()
     )
 
     survivors = gated.join(exact_kept.select("doc_id"), "doc_id").select(
@@ -5274,10 +5282,11 @@ def q_curation_pipeline(spark, sf_dir):
         lbl.where(F.col("label").isNotNull())
         .groupBy("label").agg(F.min("doc_id").alias("cluster_keep"))
     )
-    neardup_kept = (
+    neardup_kept = _track_cached(
         lbl.join(cluster_min, "label", "left")
         .where(F.col("label").isNull() | (F.col("doc_id") == F.col("cluster_keep")))
         .select("doc_id", "source")
+        .persist()
     )
 
     toks = T.tokens(F.col("text"))
