@@ -133,6 +133,7 @@ HEADLINE = [
     "pmi_collocations",
     "pii_redaction",
     "bucketed_join_revenue",
+    "streaming_sessionization",
 ]
 
 

@@ -4521,6 +4521,91 @@ WHERE pt >= ct AND pt <= ct + {ATTR_HORIZON_US}
 """
 
 
+def q_streaming_sessionization(spark, sf_dir):
+    """The CUSTOM STATEFUL streaming operator as a fully oracle-checked
+    query: gap sessionization per user via ``applyInPandasWithState``
+    (streaming/events.py:sessionize_stateful — GroupState, bounded to
+    one open session per user). The stateful path only emits CLOSED
+    sessions, so the replay input is the normalized event stream plus
+    one 'flush' tombstone per user past the 30-min gap horizon: the
+    operator's flush_type drain closes every open session through the
+    gap logic itself and empties the state store — deterministic,
+    independent of micro-batching, and the AvailableNow drain
+    terminates without waiting on processing-time timers. The emitted
+    set equals batch gap-sessionization exactly, which is the DuckDB
+    oracle. Build-once stream input is content-keyed on events.parquet
+    like the other derived artifacts. The drain runner stops the query
+    once progress covers the bounded input — applyInPandasWithState
+    never self-terminates under AvailableNow on this Spark line (see
+    run_stateful_drained)."""
+    import os as _os
+
+    from .streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        run_stateful_drained,
+        sessionize_stateful,
+    )
+
+    ev = _events(spark, sf_dir)
+    art = _artifact_cache_path(sf_dir, "sess_stream", "events")
+    if not _os.path.exists(_os.path.join(art, "_SUCCESS")):
+        mx = int(ev.agg(F.max("tsn")).head()[0])
+        base = ev.select(
+            "event_id", "user_id", "event_type", "value", "props", "tsn"
+        )
+        flush = (
+            ev.select("user_id").distinct()
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                "user_id",
+                F.lit("flush").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+                F.lit(mx + SESSION_GAP_US + 1_000_000).cast("long").alias("tsn"),
+            )
+        )
+        base.unionByName(flush).write.mode("overwrite").parquet(art)
+    n_input = spark.read.parquet(art).count()
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(art)
+    sessions = run_stateful_drained(
+        sessionize_stateful(stream, flush_type="flush"),
+        spark,
+        expected_input_rows=n_input,
+        state_partitions=STREAM_STATE_SHARDS,
+    )
+    return sessions.select(
+        "user_id",
+        F.col("session_start_us").cast("bigint").alias("session_start_us"),
+        F.col("session_end_us").cast("bigint").alias("session_end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+SQL_STREAMING_SESSIONIZATION = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+),
+flagged AS (
+  SELECT user_id, tsn, event_id,
+         CASE WHEN lag(tsn) OVER w IS NULL
+                   OR tsn - lag(tsn) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+),
+sess AS (
+  SELECT user_id, tsn,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MIN(tsn) AS BIGINT) AS session_start_us,
+       CAST(MAX(tsn) AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # cross-engine semantics batteries: the SQL corners that silently diverge
 # ---------------------------------------------------------------------------
@@ -5853,6 +5938,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "pii_redaction": q_pii_redaction,
     "bucketed_join_revenue": q_bucketed_join_revenue,
+    # past the window — queued for the round-5 stamp rotation:
+    "streaming_sessionization": q_streaming_sessionization,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -6071,4 +6158,5 @@ ORACLE_SQL: dict[str, str] = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "pii_redaction": SQL_PII_REDACTION,
     "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
+    "streaming_sessionization": SQL_STREAMING_SESSIONIZATION,
 }

@@ -227,6 +227,62 @@ def run_available_now_append(
     return _run_to_memory(result, spark, "append", state_partitions)
 
 
+def run_stateful_drained(
+    result: DataFrame,
+    spark: SparkSession,
+    expected_input_rows: int,
+    state_partitions: int | None = None,
+    timeout_s: float = 300.0,
+) -> DataFrame:
+    """Drain an ``applyInPandasWithState`` stream over bounded input.
+
+    AvailableNow does NOT terminate a flatMapGroupsWithState query on
+    this Spark line: the processing-time-timeout machinery keeps
+    scheduling micro-batches after the data is exhausted, so the
+    ``awaitTermination`` used for the other streaming shapes would hang
+    (and long-running empty-batch loops eventually hit Python-worker
+    recycling crashes). Instead: watch the query's progress until the
+    cumulative ``numInputRows`` covers the known bounded input — the
+    batch that consumed the last row has then COMMITTED its output and
+    state effects (progress is reported post-commit) — and stop the
+    query explicitly. Callers must ensure all output is forced by data
+    itself (e.g. the sessionizer's ``flush_type`` tombstones), never by
+    timers."""
+    import time
+
+    name = "s" + uuid.uuid4().hex[:12]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        t0 = time.time()
+        while q.isActive and time.time() - t0 < timeout_s:
+            seen = sum(int(p["numInputRows"]) for p in q.recentProgress)
+            if seen >= expected_input_rows:
+                break
+            time.sleep(0.25)
+        else:
+            if q.isActive:
+                q.stop()
+                raise TimeoutError(
+                    f"stateful drain did not consume {expected_input_rows} "
+                    f"rows within {timeout_s}s"
+                )
+        if q.isActive:
+            q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    return spark.table(name)
+
+
 def upsert_sink(
     stream: DataFrame,
     target_path: str,
@@ -295,11 +351,19 @@ SESSION_STATE_SCHEMA = StructType(
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in micros
 
 
-def sessionize_stateful(stream: DataFrame):
+def sessionize_stateful(stream: DataFrame, flush_type: str | None = None):
     """Custom stateful operator: gap-based sessionization per user via
     ``applyInPandasWithState`` (GroupState). Emits closed sessions;
     keeps at most one open session per user in state. Timeout closes
-    sessions when a user goes quiet past the watermark."""
+    sessions when a user goes quiet past the watermark.
+
+    ``flush_type``: optional stream-control marker. An event whose
+    ``event_type`` equals it closes the group's open session and DRAINS
+    the state (no new session starts, no timer re-arms) — the standard
+    end-of-stream tombstone for bounded replays, where waiting on
+    processing-time timeouts would stall an AvailableNow drain for the
+    full timer duration. Live unbounded streams leave it None and rely
+    on the timeout path."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
@@ -314,7 +378,12 @@ def sessionize_stateful(stream: DataFrame):
                 )
             return
         ts_all = []
+        flushed = False
         for pdf in pdf_iter:
+            if flush_type is not None:
+                is_flush = pdf["event_type"] == flush_type
+                flushed = flushed or bool(is_flush.any())
+                pdf = pdf[~is_flush]
             ts_all.extend(int(t) for t in pdf["tsn"])
         ts_all.sort()
         if state.exists:
@@ -331,8 +400,14 @@ def sessionize_stateful(stream: DataFrame):
                 s, e, c = t, t, 1
             else:
                 e, c = t, c + 1
-        state.update((s, e, c))
-        state.setTimeoutDuration(60_000)
+        if flushed:
+            if s is not None:
+                closed.append((s, e, c))
+            if state.exists:
+                state.remove()
+        elif s is not None:
+            state.update((s, e, c))
+            state.setTimeoutDuration(60_000)
         if closed:
             yield pd.DataFrame(
                 {

@@ -173,12 +173,19 @@ def test_multimodal_feature_extraction_shape(spark, sf_dir):
 
 def test_streaming_sessionizer_closes_gap_sessions(spark, tmp_path):
     """Drive the applyInPandasWithState sessionizer on a crafted stream:
-    two bursts 45 min apart → the first session closes when the second
-    burst arrives."""
+    two bursts 45 min apart, then a flush tombstone — burst A closes by
+    the gap rule, burst B by the flush drain. The drain runner stops
+    the query deterministically (applyInPandasWithState never
+    self-terminates under AvailableNow; the old form of this test
+    leaked a running query and depended on processing-time timeout
+    timing). The timeout branch itself stays for live unbounded
+    streams and is exercised only for coverage of the close-out shape
+    by the flush path, which reuses the same session-closing logic."""
     import pandas as pd
 
     from database_fragmentation_and_query_processor_spark.streaming.events import (
         EVENTS_STREAM_SCHEMA,
+        run_stateful_drained,
         sessionize_stateful,
     )
 
@@ -190,6 +197,7 @@ def test_streaming_sessionizer_closes_gap_sessions(spark, tmp_path):
         (3, 7, "click", 1.0, "{}", 120 * us),
         (4, 7, "click", 1.0, "{}", (120 + 2700) * us),
         (5, 7, "click", 1.0, "{}", (180 + 2700) * us),
+        (-1, 7, "flush", 0.0, "{}", (180 + 2700 + 3600) * us),
     ]
     src = tmp_path / "stream_src"
     src.mkdir()
@@ -201,22 +209,17 @@ def test_streaming_sessionizer_closes_gap_sessions(spark, tmp_path):
         str(src / "batch0")
     )
     stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(src / "batch0"))
-    out = sessionize_stateful(stream)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("sess_test")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    table = run_stateful_drained(
+        sessionize_stateful(stream, flush_type="flush"),
+        spark,
+        expected_input_rows=len(rows),
+        state_partitions=4,
     )
-    q.awaitTermination(120)
-    closed = sorted(spark.table("sess_test").collect(),
-                    key=lambda r: r.session_start_us)
-    # burst A closed by the gap (3 events); burst B closed by the
-    # processing-time timeout during the final AvailableNow batch
+    closed = sorted(table.collect(), key=lambda r: r.session_start_us)
     assert [r.n_events for r in closed] == [3, 2]
     assert closed[0].session_start_us == 0 and closed[0].session_end_us == 120 * us
     assert closed[1].session_start_us == (120 + 2700) * us
+    assert closed[1].session_end_us == (180 + 2700) * us
 
 
 def test_pandas_udf_cosine_matches_expression(spark, sf_dir):
