@@ -134,6 +134,9 @@ HEADLINE = [
     "pii_redaction",
     "bucketed_join_revenue",
     "streaming_sessionization",
+    "streaming_upsert_latest",
+    "csv_quarantine_audit",
+    "salted_join_segments",
 ]
 
 

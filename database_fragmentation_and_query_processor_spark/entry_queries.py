@@ -5866,6 +5866,157 @@ GROUP BY o_orderpriority
 """
 
 
+def q_streaming_upsert_latest(spark, sf_dir):
+    """The streaming upsert SINK as a checkable query: the event stream
+    is foreachBatch-merged (SCD-1, last write wins by tsn with event_id
+    tie-break) into a parquet target keyed by user_id, then the target
+    is read back — one row per user, carrying that user's latest event.
+    The oracle derives the same rows with a per-user window over the
+    batch table. Exercises the write path end-to-end: merge plan (one
+    per-key window shuffle per micro-batch), write-then-swap commit,
+    and the read-back. Target is content-keyed per fixture; a re-run
+    over the same content re-merges identical data (idempotent)."""
+    import os as _os
+
+    from .streaming.events import read_events_stream, upsert_sink
+
+    art = _artifact_cache_path(sf_dir, "upsert_target", "events")
+    target = _os.path.join(art, "latest")
+    q = upsert_sink(
+        read_events_stream(spark, sf_dir),
+        target,
+        keys=["user_id"],
+        version_col="tsn",
+        spark=spark,
+        tiebreak_cols=["event_id"],
+    )
+    q.awaitTermination()
+    latest = spark.read.parquet(target)
+    return latest.select(
+        "user_id",
+        F.col("tsn").cast("bigint").alias("latest_tsn"),
+        F.col("event_id").cast("bigint").alias("latest_event_id"),
+        "event_type",
+    )
+
+
+SQL_STREAMING_UPSERT_LATEST = """
+SELECT user_id,
+       CAST(tsn AS BIGINT) AS latest_tsn,
+       CAST(event_id AS BIGINT) AS latest_event_id,
+       event_type
+FROM (
+  SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+
+#: deterministic corrupt lines for the CSV quarantine audit: wrong
+#: arity and unparseable bigints — every line must fail the schema.
+CSV_CORRUPT_LINES = [
+    "notanumber,en,src0,12",
+    "1,en",
+    "2,en,src1,alsonotanumber",
+    "x,y",
+    "3,de,src2,7,extra,fields,here",
+    ",,,,",
+    "oops",
+]
+
+
+def q_csv_quarantine_audit(spark, sf_dir):
+    """Delimited-source quarantine as a checkable query: documents
+    metadata is round-tripped through schema'd CSV (never inferSchema)
+    with a deterministic batch of malformed lines appended; the
+    PERMISSIVE reader routes them to the corrupt-record column and
+    quarantine_split separates the streams. Declared result: per-lang
+    clean-row aggregates plus the quarantine count — proving malformed
+    input neither kills the scan nor leaks into the clean frame. The
+    oracle computes the same aggregates straight from the parquet and
+    pins the quarantine count to the injected batch size."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .sources.csv_src import quarantine_split, read_csv, write_csv
+
+    art = _artifact_cache_path(sf_dir, "csv_quarantine", "documents")
+    if not _os.path.exists(_os.path.join(art, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        write_csv(docs, art)
+        # a separate part file of malformed lines; first line is a dummy
+        # header (the reader skips one header line PER FILE)
+        with open(_os.path.join(art, "part-corrupt.csv"), "w") as f:
+            f.write("doc_id,lang,source,n_chars\n")
+            f.write("\n".join(CSV_CORRUPT_LINES) + "\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    good, bad = quarantine_split(
+        read_csv(spark, art, schema, keep_corrupt=True)
+    )
+    n_bad = bad.count()
+    return (
+        good.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .withColumn("n_quarantined", F.lit(n_bad).cast("bigint"))
+    )
+
+
+SQL_CSV_QUARANTINE_AUDIT = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST({len(CSV_CORRUPT_LINES)} AS BIGINT) AS n_quarantined
+FROM documents GROUP BY lang
+"""
+
+
+def q_salted_join_segments(spark, sf_dir):
+    """Skew-salted equi-join as a checkable query: orders ⋈ customer
+    through operators/scaling.py:salted_join (content-derived salt fans
+    the big side, small side replicated per salt), then revenue per
+    market segment. Row-identical to the plain join BY CONSTRUCTION —
+    the oracle is that plain join. This is the manual fallback for when
+    one key holds a double-digit share of a 100 TB fact table and AQE's
+    skew split isn't enough."""
+    from .operators.scaling import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(orders, cust, "c_custkey", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(_dec2(F.col("o_totalprice"))).cast("double").alias("total_price"),
+    )
+
+
+SQL_SALTED_JOIN_SEGMENTS = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5940,6 +6091,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join_revenue": q_bucketed_join_revenue,
     # past the window — queued for the round-5 stamp rotation:
     "streaming_sessionization": q_streaming_sessionization,
+    "streaming_upsert_latest": q_streaming_upsert_latest,
+    "csv_quarantine_audit": q_csv_quarantine_audit,
+    "salted_join_segments": q_salted_join_segments,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -6159,4 +6313,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_redaction": SQL_PII_REDACTION,
     "bucketed_join_revenue": SQL_BUCKETED_JOIN_REVENUE,
     "streaming_sessionization": SQL_STREAMING_SESSIONIZATION,
+    "streaming_upsert_latest": SQL_STREAMING_UPSERT_LATEST,
+    "csv_quarantine_audit": SQL_CSV_QUARANTINE_AUDIT,
+    "salted_join_segments": SQL_SALTED_JOIN_SEGMENTS,
 }

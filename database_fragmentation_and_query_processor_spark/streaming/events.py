@@ -289,6 +289,7 @@ def upsert_sink(
     keys: list[str],
     version_col: str,
     spark: SparkSession,
+    tiebreak_cols: list[str] | None = None,
 ):
     """Streaming merge/upsert sink via foreachBatch: each micro-batch
     SCD-1-merges (last write wins by ``version_col``) into the parquet
@@ -303,14 +304,16 @@ def upsert_sink(
     """
     from ..operators.merge import merge_upsert
 
+    order_cols = [version_col] + list(tiebreak_cols or [])
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
         if os.path.isdir(target_path):
             current = spark.read.parquet(target_path)
-            merged = merge_upsert(current, batch_df, keys, [version_col])
+            merged = merge_upsert(current, batch_df, keys, order_cols)
         else:
             merged = merge_upsert(
-                batch_df.limit(0), batch_df, keys, [version_col]
+                batch_df.limit(0), batch_df, keys, order_cols
             )
         tmp = target_path + ".merge"
         merged.write.mode("overwrite").parquet(tmp)
