@@ -137,6 +137,8 @@ HEADLINE = [
     "streaming_upsert_latest",
     "csv_quarantine_audit",
     "salted_join_segments",
+    "jsonl_quarantine_audit",
+    "doc_lm_perplexity",
 ]
 
 

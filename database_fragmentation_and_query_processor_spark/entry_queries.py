@@ -6017,6 +6017,140 @@ GROUP BY c_mktsegment
 """
 
 
+#: deterministic corrupt ndjson lines — every line must fail the parse
+#: (broken syntax), not merely miss fields (PERMISSIVE fills nulls).
+JSONL_CORRUPT_LINES = [
+    '{"doc_id": 1, "lang": "en"',
+    "not json at all",
+    '{"doc_id": }',
+    "[1,2,3",
+    '{"doc_id": 2 "lang": "en"}',
+]
+
+
+def q_jsonl_quarantine_audit(spark, sf_dir):
+    """ndjson twin of csv_quarantine_audit (sources/jsonl.py): schema'd
+    JSON-lines round-trip with deterministic syntactically-broken lines
+    appended; PERMISSIVE parse routes them to the corrupt-record
+    column; clean per-source aggregates must match the parquet oracle
+    with the quarantine count pinned to the injected batch."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from .sources.jsonl import quarantine_split, read_jsonl, write_jsonl
+
+    art = _artifact_cache_path(sf_dir, "jsonl_quarantine", "documents")
+    if not _os.path.exists(_os.path.join(art, "_SUCCESS")):
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        write_jsonl(docs, art)
+        with open(_os.path.join(art, "part-corrupt.json"), "w") as f:
+            f.write("\n".join(JSONL_CORRUPT_LINES) + "\n")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    good, bad = quarantine_split(
+        read_jsonl(spark, art, schema, keep_corrupt=True)
+    )
+    n_bad = bad.count()
+    return (
+        good.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .withColumn("n_quarantined", F.lit(n_bad).cast("bigint"))
+    )
+
+
+SQL_JSONL_QUARANTINE_AUDIT = f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST({len(JSONL_CORRUPT_LINES)} AS BIGINT) AS n_quarantined
+FROM documents GROUP BY source
+"""
+
+
+def q_doc_lm_perplexity(spark, sf_dir):
+    """Statistical LM quality filter: a corpus-level bigram model
+    (MLE, no smoothing — every doc bigram is observed by construction)
+    scores each document with its per-token perplexity
+    exp(-Σ log p(w2|w1) / n). The real-text analogue is a KenLM-style
+    filter; the plan shape is identical at any corpus size: bigram and
+    unigram count tables (two hash aggs on uniform string keys), one
+    broadcast-or-shuffle join back onto the doc bigram stream, one
+    per-doc aggregate. Scores rounded to 6dp for cross-engine float
+    agreement (log-sum ordering)."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    tl = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
+    big = tl.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # unigram counts as BIGRAM-HISTORY counts: c(w1) = Σ_w2 c(w1, w2),
+    # so p(w2|w1) sums to exactly 1 per history on both engines
+    cu = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+            ).alias("logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.exp(-F.col("logp") / F.col("n_bigrams").cast("double")), 6
+        ).alias("perplexity"),
+    )
+
+
+SQL_DOC_LM_PERPLEXITY = f"""
+WITH tl AS (
+  SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+  WHERE len({TOKENS_SQL}) >= 2
+),
+big AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM tl
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+cu AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         SUM(ln(CAST(cb.c12 AS DOUBLE) / CAST(cu.c1 AS DOUBLE))) AS logp
+  FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(exp(-logp / CAST(n_bigrams AS DOUBLE)), 6) AS perplexity
+FROM scored
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6094,6 +6228,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_upsert_latest": q_streaming_upsert_latest,
     "csv_quarantine_audit": q_csv_quarantine_audit,
     "salted_join_segments": q_salted_join_segments,
+    "jsonl_quarantine_audit": q_jsonl_quarantine_audit,
+    "doc_lm_perplexity": q_doc_lm_perplexity,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -6316,4 +6452,6 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_upsert_latest": SQL_STREAMING_UPSERT_LATEST,
     "csv_quarantine_audit": SQL_CSV_QUARANTINE_AUDIT,
     "salted_join_segments": SQL_SALTED_JOIN_SEGMENTS,
+    "jsonl_quarantine_audit": SQL_JSONL_QUARANTINE_AUDIT,
+    "doc_lm_perplexity": SQL_DOC_LM_PERPLEXITY,
 }
