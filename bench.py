@@ -139,6 +139,12 @@ HEADLINE = [
     "salted_join_segments",
     "jsonl_quarantine_audit",
     "doc_lm_perplexity",
+    "doc_split_assign",
+    "cms_heavy_hitters",
+    "snapshot_diff",
+    "gdpr_delete_audit",
+    "ewma_user_value",
+    "vocab_oov_rate",
 ]
 
 

@@ -6152,6 +6152,467 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# round-4 batch 2: dataset-management + sketch operators
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split"
+SPLIT_TRAIN_PERMILLE = 800  # train < 800 ≤ val < 900 ≤ test
+SPLIT_VAL_PERMILLE = 900
+
+
+def q_doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10): the split decision
+    is a pure function of md5(doc_id) — reproducible across runs,
+    partitionings, engines, and dataset growth (a doc keeps its split
+    forever; new docs don't reshuffle old ones). This is the leakage-safe
+    way to split training corpora: ``randomSplit`` re-rolls per task
+    attempt and cannot be replayed. Map-side expression, zero shuffle
+    before the final tiny (split, lang) aggregate."""
+    docs = _docs(spark, sf_dir)
+    b = SampleOp.hash_bucket(F.col("doc_id"), SPLIT_SALT)
+    split = (
+        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+        .when(b < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .withColumn("n_tokens", T.token_count(F.col("text")))
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("doc_id")).cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+_SPLIT_BUCKET_SQL = (
+    f"CAST('0x' || substr(md5('{SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 13)"
+    f" AS BIGINT) % 1000"
+)
+
+SQL_DOC_SPLIT_ASSIGN = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+            WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_VAL_PERMILLE} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS total_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 256  # buckets per row
+CMS_TOPK = 20
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: the sketch answer for the top-k
+    tokens next to their exact counts, so the (always ≥ 0) overestimate
+    is visible. The sketch build is ONE pass over the token stream —
+    each occurrence fans out to CMS_DEPTH (row, bucket) cells, then one
+    groupBy over a key space of at most DEPTH×WIDTH = 1024 cells: at
+    100 TB this is the operator you run when per-token exact state
+    (here kept only to audit) no longer fits — sketch memory is O(d·w),
+    independent of corpus size. All hashing is portable md5 arithmetic
+    (operators/sampling.py:hash_bucket), so the DuckDB oracle replays
+    the sketch cell-for-cell."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    rows = F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    cells = tok.select(
+        F.col("token"), F.explode(rows).alias("j")
+    ).select(
+        "token",
+        "j",
+        SampleOp.hash_bucket(
+            F.concat(F.col("j").cast("string"), F.lit("|"), F.col("token")),
+            "cms",
+            CMS_WIDTH,
+        ).alias("bucket"),
+    )
+    sketch = cells.groupBy("j", "bucket").agg(F.count("*").alias("cell"))
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("token")).limit(CMS_TOPK)
+    probes = top.select(
+        "token", "exact_cnt", F.explode(rows).alias("j")
+    ).withColumn(
+        "bucket",
+        SampleOp.hash_bucket(
+            F.concat(F.col("j").cast("string"), F.lit("|"), F.col("token")),
+            "cms",
+            CMS_WIDTH,
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        "token",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+    )
+
+
+_CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '|' || token), 1, 13)"
+    f" AS BIGINT) % {CMS_WIDTH}"
+)
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT unnest({TOKENS_SQL}) AS token FROM documents
+),
+cells AS (
+  SELECT token, j, {_CMS_BUCKET_SQL} AS bucket
+  FROM tok CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j)
+),
+sketch AS (
+  SELECT j, bucket, COUNT(*) AS cell FROM cells GROUP BY j, bucket
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token
+),
+top AS (
+  SELECT token, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, token LIMIT {CMS_TOPK}
+),
+probes AS (
+  SELECT t.token, t.exact_cnt, j, {_CMS_BUCKET_SQL.replace('token', 't.token')} AS bucket
+  FROM top t CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j)
+),
+est AS (
+  SELECT p.token, p.exact_cnt, MIN(s.cell) AS cms_est
+  FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+  GROUP BY p.token, p.exact_cnt
+)
+SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+FROM est
+"""
+
+
+SNAP_SALT = "snap"
+SNAP_INSERT_OFFSET = 30_000_000
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Table-version diff (added / removed / changed / unchanged) — the
+    audit behind every incremental pipeline run. Version 2 is derived
+    from ``orders`` deterministically (md5 bucket of the key: <100
+    deleted, <200 price-bumped, ≥900 also cloned to a fresh key), then
+    v1 FULL OUTER JOIN v2 on the primary key with a value-hash compare
+    classifies every row. One key shuffle; the value compare is md5 of
+    the concatenated row image, so wide tables diff at fixed shuffle
+    width. Money stays DECIMAL end-to-end."""
+    v1 = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    b = SampleOp.hash_bucket(F.col("o_orderkey"), SNAP_SALT)
+    surviving = v1.where(b >= 100)
+    updated = surviving.withColumn(
+        "price",
+        F.when(b < 200, F.col("price") + F.lit(10).cast("decimal(18,2)"))
+        .otherwise(F.col("price")).cast("decimal(18,2)"),
+    )
+    inserted = surviving.where(b >= 900).select(
+        (F.col("o_orderkey") + SNAP_INSERT_OFFSET).alias("o_orderkey"),
+        "o_orderstatus",
+        "price",
+    )
+    v2 = updated.unionByName(inserted)
+    img = lambda df: F.md5(  # noqa: E731 — row-image hash, both sides
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("price").cast("string"))
+    )
+    a = v1.select("o_orderkey", img(v1).alias("h1"))
+    c = v2.select("o_orderkey", img(v2).alias("h2"))
+    j = a.join(c, "o_orderkey", "full_outer")
+    cls = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") == F.col("h2"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.groupBy(cls.alias("diff_class")).agg(
+        F.count("*").alias("n_rows")
+    )
+
+
+_SNAP_BUCKET_SQL = (
+    f"CAST('0x' || substr(md5('{SNAP_SALT}' || CAST(o_orderkey AS VARCHAR)), 1, 13)"
+    f" AS BIGINT) % 1000"
+)
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+),
+b AS (
+  SELECT v1.*, {_SNAP_BUCKET_SQL} AS bkt FROM v1
+),
+surviving AS (SELECT * FROM b WHERE bkt >= 100),
+updated AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CASE WHEN bkt < 200 THEN price + 10 ELSE price END
+              AS DECIMAL(18,2)) AS price
+  FROM surviving
+),
+inserted AS (
+  SELECT o_orderkey + {SNAP_INSERT_OFFSET} AS o_orderkey, o_orderstatus,
+         CAST(CASE WHEN bkt < 200 THEN price + 10 ELSE price END
+              AS DECIMAL(18,2)) AS price
+  FROM surviving WHERE bkt >= 900
+),
+v2 AS (SELECT * FROM updated UNION ALL SELECT * FROM inserted),
+a AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', o_orderstatus, CAST(price AS VARCHAR))) AS h1
+  FROM v1
+),
+c AS (
+  SELECT o_orderkey,
+         md5(concat_ws('|', o_orderstatus, CAST(price AS VARCHAR))) AS h2
+  FROM v2
+),
+j AS (SELECT a.h1, c.h2 FROM a FULL OUTER JOIN c USING (o_orderkey))
+SELECT CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 = h2 THEN 'unchanged'
+            ELSE 'changed' END AS diff_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM j GROUP BY 1
+"""
+
+
+GDPR_MOD = 97  # erasure subjects: c_custkey % 97 == 0
+
+
+def q_gdpr_delete_audit(spark, sf_dir):
+    """Right-to-erasure propagation audit: given a subject set of
+    customers, count what a cascading delete removes/keeps across
+    customer → orders → lineitem, with surviving-key checksums proving
+    the survivor sets are exactly the complements. The subject set is
+    broadcast into a semi/anti-join pair per table (customer, orders);
+    the lineitem cascade semi-joins the deleted-order KEYS only (never
+    the payload), so the extra shuffle carries 8-byte keys. At 100 TB
+    the same plan holds — the subject list is the only broadcast, and
+    every cascade hop is a key-projected shuffle join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    subjects = cust.where(F.col("c_custkey") % GDPR_MOD == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(subjects),
+        orders.o_custkey == subjects.c_custkey,
+        "left_semi",
+    )
+    del_order_keys = del_orders.select("o_orderkey")
+
+    def audit(name, df, key, deleted_pred):
+        d = df.withColumn("_del", deleted_pred)
+        return d.agg(
+            F.lit(name).alias("table_name"),
+            F.sum(F.when(F.col("_del"), 1).otherwise(0)).cast("bigint").alias("n_deleted"),
+            F.sum(F.when(F.col("_del"), 0).otherwise(1)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("_del"), 0).otherwise(F.col(key))).cast("bigint").alias("kept_checksum"),
+        )
+
+    c_aud = audit(
+        "customer", cust, "c_custkey", F.col("c_custkey") % GDPR_MOD == 0
+    )
+    o_aud = audit(
+        "orders",
+        orders.join(
+            F.broadcast(subjects.withColumnRenamed("c_custkey", "o_custkey").withColumn("_hit", F.lit(1))),
+            "o_custkey",
+            "left",
+        ),
+        "o_orderkey",
+        F.col("_hit").isNotNull(),
+    )
+    l_aud = audit(
+        "lineitem",
+        li.join(
+            F.broadcast(del_order_keys.withColumnRenamed("o_orderkey", "l_orderkey").withColumn("_hit", F.lit(1))),
+            "l_orderkey",
+            "left",
+        ),
+        "l_orderkey",
+        F.col("_hit").isNotNull(),
+    )
+    return c_aud.unionByName(o_aud).unionByName(l_aud)
+
+
+SQL_GDPR_DELETE_AUDIT = f"""
+WITH subjects AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {GDPR_MOD} = 0
+),
+del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+)
+SELECT 'customer' AS table_name,
+       CAST(SUM(CASE WHEN c_custkey % {GDPR_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN c_custkey % {GDPR_MOD} = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c_custkey % {GDPR_MOD} = 0 THEN 0 ELSE c_custkey END) AS BIGINT) AS kept_checksum
+FROM customer
+UNION ALL
+SELECT 'orders',
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE o_orderkey END) AS BIGINT)
+FROM (
+  SELECT o_orderkey,
+         o_custkey IN (SELECT c_custkey FROM subjects) AS hit
+  FROM orders
+)
+UNION ALL
+SELECT 'lineitem',
+       CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT),
+       CAST(SUM(CASE WHEN hit THEN 0 ELSE l_orderkey END) AS BIGINT)
+FROM (
+  SELECT l_orderkey,
+         l_orderkey IN (SELECT o_orderkey FROM del_orders) AS hit
+  FROM lineitem
+)
+"""
+
+
+EWMA_Q_SCALE = 1_000_000
+
+
+def q_ewma_user_value(spark, sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    (α = 1/2), reported at the last event. The closed form
+    ``Σ x_i·2^-(n-i) / Σ 2^-(n-i)`` replaces the sequential recurrence —
+    the whole computation is one per-user window shuffle plus a hash
+    agg, no iteration. α = 1/2 is chosen deliberately: multiplying an
+    IEEE double by 2^-k only shifts the exponent, so every weighted term
+    is EXACT and engine-identical; terms are then floor-quantized to
+    integers (EMB_Q_SCALE pattern) so the distributed sum is
+    order-exact. Weights below 2^-40 are clamped to zero on both
+    engines (identically) so long histories don't underflow
+    differently."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    wn = Window.partitionBy("user_id")
+    k = F.col("n") - F.col("rn")  # n-1 .. 0, newest term has k=0
+    weight = F.when(k > 40, F.lit(0.0)).otherwise(F.pow(F.lit(0.5), k))
+    rows = (
+        ev.select("user_id", "tsn", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    qnum = F.floor(F.col("value") * weight * EWMA_Q_SCALE).cast("bigint")
+    qden = F.floor(weight * EWMA_Q_SCALE).cast("bigint")
+    return (
+        rows.select("user_id", qnum.alias("qn"), qden.alias("qd"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum("qn").cast("double") / F.sum("qd").cast("double"), 6
+            ).alias("ewma_value"),
+        )
+    )
+
+
+SQL_EWMA_USER_VALUE = f"""
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS tsn FROM events
+),
+rows_ AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM ev
+),
+terms AS (
+  SELECT user_id,
+         CAST(FLOOR(value * (CASE WHEN n - rn > 40 THEN 0.0
+                                  ELSE pow(0.5, n - rn) END) * {EWMA_Q_SCALE})
+              AS BIGINT) AS qn,
+         CAST(FLOOR((CASE WHEN n - rn > 40 THEN 0.0
+                          ELSE pow(0.5, n - rn) END) * {EWMA_Q_SCALE})
+              AS BIGINT) AS qd
+  FROM rows_
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(qn) AS DOUBLE) / CAST(SUM(qd) AS DOUBLE), 6) AS ewma_value
+FROM terms GROUP BY user_id
+"""
+
+
+VOCAB_K = 100
+
+
+def q_vocab_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage audit: build the top-K token
+    vocabulary (count desc, token asc — fully tie-broken), then the
+    out-of-vocabulary occurrence rate per language. The vocab is a
+    top-K over the global token-count agg (TakeOrdered on K rows, no
+    global sort) and is broadcast into the coverage join — at 100 TB
+    the vocab stays driver-small (K entries) while the token stream
+    never leaves its partitions except for the two hash aggs."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("lang", F.explode(T.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_K).select(
+        "token", F.lit(1).alias("_in_vocab")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("total_occurrences"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_occurrences"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("oov_occurrences").cast("double")
+                / F.col("total_occurrences").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+SQL_VOCAB_OOV_RATE = f"""
+WITH tok AS (
+  SELECT lang, unnest({TOKENS_SQL}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+  ) ORDER BY cnt DESC, token LIMIT {VOCAB_K}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS total_occurrences,
+       CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END)
+            AS BIGINT) AS oov_occurrences,
+       ROUND(CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -6230,6 +6691,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_segments": q_salted_join_segments,
     "jsonl_quarantine_audit": q_jsonl_quarantine_audit,
     "doc_lm_perplexity": q_doc_lm_perplexity,
+    "doc_split_assign": q_doc_split_assign,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "snapshot_diff": q_snapshot_diff,
+    "gdpr_delete_audit": q_gdpr_delete_audit,
+    "ewma_user_value": q_ewma_user_value,
+    "vocab_oov_rate": q_vocab_oov_rate,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -6454,4 +6921,10 @@ ORACLE_SQL: dict[str, str] = {
     "salted_join_segments": SQL_SALTED_JOIN_SEGMENTS,
     "jsonl_quarantine_audit": SQL_JSONL_QUARANTINE_AUDIT,
     "doc_lm_perplexity": SQL_DOC_LM_PERPLEXITY,
+    "doc_split_assign": SQL_DOC_SPLIT_ASSIGN,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "gdpr_delete_audit": SQL_GDPR_DELETE_AUDIT,
+    "ewma_user_value": SQL_EWMA_USER_VALUE,
+    "vocab_oov_rate": SQL_VOCAB_OOV_RATE,
 }
