@@ -145,6 +145,13 @@ HEADLINE = [
     "gdpr_delete_audit",
     "ewma_user_value",
     "vocab_oov_rate",
+    "boilerplate_chunk_removal",
+    "bow_dedup",
+    "orc_roundtrip_agg",
+    "schema_evolution_read",
+    "pagerank_copurchase",
+    "triangle_count_copurchase",
+    "semantic_dedup",
 ]
 
 

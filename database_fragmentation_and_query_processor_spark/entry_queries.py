@@ -6612,6 +6612,513 @@ FROM tok GROUP BY lang
 """
 
 
+BOILER_PREFIX = ("this website uses cookies by continuing to browse you "
+                 "accept our terms of service and privacy")  # exactly 16 tokens
+BOILER_DF = 3  # a chunk in ≥ 3 distinct docs is boilerplate
+BOILER_MOD = 5  # docs with doc_id % 5 == 0 carry the injected banner
+
+
+def q_boilerplate_chunk_removal(spark, sf_dir):
+    """Frequency-based boilerplate removal (the C4 'repeated line'
+    filter at chunk granularity): any 16-token chunk appearing in ≥
+    BOILER_DF distinct documents is boilerplate and is stripped from
+    every document carrying it. Deterministic banner injection (every
+    5th doc gets a 16-token cookie-notice prefix) gives the operator
+    real work on the synthetic corpus. Complements paragraph_dedup
+    (first-occurrence keep): df-threshold removal deletes ALL copies.
+
+    Two shuffles — one on the chunk hash for the document-frequency agg
+    (uniform md5 keys), one on (source) for the audit. The df table is
+    filtered to boilerplate hashes BEFORE the join back, so the join's
+    build side is only the (tiny) offender set — broadcastable at any
+    corpus size where boilerplate is rare."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % BOILER_MOD == 0,
+            F.concat(F.lit(BOILER_PREFIX), F.lit(" "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    toks = T.tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ),
+        )
+    )
+    ex = docs.select(
+        "doc_id", "source", F.explode(chunks).alias("chunk")
+    ).withColumn("h", F.md5("chunk"))
+    boiler = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= BOILER_DF)
+        .select("h", F.lit(1).alias("_boiler"))
+    )
+    flagged = ex.join(F.broadcast(boiler), "h", "left")
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.sum(F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)).alias("rm_chunks"),
+        F.sum(
+            F.when(F.col("_boiler").isNotNull(), F.size(T.tokens(F.col("chunk"))))
+            .otherwise(0)
+        ).alias("rm_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rm_chunks") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("docs_affected"),
+        F.sum("rm_chunks").cast("bigint").alias("chunks_removed"),
+        F.sum("rm_tokens").cast("bigint").alias("tokens_removed"),
+    )
+
+
+SQL_BOILERPLATE_CHUNK_REMOVAL = f"""
+WITH injected AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % {BOILER_MOD} = 0
+              THEN '{BOILER_PREFIX} ' || text ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, source, {TOKENS_SQL} AS t FROM injected),
+chunked AS (
+  SELECT doc_id, source,
+         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(
+                     range(0, CAST(ceil(len(t) / {CHUNK_TOKENS}.0) AS INT)),
+                     i -> array_to_string(t[i*{CHUNK_TOKENS}+1:i*{CHUNK_TOKENS}+{CHUNK_TOKENS}], ' '))
+         END AS cs
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, source, unnest(cs) AS chunk, md5(unnest(cs)) AS h FROM chunked
+),
+boiler AS (
+  SELECT h FROM ex GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+),
+per_doc AS (
+  SELECT doc_id, source,
+         SUM(CASE WHEN h IN (SELECT h FROM boiler) THEN 1 ELSE 0 END) AS rm_chunks,
+         SUM(CASE WHEN h IN (SELECT h FROM boiler)
+                  THEN len(CASE WHEN length(trim(chunk)) = 0 THEN CAST([] AS VARCHAR[])
+                                ELSE regexp_split_to_array(trim(chunk), '\\s+') END)
+                  ELSE 0 END) AS rm_tokens
+  FROM ex GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rm_chunks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected,
+       CAST(SUM(rm_chunks) AS BIGINT) AS chunks_removed,
+       CAST(SUM(rm_tokens) AS BIGINT) AS tokens_removed
+FROM per_doc GROUP BY source
+"""
+
+
+BOW_REV_SALT = 200_000  # reordered-variant ids live above this offset
+BOW_REV_MOD = 11
+
+
+def q_bow_dedup(spark, sf_dir):
+    """Order-insensitive (bag-of-words) duplicate census: documents
+    whose token MULTISETS match but whose raw texts differ — the
+    reordered/paraphrase-shuffled near-dup class that exact text
+    hashing misses and shingle MinHash underweights. Fingerprint =
+    md5 of the sorted token array (multiset-preserving), one hash agg
+    on that 32-char key. Every 11th doc is cloned in reversed token
+    order so the operator has guaranteed reordered pairs to find.
+    Output: (group_size, distinct_texts) histogram of fingerprint
+    groups — a group with distinct_texts > 1 is a pure reorder."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    rev = docs.where(F.col("doc_id") % BOW_REV_MOD == 0).select(
+        (F.col("doc_id") + BOW_REV_SALT).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(toks)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(rev)
+    ctoks = T.tokens(F.col("text"))
+    fp = F.md5(F.concat_ws(" ", F.array_sort(ctoks)))
+    groups = corpus.groupBy(fp.alias("fp")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_texts"),
+    )
+    return groups.groupBy("n_docs", "n_texts").agg(
+        F.count("*").cast("bigint").alias("n_groups")
+    ).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_texts").cast("bigint").alias("n_texts"),
+        "n_groups",
+    )
+
+
+SQL_BOW_DEDUP = f"""
+WITH base AS (SELECT doc_id, text, {TOKENS_SQL} AS t FROM documents),
+rev AS (
+  SELECT doc_id + {BOW_REV_SALT} AS doc_id,
+         array_to_string(list_reverse(t), ' ') AS text
+  FROM base WHERE doc_id % {BOW_REV_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM rev
+),
+fps AS (
+  SELECT md5(array_to_string(list_sort(
+           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\\s+') END), ' ')) AS fp,
+         md5(text) AS th
+  FROM corpus
+),
+groups AS (
+  SELECT fp, COUNT(*) AS n_docs, COUNT(DISTINCT th) AS n_texts
+  FROM fps GROUP BY fp
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(n_texts AS BIGINT) AS n_texts,
+       CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM groups GROUP BY n_docs, n_texts
+"""
+
+
+def q_orc_roundtrip_agg(spark, sf_dir):
+    """ORC source/sink round-trip: documents written once to columnar
+    ORC (build-once artifact, content-keyed like the LSH index), read
+    back through the ORC reader, and aggregated; the oracle computes
+    the same aggregate from the original parquet, so a green row proves
+    the round trip is byte-faithful (md5-prefix checksum over every
+    text). ORC keeps the same predicate-pushdown/column-pruning
+    contract as parquet in Spark, so this is the format-portability
+    check for warehouses standardized on ORC."""
+    import os as _os
+
+    path = _artifact_cache_path(sf_dir, "orc_docs", "documents")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        _t(spark, sf_dir, "documents").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    chk = F.conv(F.substring(F.md5(F.col("text")), 1, 13), 16, 10).cast("bigint")
+    return back.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(chk).cast("bigint").alias("text_checksum"),
+    )
+
+
+SQL_ORC_ROUNDTRIP_AGG = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT)) AS BIGINT)
+         AS text_checksum
+FROM documents GROUP BY source
+"""
+
+
+def q_schema_evolution_read(spark, sf_dir):
+    """Schema-evolution read path: two parquet batches written with
+    DIFFERENT schemas (batch 1: doc_id+lang; batch 2 adds n_chars —
+    the additive column case every long-lived dataset hits), then one
+    ``mergeSchema`` read reconciles them and aggregates with explicit
+    null semantics for the pre-evolution rows. The batches are
+    build-once artifacts derived deterministically from documents
+    (even ids are 'old writer', odd ids 'new writer'), so the DuckDB
+    oracle reproduces the union from the source table. At scale,
+    mergeSchema's footer reconciliation is a listing-time cost — the
+    scan itself stays pruned and pushed-down."""
+    import os as _os
+
+    path = _artifact_cache_path(sf_dir, "schema_evo", "documents")
+    p1, p2 = _os.path.join(path, "b1"), _os.path.join(path, "b2")
+    if not _os.path.exists(_os.path.join(path, "_DONE")):
+        docs = _t(spark, sf_dir, "documents")
+        docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+            "overwrite"
+        ).parquet(p1)
+        docs.where(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(p2)
+        with open(_os.path.join(path, "_DONE"), "w") as f:
+            f.write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return merged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("n_chars").cast("bigint").alias("rows_with_chars"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).cast("bigint").alias("total_chars"),
+    )
+
+
+SQL_SCHEMA_EVOLUTION_READ = """
+WITH merged AS (
+  SELECT doc_id, lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(n_chars) AS BIGINT) AS rows_with_chars,
+       CAST(SUM(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars
+FROM merged GROUP BY lang
+"""
+
+
+COPURCHASE_BUCKET_US = 600_000_000  # 10-minute co-activity window
+PAGERANK_ITERS = 3
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Undirected user-interaction graph: an edge joins two users with
+    purchase events in the same 10-minute bucket. Built as a self-join
+    on the bucket key after de-duplicating (user, bucket) — bucket
+    cardinality bounds the fan-out, so edge construction is one
+    key-shuffle, never a users×users product."""
+    ev = _events(spark, sf_dir)
+    ub = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.expr(f"tsn div {COPURCHASE_BUCKET_US}").alias("b"))
+        .distinct()
+    )
+    a, c = ub.alias("a"), ub.alias("c")
+    return (
+        a.join(c, (F.col("a.b") == F.col("c.b")) & (F.col("a.user_id") < F.col("c.user_id")))
+        .select(F.col("a.user_id").alias("id_a"), F.col("c.user_id").alias("id_b"))
+        .distinct()
+    )
+
+
+_COPURCHASE_EDGES_CTE = f"""
+ub AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {COPURCHASE_BUCKET_US} AS b
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT DISTINCT a.user_id AS id_a, c.user_id AS id_b
+  FROM ub a JOIN ub c ON a.b = c.b AND a.user_id < c.user_id
+)"""
+
+
+def q_pagerank_copurchase(spark, sf_dir):
+    """Integer-exact PageRank (3 power iterations, damping 0.85) over
+    the co-purchase graph — influence scoring as an iterative
+    relational algorithm (operators/graph.py:pagerank_integer). All
+    arithmetic is BIGINT floor division, so the oracle replays the
+    iterations as three unrolled CTEs and hash-matches exactly —
+    something float PageRank can never do across engines. Top-50 by
+    (rank desc, node) keeps the result driver-small."""
+    from .operators.graph import pagerank_integer
+
+    edges = _copurchase_edges(spark, sf_dir)
+    ranks = pagerank_integer(edges, iters=PAGERANK_ITERS)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(50).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    from .operators.graph import PAGERANK_SCALE
+
+    base = PAGERANK_SCALE * 15 // 100
+    iters = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT b.dst AS node,
+         CAST({base} + 85 * SUM(r.rank // d.deg) // 100 AS BIGINT) AS rank
+  FROM bidir b JOIN deg d ON b.src = d.src JOIN {prev} r ON r.node = b.src
+  GROUP BY b.dst
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_COPURCHASE_EDGES_CTE},
+bidir AS (
+  SELECT id_a AS src, id_b AS dst FROM e
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM e
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM bidir GROUP BY src),
+r0 AS (SELECT src AS node, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM deg),
+{','.join(iters)}
+SELECT CAST(node AS BIGINT) AS node, rank FROM {prev}
+ORDER BY rank DESC, node LIMIT 50
+"""
+
+
+def q_triangle_count_copurchase(spark, sf_dir):
+    """Triangle count of the co-purchase graph (graph-density /
+    community-cohesion audit) via the oriented-wedge plan — each
+    triangle {a<b<c} counted exactly once by closing (a,b)+(b,c)
+    against (a,c) (operators/graph.py:triangle_counts). Two shuffle
+    joins; at 100 TB the orientation bounds wedge fan-out by the
+    max oriented degree."""
+    from .operators.graph import triangle_counts
+
+    return triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+SQL_TRIANGLE_COUNT_COPURCHASE = f"""
+WITH {_COPURCHASE_EDGES_CTE},
+ab AS (SELECT id_a AS a, id_b AS b FROM e),
+bc AS (SELECT id_a AS b, id_b AS c FROM e),
+ac AS (SELECT id_a AS a, id_b AS c FROM e),
+tris AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM ab JOIN bc USING (b) JOIN ac USING (a, c)
+),
+edges_n AS (SELECT COUNT(*) AS n_edges FROM e),
+nodes_n AS (
+  SELECT COUNT(*) AS n_nodes FROM (
+    SELECT id_a AS n FROM e UNION SELECT id_b FROM e
+  )
+)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_nodes AS BIGINT) AS n_nodes
+FROM tris, edges_n, nodes_n
+"""
+
+
+SEM_DUP_SALT = 100_000  # perturbed-clone ids live above this offset
+SEM_DUP_MOD = 13
+SEM_TAU = 0.95  # within-cluster cosine threshold
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus with
+    the deterministic IVF coarse quantizer, then drop any vector with a
+    higher-similarity, lower-id neighbor IN ITS OWN CLUSTER (cosine ≥
+    SEM_TAU). The pairwise step is quadratic only WITHIN a cluster —
+    the published algorithm's trick for corpus-scale semantic dedup —
+    so cost is Σ|cluster|², bounded by the quantizer fan-out, never
+    n². Every 13th vector gets a deterministically perturbed clone
+    (+0.05 on dim 0, cosine ≈ 0.999) so the operator has true semantic
+    dups to find. The whole pipeline is round-6 deterministic
+    arithmetic, replayed by the oracle as static SQL (the
+    ann_ivf_topk pattern). Output: per-cluster audit."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    clones = base.where(F.col("vec_id") % SEM_DUP_MOD == 0).select(
+        (F.col("vec_id") + SEM_DUP_SALT).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)),
+            F.slice("v", 2, EMB_DIM - 1),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(clones)
+    cents = S.kmeans_centroids(
+        corpus, n_lists=IVF_N_LISTS, iters=1, id_col="vec_id", vec_col="v"
+    )
+    assigned = corpus.withColumn(
+        "list_id", S.nearest_centroid_expr(F.col("v"), cents)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(F.round(V.cosine(F.col("a.v"), F.col("b.v")), 6) >= SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"), F.col("b.list_id").alias("list_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped.withColumn("_drop", F.lit(1)).drop("list_id"), "vec_id", "left"
+        )
+        .groupBy("list_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("_drop").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.sum(F.when(F.col("_drop").isNotNull(), F.col("vec_id")).otherwise(0))
+            .cast("bigint")
+            .alias("dropped_checksum"),
+        )
+        .select(F.col("list_id").cast("int").alias("list_id"),
+                "n_vecs", "n_dropped", "dropped_checksum")
+    )
+
+
+def _sem_sq_l2_sql(a: str, b: str) -> str:
+    diff = f"(CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))"
+    return (f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+            f"j -> {diff} * {diff}))")
+
+
+_SEM_COS_SQL = (
+    f"list_sum(list_transform(range(1, {EMB_DIM + 1}),"
+    " j -> a.v[j] * b.v[j]))"
+    f" / sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> a.v[j] * a.v[j])))"
+    f" / sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> b.v[j] * b.v[j])))"
+)
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+clones AS (
+  SELECT vec_id + {SEM_DUP_SALT} AS vec_id,
+         list_concat([v[1] + 0.05], v[2:{EMB_DIM}]) AS v
+  FROM base WHERE vec_id % {SEM_DUP_MOD} = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         v AS seed
+  FROM corpus ORDER BY vec_id LIMIT {IVF_N_LISTS}
+),
+assign0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT c.vec_id, s.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY ROUND({_sem_sq_l2_sql('c.v', 's.seed')}, 6), s.list_id
+           ) AS rk
+    FROM corpus c CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+dims AS (SELECT CAST(range AS INT) AS j FROM range(1, {EMB_DIM + 1})),
+means AS (
+  SELECT a.list_id, d.j, ROUND(AVG(c.v[d.j]), 6) AS m
+  FROM assign0 a JOIN corpus c USING (vec_id) CROSS JOIN dims d
+  GROUP BY a.list_id, d.j
+),
+cents AS (
+  SELECT s.list_id, COALESCE(mm.c, s.seed) AS cent
+  FROM seeds s LEFT JOIN (
+    SELECT list_id, list(m ORDER BY j) AS c FROM means GROUP BY list_id
+  ) mm USING (list_id)
+),
+assigned AS (
+  SELECT vec_id, v, list_id FROM (
+    SELECT c.vec_id, c.v, ct.list_id,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY ROUND({_sem_sq_l2_sql('c.v', 'ct.cent')}, 6), ct.list_id
+           ) AS rk
+    FROM corpus c CROSS JOIN cents ct
+  ) WHERE rk = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE ROUND({_SEM_COS_SQL}, 6) >= {SEM_TAU}
+)
+SELECT CAST(list_id AS INT) AS list_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM dropped)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM dropped)
+                     THEN vec_id ELSE 0 END) AS BIGINT) AS dropped_checksum
+FROM assigned GROUP BY list_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6697,6 +7204,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gdpr_delete_audit": q_gdpr_delete_audit,
     "ewma_user_value": q_ewma_user_value,
     "vocab_oov_rate": q_vocab_oov_rate,
+    "boilerplate_chunk_removal": q_boilerplate_chunk_removal,
+    "bow_dedup": q_bow_dedup,
+    "orc_roundtrip_agg": q_orc_roundtrip_agg,
+    "schema_evolution_read": q_schema_evolution_read,
+    "pagerank_copurchase": q_pagerank_copurchase,
+    "triangle_count_copurchase": q_triangle_count_copurchase,
+    "semantic_dedup": q_semantic_dedup,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -6927,4 +7441,11 @@ ORACLE_SQL: dict[str, str] = {
     "gdpr_delete_audit": SQL_GDPR_DELETE_AUDIT,
     "ewma_user_value": SQL_EWMA_USER_VALUE,
     "vocab_oov_rate": SQL_VOCAB_OOV_RATE,
+    "boilerplate_chunk_removal": SQL_BOILERPLATE_CHUNK_REMOVAL,
+    "bow_dedup": SQL_BOW_DEDUP,
+    "orc_roundtrip_agg": SQL_ORC_ROUNDTRIP_AGG,
+    "schema_evolution_read": SQL_SCHEMA_EVOLUTION_READ,
+    "pagerank_copurchase": _pagerank_sql(),
+    "triangle_count_copurchase": SQL_TRIANGLE_COUNT_COPURCHASE,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
 }

@@ -86,3 +86,99 @@ def cluster_sizes(labels: DataFrame) -> DataFrame:
     return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # initial rank per node, integer units
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """PageRank over an undirected pair graph in PURE INTEGER arithmetic
+    — (node, rank) after ``iters`` power iterations, rank in units of
+    1/scale. Float PageRank is not replayable across engines (the
+    contribution sum is order-dependent); here every step is
+
+        r' = scale·15/100  +  85 · Σ_{u~v} (r(u) div deg(u))  div 100
+
+    with BIGINT floor division throughout, so the distributed sum is
+    exact and the result is bit-identical on any engine and any
+    partitioning (all values are positive, so Spark's truncating ``div``
+    and DuckDB's flooring ``//`` agree).
+
+    Scale design: each iteration is one join of the edge list against
+    the rank table (shuffle on node id) plus a groupBy on the receiving
+    node — the GraphX/Pregel plan expressed relationally. Lineage is
+    truncated per round (localCheckpoint), so the plan stays
+    constant-size at any iteration count. Degree is computed once."""
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    bidir = e.union(e.select(F.col("e_dst"), F.col("e_src"))).distinct()
+    bidir = bidir.localCheckpoint(eager=True)
+    deg = bidir.groupBy("e_src").agg(F.count("*").alias("deg"))
+    # rank table: (node, rank); start uniform at `scale`
+    ranks = deg.select(
+        F.col("e_src").alias("node"), F.lit(scale).cast("bigint").alias("rank")
+    ).localCheckpoint(eager=True)
+    base = int(scale) * 15 // 100
+    for _ in range(iters):
+        contrib = (
+            bidir.join(deg, "e_src")
+            .join(ranks, bidir.e_src == ranks.node)
+            .select(
+                F.col("e_dst").alias("to_node"),
+                F.expr("rank div deg").alias("share"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("to_node")
+            .agg(F.sum("share").alias("insum"))
+            .select(
+                F.col("to_node").alias("node"),
+                (F.lit(base) + F.expr("85 * insum div 100")).cast("bigint").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Global triangle count of an undirected pair graph, plus the edge
+    count and node count it was computed over (one summary row).
+
+    Uses the oriented-wedge plan: with every edge stored once as
+    (lo, hi), a triangle {a<b<c} is counted exactly once by joining
+    wedges (a,b)+(b,c) against the closing edge (a,c). Two shuffle
+    joins, no squaring of the edge list beyond the wedge fan-out —
+    the standard scalable formulation (degree-ordered orientation
+    bounds wedge counts by arboricity at 100 TB; id-ordered here since
+    dup-graph degrees are tiny)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") < F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = ab.join(bc, "b")
+    tris = wedges.join(ac, ["a", "c"])
+    nodes = e.select(F.col("lo").alias("n")).union(
+        e.select(F.col("hi").alias("n"))
+    ).distinct()
+    return (
+        tris.agg(F.count("*").cast("bigint").alias("n_triangles"))
+        .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
+        .crossJoin(nodes.agg(F.count("*").cast("bigint").alias("n_nodes")))
+    )
