@@ -152,6 +152,10 @@ HEADLINE = [
     "pagerank_copurchase",
     "triangle_count_copurchase",
     "semantic_dedup",
+    "binaryfile_ingest",
+    "session_overlap_pairs",
+    "chi_square_lang_source",
+    "approx_quantile_audit",
 ]
 
 

@@ -7119,6 +7119,271 @@ FROM assigned GROUP BY list_id
 """
 
 
+BINARY_SOURCE = "src0"  # the blob-ingest fixture materializes one source
+
+
+def q_binaryfile_ingest(spark, sf_dir):
+    """Blob-store ingestion through Spark's built-in ``binaryFile``
+    source: every src0 document materialized once as a ``<doc_id>.bin``
+    file (build-once artifact; the builder is documented local-mode
+    scaffolding — production ingests pre-existing object-store files),
+    then scanned as (path, length, content) rows, keyed back by
+    filename, and checksummed. A green row proves the binary read path
+    is byte-faithful end-to-end (md5 over raw bytes ≡ md5 over the
+    source text). The scan parallelizes like any file source —
+    pathGlobFilter prunes at listing time, maxPartitionBytes groups
+    small blobs per task (sources/binary_files.py)."""
+    import os as _os
+
+    from .sources.binary_files import (
+        read_binary_files,
+        with_file_id,
+        write_text_blobs,
+    )
+
+    path = _artifact_cache_path(sf_dir, "blob_docs", "documents")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        rows = (
+            _t(spark, sf_dir, "documents")
+            .where(F.col("source") == BINARY_SOURCE)
+            .select("doc_id", "text")
+            .collect()  # bounded: one source = 1/20 of the corpus; test scaffolding only
+        )
+        write_text_blobs([(r["doc_id"], r["text"]) for r in rows], path)
+    blobs = with_file_id(read_binary_files(spark, path, glob="*.bin"))
+    chk = F.conv(F.substring(F.md5(F.col("content")), 1, 13), 16, 10).cast("bigint")
+    return blobs.agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("length").cast("bigint").alias("total_bytes"),
+        F.sum(chk).cast("bigint").alias("content_checksum"),
+        F.sum("file_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+SQL_BINARYFILE_INGEST = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(CAST('0x' || substr(md5(text), 1, 13) AS BIGINT)) AS BIGINT)
+         AS content_checksum,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM documents WHERE source = '{BINARY_SOURCE}'
+"""
+
+
+def q_session_overlap_pairs(spark, sf_dir):
+    """Temporal interval-overlap join: pairs of DIFFERENT users whose
+    activity sessions overlap in time (the concurrency/collusion-
+    detection shape). Sessions come from the 30-min gap rule, then the
+    classic blocked interval join: each session explodes to the hour
+    buckets it spans, candidate pairs meet in a bucket (equi-join — no
+    theta join against the whole table), and the exact overlap
+    predicate + distinct de-dupes multi-bucket matches. At 100 TB the
+    bucket granularity is the knob: fan-out ≈ span/bucket per session,
+    and every bucket's candidate set is local to one task."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    prev = F.lag("tsn").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("tsn") - prev) > SESSION_GAP_US), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.withColumn("sess_id", F.sum(new_s).over(wc))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("tsn").alias("s"), F.max("tsn").alias("e"))
+    )
+    bucketed = sess.select(
+        "user_id", "sess_id", "s", "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {US_PER_HOUR}"), F.expr(f"e div {US_PER_HOUR}")
+            )
+        ).alias("b"),
+    )
+    a, c = bucketed.alias("a"), bucketed.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.user_id") < F.col("c.user_id"))
+            & (F.col("a.s") <= F.col("c.e"))
+            & (F.col("c.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("ua"), F.col("a.sess_id").alias("sa"),
+            F.col("c.user_id").alias("ub"), F.col("c.sess_id").alias("sb"),
+        )
+        .distinct()
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_session_pairs"),
+        F.countDistinct("ua", "ub").cast("bigint").alias("n_user_pairs"),
+        F.sum(F.col("ua") + F.col("ub")).cast("bigint").alias("user_checksum"),
+    )
+
+
+SQL_SESSION_OVERLAP_PAIRS = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events
+),
+flagged AS (
+  SELECT user_id, tsn,
+         CASE WHEN lag(tsn) OVER w IS NULL
+                   OR tsn - lag(tsn) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+                          ROWS UNBOUNDED PRECEDING) AS sess_id,
+         tsn
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, sess_id, MIN(tsn) AS s, MAX(tsn) AS e
+  FROM sess GROUP BY user_id, sess_id
+),
+bucketed AS (
+  SELECT user_id, sess_id, s, e,
+         unnest(range(s // {US_PER_HOUR}, e // {US_PER_HOUR} + 1)) AS b
+  FROM sessions
+),
+pairs AS (
+  SELECT DISTINCT a.user_id AS ua, a.sess_id AS sa,
+                  c.user_id AS ub, c.sess_id AS sb
+  FROM bucketed a JOIN bucketed c
+    ON a.b = c.b AND a.user_id < c.user_id
+   AND a.s <= c.e AND c.s <= a.e
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_session_pairs,
+       CAST(COUNT(DISTINCT (ua, ub)) AS BIGINT) AS n_user_pairs,
+       CAST(SUM(ua + ub) AS BIGINT) AS user_checksum
+FROM pairs
+"""
+
+
+CHI2_Q_SCALE = 1_000_000
+
+
+def q_chi_square_lang_source(spark, sf_dir):
+    """Pearson chi-square independence test for (lang × source) — the
+    drift/contingency profile run before trusting a stratified sample.
+    All inputs are exact integers (cell, row, column, grand totals);
+    each cell's (O−E)²/E term is computed identically on both engines
+    and floor-quantized before the sum, so the statistic is
+    order-exact. The contingency table is one hash agg; the marginals
+    are two aggregates over its (tiny) output, broadcast back."""
+    docs = _docs(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    e = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "e",
+            (F.col("rt").cast("double") * F.col("ct").cast("double"))
+            / F.col("n").cast("double"),
+        )
+        .withColumn(
+            "q",
+            F.floor(
+                (F.col("o").cast("double") - F.col("e")) ** 2
+                / F.col("e")
+                * CHI2_Q_SCALE
+            ).cast("bigint"),
+        )
+    )
+    return e.agg(
+        F.round(F.sum("q").cast("double") / CHI2_Q_SCALE, 6).alias("chi2"),
+        ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.max("n").cast("bigint").alias("n_docs"),
+    )
+
+
+SQL_CHI_SQUARE_LANG_SOURCE = f"""
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY lang),
+ct AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY source),
+n AS (SELECT SUM(o) AS n FROM cells),
+terms AS (
+  SELECT cells.lang, cells.source, cells.o,
+         CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e,
+         n.n
+  FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+),
+q AS (
+  SELECT lang, source, n,
+         CAST(FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                    * {CHI2_Q_SCALE}) AS BIGINT) AS q
+  FROM terms
+)
+SELECT ROUND(CAST(SUM(q) AS DOUBLE) / {CHI2_Q_SCALE}, 6) AS chi2,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MAX(n) AS BIGINT) AS n_docs
+FROM q
+"""
+
+
+APPROX_Q_PS = (0.5, 0.9, 0.99)
+APPROX_Q_ACC = 10_000
+
+
+def q_approx_quantile_audit(spark, sf_dir):
+    """Approximate-quantile sketch audit (the t-digest/GK class): for
+    each target percentile, the EXACT interpolated value (hash-checked
+    cross-engine) next to a checked boolean that the approx_percentile
+    sketch's answer sits within its published rank guarantee
+    (±n/accuracy, doubled for safety slack). Same declaration pattern
+    as the HLL query: the sketch output itself is not replayable, so
+    the oracle pins the exact columns and asserts the bound claim is
+    TRUE. The rank of each sketch answer is measured with one
+    conditional aggregate over a 3-row broadcast — no sort, no
+    collect of data."""
+    ev = _events(spark, sf_dir)
+    ps = list(APPROX_Q_PS)
+    approx = ev.agg(
+        F.percentile_approx("value", ps, APPROX_Q_ACC).alias("av"),
+        F.expr(f"percentile(value, array({','.join(str(p) for p in ps)}))").alias("ev"),
+        F.count("*").alias("n"),
+    ).select(
+        F.posexplode(F.arrays_zip(F.array(*[F.lit(p) for p in ps]), "av", "ev"))
+        .alias("i", "z"),
+        "n",
+    ).select(
+        F.col("z.0").alias("p"), F.col("z.av").alias("approx_v"),
+        F.col("z.ev").alias("exact_v"), "n",
+    )
+    ranked = (
+        ev.crossJoin(F.broadcast(approx))
+        .groupBy("p", "approx_v", "exact_v", "n")
+        .agg(F.sum(F.when(F.col("value") <= F.col("approx_v"), 1).otherwise(0)).alias("rk"))
+    )
+    tol = 2.0 * F.col("n").cast("double") / APPROX_Q_ACC + 1.0
+    return ranked.select(
+        "p",
+        F.round(F.col("exact_v"), 6).alias("exact_value"),
+        (
+            F.abs(F.col("rk").cast("double") - F.col("p") * F.col("n").cast("double"))
+            <= tol
+        ).alias("rank_bound_ok"),
+    )
+
+
+SQL_APPROX_QUANTILE_AUDIT = "\nUNION ALL\n".join(
+    f"SELECT {p} AS p, ROUND(quantile_cont(value, {p}), 6) AS exact_value,"
+    " TRUE AS rank_bound_ok FROM events"
+    for p in APPROX_Q_PS
+)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7211,6 +7476,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_copurchase": q_pagerank_copurchase,
     "triangle_count_copurchase": q_triangle_count_copurchase,
     "semantic_dedup": q_semantic_dedup,
+    "binaryfile_ingest": q_binaryfile_ingest,
+    "session_overlap_pairs": q_session_overlap_pairs,
+    "chi_square_lang_source": q_chi_square_lang_source,
+    "approx_quantile_audit": q_approx_quantile_audit,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -7448,4 +7717,8 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_copurchase": _pagerank_sql(),
     "triangle_count_copurchase": SQL_TRIANGLE_COUNT_COPURCHASE,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "binaryfile_ingest": SQL_BINARYFILE_INGEST,
+    "session_overlap_pairs": SQL_SESSION_OVERLAP_PAIRS,
+    "chi_square_lang_source": SQL_CHI_SQUARE_LANG_SOURCE,
+    "approx_quantile_audit": SQL_APPROX_QUANTILE_AUDIT,
 }
