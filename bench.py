@@ -156,6 +156,9 @@ HEADLINE = [
     "session_overlap_pairs",
     "chi_square_lang_source",
     "approx_quantile_audit",
+    "streaming_topk_trending",
+    "split_leakage_audit",
+    "dup_flow_matrix",
 ]
 
 

@@ -7445,6 +7445,128 @@ FROM ranked WHERE rk = 1
 """
 
 
+LEAK_N = 5  # word n-gram size for the split-leakage screen
+LEAK_MIN_SHARED = 3
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Train/test leakage screen for the DETERMINISTIC split: documents
+    assigned to different splits by md5(doc_id) (doc_split_assign's
+    rule) that share ≥ LEAK_MIN_SHARED distinct word 5-grams — the
+    check every eval pipeline must run before trusting held-out
+    numbers, composed from the split operator and the contamination
+    join. Gram keys are md5 (fixed 32-char shuffle width, de-duplicated
+    per doc before the join so hot docs don't fan out); the train side
+    only pairs with the val/test side, so the join output is bounded by
+    cross-split gram collisions, not corpus size."""
+    docs = _docs(spark, sf_dir)
+    b = SampleOp.hash_bucket(F.col("doc_id"), SPLIT_SALT)
+    split = (
+        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+        .when(b < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+    toks = T.tokens(F.col("text"))
+    grams = F.array_distinct(_word_grams(toks, LEAK_N))
+    g = docs.withColumn("split", split).select(
+        "doc_id", "split", F.explode(grams).alias("gram")
+    ).select("doc_id", "split", F.md5("gram").alias("gh"))
+    train = g.where(F.col("split") == "train")
+    held = g.where(F.col("split") != "train")
+    pairs = (
+        train.alias("a")
+        .join(
+            held.alias("h"),
+            F.col("a.gh") == F.col("h.gh"),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("train_doc"),
+            F.col("h.doc_id").alias("held_doc"),
+            F.col("h.split").alias("held_split"),
+        )
+        .agg(F.countDistinct("a.gh").alias("shared_grams"))
+        .where(F.col("shared_grams") >= LEAK_MIN_SHARED)
+    )
+    return pairs.groupBy("held_split").agg(
+        F.count("*").cast("bigint").alias("n_leak_pairs"),
+        F.countDistinct("held_doc").cast("bigint").alias("n_held_docs_leaked"),
+        F.sum("shared_grams").cast("bigint").alias("total_shared_grams"),
+    )
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_VAL_PERMILLE} THEN 'val'
+              ELSE 'test' END AS split,
+         {TOKENS_SQL} AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, split,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {LEAK_N - 2}, 1)),
+           j -> md5(array_to_string(t[j:j+{LEAK_N - 1}], ' '))
+         )) AS gh
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS train_doc, h.doc_id AS held_doc, h.split AS held_split,
+         COUNT(DISTINCT a.gh) AS shared_grams
+  FROM grams a JOIN grams h ON a.gh = h.gh
+  WHERE a.split = 'train' AND h.split <> 'train'
+  GROUP BY 1, 2, 3
+  HAVING COUNT(DISTINCT a.gh) >= {LEAK_MIN_SHARED}
+)
+SELECT held_split,
+       CAST(COUNT(*) AS BIGINT) AS n_leak_pairs,
+       CAST(COUNT(DISTINCT held_doc) AS BIGINT) AS n_held_docs_leaked,
+       CAST(SUM(shared_grams) AS BIGINT) AS total_shared_grams
+FROM pairs GROUP BY held_split
+"""
+
+
+def q_dup_flow_matrix(spark, sf_dir):
+    """Cross-source duplicate flow matrix: MinHash-LSH near-dup pairs
+    aggregated by (source of the lower id, source of the higher id) —
+    which sources copy from which, the provenance view a curation team
+    reads before deciding what to crawl less of. Composes the existing
+    LSH pair operator with two broadcastable (doc_id → source) lookups
+    over the dup corpus; pair volume, not corpus volume, drives the
+    join cost."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = D.near_dup_pairs(
+        docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "source_a"),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "source_b"),
+            "id_b",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+def _sql_dup_flow_matrix() -> str:
+    return f"""
+WITH {DOCS_WITH_DUPS_CTE},
+pairs AS (SELECT id_a, id_b FROM ({SQL_MINHASH_NEAR_DUP_PAIRS}) t)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN corpus sa ON sa.doc_id = pairs.id_a
+JOIN corpus sb ON sb.doc_id = pairs.id_b
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7542,6 +7664,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chi_square_lang_source": q_chi_square_lang_source,
     "approx_quantile_audit": q_approx_quantile_audit,
     "streaming_topk_trending": q_streaming_topk_trending,
+    "split_leakage_audit": q_split_leakage_audit,
+    "dup_flow_matrix": q_dup_flow_matrix,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -7784,4 +7908,6 @@ ORACLE_SQL: dict[str, str] = {
     "chi_square_lang_source": SQL_CHI_SQUARE_LANG_SOURCE,
     "approx_quantile_audit": SQL_APPROX_QUANTILE_AUDIT,
     "streaming_topk_trending": SQL_STREAMING_TOPK_TRENDING,
+    "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
+    "dup_flow_matrix": _sql_dup_flow_matrix(),
 }
