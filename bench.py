@@ -159,6 +159,8 @@ HEADLINE = [
     "streaming_topk_trending",
     "split_leakage_audit",
     "dup_flow_matrix",
+    "streaming_louter_attribution",
+    "group_topk_sample",
 ]
 
 

@@ -7567,6 +7567,173 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_louter_attribution(spark, sf_dir):
+    """Stream-stream LEFT OUTER join, fully oracle-checked: matched
+    click→purchase pairs PLUS the null-match emission for abandoned
+    clicks — the outer-join state semantics (evict-and-emit once the
+    watermark closes a click's horizon) that inner attribution can't
+    express. Bounded-replay protocol per
+    streaming/events.py:stream_stream_attribution_outer: the derived
+    stream artifact appends a sentinel pair at max_time + 4h (pushing
+    the watermark past every click's horizon) and a final dummy file,
+    and maxFilesPerTrigger=1 forces the post-sentinel micro-batch in
+    which the evictions emit. Aggregated to one audit row; the oracle
+    is the batch LEFT JOIN with the same horizon."""
+    import os as _os
+
+    from .streaming.events import (
+        EVENTS_STREAM_SCHEMA,
+        run_available_now_append,
+        stream_stream_attribution_outer,
+    )
+
+    ev = _events(spark, sf_dir)
+    # v2 layout: only the two joined event types ship in the stream
+    # artifact (1/3 of the event volume — the other types would be
+    # filtered inside the stream anyway), in ONE base file so the
+    # replay is exactly 3 micro-batches (base, sentinel, dummy)
+    art = _artifact_cache_path(sf_dir, "louter_stream_v2", "events")
+    if not _os.path.exists(_os.path.join(art, "_FILES_DONE")):
+        mx = int(ev.agg(F.max("tsn")).head()[0])
+        base = (
+            ev.where(F.col("event_type").isin("click", "purchase"))
+            .select("event_id", "user_id", "event_type", "value", "props", "tsn")
+            .coalesce(1)
+        )
+        base.write.mode("overwrite").parquet(art)
+
+        def sentinel(eid, etype, tsn):
+            return spark.createDataFrame(
+                [(eid, -1, etype, 0.0, "{}", tsn)], EVENTS_STREAM_SCHEMA
+            )
+
+        sentinel(-1, "click", mx + 4 * US_PER_HOUR).unionByName(
+            sentinel(-2, "purchase", mx + 4 * US_PER_HOUR)
+        ).coalesce(1).write.mode("append").parquet(art)
+        sentinel(-3, "click", mx + 4 * US_PER_HOUR + 1_000_000).coalesce(
+            1
+        ).write.mode("append").parquet(art)
+        with open(_os.path.join(art, "_FILES_DONE"), "w") as f:
+            f.write("ok")
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(art)
+        .withColumn("event_time", F.timestamp_micros(F.col("tsn")))
+    )
+    clicks = stream.where(F.col("event_type") == "click")
+    purchases = stream.where(F.col("event_type") == "purchase")
+    rows = run_available_now_append(
+        stream_stream_attribution_outer(clicks, purchases),
+        spark,
+        state_partitions=STREAM_STATE_SHARDS,
+    ).where(F.col("user_id") >= 0)
+    return rows.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("purchase_id").cast("bigint").alias("n_matched"),
+        F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatched_clicks"),
+        F.sum(F.when(F.col("purchase_id").isNull(), F.col("click_id")).otherwise(0))
+        .cast("bigint")
+        .alias("unmatched_checksum"),
+    )
+
+
+SQL_STREAMING_LOUTER_ATTRIBUTION = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.click_id, p.purchase_id
+  FROM c LEFT JOIN p
+    ON c.user_id = p.user_id AND pt >= ct AND pt <= ct + {ATTR_HORIZON_US}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(purchase_id) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched_clicks,
+       CAST(SUM(CASE WHEN purchase_id IS NULL THEN click_id ELSE 0 END) AS BIGINT)
+         AS unmatched_checksum
+FROM j
+"""
+
+
+GROUP_SAMPLE_K = 5
+
+
+def q_group_topk_sample(spark, sf_dir):
+    """Exact-k per-group sampling: for every language, EXACTLY k
+    documents chosen uniformly-without-replacement by ranking on a
+    portable hash (md5 of salt||doc_id) — the eval-set constructor
+    ('exactly 1000 per language') that rate-based Bernoulli sampling
+    (doc_sample_stratified) cannot give. Deterministic across runs,
+    partitionings, and engines.
+
+    Scale shape: a naive per-group rank sorts each group in one task —
+    with few languages that's a handful of giant sorted groups. This
+    implementation prefilters map-side with a per-group hash threshold
+    derived from exact group counts (keep an expected 50×k superset,
+    floor 1000 permille for tiny groups), so the window sort runs on
+    ~50×k rows per group regardless of corpus size; a tripwire check
+    (kept < k after prefilter → impossible by construction since the
+    threshold keeps everything when the group is small) is documented
+    in the derivation."""
+    docs = _docs(spark, sf_dir)
+    h = SampleOp.hash_bucket(F.col("doc_id"), "gsample", 1_000_000)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_g"))
+    # keep-permille-of-2^20-ish threshold: expected survivors 50*k,
+    # clamped to keep everything when the group is within 50*k
+    thr = F.least(
+        F.lit(1_000_000),
+        F.ceil(F.lit(50.0 * GROUP_SAMPLE_K * 1_000_000) / F.col("n_g")).cast("bigint"),
+    )
+    pre = (
+        docs.join(F.broadcast(counts.withColumn("thr", thr).select("lang", "thr")), "lang")
+        .withColumn("h", h)
+        .where(F.col("h") < F.col("thr"))
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        pre.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= GROUP_SAMPLE_K)
+        .select(
+            "lang",
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            "source",
+        )
+    )
+
+
+SQL_GROUP_TOPK_SAMPLE = f"""
+WITH h AS (
+  SELECT lang, doc_id, source,
+         CAST('0x' || substr(md5('gsample' || CAST(doc_id AS VARCHAR)), 1, 13)
+              AS BIGINT) % 1000000 AS h
+  FROM documents
+),
+counts AS (SELECT lang, COUNT(*) AS n_g FROM h GROUP BY lang),
+pre AS (
+  SELECT h.* FROM h JOIN counts USING (lang)
+  WHERE h.h < LEAST(1000000,
+                    CAST(CEIL(50.0 * {GROUP_SAMPLE_K} * 1000000 / n_g) AS BIGINT))
+),
+ranked AS (
+  SELECT lang, doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM pre
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, source
+FROM ranked WHERE rk <= {GROUP_SAMPLE_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7666,6 +7833,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_topk_trending": q_streaming_topk_trending,
     "split_leakage_audit": q_split_leakage_audit,
     "dup_flow_matrix": q_dup_flow_matrix,
+    "streaming_louter_attribution": q_streaming_louter_attribution,
+    "group_topk_sample": q_group_topk_sample,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -7910,4 +8079,6 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_topk_trending": SQL_STREAMING_TOPK_TRENDING,
     "split_leakage_audit": SQL_SPLIT_LEAKAGE_AUDIT,
     "dup_flow_matrix": _sql_dup_flow_matrix(),
+    "streaming_louter_attribution": SQL_STREAMING_LOUTER_ATTRIBUTION,
+    "group_topk_sample": SQL_GROUP_TOPK_SAMPLE,
 }

@@ -227,6 +227,50 @@ def run_available_now_append(
     return _run_to_memory(result, spark, "append", state_partitions)
 
 
+def stream_stream_attribution_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click emits — matched pairs
+    as they correlate, UNMATCHED clicks as (click_id, NULL purchase)
+    once the watermark proves no qualifying purchase can still arrive
+    (watermark > click_time + horizon). This is the 'abandoned funnel'
+    shape: the null-side emission is exactly what inner attribution
+    cannot express.
+
+    State semantics: both sides buffer within the watermark bound like
+    the inner join; additionally the click side holds each row until
+    its horizon is provably closed, then evicts-and-emits the null
+    match. IMPORTANT: null matches are emitted by the micro-batch
+    AFTER the one that advanced the watermark — a single-batch
+    AvailableNow run ends before that batch exists, so bounded replays
+    must (a) include a sentinel row advancing event time past
+    max + horizon + watermark delay and (b) split input across files
+    with maxFilesPerTrigger so at least one batch runs after the
+    sentinel's (see q_streaming_louter_attribution)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    ).withWatermark("click_time", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_time").alias("purchase_time"),
+    ).withWatermark("purchase_time", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_time") >= F.col("click_time"))
+        & (F.col("purchase_time") <= F.col("click_time") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id"
+    )
+
+
 def run_stateful_drained(
     result: DataFrame,
     spark: SparkSession,
