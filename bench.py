@@ -161,6 +161,7 @@ HEADLINE = [
     "dup_flow_matrix",
     "streaming_louter_attribution",
     "group_topk_sample",
+    "hof_battery",
 ]
 
 

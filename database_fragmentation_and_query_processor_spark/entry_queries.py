@@ -7734,6 +7734,57 @@ FROM ranked WHERE rk <= {GROUP_SAMPLE_K}
 """
 
 
+def q_hof_battery(spark, sf_dir):
+    """Higher-order-function battery: transform / filter / aggregate /
+    exists / forall over the token array, pinned cross-engine against
+    DuckDB's list_* lambdas — the expression family that keeps
+    per-element logic INSIDE whole-stage codegen instead of a Python
+    UDF. Aggregated per language so the output is tiny and every
+    element-level divergence would flip a checksum."""
+    docs = _docs(spark, sf_dir)
+    t = T.tokens(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        F.size(F.filter(t, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("chars_sum"),
+        F.exists(t, lambda x: x == F.lit("the")).cast("int").alias("has_the"),
+        F.forall(t, lambda x: F.length(x) <= 12).cast("int").alias("all_short"),
+        F.size(F.array_distinct(F.transform(t, lambda x: F.substring(x, 1, 2)))).alias(
+            "n_prefixes"
+        ),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_long").cast("bigint").alias("long_tokens"),
+        F.sum("chars_sum").cast("bigint").alias("total_token_chars"),
+        F.sum("has_the").cast("bigint").alias("docs_with_the"),
+        F.sum("all_short").cast("bigint").alias("docs_all_short"),
+        F.sum("n_prefixes").cast("bigint").alias("prefix_variety"),
+    )
+
+
+SQL_HOF_BATTERY = f"""
+WITH toks AS (SELECT lang, {TOKENS_SQL} AS t FROM documents),
+per_doc AS (
+  SELECT lang,
+         len(list_filter(t, x -> length(x) > 4)) AS n_long,
+         COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS chars_sum,
+         CASE WHEN list_contains(t, 'the') THEN 1 ELSE 0 END AS has_the,
+         CASE WHEN len(list_filter(t, x -> length(x) > 12)) = 0 THEN 1 ELSE 0 END AS all_short,
+         len(list_distinct(list_transform(t, x -> substr(x, 1, 2)))) AS n_prefixes
+  FROM toks
+)
+SELECT lang,
+       CAST(SUM(n_long) AS BIGINT) AS long_tokens,
+       CAST(SUM(chars_sum) AS BIGINT) AS total_token_chars,
+       CAST(SUM(has_the) AS BIGINT) AS docs_with_the,
+       CAST(SUM(all_short) AS BIGINT) AS docs_all_short,
+       CAST(SUM(n_prefixes) AS BIGINT) AS prefix_variety
+FROM per_doc GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7835,6 +7886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_flow_matrix": q_dup_flow_matrix,
     "streaming_louter_attribution": q_streaming_louter_attribution,
     "group_topk_sample": q_group_topk_sample,
+    "hof_battery": q_hof_battery,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -8081,4 +8133,5 @@ ORACLE_SQL: dict[str, str] = {
     "dup_flow_matrix": _sql_dup_flow_matrix(),
     "streaming_louter_attribution": SQL_STREAMING_LOUTER_ATTRIBUTION,
     "group_topk_sample": SQL_GROUP_TOPK_SAMPLE,
+    "hof_battery": SQL_HOF_BATTERY,
 }
