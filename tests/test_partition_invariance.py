@@ -1,0 +1,67 @@
+"""Partition-invariance: the operators whose docstrings claim
+'order-exact' / 'deterministic under any partitioning' must return
+IDENTICAL results when their input arrives with a different partition
+count and row order. Float sums that secretly depend on reduction
+order fail this test; quantized/integer formulations pass it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_fragmentation_and_query_processor_spark import entry_queries as EQ
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ewma_user_value",          # floor-quantized exponential terms
+        "chi_square_lang_source",   # floor-quantized chi-square cells
+        "cms_heavy_hitters",        # pure integer sketch
+        "doc_split_assign",         # md5 split + integer sums
+        "group_topk_sample",        # hash-ranked exact-k
+        "embedding_centroids",      # fixed-point quantized float sums
+    ],
+)
+def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
+    """Run the query normally, then again with every parquet scan
+    rewritten to a shuffled, differently-partitioned copy of itself —
+    results must be identical tuples."""
+    base = _canon(EQ.QUERIES[name](spark, sf_dir))
+
+    real_t, real_events = EQ._t, EQ._events
+
+    def scramble(df):
+        # different partition count AND different intra-partition order
+        return df.repartition(7).sortWithinPartitions(
+            F.md5(F.concat_ws("|", *df.columns))
+        )
+
+    monkeypatch.setattr(EQ, "_t", lambda s, d, table: scramble(real_t(s, d, table)))
+    monkeypatch.setattr(EQ, "_events", lambda s, d: scramble(real_events(s, d)))
+    try:
+        again = _canon(EQ.QUERIES[name](spark, sf_dir))
+    finally:
+        monkeypatch.setattr(EQ, "_t", real_t)
+        monkeypatch.setattr(EQ, "_events", real_events)
+    assert base == again, f"{name} is partition-order sensitive"
+
+
+def test_pagerank_invariant_to_edge_partitioning(spark):
+    from database_fragmentation_and_query_processor_spark.operators.graph import (
+        pagerank_integer,
+    )
+
+    pairs = [(i, (i * 7) % 23 + 100) for i in range(60)] + [(100, 101), (101, 102)]
+    e1 = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    e2 = (
+        spark.createDataFrame(list(reversed(pairs)), "id_a bigint, id_b bigint")
+        .repartition(11)
+    )
+    r1 = sorted(tuple(r) for r in pagerank_integer(e1, iters=3).collect())
+    r2 = sorted(tuple(r) for r in pagerank_integer(e2, iters=3).collect())
+    assert r1 == r2
