@@ -162,6 +162,8 @@ HEADLINE = [
     "streaming_louter_attribution",
     "group_topk_sample",
     "hof_battery",
+    "setops_all_battery",
+    "null_ordering_battery",
 ]
 
 

@@ -7785,6 +7785,125 @@ FROM per_doc GROUP BY lang
 """
 
 
+def q_setops_all_battery(spark, sf_dir):
+    """Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL /
+    UNION ALL over multisets with real duplicates (event (user, type)
+    visits) — the multiplicity arithmetic (m−n clamped at 0, min(m,n))
+    that the DISTINCT variants in user_setops cannot exercise. One
+    summary row per operator keeps the output tiny while any
+    multiplicity error flips a count."""
+    ev = _events(spark, sf_dir)
+    a = ev.where(F.col("event_type").isin("view", "click", "purchase")).select(
+        "user_id", "event_type"
+    )
+    b = ev.where(F.col("event_type").isin("click", "purchase", "signup")).select(
+        "user_id", "event_type"
+    )
+    rows = [
+        a.exceptAll(b).agg(
+            F.lit("except_all").alias("op"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("user_id"), F.lit(0)).cast("bigint").alias("user_checksum"),
+        ),
+        a.intersectAll(b).agg(
+            F.lit("intersect_all").alias("op"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("user_id"), F.lit(0)).cast("bigint").alias("user_checksum"),
+        ),
+        a.unionAll(b).agg(
+            F.lit("union_all").alias("op"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("user_id"), F.lit(0)).cast("bigint").alias("user_checksum"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_SETOPS_ALL_BATTERY = """
+WITH a AS (
+  SELECT user_id, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+b AS (
+  SELECT user_id, event_type FROM events
+  WHERE event_type IN ('click', 'purchase', 'signup')
+)
+SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(user_id), 0) AS BIGINT) AS user_checksum
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(user_id), 0) AS BIGINT)
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'union_all', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(user_id), 0) AS BIGINT)
+FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+"""
+
+
+def q_null_ordering_battery(spark, sf_dir):
+    """NULL-ordering battery: Spark's default ASC sort puts NULLs
+    FIRST, DuckDB's puts them LAST — silent row-order divergence in any
+    ranked query over nullable keys. Both flavors are pinned with
+    EXPLICIT NULLS FIRST/LAST (the only portable form): a nullable key
+    (value nulled for every 7th event) is ranked under each flavor and
+    the head-of-order rows are emitted. Unique event_id tie-break keeps
+    ranks exact. The battery ranks a fixed 1000-id slice so the
+    no-partition window sorts a BOUNDED input — a global ranking over
+    the full table would be the single-task-sort anti-pattern
+    stable_row_number exists to avoid."""
+    ev = _events(spark, sf_dir)
+    x = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    base = ev.where(F.col("event_id") < 1000).select("event_id", x.alias("x"))
+    wf = Window.orderBy(F.col("x").asc_nulls_first(), F.col("event_id"))
+    wl = Window.orderBy(F.col("x").asc_nulls_last(), F.col("event_id"))
+    first3 = (
+        base.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= 3)
+        .select(F.lit("nulls_first").alias("flavor"),
+                F.col("rk").cast("bigint").alias("rk"), "event_id",
+                F.col("x").cast("double").alias("x"))
+    )
+    last3 = (
+        base.withColumn("rk", F.row_number().over(wl))
+        .where(F.col("rk") <= 3)
+        .select(F.lit("nulls_last").alias("flavor"),
+                F.col("rk").cast("bigint").alias("rk"), "event_id",
+                F.col("x").cast("double").alias("x"))
+    )
+    return first3.unionByName(last3)
+
+
+SQL_NULL_ORDERING_BATTERY = """
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS x
+  FROM events WHERE event_id < 1000
+),
+f AS (
+  SELECT 'nulls_first' AS flavor,
+         ROW_NUMBER() OVER (ORDER BY x ASC NULLS FIRST, event_id) AS rk,
+         event_id, x
+  FROM base
+),
+l AS (
+  SELECT 'nulls_last' AS flavor,
+         ROW_NUMBER() OVER (ORDER BY x ASC NULLS LAST, event_id) AS rk,
+         event_id, x
+  FROM base
+)
+SELECT flavor, CAST(rk AS BIGINT) AS rk, event_id, CAST(x AS DOUBLE) AS x
+FROM f WHERE rk <= 3
+UNION ALL
+SELECT flavor, CAST(rk AS BIGINT) AS rk, event_id, CAST(x AS DOUBLE) AS x
+FROM l WHERE rk <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7887,6 +8006,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_louter_attribution": q_streaming_louter_attribution,
     "group_topk_sample": q_group_topk_sample,
     "hof_battery": q_hof_battery,
+    "setops_all_battery": q_setops_all_battery,
+    "null_ordering_battery": q_null_ordering_battery,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -8134,4 +8255,6 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_louter_attribution": SQL_STREAMING_LOUTER_ATTRIBUTION,
     "group_topk_sample": SQL_GROUP_TOPK_SAMPLE,
     "hof_battery": SQL_HOF_BATTERY,
+    "setops_all_battery": SQL_SETOPS_ALL_BATTERY,
+    "null_ordering_battery": SQL_NULL_ORDERING_BATTERY,
 }
