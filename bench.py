@@ -164,6 +164,8 @@ HEADLINE = [
     "hof_battery",
     "setops_all_battery",
     "null_ordering_battery",
+    "rag_chunking",
+    "quote_detection",
 ]
 
 

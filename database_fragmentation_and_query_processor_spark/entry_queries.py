@@ -7904,6 +7904,181 @@ FROM l WHERE rk <= 3
 """
 
 
+RAG_CHUNK_SIZE = 32
+RAG_CHUNK_STRIDE = 16
+
+
+def q_rag_chunking(spark, sf_dir):
+    """RAG-index chunking: OVERLAPPING token windows (size 32, stride
+    16) with exact token offsets — the retrieval-chunk layout that
+    fixed disjoint chunks (chunk_dedup / paragraph_dedup) cannot give,
+    because answer spans straddle chunk boundaries without overlap.
+    Pure per-row expression fan-out (sequence + slice inside codegen):
+    zero shuffle before any downstream index build; window count per
+    doc is ceil(max(n−size,0)/stride)+1 so output volume is
+    Σ tokens/stride — linear, engine-replayable."""
+    docs = _docs(spark, sf_dir)
+    t = T.tokens(F.col("text"))
+    n = F.size(t)
+    n_w = (
+        F.ceil(
+            F.greatest(n - RAG_CHUNK_SIZE, F.lit(0)).cast("double") / RAG_CHUNK_STRIDE
+        ).cast("int")
+        + 1
+    )
+    chunks = F.when(n == 0, F.array().cast("array<struct<i:int,c:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_w - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("i"),
+                F.concat_ws(
+                    " ", F.slice(t, i * RAG_CHUNK_STRIDE + 1, RAG_CHUNK_SIZE)
+                ).alias("c"),
+            ),
+        )
+    )
+    ex = docs.select("doc_id", n.alias("n"), F.explode(chunks).alias("ch"))
+    return ex.select(
+        "doc_id",
+        F.col("ch.i").cast("bigint").alias("chunk_idx"),
+        (F.col("ch.i") * RAG_CHUNK_STRIDE + 1).cast("bigint").alias("start_token"),
+        F.least(
+            F.lit(RAG_CHUNK_SIZE), F.col("n") - F.col("ch.i") * RAG_CHUNK_STRIDE
+        ).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("ch.c")).alias("chunk_md5"),
+    )
+
+
+SQL_RAG_CHUNKING = f"""
+WITH toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+base AS (
+  SELECT doc_id, t, len(t) AS n,
+         CAST(CEIL(GREATEST(len(t) - {RAG_CHUNK_SIZE}, 0)
+                   / {RAG_CHUNK_STRIDE}.0) AS INT) + 1 AS n_w
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, unnest(range(0, n_w)) AS i
+  FROM base WHERE n > 0
+)
+SELECT ex.doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {RAG_CHUNK_STRIDE} + 1 AS BIGINT) AS start_token,
+       CAST(LEAST({RAG_CHUNK_SIZE}, base.n - i * {RAG_CHUNK_STRIDE}) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+         base.t[i*{RAG_CHUNK_STRIDE}+1 : i*{RAG_CHUNK_STRIDE}+{RAG_CHUNK_SIZE}], ' ')) AS chunk_md5
+FROM ex JOIN base USING (doc_id)
+"""
+
+
+QUOTE_SALT = 300_000
+QUOTE_MOD = 9
+QUOTE_LEN = 30  # tokens excerpted into the synthesized quote docs
+QUOTE_SHINGLE_N = 4
+QUOTE_MIN_SHARED = 3
+QUOTE_TAU = 0.8
+
+
+def q_quote_detection(spark, sf_dir):
+    """Asymmetric near-dup via Broder CONTAINMENT |A∩B|/|A|: a short
+    doc quoted inside a much larger one has containment ≈ 1 but tiny
+    Jaccard, so MinHash-LSH banding (which estimates Jaccard) never
+    surfaces the pair — this operator is the quote/subset detector the
+    symmetric dedup stack structurally misses. Candidates come from
+    the md5'd 4-gram inverted index (≥3 shared grams, grams
+    de-duplicated per doc before the join), then exact containment of
+    the smaller side verifies. Every 9th doc contributes a 30-token
+    excerpt as a synthesized quote, so recall is measurable. Directed
+    output: id_small is quoted in id_big."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    quotes = docs.where(F.col("doc_id") % QUOTE_MOD == 0).select(
+        (F.col("doc_id") + QUOTE_SALT).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, QUOTE_LEN)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(quotes)
+    g = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(_word_grams(T.tokens(F.col("text")), QUOTE_SHINGLE_N))
+        ).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("gh"))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n_g"))
+    a, b = g.alias("a"), g.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_x"), F.col("b.doc_id").alias("id_y"))
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= QUOTE_MIN_SHARED)
+    )
+    sx = sizes.withColumnRenamed("doc_id", "id_x").withColumnRenamed("n_g", "n_x")
+    sy = sizes.withColumnRenamed("doc_id", "id_y").withColumnRenamed("n_g", "n_y")
+    cand = shared.join(sx, "id_x").join(sy, "id_y")
+    small_is_x = F.col("n_x") <= F.col("n_y")
+    cont = F.round(
+        F.col("shared").cast("double")
+        / F.when(small_is_x, F.col("n_x")).otherwise(F.col("n_y")).cast("double"),
+        6,
+    )
+    return (
+        cand.select(
+            F.when(small_is_x, F.col("id_x")).otherwise(F.col("id_y")).alias("id_small"),
+            F.when(small_is_x, F.col("id_y")).otherwise(F.col("id_x")).alias("id_big"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= QUOTE_TAU)
+    )
+
+
+SQL_QUOTE_DETECTION = f"""
+WITH base AS (SELECT doc_id, text, {TOKENS_SQL} AS t FROM documents),
+quotes AS (
+  SELECT doc_id + {QUOTE_SALT} AS doc_id,
+         array_to_string(t[1:{QUOTE_LEN}], ' ') AS text
+  FROM base WHERE doc_id % {QUOTE_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM quotes
+),
+ct AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+  FROM corpus
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {QUOTE_SHINGLE_N - 2}, 1)),
+           j -> md5(array_to_string(t[j:j+{QUOTE_SHINGLE_N - 1}], ' '))
+         )) AS gh
+  FROM ct
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_g FROM g GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_x, b.doc_id AS id_y, COUNT(*) AS shared
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {QUOTE_MIN_SHARED}
+),
+cand AS (
+  SELECT s.id_x, s.id_y, s.shared, sx.n_g AS n_x, sy.n_g AS n_y
+  FROM shared s
+  JOIN sizes sx ON sx.doc_id = s.id_x
+  JOIN sizes sy ON sy.doc_id = s.id_y
+)
+SELECT CASE WHEN n_x <= n_y THEN id_x ELSE id_y END AS id_small,
+       CASE WHEN n_x <= n_y THEN id_y ELSE id_x END AS id_big,
+       ROUND(CAST(shared AS DOUBLE) /
+             CAST(CASE WHEN n_x <= n_y THEN n_x ELSE n_y END AS DOUBLE), 6)
+         AS containment
+FROM cand
+WHERE ROUND(CAST(shared AS DOUBLE) /
+            CAST(CASE WHEN n_x <= n_y THEN n_x ELSE n_y END AS DOUBLE), 6)
+      >= {QUOTE_TAU}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7976,7 +8151,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_collocations": q_pmi_collocations,
     "pii_redaction": q_pii_redaction,
     "bucketed_join_revenue": q_bucketed_join_revenue,
-    # past the window — queued for the round-5 stamp rotation:
+    # past the window — queued for the round-5 stamp rotation.
+    # ROUND-5 ROTATION PLAN (apply at the START of round 5, never
+    # mid-round): keep the 5 frag rows pinned, then fill positions 6-50
+    # with every entry from here down to `doc_lm_perplexity` plus the
+    # 22 round-4 additions (`doc_split_assign` … `null_ordering_battery`)
+    # — after r05 every declared query has driver evidence again.
     "streaming_sessionization": q_streaming_sessionization,
     "streaming_upsert_latest": q_streaming_upsert_latest,
     "csv_quarantine_audit": q_csv_quarantine_audit,
@@ -8008,6 +8188,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hof_battery": q_hof_battery,
     "setops_all_battery": q_setops_all_battery,
     "null_ordering_battery": q_null_ordering_battery,
+    "rag_chunking": q_rag_chunking,
+    "quote_detection": q_quote_detection,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -8257,4 +8439,6 @@ ORACLE_SQL: dict[str, str] = {
     "hof_battery": SQL_HOF_BATTERY,
     "setops_all_battery": SQL_SETOPS_ALL_BATTERY,
     "null_ordering_battery": SQL_NULL_ORDERING_BATTERY,
+    "rag_chunking": SQL_RAG_CHUNKING,
+    "quote_detection": SQL_QUOTE_DETECTION,
 }
