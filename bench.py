@@ -166,6 +166,8 @@ HEADLINE = [
     "null_ordering_battery",
     "rag_chunking",
     "quote_detection",
+    "windowed_distinct_users",
+    "mad_outliers",
 ]
 
 

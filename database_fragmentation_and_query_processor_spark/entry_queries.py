@@ -8079,6 +8079,116 @@ WHERE ROUND(CAST(shared AS DOUBLE) /
 """
 
 
+def q_windowed_distinct_users(spark, sf_dir):
+    """Exact distinct users per SLIDING window (4h windows every 1h),
+    the scale-safe way: de-duplicate (window, user) FIRST (one hash
+    agg on a uniform composite key), then count rows per window — a
+    COUNT(DISTINCT) over overlapping windows evaluated directly would
+    re-scan each event into every covering window with full
+    distinct-state per window. The window fan-out (4 rows per event)
+    happens map-side via sequence(); state per window is one row per
+    active user after the dedup."""
+    ev = _events(spark, sf_dir)
+    wins = F.sequence(
+        F.expr(f"(tsn div {US_PER_HOUR}) - 3"), F.expr(f"tsn div {US_PER_HOUR}")
+    )
+    per_win = (
+        ev.select(F.explode(wins).alias("win_start_h"), "user_id")
+        .distinct()
+        .groupBy("win_start_h")
+        .agg(F.count("*").cast("bigint").alias("n_distinct_users"))
+    )
+    return per_win.select(
+        F.col("win_start_h").cast("bigint").alias("win_start_h"),
+        "n_distinct_users",
+    )
+
+
+SQL_WINDOWED_DISTINCT_USERS = f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tsn FROM events),
+ex AS (
+  SELECT DISTINCT
+         unnest(range(tsn // {US_PER_HOUR} - 3, tsn // {US_PER_HOUR} + 1)) AS win_start_h,
+         user_id
+  FROM ev
+)
+SELECT CAST(win_start_h AS BIGINT) AS win_start_h,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_users
+FROM ex GROUP BY win_start_h
+"""
+
+
+MAD_K = 3.0  # |x - median| > K * MAD flags an outlier
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Robust anomaly detection: per-event-type MEDIAN and median
+    absolute deviation (MAD) — the heavy-tail-safe alternative to the
+    mean/σ z-score (user_zscore_outliers), which a single extreme value
+    can drag. Exact interpolated medians via two grouped percentile
+    passes (type cardinality is tiny, so each agg is a small exact
+    sort-based aggregate, not a full-table window); outlier counting is
+    one conditional aggregate against the broadcast (type, median, mad)
+    table. Medians/MADs rounded to 6 before the comparison so the flag
+    is engine-identical."""
+    ev = _events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", "value", F.abs(F.col("value") - F.col("med")).alias("ad"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            (F.round(F.col("ad"), 6) > MAD_K * F.col("mad")).alias("is_out"),
+        )
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .join(stats, "event_type")
+        .select(
+            "event_type", "n_events", "n_outliers",
+            F.round(F.col("med"), 6).alias("median_value"),
+            F.col("mad").alias("mad_value"),
+        )
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, ROUND(quantile_cont(ad, 0.5), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ROUND(d.ad, 6) > {MAD_K} * m2.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(m.med), 6) AS median_value,
+       MAX(m2.mad) AS mad_value
+FROM dev d JOIN med m USING (event_type) JOIN mad m2 USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8190,6 +8300,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_ordering_battery": q_null_ordering_battery,
     "rag_chunking": q_rag_chunking,
     "quote_detection": q_quote_detection,
+    "windowed_distinct_users": q_windowed_distinct_users,
+    "mad_outliers": q_mad_outliers,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -8441,4 +8553,6 @@ ORACLE_SQL: dict[str, str] = {
     "null_ordering_battery": SQL_NULL_ORDERING_BATTERY,
     "rag_chunking": SQL_RAG_CHUNKING,
     "quote_detection": SQL_QUOTE_DETECTION,
+    "windowed_distinct_users": SQL_WINDOWED_DISTINCT_USERS,
+    "mad_outliers": SQL_MAD_OUTLIERS,
 }
