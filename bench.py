@@ -168,6 +168,7 @@ HEADLINE = [
     "quote_detection",
     "windowed_distinct_users",
     "mad_outliers",
+    "streaming_cdc_apply",
 ]
 
 

@@ -378,6 +378,49 @@ def upsert_sink(
     )
 
 
+def cdc_sink(
+    change_stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    spark: SparkSession,
+    op_col: str = "op",
+    version_col: str | None = None,
+):
+    """Streaming CDC application via foreachBatch: each micro-batch of
+    I/U/D change rows is resolved against the current target with
+    operators/merge.py:apply_cdc (union + one per-key window + tombstone
+    filter — no join) and committed write-then-swap. The batch side of
+    the window outranks the target, so batches must arrive in change
+    order — which the file source guarantees under maxFilesPerTrigger
+    when change files land in commit order (their modification times
+    order the replay). Because CDC payloads are ABSOLUTE row images,
+    re-applying a prefix of batches over an already-final target is
+    idempotent — the recovery property that makes restart-from-
+    checkpoint safe. Returns the started StreamingQuery."""
+    from ..operators.merge import apply_cdc
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        current = spark.read.parquet(target_path)
+        merged = apply_cdc(
+            current, batch_df, key_cols=keys, op_col=op_col, version_col=version_col
+        )
+        tmp = target_path + ".merge"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = target_path + ".old"
+        os.rename(target_path, old)
+        os.rename(tmp, target_path)
+        import shutil
+
+        shutil.rmtree(old)
+
+    return (
+        change_stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
