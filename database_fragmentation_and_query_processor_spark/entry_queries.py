@@ -8248,6 +8248,11 @@ def q_streaming_cdc_apply(spark, sf_dir):
         orders.write.mode("overwrite").parquet(target)
         with open(_os.path.join(art, "_FILES_DONE"), "w") as f:
             f.write("ok")
+    elif not _os.path.isdir(target):
+        # a crash between the two swap renames can leave no live target;
+        # absolute row images let recovery restart from the base snapshot
+        # and idempotently replay every commit
+        orders.write.mode("overwrite").parquet(target)
     change_schema = spark.read.parquet(changes_dir).schema
     stream = (
         spark.readStream.schema(change_schema)
