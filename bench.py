@@ -169,6 +169,7 @@ HEADLINE = [
     "windowed_distinct_users",
     "mad_outliers",
     "streaming_cdc_apply",
+    "skyline_orders",
 ]
 
 

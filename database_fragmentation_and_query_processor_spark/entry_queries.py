@@ -8286,6 +8286,87 @@ FROM final GROUP BY o_orderstatus
 """
 
 
+SKYLINE_BUCKETS = 64
+
+
+def q_skyline_orders(spark, sf_dir):
+    """Skyline (Pareto frontier) query — the classic preference
+    operator: orders minimal in (price, order date); a point survives
+    iff no other order is cheaper-or-equal AND earlier-or-equal with
+    one strict. 2-D skylines reduce to a prefix-min: a point is
+    dominated exactly when min{date : price' < price} ≤ date. The
+    scalable plan avoids the naive single-task global sort: collapse
+    to min-date-per-price (hash agg), range-bucket the price domain,
+    compute per-bucket date minima (only 2 domain scalars + 64 bucket
+    minima ever reach the driver — the IVF-centroid pattern), broadcast
+    the exclusive cross-bucket prefix back as a literal CASE, and
+    finish with a per-bucket window that is parallel across buckets.
+    Domain knowledge a 100 TB run would tune: bucket count tracks
+    cluster parallelism, not data size."""
+    orders = _t(spark, sf_dir, "orders")
+    pts = (
+        orders.select(
+            F.col("o_totalprice").alias("p"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .groupBy("p")
+        .agg(F.min("d").alias("d"))
+    )
+    lo, hi = pts.agg(F.min("p"), F.max("p")).head()
+    width = max((hi - lo) / SKYLINE_BUCKETS, 1e-9)
+    bkt = F.least(
+        F.lit(SKYLINE_BUCKETS - 1),
+        F.floor((F.col("p") - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
+    pts = pts.withColumn("b", bkt)
+    bucket_mins = {
+        r["b"]: r["m"]
+        for r in pts.groupBy("b").agg(F.min("d").alias("m")).collect()
+    }
+    # exclusive prefix-min across buckets, computed over ≤64 scalars
+    prefix: dict[int, int] = {}
+    running = None
+    for b in range(SKYLINE_BUCKETS):
+        prefix[b] = running
+        if b in bucket_mins:
+            running = bucket_mins[b] if running is None else min(running, bucket_mins[b])
+    pm_expr = F.lit(None).cast("long")
+    for b, v in prefix.items():
+        if v is not None:
+            pm_expr = F.when(F.col("b") == b, F.lit(v)).otherwise(pm_expr)
+    w = (
+        Window.partitionBy("b")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_min = F.min("d").over(w)
+    best_before = F.least(
+        F.coalesce(pm_expr, F.lit(2**62)), F.coalesce(local_min, F.lit(2**62))
+    )
+    return (
+        pts.withColumn("_best", best_before)
+        .where(F.col("_best") > F.col("d"))
+        .select(
+            F.col("p").alias("price"),
+            F.col("d").cast("bigint").alias("order_day"),
+        )
+    )
+
+
+SQL_SKYLINE_ORDERS = """
+WITH pts AS (
+  SELECT o_totalprice AS p,
+         MIN(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS d
+  FROM orders GROUP BY 1
+)
+SELECT p AS price, CAST(d AS BIGINT) AS order_day
+FROM pts
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q WHERE q.p < pts.p AND q.d <= pts.d
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8400,6 +8481,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_distinct_users": q_windowed_distinct_users,
     "mad_outliers": q_mad_outliers,
     "streaming_cdc_apply": q_streaming_cdc_apply,
+    "skyline_orders": q_skyline_orders,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -8654,4 +8736,5 @@ ORACLE_SQL: dict[str, str] = {
     "windowed_distinct_users": SQL_WINDOWED_DISTINCT_USERS,
     "mad_outliers": SQL_MAD_OUTLIERS,
     "streaming_cdc_apply": SQL_STREAMING_CDC_APPLY,
+    "skyline_orders": SQL_SKYLINE_ORDERS,
 }
