@@ -170,6 +170,7 @@ HEADLINE = [
     "mad_outliers",
     "streaming_cdc_apply",
     "skyline_orders",
+    "doc_topic_clusters",
 ]
 
 

@@ -8367,6 +8367,133 @@ WHERE NOT EXISTS (
 """
 
 
+TFH_DIM = 32  # feature-hashing dimensionality
+TFH_LISTS = 8  # k-means clusters
+
+
+def q_doc_topic_clusters(spark, sf_dir):
+    """Document clustering over text (no embeddings needed): feature-
+    hashed term-frequency vectors (tokens → md5 bucket in [0,32), one
+    count agg) fed to the SAME deterministic k-means quantizer the IVF
+    path uses (seeds = lowest doc_ids, one Lloyd step, round-6 means) —
+    topic-style grouping whose entire arithmetic is integer counts +
+    one rounded division, so the DuckDB oracle replays it as static
+    SQL. Feature hashing is the scale move: vocabulary-sized sparse
+    vectors become fixed 32-dim dense ones map-side, no vocabulary
+    broadcast, no dimension explosion at 100 TB. Output: per-cluster
+    census."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).select(
+        "doc_id", SampleOp.hash_bucket(F.col("token"), "tf", TFH_DIM).alias("dim")
+    )
+    counts = tok.groupBy("doc_id", "dim").agg(F.count("*").alias("cnt"))
+    vec = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("dim"), F.col("cnt")))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(TFH_DIM - 1)),
+                lambda d: F.coalesce(
+                    F.element_at("m", d.cast("int")), F.lit(0)
+                ).cast("double"),
+            ).alias("v"),
+        )
+    )
+    # docs with zero tokens drop out of `counts`; re-attach as zero vecs
+    zeros = docs.select("doc_id").join(vec.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.array_repeat(F.lit(0.0), TFH_DIM).alias("v"),
+    )
+    corpus = vec.unionByName(zeros)
+    cents = S.kmeans_centroids(
+        corpus, n_lists=TFH_LISTS, iters=1, id_col="doc_id", vec_col="v"
+    )
+    assigned = corpus.withColumn(
+        "list_id", S.nearest_centroid_expr(F.col("v"), cents)
+    )
+    return assigned.groupBy("list_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    ).select(F.col("list_id").cast("int").alias("list_id"), "n_docs", "id_checksum")
+
+
+_TFH_BUCKET_SQL = (
+    f"CAST('0x' || substr(md5('tf' || token), 1, 13) AS BIGINT) % {TFH_DIM}"
+)
+
+SQL_DOC_TOPIC_CLUSTERS = f"""
+WITH tok AS (
+  SELECT doc_id, {_TFH_BUCKET_SQL} AS dim
+  FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents)
+),
+counts AS (SELECT doc_id, dim, COUNT(*) AS cnt FROM tok GROUP BY doc_id, dim),
+dims AS (SELECT CAST(range AS INT) AS j FROM range(0, {TFH_DIM})),
+cells AS (
+  SELECT d.doc_id, dims.j,
+         CAST(COALESCE(SUM(CASE WHEN c.dim = dims.j THEN c.cnt END), 0) AS DOUBLE) AS x
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN dims
+  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.dim = dims.j
+  GROUP BY d.doc_id, dims.j
+),
+corpus AS (
+  SELECT doc_id, list(x ORDER BY j) AS v FROM cells GROUP BY doc_id
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS list_id,
+         v AS seed
+  FROM corpus ORDER BY doc_id LIMIT {TFH_LISTS}
+),
+assign0 AS (
+  SELECT doc_id, list_id FROM (
+    SELECT c.doc_id, s.list_id,
+           row_number() OVER (
+             PARTITION BY c.doc_id
+             ORDER BY ROUND(list_sum(list_transform(range(1, {TFH_DIM + 1}),
+                        j -> (c.v[j] - s.seed[j]) * (c.v[j] - s.seed[j]))), 6),
+                      s.list_id
+           ) AS rk
+    FROM corpus c CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+kdims AS (SELECT CAST(range AS INT) AS j FROM range(1, {TFH_DIM + 1})),
+means AS (
+  SELECT a.list_id, kdims.j, ROUND(AVG(c.v[kdims.j]), 6) AS m
+  FROM assign0 a JOIN corpus c USING (doc_id) CROSS JOIN kdims
+  GROUP BY a.list_id, kdims.j
+),
+cents AS (
+  SELECT s.list_id, COALESCE(mm.c, s.seed) AS cent
+  FROM seeds s LEFT JOIN (
+    SELECT list_id, list(m ORDER BY j) AS c FROM means GROUP BY list_id
+  ) mm USING (list_id)
+),
+assigned AS (
+  SELECT doc_id, list_id FROM (
+    SELECT c.doc_id, ct.list_id,
+           row_number() OVER (
+             PARTITION BY c.doc_id
+             ORDER BY ROUND(list_sum(list_transform(range(1, {TFH_DIM + 1}),
+                        j -> (c.v[j] - ct.cent[j]) * (c.v[j] - ct.cent[j]))), 6),
+                      ct.list_id
+           ) AS rk
+    FROM corpus c CROSS JOIN cents ct
+  ) WHERE rk = 1
+)
+SELECT CAST(list_id AS INT) AS list_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM assigned GROUP BY list_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8482,6 +8609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outliers": q_mad_outliers,
     "streaming_cdc_apply": q_streaming_cdc_apply,
     "skyline_orders": q_skyline_orders,
+    "doc_topic_clusters": q_doc_topic_clusters,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -8737,4 +8865,5 @@ ORACLE_SQL: dict[str, str] = {
     "mad_outliers": SQL_MAD_OUTLIERS,
     "streaming_cdc_apply": SQL_STREAMING_CDC_APPLY,
     "skyline_orders": SQL_SKYLINE_ORDERS,
+    "doc_topic_clusters": SQL_DOC_TOPIC_CLUSTERS,
 }
