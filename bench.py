@@ -171,6 +171,8 @@ HEADLINE = [
     "streaming_cdc_apply",
     "skyline_orders",
     "doc_topic_clusters",
+    "cms_join_estimate",
+    "equi_depth_histogram",
 ]
 
 
