@@ -173,6 +173,7 @@ HEADLINE = [
     "doc_topic_clusters",
     "cms_join_estimate",
     "equi_depth_histogram",
+    "sql_interface_q1",
 ]
 
 

@@ -8644,6 +8644,18 @@ FROM bnds""")
     return f"WITH bnds AS (SELECT {qs} FROM orders)" + "\nUNION ALL\n".join(parts)
 
 
+def q_sql_interface_q1(spark, sf_dir):
+    """SQL-surface parity: the Q1 ORACLE STRING ITSELF executes through
+    ``spark.sql`` over a registered view — one ANSI text, two engines,
+    identical results. This pins the promise that a user can drive this
+    engine with plain SQL (not just the DataFrame API) and that the
+    oracle corpus is genuinely dialect-portable; Catalyst plans the SQL
+    text to the same pushed-down, partially-aggregated physical plan as
+    the DataFrame form of q1_pricing_summary."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_Q1)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8762,6 +8774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_topic_clusters": q_doc_topic_clusters,
     "cms_join_estimate": q_cms_join_estimate,
     "equi_depth_histogram": q_equi_depth_histogram,
+    "sql_interface_q1": q_sql_interface_q1,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9020,4 +9033,5 @@ ORACLE_SQL: dict[str, str] = {
     "doc_topic_clusters": SQL_DOC_TOPIC_CLUSTERS,
     "cms_join_estimate": SQL_CMS_JOIN_ESTIMATE,
     "equi_depth_histogram": _sql_equi_depth(),
+    "sql_interface_q1": SQL_Q1,  # the same text runs on both engines
 }

@@ -63,6 +63,33 @@ def read_time_range(
     )
 
 
+def overwrite_day(
+    events: DataFrame,
+    path: str,
+    time_col: str = "event_time",
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the day partitions
+    present in ``events``, leaving every other chunk's files untouched
+    — the backfill/restatement primitive (re-land one corrected day
+    into a year of data without rewriting the year). Uses Spark's
+    ``partitionOverwriteMode=dynamic`` so the overwrite set is derived
+    from the data, not the whole table; the session setting is scoped
+    and restored. At 100 TB this is the difference between rewriting
+    one day's chunk and rewriting the table."""
+    spark = events.sparkSession
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            events.withColumn(PARTITION_COL, F.date_format(time_col, "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+
+
 def drop_before(spark: SparkSession, path: str, cutoff_day: str) -> list[str]:
     """Retention: drop whole chunks older than ``cutoff_day``
     (yyyy-MM-dd). A directory delete per expired day — no rewrite, no

@@ -63,3 +63,52 @@ def test_retention_drop_before(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(path).select("p_day").distinct().collect()
     )
     assert left == days[2:]
+
+
+def test_overwrite_day_touches_only_target_partition(spark, sf_dir, tmp_path):
+    """Backfill primitive: re-landing one corrected day must leave every
+    other day's files byte-identical (same paths, sizes, mtimes) and
+    replace exactly the target day's content."""
+    import os
+
+    from database_fragmentation_and_query_processor_spark.operators.timeseries import (
+        PARTITION_COL,
+        overwrite_day,
+    )
+
+    path = _write(spark, sf_dir, tmp_path)
+    days = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(path)
+        if e.startswith(f"{PARTITION_COL}=")
+    )
+    assert len(days) >= 2
+    target = days[1]
+
+    def snapshot(exclude_day):
+        out = {}
+        for root, _, files in os.walk(path):
+            if f"{PARTITION_COL}={exclude_day}" in root:
+                continue
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(target)
+    ev = EQ._events(spark, sf_dir)
+    corrected = ev.where(
+        F.date_format("event_time", "yyyy-MM-dd") == target
+    ).withColumn("value", F.col("value") * 2)
+    n_day = corrected.count()
+    overwrite_day(corrected, path)
+
+    assert snapshot(target) == before, "non-target partitions were rewritten"
+    back = spark.read.parquet(path).where(F.col(PARTITION_COL) == target)
+    assert back.count() == n_day
+    orig_sum = ev.where(
+        F.date_format("event_time", "yyyy-MM-dd") == target
+    ).agg(F.sum("value")).head()[0]
+    new_sum = back.agg(F.sum("value")).head()[0]
+    assert abs(new_sum - 2 * orig_sum) < 1e-6
