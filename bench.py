@@ -174,6 +174,7 @@ HEADLINE = [
     "cms_join_estimate",
     "equi_depth_histogram",
     "sql_interface_q1",
+    "multimodal_audio_windows",
 ]
 
 

@@ -8644,6 +8644,65 @@ FROM bnds""")
     return f"WITH bnds AS (SELECT {qs} FROM orders)" + "\nUNION ALL\n".join(parts)
 
 
+AUDIO_WIN_BYTES = 64
+AUDIO_HOP_BYTES = 32
+
+
+def q_multimodal_audio_windows(spark, sf_dir):
+    """Audio windowing plumbing (stubbed codec, deterministic byte
+    arithmetic → exact DuckDB mirror): 1→N-with-OVERLAP mapInPandas
+    fan-out (window 64 B, hop 32 B) — the STFT/mel front-end shape that
+    disjoint frame sampling can't express. Aggregated per media:
+    window count + md5-prefix checksum over every emitted window, so
+    any slicing error anywhere flips the row."""
+    from .multimodal.binary_ops import audio_windows, documents_as_media
+
+    docs = _docs(spark, sf_dir)
+    wins = audio_windows(
+        documents_as_media(docs),
+        window_bytes=AUDIO_WIN_BYTES,
+        hop_bytes=AUDIO_HOP_BYTES,
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.lower(F.hex(F.col("window")))), 1, 13), 16, 10
+    ).cast("bigint")
+    return wins.groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum("start_byte").cast("bigint").alias("start_checksum"),
+        F.sum(chk).cast("bigint").alias("window_checksum"),
+    )
+
+
+SQL_MULTIMODAL_AUDIO_WINDOWS = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         hex(encode(text)) AS h
+  FROM documents
+),
+w AS (
+  SELECT media_id, n, h,
+         unnest(range(0,
+           CAST((GREATEST(n - {AUDIO_WIN_BYTES}, 0) + {AUDIO_HOP_BYTES} - 1)
+                // {AUDIO_HOP_BYTES} AS INT) + 1)) AS i
+  FROM m
+),
+wins AS (
+  SELECT media_id, i * {AUDIO_HOP_BYTES} AS start_byte,
+         lower(CASE WHEN substr(h, i*{AUDIO_HOP_BYTES}*2+1, {AUDIO_WIN_BYTES}*2) = ''
+                    THEN '00'
+                    ELSE substr(h, i*{AUDIO_HOP_BYTES}*2+1, {AUDIO_WIN_BYTES}*2) END) AS win_hex
+  FROM w
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(start_byte) AS BIGINT) AS start_checksum,
+       CAST(SUM(CAST('0x' || substr(md5(win_hex), 1, 13) AS BIGINT)) AS BIGINT)
+         AS window_checksum
+FROM wins GROUP BY media_id
+"""
+
+
 def q_sql_interface_q1(spark, sf_dir):
     """SQL-surface parity: the Q1 ORACLE STRING ITSELF executes through
     ``spark.sql`` over a registered view — one ANSI text, two engines,
@@ -8775,6 +8834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_join_estimate": q_cms_join_estimate,
     "equi_depth_histogram": q_equi_depth_histogram,
     "sql_interface_q1": q_sql_interface_q1,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9034,4 +9094,5 @@ ORACLE_SQL: dict[str, str] = {
     "cms_join_estimate": SQL_CMS_JOIN_ESTIMATE,
     "equi_depth_histogram": _sql_equi_depth(),
     "sql_interface_q1": SQL_Q1,  # the same text runs on both engines
+    "multimodal_audio_windows": SQL_MULTIMODAL_AUDIO_WINDOWS,
 }

@@ -193,6 +193,54 @@ def sample_frames(
     return df.mapInPandas(_sample, FRAME_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("start_byte", LongType()),
+        StructField("window", BinaryType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame, window_bytes: int = 64, hop_bytes: int = 32,
+    id_col: str = "media_id", bytes_col: str = "payload",
+) -> DataFrame:
+    """Audio windowing plumbing: OVERLAPPING byte windows (size W, hop
+    H < W) — the 1→N-with-overlap ``mapInPandas`` shape an STFT/mel
+    front end consumes (``sample_frames`` fans out disjoint slices; a
+    real audio featurizer needs the overlap). Window extraction is the
+    STUB: raw byte slices stand in for PCM frames; the windowing
+    arithmetic — ceil(max(n−W,0)/H)+1 windows, window i =
+    raw[i·H : i·H+W] — is real, deterministic, and mirrored exactly by
+    the oracle over hex(payload)."""
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, wins = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(payload)
+                decode_stub(raw)
+                n = len(raw)
+                n_w = max((max(n - window_bytes, 0) + hop_bytes - 1) // hop_bytes, 0) + 1
+                for i in range(n_w):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    starts.append(i * hop_bytes)
+                    wins.append(raw[i * hop_bytes : i * hop_bytes + window_bytes] or b"\x00")
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "start_byte": pd.Series(starts, dtype="int64"),
+                    "window": wins,
+                }
+            )
+
+    return df.mapInPandas(_windows, AUDIO_WINDOW_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media payload
     (the container ships no real image/audio fixtures)."""
