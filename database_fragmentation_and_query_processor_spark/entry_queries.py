@@ -6496,10 +6496,13 @@ EWMA_Q_SCALE = 1_000_000
 
 def q_ewma_user_value(spark, sf_dir):
     """Per-user exponentially weighted moving average of event values
-    (α = 1/2), reported at the last event. The closed form
-    ``Σ x_i·2^-(n-i) / Σ 2^-(n-i)`` replaces the sequential recurrence —
-    the whole computation is one per-user window shuffle plus a hash
-    agg, no iteration. α = 1/2 is chosen deliberately: multiplying an
+    (α = 1/2), reported at the last event — the NORMALIZED weighted-mean
+    form ``Σ x_i·2^-(n-i) / Σ 2^-(n-i)`` (pandas ``ewm(adjust=True)``
+    semantics; the adjust=False recurrence weights the first element
+    differently — property-pinned against pandas in
+    tests/test_properties_r4.py). The closed form means the whole
+    computation is one per-user window shuffle plus a hash agg, no
+    sequential iteration. α = 1/2 is chosen deliberately: multiplying an
     IEEE double by 2^-k only shifts the exponent, so every weighted term
     is EXACT and engine-identical; terms are then floor-quantized to
     integers (EMB_Q_SCALE pattern) so the distributed sum is
