@@ -175,6 +175,7 @@ HEADLINE = [
     "equi_depth_histogram",
     "sql_interface_q1",
     "multimodal_audio_windows",
+    "eval_set_builder",
 ]
 
 

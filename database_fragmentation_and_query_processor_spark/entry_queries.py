@@ -8718,6 +8718,134 @@ def q_sql_interface_q1(spark, sf_dir):
     return spark.sql(SQL_Q1)
 
 
+EVAL_SET_K = 5  # eval docs per language
+
+
+def q_eval_set_builder(spark, sf_dir):
+    """CAPSTONE COMPOSITION (the eval-side mirror of curation_pipeline):
+    build a held-out evaluation set end-to-end — (1) deterministic
+    hash split selects the test docs, (2) decontamination drops any
+    test doc sharing ≥3 word 5-grams with the train split (the
+    split_leakage_audit join, applied as a removal), (3) exact-k
+    per-language sampling (the group_topk_sample rank) picks the final
+    set. Per-language funnel counts + sampled-id checksum. Every stage
+    consumes only the previous stage's survivors; the leakage join is
+    bounded by cross-split gram collisions. The final rank here runs
+    directly on the survivors (already the split-gated subset); at
+    100 TB compose in group_topk_sample's count-derived hash-threshold
+    prefilter so the per-language sort stays k-bounded."""
+    docs = _docs(spark, sf_dir)
+    b = SampleOp.hash_bucket(F.col("doc_id"), SPLIT_SALT)
+    split = (
+        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+        .when(b < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+    tagged = docs.withColumn("split", split)
+    toks = T.tokens(F.col("text"))
+    grams = F.array_distinct(_word_grams(toks, LEAK_N))
+    g = tagged.select(
+        "doc_id", "split", F.explode(grams).alias("gram")
+    ).select("doc_id", "split", F.md5("gram").alias("gh"))
+    train_g = g.where(F.col("split") == "train").select("gh", F.col("doc_id").alias("tid"))
+    test_g = g.where(F.col("split") == "test")
+    leaked = (
+        test_g.join(train_g, "gh")
+        .groupBy("doc_id", "tid")
+        .agg(F.countDistinct("gh").alias("shared"))
+        .where(F.col("shared") >= LEAK_MIN_SHARED)
+        .select("doc_id")
+        .distinct()
+    )
+    test_docs = tagged.where(F.col("split") == "test")
+    clean = test_docs.join(leaked.withColumn("_leak", F.lit(1)), "doc_id", "left")
+    survivors = clean.where(F.col("_leak").isNull())
+    h = SampleOp.hash_bucket(F.col("doc_id"), "gsample", 1_000_000)
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    sampled = (
+        survivors.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= EVAL_SET_K)
+    )
+    funnel = (
+        test_docs.groupBy("lang").agg(F.count("*").alias("n_test"))
+        .join(
+            survivors.groupBy("lang").agg(F.count("*").alias("n_clean")),
+            "lang", "left",
+        )
+        .join(
+            sampled.groupBy("lang").agg(
+                F.count("*").alias("n_sampled"),
+                F.sum("doc_id").alias("sample_checksum"),
+            ),
+            "lang", "left",
+        )
+    )
+    return funnel.select(
+        "lang",
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.coalesce("n_clean", F.lit(0)).cast("bigint").alias("n_clean"),
+        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+        F.coalesce("sample_checksum", F.lit(0)).cast("bigint").alias("sample_checksum"),
+    )
+
+
+SQL_EVAL_SET_BUILDER = f"""
+WITH tagged AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_VAL_PERMILLE} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, split,
+         unnest(list_transform(
+           range(1, greatest(len({TOKENS_SQL}) - {LEAK_N - 2}, 1)),
+           j -> md5(array_to_string(({TOKENS_SQL})[j:j+{LEAK_N - 1}], ' '))
+         )) AS gh
+  FROM tagged
+),
+leaked AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT t.doc_id, tr.tid, COUNT(DISTINCT t.gh) AS shared
+    FROM (SELECT * FROM g WHERE split = 'test') t
+    JOIN (SELECT gh, doc_id AS tid FROM g WHERE split = 'train') tr USING (gh)
+    GROUP BY t.doc_id, tr.tid
+    HAVING COUNT(DISTINCT t.gh) >= {LEAK_MIN_SHARED}
+  )
+),
+test_docs AS (SELECT * FROM tagged WHERE split = 'test'),
+survivors AS (
+  SELECT * FROM test_docs WHERE doc_id NOT IN (SELECT doc_id FROM leaked)
+),
+sampled AS (
+  SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY CAST('0x' || substr(md5('gsample' || CAST(doc_id AS VARCHAR)), 1, 13)
+                           AS BIGINT) % 1000000 ASC,
+                      doc_id ASC
+           ) AS rk
+    FROM survivors
+  ) WHERE rk <= {EVAL_SET_K}
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(COALESCE(MAX(c.n_clean), 0) AS BIGINT) AS n_clean,
+       CAST(COALESCE(MAX(s.n_sampled), 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(MAX(s.sample_checksum), 0) AS BIGINT) AS sample_checksum
+FROM test_docs t
+LEFT JOIN (SELECT lang, COUNT(*) AS n_clean FROM survivors GROUP BY lang) c
+  USING (lang)
+LEFT JOIN (SELECT lang, COUNT(*) AS n_sampled, SUM(doc_id) AS sample_checksum
+           FROM sampled GROUP BY lang) s
+  USING (lang)
+GROUP BY t.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8838,6 +8966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "equi_depth_histogram": q_equi_depth_histogram,
     "sql_interface_q1": q_sql_interface_q1,
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    "eval_set_builder": q_eval_set_builder,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9098,4 +9227,5 @@ ORACLE_SQL: dict[str, str] = {
     "equi_depth_histogram": _sql_equi_depth(),
     "sql_interface_q1": SQL_Q1,  # the same text runs on both engines
     "multimodal_audio_windows": SQL_MULTIMODAL_AUDIO_WINDOWS,
+    "eval_set_builder": SQL_EVAL_SET_BUILDER,
 }
