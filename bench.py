@@ -176,6 +176,7 @@ HEADLINE = [
     "sql_interface_q1",
     "multimodal_audio_windows",
     "eval_set_builder",
+    "xml_roundtrip_agg",
 ]
 
 

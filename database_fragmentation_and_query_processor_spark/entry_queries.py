@@ -8718,6 +8718,60 @@ def q_sql_interface_q1(spark, sf_dir):
     return spark.sql(SQL_Q1)
 
 
+def q_xml_roundtrip_agg(spark, sf_dir):
+    """XML source/sink round-trip through Spark 4's NATIVE xml format
+    (no external package): documents written once as <doc> rows
+    (build-once artifact, content-keyed), read back with an EXPLICIT
+    schema (inference reads the input twice at scale and can flip
+    types), and checksummed per language — a green row proves entity
+    escaping and the full write→parse path are byte-faithful. Rounds
+    out the format-portability set next to parquet, ORC, CSV, JSON
+    lines, and binaryFile."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = _artifact_cache_path(sf_dir, "xml_docs", "documents")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "docs")
+            .option("rowTag", "doc")
+            .save(path)
+        )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema).format("xml").option("rowTag", "doc").load(path)
+    )
+    chk = F.conv(
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 13), 16, 10
+    ).cast("bigint")
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).cast("bigint").alias("total_chars"),
+        F.sum(chk).cast("bigint").alias("text_checksum"),
+    )
+
+
+SQL_XML_ROUNDTRIP_AGG = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST('0x' || substr(md5(COALESCE(text, '')), 1, 13) AS BIGINT)) AS BIGINT)
+         AS text_checksum
+FROM documents GROUP BY lang
+"""
+
+
 EVAL_SET_K = 5  # eval docs per language
 
 
@@ -8967,6 +9021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_interface_q1": q_sql_interface_q1,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "eval_set_builder": q_eval_set_builder,
+    "xml_roundtrip_agg": q_xml_roundtrip_agg,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9228,4 +9283,5 @@ ORACLE_SQL: dict[str, str] = {
     "sql_interface_q1": SQL_Q1,  # the same text runs on both engines
     "multimodal_audio_windows": SQL_MULTIMODAL_AUDIO_WINDOWS,
     "eval_set_builder": SQL_EVAL_SET_BUILDER,
+    "xml_roundtrip_agg": SQL_XML_ROUNDTRIP_AGG,
 }
