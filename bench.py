@@ -177,6 +177,8 @@ HEADLINE = [
     "multimodal_audio_windows",
     "eval_set_builder",
     "xml_roundtrip_agg",
+    "quantile_disc_battery",
+    "ignore_nulls_window_battery",
 ]
 
 

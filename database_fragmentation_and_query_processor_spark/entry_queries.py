@@ -8900,6 +8900,125 @@ GROUP BY t.lang
 """
 
 
+def q_quantile_disc_battery(spark, sf_dir):
+    """Discrete vs continuous quantile semantics, pinned cross-engine:
+    percentile_CONT interpolates between order statistics while
+    percentile_DISC returns an actual data value (the one at rank
+    ⌈p·n⌉) — confusing them silently shifts every reported median.
+    Spark has no exact discrete-quantile builtin, so the disc side is
+    derived from first principles (per-group rank arithmetic over a
+    window), which doubles as the cross-engine definition check against
+    DuckDB's native quantile_disc. Per event type, p ∈ {0.25, 0.5,
+    0.9}."""
+    ev = _events(spark, sf_dir)
+    ps = [0.25, 0.5, 0.9]
+    cont = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({','.join(str(p) for p in ps)}))").alias("cont")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    parts = []
+    for p in ps:
+        parts.append(
+            ranked.where(F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("int"))
+            .groupBy("event_type")
+            # equal values straddle the target rank only via the
+            # event_id tie-break; min() collapses them identically
+            .agg(F.min("value").alias(f"d"))
+            .select("event_type", F.lit(p).alias("p"), F.col("d").alias("disc"))
+        )
+    disc = parts[0]
+    for x in parts[1:]:
+        disc = disc.unionByName(x)
+    out = disc.join(F.broadcast(cont), "event_type")
+    pick = (
+        F.when(F.col("p") == 0.25, F.element_at("cont", 1))
+        .when(F.col("p") == 0.5, F.element_at("cont", 2))
+        .otherwise(F.element_at("cont", 3))
+    )
+    return out.select(
+        "event_type", "p",
+        F.round(F.col("disc"), 6).alias("q_disc"),
+        F.round(pick, 6).alias("q_cont"),
+    )
+
+
+SQL_QUANTILE_DISC_BATTERY = "\nUNION ALL\n".join(
+    f"""
+SELECT event_type, {p} AS p,
+       ROUND(quantile_disc(value, {p}), 6) AS q_disc,
+       ROUND(quantile_cont(value, {p}), 6) AS q_cont
+FROM events GROUP BY event_type"""
+    for p in (0.25, 0.5, 0.9)
+)
+
+
+def q_ignore_nulls_window_battery(spark, sf_dir):
+    """IGNORE NULLS window semantics (last-observation-carried-forward
+    — the gap-filling idiom for sparse sensor values): last non-null
+    value at or before each row vs the plain (NULL-propagating)
+    last_value. Pinned over a bounded slice with a deterministic null
+    pattern; summarised per event type so the output stays small while
+    every LOCF decision feeds a checksum."""
+    ev = _events(spark, sf_dir)
+    x = F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value"))
+    base = ev.where(F.col("event_id") < 2000).select(
+        "event_type", "event_id", "tsn", x.alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("tsn", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    locf = F.last("x", ignorenulls=True).over(w)
+    plain = F.last("x", ignorenulls=False).over(w)
+    q = lambda c: F.floor(F.coalesce(c, F.lit(-1.0)) * 1000).cast("bigint")  # noqa: E731
+    return (
+        base.select("event_type", q(locf).alias("ql"), q(plain).alias("qp"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("ql").cast("bigint").alias("locf_checksum"),
+            F.sum("qp").cast("bigint").alias("plain_checksum"),
+            F.sum(F.when(F.col("ql") != F.col("qp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_carried"),
+        )
+    )
+
+
+SQL_IGNORE_NULLS_WINDOW_BATTERY = """
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS tsn,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS x
+  FROM events WHERE event_id < 2000
+),
+winv AS (
+  SELECT event_type,
+         LAST_VALUE(x IGNORE NULLS) OVER w AS locf,
+         LAST_VALUE(x) OVER w AS plain
+  FROM base
+  WINDOW w AS (PARTITION BY event_type ORDER BY tsn, event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+q AS (
+  SELECT event_type,
+         CAST(FLOOR(COALESCE(locf, -1.0) * 1000) AS BIGINT) AS ql,
+         CAST(FLOOR(COALESCE(plain, -1.0) * 1000) AS BIGINT) AS qp
+  FROM winv
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(ql) AS BIGINT) AS locf_checksum,
+       CAST(SUM(qp) AS BIGINT) AS plain_checksum,
+       CAST(SUM(CASE WHEN ql <> qp THEN 1 ELSE 0 END) AS BIGINT) AS n_carried
+FROM q GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9022,6 +9141,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "eval_set_builder": q_eval_set_builder,
     "xml_roundtrip_agg": q_xml_roundtrip_agg,
+    "quantile_disc_battery": q_quantile_disc_battery,
+    "ignore_nulls_window_battery": q_ignore_nulls_window_battery,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9284,4 +9405,6 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_audio_windows": SQL_MULTIMODAL_AUDIO_WINDOWS,
     "eval_set_builder": SQL_EVAL_SET_BUILDER,
     "xml_roundtrip_agg": SQL_XML_ROUNDTRIP_AGG,
+    "quantile_disc_battery": SQL_QUANTILE_DISC_BATTERY,
+    "ignore_nulls_window_battery": SQL_IGNORE_NULLS_WINDOW_BATTERY,
 }
