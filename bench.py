@@ -179,6 +179,8 @@ HEADLINE = [
     "xml_roundtrip_agg",
     "quantile_disc_battery",
     "ignore_nulls_window_battery",
+    "grouping_flags_battery",
+    "lateral_ordinality_battery",
 ]
 
 

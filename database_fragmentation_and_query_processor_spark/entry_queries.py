@@ -9019,6 +9019,77 @@ FROM q GROUP BY event_type
 """
 
 
+def q_grouping_flags_battery(spark, sf_dir):
+    """Subtotal-identification semantics for grouping sets: the packed
+    GROUPING_ID bit order is ENGINE-SPECIFIC (Spark packs left-to-right
+    over the grouping list; other engines differ), so portable code
+    must emit per-column GROUPING() flags instead — which is exactly
+    what this battery does over a CUBE(status, priority), pinning the
+    flag semantics (1 = aggregated-away) and the per-stratum counts
+    cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status", "g_priority", "n_orders",
+        )
+    )
+
+
+SQL_GROUPING_FLAGS_BATTERY = """
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_lateral_ordinality_battery(spark, sf_dir):
+    """Array-expansion ordinality semantics: Spark's posexplode is
+    0-BASED while SQL ordinality (UNNEST WITH ORDINALITY /
+    generate_subscripts, the DuckDB replay) is 1-BASED — an off-by-one
+    that silently shifts every positional join against expanded arrays.
+    The portable form (emit pos+1 as ordinality) is pinned: tokens of a
+    bounded doc slice expanded with positions, position-weighted
+    checksums per language."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 100)
+    toks = T.tokens(F.col("text"))
+    ex = docs.select("doc_id", "lang", F.posexplode(toks).alias("pos", "token"))
+    # 32-bit hash prefix: ord (≤ ~1e3) × 2^32 summed over the slice
+    # stays far inside int64 (the 52-bit prefix would overflow the sum)
+    chk = F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+    return ex.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("pos") + 1).cast("bigint").alias("ordinality_checksum"),
+        F.sum((F.col("pos") + 1) * chk).cast("bigint").alias("positional_checksum"),
+    )
+
+
+SQL_LATERAL_ORDINALITY_BATTERY = f"""
+WITH ex AS (
+  SELECT doc_id, lang, unnest(arr) AS token,
+         generate_subscripts(arr, 1) AS ord
+  FROM (SELECT doc_id, lang, {TOKENS_SQL} AS arr FROM documents WHERE doc_id < 100) d
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(ord) AS BIGINT) AS ordinality_checksum,
+       CAST(SUM(ord * (CAST('0x' || substr(md5(token), 1, 8) AS BIGINT))) AS BIGINT)
+         AS positional_checksum
+FROM ex GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9143,6 +9214,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xml_roundtrip_agg": q_xml_roundtrip_agg,
     "quantile_disc_battery": q_quantile_disc_battery,
     "ignore_nulls_window_battery": q_ignore_nulls_window_battery,
+    "grouping_flags_battery": q_grouping_flags_battery,
+    "lateral_ordinality_battery": q_lateral_ordinality_battery,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9407,4 +9480,6 @@ ORACLE_SQL: dict[str, str] = {
     "xml_roundtrip_agg": SQL_XML_ROUNDTRIP_AGG,
     "quantile_disc_battery": SQL_QUANTILE_DISC_BATTERY,
     "ignore_nulls_window_battery": SQL_IGNORE_NULLS_WINDOW_BATTERY,
+    "grouping_flags_battery": SQL_GROUPING_FLAGS_BATTERY,
+    "lateral_ordinality_battery": SQL_LATERAL_ORDINALITY_BATTERY,
 }
