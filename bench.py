@@ -181,6 +181,7 @@ HEADLINE = [
     "ignore_nulls_window_battery",
     "grouping_flags_battery",
     "lateral_ordinality_battery",
+    "signed_divmod_battery",
 ]
 
 

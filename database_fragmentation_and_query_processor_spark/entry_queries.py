@@ -9090,6 +9090,56 @@ FROM ex GROUP BY lang
 """
 
 
+def q_signed_divmod_battery(spark, sf_dir):
+    """Signed division/modulo portability — the corner this codebase
+    AVOIDS everywhere by keeping div/mod on positive domains (Spark's
+    ``div`` truncates toward zero, engines disagree on ``%`` sign
+    conventions, and DuckDB's ``//`` floors). This battery pins the
+    PORTABLE forms on mixed-sign inputs: pmod(a, m) = ((a % m) + m) % m
+    (always non-negative, identical in both engines because each
+    engine's own % is used consistently inside it) and the floor
+    quotient derived from it, fdiv(a, m) = (a − pmod(a, m)) / m. Checked
+    by checksums over a mixed-sign derivation of custkeys."""
+    orders = _t(spark, sf_dir, "orders")
+    m = 7
+    a = (F.col("o_custkey") - 750).cast("bigint")
+    pmod = ((a % m) + m) % m
+    fdiv = (a - pmod) / m
+    return (
+        orders.select(
+            a.alias("a"), pmod.alias("pm"), fdiv.cast("bigint").alias("fd")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("a") < 0, 1).otherwise(0)).cast("bigint").alias("n_negative"),
+            F.min("pm").cast("bigint").alias("pmod_min"),
+            F.max("pm").cast("bigint").alias("pmod_max"),
+            F.sum("pm").cast("bigint").alias("pmod_checksum"),
+            F.sum("fd").cast("bigint").alias("fdiv_checksum"),
+            F.sum(F.col("fd") * m + F.col("pm") - F.col("a")).cast("bigint").alias("identity_residual"),
+        )
+    )
+
+
+SQL_SIGNED_DIVMOD_BATTERY = """
+WITH t AS (
+  SELECT CAST(o_custkey - 750 AS BIGINT) AS a FROM orders
+),
+d AS (
+  SELECT a, ((a % 7) + 7) % 7 AS pm FROM t
+),
+f AS (SELECT a, pm, CAST((a - pm) / 7 AS BIGINT) AS fd FROM d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN a < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+       CAST(MIN(pm) AS BIGINT) AS pmod_min,
+       CAST(MAX(pm) AS BIGINT) AS pmod_max,
+       CAST(SUM(pm) AS BIGINT) AS pmod_checksum,
+       CAST(SUM(fd) AS BIGINT) AS fdiv_checksum,
+       CAST(SUM(fd * 7 + pm - a) AS BIGINT) AS identity_residual
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9216,6 +9266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ignore_nulls_window_battery": q_ignore_nulls_window_battery,
     "grouping_flags_battery": q_grouping_flags_battery,
     "lateral_ordinality_battery": q_lateral_ordinality_battery,
+    "signed_divmod_battery": q_signed_divmod_battery,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9482,4 +9533,5 @@ ORACLE_SQL: dict[str, str] = {
     "ignore_nulls_window_battery": SQL_IGNORE_NULLS_WINDOW_BATTERY,
     "grouping_flags_battery": SQL_GROUPING_FLAGS_BATTERY,
     "lateral_ordinality_battery": SQL_LATERAL_ORDINALITY_BATTERY,
+    "signed_divmod_battery": SQL_SIGNED_DIVMOD_BATTERY,
 }
