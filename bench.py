@@ -182,6 +182,7 @@ HEADLINE = [
     "grouping_flags_battery",
     "lateral_ordinality_battery",
     "signed_divmod_battery",
+    "ab_test_zscore",
 ]
 
 

@@ -9140,6 +9140,77 @@ FROM f
 """
 
 
+def q_ab_test_zscore(spark, sf_dir):
+    """Experimentation analytics: the two-proportion z-test between an
+    urgent-priority 'variant' and the rest (success = order filled),
+    computed from exact integer counts in closed form — the
+    significance read-out behind every A/B dashboard. One conditional
+    aggregate produces all four counts; the z statistic is a single
+    deterministic float expression over those integers (identical op
+    sequence both engines, round-6), so even the test statistic
+    hash-matches. Emits counts, rates, |z|, and the two-sided
+    z>1.96 decision as a checked boolean."""
+    orders = _t(spark, sf_dir, "orders")
+    is_a = F.col("o_orderpriority") == "1-URGENT"
+    is_succ = F.col("o_orderstatus") == "F"
+    counts = orders.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is_a & is_succ, 1).otherwise(0)).alias("s1"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when((~is_a) & is_succ, 1).otherwise(0)).alias("s2"),
+    )
+    p1 = F.col("s1").cast("double") / F.col("n1").cast("double")
+    p2 = F.col("s2").cast("double") / F.col("n2").cast("double")
+    pp = (F.col("s1") + F.col("s2")).cast("double") / (F.col("n1") + F.col("n2")).cast("double")
+    se = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n1").cast("double") + F.lit(1.0) / F.col("n2").cast("double"))
+    )
+    z = F.abs(p1 - p2) / se
+    return counts.select(
+        F.col("n1").cast("bigint").alias("n_variant"),
+        F.col("s1").cast("bigint").alias("s_variant"),
+        F.col("n2").cast("bigint").alias("n_control"),
+        F.col("s2").cast("bigint").alias("s_control"),
+        F.round(p1, 6).alias("rate_variant"),
+        F.round(p2, 6).alias("rate_control"),
+        F.round(z, 6).alias("abs_z"),
+        (z > 1.96).alias("significant_95"),
+    )
+
+
+SQL_AB_TEST_ZSCORE = """
+WITH c AS (
+  SELECT SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+                  THEN 1 ELSE 0 END) AS s1,
+         SUM(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderstatus = 'F'
+                  THEN 1 ELSE 0 END) AS s2
+  FROM orders
+),
+s AS (
+  SELECT n1, s1, n2, s2,
+         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+         CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS pp
+  FROM c
+)
+SELECT CAST(n1 AS BIGINT) AS n_variant,
+       CAST(s1 AS BIGINT) AS s_variant,
+       CAST(n2 AS BIGINT) AS n_control,
+       CAST(s2 AS BIGINT) AS s_control,
+       ROUND(p1, 6) AS rate_variant,
+       ROUND(p2, 6) AS rate_control,
+       ROUND(ABS(p1 - p2) / SQRT(pp * (1.0 - pp)
+             * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6) AS abs_z,
+       ABS(p1 - p2) / SQRT(pp * (1.0 - pp)
+             * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) > 1.96
+         AS significant_95
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9267,6 +9338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_flags_battery": q_grouping_flags_battery,
     "lateral_ordinality_battery": q_lateral_ordinality_battery,
     "signed_divmod_battery": q_signed_divmod_battery,
+    "ab_test_zscore": q_ab_test_zscore,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9534,4 +9606,5 @@ ORACLE_SQL: dict[str, str] = {
     "grouping_flags_battery": SQL_GROUPING_FLAGS_BATTERY,
     "lateral_ordinality_battery": SQL_LATERAL_ORDINALITY_BATTERY,
     "signed_divmod_battery": SQL_SIGNED_DIVMOD_BATTERY,
+    "ab_test_zscore": SQL_AB_TEST_ZSCORE,
 }
