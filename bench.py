@@ -183,6 +183,7 @@ HEADLINE = [
     "lateral_ordinality_battery",
     "signed_divmod_battery",
     "ab_test_zscore",
+    "funnel_time_to_convert",
 ]
 
 

@@ -9211,6 +9211,69 @@ FROM s
 """
 
 
+def q_funnel_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: each click pairs with its FIRST
+    qualifying purchase (same user, within the 1-hour horizon — the
+    as-of direction of the attribution join), and the click→purchase
+    latencies aggregate to exact interpolated p50/p90 and a micros-sum
+    checksum. The min-purchase-per-click collapse happens in the same
+    aggregation that follows the horizon join, so the pair fan-out
+    never survives past one shuffle. Latencies are exact integer
+    micros; only the two quantiles are floats (the pinned
+    percentile/quantile_cont pair)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("tsn").alias("ct"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("tsn").alias("pt")
+    )
+    first_conv = (
+        clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pt") >= F.col("ct"))
+            & (F.col("pt") <= F.col("ct") + ATTR_HORIZON_US),
+        )
+        .groupBy("cid", "ct")
+        .agg(F.min("pt").alias("first_pt"))
+        .select((F.col("first_pt") - F.col("ct")).alias("latency_us"))
+    )
+    # quantiles are reported in SECONDS: at micros magnitude (~1e9) a
+    # round-6 sits below double ulp and interpolation-order noise leaks
+    # through; at seconds magnitude the rounding is far above ulp
+    return first_conv.agg(
+        F.count("*").cast("bigint").alias("n_conversions"),
+        F.sum("latency_us").cast("bigint").alias("latency_checksum"),
+        F.round(F.expr("percentile(latency_us, 0.5)") / 1e6, 6).alias("p50_sec"),
+        F.round(F.expr("percentile(latency_us, 0.9)") / 1e6, 6).alias("p90_sec"),
+    )
+
+
+SQL_FUNNEL_TIME_TO_CONVERT = f"""
+WITH c AS (
+  SELECT user_id AS cu, event_id AS cid, epoch_us(ts) AS ct
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id AS pu, epoch_us(ts) AS pt
+  FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT cid, ct, MIN(pt) AS first_pt
+  FROM c JOIN p ON cu = pu AND pt >= ct AND pt <= ct + {ATTR_HORIZON_US}
+  GROUP BY cid, ct
+),
+lat AS (SELECT first_pt - ct AS latency_us FROM conv)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(latency_us) AS BIGINT) AS latency_checksum,
+       ROUND(quantile_cont(latency_us, 0.5) / 1e6, 6) AS p50_sec,
+       ROUND(quantile_cont(latency_us, 0.9) / 1e6, 6) AS p90_sec
+FROM lat
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9339,6 +9402,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateral_ordinality_battery": q_lateral_ordinality_battery,
     "signed_divmod_battery": q_signed_divmod_battery,
     "ab_test_zscore": q_ab_test_zscore,
+    "funnel_time_to_convert": q_funnel_time_to_convert,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -9607,4 +9671,5 @@ ORACLE_SQL: dict[str, str] = {
     "lateral_ordinality_battery": SQL_LATERAL_ORDINALITY_BATTERY,
     "signed_divmod_battery": SQL_SIGNED_DIVMOD_BATTERY,
     "ab_test_zscore": SQL_AB_TEST_ZSCORE,
+    "funnel_time_to_convert": SQL_FUNNEL_TIME_TO_CONVERT,
 }

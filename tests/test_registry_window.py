@@ -4,7 +4,7 @@ The driver stamps correctness rows for the FIRST 50 entries of
 ``queries()`` only, so dict order is load-bearing. These tests pin the
 round-4 window so a refactor can't silently reshuffle it, and pin the
 1:1 queries↔oracles invariant (every declared operator must be
-hash-checkable — 182/182 as of round 4).
+hash-checkable — 183/183 as of round 4).
 """
 
 from __future__ import annotations
