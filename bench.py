@@ -4,6 +4,18 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Execution is forced with the noop sink (full plan runs, no write cost).
+
+Output contract (r4 verdict task 8 — BENCH_r{2,3,4}.json carried
+``parsed: null`` because the driver keeps only the LAST 2000 chars of
+stdout and the 160-query JSON line outgrew that window):
+
+1. the full JSON line (every query's seconds) — the spec line;
+2. the same object written to ``BENCH_FULL.json`` at the repo root, so
+   ``json.load`` gives every query's seconds directly regardless of any
+   stdout truncation;
+3. a final COMPACT JSON line (<2000 chars: totals, error count, the 10
+   slowest queries, and the ``full_results`` pointer) positioned to be
+   the line a tail-window parser actually recovers.
 """
 
 from __future__ import annotations
@@ -21,6 +33,7 @@ HEADLINE = [
     "frag_range_counts",
     "frag_range_query",
     "frag_point_query",
+    "frag_insert_routing",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_nation_revenue",
@@ -255,6 +268,31 @@ def main() -> None:
     except Exception:
         pass
     print(json.dumps(out))
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if isinstance(v, float)),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    compact = {
+        k: out[k]
+        for k in ("metric", "value", "unit", "errors", "sf", "cpus")
+    }
+    compact["n_queries"] = len(timings)
+    for k in ("r1_subset_total", "r1_subset_n"):
+        if k in out:
+            compact[k] = out[k]
+    compact["slowest"] = slowest
+    compact["full_results"] = "BENCH_FULL.json"
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -29,8 +29,20 @@ from __future__ import annotations
 import json
 import os
 import time
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class FileIdent(NamedTuple):
+    """A file's identity AS OBSERVED AT LISTING TIME. The ledger must
+    record exactly this snapshot — re-stat'ing at commit time would
+    record a rewritten file's NEW identity against its OLD (already
+    ingested) content, silently skipping the rewrite forever."""
+
+    path: str
+    size: int
+    mtime_ns: int
 
 
 def _list_files(path: str, suffix: str) -> dict[str, tuple[int, int]]:
@@ -58,39 +70,57 @@ def _read_ledger(ledger_dir: str) -> dict[str, tuple[int, int]]:
     return seen
 
 
-def new_files(data_dir: str, ledger_dir: str, suffix: str = ".parquet") -> list[str]:
-    """Paths present in ``data_dir`` but absent from (or changed since)
-    the ledger — metadata-only, nothing is read."""
+def new_files(
+    data_dir: str, ledger_dir: str, suffix: str = ".parquet"
+) -> list[FileIdent]:
+    """Files present in ``data_dir`` but absent from (or changed since)
+    the ledger, each with its (size, mtime_ns) identity captured at
+    listing time — metadata-only, nothing is read. Pass the returned
+    idents (NOT bare paths) to ``commit_ingest`` so the ledger records
+    the identity of the content actually ingested."""
     current = _list_files(data_dir, suffix)
     seen = _read_ledger(ledger_dir)
-    return [p for p, ident in current.items() if seen.get(p) != ident]
+    return [
+        FileIdent(p, size, mtime)
+        for p, (size, mtime) in current.items()
+        if seen.get(p) != (size, mtime)
+    ]
 
 
 def ingest_increment(
     spark: SparkSession, data_dir: str, ledger_dir: str, suffix: str = ".parquet"
-) -> tuple[DataFrame | None, list[str]]:
-    """(DataFrame over ONLY the new files, their paths); (None, []) when
-    nothing arrived. Call ``commit_ingest`` with the same paths after
-    the downstream write succeeds."""
-    paths = new_files(data_dir, ledger_dir, suffix)
-    if not paths:
+) -> tuple[DataFrame | None, list[FileIdent]]:
+    """(DataFrame over ONLY the new files, their listing-time idents);
+    (None, []) when nothing arrived. Call ``commit_ingest`` with the
+    same idents after the downstream write succeeds."""
+    idents = new_files(data_dir, ledger_dir, suffix)
+    if not idents:
         return None, []
-    return spark.read.parquet(*paths), paths
+    return spark.read.parquet(*[i.path for i in idents]), idents
 
 
-def commit_ingest(ledger_dir: str, paths: list[str]) -> None:
-    """Append one ledger commit file covering ``paths``. Append-only —
-    a crashed run leaves no partial ledger state (the commit file is
+def commit_ingest(ledger_dir: str, idents: list[FileIdent]) -> None:
+    """Append one ledger commit file covering ``idents``. The recorded
+    (size, mtime_ns) is the one CAPTURED AT LISTING TIME, never a fresh
+    stat — if the file was rewritten between read and commit, the next
+    ``new_files`` diff sees the changed identity and re-ingests the new
+    content (the exactly-once-per-content contract). Append-only: a
+    crashed run leaves no partial ledger state (the commit file is
     written whole via rename)."""
-    if not paths:
+    if not idents:
         return
     os.makedirs(ledger_dir, exist_ok=True)
-    recs = []
-    for p in paths:
-        st = os.stat(p)
-        recs.append({"path": p, "size": st.st_size, "mtime_ns": st.st_mtime_ns})
     tmp = os.path.join(ledger_dir, f".tmp-{time.time_ns()}")
     with open(tmp, "w") as f:
-        for rec in recs:
-            f.write(json.dumps(rec) + "\n")
+        for ident in idents:
+            f.write(
+                json.dumps(
+                    {
+                        "path": ident.path,
+                        "size": ident.size,
+                        "mtime_ns": ident.mtime_ns,
+                    }
+                )
+                + "\n"
+            )
     os.replace(tmp, os.path.join(ledger_dir, f"commit-{time.time_ns()}.jsonl"))

@@ -32,24 +32,52 @@ def test_incremental_rounds_are_exactly_once(spark, tmp_path):
     # round 1: two files arrive
     _drop(spark, os.path.join(data, "a.parquet"), [1, 2])
     _drop(spark, os.path.join(data, "b.parquet"), [3])
-    df, paths = ingest_increment(spark, data, ledger)
-    assert sorted(os.path.basename(p) for p in paths) == ["a.parquet", "b.parquet"]
+    df, idents = ingest_increment(spark, data, ledger)
+    assert sorted(os.path.basename(i.path) for i in idents) == [
+        "a.parquet",
+        "b.parquet",
+    ]
     assert df.count() == 3
-    commit_ingest(ledger, paths)
+    commit_ingest(ledger, idents)
 
     # round 2: nothing new
-    df2, paths2 = ingest_increment(spark, data, ledger)
-    assert df2 is None and paths2 == []
+    df2, idents2 = ingest_increment(spark, data, ledger)
+    assert df2 is None and idents2 == []
 
     # round 3: one new file + one REWRITTEN file re-ingests
     _drop(spark, os.path.join(data, "c.parquet"), [4, 5])
     time.sleep(0.01)  # ensure mtime_ns moves on coarse filesystems
     _drop(spark, os.path.join(data, "a.parquet"), [1, 2, 9])
-    got = sorted(os.path.basename(p) for p in new_files(data, ledger))
+    got = sorted(os.path.basename(i.path) for i in new_files(data, ledger))
     assert got == ["a.parquet", "c.parquet"]
-    df3, paths3 = ingest_increment(spark, data, ledger)
+    df3, idents3 = ingest_increment(spark, data, ledger)
     assert df3.agg(F.sum("id")).head()[0] == (1 + 2 + 9) + (4 + 5)
-    commit_ingest(ledger, paths3)
+    commit_ingest(ledger, idents3)
+    assert new_files(data, ledger) == []
+
+
+def test_rewrite_between_read_and_commit_reingests(spark, tmp_path):
+    """The ledger records the identity captured at LISTING time: a file
+    rewritten after ingest_increment read it but before commit_ingest
+    is detected as changed on the next round (the r4 advisor's
+    re-stat-at-commit bug would record the new identity against the old
+    content and skip the rewrite forever)."""
+    data = str(tmp_path / "drop")
+    ledger = str(tmp_path / "ledger")
+    os.makedirs(data)
+    _drop(spark, os.path.join(data, "a.parquet"), [1, 2])
+    df, idents = ingest_increment(spark, data, ledger)
+    assert df.count() == 2
+    # file rewritten IN BETWEEN read and commit
+    time.sleep(0.01)
+    _drop(spark, os.path.join(data, "a.parquet"), [7, 8, 9])
+    commit_ingest(ledger, idents)
+    # next round must see the rewritten content as new
+    fresh = new_files(data, ledger)
+    assert [os.path.basename(i.path) for i in fresh] == ["a.parquet"]
+    df2, idents2 = ingest_increment(spark, data, ledger)
+    assert df2.agg(F.sum("id")).head()[0] == 7 + 8 + 9
+    commit_ingest(ledger, idents2)
     assert new_files(data, ledger) == []
 
 
@@ -59,10 +87,10 @@ def test_crash_before_commit_retries_same_files(spark, tmp_path):
     os.makedirs(data)
     _drop(spark, os.path.join(data, "a.parquet"), [1])
     # run 1 reads but crashes before commit_ingest → ledger unchanged
-    _, paths = ingest_increment(spark, data, ledger)
-    assert len(paths) == 1
+    _, idents = ingest_increment(spark, data, ledger)
+    assert len(idents) == 1
     # retry sees the SAME file again (at-least-once), commit closes it
-    _, retry_paths = ingest_increment(spark, data, ledger)
-    assert retry_paths == paths
-    commit_ingest(ledger, retry_paths)
+    _, retry_idents = ingest_increment(spark, data, ledger)
+    assert retry_idents == idents
+    commit_ingest(ledger, retry_idents)
     assert new_files(data, ledger) == []

@@ -2,12 +2,15 @@
 
 The driver stamps correctness rows for the FIRST 50 entries of
 ``queries()`` only, so dict order is load-bearing. These tests pin the
-round-4 window so a refactor can't silently reshuffle it, and pin the
+round-5 window so a refactor can't silently reshuffle it, and pin the
 1:1 queries↔oracles invariant (every declared operator must be
-hash-checkable — 183/183 as of round 4).
+hash-checkable — 184/184 as of round 5).
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from database_fragmentation_and_query_processor_spark import entry_queries as EQ
 
@@ -16,39 +19,56 @@ FRAG_PINNED = [
     "frag_rr_counts",
     "frag_range_query",
     "frag_point_query",
-    "frag_reconstruction",
+    "frag_insert_routing",
 ]
 
-#: the 45 fills of the round-4 window: 33 never stamped in r1-r3, 7
-#: stale r2 fixture-drift rows, 5 new round-4 operators.
-ROUND4_WINDOW = {
-    # never stamped (positions 6-38)
-    "frag_skew_report", "multimodal_resize", "multimodal_frames",
-    "data_profile", "heavy_hitters_salted", "user_zscore_outliers",
-    "quality_gate_funnel", "bloom_pruned_revenue", "join_null_semantics",
-    "trimmed_mean_per_segment", "bool_agg_battery", "string_agg_battery",
-    "regex_battery", "datetime_battery", "conditional_null_battery",
-    "embedding_quantization", "mixture_weights", "stopword_discovery",
-    "near_dup_audit", "ann_recall_audit", "frame_semantics_battery",
-    "sequence_packing", "doc_sample_weighted", "benchmark_decontamination",
-    "incremental_near_dup", "orders_cdc_apply", "events_variant_kpis",
-    "user_growth", "retention_cohorts", "curation_pipeline",
-    "events_time_pruned", "lineitem_zorder_skip", "approx_distinct_users",
-    # stale r2 rows to re-stamp (positions 39-45)
-    "events_hourly", "sessionization", "asof_click_attribution",
-    "streaming_hourly", "events_sliding_windows", "session_windows",
-    "events_pivot",
-    # new round-4 operators (positions 46-50)
-    "paragraph_dedup", "doc_char_entropy", "pmi_collocations",
-    "pii_redaction", "bucketed_join_revenue",
+#: The six queries intentionally left outside the round-5 window (the
+#: only registry entries without a driver correctness row after r05) —
+#: all SQL-function batteries, individually oracle-verified by
+#: tests/test_oracle_queries.py, scheduled for the round-6 window.
+R5_LEFTOVER = {
+    "hof_battery",
+    "setops_all_battery",
+    "null_ordering_battery",
+    "ignore_nulls_window_battery",
+    "grouping_flags_battery",
+    "lateral_ordinality_battery",
 }
+
+
+def _stamped_before_r5() -> set[str]:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stamped: set[str] = set()
+    for i in (1, 2, 3, 4):
+        path = os.path.join(repo, f"CORRECTNESS_r0{i}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                stamped |= set(json.load(f))
+    return stamped
 
 
 def test_stamp_window_composition():
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
-    assert set(names[5:50]) == ROUND4_WINDOW
+    assert names[:50] == EQ._R5_WINDOW
     assert len(names) == len(set(names))
+
+
+def test_window_covers_every_previously_unstamped_query():
+    """Positions 6-50 are exactly the r1-r4 never-stamped queries (plus
+    the new frag_insert_routing in the pin); only R5_LEFTOVER stays
+    without driver evidence, and nothing already-stamped wastes a
+    slot."""
+    stamped = _stamped_before_r5()
+    if not stamped:  # correctness files absent (fresh checkout)
+        return
+    names = list(EQ.QUERIES)
+    window = set(names[:50])
+    never_stamped = {n for n in names if n not in stamped}
+    assert never_stamped - window == R5_LEFTOVER
+    # the only already-stamped entries in the window are the 4 pinned
+    # reference rows
+    assert window & stamped == set(FRAG_PINNED) - {"frag_insert_routing"}
 
 
 def test_every_query_has_an_oracle():
