@@ -1907,7 +1907,16 @@ FROM sess GROUP BY user_id, sid
 
 def q_events_value_quantiles(spark, sf_dir):
     """Exact percentiles (linear interpolation — percentile(), not the
-    approx sketch) per event type; rounded to 6 digits on both sides."""
+    approx sketch) per event type; rounded to 6 digits on both sides.
+
+    Scale note: Spark's exact percentile buffers each GROUP's values in
+    that group's aggregation buffer — fine while groups fit a task
+    (event-type cardinality is tiny but per-type volume is not, at
+    100 TB). The bounded-state path for this exact shape is
+    operators/stats.grouped_exact_percentiles (iterative histogram
+    bisection, ≤segments·bins agg state per scan); kept as the built-in
+    here because this query's oracle contract IS the built-in's
+    interpolation arithmetic."""
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
@@ -7476,7 +7485,10 @@ def q_approx_quantile_audit(spark, sf_dir):
     the oracle pins the exact columns and asserts the bound claim is
     TRUE. The rank of each sketch answer is measured with one
     conditional aggregate over a 3-row broadcast — no sort, no
-    collect of data."""
+    collect of data. (The exact reference column buffers the table in
+    one agg task; at a scale where that matters the audit's exact side
+    moves to operators/stats.exact_percentiles — same values, bounded
+    state — while the sketch under audit is unchanged.)"""
     ev = _events(spark, sf_dir)
     ps = list(APPROX_Q_PS)
     approx = ev.agg(
@@ -8247,7 +8259,9 @@ def q_mad_outliers(spark, sf_dir):
     sort-based aggregate, not a full-table window); outlier counting is
     one conditional aggregate against the broadcast (type, median, mad)
     table. Medians/MADs rounded to 6 before the comparison so the flag
-    is engine-identical."""
+    is engine-identical. (Per-group exact-percentile state grows with
+    the group, not the table — the bounded-state alternative for huge
+    groups is operators/stats.grouped_exact_percentiles.)"""
     ev = _events(spark, sf_dir)
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
@@ -9367,7 +9381,10 @@ def q_funnel_time_to_convert(spark, sf_dir):
     )
     # quantiles are reported in SECONDS: at micros magnitude (~1e9) a
     # round-6 sits below double ulp and interpolation-order noise leaks
-    # through; at seconds magnitude the rounding is far above ulp
+    # through; at seconds magnitude the rounding is far above ulp.
+    # (exact percentile here buffers one row per CONVERSION — already
+    # funnel-reduced; operators/stats.exact_percentiles is the bounded
+    # path if conversions alone outgrow a task)
     return first_conv.agg(
         F.count("*").cast("bigint").alias("n_conversions"),
         F.sum("latency_us").cast("bigint").alias("latency_checksum"),

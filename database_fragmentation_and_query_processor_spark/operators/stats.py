@@ -211,3 +211,155 @@ def exact_percentiles(
         v_lo, v_hi = stats[lo_r], stats[hi_r]
         out.append(v_lo + (h - lo_r) * (v_hi - v_lo))
     return out, n
+
+
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    ps: Sequence[float],
+    bins: int = 1024,
+    gather_threshold: int = 65536,
+    max_iters: int = 64,
+) -> dict[tuple, tuple[list[float], int]]:
+    """Exact per-group ``percentile_cont`` with bounded state — the
+    scale path for the ``groupBy(k).agg(percentile(v, p))`` shape,
+    where Spark's exact aggregate buffers EVERY group member in that
+    group's single aggregation buffer (one billion-row group at 100 TB
+    = one OOM task). Here every pass is one scan whose aggregation
+    state is ≤ active_segments·``bins`` cells ACROSS all groups
+    (segments from different groups histogram in the same job — the
+    group count multiplies driver bookkeeping, never task state).
+
+    Groups are located via a broadcast range-join against the (tiny)
+    segment table, so expression size stays O(1) regardless of group
+    count. Group-key values must be non-null (filter first) and the
+    group cardinality driver-bounded (event types, languages — the
+    classic case; this is the same bounded-collect contract as the IVF
+    centroid loop). Returns {group_tuple: (values, n)} — the caller
+    joins the (small) result back or builds a literal DataFrame.
+    """
+    ps = list(ps)
+    spark = df.sparkSession
+    vals = df.select(
+        *[F.col(g) for g in group_cols], F.col(col).cast("double").alias("v")
+    ).where(F.col(col).isNotNull())
+    head = (
+        vals.groupBy(*group_cols)
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+
+    # per-group wanted 0-indexed ranks (floor/ceil of each h = p·(n−1))
+    group_info: dict[tuple, dict] = {}
+    # segments: (sid, group_tuple, lo, hi, base, cnt, [ranks])
+    segments: list[tuple] = []
+    for row in head:
+        key = tuple(row[g] for g in group_cols)
+        n = int(row["n"])
+        hs, wanted = [], set()
+        for p in ps:
+            h = p * (n - 1)
+            hs.append(h)
+            wanted.add(int(h // 1))
+            wanted.add(-(int(-h // 1)))
+        group_info[key] = {"n": n, "hs": hs, "stats": {}}
+        segments.append(
+            (key, float(row["lo"]), float(row["hi"]), 0, n, sorted(wanted))
+        )
+
+    gcols = list(group_cols)
+
+    def _seg_df(segs):
+        rows = [
+            (i, *key, lo, hi) for i, (key, lo, hi, _b, _c, _r) in enumerate(segs)
+        ]
+        sd = spark.createDataFrame(
+            rows, ["sid", *gcols, "_lo", "_hi"]
+        )
+        cond = [vals[g].eqNullSafe(sd[g]) for g in gcols] + [
+            F.col("v") >= sd["_lo"],
+            F.col("v") <= sd["_hi"],
+        ]
+        joined = vals.join(F.broadcast(sd), cond, "inner")
+        return joined.select("sid", "v", "_lo", "_hi")
+
+    for _ in range(max_iters):
+        pending, gather = [], []
+        for seg in segments:
+            key, lo, hi, base, cnt, rks = seg
+            if lo == hi:
+                for r in rks:
+                    group_info[key]["stats"][r] = lo
+            elif cnt <= gather_threshold:
+                gather.append(seg)
+            else:
+                pending.append(seg)
+
+        if gather:
+            got = _seg_df(gather).select("sid", "v").collect()
+            per: dict[int, list[float]] = {i: [] for i in range(len(gather))}
+            for row in got:
+                per[row["sid"]].append(row["v"])
+            for i, (key, _lo, _hi, base, _cnt, rks) in enumerate(gather):
+                ordered = sorted(per[i])
+                for r in rks:
+                    group_info[key]["stats"][r] = ordered[r - base]
+
+        if not pending:
+            break
+
+        bin_id = F.least(
+            F.lit(bins - 1),
+            F.floor(
+                (F.col("v") - F.col("_lo"))
+                / (F.col("_hi") - F.col("_lo"))
+                * F.lit(bins)
+            ),
+        ).cast("int")
+        cells = (
+            _seg_df(pending)
+            .withColumn("b", bin_id)
+            .groupBy("sid", "b")
+            .agg(
+                F.count("*").alias("c"),
+                F.min("v").alias("blo"),
+                F.max("v").alias("bhi"),
+            )
+            .collect()
+        )
+        by_seg: dict[int, list] = {i: [] for i in range(len(pending))}
+        for row in cells:
+            by_seg[row["sid"]].append(row)
+        segments = []
+        for i, (key, _lo, _hi, base, _cnt, rks) in enumerate(pending):
+            acc = base
+            want = iter(rks)
+            r = next(want)
+            for row in sorted(by_seg[i], key=lambda x: x["b"]):
+                nxt = acc + row["c"]
+                child: list[int] = []
+                while r is not None and acc <= r < nxt:
+                    child.append(r)
+                    r = next(want, None)
+                if child:
+                    segments.append(
+                        (key, float(row["blo"]), float(row["bhi"]), acc,
+                         row["c"], child)
+                    )
+                acc = nxt
+                if r is None:
+                    break
+    else:
+        raise RuntimeError("grouped_exact_percentiles did not converge")
+
+    out: dict[tuple, tuple[list[float], int]] = {}
+    for key, info in group_info.items():
+        vals_out = []
+        for h in info["hs"]:
+            lo_r = int(h // 1)
+            hi_r = -(int(-h // 1))
+            v_lo, v_hi = info["stats"][lo_r], info["stats"][hi_r]
+            vals_out.append(v_lo + (h - lo_r) * (v_hi - v_lo))
+        out[key] = (vals_out, info["n"])
+    return out

@@ -64,6 +64,54 @@ def test_nulls_are_ignored(spark):
     assert [got[0], got[1], got[2]] == [1.0, 2.0, 3.0]
 
 
+def test_grouped_percentiles_match_spark_grouped_exact(spark):
+    """Per-group results equal Spark's groupBy + exact percentile, on
+    skewed group sizes (one dominant group, several small ones) with
+    tiny bins/thresholds so multiple groups' segments share the same
+    histogram scans."""
+    from database_fragmentation_and_query_processor_spark.operators.stats import (
+        grouped_exact_percentiles,
+    )
+
+    rnd = random.Random(3)
+    rows = []
+    for g, size in (("big", 4000), ("mid", 300), ("tiny", 7), ("one", 1)):
+        rows += [(g, rnd.uniform(-100, 100)) for _ in range(size)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got = grouped_exact_percentiles(
+        df, ["g"], "x", ps, bins=8, gather_threshold=64
+    )
+    ref = {
+        r["g"]: r["pv"]
+        for r in df.groupBy("g")
+        .agg(
+            F.expr(
+                f"percentile(x, array({','.join(str(p) for p in ps)}))"
+            ).alias("pv")
+        )
+        .collect()
+    }
+    assert set(got) == {("big",), ("mid",), ("tiny",), ("one",)}
+    for key, (vals, n) in got.items():
+        for g_v, r_v in zip(vals, ref[key[0]]):
+            assert abs(g_v - r_v) < 1e-9 * max(1.0, abs(r_v)), (key, g_v, r_v)
+    assert got[("big",)][1] == 4000 and got[("one",)][1] == 1
+
+
+def test_grouped_percentiles_ignore_null_values(spark):
+    from database_fragmentation_and_query_processor_spark.operators.stats import (
+        grouped_exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", 5.0)], "g string, x double"
+    )
+    got = grouped_exact_percentiles(df, ["g"], "x", [0.5])
+    assert got[("a",)] == ([2.0], 2)
+    assert got[("b",)] == ([5.0], 1)
+
+
 def test_percentiles_match_spark_exact_percentile(spark):
     """The interpolated result equals Spark's own exact ``percentile``
     (which is the DuckDB quantile_cont definition) — on data where the
