@@ -38,6 +38,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def percentile_ranks(ps: Sequence[float], n: int) -> tuple[list[float], set[int]]:
+    """(hs, wanted_ranks) for SQL-standard ``percentile_cont``: each
+    p maps to h = p·(n−1); the order statistics needed are ⌊h⌋ and ⌈h⌉.
+    Pure arithmetic — shared by the global and grouped selectors and
+    property-tested against numpy's linear method."""
+    hs, wanted = [], set()
+    for p in ps:
+        h = p * (n - 1)
+        hs.append(h)
+        wanted.add(int(h // 1))
+        wanted.add(-(int(-h // 1)))  # ceil
+    return hs, wanted
+
+
+def interpolate_percentiles(
+    hs: Sequence[float], stats: dict[int, float]
+) -> list[float]:
+    """Linear interpolation between the two adjacent order statistics —
+    v = v_lo + (h − ⌊h⌋)·(v_hi − v_lo), the same formula Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` evaluate, so results
+    stay bit-comparable across engines."""
+    out = []
+    for h in hs:
+        lo_r = int(h // 1)
+        hi_r = -(int(-h // 1))
+        v_lo, v_hi = stats[lo_r], stats[hi_r]
+        out.append(v_lo + (h - lo_r) * (v_hi - v_lo))
+    return out
+
+
 def exact_order_stats(
     df: DataFrame,
     col: str,
@@ -189,13 +219,7 @@ def exact_percentiles(
     n = head["n"]
     if n == 0:
         raise ValueError("exact_percentiles over an empty column")
-    wanted: set[int] = set()
-    hs = []
-    for p in ps:
-        h = p * (n - 1)
-        hs.append(h)
-        wanted.add(int(h // 1))
-        wanted.add(-(int(-h // 1)))  # ceil
+    hs, wanted = percentile_ranks(ps, n)
     stats = exact_order_stats(
         df,
         col,
@@ -204,13 +228,7 @@ def exact_percentiles(
         gather_threshold=gather_threshold,
         prestats=(float(head["lo"]), float(head["hi"]), int(n)),
     )
-    out = []
-    for h in hs:
-        lo_r = int(h // 1)
-        hi_r = -(int(-h // 1))
-        v_lo, v_hi = stats[lo_r], stats[hi_r]
-        out.append(v_lo + (h - lo_r) * (v_hi - v_lo))
-    return out, n
+    return interpolate_percentiles(hs, stats), n
 
 
 def grouped_exact_percentiles(
@@ -257,12 +275,7 @@ def grouped_exact_percentiles(
     for row in head:
         key = tuple(row[g] for g in group_cols)
         n = int(row["n"])
-        hs, wanted = [], set()
-        for p in ps:
-            h = p * (n - 1)
-            hs.append(h)
-            wanted.add(int(h // 1))
-            wanted.add(-(int(-h // 1)))
+        hs, wanted = percentile_ranks(ps, n)
         group_info[key] = {"n": n, "hs": hs, "stats": {}}
         segments.append(
             (key, float(row["lo"]), float(row["hi"]), 0, n, sorted(wanted))
@@ -355,11 +368,5 @@ def grouped_exact_percentiles(
 
     out: dict[tuple, tuple[list[float], int]] = {}
     for key, info in group_info.items():
-        vals_out = []
-        for h in info["hs"]:
-            lo_r = int(h // 1)
-            hi_r = -(int(-h // 1))
-            v_lo, v_hi = info["stats"][lo_r], info["stats"][hi_r]
-            vals_out.append(v_lo + (h - lo_r) * (v_hi - v_lo))
-        out[key] = (vals_out, info["n"])
+        out[key] = (interpolate_percentiles(info["hs"], info["stats"]), info["n"])
     return out
