@@ -9886,19 +9886,33 @@ _R5_WINDOW: list[str] = [
     "funnel_time_to_convert",
 ]
 
+#: The six never-stamped leftovers, placed at positions 51-56 so the
+#: round-6 rotation is a pure prefix swap.
+_R6_NEXT: list[str] = [
+    "hof_battery",
+    "setops_all_battery",
+    "null_ordering_battery",
+    "ignore_nulls_window_battery",
+    "grouping_flags_battery",
+    "lateral_ordinality_battery",
+]
+
 assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
-assert all(n in _QUERIES_ALL for n in _R5_WINDOW)
+assert all(n in _QUERIES_ALL for n in _R5_WINDOW + _R6_NEXT)
+assert not set(_R5_WINDOW) & set(_R6_NEXT)
+
+_HEAD = _R5_WINDOW + _R6_NEXT
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    **{n: _QUERIES_ALL[n] for n in _R5_WINDOW},
-    **{n: f for n, f in _QUERIES_ALL.items() if n not in set(_R5_WINDOW)},
+    **{n: _QUERIES_ALL[n] for n in _HEAD},
+    **{n: f for n, f in _QUERIES_ALL.items() if n not in set(_HEAD)},
 }
 
 ORACLE_SQL: dict[str, str] = {
-    **{n: _ORACLE_SQL_ALL[n] for n in _R5_WINDOW if n in _ORACLE_SQL_ALL},
+    **{n: _ORACLE_SQL_ALL[n] for n in _HEAD if n in _ORACLE_SQL_ALL},
     **{
         n: s
         for n, s in _ORACLE_SQL_ALL.items()
-        if n not in set(_R5_WINDOW)
+        if n not in set(_HEAD)
     },
 }
