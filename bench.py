@@ -200,6 +200,30 @@ HEADLINE = [
 ]
 
 
+def compact_summary(out: dict) -> dict:
+    """The final stdout line: everything a 2000-char tail-window parser
+    must recover — totals, error count, the 10 slowest queries, and the
+    pointer to the full per-query record. Must stay well under 2000
+    chars at any registry size (tests/test_bench_contract.py pins it)."""
+    timings = out["queries"]
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if isinstance(v, float)),
+            key=lambda kv: -kv[1],
+        )[:10]
+    )
+    compact = {
+        k: out[k] for k in ("metric", "value", "unit", "errors", "sf", "cpus")
+    }
+    compact["n_queries"] = len(timings)
+    for k in ("r1_subset_total", "r1_subset_n"):
+        if k in out:
+            compact[k] = out[k]
+    compact["slowest"] = slowest
+    compact["full_results"] = "BENCH_FULL.json"
+    return compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -276,23 +300,7 @@ def main() -> None:
             f.write("\n")
     except OSError as exc:
         print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
-    slowest = dict(
-        sorted(
-            ((k, v) for k, v in timings.items() if isinstance(v, float)),
-            key=lambda kv: -kv[1],
-        )[:10]
-    )
-    compact = {
-        k: out[k]
-        for k in ("metric", "value", "unit", "errors", "sf", "cpus")
-    }
-    compact["n_queries"] = len(timings)
-    for k in ("r1_subset_total", "r1_subset_n"):
-        if k in out:
-            compact[k] = out[k]
-    compact["slowest"] = slowest
-    compact["full_results"] = "BENCH_FULL.json"
-    print(json.dumps(compact))
+    print(json.dumps(compact_summary(out)))
     spark.stop()
 
 

@@ -1,0 +1,58 @@
+"""bench.py output-contract tripwires (no Spark).
+
+The driver records only the LAST 2000 characters of bench stdout; the
+round-4 verdict's task 8 exists because the full per-query JSON line
+outgrew that window in rounds 2-4. The compact final line must stay
+recoverable at any plausible registry size, and the headline list must
+remain a subset of the registry so the bench can't KeyError mid-run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+
+import bench  # noqa: E402
+from database_fragmentation_and_query_processor_spark import (  # noqa: E402
+    entry_queries as EQ,
+)
+
+
+def _fake_out(n_queries: int) -> dict:
+    qs = {f"some_quite_long_query_name_number_{i:04d}": float(i % 37) / 3
+          for i in range(n_queries)}
+    qs["a_failed_one"] = "ERR AnalysisException"
+    return {
+        "metric": "headline_queries_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": qs,
+        "errors": 1,
+        "sf": 0.1,
+        "cpus": 32,
+        "r1_subset_total": 55.5,
+        "r1_subset_n": 53,
+    }
+
+
+def test_compact_line_fits_tail_window_at_400_queries():
+    line = json.dumps(bench.compact_summary(_fake_out(400)))
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 401
+    assert len(parsed["slowest"]) == 10
+    assert parsed["full_results"] == "BENCH_FULL.json"
+
+
+def test_compact_line_survives_all_error_run():
+    out = _fake_out(0)
+    line = json.dumps(bench.compact_summary(out))
+    assert json.loads(line)["slowest"] == {}
+
+
+def test_headline_is_subset_of_registry():
+    missing = set(bench.HEADLINE) - set(EQ.QUERIES)
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
