@@ -202,16 +202,20 @@ HEADLINE = [
 
 def compact_summary(out: dict) -> dict:
     """The final stdout line: everything a 2000-char tail-window parser
-    must recover — totals, error count, the 10 slowest queries, and the
-    pointer to the full per-query record. Must stay well under 2000
-    chars at any registry size (tests/test_bench_contract.py pins it)."""
+    must recover — totals, error count, the 10 slowest queries as
+    [first_pass_sec, retimed_sec] pairs (retimed ≪ first ⇒ ambient
+    load, not code), and the pointer to the full per-query record. Must
+    stay well under 2000 chars at any registry size
+    (tests/test_bench_contract.py pins it)."""
     timings = out["queries"]
-    slowest = dict(
-        sorted(
+    retimed = out.get("retimed", {})
+    slowest = {
+        k: [v, retimed.get(k)]
+        for k, v in sorted(
             ((k, v) for k, v in timings.items() if isinstance(v, float)),
             key=lambda kv: -kv[1],
         )[:10]
-    )
+    }
     compact = {
         k: out[k] for k in ("metric", "value", "unit", "errors", "sf", "cpus")
     }
@@ -247,17 +251,14 @@ def main() -> None:
     # Fault-isolated: one broken query must never cost the whole run's
     # measurement — errors are recorded as "ERR <type>" and skipped in
     # the total, and the final JSON line is ALWAYS emitted.
-    timings: dict[str, float | str] = {}
-    errors = 0
-    for name in HEADLINE:
+    def run_once(spark, sf_dir, name) -> float | str:
         fn = EQ.QUERIES[name]
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            result: float | str = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # noqa: BLE001 — harness boundary
-            timings[name] = f"ERR {type(exc).__name__}"
-            errors += 1
+            result = f"ERR {type(exc).__name__}"
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
         # each query timed cold: drop persisted intermediates (e.g. the
         # minhash shingle cache) so queries don't interfere
@@ -268,6 +269,27 @@ def main() -> None:
             spark.catalog.clearCache()
         except Exception:
             pass
+        return result
+
+    timings: dict[str, float | str] = {}
+    errors = 0
+    for name in HEADLINE:
+        timings[name] = run_once(spark, sf_dir, name)
+        if isinstance(timings[name], str):
+            errors += 1
+
+    # Noise-isolation retime: this sandbox's ambient load attaches
+    # multi-x inflation to whichever query occupies a contended window
+    # (BASELINE.md documents 25x swings on unchanged trivial queries).
+    # Re-running the 10 slowest lines once, after the full pass, bakes
+    # the round-3/4 "isolated re-measurement" protocol into the harness:
+    # a line that collapses on retime was load, not code.
+    retimed: dict[str, float | str] = {}
+    for name, _first in sorted(
+        ((k, v) for k, v in timings.items() if isinstance(v, float)),
+        key=lambda kv: -kv[1],
+    )[:10]:
+        retimed[name] = run_once(spark, sf_dir, name)
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     out = {
@@ -278,6 +300,7 @@ def main() -> None:
         "errors": errors,
         "sf": sf,
         "cpus": int(cpus),
+        "retimed": retimed,
     }
     # apples-to-apples vs the round-1 baseline (52.738s / 53 queries):
     # the headline list has since grown, so also report the total over

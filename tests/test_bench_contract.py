@@ -24,6 +24,8 @@ def _fake_out(n_queries: int) -> dict:
     qs = {f"some_quite_long_query_name_number_{i:04d}": float(i % 37) / 3
           for i in range(n_queries)}
     qs["a_failed_one"] = "ERR AnalysisException"
+    slow10 = sorted((k for k, v in qs.items() if isinstance(v, float)),
+                    key=lambda k: -qs[k])[:10]
     return {
         "metric": "headline_queries_total",
         "value": 123.456,
@@ -32,6 +34,7 @@ def _fake_out(n_queries: int) -> dict:
         "errors": 1,
         "sf": 0.1,
         "cpus": 32,
+        "retimed": {k: qs[k] / 7 for k in slow10},
         "r1_subset_total": 55.5,
         "r1_subset_n": 53,
     }
@@ -43,6 +46,9 @@ def test_compact_line_fits_tail_window_at_400_queries():
     parsed = json.loads(line)
     assert parsed["n_queries"] == 401
     assert len(parsed["slowest"]) == 10
+    # each slowest entry is a [first, retimed] pair
+    for first, retimed in parsed["slowest"].values():
+        assert isinstance(first, float) and retimed == first / 7
     assert parsed["full_results"] == "BENCH_FULL.json"
 
 
