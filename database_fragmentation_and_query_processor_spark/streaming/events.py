@@ -334,6 +334,8 @@ def upsert_sink(
     version_col: str,
     spark: SparkSession,
     tiebreak_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    batch_hook=None,
 ):
     """Streaming merge/upsert sink via foreachBatch: each micro-batch
     SCD-1-merges (last write wins by ``version_col``) into the parquet
@@ -341,6 +343,17 @@ def upsert_sink(
     from a stream to a batch-only sink operation; the merge itself is
     operators/merge.py:merge_upsert — one per-key window shuffle over
     target ∪ batch. Returns the started StreamingQuery.
+
+    ``checkpoint_dir`` makes restarts RESUME: source offsets commit to
+    the checkpoint after each successful batch, so a crashed run
+    re-executes only its in-flight batch (whose merge is idempotent —
+    same keys, same versions, same winner), never the committed prefix
+    — exactly-once net effect end-to-end. Without it Spark uses a fresh
+    temp checkpoint per run: a restart reprocesses from scratch, which
+    the idempotent merge also absorbs, at full replay cost.
+    ``batch_hook(batch_df, batch_id)`` runs before each merge — the
+    fault-injection point the crash-recovery test uses to kill the
+    query mid-stream deterministically.
 
     At real scale the target would be a transactional table format
     (partition-level rewrite); the swap here is the single-writer
@@ -351,6 +364,8 @@ def upsert_sink(
     order_cols = [version_col] + list(tiebreak_cols or [])
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_hook is not None:
+            batch_hook(batch_df, batch_id)
         batch_df = batch_df.localCheckpoint(eager=True)
         if os.path.isdir(target_path):
             current = spark.read.parquet(target_path)
@@ -371,11 +386,12 @@ def upsert_sink(
         else:
             os.rename(tmp, target_path)
 
-    return (
-        stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 def cdc_sink(

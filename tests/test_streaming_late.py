@@ -98,6 +98,94 @@ def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path):
     assert n_distinct == src.select("event_id").distinct().count()
 
 
+def test_upsert_sink_crash_resume_exactly_once(spark, tmp_path):
+    """Kill the streaming upsert mid-stream, restart from the SAME
+    checkpoint, and prove (a) the restart RESUMES — no batch the first
+    run committed is re-executed — and (b) the final target equals the
+    batch-mode oracle over all input files: exactly-once net effect
+    through crash + retry."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from database_fragmentation_and_query_processor_spark.streaming.events import (
+        upsert_sink,
+    )
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("version", LongType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    # three commit-ordered files; key overlap across files so the merge
+    # has real last-write-wins work (k % 50 collides between files)
+    for i in range(3):
+        rows = [(j % 50 + i * 30, i * 100 + j) for j in range(60)]
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / f"stage{i}"))
+        part = [
+            f for f in (src / f"stage{i}").iterdir() if f.name.endswith(".parquet")
+        ][0]
+        part.rename(src / f"file{i}.parquet")
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = tmp_path / "batches.jsonl"
+    poison = tmp_path / "poison_armed"
+    poison.touch()
+
+    def hook(batch_df, batch_id):
+        # crash exactly once, on the first batch after batch 0
+        if batch_id >= 1 and poison.exists():
+            poison.unlink()
+            raise RuntimeError("injected crash before merge")
+        with open(ledger, "a") as f:
+            f.write(json.dumps({"batch": batch_id,
+                                "n": batch_df.count()}) + "\n")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return upsert_sink(
+            stream, target, keys=["k"], version_col="version", spark=spark,
+            checkpoint_dir=ckpt, batch_hook=hook,
+        )
+
+    q = start()
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected crash did not surface")
+    except Exception:
+        pass  # StreamingQueryException from the injected crash
+
+    run1 = [json.loads(line) for line in open(ledger)]
+    committed_run1 = {r["batch"] for r in run1}
+    assert committed_run1 == {0}  # batch 0 committed, batch 1 died
+
+    q2 = start()
+    q2.awaitTermination()
+    run_all = [json.loads(line) for line in open(ledger)]
+    run2 = run_all[len(run1):]
+    # resume, not restart: batch 0's offsets were committed, so the
+    # second run never re-executes it
+    assert 0 not in {r["batch"] for r in run2}
+    assert sum(r["n"] for r in run2) == 120  # files 1 and 2 only
+
+    out = spark.read.parquet(target)
+    expect = (
+        spark.read.schema(schema).parquet(str(src))
+        .groupBy("k").agg(F.max("version").alias("version"))
+    )
+    assert out.count() == expect.count()
+    assert (
+        out.join(expect, ["k", "version"]).count() == expect.count()
+    ), "target diverges from batch-mode last-write-wins oracle"
+
+
 def test_catalog_report_and_compaction(spark, ratings_file, warehouse):
     import glob
 
