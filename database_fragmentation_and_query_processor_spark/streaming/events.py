@@ -401,6 +401,8 @@ def cdc_sink(
     spark: SparkSession,
     op_col: str = "op",
     version_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    batch_hook=None,
 ):
     """Streaming CDC application via foreachBatch: each micro-batch of
     I/U/D change rows is resolved against the current target with
@@ -412,10 +414,16 @@ def cdc_sink(
     order the replay). Because CDC payloads are ABSOLUTE row images,
     re-applying a prefix of batches over an already-final target is
     idempotent — the recovery property that makes restart-from-
-    checkpoint safe. Returns the started StreamingQuery."""
+    checkpoint safe. ``checkpoint_dir`` turns that property on: offsets
+    commit per batch, so a crashed run resumes at its in-flight batch
+    (retried idempotently) instead of replaying history.
+    ``batch_hook(batch_df, batch_id)`` is the crash-recovery test's
+    fault-injection point. Returns the started StreamingQuery."""
     from ..operators.merge import apply_cdc
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_hook is not None:
+            batch_hook(batch_df, batch_id)
         batch_df = batch_df.localCheckpoint(eager=True)
         current = spark.read.parquet(target_path)
         merged = apply_cdc(
@@ -430,11 +438,12 @@ def cdc_sink(
 
         shutil.rmtree(old)
 
-    return (
-        change_stream.writeStream.foreachBatch(process_batch)
-        .trigger(availableNow=True)
-        .start()
+    writer = change_stream.writeStream.foreachBatch(process_batch).trigger(
+        availableNow=True
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
 
 
 SESSION_SCHEMA = StructType(

@@ -186,6 +186,102 @@ def test_upsert_sink_crash_resume_exactly_once(spark, tmp_path):
     ), "target diverges from batch-mode last-write-wins oracle"
 
 
+def test_cdc_sink_crash_resume(spark, tmp_path):
+    """Mirror of the upsert crash-resume proof for the CDC path: kill
+    after the first change-batch commits, restart from the same
+    checkpoint, assert the committed batch is not replayed and the
+    final target equals applying the whole changelog in order
+    (deletes included)."""
+    import json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from database_fragmentation_and_query_processor_spark.streaming.events import (
+        cdc_sink,
+    )
+
+    target = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(k, 0, f"v{k}") for k in range(50)], "k bigint, version bigint, payload string"
+    ).write.parquet(target)
+
+    ch_schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("version", LongType()),
+            StructField("payload", StringType()),
+            StructField("op", StringType()),
+        ]
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    files = [
+        [(k, 1, f"u{k}", "U") for k in range(20)],                      # file0
+        [(k, 2, None, "D") for k in range(10)]
+        + [(k, 2, f"i{k}", "I") for k in range(100, 110)],              # file1
+        [(k, 3, f"w{k}", "U") for k in range(100, 105)],                # file2
+    ]
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(rows, ch_schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / f"stage{i}"))
+        part = [
+            f for f in (src / f"stage{i}").iterdir() if f.name.endswith(".parquet")
+        ][0]
+        part.rename(src / f"file{i}.parquet")
+
+    ckpt = str(tmp_path / "ckpt")
+    ledger = tmp_path / "batches.jsonl"
+    poison = tmp_path / "poison_armed"
+    poison.touch()
+
+    def hook(batch_df, batch_id):
+        if batch_id >= 1 and poison.exists():
+            poison.unlink()
+            raise RuntimeError("injected crash before cdc apply")
+        with open(ledger, "a") as f:
+            f.write(json.dumps({"batch": batch_id}) + "\n")
+
+    def start():
+        stream = (
+            spark.readStream.schema(ch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return cdc_sink(
+            stream, target, keys=["k"], spark=spark, version_col="version",
+            checkpoint_dir=ckpt, batch_hook=hook,
+        )
+
+    q = start()
+    try:
+        q.awaitTermination()
+        raise AssertionError("injected crash did not surface")
+    except Exception:
+        pass
+    run1 = [json.loads(line) for line in open(ledger)]
+    assert {r["batch"] for r in run1} == {0}
+
+    q2 = start()
+    q2.awaitTermination()
+    run2 = [json.loads(line) for line in open(ledger)][len(run1):]
+    assert 0 not in {r["batch"] for r in run2}
+
+    out = {r["k"]: (r["version"], r["payload"])
+           for r in spark.read.parquet(target).collect()}
+    # deletes applied, updates latest-win, inserts present
+    assert all(k not in out for k in range(10))
+    assert all(out[k] == (1, f"u{k}") for k in range(10, 20))
+    assert all(out[k] == (0, f"v{k}") for k in range(20, 50))
+    assert all(out[k] == (3, f"w{k}") for k in range(100, 105))
+    assert all(out[k] == (2, f"i{k}") for k in range(105, 110))
+    assert len(out) == 50
+
+
 def test_catalog_report_and_compaction(spark, ratings_file, warehouse):
     import glob
 
