@@ -34,11 +34,12 @@ def main() -> int:
     import __spark_entry__ as entry
     from oracle_harness import compare, duck_connection
 
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
     spark = (
         SparkSession.builder.appName("dfqp-driver-sim")
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
