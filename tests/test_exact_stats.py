@@ -56,6 +56,22 @@ def test_negative_and_tied_boundaries(spark):
     _check_ranks(spark, vals, list(range(8)), bins=4, gather_threshold=2)
 
 
+def test_error_paths(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "x double")
+    with pytest.raises(ValueError, match="empty"):
+        exact_order_stats(empty, "x", [0])
+    with pytest.raises(ValueError, match="empty"):
+        exact_percentiles(empty, "x", [0.5])
+    three = _df(spark, [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="out of range"):
+        exact_order_stats(three, "x", [3])
+    with pytest.raises(ValueError, match="out of range"):
+        exact_order_stats(three, "x", [-1])
+    assert exact_order_stats(three, "x", []) == {}
+
+
 def test_nulls_are_ignored(spark):
     df = spark.createDataFrame(
         [(1.0,), (None,), (3.0,), (None,), (2.0,)], "x double"
