@@ -25,6 +25,8 @@ def _canon(df):
         "doc_split_assign",         # md5 split + integer sums
         "group_topk_sample",        # hash-ranked exact-k
         "embedding_centroids",      # fixed-point quantized float sums
+        "equi_depth_histogram",     # histogram-bisection order stats (r5)
+        "multimodal_audio_windows", # position-weighted integer checksums (r5)
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
