@@ -100,6 +100,15 @@ def exact_order_stats(
         raise ValueError("exact_order_stats over an empty column")
     if ranks[0] < 0 or ranks[-1] >= n:
         raise ValueError(f"rank out of range [0, {n}) : {ranks}")
+    import math
+
+    if not (math.isfinite(lo) and math.isfinite(hi)):
+        # ±inf/NaN would make every bin-width computation degenerate and
+        # the loop spin to max_iters — fail fast with the actual cause
+        raise ValueError(
+            f"exact_order_stats requires finite values; observed "
+            f"min={lo}, max={hi} (filter or clamp non-finite rows first)"
+        )
 
     result: dict[int, float] = {}
     # (lo, hi, base_rank, count, wanted_ranks) — rows with lo<=v<=hi
@@ -272,9 +281,16 @@ def grouped_exact_percentiles(
     group_info: dict[tuple, dict] = {}
     # segments: (sid, group_tuple, lo, hi, base, cnt, [ranks])
     segments: list[tuple] = []
+    import math
+
     for row in head:
         key = tuple(row[g] for g in group_cols)
         n = int(row["n"])
+        if not (math.isfinite(row["lo"]) and math.isfinite(row["hi"])):
+            raise ValueError(
+                f"grouped_exact_percentiles requires finite values; group "
+                f"{key} has min={row['lo']}, max={row['hi']}"
+            )
         hs, wanted = percentile_ranks(ps, n)
         group_info[key] = {"n": n, "hs": hs, "stats": {}}
         segments.append(

@@ -70,6 +70,9 @@ def test_error_paths(spark):
     with pytest.raises(ValueError, match="out of range"):
         exact_order_stats(three, "x", [-1])
     assert exact_order_stats(three, "x", []) == {}
+    inf = _df(spark, [1.0, float("inf"), 2.0])
+    with pytest.raises(ValueError, match="finite"):
+        exact_order_stats(inf, "x", [0])
 
 
 def test_nulls_are_ignored(spark):
