@@ -156,11 +156,12 @@ def test_upsert_sink_crash_resume_exactly_once(spark, tmp_path):
         )
 
     q = start()
+    crashed = False
     try:
         q.awaitTermination()
-        raise AssertionError("injected crash did not surface")
-    except Exception:
-        pass  # StreamingQueryException from the injected crash
+    except Exception:  # StreamingQueryException from the injected crash
+        crashed = True
+    assert crashed, "injected crash did not surface"
 
     run1 = [json.loads(line) for line in open(ledger)]
     committed_run1 = {r["batch"] for r in run1}
@@ -258,11 +259,12 @@ def test_cdc_sink_crash_resume(spark, tmp_path):
         )
 
     q = start()
+    crashed = False
     try:
         q.awaitTermination()
-        raise AssertionError("injected crash did not surface")
     except Exception:
-        pass
+        crashed = True
+    assert crashed, "injected crash did not surface"
     run1 = [json.loads(line) for line in open(ledger)]
     assert {r["batch"] for r in run1} == {0}
 
