@@ -48,8 +48,6 @@ def test_grouped_percentile_segment_join_broadcasts(spark):
     range-join against the (tiny) segment table — the plan must show a
     broadcast build side and never a sort-merge join or a cartesian
     product over the data."""
-    captured: list[str] = []
-
     rows = [("g%d" % (i % 3), float(i)) for i in range(3000)]
     df = spark.createDataFrame(rows, "g string, x double")
 
@@ -66,7 +64,6 @@ def test_grouped_percentile_segment_join_broadcasts(spark):
         "inner",
     ).select("sid", "v")
     plan = final_explain_formatted(joined)
-    captured.append(plan)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan
