@@ -386,3 +386,40 @@ def grouped_exact_percentiles(
     for key, info in group_info.items():
         out[key] = (interpolate_percentiles(info["hs"], info["stats"]), info["n"])
     return out
+
+
+def grouped_percentiles_df(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    ps: Sequence[float],
+    bins: int = 1024,
+    gather_threshold: int = 65536,
+) -> DataFrame:
+    """DataFrame form of ``grouped_exact_percentiles`` — one row per
+    group with ``percentiles array<double>`` (in ``ps`` order) and
+    ``n bigint``, group columns keeping their original types. The
+    result is driver-materialized (group-cardinality-bounded, same
+    contract as the dict form); join it back broadcast-side or select
+    ``percentiles[i]`` directly as the drop-in for
+    ``groupBy(...).agg(percentile(col, array(...)))``."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    got = grouped_exact_percentiles(
+        df, group_cols, col, ps, bins=bins, gather_threshold=gather_threshold
+    )
+    schema = StructType(
+        [
+            *(StructField(g, df.schema[g].dataType) for g in group_cols),
+            StructField("percentiles", ArrayType(DoubleType())),
+            StructField("n", LongType()),
+        ]
+    )
+    rows = [(*key, vals, n) for key, (vals, n) in got.items()]
+    return df.sparkSession.createDataFrame(rows, schema)

@@ -118,6 +118,33 @@ def test_grouped_percentiles_match_spark_grouped_exact(spark):
     assert got[("big",)][1] == 4000 and got[("one",)][1] == 1
 
 
+def test_grouped_percentiles_df_matches_grouped_agg(spark):
+    """The DataFrame form equals Spark's groupBy + exact percentile and
+    keeps group-column types."""
+    from database_fragmentation_and_query_processor_spark.operators.stats import (
+        grouped_percentiles_df,
+    )
+
+    rnd = random.Random(5)
+    rows = [(i % 4, rnd.uniform(0, 100)) for i in range(800)]
+    df = spark.createDataFrame(rows, "g bigint, x double")
+    ps = [0.1, 0.5, 0.9]
+    got = grouped_percentiles_df(df, ["g"], "x", ps, bins=8,
+                                 gather_threshold=50)
+    assert dict(got.dtypes) == {"g": "bigint",
+                                "percentiles": "array<double>", "n": "bigint"}
+    ref = {
+        r["g"]: r["pv"]
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(x, array({','.join(map(str, ps))}))").alias("pv"))
+        .collect()
+    }
+    for r in got.collect():
+        assert r["n"] == 200
+        for a, b in zip(r["percentiles"], ref[r["g"]]):
+            assert abs(a - b) < 1e-9 * max(1.0, abs(b))
+
+
 def test_grouped_percentiles_ignore_null_values(spark):
     from database_fragmentation_and_query_processor_spark.operators.stats import (
         grouped_exact_percentiles,
