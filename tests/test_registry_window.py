@@ -2,9 +2,9 @@
 
 The driver stamps correctness rows for the FIRST 50 entries of
 ``queries()`` only, so dict order is load-bearing. These tests pin the
-round-5 window so a refactor can't silently reshuffle it, and pin the
+round-6 window so a refactor can't silently reshuffle it, and pin the
 1:1 queries↔oracles invariant (every declared operator must be
-hash-checkable — 184/184 as of round 5).
+hash-checkable).
 """
 
 from __future__ import annotations
@@ -22,24 +22,23 @@ FRAG_PINNED = [
     "frag_insert_routing",
 ]
 
-#: The six queries intentionally left outside the round-5 window (the
-#: only registry entries without a driver correctness row after r05) —
-#: all SQL-function batteries, individually oracle-verified by
-#: tests/test_oracle_queries.py, scheduled for the round-6 window.
-R5_LEFTOVER = {
+#: The six SQL-function batteries that had no driver correctness row
+#: through round 5 — promoted to window positions 6-11 for round 6 so
+#: the union of driver stamps covers every registered query.
+R5_LEFTOVER = [
     "hof_battery",
     "setops_all_battery",
     "null_ordering_battery",
     "ignore_nulls_window_battery",
     "grouping_flags_battery",
     "lateral_ordinality_battery",
-}
+]
 
 
-def _stamped_before_r5() -> set[str]:
+def _stamped_through_r5() -> set[str]:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     stamped: set[str] = set()
-    for i in (1, 2, 3, 4):
+    for i in (1, 2, 3, 4, 5):
         path = os.path.join(repo, f"CORRECTNESS_r0{i}.json")
         if os.path.exists(path):
             with open(path) as f:
@@ -50,25 +49,30 @@ def _stamped_before_r5() -> set[str]:
 def test_stamp_window_composition():
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
-    assert names[:50] == EQ._R5_WINDOW
+    assert names[5:11] == R5_LEFTOVER
+    assert names[:50] == EQ._R6_WINDOW
     assert len(names) == len(set(names))
 
 
-def test_window_covers_every_previously_unstamped_query():
-    """Positions 6-50 are exactly the r1-r4 never-stamped queries (plus
-    the new frag_insert_routing in the pin); only R5_LEFTOVER stays
-    without driver evidence, and nothing already-stamped wastes a
-    slot."""
-    stamped = _stamped_before_r5()
+def test_window_closes_the_evidence_gap():
+    """After the r6 rotation, the only queries without a PRIOR driver
+    stamp are the six batteries — and all six sit inside the window, so
+    the post-r06 stamp union covers 100% of the registry."""
+    stamped = _stamped_through_r5()
     if not stamped:  # correctness files absent (fresh checkout)
         return
     names = list(EQ.QUERIES)
     window = set(names[:50])
     never_stamped = {n for n in names if n not in stamped}
-    assert never_stamped - window == R5_LEFTOVER
-    # the only already-stamped entries in the window are the 4 pinned
-    # reference rows
-    assert window & stamped == set(FRAG_PINNED) - {"frag_insert_routing"}
+    assert never_stamped == set(R5_LEFTOVER)
+    assert never_stamped <= window
+
+
+def test_window_restamps_every_round6_modified_query():
+    """Every query whose implementation changes in round 6 must get a
+    fresh driver stamp on the new code path."""
+    names = list(EQ.QUERIES)
+    assert set(EQ._R6_RESTAMP) <= set(names[:50])
 
 
 def test_every_query_has_an_oracle():
