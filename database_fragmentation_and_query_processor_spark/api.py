@@ -33,11 +33,11 @@ the reference (Interface1.py:103-105).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fs as fslib
 from .catalog import FragmentCatalog
 from .operators import fragmentation as frag
 from .operators import query as q
@@ -271,16 +271,19 @@ def compact_fragments(
     pathology — at scale, file-listing cost alone kills scans). Rewrite
     each fragment directory down to ``target_files_per_fragment`` files
     with a fragment-local repartition; fragment membership, row content
-    and partition pruning are unchanged. Write-then-swap keeps the old
-    layout readable until the new one is complete."""
+    and partition pruning are unchanged. The commit goes through the
+    warehouse FS shim (fs.py): rename-swap on local/HDFS (old layout
+    readable until the new one is complete), generation-pointer flip on
+    object stores without atomic rename."""
     paths = {
         "range": _range_path(warehouse, table),
         "round_robin": _rr_path(warehouse, table),
         "hash": _hash_path(warehouse, table),
     }
     path = paths[scheme]
-    df = spark.read.parquet(path)
-    tmp = path + ".compact"
+    wfs = fslib.fs_for(warehouse, spark)
+    df = spark.read.parquet(fslib.resolve_dataset(wfs, path))
+    staged = fslib.stage_path(wfs, path, "compact")
     if target_files_per_fragment <= 1:
         # hash-cluster by fragment: each fragment lands whole in one
         # task → exactly one file per fragment directory
@@ -291,11 +294,8 @@ def compact_fragments(
             F.lit(target_files_per_fragment),
         )
         clustered = df.repartition(F.col(FRAGMENT_COL), salt)
-    clustered.write.mode("overwrite").partitionBy(FRAGMENT_COL).parquet(tmp)
-    old = path + ".old"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    clustered.write.mode("overwrite").partitionBy(FRAGMENT_COL).parquet(staged)
+    fslib.commit_staged(wfs, staged, path)
 
 
 def delete_tables(spark: SparkSession, table_or_all: str, warehouse: str) -> None:
@@ -303,9 +303,9 @@ def delete_tables(spark: SparkSession, table_or_all: str, warehouse: str) -> Non
 
     ``'ALL'`` is case-insensitive like the reference (Interface1.py:375).
     """
+    wfs = fslib.fs_for(warehouse, spark)
     if table_or_all.upper() == "ALL":
-        if os.path.isdir(warehouse):
-            shutil.rmtree(warehouse)
+        wfs.delete(warehouse, recursive=True)
         return
     for p in (
         os.path.join(warehouse, table_or_all),
@@ -313,5 +313,4 @@ def delete_tables(spark: SparkSession, table_or_all: str, warehouse: str) -> Non
         _rr_path(warehouse, table_or_all),
         _hash_path(warehouse, table_or_all),
     ):
-        if os.path.isdir(p):
-            shutil.rmtree(p)
+        wfs.delete(p, recursive=True)

@@ -21,9 +21,9 @@ file layout, both handled by Spark's partitioned-dataset machinery.
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import asdict, dataclass
+
+from . import fs as fslib
 
 METADATA_FILENAME = "_frag_metadata.json"
 
@@ -58,23 +58,22 @@ class HashMetadata:
 class FragmentCatalog:
     """Read-modify-write access to the per-warehouse metadata sidecar."""
 
-    def __init__(self, warehouse: str):
+    def __init__(self, warehouse: str, spark=None, fs=None):
+        """``warehouse`` may be a bare local path (LocalFS, no JVM
+        needed) or any Hadoop-resolvable URI when ``spark`` is passed
+        (HadoopFS: hdfs://, s3a://, file://...). An explicit ``fs``
+        overrides both."""
         self.warehouse = warehouse
-        self.path = os.path.join(warehouse, METADATA_FILENAME)
+        self.path = fslib.join(warehouse, METADATA_FILENAME)
+        self._fs = fs if fs is not None else fslib.fs_for(warehouse, spark)
 
-    # -- raw IO ---------------------------------------------------------
+    # -- raw IO (all through the warehouse FS shim) ---------------------
     def _read(self) -> dict:
-        if not os.path.exists(self.path):
-            return {}
-        with open(self.path) as f:
-            return json.load(f)
+        return fslib.read_json(self._fs, self.path, default={})
 
     def _write(self, doc: dict) -> None:
-        os.makedirs(self.warehouse, exist_ok=True)
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f, indent=1)
-        os.replace(tmp, self.path)
+        self._fs.makedirs(self.warehouse)
+        fslib.write_json_atomic(self._fs, self.path, doc)
 
     # -- range ----------------------------------------------------------
     def range_meta(self) -> RangeMetadata:
@@ -141,8 +140,7 @@ class FragmentCatalog:
 
     def clear(self, scheme: str | None = None) -> None:
         if scheme is None:
-            if os.path.exists(self.path):
-                os.remove(self.path)
+            self._fs.delete(self.path)
             return
         doc = self._read()
         doc.pop(scheme, None)

@@ -5995,7 +5995,7 @@ def q_streaming_upsert_latest(spark, sf_dir):
     over the same content re-merges identical data (idempotent)."""
     import os as _os
 
-    from .streaming.events import read_events_stream, upsert_sink
+    from .streaming.events import read_committed, read_events_stream, upsert_sink
 
     art = _artifact_cache_path(sf_dir, "upsert_target", "events")
     target = _os.path.join(art, "latest")
@@ -6008,7 +6008,7 @@ def q_streaming_upsert_latest(spark, sf_dir):
         tiebreak_cols=["event_id"],
     )
     q.awaitTermination()
-    latest = spark.read.parquet(target)
+    latest = read_committed(spark, target)
     return latest.select(
         "user_id",
         F.col("tsn").cast("bigint").alias("latest_tsn"),
@@ -8334,7 +8334,7 @@ def q_streaming_cdc_apply(spark, sf_dir):
     import os as _os
     import shutil as _shutil
 
-    from .streaming.events import cdc_sink
+    from .streaming.events import cdc_sink, read_committed
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -8392,7 +8392,7 @@ def q_streaming_cdc_apply(spark, sf_dir):
     )
     q = cdc_sink(stream, target, keys=["o_orderkey"], spark=spark)
     q.awaitTermination()
-    final = spark.read.parquet(target)
+    final = read_committed(spark, target)
     return final.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum(_dec2(F.col("o_totalprice"))).cast("double").alias("total_price"),

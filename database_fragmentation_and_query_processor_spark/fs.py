@@ -1,0 +1,329 @@
+"""Warehouse filesystem shim: one small surface for every driver-side
+metadata/commit IO the engine performs outside of Spark jobs.
+
+Why this exists: the catalog sidecar, the compaction swap, the
+streaming upsert/CDC commit step and the ingestion ledger were written
+against POSIX (``open``/``os.replace``/``os.rename``). On the
+100 TB deployment the warehouse is HDFS or an object store, where
+``os.rename`` does not exist — and on S3-family stores no atomic
+directory rename exists AT ALL. This module abstracts both problems:
+
+- ``LocalFS``: plain POSIX, used for bare local paths (no JVM needed —
+  the catalog must work before any SparkSession exists).
+- ``HadoopFS``: the Hadoop ``FileSystem`` API reached through the
+  session JVM (``spark._jvm``), resolved from the path URI scheme, so
+  the same code drives ``file://``, ``hdfs://`` and ``s3a://``
+  warehouses. (Public API: org.apache.hadoop.fs.FileSystem — shipped
+  with Spark.)
+- Commit protocol: ``stage_path``/``commit_staged`` re-express
+  write-then-swap. On rename-capable stores (local, HDFS) the commit
+  IS the classic rename swap, so on-disk layout is unchanged. On
+  stores without atomic rename (``s3/s3a/s3n/gs/oss/wasb``) data is
+  staged into a generation subdirectory and the commit is a single
+  atomic pointer-object PUT (``_LATEST``); ``resolve_dataset`` maps a
+  logical dataset path to its current generation for readers. Old
+  generations are pruned lazily, keeping ``KEEP_GENERATIONS`` so
+  in-flight readers on eventually-consistent stores never lose their
+  files mid-scan.
+
+Single-writer semantics throughout (the reference's model: one client
+connection, Interface1.py's psycopg2 session); concurrent writers need
+an external lock or a table format (Delta/Iceberg), which is out of
+scope here.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import posixpath
+import re
+import shutil
+import time
+
+POINTER_FILE = "_LATEST"
+#: How many committed generations to retain in pointer mode. 2 = the
+#: live one plus the previous (still readable by in-flight scans).
+KEEP_GENERATIONS = 2
+
+#: URI schemes whose rename is a server-side O(1) metadata move.
+_ATOMIC_RENAME_SCHEMES = {"file", "hdfs", "viewfs", "webhdfs", "har"}
+
+_SCHEME_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
+
+_gen_counter = itertools.count()
+
+
+def _scheme(path: str) -> str | None:
+    m = _SCHEME_RE.match(path)
+    return m.group(1).lower() if m else None
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that is safe for both plain paths and URIs."""
+    return posixpath.join(base, *parts)
+
+
+class LocalFS:
+    """POSIX implementation. Accepts bare paths and ``file://`` URIs.
+
+    ``atomic_rename=False`` turns on the pointer-commit protocol on top
+    of the local filesystem — used by tests to exercise the object-store
+    code path without an object store.
+    """
+
+    def __init__(self, atomic_rename: bool = True):
+        self.atomic_rename = atomic_rename
+
+    @staticmethod
+    def _local(path: str) -> str:
+        if path.startswith("file://"):
+            return path[len("file://"):] or "/"
+        return path
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._local(path))
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(self._local(path))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(self._local(path), exist_ok=True)
+
+    def read_text(self, path: str) -> str:
+        with open(self._local(path)) as f:
+            return f.read()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        p = self._local(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = f"{p}.tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, p)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(self._local(src), self._local(dst))
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        p = self._local(path)
+        if not os.path.exists(p):
+            return
+        if os.path.isdir(p):
+            if recursive:
+                shutil.rmtree(p)
+            else:
+                os.rmdir(p)
+        else:
+            os.remove(p)
+
+    def list_status(self, path: str) -> list[tuple[str, bool, int, int]]:
+        """[(child_path, is_dir, size, mtime_ns)] — non-recursive."""
+        p = self._local(path)
+        out = []
+        for name in sorted(os.listdir(p)):
+            full = os.path.join(p, name)
+            st = os.stat(full)
+            out.append(
+                (join(path, name), os.path.isdir(full), st.st_size, st.st_mtime_ns)
+            )
+        return out
+
+
+class HadoopFS:
+    """Hadoop ``FileSystem`` implementation via the session JVM.
+
+    Resolved per base URI: ``HadoopFS(spark, "s3a://bucket/wh")`` talks
+    to the S3A connector, ``HadoopFS(spark, "file:///tmp/wh")`` to the
+    local connector — same call sites either way.
+    """
+
+    def __init__(self, spark, base: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._jvm = jvm
+        conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._Path(base).getFileSystem(conf)
+        scheme = self._fs.getUri().getScheme()
+        self.atomic_rename = (scheme or "file") in _ATOMIC_RENAME_SCHEMES
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._Path(path)))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._Path(path)
+        return bool(self._fs.exists(p)) and bool(
+            self._fs.getFileStatus(p).isDirectory()
+        )
+
+    def makedirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._Path(path))
+        baos = self._jvm.java.io.ByteArrayOutputStream()
+        # copyBytes(in, out, bufSize, close=True) — public Hadoop util
+        self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+        return baos.toString("UTF-8")
+
+    def _create(self, path: str, text: str) -> None:
+        out = self._fs.create(self._Path(path), True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+
+    def write_text_atomic(self, path: str, text: str) -> None:
+        if self.atomic_rename:
+            tmp = f"{path}.tmp-{os.getpid()}"
+            self._create(tmp, text)
+            # overwrite-rename: Hadoop rename won't clobber, delete first
+            dst = self._Path(path)
+            if self._fs.exists(dst):
+                self._fs.delete(dst, False)
+            if not self._fs.rename(self._Path(tmp), dst):
+                raise OSError(f"rename failed: {tmp} -> {path}")
+        else:
+            # object stores: a single PUT is atomic per object
+            self._create(path, text)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename failed: {src} -> {dst}")
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        self._fs.delete(self._Path(path), recursive)
+
+    def list_status(self, path: str) -> list[tuple[str, bool, int, int]]:
+        out = []
+        for st in self._fs.listStatus(self._Path(path)):
+            out.append(
+                (
+                    st.getPath().toString(),
+                    bool(st.isDirectory()),
+                    int(st.getLen()),
+                    int(st.getModificationTime()) * 1_000_000,
+                )
+            )
+        out.sort(key=lambda t: t[0])
+        return out
+
+
+def fs_for(path: str, spark=None):
+    """Pick the implementation for ``path``.
+
+    Bare paths → ``LocalFS`` (no JVM dependency — catalog reads happen
+    before/without a session). ``file://`` without a session → LocalFS
+    (same bytes, no JVM hop). Any URI with a session → ``HadoopFS``
+    resolved from the scheme. A non-file URI without a session is an
+    error rather than a silent local fallback.
+    """
+    scheme = _scheme(path)
+    if scheme is None:
+        return LocalFS()
+    if spark is not None:
+        return HadoopFS(spark, path)
+    if scheme == "file":
+        return LocalFS()
+    raise ValueError(
+        f"need an active SparkSession to reach {scheme}:// paths: {path}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset commit protocol (write-then-swap, object-store safe)
+# ---------------------------------------------------------------------------
+
+def new_token(tag: str) -> str:
+    return f"{tag}-{time.time_ns()}-{next(_gen_counter)}"
+
+
+def stage_path(fs, target: str, tag: str) -> str:
+    """Where a writer should stage the NEW version of dataset ``target``.
+
+    Rename-capable stores: a sibling directory (the classic pattern —
+    target layout stays exactly as before). Pointer stores: a
+    generation subdirectory under ``target``.
+    """
+    token = new_token(tag)
+    if fs.atomic_rename:
+        return f"{target}.{token}"
+    return join(target, f"gen-{token}")
+
+
+def commit_staged(fs, staged: str, target: str) -> str:
+    """Atomically make ``staged`` the current content of ``target``.
+
+    Returns the path readers should scan (== ``target`` on
+    rename-capable stores; the generation dir in pointer mode).
+    """
+    if fs.atomic_rename:
+        if fs.exists(target):
+            old = f"{target}.{new_token('old')}"
+            fs.rename(target, old)
+            fs.rename(staged, target)
+            fs.delete(old, recursive=True)
+        else:
+            fs.rename(staged, target)
+        return target
+    gen_name = posixpath.basename(staged)
+    fs.write_text_atomic(join(target, POINTER_FILE), gen_name)
+    _prune_generations(fs, target, keep=KEEP_GENERATIONS)
+    return join(target, gen_name)
+
+
+def _prune_generations(fs, target: str, keep: int) -> None:
+    gens = [
+        p
+        for p, is_dir, _, _ in fs.list_status(target)
+        if is_dir and posixpath.basename(p).startswith("gen-")
+    ]
+    # token embeds time_ns + a counter → lexicographic sort of the
+    # zero-unpadded timestamp is not reliable; sort numerically
+    def _key(p: str):
+        parts = posixpath.basename(p).split("-")
+        try:
+            return (int(parts[-2]), int(parts[-1]))
+        except (ValueError, IndexError):
+            return (0, 0)
+
+    gens.sort(key=_key)
+    current = None
+    ptr = join(target, POINTER_FILE)
+    if fs.exists(ptr):
+        current = join(target, fs.read_text(ptr).strip())
+    for p in gens[:-keep] if len(gens) > keep else []:
+        if p != current:
+            fs.delete(p, recursive=True)
+
+
+def resolve_dataset(fs, target: str) -> str:
+    """Map a logical dataset path to the directory readers should scan
+    (the current generation in pointer mode; ``target`` itself
+    otherwise)."""
+    ptr = join(target, POINTER_FILE)
+    if fs.exists(ptr):
+        return join(target, fs.read_text(ptr).strip())
+    return target
+
+
+def dataset_exists(fs, target: str) -> bool:
+    """Has any version of the dataset been committed?"""
+    if fs.exists(join(target, POINTER_FILE)):
+        return True
+    if fs.atomic_rename:
+        return fs.is_dir(target)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Small JSON/text helpers used by the catalog and the ingest ledger
+# ---------------------------------------------------------------------------
+
+def read_json(fs, path: str, default=None):
+    if not fs.exists(path):
+        return default
+    return json.loads(fs.read_text(path))
+
+
+def write_json_atomic(fs, path: str, doc) -> None:
+    fs.write_text_atomic(path, json.dumps(doc, indent=1))

@@ -22,16 +22,21 @@ Scale notes: the listing and ledger are O(file count), not data size;
 at 100 TB keep per-file sizes large (compaction upstream) so the
 ledger stays small, and store it on the same object store as the data
 (it is plain JSON lines, one file per commit — append-only, no
-rewrite races)."""
+rewrite races). All listing/ledger IO goes through the warehouse FS
+shim (fs.py), so the same code runs against local paths, ``hdfs://``
+and ``s3a://`` (pass ``spark`` — or an explicit ``fs`` — for URI
+warehouses); commit files are written via an atomic create (tmp+rename
+locally, single-PUT on object stores)."""
 
 from __future__ import annotations
 
 import json
-import os
 import time
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .. import fs as fslib
 
 
 class FileIdent(NamedTuple):
@@ -45,41 +50,47 @@ class FileIdent(NamedTuple):
     mtime_ns: int
 
 
-def _list_files(path: str, suffix: str) -> dict[str, tuple[int, int]]:
+def _posix_basename(path: str) -> str:
+    return path.rsplit("/", 1)[-1]
+
+
+def _list_files(fs, path: str, suffix: str) -> dict[str, tuple[int, int]]:
     out: dict[str, tuple[int, int]] = {}
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(suffix) or name.startswith(("_", ".")):
+    for full, is_dir, size, mtime_ns in fs.list_status(path):
+        name = _posix_basename(full)
+        if is_dir or not name.endswith(suffix) or name.startswith(("_", ".")):
             continue
-        full = os.path.join(path, name)
-        st = os.stat(full)
-        out[full] = (st.st_size, st.st_mtime_ns)
+        out[full] = (size, mtime_ns)
     return out
 
 
-def _read_ledger(ledger_dir: str) -> dict[str, tuple[int, int]]:
+def _read_ledger(fs, ledger_dir: str) -> dict[str, tuple[int, int]]:
     seen: dict[str, tuple[int, int]] = {}
-    if not os.path.isdir(ledger_dir):
+    if not fs.is_dir(ledger_dir):
         return seen
-    for name in sorted(os.listdir(ledger_dir)):
-        if not name.endswith(".jsonl"):
+    for full, is_dir, _, _ in fs.list_status(ledger_dir):
+        if is_dir or not full.endswith(".jsonl"):
             continue
-        with open(os.path.join(ledger_dir, name)) as f:
-            for line in f:
-                rec = json.loads(line)
-                seen[rec["path"]] = (rec["size"], rec["mtime_ns"])
+        for line in fs.read_text(full).splitlines():
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            seen[rec["path"]] = (rec["size"], rec["mtime_ns"])
     return seen
 
 
 def new_files(
-    data_dir: str, ledger_dir: str, suffix: str = ".parquet"
+    data_dir: str, ledger_dir: str, suffix: str = ".parquet",
+    spark=None, fs=None,
 ) -> list[FileIdent]:
     """Files present in ``data_dir`` but absent from (or changed since)
     the ledger, each with its (size, mtime_ns) identity captured at
     listing time — metadata-only, nothing is read. Pass the returned
     idents (NOT bare paths) to ``commit_ingest`` so the ledger records
     the identity of the content actually ingested."""
-    current = _list_files(data_dir, suffix)
-    seen = _read_ledger(ledger_dir)
+    fs = fs if fs is not None else fslib.fs_for(data_dir, spark)
+    current = _list_files(fs, data_dir, suffix)
+    seen = _read_ledger(fs, ledger_dir)
     return [
         FileIdent(p, size, mtime)
         for p, (size, mtime) in current.items()
@@ -88,39 +99,40 @@ def new_files(
 
 
 def ingest_increment(
-    spark: SparkSession, data_dir: str, ledger_dir: str, suffix: str = ".parquet"
+    spark: SparkSession, data_dir: str, ledger_dir: str, suffix: str = ".parquet",
+    fs=None,
 ) -> tuple[DataFrame | None, list[FileIdent]]:
     """(DataFrame over ONLY the new files, their listing-time idents);
     (None, []) when nothing arrived. Call ``commit_ingest`` with the
     same idents after the downstream write succeeds."""
-    idents = new_files(data_dir, ledger_dir, suffix)
+    idents = new_files(data_dir, ledger_dir, suffix, spark=spark, fs=fs)
     if not idents:
         return None, []
     return spark.read.parquet(*[i.path for i in idents]), idents
 
 
-def commit_ingest(ledger_dir: str, idents: list[FileIdent]) -> None:
+def commit_ingest(
+    ledger_dir: str, idents: list[FileIdent], spark=None, fs=None
+) -> None:
     """Append one ledger commit file covering ``idents``. The recorded
     (size, mtime_ns) is the one CAPTURED AT LISTING TIME, never a fresh
     stat — if the file was rewritten between read and commit, the next
     ``new_files`` diff sees the changed identity and re-ingests the new
     content (the exactly-once-per-content contract). Append-only: a
-    crashed run leaves no partial ledger state (the commit file is
-    written whole via rename)."""
+    crashed run leaves no partial ledger state (the commit file becomes
+    visible whole — tmp+rename locally, atomic single-PUT on object
+    stores, via the FS shim)."""
     if not idents:
         return
-    os.makedirs(ledger_dir, exist_ok=True)
-    tmp = os.path.join(ledger_dir, f".tmp-{time.time_ns()}")
-    with open(tmp, "w") as f:
-        for ident in idents:
-            f.write(
-                json.dumps(
-                    {
-                        "path": ident.path,
-                        "size": ident.size,
-                        "mtime_ns": ident.mtime_ns,
-                    }
-                )
-                + "\n"
-            )
-    os.replace(tmp, os.path.join(ledger_dir, f"commit-{time.time_ns()}.jsonl"))
+    fs = fs if fs is not None else fslib.fs_for(ledger_dir, spark)
+    fs.makedirs(ledger_dir)
+    body = "".join(
+        json.dumps(
+            {"path": i.path, "size": i.size, "mtime_ns": i.mtime_ns}
+        )
+        + "\n"
+        for i in idents
+    )
+    fs.write_text_atomic(
+        fslib.join(ledger_dir, f"commit-{time.time_ns()}.jsonl"), body
+    )

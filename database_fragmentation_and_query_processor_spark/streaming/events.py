@@ -327,6 +327,16 @@ def run_stateful_drained(
     return spark.table(name)
 
 
+def read_committed(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read the current committed version of a sink target, resolving
+    the generation pointer when the target lives on an object store
+    (no-op indirection on rename-capable filesystems)."""
+    from .. import fs as fslib
+
+    wfs = fslib.fs_for(target_path, spark)
+    return spark.read.parquet(fslib.resolve_dataset(wfs, target_path))
+
+
 def upsert_sink(
     stream: DataFrame,
     target_path: str,
@@ -356,35 +366,32 @@ def upsert_sink(
     query mid-stream deterministically.
 
     At real scale the target would be a transactional table format
-    (partition-level rewrite); the swap here is the single-writer
-    parquet equivalent with the same merge plan.
+    (partition-level rewrite); the commit here goes through the
+    warehouse FS shim (fs.py) — rename-swap on local/HDFS,
+    generation-pointer flip on object stores — with the same merge
+    plan either way. Read the result back via
+    ``fs.resolve_dataset`` (or this module's ``read_committed``).
     """
+    from .. import fs as fslib
     from ..operators.merge import merge_upsert
 
     order_cols = [version_col] + list(tiebreak_cols or [])
+    wfs = fslib.fs_for(target_path, spark)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_hook is not None:
             batch_hook(batch_df, batch_id)
         batch_df = batch_df.localCheckpoint(eager=True)
-        if os.path.isdir(target_path):
-            current = spark.read.parquet(target_path)
+        if fslib.dataset_exists(wfs, target_path):
+            current = spark.read.parquet(fslib.resolve_dataset(wfs, target_path))
             merged = merge_upsert(current, batch_df, keys, order_cols)
         else:
             merged = merge_upsert(
                 batch_df.limit(0), batch_df, keys, order_cols
             )
-        tmp = target_path + ".merge"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = target_path + ".old"
-        if os.path.isdir(target_path):
-            os.rename(target_path, old)
-            os.rename(tmp, target_path)
-            import shutil
-
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, target_path)
+        staged = fslib.stage_path(wfs, target_path, f"merge-{batch_id}")
+        merged.write.mode("overwrite").parquet(staged)
+        fslib.commit_staged(wfs, staged, target_path)
 
     writer = stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True
@@ -418,25 +425,25 @@ def cdc_sink(
     commit per batch, so a crashed run resumes at its in-flight batch
     (retried idempotently) instead of replaying history.
     ``batch_hook(batch_df, batch_id)`` is the crash-recovery test's
-    fault-injection point. Returns the started StreamingQuery."""
+    fault-injection point. Commits go through the warehouse FS shim
+    (fs.py): rename-swap on local/HDFS, generation-pointer flip on
+    object stores. Returns the started StreamingQuery."""
+    from .. import fs as fslib
     from ..operators.merge import apply_cdc
+
+    wfs = fslib.fs_for(target_path, spark)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_hook is not None:
             batch_hook(batch_df, batch_id)
         batch_df = batch_df.localCheckpoint(eager=True)
-        current = spark.read.parquet(target_path)
+        current = spark.read.parquet(fslib.resolve_dataset(wfs, target_path))
         merged = apply_cdc(
             current, batch_df, key_cols=keys, op_col=op_col, version_col=version_col
         )
-        tmp = target_path + ".merge"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = target_path + ".old"
-        os.rename(target_path, old)
-        os.rename(tmp, target_path)
-        import shutil
-
-        shutil.rmtree(old)
+        staged = fslib.stage_path(wfs, target_path, f"cdc-{batch_id}")
+        merged.write.mode("overwrite").parquet(staged)
+        fslib.commit_staged(wfs, staged, target_path)
 
     writer = change_stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True
