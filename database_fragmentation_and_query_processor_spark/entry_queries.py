@@ -52,6 +52,10 @@ MINHASH_K = 8
 MINHASH_BANDS = 4
 SHINGLE_N = 3
 NEAR_DUP_THRESHOLD = 0.8
+#: near_dup_audit's exact-ground-truth blocks are verified ≤ this many
+#: docs before the quadratic within-block pair join may launch (the
+#: audit's scale contract; see operators/dedup.py:blocked_jaccard_pairs)
+AUDIT_MAX_BLOCK_DOCS = 4096
 EMB_DIM = 64
 KNN_K = 10
 EMB_DUP_THRESHOLD = 0.99
@@ -5112,7 +5116,13 @@ def q_near_dup_audit(spark, sf_dir):
     pairs vs the blocked exact-Jaccard ground truth at the same
     threshold — n_lsh / n_exact / overlap / recall / precision in one
     row. This is the audit that decides whether k, bands, or the
-    blocking key need retuning before a full-corpus run."""
+    blocking key need retuning before a full-corpus run.
+
+    The exact side carries ``max_block_docs``: the audit's ground truth
+    is quadratic WITHIN a block, so the query asserts (cheap pre-agg)
+    that no (lang, len_bucket) block exceeds the cap before launching
+    the pair join — at corpus scale the operator must pass a
+    ``sample_frac`` stratum instead of loosening the cap."""
     docs = _docs_with_dups(spark, sf_dir)
     lsh = (
         D.near_dup_pairs(
@@ -5126,6 +5136,7 @@ def q_near_dup_audit(spark, sf_dir):
         D.blocked_jaccard_pairs(
             d2, block_cols=("lang", "len_bucket"),
             threshold=NEAR_DUP_THRESHOLD, shingle_n=SHINGLE_N,
+            max_block_docs=AUDIT_MAX_BLOCK_DOCS,
         )
         .select("id_a", "id_b")
         .withColumn("in_exact", F.lit(True))

@@ -287,6 +287,7 @@ def blocked_jaccard_pairs(
     threshold: float = 0.8,
     shingle_n: int = 3,
     sample_frac: float | None = None,
+    max_block_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup with cheap blocking (no LSH): all
     pairs *within a blocking key* are verified, so recall is total
@@ -308,6 +309,15 @@ def blocked_jaccard_pairs(
     sampled stratum. None (the default) keeps the audit exhaustive —
     right for oracle-checked test corpora, quadratically wrong at
     production scale.
+
+    ``max_block_docs`` is the audit's scale CONTRACT: the within-block
+    pair join is Σ|block|² and nothing else bounds |block|, so when set
+    the function verifies every surviving block (after sampling) holds
+    at most that many documents — a cheap pre-aggregation over (id,
+    block key), no text — and raises before launching the quadratic
+    join otherwise, telling the operator to tighten ``block_cols`` or
+    pass ``sample_frac``. Failing fast here costs one metadata-sized
+    job; failing slow costs a corpus-squared shuffle.
     """
     base = df.select(
         F.col(id_col).alias("id"),
@@ -323,6 +333,26 @@ def blocked_jaccard_pairs(
             hash_bucket(F.col("id"), "jaccard_audit")
             < F.lit(int(round(sample_frac * HASH_BUCKETS)))
         )
+    if max_block_docs is not None:
+        oversized = (
+            base.groupBy(*[F.col(c) for c in block_cols])
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") > max_block_docs)
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            worst = ", ".join(
+                f"{tuple(r[c] for c in block_cols)}={r['n_docs']}"
+                for r in oversized
+            )
+            raise ValueError(
+                f"blocked_jaccard_pairs: block(s) exceed max_block_docs="
+                f"{max_block_docs} ({worst}...): the within-block pair join "
+                f"would be quadratic in an unbounded group — add a finer "
+                f"blocking column or pass sample_frac to audit a "
+                f"deterministic stratum"
+            )
     a = base.select(
         F.col("id").alias("id_a"), *block_cols, F.col("ss").alias("ss_a")
     )

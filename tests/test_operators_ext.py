@@ -447,6 +447,37 @@ def test_blocked_jaccard_sample_frac(spark, sf_dir):
     } == full
 
 
+def test_blocked_jaccard_max_block_docs_guard(spark, sf_dir):
+    """The audit's scale contract: an over-cap block must fail FAST
+    (before the quadratic pair join), an under-cap run must be
+    unaffected, and sampling below the cap must clear the guard."""
+    import pytest as _pytest
+
+    from database_fragmentation_and_query_processor_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    # every doc in this slice shares lang values → blocking only on
+    # lang leaves a block far larger than a cap of 5
+    with _pytest.raises(ValueError, match="max_block_docs"):
+        D.blocked_jaccard_pairs(docs, threshold=0.3, max_block_docs=5).collect()
+    # a generous cap changes nothing
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.blocked_jaccard_pairs(
+            docs, threshold=0.3, max_block_docs=10_000
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in D.blocked_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert capped == full
+    # the guard runs AFTER sampling: a stratum that fits the cap passes
+    D.blocked_jaccard_pairs(
+        docs, threshold=0.3, sample_frac=0.02, max_block_docs=5
+    ).collect()
+
+
 def test_bloom_semi_join_equals_plain_semi(spark):
     from pyspark.sql import functions as F
 
