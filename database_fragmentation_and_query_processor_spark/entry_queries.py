@@ -1916,16 +1916,22 @@ def q_events_value_quantiles(spark, sf_dir):
     Scale note: Spark's exact percentile buffers each GROUP's values in
     that group's aggregation buffer — fine while groups fit a task
     (event-type cardinality is tiny but per-type volume is not, at
-    100 TB). The bounded-state path for this exact shape is
-    operators/stats.grouped_exact_percentiles (iterative histogram
-    bisection, ≤segments·bins agg state per scan); kept as the built-in
-    here because this query's oracle contract IS the built-in's
-    interpolation arithmetic."""
+    100 TB). Computed via operators/stats.grouped_percentiles_df
+    (iterative histogram bisection, ≤segments·bins aggregation state
+    per scan, group-cardinality-bounded driver result) — the identical
+    percentile_cont interpolation arithmetic, without any O(group)
+    task buffer; the tiny per-group result broadcast-joins back onto
+    the one-shuffle counts."""
+    from .operators.stats import grouped_percentiles_df
+
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
-        F.count("*").alias("n_events"),
+    pct = grouped_percentiles_df(ev, ["event_type"], "value", [0.5, 0.95])
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    return counts.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        F.round(F.col("percentiles")[0], 6).alias("p50"),
+        F.round(F.col("percentiles")[1], 6).alias("p95"),
+        "n_events",
     )
 
 
@@ -7496,22 +7502,31 @@ def q_approx_quantile_audit(spark, sf_dir):
     the oracle pins the exact columns and asserts the bound claim is
     TRUE. The rank of each sketch answer is measured with one
     conditional aggregate over a 3-row broadcast — no sort, no
-    collect of data. (The exact reference column buffers the table in
-    one agg task; at a scale where that matters the audit's exact side
-    moves to operators/stats.exact_percentiles — same values, bounded
-    state — while the sketch under audit is unchanged.)"""
+    collect of data. The exact reference column comes from
+    operators/stats.exact_percentiles (iterative histogram bisection:
+    bounded aggregation state, identical percentile_cont
+    interpolation) — Spark's exact ``percentile`` aggregate would
+    buffer the whole table in one task; the sketch under audit is
+    unchanged."""
+    from .operators.stats import exact_percentiles
+
     ev = _events(spark, sf_dir)
     ps = list(APPROX_Q_PS)
+    evals, _n = exact_percentiles(ev, "value", ps)
     approx = ev.agg(
         F.percentile_approx("value", ps, APPROX_Q_ACC).alias("av"),
-        F.expr(f"percentile(value, array({','.join(str(p) for p in ps)}))").alias("ev"),
         F.count("*").alias("n"),
     ).select(
-        F.posexplode(F.arrays_zip(F.array(*[F.lit(p) for p in ps]), "av", "ev"))
-        .alias("i", "z"),
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in ps]).alias("p"),
+                F.col("av").alias("av"),
+                F.array(*[F.lit(float(v)) for v in evals]).alias("ev"),
+            )
+        ).alias("i", "z"),
         "n",
     ).select(
-        F.col("z.0").alias("p"), F.col("z.av").alias("approx_v"),
+        F.col("z.p").alias("p"), F.col("z.av").alias("approx_v"),
         F.col("z.ev").alias("exact_v"), "n",
     )
     ranked = (
@@ -8270,19 +8285,24 @@ def q_mad_outliers(spark, sf_dir):
     sort-based aggregate, not a full-table window); outlier counting is
     one conditional aggregate against the broadcast (type, median, mad)
     table. Medians/MADs rounded to 6 before the comparison so the flag
-    is engine-identical. (Per-group exact-percentile state grows with
-    the group, not the table — the bounded-state alternative for huge
-    groups is operators/stats.grouped_exact_percentiles.)"""
+    is engine-identical. Both median passes run through
+    operators/stats.grouped_percentiles_df (iterative histogram
+    bisection): identical percentile_cont values, but per-scan
+    aggregation state is ≤segments·bins cells instead of buffering
+    every group member in one task — the shape that survives a
+    billion-row event type."""
+    from .operators.stats import grouped_percentiles_df
+
     ev = _events(spark, sf_dir)
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    med = grouped_percentiles_df(ev, ["event_type"], "value", [0.5]).select(
+        "event_type", F.col("percentiles")[0].alias("med")
     )
     dev = (
         ev.join(F.broadcast(med), "event_type")
         .select("event_type", "value", F.abs(F.col("value") - F.col("med")).alias("ad"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    mad = grouped_percentiles_df(dev, ["event_type"], "ad", [0.5]).select(
+        "event_type", F.round(F.col("percentiles")[0], 6).alias("mad")
     )
     flagged = (
         dev.join(F.broadcast(mad), "event_type")
@@ -9059,11 +9079,16 @@ def q_quantile_disc_battery(spark, sf_dir):
     derived from first principles (per-group rank arithmetic over a
     window), which doubles as the cross-engine definition check against
     DuckDB's native quantile_disc. Per event type, p ∈ {0.25, 0.5,
-    0.9}."""
+    0.9}. The cont side runs through
+    operators/stats.grouped_percentiles_df (bounded-state histogram
+    bisection — no per-group value buffer), identical percentile_cont
+    interpolation."""
+    from .operators.stats import grouped_percentiles_df
+
     ev = _events(spark, sf_dir)
     ps = [0.25, 0.5, 0.9]
-    cont = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, array({','.join(str(p) for p in ps)}))").alias("cont")
+    cont = grouped_percentiles_df(ev, ["event_type"], "value", ps).select(
+        "event_type", F.col("percentiles").alias("cont")
     )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
@@ -9389,18 +9414,25 @@ def q_funnel_time_to_convert(spark, sf_dir):
         .groupBy("cid", "ct")
         .agg(F.min("pt").alias("first_pt"))
         .select((F.col("first_pt") - F.col("ct")).alias("latency_us"))
+        .persist()
     )
+    _track_cached(first_conv)
     # quantiles are reported in SECONDS: at micros magnitude (~1e9) a
     # round-6 sits below double ulp and interpolation-order noise leaks
     # through; at seconds magnitude the rounding is far above ulp.
-    # (exact percentile here buffers one row per CONVERSION — already
-    # funnel-reduced; operators/stats.exact_percentiles is the bounded
-    # path if conversions alone outgrow a task)
+    # Exact latency quantiles via operators/stats.exact_percentiles
+    # (bounded-state selection) over the persisted funnel result — the
+    # multi-pass selector re-reads the cached conversions, never
+    # re-runs the attribution join, and no task ever buffers every
+    # conversion the way Spark's exact percentile aggregate would.
+    from .operators.stats import exact_percentiles
+
+    (p50, p90), _n = exact_percentiles(first_conv, "latency_us", [0.5, 0.9])
     return first_conv.agg(
         F.count("*").cast("bigint").alias("n_conversions"),
         F.sum("latency_us").cast("bigint").alias("latency_checksum"),
-        F.round(F.expr("percentile(latency_us, 0.5)") / 1e6, 6).alias("p50_sec"),
-        F.round(F.expr("percentile(latency_us, 0.9)") / 1e6, 6).alias("p90_sec"),
+        F.round(F.lit(float(p50)) / 1e6, 6).alias("p50_sec"),
+        F.round(F.lit(float(p90)) / 1e6, 6).alias("p90_sec"),
     )
 
 
