@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -212,16 +213,26 @@ AUDIO_WINDOW_CHECKSUM_SCHEMA = StructType(
 )
 
 
-def _window_checksum(win: bytes, start: int) -> int:
-    """Position-weighted byte sum: Σ (start + i + 1)·byte_i. Vectorized
-    in numpy inside the Arrow batch; each byte's weight is its ABSOLUTE
-    stream position, so a wrong hop, offset, or slice flips the sum.
-    Bounded: 255·(pos+1)·W per window — int64-safe far past any
-    realistic payload. The SQL mirror is a hex-substring fold."""
-    import numpy as np
-
-    arr = np.frombuffer(win, dtype=np.uint8).astype(np.int64)
-    return int(arr @ (np.arange(start + 1, start + 1 + arr.size, dtype=np.int64)))
+def _payload_window_checksums(
+    raw: bytes, n_w: int, window_bytes: int, hop_bytes: int
+):
+    """Position-weighted byte sums for ALL of a payload's overlapping
+    windows in one vectorized pass: window i = Σ (j+1)·byte_j over its
+    absolute positions j, computed as a prefix-sum difference
+    (prefix[end] − prefix[start]) so the whole payload is weighted and
+    cumsum'd ONCE instead of allocating per-64-byte-window arrays (the
+    round-5 ADVICE hotspot). A start beyond the payload (the padded
+    empty-window case) clamps to 0 — identical to summing the b"\\x00"
+    pad. Absolute-position weights make a wrong hop, offset, or slice
+    flip the sum; bounded 255·(pos+1)·W per window, int64-safe far past
+    any realistic payload. The SQL mirror is a hex-substring fold.
+    Returns an int64 ndarray of length ``n_w``."""
+    arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    weighted = arr * np.arange(1, arr.size + 1, dtype=np.int64)
+    prefix = np.concatenate((np.zeros(1, dtype=np.int64), np.cumsum(weighted)))
+    s = np.arange(n_w, dtype=np.int64) * hop_bytes
+    e = np.minimum(s + window_bytes, arr.size)
+    return prefix[e] - prefix[np.minimum(s, arr.size)]
 
 
 def audio_windows(
@@ -253,15 +264,22 @@ def audio_windows(
                 decode_stub(raw)
                 n = len(raw)
                 n_w = max((max(n - window_bytes, 0) + hop_bytes - 1) // hop_bytes, 0) + 1
-                for i in range(n_w):
-                    win = raw[i * hop_bytes : i * hop_bytes + window_bytes] or b"\x00"
-                    ids.append(int(mid))
-                    idxs.append(i)
-                    starts.append(i * hop_bytes)
-                    if checksum_only:
-                        wins.append(_window_checksum(win, i * hop_bytes))
-                    else:
-                        wins.append(win)
+                ids.extend([int(mid)] * n_w)
+                idxs.extend(range(n_w))
+                starts.extend(range(0, n_w * hop_bytes, hop_bytes))
+                if checksum_only:
+                    # no window slices materialize at all in audit mode
+                    wins.extend(
+                        _payload_window_checksums(
+                            raw, n_w, window_bytes, hop_bytes
+                        ).tolist()
+                    )
+                else:
+                    wins.extend(
+                        raw[i * hop_bytes : i * hop_bytes + window_bytes]
+                        or b"\x00"
+                        for i in range(n_w)
+                    )
             out = {
                 "media_id": pd.Series(ids, dtype="int64"),
                 "win_idx": pd.Series(idxs, dtype="int64"),

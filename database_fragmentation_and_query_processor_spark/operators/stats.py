@@ -32,6 +32,7 @@ a CBO that tolerates rank error should use ``approx_percentile``.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -165,10 +166,32 @@ def exact_order_stats(
         hi_arr = F.array(*[F.lit(p[1]) for p in pending])
         s_lo = F.element_at(lo_arr, F.col("sid") + 1)
         s_hi = F.element_at(hi_arr, F.col("sid") + 1)
-        bin_id = F.least(
+        # (hi - lo) can overflow to +inf when both endpoints sit near
+        # ±DBL_MAX even though each passes isfinite — the proportional
+        # bin id then degenerates (all-zero or NaN). Detect the
+        # overflow per segment IN THE DRIVER (endpoints are known) and
+        # fall back to a two-way split at the overflow-safe arithmetic
+        # midpoint lo/2 + hi/2; the children have finite widths, so
+        # the next pass bins proportionally again.
+        wide = [not math.isfinite(p[1] - p[0]) for p in pending]
+        prop_bin = F.least(
             F.lit(bins - 1),
             F.floor((F.col("v") - s_lo) / (s_hi - s_lo) * F.lit(bins)),
         ).cast("int")
+        if any(wide):
+            wide_arr = F.array(*[F.lit(w) for w in wide])
+            mid_arr = F.array(
+                *[F.lit(p[0] / 2.0 + p[1] / 2.0) for p in pending]
+            )
+            bin_id = F.when(
+                F.element_at(wide_arr, F.col("sid") + 1),
+                F.when(
+                    F.col("v") <= F.element_at(mid_arr, F.col("sid") + 1),
+                    F.lit(0),
+                ).otherwise(F.lit(1)),
+            ).otherwise(prop_bin)
+        else:
+            bin_id = prop_bin
         cells = (
             vals.withColumn("sid", sid)
             .where(F.col("sid").isNotNull())

@@ -51,6 +51,17 @@ def test_adversarial_clustering_forces_iterations(spark):
                  gather_threshold=16)
 
 
+def test_near_dbl_max_range_width_overflow(spark):
+    # both endpoints pass isfinite but (hi - lo) overflows to +inf —
+    # the proportional bin id would degenerate (round-5 ADVICE). The
+    # driver-side width guard must fall back to a midpoint split and
+    # still converge to exact answers.
+    big = 1.7e308
+    vals = [-big, -big / 2, -1.0, 0.0, 1.0, 2.0, 3.0, big / 2, big]
+    assert not (vals[-1] - vals[0]) < float("inf")  # width IS +inf
+    _check_ranks(spark, vals, list(range(9)), bins=4, gather_threshold=2)
+
+
 def test_negative_and_tied_boundaries(spark):
     vals = [-5.0, -5.0, -5.0, 0.0, 0.0, 3.0, 7.0, 7.0]
     _check_ranks(spark, vals, list(range(8)), bins=4, gather_threshold=2)

@@ -9,7 +9,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from database_fragmentation_and_query_processor_spark.multimodal.binary_ops import (
-    _window_checksum,
+    _payload_window_checksums,
 )
 from database_fragmentation_and_query_processor_spark.operators.stats import (
     interpolate_percentiles,
@@ -58,20 +58,36 @@ def test_percentile_ranks_endpoints_and_bounds(n):
 
 
 @given(
-    st.binary(min_size=0, max_size=200),
-    st.integers(min_value=0, max_value=1_000_000),
+    st.binary(min_size=0, max_size=300),
+    st.integers(min_value=1, max_value=96),
+    st.integers(min_value=1, max_value=96),
 )
 @settings(max_examples=300, deadline=None)
-def test_window_checksum_matches_byte_spec(win, start):
-    spec = sum((start + i + 1) * b for i, b in enumerate(win))
-    assert _window_checksum(win, start) == spec
+def test_payload_window_checksums_match_byte_spec(raw, window_bytes, hop_bytes):
+    """The vectorized prefix-sum form must equal the per-window
+    per-byte spec Σ (abs_pos+1)·byte for EVERY overlapping window of
+    the payload, including the padded tail-window (empty slice → 0)."""
+    n = len(raw)
+    n_w = (
+        max((max(n - window_bytes, 0) + hop_bytes - 1) // hop_bytes, 0) + 1
+    )
+    got = _payload_window_checksums(raw, n_w, window_bytes, hop_bytes)
+    assert len(got) == n_w
+    for i in range(n_w):
+        s = i * hop_bytes
+        win = raw[s : s + window_bytes]
+        spec = sum((s + j + 1) * b for j, b in enumerate(win))
+        assert int(got[i]) == spec
 
 
 def test_window_checksum_detects_offset_and_swap():
     """The position weighting must flip the sum for an offset error and
     for a swap of unequal bytes — the failure modes a plain byte-sum
     checksum is blind to."""
-    win = bytes(range(64))
-    assert _window_checksum(win, 32) != _window_checksum(win, 33)
+    win = bytes(range(1, 65))
+    at_0 = int(_payload_window_checksums(win, 1, 64, 64)[0])
+    # same byte content one absolute position later
+    at_1 = int(_payload_window_checksums(b"\x00" + win, 2, 64, 1)[1])
+    assert at_0 != at_1
     swapped = bytes([win[1], win[0]]) + win[2:]
-    assert _window_checksum(win, 0) != _window_checksum(swapped, 0)
+    assert at_0 != int(_payload_window_checksums(swapped, 1, 64, 64)[0])
