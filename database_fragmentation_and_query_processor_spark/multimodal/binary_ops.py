@@ -62,6 +62,15 @@ def with_media_meta(
     )
 
 
+try:  # soft dependency: real image codec (absent in the CI container)
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - depends on environment
+    _PILImage = None
+    HAS_PIL = False
+
+
 def decode_stub(payload: bytes) -> dict:
     """STUB for the codec step — media libraries (PIL/ffmpeg/librosa)
     are not available in this container. Returns a deterministic fake
@@ -119,22 +128,42 @@ RESIZED_SCHEMA = StructType(
 def resize_images(
     df: DataFrame, width: int = 8, height: int = 8,
     id_col: str = "media_id", bytes_col: str = "payload",
+    codec: str = "stub",
 ) -> DataFrame:
-    """Image resize plumbing over ``mapInPandas`` (Arrow batches).
+    """Image resize over ``mapInPandas`` (Arrow batches).
 
-    The pixel work is the designated STUB (no codec libs in this
-    container): the fake "resize" strides the payload down to
-    width×height bytes, deterministically. The distributed shape is
-    real — binary in/out schema, batch iteration, one decoder init per
-    task — so swapping in PIL/OpenCV touches only the inner loop.
+    ``codec="stub"`` (default, and the only oracle-mirrored path): the
+    fake "resize" strides the payload down to width×height bytes,
+    deterministically — no codec libs needed, DuckDB replays the byte
+    arithmetic exactly. ``codec="pil"`` is the REAL decode path behind
+    the soft PIL dependency: each payload is decoded as an actual
+    image, resized bilinearly, and emitted as raw RGB bytes
+    (width·height·3). Availability is checked at PLAN BUILD time on
+    the driver (fail fast, not per-task), and workers re-import PIL
+    through the module-level soft import. The distributed shape —
+    binary in/out schema, batch iteration, decoder init per task — is
+    identical for both codecs.
     """
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"codec must be 'stub' or 'pil', got {codec!r}")
+    if codec == "pil" and not HAS_PIL:
+        raise NotImplementedError(
+            "resize_images(codec='pil') requires Pillow, which is not "
+            "installed; use the deterministic codec='stub' path"
+        )
     target = width * height
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
         for pdf in batches:
             out = []
             for payload in pdf[bytes_col]:
                 raw = bytes(payload)
+                if codec == "pil":
+                    img = _PILImage.open(io.BytesIO(raw)).convert("RGB")
+                    out.append(img.resize((width, height)).tobytes())
+                    continue
                 d = decode_stub(raw)  # stub decode; raises if impossible
                 if d["n_bytes"] == 0:
                     out.append(b"\x00" * target)

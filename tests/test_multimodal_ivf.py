@@ -35,6 +35,52 @@ def test_resize_shapes_and_determinism(spark, sf_dir):
     assert {k: bytes(v["resized"]) for k, v in rows.items()} == again
 
 
+def test_resize_pil_codec_contract(spark, sf_dir):
+    """codec='pil' gate: fails fast on the driver when Pillow is
+    absent; rejects unknown codecs either way."""
+    import pytest
+
+    from database_fragmentation_and_query_processor_spark.multimodal import (
+        binary_ops as B,
+    )
+
+    with pytest.raises(ValueError, match="codec"):
+        resize_images(_media(spark, sf_dir), codec="ffmpeg")
+    if not B.HAS_PIL:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            resize_images(_media(spark, sf_dir), codec="pil")
+
+
+def test_resize_pil_real_decode(spark):
+    """GENUINE decode path — runs only where Pillow is installed: a
+    real PNG goes in, raw RGB bytes of the bilinear resize come out,
+    matching a driver-side PIL reference exactly."""
+    import io
+
+    import pytest
+
+    from database_fragmentation_and_query_processor_spark.multimodal import (
+        binary_ops as B,
+    )
+
+    if not B.HAS_PIL:
+        pytest.skip("Pillow not installed: real-decode path unavailable")
+    from PIL import Image
+
+    img = Image.new("RGB", (16, 16))
+    img.putdata([(x * 16, y * 16, (x + y) * 8) for y in range(16) for x in range(16)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png))], "media_id long, payload binary")
+    rows = resize_images(df, width=4, height=4, codec="pil").collect()
+    assert len(rows) == 1
+    got = bytes(rows[0]["resized"])
+    assert len(got) == 4 * 4 * 3  # raw RGB
+    ref = Image.open(io.BytesIO(png)).convert("RGB").resize((4, 4)).tobytes()
+    assert got == ref
+
+
 def test_sample_frames_fanout(spark, sf_dir):
     out = sample_frames(_media(spark, sf_dir), n_frames=4)
     assert out.count() == 50 * 4  # 1 -> N row fan-out
