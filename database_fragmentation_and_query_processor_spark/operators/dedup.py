@@ -167,7 +167,13 @@ def incremental_near_dup_pairs(
     new_index = track(
         build_dedup_index(new_docs, id_col, text_col, k, shingle_n).persist()
     )
-    updated = index.unionByName(new_index)
+    # the UPDATED index feeds three consumers (the probe-side band
+    # join plus both sides of the Jaccard verification); persist it so
+    # the standing corpus's shingle/signature expressions evaluate
+    # once, not three times. (In production the standing index is a
+    # materialized parquet table — this persist is the in-session
+    # equivalent of reading it instead of re-deriving it.)
+    updated = track(index.unionByName(new_index).persist())
 
     new_banded = band_buckets(new_index.select("id", "sig"), k, bands)
     all_banded = band_buckets(updated.select("id", "sig"), k, bands)
