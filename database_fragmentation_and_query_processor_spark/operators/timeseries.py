@@ -14,7 +14,6 @@ hash subsplit so a single day's chunk count matches writer parallelism.
 
 from __future__ import annotations
 
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,15 +93,23 @@ def drop_before(spark: SparkSession, path: str, cutoff_day: str) -> list[str]:
     """Retention: drop whole chunks older than ``cutoff_day``
     (yyyy-MM-dd). A directory delete per expired day — no rewrite, no
     scan; returns the dropped partition names. (On a real lakehouse
-    this is the table format's drop-partition; the filesystem form here
-    has identical semantics for a parquet directory layout.)"""
-    import os
+    this is the table format's drop-partition; the per-directory delete
+    here has identical semantics for a parquet directory layout and
+    goes through the warehouse FS shim, so it works on local paths,
+    hdfs:// and s3a:// alike.)"""
+    from .. import fs as fslib
 
+    wfs = fslib.fs_for(path, spark)
     dropped = []
-    if not os.path.isdir(path):
+    if not wfs.is_dir(path):
         return dropped
-    for entry in sorted(os.listdir(path)):
-        if entry.startswith(f"{PARTITION_COL}=") and entry.split("=", 1)[1] < cutoff_day:
-            shutil.rmtree(os.path.join(path, entry))
+    for child, is_dir, _, _ in wfs.list_status(path):
+        entry = child.rsplit("/", 1)[-1]
+        if (
+            is_dir
+            and entry.startswith(f"{PARTITION_COL}=")
+            and entry.split("=", 1)[1] < cutoff_day
+        ):
+            wfs.delete(child, recursive=True)
             dropped.append(entry)
     return dropped

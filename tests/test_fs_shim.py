@@ -209,6 +209,7 @@ def test_no_bare_posix_io_in_shimmed_modules():
         "api.py",
         os.path.join("streaming", "events.py"),
         os.path.join("sources", "incremental.py"),
+        os.path.join("operators", "timeseries.py"),
     ]
     banned = ("os.rename(", "os.replace(", "shutil.rmtree(", "shutil.move(")
     for rel in flagged:
