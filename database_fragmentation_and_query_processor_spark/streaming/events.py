@@ -346,6 +346,7 @@ def upsert_sink(
     tiebreak_cols: list[str] | None = None,
     checkpoint_dir: str | None = None,
     batch_hook=None,
+    fs=None,
 ):
     """Streaming merge/upsert sink via foreachBatch: each micro-batch
     SCD-1-merges (last write wins by ``version_col``) into the parquet
@@ -376,7 +377,7 @@ def upsert_sink(
     from ..operators.merge import merge_upsert
 
     order_cols = [version_col] + list(tiebreak_cols or [])
-    wfs = fslib.fs_for(target_path, spark)
+    wfs = fs if fs is not None else fslib.fs_for(target_path, spark)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_hook is not None:
@@ -410,6 +411,7 @@ def cdc_sink(
     version_col: str | None = None,
     checkpoint_dir: str | None = None,
     batch_hook=None,
+    fs=None,
 ):
     """Streaming CDC application via foreachBatch: each micro-batch of
     I/U/D change rows is resolved against the current target with
@@ -431,7 +433,7 @@ def cdc_sink(
     from .. import fs as fslib
     from ..operators.merge import apply_cdc
 
-    wfs = fslib.fs_for(target_path, spark)
+    wfs = fs if fs is not None else fslib.fs_for(target_path, spark)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_hook is not None:

@@ -98,6 +98,48 @@ def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path):
     assert n_distinct == src.select("event_id").distinct().count()
 
 
+def test_upsert_sink_pointer_commit_mode(spark, sf_dir, tmp_path):
+    """Object-store commit path end-to-end: with an injected FS that
+    has NO atomic rename, every micro-batch commit is a generation dir
+    + _LATEST pointer flip. The drained target must (a) resolve through
+    the pointer, (b) hold the same upserted content as swap mode, and
+    (c) keep at most KEEP_GENERATIONS generation dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from database_fragmentation_and_query_processor_spark import fs as fslib
+    from database_fragmentation_and_query_processor_spark.streaming.events import (
+        read_committed,
+        read_events_stream,
+        upsert_sink,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", F.col("tsn").alias("version")
+    )
+    target = str(tmp_path / "events_upserted_ptr")
+    pointer_fs = fslib.LocalFS(atomic_rename=False)
+    q = upsert_sink(
+        stream, target, keys=["event_id"], version_col="version",
+        spark=spark, fs=pointer_fs,
+    )
+    q.awaitTermination()
+    # the logical target dir is NOT directly readable parquet: content
+    # lives in the committed generation the pointer names
+    assert os.path.exists(os.path.join(target, fslib.POINTER_FILE))
+    resolved = fslib.resolve_dataset(pointer_fs, target)
+    assert resolved != target and os.path.basename(resolved).startswith("gen-")
+    out = read_committed(spark, target)
+    n_distinct = out.select("event_id").distinct().count()
+    assert out.count() == n_distinct
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert n_distinct == src.select("event_id").distinct().count()
+    gens = [n for n in os.listdir(target) if n.startswith("gen-")]
+    assert 1 <= len(gens) <= fslib.KEEP_GENERATIONS
+
+
 def test_upsert_sink_crash_resume_exactly_once(spark, tmp_path):
     """Kill the streaming upsert mid-stream, restart from the SAME
     checkpoint, and prove (a) the restart RESUMES — no batch the first
