@@ -9460,6 +9460,341 @@ FROM lat
 
 
 # ---------------------------------------------------------------------------
+# round-6 additions: sequence modeling, winnowing span matches,
+# embedding diagnostics, frequency-aware corpus balancing
+# ---------------------------------------------------------------------------
+
+
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event_type | event_type). The window shuffles on
+    user_id once with bounded per-user state (lead carries one row);
+    the (src, dst) aggregation domain is |event_type|^2 — tiny at any
+    scale. The row-normalizing window runs over that tiny domain, never
+    the raw events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("dst", F.lead("event_type").over(w))
+        .where(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("src"), "dst"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+SQL_EVENT_TRANSITION_MATRIX = """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+FROM c
+"""
+
+
+PATH_MAX_EVENTS = 8
+PATH_TOPK = 20
+
+
+def q_user_path_topk(spark, sf_dir):
+    """Top-k user journeys: the '>'-joined sequence of each user's
+    FIRST 8 event types (ts then event_id tie-break), counted across
+    users. Truncating to a fixed head bounds both the per-user
+    aggregation state and the path-string key width, so the final
+    groupBy key stays O(8 · |event_type| chars) no matter how long the
+    raw streams get. Deterministic: collect_list order is laundered
+    through array_sort on the (rn, event_type) struct."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    head = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PATH_MAX_EVENTS)
+    )
+    paths = head.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    top = paths.groupBy("path").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    return top.orderBy(F.desc("n_users"), "path").limit(PATH_TOPK)
+
+
+SQL_USER_PATH_TOPK = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATH_MAX_EVENTS} GROUP BY user_id
+),
+top AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM paths GROUP BY path)
+SELECT path, n_users FROM top ORDER BY n_users DESC, path LIMIT {PATH_TOPK}
+"""
+
+
+WINNOW_K = 5    # tokens per k-gram
+WINNOW_W = 4    # winnowing window (k-grams per window)
+WINNOW_MAX_DF = 64   # drop fingerprints shared by more docs (boilerplate)
+WINNOW_MIN_SHARED = 2
+
+
+def q_winnowing_span_matches(spark, sf_dir):
+    """Winnowing span matcher (Schleimer et al., MOSS): hash word
+    5-grams, keep only each sliding window's MINIMUM hash as the doc's
+    fingerprints, pair docs through the inverted (fingerprint, doc)
+    index. Window-min selection guarantees every shared run of
+    >= w+k-1 tokens yields a shared fingerprint while storing ~2/(w+1)
+    of the grams — the published density bound. Scale shape: the pair
+    join runs on the fingerprint key AFTER a document-frequency cap
+    (fps in > WINNOW_MAX_DF docs are boilerplate and dropped), so no
+    hot key can go quadratic; there is no all-pairs comparison
+    anywhere."""
+    docs = _docs_with_dups(spark, sf_dir)
+    grams = _word_grams(T.tokens(F.col("text")), WINNOW_K)
+    hashes = F.transform(grams, lambda g: T.token_hash(g))
+    m = F.size(hashes)
+    fps = F.when(m <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m - WINNOW_W + 1, F.lit(1))),
+                lambda i: F.array_min(F.slice(hashes, i, WINNOW_W)),
+            )
+        )
+    )
+    ex = docs.select("doc_id", F.explode(fps).alias("fp"))
+    rare = (
+        ex.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= WINNOW_MAX_DF))
+        .select("fp")
+    )
+    keyed = ex.join(rare, "fp")
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.countDistinct("fp").cast("bigint").alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
+
+SQL_WINNOWING_SPAN_MATCHES = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM corpus),
+hs AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {WINNOW_K} THEN
+           list_transform(
+             range(1, len(t) - {WINNOW_K} + 2),
+             j -> CAST(('0x' || substr(md5(array_to_string(t[j:j+{WINNOW_K - 1}], ' ')), 1, 13)) AS BIGINT)
+           )
+         ELSE CAST([] AS BIGINT[]) END AS h
+  FROM toks
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(h) - {WINNOW_W} + 1, 1) + 1),
+           i -> list_min(h[i:i+{WINNOW_W - 1}])
+         )) AS fp
+  FROM hs WHERE len(h) > 0
+),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING COUNT(*) BETWEEN 2 AND {WINNOW_MAX_DF}
+),
+keyed AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS shared_fps
+FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT a.fp) >= {WINNOW_MIN_SHARED}
+"""
+
+
+DIMVAR_TOPK = 10
+
+
+def q_embedding_dim_variance(spark, sf_dir):
+    """Embedding-space diagnostics: per-dimension mean/variance across
+    the corpus, top-10 dimensions by variance with their explained
+    share — the collapsed-dimension check run before training an ANN
+    quantizer. Elements are fixed-point-quantized (EMB_Q_SCALE) so the
+    distributed sums are order-exact integers; variance and the
+    explained share are derived from those exact sums (num_d =
+    n·Σq² − (Σq)² in DECIMAL(38,0)), so even the top-k ordering is
+    deterministic. One shuffle on the 64-value dim key; the window
+    total runs over 64 rows."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    q = F.floor(F.col("x").cast("double") * EMB_Q_SCALE).cast("bigint")
+    per_dim = (
+        ex.select(F.col("dim").cast("bigint").alias("dim"), q.alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("q").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        )
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("sq2").cast(dec)
+        - F.col("sq").cast(dec) * F.col("sq").cast(dec)
+    )
+    scaled = per_dim.select(
+        "dim",
+        "n",
+        (F.col("sq").cast("double") / EMB_Q_SCALE / F.col("n")).alias("mean_raw"),
+        num.alias("num"),
+    )
+    tot = Window.partitionBy()
+    out = scaled.select(
+        "dim",
+        "n",
+        F.round("mean_raw", 6).alias("mean_x"),
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+            / (float(EMB_Q_SCALE) * float(EMB_Q_SCALE)),
+            6,
+        ).alias("var_x"),
+        F.round(
+            F.col("num").cast("double")
+            / F.sum(F.col("num")).over(tot).cast("double"),
+            6,
+        ).alias("var_share"),
+        F.col("num").alias("_num"),
+    )
+    return out.orderBy(F.desc("_num"), "dim").limit(DIMVAR_TOPK).drop("_num")
+
+
+SQL_EMBEDDING_DIM_VARIANCE = f"""
+WITH ex AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim, unnest(embedding) AS x
+  FROM embeddings
+),
+per_dim AS (
+  SELECT CAST(dim AS BIGINT) AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT)) AS BIGINT) AS sq,
+         CAST(SUM(
+           CAST(FLOOR(CAST(x AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT)
+           * CAST(FLOOR(CAST(x AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT)
+         ) AS BIGINT) AS sq2
+  FROM ex GROUP BY 1
+),
+scaled AS (
+  SELECT dim, n,
+         CAST(sq AS DOUBLE) / {EMB_Q_SCALE} / n AS mean_raw,
+         CAST(n AS DECIMAL(38,0)) * CAST(sq2 AS DECIMAL(38,0))
+           - CAST(sq AS DECIMAL(38,0)) * CAST(sq AS DECIMAL(38,0)) AS num
+  FROM per_dim
+)
+SELECT dim, n,
+       ROUND(mean_raw, 6) AS mean_x,
+       ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / ({EMB_Q_SCALE}.0 * {EMB_Q_SCALE}.0), 6) AS var_x,
+       ROUND(CAST(num AS DOUBLE) / CAST(SUM(num) OVER () AS DOUBLE), 6) AS var_share
+FROM scaled
+ORDER BY num DESC, dim LIMIT {DIMVAR_TOPK}
+"""
+
+
+SOFTCAP_K = 4
+SOFTCAP_SALT = "softcap-r6"
+
+
+def q_domain_soft_cap(spark, sf_dir):
+    """Frequency-aware domain balancing: keep at most
+    ceil(K·sqrt(n_source)) docs per source (the soft cap web-corpus
+    curation uses so mega-domains shrink super-linearly while the tail
+    is untouched), chosen in deterministic md5 order. Reports the
+    per-source keep/drop ledger. One window shuffle on source; the cap
+    math is per-group scalars. At 100 TB the windowed rank is the
+    standard per-key top-k shape — state is one counter per source."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(SOFTCAP_SALT), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    cw = Window.partitionBy("source")
+    ranked = docs.select("source", "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    ).withColumn("n_docs", F.count("*").over(cw).cast("bigint"))
+    cap = F.ceil(F.lit(float(SOFTCAP_K)) * F.sqrt(F.col("n_docs").cast("double"))).cast("bigint")
+    flagged = ranked.withColumn("cap", cap).withColumn(
+        "kept", (F.col("rk") <= F.col("cap")).cast("int")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("cap").alias("cap"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            (F.max("n_docs") - F.sum("kept")).cast("bigint").alias("n_dropped"),
+        )
+        .select("source", "n_docs", "cap", "n_kept", "n_dropped")
+    )
+
+
+SQL_DOMAIN_SOFT_CAP = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('{SOFTCAP_SALT}' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM documents
+),
+flagged AS (
+  SELECT source, n_docs,
+         CAST(CEIL({SOFTCAP_K}.0 * SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS cap,
+         CASE WHEN rk <= CAST(CEIL({SOFTCAP_K}.0 * SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+              THEN 1 ELSE 0 END AS kept
+  FROM ranked
+)
+SELECT source, MAX(n_docs) AS n_docs, MAX(cap) AS cap,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(MAX(n_docs) - SUM(kept) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -9671,6 +10006,13 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_functions": q_scalar_functions,
     "array_functions": q_array_functions,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    # -- round-6 additions (below the stamp window; rotate into the
+    #    r7 prefix next round) --
+    "event_transition_matrix": q_event_transition_matrix,
+    "user_path_topk": q_user_path_topk,
+    "winnowing_span_matches": q_winnowing_span_matches,
+    "embedding_dim_variance": q_embedding_dim_variance,
+    "domain_soft_cap": q_domain_soft_cap,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -9858,6 +10200,11 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "signed_divmod_battery": SQL_SIGNED_DIVMOD_BATTERY,
     "ab_test_zscore": SQL_AB_TEST_ZSCORE,
     "funnel_time_to_convert": SQL_FUNNEL_TIME_TO_CONVERT,
+    "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
+    "user_path_topk": SQL_USER_PATH_TOPK,
+    "winnowing_span_matches": SQL_WINNOWING_SPAN_MATCHES,
+    "embedding_dim_variance": SQL_EMBEDDING_DIM_VARIANCE,
+    "domain_soft_cap": SQL_DOMAIN_SOFT_CAP,
 }
 
 
@@ -9975,6 +10322,17 @@ _R6_RESTAMP: list[str] = [
 #: above, and a refill of 27 unchanged queries from the round-5 window
 #: in its original order (re-stamping the most recently verified
 #: surface costs nothing and keeps the window full).
+#: Queries ADDED in round 6 (registered below the stamp window; they
+#: are oracle-checked locally and rotate into the r7 stamp prefix —
+#: the same add-then-rotate lifecycle every post-r1 query followed).
+_R6_ADDED: list[str] = [
+    "event_transition_matrix",
+    "user_path_topk",
+    "winnowing_span_matches",
+    "embedding_dim_variance",
+    "domain_soft_cap",
+]
+
 _R6_WINDOW: list[str] = (
     _R5_WINDOW[:5]
     + _R6_NEXT
