@@ -197,6 +197,11 @@ HEADLINE = [
     "signed_divmod_battery",
     "ab_test_zscore",
     "funnel_time_to_convert",
+    "event_transition_matrix",
+    "user_path_topk",
+    "winnowing_span_matches",
+    "embedding_dim_variance",
+    "domain_soft_cap",
 ]
 
 

