@@ -1,0 +1,82 @@
+"""The ``movielens_ratings`` Python DataSource: format registration,
+byte-range split semantics, and parity with the CSV-scan loader."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from database_fragmentation_and_query_processor_spark.sources import (
+    ratings_datasource as RDS,
+)
+from database_fragmentation_and_query_processor_spark.sources.ratings import (
+    read_ratings_text,
+)
+
+FIXTURE = "/root/reference/test_data1.txt"
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    RDS.register(spark)
+    return spark
+
+
+def test_reads_reference_fixture(registered):
+    df = registered.read.format("movielens_ratings").load(FIXTURE)
+    assert [f.name for f in df.schema.fields] == ["userid", "movieid", "rating"]
+    rows = sorted(df.collect())
+    via_csv = sorted(read_ratings_text(registered, FIXTURE).collect())
+    assert [tuple(r) for r in rows] == [tuple(r) for r in via_csv]
+    assert len(rows) == 20
+
+
+def test_byte_range_split_is_lossless(registered):
+    """Tiny split_bytes forces many intra-file ranges; the
+    skip-partial-line / finish-crossing-line boundary rule must
+    reassemble exactly the unsplit row set."""
+    whole = sorted(
+        tuple(r)
+        for r in registered.read.format("movielens_ratings")
+        .load(FIXTURE)
+        .collect()
+    )
+    n_parts = 0
+    seen = []
+    for split in (16, 64, 256):
+        ranges = RDS.plan_ranges(FIXTURE, split)
+        if split == 16:
+            n_parts = len(ranges)
+        rows = [r for rg in ranges for r in RDS.read_range(rg)]
+        seen.append(sorted(rows))
+    assert n_parts > 5  # the fixture really was split many ways
+    for got in seen:
+        assert got == whole
+
+    split_df = (
+        registered.read.format("movielens_ratings")
+        .option("split_bytes", "64")
+        .load(FIXTURE)
+    )
+    assert sorted(tuple(r) for r in split_df.collect()) == whole
+
+
+def test_planning_touches_no_data(tmp_path):
+    p = tmp_path / "r.txt"
+    p.write_text("1::2::3.5::99\n4::5::2.0::98\n")
+    ranges = RDS.plan_ranges(str(p), 8)
+    assert sum(r.end - r.start for r in ranges) == os.path.getsize(p)
+    assert ranges[0].start == 0
+    for a, b in zip(ranges, ranges[1:]):
+        assert a.end == b.start
+
+
+def test_directory_and_missing_paths(tmp_path, registered):
+    (tmp_path / "a.txt").write_text("1::2::3.0::1\n")
+    (tmp_path / "b.txt").write_text("3::4::5.0::2\n")
+    (tmp_path / "_SUCCESS").write_text("")
+    df = registered.read.format("movielens_ratings").load(str(tmp_path))
+    assert df.count() == 2
+    with pytest.raises(Exception):
+        RDS.plan_ranges(str(tmp_path / "nope"), 8)
