@@ -324,6 +324,133 @@ def audio_windows(
     return df.mapInPandas(_windows, schema)
 
 
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("peak_amp", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+WAV_FRAME_RMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("start_frame", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def decode_wav(raw: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL audio decode, zero extra dependencies: parse a RIFF/WAV
+    container with the stdlib ``wave`` module and return
+    ``(sample_rate, n_channels, pcm)`` where pcm is an int16 ndarray
+    shaped (n_frames, n_channels). Only 16-bit PCM is accepted (the
+    overwhelmingly common interchange format); anything else raises —
+    this is the honest boundary between "decoded for real" and the
+    byte-arithmetic stub paths, which stay oracle-mirrored."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(raw), "rb") as w:
+        n_ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"decode_wav supports 16-bit PCM only, got "
+                f"{8 * w.getsampwidth()}-bit"
+            )
+        sr = w.getframerate()
+        n_frames = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n_frames), dtype="<i2")
+    return sr, n_ch, pcm.reshape(-1, n_ch)
+
+
+def wav_features(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "payload"
+) -> DataFrame:
+    """Per-file audio summary over REAL decoded PCM (1→1
+    ``mapInPandas``): sample rate, channel count, frame count,
+    duration, peak absolute amplitude, full-signal RMS. Same Arrow
+    batch shape as the stub operators — the decode swaps in without
+    touching the distributed plumbing."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                sr, n_ch, pcm = decode_wav(bytes(payload))
+                x = pcm.astype(np.float64)
+                n = pcm.shape[0]
+                rows.append(
+                    (
+                        int(mid),
+                        sr,
+                        n_ch,
+                        n,
+                        n / sr if sr else 0.0,
+                        int(np.abs(pcm).max(initial=0)),
+                        float(np.sqrt(np.mean(x * x))) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_frames",
+                    "duration_sec", "peak_amp", "rms",
+                ],
+            )
+
+    return df.mapInPandas(_feats, WAV_FEATURES_SCHEMA)
+
+
+def wav_frame_rms(
+    df: DataFrame, frame: int = 256, hop: int = 128,
+    id_col: str = "media_id", bytes_col: str = "payload",
+) -> DataFrame:
+    """Overlapping frame RMS over REAL decoded PCM (the 1→N-overlap
+    shape ``audio_windows`` stubs, now on actual samples): frame i
+    covers pcm[i·hop : i·hop+frame] (channel-mixed), emitted as one row
+    per frame. Vectorized inside the batch via the squared prefix sum —
+    one cumsum per payload, not one slice per frame."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, starts, rms = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[bytes_col]):
+                _sr, _n_ch, pcm = decode_wav(bytes(payload))
+                mono = pcm.astype(np.float64).mean(axis=1)
+                n = mono.size
+                if n == 0:
+                    continue
+                n_f = max((max(n - frame, 0) + hop - 1) // hop, 0) + 1
+                sq = np.concatenate(
+                    (np.zeros(1), np.cumsum(mono * mono))
+                )
+                s = np.arange(n_f, dtype=np.int64) * hop
+                e = np.minimum(s + frame, n)
+                counts = np.maximum(e - s, 1)
+                vals = np.sqrt((sq[e] - sq[np.minimum(s, n)]) / counts)
+                ids.extend([int(mid)] * n_f)
+                idxs.extend(range(n_f))
+                starts.extend(s.tolist())
+                rms.extend(vals.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "start_frame": pd.Series(starts, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(_frames, WAV_FRAME_RMS_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as a stand-in media payload
     (the container ships no real image/audio fixtures)."""
