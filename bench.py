@@ -202,6 +202,7 @@ HEADLINE = [
     "winnowing_span_matches",
     "embedding_dim_variance",
     "domain_soft_cap",
+    "dsir_importance_weights",
 ]
 
 

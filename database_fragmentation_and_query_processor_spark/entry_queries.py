@@ -9811,6 +9811,108 @@ FROM flagged GROUP BY source
 """
 
 
+DSIR_BUCKETS = 256
+DSIR_TOPK = 25
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance_weights(spark, sf_dir):
+    """Data selection via importance resampling (the published DSIR
+    recipe): score every document by its mean hashed-unigram
+    log-likelihood ratio between a TARGET distribution (here the
+    English subset) and the raw corpus, add-1 smoothed over
+    DSIR_BUCKETS hash buckets; emit the top-25 selection. Scale shape:
+    both n-gram models are hash aggregations onto a FIXED 256-bucket
+    domain (tiny, skew-proof); the per-bucket log-ratio table
+    broadcasts onto the token stream; one per-doc aggregate ends it.
+    No model state ever exceeds DSIR_BUCKETS rows, no matter the
+    corpus size. Ranking is on the ROUNDED score (+ doc_id tie-break)
+    so both engines cut the same top-k."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(T.tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (T.token_hash(F.col("tok")) % DSIR_BUCKETS).alias("b"),
+    )
+    raw = toks.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (
+        toks.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    nr = raw.agg(F.sum("cr")).collect()[0][0]
+    nt = tgt.agg(F.sum("ct")).collect()[0][0]
+    lr = (
+        raw.join(tgt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / F.lit(float(nt + DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / F.lit(float(nr + DSIR_BUCKETS))
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lr").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s") / F.col("n_tokens").cast("double"), 6).alias(
+                "dsir_weight"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_weight"), "doc_id").limit(DSIR_TOPK)
+
+
+SQL_DSIR_IMPORTANCE_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(unnest({TOKENS_SQL})), 1, 13)) AS BIGINT)
+           % {DSIR_BUCKETS} AS b
+  FROM documents
+),
+raw AS (SELECT b, COUNT(*) AS cr FROM toks GROUP BY b),
+tgt AS (
+  SELECT b, COUNT(*) AS ct FROM toks
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+),
+totals AS (
+  SELECT (SELECT SUM(cr) FROM raw) AS nr, (SELECT SUM(ct) FROM tgt) AS nt
+),
+lr AS (
+  SELECT raw.b,
+         LN((COALESCE(tgt.ct, 0) + 1) / CAST(t.nt + {DSIR_BUCKETS} AS DOUBLE))
+           - LN((raw.cr + 1) / CAST(t.nr + {DSIR_BUCKETS} AS DOUBLE)) AS lr
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN totals t
+),
+scored AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(SUM(lr) / COUNT(*), 6) AS dsir_weight
+  FROM toks JOIN lr USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, dsir_weight
+FROM scored ORDER BY dsir_weight DESC, doc_id LIMIT {DSIR_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10030,6 +10132,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_span_matches": q_winnowing_span_matches,
     "embedding_dim_variance": q_embedding_dim_variance,
     "domain_soft_cap": q_domain_soft_cap,
+    "dsir_importance_weights": q_dsir_importance_weights,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -10222,6 +10325,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "winnowing_span_matches": SQL_WINNOWING_SPAN_MATCHES,
     "embedding_dim_variance": SQL_EMBEDDING_DIM_VARIANCE,
     "domain_soft_cap": SQL_DOMAIN_SOFT_CAP,
+    "dsir_importance_weights": SQL_DSIR_IMPORTANCE_WEIGHTS,
 }
 
 
@@ -10348,6 +10452,7 @@ _R6_ADDED: list[str] = [
     "winnowing_span_matches",
     "embedding_dim_variance",
     "domain_soft_cap",
+    "dsir_importance_weights",
 ]
 
 _R6_WINDOW: list[str] = (
