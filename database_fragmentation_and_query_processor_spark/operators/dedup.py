@@ -47,23 +47,42 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 def minhash_from_shingles(sh: Column, k: int = 16) -> Column:
     """Array of k minhash values over a precomputed distinct shingle
-    array — pure column expression (transform + aggregate), no UDF."""
+    array — pure column expression (transform + aggregate), no UDF.
+
+    Single-pass shape: ONE aggregate over the md5 hash array with a
+    k-wide running-min accumulator, the per-element step mapping each
+    hash through all k affine permutations via zip_with over a constant
+    (a, b) struct array. The earlier form built k independent
+    aggregate trees, each containing the `hashes` subtree — and
+    higher-order functions evaluate interpreted (no codegen CSE), so
+    every shingle was md5-hashed k times per row. This computes each
+    shingle's md5 exactly once; the k-permutation arithmetic (integer
+    mul/add/mod on a lambda variable) is the only per-k work.
+    """
     # reduce mod P before multiplying: (h % P) * a < 2^62 — no int64
     # overflow (Spark 4 runs ANSI mode, overflow would raise)
     hashes = F.transform(sh, lambda s: token_hash(s) % F.lit(MINHASH_PRIME))
-    sigs = []
-    for a, b in minhash_params(k):
-        permuted = F.transform(
-            hashes, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
-        )
-        sigs.append(
-            F.aggregate(
-                permuted,
-                F.lit(MINHASH_PRIME).cast("bigint"),
-                lambda acc, x: F.least(acc, x),
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("bigint").alias("a"),
+                F.lit(b).cast("bigint").alias("b"),
             )
-        )
-    return F.array(*sigs)
+            for a, b in minhash_params(k)
+        ]
+    )
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), k)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(
+                m, (h * p["a"] + p["b"]) % F.lit(MINHASH_PRIME)
+            ),
+        ),
+    )
 
 
 def minhash_signature(text: Column, k: int = 16, shingle_n: int = 3) -> Column:
