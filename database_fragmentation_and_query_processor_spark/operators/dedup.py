@@ -399,24 +399,42 @@ def blocked_jaccard_pairs(
 
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash signature: per-token 53-bit hash, bit-vote per position,
-    sign of the vote → signature bit. Pure expressions; `bits`≤53."""
+    sign of the vote → signature bit. Pure expressions; `bits`≤53.
+
+    Single-pass shape: ONE aggregate over the token hash array with a
+    `bits`-wide vote-count accumulator; each element's step maps the
+    hash through all bit positions via zip_with against a constant
+    mask array (shiftright needs a literal shift in the DataFrame API,
+    so the bit test is `h & mask != 0`, and the final signature adds
+    the mask itself — 2^i — for every positive vote). The earlier form
+    built `bits` independent aggregate trees each embedding the
+    token-md5 subtree; higher-order functions evaluate interpreted (no
+    codegen CSE), so every token was md5-hashed `bits` times per row.
+    """
     toks = F.array_distinct(tokens(text))
     hashes = F.transform(toks, token_hash)
-    sig = F.lit(0).cast("bigint")
-    for i in range(bits):
-        # vote_i = sum over tokens of (bit_i(h) ? 1 : -1)
-        vote = F.aggregate(
-            F.transform(
-                hashes,
-                lambda h: F.when(
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.shiftleft((vote > 0).cast("bigint"), i)
-    return sig
+    masks = F.array(
+        *[F.lit(1 << i).cast("bigint") for i in range(bits)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
