@@ -3305,15 +3305,32 @@ FROM merged GROUP BY o_orderstatus
 
 def _word_grams(toks, n: int):
     """Array of n-token grams (space-joined) from a token array; docs
-    shorter than n tokens → empty array. Guarded so F.sequence never
-    sees stop < start (which would generate a DESCENDING sequence)."""
+    shorter than n tokens → empty array.
+
+    Built as a zip_with chain over n shifted slices of the token
+    array, NOT a transform whose lambda slices `toks` per position:
+    higher-order-function lambdas re-evaluate captured subtrees per
+    element (interpreted, no CSE), so the old per-position
+    slice-and-join re-ran the whole tokenize expression m times per
+    document — O(m²) regex splits for an m-token doc. Here `toks`
+    appears only as top-level arguments (n slices + the size guard),
+    so tokenize runs a constant n+1 times per row regardless of
+    document length. zip_with pads the shorter (shifted) side with
+    nulls and `concat` propagates them, so the trailing n-1 partial
+    windows drop in the final null filter — same grams, same order."""
     size = F.size(toks)
+    gram = None
+    for j in range(n):
+        part = F.slice(toks, j + 1, F.greatest(size - j, F.lit(0)))
+        gram = (
+            part
+            if gram is None
+            else F.zip_with(
+                gram, part, lambda a, b: F.concat(a, F.lit(" "), b)
+            )
+        )
     return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
+        size >= n, F.filter(gram, lambda g: g.isNotNull())
     ).otherwise(F.array().cast("array<string>"))
 
 
@@ -8073,7 +8090,11 @@ def q_rag_chunking(spark, sf_dir):
     doc is ceil(max(n−size,0)/stride)+1 so output volume is
     Σ tokens/stride — linear, engine-replayable."""
     docs = _docs(spark, sf_dir)
-    t = T.tokens(F.col("text"))
+    # materialize the token array: the per-window lambda below slices
+    # it, and a lambda-captured tokenize expression would re-run per
+    # window (interpreted HOF, no CSE) — O(tokens²/stride) per doc
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("_t"))
+    t = F.col("_t")
     n = F.size(t)
     n_w = (
         F.ceil(
@@ -8092,7 +8113,7 @@ def q_rag_chunking(spark, sf_dir):
             ),
         )
     )
-    ex = docs.select("doc_id", n.alias("n"), F.explode(chunks).alias("ch"))
+    ex = base.select("doc_id", n.alias("n"), F.explode(chunks).alias("ch"))
     return ex.select(
         "doc_id",
         F.col("ch.i").cast("bigint").alias("chunk_idx"),
