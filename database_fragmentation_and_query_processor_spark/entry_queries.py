@@ -9944,6 +9944,115 @@ FROM scored ORDER BY dsir_weight DESC, doc_id LIMIT {DSIR_TOPK}
 """
 
 
+#: Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+#: Methods, Analysis & Insights from Training Gopher", Table A1): word
+#: count in [50, 100k], mean word length in [3, 10], symbol-to-word
+#: ratio <= 0.1, >= 80% words with an alphabetic char, >= 2 distinct
+#: required stopwords present. The line-shape rules (bullet/ellipsis
+#: line starts) are omitted — this corpus is single-line.
+GOPHER_WC_LO, GOPHER_WC_HI = 50, 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_quality_flags(spark, sf_dir):
+    """Gopher-rule quality screen (Rae et al. 2021): per-source pass
+    counts for each published filter rule plus the all-rules pass
+    count. Every threshold is evaluated in INTEGER arithmetic
+    (3n <= Σlen <= 10n instead of 3 <= Σlen/n <= 10, 10·symbols <= n,
+    5·n_alpha >= 4·n) so the flags are bit-identical cross-engine —
+    no float ratio ever materializes. Scale shape: one projection of
+    per-row flags (token array materialized once; the per-token work
+    is lambda-variable-only inside interpreted HOFs) and one
+    aggregation keyed by the low-cardinality source column.
+
+    On this synthetic corpus n_stop is 0 everywhere: the vocabulary
+    contains only 'the' from the required-stopword list, so the rule
+    rejects every document — the intended behavior of the published
+    filter on non-natural text (it is the one rule here that detects
+    word-salad), not a dead flag."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "source", F.col("text"), T.tokens(F.col("text")).alias("_t")
+    )
+    t = F.col("_t")
+    n = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    n_sym = (
+        T.occurrence_count(F.col("text"), "#")
+        + T.occurrence_count(F.col("text"), "...")
+    )
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            t, F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    flags = base.select(
+        "source",
+        (n >= GOPHER_WC_LO) & (n <= GOPHER_WC_HI),
+        (F.lit(3) * n <= sum_len) & (sum_len <= F.lit(10) * n) & (n > 0),
+        (F.lit(10) * n_sym <= n) & (n > 0),
+        (F.lit(5) * n_alpha >= F.lit(4) * n) & (n > 0),
+        n_stop >= 2,
+    ).toDF("source", "wc_ok", "mwl_ok", "sym_ok", "alpha_ok", "stop_ok")
+    cnt = lambda c: F.sum(F.col(c).cast("bigint")).alias("n_" + c[:-3])  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt("wc_ok"),
+        cnt("mwl_ok"),
+        cnt("sym_ok"),
+        cnt("alpha_ok"),
+        cnt("stop_ok"),
+        F.sum(
+            (
+                F.col("wc_ok")
+                & F.col("mwl_ok")
+                & F.col("sym_ok")
+                & F.col("alpha_ok")
+                & F.col("stop_ok")
+            ).cast("bigint")
+        ).alias("n_pass"),
+    )
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+SQL_GOPHER_QUALITY_FLAGS = f"""
+WITH base AS (
+  SELECT source, text, {TOKENS_SQL} AS t FROM documents
+),
+flags AS (
+  SELECT source,
+         len(t) AS n,
+         (len(t) >= {GOPHER_WC_LO} AND len(t) <= {GOPHER_WC_HI}) AS wc_ok,
+         (3 * len(t) <= list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+          AND list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) <= 10 * len(t)
+          AND len(t) > 0) AS mwl_ok,
+         (10 * ((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) // 3) <= len(t)
+          AND len(t) > 0) AS sym_ok,
+         (5 * len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) >= 4 * len(t)
+          AND len(t) > 0) AS alpha_ok,
+         (len(list_distinct(list_intersect(t, [{_GOPHER_STOP_SQL}]))) >= 2) AS stop_ok
+  FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+       CAST(SUM(CASE WHEN mwl_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+       CAST(SUM(CASE WHEN sym_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_sym,
+       CAST(SUM(CASE WHEN alpha_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+       CAST(SUM(CASE WHEN stop_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       CAST(SUM(CASE WHEN wc_ok AND mwl_ok AND sym_ok AND alpha_ok AND stop_ok
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+FROM flags GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10164,6 +10273,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dim_variance": q_embedding_dim_variance,
     "domain_soft_cap": q_domain_soft_cap,
     "dsir_importance_weights": q_dsir_importance_weights,
+    "gopher_quality_flags": q_gopher_quality_flags,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -10357,6 +10467,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "embedding_dim_variance": SQL_EMBEDDING_DIM_VARIANCE,
     "domain_soft_cap": SQL_DOMAIN_SOFT_CAP,
     "dsir_importance_weights": SQL_DSIR_IMPORTANCE_WEIGHTS,
+    "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
 }
 
 
@@ -10484,6 +10595,7 @@ _R6_ADDED: list[str] = [
     "embedding_dim_variance",
     "domain_soft_cap",
     "dsir_importance_weights",
+    "gopher_quality_flags",
 ]
 
 _R6_WINDOW: list[str] = (
