@@ -10053,6 +10053,88 @@ FROM flags GROUP BY source
 """
 
 
+DUPSPAN_L = 16   # tokens per window (the published 50-token threshold
+                 # scaled to this corpus's 30-60-token documents)
+
+
+def q_dup_span_coverage(spark, sf_dir):
+    """Exact-substring duplication metric (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, the fraction of its tokens covered by some
+    DUPSPAN_L-token window whose text occurs at least twice in the
+    corpus. Implementation: hash every L-token window (position via
+    posexplode), count occurrences per window hash corpus-wide
+    (duplicated = count >= 2, including intra-doc repeats, per the
+    paper), join the duplicated hashes back, and count each doc's
+    DISTINCT covered token positions by exploding [pos, pos+L) —
+    exact interval-union coverage without driver-side merging. Scale
+    shape: the window-frequency table is one hash-keyed shuffle; the
+    covered-position explode is a bounded L× fan-out over duplicated
+    windows only (rare at web scale post-dedup), never over the whole
+    corpus. Emits only docs with nonzero coverage."""
+    docs = _docs_with_dups(spark, sf_dir)
+    base = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("_t")
+    ).select(
+        "doc_id",
+        F.size("_t").alias("n_tokens"),
+        F.posexplode(_word_grams(F.col("_t"), DUPSPAN_L)).alias("pos", "gram"),
+    )
+    wins = base.select(
+        "doc_id", "n_tokens", "pos", T.token_hash(F.col("gram")).alias("h")
+    )
+    freq = wins.groupBy("h").agg(F.count("*").alias("c"))
+    dup_wins = wins.join(
+        freq.where(F.col("c") >= 2).select("h"), "h"
+    )
+    covered = dup_wins.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + DUPSPAN_L - 1)
+        ).alias("p"),
+    ).distinct()
+    return (
+        covered.groupBy("doc_id", "n_tokens")
+        .agg(F.count("*").cast("bigint").alias("n_covered"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "n_covered",
+            F.round(
+                F.col("n_covered") / F.col("n_tokens").cast("double"), 6
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+SQL_DUP_SPAN_COVERAGE = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM corpus),
+wins AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         unnest(range(0, greatest(len(t) - {DUPSPAN_L} + 1, 0))) AS pos,
+         t AS t2
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, n_tokens, pos,
+         CAST(('0x' || substr(md5(array_to_string(t2[pos + 1:pos + {DUPSPAN_L}], ' ')), 1, 13)) AS BIGINT) AS h
+  FROM wins
+),
+freq AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(*) >= 2),
+covered AS (
+  SELECT DISTINCT doc_id, n_tokens, unnest(range(pos, pos + {DUPSPAN_L})) AS p
+  FROM hashed JOIN freq USING (h)
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_covered,
+       ROUND(COUNT(*) / CAST(n_tokens AS DOUBLE), 6) AS dup_coverage
+FROM covered GROUP BY doc_id, n_tokens
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10274,6 +10356,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_soft_cap": q_domain_soft_cap,
     "dsir_importance_weights": q_dsir_importance_weights,
     "gopher_quality_flags": q_gopher_quality_flags,
+    "dup_span_coverage": q_dup_span_coverage,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -10468,6 +10551,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "domain_soft_cap": SQL_DOMAIN_SOFT_CAP,
     "dsir_importance_weights": SQL_DSIR_IMPORTANCE_WEIGHTS,
     "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
+    "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
 }
 
 
@@ -10596,6 +10680,7 @@ _R6_ADDED: list[str] = [
     "domain_soft_cap",
     "dsir_importance_weights",
     "gopher_quality_flags",
+    "dup_span_coverage",
 ]
 
 _R6_WINDOW: list[str] = (
