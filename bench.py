@@ -203,6 +203,13 @@ HEADLINE = [
     "embedding_dim_variance",
     "domain_soft_cap",
     "dsir_importance_weights",
+    "gopher_quality_flags",
+    "dup_span_coverage",
+    "kmv_set_similarity",
+    "cusum_changepoint",
+    "sorted_neighborhood_pairs",
+    "bitwise_battery",
+    "embedding_covariance_topk",
 ]
 
 

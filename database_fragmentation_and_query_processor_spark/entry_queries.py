@@ -10135,6 +10135,535 @@ FROM covered GROUP BY doc_id, n_tokens
 """
 
 
+KMV_K = 64
+
+
+def q_kmv_set_similarity(spark, sf_dir):
+    """KMV (bottom-k / k-minimum-values) sketch set similarity: the
+    per-event_type audience (distinct user set) is sketched as its K
+    smallest md5-hash values; pairwise Jaccard is estimated from the
+    bottom-K of the two sketches' union (share of union-sketch values
+    present in both) and audited against the exact Jaccard. Scale
+    shape: sketch construction is a two-phase bottom-k — a salted
+    (event_type, uh%64) window bounds every partition before the final
+    per-type rank over <= 64*K survivors, so no window ever sees a
+    full audience; the pairwise stage touches only |types|^2 sketches
+    of K values each. The exact audit joins distinct memberships on
+    user_id (per-user fan-out bounded by |types|). The estimator is
+    deterministic (md5 hashing), so the oracle reproduces it bit-for-
+    bit alongside the exact value."""
+    ev = _t(spark, sf_dir, "events")
+    members = ev.select("event_type", "user_id").distinct()
+    hashed = members.select(
+        "event_type",
+        T.token_hash(F.col("user_id").cast("string")).alias("uh"),
+    ).distinct()
+    w1 = Window.partitionBy("event_type", "salt").orderBy("uh")
+    pre = (
+        hashed.withColumn("salt", F.col("uh") % 64)
+        .withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= KMV_K)
+    )
+    w2 = Window.partitionBy("event_type").orderBy("uh")
+    sk = (
+        pre.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= KMV_K)
+        .select("event_type", "uh")
+    )
+    types = sk.select("event_type").distinct()
+    tp = types.select(F.col("event_type").alias("ta")).join(
+        types.select(F.col("event_type").alias("tb")),
+        F.col("ta") < F.col("tb"),
+    )
+    va = tp.join(sk.select(F.col("event_type").alias("ta"), "uh"), "ta")
+    vb = tp.join(sk.select(F.col("event_type").alias("tb"), "uh"), "tb")
+    merged = (
+        va.unionByName(vb)
+        .groupBy("ta", "tb", "uh")
+        .agg((F.count("*") == 2).alias("in_both"))
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("uh")
+    est = (
+        merged.withColumn("rk", F.row_number().over(wu))
+        .where(F.col("rk") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            (
+                F.sum(F.when(F.col("in_both"), 1).otherwise(0)).cast("double")
+                / KMV_K
+            ).alias("j_kmv_raw")
+        )
+    )
+    sizes = members.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    inter = (
+        members.alias("x")
+        .join(members.alias("y"), F.col("x.user_id") == F.col("y.user_id"))
+        .where(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("ta"),
+            F.col("y.event_type").alias("tb"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    return (
+        tp.join(
+            sizes.select(F.col("event_type").alias("ta"), F.col("n").alias("n_a")),
+            "ta",
+        )
+        .join(
+            sizes.select(F.col("event_type").alias("tb"), F.col("n").alias("n_b")),
+            "tb",
+        )
+        .join(inter, ["ta", "tb"], "left")
+        .join(est, ["ta", "tb"])
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)).cast("bigint"))
+        .select(
+            "ta",
+            "tb",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("j_exact"),
+            F.round("j_kmv_raw", 6).alias("j_kmv"),
+        )
+    )
+
+
+_UH_SQL = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT)"
+
+SQL_KMV_SET_SIMILARITY = f"""
+WITH members AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (SELECT DISTINCT event_type, {_UH_SQL} AS uh FROM members),
+sk AS (
+  SELECT event_type, uh FROM (
+    SELECT event_type, uh,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY uh) AS rk
+    FROM hashed) WHERE rk <= {KMV_K}
+),
+tp AS (
+  SELECT a.event_type AS ta, b.event_type AS tb
+  FROM (SELECT DISTINCT event_type FROM sk) a
+  JOIN (SELECT DISTINCT event_type FROM sk) b ON a.event_type < b.event_type
+),
+uni AS (
+  SELECT ta, tb, uh, COUNT(*) = 2 AS in_both FROM (
+    SELECT tp.ta, tp.tb, s.uh FROM tp JOIN sk s ON s.event_type = tp.ta
+    UNION ALL
+    SELECT tp.ta, tp.tb, s.uh FROM tp JOIN sk s ON s.event_type = tp.tb
+  ) GROUP BY ta, tb, uh
+),
+est AS (
+  SELECT ta, tb,
+         SUM(CASE WHEN in_both THEN 1 ELSE 0 END) / CAST({KMV_K} AS DOUBLE)
+           AS j_kmv_raw
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY uh) AS rk
+    FROM uni) WHERE rk <= {KMV_K}
+  GROUP BY ta, tb
+),
+sizes AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM members GROUP BY event_type
+),
+inter AS (
+  SELECT x.event_type AS ta, y.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM members x
+  JOIN members y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT tp.ta, tp.tb, sa.n AS n_a, sb.n AS n_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       ROUND(COALESCE(i.n_inter, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+         AS j_exact,
+       ROUND(e.j_kmv_raw, 6) AS j_kmv
+FROM tp
+JOIN sizes sa ON sa.event_type = tp.ta
+JOIN sizes sb ON sb.event_type = tp.tb
+LEFT JOIN inter i ON i.ta = tp.ta AND i.tb = tp.tb
+JOIN est e ON e.ta = tp.ta AND e.tb = tp.tb
+"""
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection over per-type daily event counts:
+    the running sum of (daily count - per-type mean) peaks in absolute
+    value at the most likely level-shift day. One shuffle keyed on
+    (event_type, day) collapses the corpus to a tiny domain; every
+    window after that (mean, cumulative sum, argmax rank) runs over
+    |types| x |days| rows. The cumulative double sum is evaluated in
+    the same day order on both engines, so the peak pick (rank on
+    |cusum| desc with day tie-break) is deterministic."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("event_time").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    wt = Window.partitionBy("event_type")
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = daily.withColumn("m", F.avg("c").over(wt)).withColumn(
+        "cusum", F.sum(F.col("c") - F.col("m")).over(wo)
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs("cusum").desc(), "d")
+    return (
+        cus.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.col("c").alias("day_count"),
+            F.round("m", 6).alias("mean_daily"),
+            F.round("cusum", 6).alias("cusum_peak"),
+        )
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+stat AS (SELECT event_type, AVG(c) AS m FROM daily GROUP BY 1),
+cus AS (
+  SELECT d.event_type, d.d, d.c, s.m,
+         SUM(d.c - s.m) OVER (
+           PARTITION BY d.event_type ORDER BY d.d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily d JOIN stat s USING (event_type)
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day, c AS day_count,
+       ROUND(m, 6) AS mean_daily, ROUND(cusum, 6) AS cusum_peak
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY ABS(cusum) DESC, d) AS rk
+  FROM cus) WHERE rk = 1
+"""
+
+
+SNM_WINDOW = 5
+SNM_KEY_LEN = 32
+
+
+def q_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood near-dup mining — the classic alternative to
+    LSH blocking (Hernandez & Stolfo 1995): sort the corpus by a
+    normalized text-prefix key, compare each doc only against the next
+    SNM_WINDOW docs in sort order, verify candidates with exact shingle
+    Jaccard. Scale shape: the sort is a distributed range partition;
+    global positions come from the bucketed two-phase numbering in
+    operators/scaling.py (never a single-task window); candidate
+    generation is a bounded W-way explode joined back on position
+    equality — O(n*W) candidates total, quadratic in nothing."""
+    docs = _docs_with_dups(spark, sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+            1,
+            SNM_KEY_LEN,
+        ).alias("snm_key"),
+        F.array_distinct(
+            D.shingles(F.col("text"), SHINGLE_N)
+        ).alias("ss"),
+    )
+    # stable_row_number buckets on a numeric leading key; the big-endian
+    # integer value of the key's 7-byte UTF-8 prefix is an order-
+    # preserving coarsening of the lexicographic sort (empty key -> -1,
+    # before every non-empty prefix), so bucket order == key order and
+    # the parallel numbering reproduces ROW_NUMBER() OVER (snm_key, id)
+    keyed = keyed.withColumn(
+        "lead",
+        F.coalesce(
+            F.conv(F.hex(F.substring("snm_key", 1, 7)), 16, 10).cast("bigint"),
+            F.lit(-1),
+        ),
+    )
+    pos = stable_row_number(
+        keyed, order_cols=["lead", "snm_key", "doc_id"], out_col="rn"
+    )
+    probes = pos.select(
+        "rn",
+        F.col("doc_id").alias("id_a"),
+        F.col("ss").alias("ss_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + SNM_WINDOW)
+        ).alias("rn_b"),
+    )
+    cand = probes.join(
+        pos.select(
+            F.col("rn").alias("rn_b"),
+            F.col("doc_id").alias("id_b"),
+            F.col("ss").alias("ss_b"),
+        ),
+        "rn_b",
+    )
+    j = F.size(F.array_intersect("ss_a", "ss_b")).cast("double") / F.nullif(
+        F.size(F.array_union("ss_a", "ss_b")).cast("double"), F.lit(0.0)
+    )
+    return (
+        cand.withColumn("j", j)
+        .where(F.col("j") >= NEAR_DUP_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("rn_b") - F.col("rn")).cast("bigint").alias("rank_gap"),
+            F.round("j", 6).alias("jaccard"),
+        )
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD_PAIRS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+keyed AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                1, {SNM_KEY_LEN}) AS snm_key,
+         {TOKENS_SQL} AS t
+  FROM corpus
+),
+sh AS (
+  SELECT doc_id, snm_key,
+         list_distinct(
+           CASE WHEN len(t) < {SHINGLE_N} THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(0, len(t) - {SHINGLE_N - 1}),
+                                    i -> array_to_string(t[i+1:i+{SHINGLE_N}], ' '))
+           END) AS ss
+  FROM keyed
+),
+pos AS (
+  SELECT doc_id, ss,
+         ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS rn
+  FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+       ROUND(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+             / NULLIF(CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE),
+                      0.0), 6) AS jaccard
+FROM pos a JOIN pos b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+      / NULLIF(CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE), 0.0)
+      >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_bitwise_battery(spark, sf_dir):
+    """Bitwise operator battery: row-level AND/OR/XOR, shifts and
+    popcount plus the three bitwise AGGREGATES (bit_and/bit_or/bit_xor)
+    grouped by return flag. Pure integer arithmetic — bit-identical on
+    any engine; one partial-aggregated shuffle on a 3-value key."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey").cast("bigint")
+    p = F.col("l_partkey").cast("bigint")
+    row = li.select(
+        "l_returnflag",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(p).alias("k_xor"),
+        F.shiftleft(F.col("l_linenumber").cast("bigint"), 3).alias("ln_shl"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(k).cast("bigint").alias("k_bits"),
+    )
+    return row.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.bit_and("k_and").cast("bigint").alias("agg_and"),
+        F.bit_or("k_and").cast("bigint").alias("agg_or"),
+        F.bit_xor("k_xor").cast("bigint").alias("agg_xor"),
+        F.sum("ln_shl").cast("bigint").alias("sum_shl"),
+        F.sum("k_shr").cast("bigint").alias("sum_shr"),
+        F.sum("k_bits").cast("bigint").alias("sum_bits"),
+        F.max("k_or").cast("bigint").alias("max_or"),
+    )
+
+
+SQL_BITWISE_BATTERY = """
+WITH row_ops AS (
+  SELECT l_returnflag,
+         CAST(l_orderkey AS BIGINT) & 255 AS k_and,
+         CAST(l_orderkey AS BIGINT) | 4096 AS k_or,
+         xor(CAST(l_orderkey AS BIGINT), CAST(l_partkey AS BIGINT)) AS k_xor,
+         CAST(l_linenumber AS BIGINT) << 3 AS ln_shl,
+         CAST(l_orderkey AS BIGINT) >> 2 AS k_shr,
+         CAST(bit_count(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS k_bits
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(BIT_AND(k_and) AS BIGINT) AS agg_and,
+       CAST(BIT_OR(k_and) AS BIGINT) AS agg_or,
+       CAST(BIT_XOR(k_xor) AS BIGINT) AS agg_xor,
+       CAST(SUM(ln_shl) AS BIGINT) AS sum_shl,
+       CAST(SUM(k_shr) AS BIGINT) AS sum_shr,
+       CAST(SUM(k_bits) AS BIGINT) AS sum_bits,
+       CAST(MAX(k_or) AS BIGINT) AS max_or
+FROM row_ops GROUP BY l_returnflag
+"""
+
+
+COV_TOPK = 20
+
+
+def q_embedding_covariance_topk(spark, sf_dir):
+    """Top-|covariance| off-diagonal dimension pairs of the embedding
+    matrix — the redundant-dimension screen run before whitening or
+    product quantization. Elements are fixed-point-quantized
+    (EMB_Q_SCALE, the embedding_dim_variance pattern) so all sums are
+    order-exact integers; the covariance numerator n*Sxy - Sx*Sy and
+    the per-dim variance numerators live in DECIMAL(38,0), making even
+    the top-k ordering deterministic. Scale shape: the d^2 fan-out
+    (explode i, then j>i over the kept array) partial-aggregates
+    map-side, so the shuffle carries exactly d*(d-1)/2 rows no matter
+    the corpus size; correlation derives from the exact numerators."""
+    emb = _emb(spark, sf_dir)
+    d1 = emb.select(
+        "embedding", F.posexplode("embedding").alias("i", "xi")
+    )
+    d2 = (
+        d1.select(
+            F.col("i").cast("bigint").alias("i"),
+            F.floor(F.col("xi").cast("double") * EMB_Q_SCALE)
+            .cast("bigint")
+            .alias("qi"),
+            F.posexplode("embedding").alias("j", "xj"),
+        )
+        .where(F.col("j") > F.col("i"))
+        .select(
+            "i",
+            F.col("j").cast("bigint").alias("j"),
+            "qi",
+            F.floor(F.col("xj").cast("double") * EMB_Q_SCALE)
+            .cast("bigint")
+            .alias("qj"),
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = d2.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qi").alias("sqi"),
+        F.sum("qj").alias("sqj"),
+        F.sum(F.col("qi") * F.col("qj")).alias("sij"),
+    )
+    num = (
+        F.col("n").cast(dec) * F.col("sij").cast(dec)
+        - F.col("sqi").cast(dec) * F.col("sqj").cast(dec)
+    )
+    # per-dim variance numerators (same quantization) for correlation
+    ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    qd = F.floor(F.col("x").cast("double") * EMB_Q_SCALE).cast("bigint")
+    per_dim = (
+        ex.select(F.col("dim").cast("bigint").alias("dim"), qd.alias("q"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("nd"),
+            F.sum("q").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        )
+        .select(
+            "dim",
+            (
+                F.col("nd").cast(dec) * F.col("sq2").cast(dec)
+                - F.col("sq").cast(dec) * F.col("sq").cast(dec)
+            ).alias("vnum"),
+        )
+    )
+    scale2 = float(EMB_Q_SCALE) * float(EMB_Q_SCALE)
+    joined = (
+        agg.withColumn("num", num)
+        .join(
+            F.broadcast(per_dim.select(F.col("dim").alias("i"), F.col("vnum").alias("vi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(per_dim.select(F.col("dim").alias("j"), F.col("vnum").alias("vj"))),
+            "j",
+        )
+    )
+    out = joined.select(
+        "i",
+        "j",
+        "n",
+        F.round(
+            F.col("num").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
+            / scale2,
+            6,
+        ).alias("cov_x"),
+        F.round(
+            F.col("num").cast("double")
+            / F.sqrt(F.col("vi").cast("double") * F.col("vj").cast("double")),
+            6,
+        ).alias("corr_x"),
+        F.abs(F.col("num")).alias("_a"),
+    )
+    return (
+        out.orderBy(F.desc("_a"), "i", "j").limit(COV_TOPK).drop("_a")
+    )
+
+
+SQL_EMBEDDING_COVARIANCE_TOPK = f"""
+WITH d1 AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding) AS xi, embedding AS e
+  FROM embeddings
+),
+d2 AS (
+  SELECT CAST(i AS BIGINT) AS i,
+         CAST(FLOOR(CAST(xi AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT) AS qi,
+         generate_subscripts(e, 1) - 1 AS j,
+         unnest(e) AS xj
+  FROM d1
+),
+d3 AS (
+  SELECT i, CAST(j AS BIGINT) AS j, qi,
+         CAST(FLOOR(CAST(xj AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT) AS qj
+  FROM d2 WHERE j > i
+),
+agg AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(qi) AS BIGINT) AS sqi,
+         CAST(SUM(qj) AS BIGINT) AS sqj,
+         CAST(SUM(qi * qj) AS BIGINT) AS sij
+  FROM d3 GROUP BY i, j
+),
+ex AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT) AS q
+  FROM embeddings
+),
+per_dim AS (
+  SELECT dim,
+         CAST(COUNT(*) AS DECIMAL(38,0)) * CAST(SUM(q * q) AS DECIMAL(38,0))
+           - CAST(SUM(q) AS DECIMAL(38,0)) * CAST(SUM(q) AS DECIMAL(38,0)) AS vnum
+  FROM ex GROUP BY dim
+),
+nums AS (
+  SELECT a.i, a.j, a.n,
+         CAST(a.n AS DECIMAL(38,0)) * CAST(a.sij AS DECIMAL(38,0))
+           - CAST(a.sqi AS DECIMAL(38,0)) * CAST(a.sqj AS DECIMAL(38,0)) AS num,
+         vi.vnum AS vi, vj.vnum AS vj
+  FROM agg a
+  JOIN per_dim vi ON vi.dim = a.i
+  JOIN per_dim vj ON vj.dim = a.j
+)
+SELECT i, j, n,
+       ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / ({EMB_Q_SCALE}.0 * {EMB_Q_SCALE}.0), 6) AS cov_x,
+       ROUND(CAST(num AS DOUBLE)
+             / SQRT(CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE)), 6) AS corr_x
+FROM nums ORDER BY ABS(num) DESC, i, j LIMIT {COV_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10357,6 +10886,11 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance_weights": q_dsir_importance_weights,
     "gopher_quality_flags": q_gopher_quality_flags,
     "dup_span_coverage": q_dup_span_coverage,
+    "kmv_set_similarity": q_kmv_set_similarity,
+    "cusum_changepoint": q_cusum_changepoint,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "bitwise_battery": q_bitwise_battery,
+    "embedding_covariance_topk": q_embedding_covariance_topk,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -10552,6 +11086,11 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "dsir_importance_weights": SQL_DSIR_IMPORTANCE_WEIGHTS,
     "gopher_quality_flags": SQL_GOPHER_QUALITY_FLAGS,
     "dup_span_coverage": SQL_DUP_SPAN_COVERAGE,
+    "kmv_set_similarity": SQL_KMV_SET_SIMILARITY,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
+    "bitwise_battery": SQL_BITWISE_BATTERY,
+    "embedding_covariance_topk": SQL_EMBEDDING_COVARIANCE_TOPK,
 }
 
 
@@ -10681,6 +11220,11 @@ _R6_ADDED: list[str] = [
     "dsir_importance_weights",
     "gopher_quality_flags",
     "dup_span_coverage",
+    "kmv_set_similarity",
+    "cusum_changepoint",
+    "sorted_neighborhood_pairs",
+    "bitwise_battery",
+    "embedding_covariance_topk",
 ]
 
 _R6_WINDOW: list[str] = (
