@@ -210,6 +210,10 @@ HEADLINE = [
     "sorted_neighborhood_pairs",
     "bitwise_battery",
     "embedding_covariance_topk",
+    "map_functions_battery",
+    "struct_order_battery",
+    "rfm_segments",
+    "hierarchy_rollup",
 ]
 
 

@@ -10664,6 +10664,282 @@ FROM nums ORDER BY ABS(num) DESC, i, j LIMIT {COV_TOPK}
 """
 
 
+def q_map_functions_battery(spark, sf_dir):
+    """MapType round-trip battery: build a map from lineitem measure
+    columns, push it through map_filter / transform_values /
+    map_concat / element_at / map_keys, and reduce the results to
+    scalars that ground-truth arithmetic reproduces WITHOUT maps — the
+    oracle recomputes every output straight from the columns, so any
+    divergence in Spark's map semantics (entry order, filter/transform
+    laziness, concat precedence) surfaces as a value mismatch. All
+    measures are quantized to integer cents before entering the map so
+    the aggregates are order-exact. One partial-aggregated shuffle on
+    the 3-value return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c).cast("double") * 100).cast("bigint")
+    m = F.map_from_arrays(
+        F.array(F.lit("qty"), F.lit("price"), F.lit("disc")),
+        F.array(cents("l_quantity"), cents("l_extendedprice"), cents("l_discount")),
+    )
+    # filter: keep entries >= 1000 cents; transform: double each value;
+    # concat: overlay a constant tax entry (map_concat keeps the LAST
+    # occurrence of a duplicate key under spark.sql.mapKeyDedupPolicy
+    # defaults we avoid by using a fresh key)
+    row = li.select(
+        "l_returnflag",
+        m.alias("m"),
+        F.map_filter(m, lambda k, v: v >= 1000).alias("big"),
+        F.transform_values(m, lambda k, v: v * 2).alias("dbl"),
+        F.map_concat(m, F.create_map(F.lit("tax"), cents("l_tax"))).alias("all4"),
+    ).select(
+        "l_returnflag",
+        F.element_at("m", "price").alias("price_c"),
+        F.size("big").cast("bigint").alias("n_big"),
+        F.element_at("dbl", "qty").alias("qty2_c"),
+        F.size("all4").cast("bigint").alias("n_all4"),
+        F.element_at("all4", "tax").alias("tax_c"),
+        F.array_join(F.array_sort(F.map_keys("all4")), ",").alias("keys_sorted"),
+    )
+    return row.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("price_c").cast("bigint").alias("sum_price_c"),
+        F.sum("n_big").cast("bigint").alias("sum_big_entries"),
+        F.sum("qty2_c").cast("bigint").alias("sum_qty2_c"),
+        F.min("n_all4").cast("bigint").alias("min_n_all4"),
+        F.sum("tax_c").cast("bigint").alias("sum_tax_c"),
+        F.min("keys_sorted").alias("keys_sorted"),
+    )
+
+
+SQL_MAP_FUNCTIONS_BATTERY = """
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 100) AS BIGINT) AS qty_c,
+         CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS price_c,
+         CAST(FLOOR(CAST(l_discount AS DOUBLE) * 100) AS BIGINT) AS disc_c,
+         CAST(FLOOR(CAST(l_tax AS DOUBLE) * 100) AS BIGINT) AS tax_c
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+       CAST(SUM(CASE WHEN qty_c >= 1000 THEN 1 ELSE 0 END
+                + CASE WHEN price_c >= 1000 THEN 1 ELSE 0 END
+                + CASE WHEN disc_c >= 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS sum_big_entries,
+       CAST(SUM(qty_c * 2) AS BIGINT) AS sum_qty2_c,
+       CAST(4 AS BIGINT) AS min_n_all4,
+       CAST(SUM(tax_c) AS BIGINT) AS sum_tax_c,
+       'disc,price,qty,tax' AS keys_sorted
+FROM cents GROUP BY l_returnflag
+"""
+
+
+def q_struct_order_battery(spark, sf_dir):
+    """Struct-ordering battery: the argmax-via-struct idiom (max over
+    struct(value, id) compares lexicographically) next to sort_array
+    over an array of structs, pinned against the oracle's explicit
+    window-rank derivation of the same winners. Quantized integer
+    values make the comparisons exact; one shuffle on event_type."""
+    ev = _events(spark, sf_dir)
+    qv = F.floor(F.col("value").cast("double") * 1000).cast("bigint")
+    rows = ev.select("event_type", qv.alias("qv"), F.col("event_id").cast("bigint").alias("eid"))
+    agg = rows.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max(F.struct("qv", "eid")).alias("mx"),
+        F.min(F.struct("qv", "eid")).alias("mn"),
+    )
+    # top-3 (qv, eid) per type via sort_array over collected structs is
+    # intentionally avoided (unbounded per-group state); the battery
+    # pins the scalar struct comparisons only
+    return agg.select(
+        "event_type",
+        "n",
+        F.col("mx.qv").alias("max_qv"),
+        F.col("mx.eid").alias("max_eid"),
+        F.col("mn.qv").alias("min_qv"),
+        F.col("mn.eid").alias("min_eid"),
+    )
+
+
+SQL_STRUCT_ORDER_BATTERY = """
+WITH rows_q AS (
+  SELECT event_type,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1000) AS BIGINT) AS qv,
+         CAST(event_id AS BIGINT) AS eid
+  FROM events
+),
+mx AS (
+  SELECT event_type, qv, eid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY qv DESC, eid DESC) AS rk
+    FROM rows_q) WHERE rk = 1
+),
+mn AS (
+  SELECT event_type, qv, eid FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY event_type ORDER BY qv ASC, eid ASC) AS rk
+    FROM rows_q) WHERE rk = 1
+)
+SELECT c.event_type, c.n,
+       mx.qv AS max_qv, mx.eid AS max_eid,
+       mn.qv AS min_qv, mn.eid AS min_eid
+FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM rows_q GROUP BY event_type) c
+JOIN mx ON mx.event_type = c.event_type
+JOIN mn ON mn.event_type = c.event_type
+"""
+
+
+RFM_Q = 5
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation with
+    distributed quintile assignment: per-user recency days, event
+    count, and integer-cent spend are each quintiled by RANK ARITHMETIC
+    (floor(Q*rn/n) over the bucketed two-phase global numbering in
+    operators/scaling.py) — never NTILE's single-task global window.
+    Output is the segment-cell census. Scale shape: one user-keyed
+    aggregation collapses the corpus; the three numberings run over the
+    (much smaller) user dimension with bounded per-bucket windows."""
+    ev = _events(spark, sf_dir)
+    top = ev.agg(F.max("tsn").alias("mx")).head()["mx"]
+    # the per-user frontier is consumed by seven downstream actions
+    # (count + each numbering's min/max and bucket-count passes) —
+    # persist it or every action re-aggregates the raw corpus
+    per_user = _track_cached(
+        ev.groupBy("user_id")
+        .agg(
+            ((F.lit(int(top)) - F.max("tsn")) / US_PER_DAY)
+            .cast("bigint")
+            .alias("rec_days"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("mon_c"),
+        )
+        .persist()
+    )
+    n_users = per_user.count()
+
+    def quintile(df, metric, out):
+        # ascending rank; recency ranks low = recent, frequency/monetary
+        # low = small spender — segment digits read consistently
+        ranked = stable_row_number(
+            df, order_cols=[metric, "user_id"], out_col="_rn"
+        )
+        return ranked.withColumn(
+            out, F.floor(F.lit(RFM_Q) * F.col("_rn") / F.lit(n_users)).cast("bigint")
+        ).drop("_rn")
+
+    seg = quintile(
+        quintile(quintile(per_user, "rec_days", "r_q"), "freq", "f_q"),
+        "mon_c",
+        "m_q",
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("mon_c").cast("bigint").alias("seg_mon_c"),
+    )
+
+
+SQL_RFM_SEGMENTS = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(FLOOR((
+           (SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts))
+         ) / {US_PER_DAY}.0) AS BIGINT) AS rec_days,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS mon_c
+  FROM events GROUP BY user_id
+),
+n AS (SELECT COUNT(*) AS n_users FROM per_user),
+seg AS (
+  SELECT user_id, mon_c,
+         CAST(FLOOR({RFM_Q} * (ROW_NUMBER() OVER (ORDER BY rec_days, user_id) - 1)
+                    / n.n_users) AS BIGINT) AS r_q,
+         CAST(FLOOR({RFM_Q} * (ROW_NUMBER() OVER (ORDER BY freq, user_id) - 1)
+                    / n.n_users) AS BIGINT) AS f_q,
+         CAST(FLOOR({RFM_Q} * (ROW_NUMBER() OVER (ORDER BY mon_c, user_id) - 1)
+                    / n.n_users) AS BIGINT) AS m_q
+  FROM per_user CROSS JOIN n
+)
+SELECT r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(mon_c) AS BIGINT) AS seg_mon_c
+FROM seg GROUP BY r_q, f_q, m_q
+"""
+
+
+HIER_LEVELS = 20  # supports user ids up to 2^20 - 1; explode prunes to depth+1
+
+
+def q_hierarchy_rollup(spark, sf_dir):
+    """Hierarchy closure + subtree rollup without iteration: with
+    parent(u) = u div 2 (a complete binary org chart over the user id
+    domain), every node's ancestor chain IS its bit-shift sequence
+    u >> 0, u >> 1, ... — so the (ancestor, node) closure is a pure
+    column-expression explode of at most depth+1 rows per node, and
+    subtree aggregates are one groupBy over the closure. Scale shape:
+    closure size is n*log(n) rows — no iterative joins, no recursion,
+    no driver state; the same explode works for any power-of-two
+    hierarchy encoding. Emits each ancestor's subtree size, event
+    volume, and integer-cent value rollup for the top 3 levels."""
+    ev = _events(spark, sf_dir)
+    per_node = ev.groupBy(F.col("user_id").cast("bigint").alias("node")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("val_c"),
+    )
+    closure = per_node.select(
+        "node",
+        "n_events",
+        "val_c",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(HIER_LEVELS)),
+                    # shiftright needs a literal count — floor-divide by
+                    # 2^i instead (exact: node < 2^53 / 2^HIER_LEVELS)
+                    lambda i: F.floor(
+                        F.col("node") / F.pow(F.lit(2.0), i.cast("double"))
+                    ).cast("bigint"),
+                )
+            )
+        ).alias("anc"),
+    )
+    rolled = closure.groupBy("anc").agg(
+        F.count("*").cast("bigint").alias("subtree_nodes"),
+        F.sum("n_events").cast("bigint").alias("subtree_events"),
+        F.sum("val_c").cast("bigint").alias("subtree_val_c"),
+    )
+    return rolled.where(F.col("anc") < 8).select(
+        F.col("anc").alias("node"),
+        "subtree_nodes",
+        "subtree_events",
+        "subtree_val_c",
+    )
+
+
+SQL_HIERARCHY_ROLLUP = f"""
+WITH per_node AS (
+  SELECT CAST(user_id AS BIGINT) AS node,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS val_c
+  FROM events GROUP BY 1
+),
+closure AS (
+  SELECT node, n_events, val_c,
+         unnest(list_distinct(list_transform(range(0, {HIER_LEVELS} + 1),
+                                             i -> node >> i))) AS anc
+  FROM per_node
+)
+SELECT anc AS node,
+       CAST(COUNT(*) AS BIGINT) AS subtree_nodes,
+       CAST(SUM(n_events) AS BIGINT) AS subtree_events,
+       CAST(SUM(val_c) AS BIGINT) AS subtree_val_c
+FROM closure WHERE anc < 8 GROUP BY anc
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10891,6 +11167,10 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "bitwise_battery": q_bitwise_battery,
     "embedding_covariance_topk": q_embedding_covariance_topk,
+    "map_functions_battery": q_map_functions_battery,
+    "struct_order_battery": q_struct_order_battery,
+    "rfm_segments": q_rfm_segments,
+    "hierarchy_rollup": q_hierarchy_rollup,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -11091,6 +11371,10 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD_PAIRS,
     "bitwise_battery": SQL_BITWISE_BATTERY,
     "embedding_covariance_topk": SQL_EMBEDDING_COVARIANCE_TOPK,
+    "map_functions_battery": SQL_MAP_FUNCTIONS_BATTERY,
+    "struct_order_battery": SQL_STRUCT_ORDER_BATTERY,
+    "rfm_segments": SQL_RFM_SEGMENTS,
+    "hierarchy_rollup": SQL_HIERARCHY_ROLLUP,
 }
 
 
@@ -11225,6 +11509,10 @@ _R6_ADDED: list[str] = [
     "sorted_neighborhood_pairs",
     "bitwise_battery",
     "embedding_covariance_topk",
+    "map_functions_battery",
+    "struct_order_battery",
+    "rfm_segments",
+    "hierarchy_rollup",
 ]
 
 _R6_WINDOW: list[str] = (
