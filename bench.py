@@ -214,6 +214,10 @@ HEADLINE = [
     "struct_order_battery",
     "rfm_segments",
     "hierarchy_rollup",
+    "zipf_slope",
+    "readability_scores",
+    "lexical_diversity",
+    "term_burstiness",
 ]
 
 

@@ -10940,6 +10940,257 @@ FROM closure WHERE anc < 8 GROUP BY anc
 """
 
 
+ZIPF_TOPK = 100
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    top-K corpus terms — the canonical sanity check that a text corpus
+    is natural (slope near -1) rather than synthetic or boilerplate.
+    Scale shape: one token-keyed count shuffle collapses the corpus to
+    the vocabulary, a TakeOrdered keeps K rows, and everything after
+    (rank window, the five OLS sums) runs over exactly K rows. The
+    regression inputs are ln of exact integer counts, rounded at the
+    end — the doc_lm_perplexity precedent for cross-engine logs."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "tok").limit(ZIPF_TOPK)
+    w = Window.orderBy(F.desc("c"), "tok")
+    ranked = top.withColumn("r", F.row_number().over(w)).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    ols = ranked.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return ols.select(
+        F.col("k").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("k"), 6
+        ).alias("intercept"),
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest({TOKENS_SQL}) AS tok FROM documents
+  ) GROUP BY tok
+),
+ranked AS (
+  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+         LN(CAST(c AS DOUBLE)) AS y
+  FROM (SELECT * FROM counts ORDER BY c DESC, tok LIMIT {ZIPF_TOPK})
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT CAST(k AS BIGINT) AS n_terms,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+         AS intercept
+FROM ols
+"""
+
+
+def q_readability_scores(spark, sf_dir):
+    """Flesch reading-ease screen per source: words (whitespace
+    tokens), sentences ([.!?] runs, floored at 1 per doc), syllables
+    (vowel-run approximation) — all exact integer counts aggregated
+    per source, the score computed once from the summed counts. One
+    projection + one aggregation on the tiny source key; the regexes
+    are JVM-side, no UDFs."""
+    docs = _docs(spark, sf_dir)
+    words = T.token_count(F.col("text"))
+    sents = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    syls = F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")).cast(
+        "bigint"
+    )
+    agg = (
+        docs.select("source", words.alias("w"), sents.alias("s"), syls.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("w").cast("bigint").alias("n_words"),
+            F.sum("s").cast("bigint").alias("n_sents"),
+            F.sum("y").cast("bigint").alias("n_syllables"),
+        )
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sents")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 6).alias("flesch"),
+    )
+
+
+SQL_READABILITY_SCORES = f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len({TOKENS_SQL}) AS BIGINT) AS w,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+  FROM documents
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS n_words,
+         CAST(SUM(s) AS BIGINT) AS n_sents,
+         CAST(SUM(y) AS BIGINT) AS n_syllables
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_words, n_sents, n_syllables,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+FROM agg
+"""
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Per-source lexical diversity: type-token ratio, Shannon entropy
+    of the term distribution (H = ln N - (1/N)·Σ c·ln c), and the
+    Simpson concentration index Σ c(c-1) / (N(N-1)) — the vocabulary-
+    health metrics of a corpus census. One (source, token) count
+    shuffle collapses the corpus to per-source vocabularies; the
+    per-source reduction aggregates exact integer counts (entropy's
+    c·ln c is the only float, rounded at the end)."""
+    docs = _docs(spark, sf_dir)
+    tc = (
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclc"
+        ),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("spairs"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types") / n, 6).alias("type_token_ratio"),
+        F.round(F.log(n) - F.col("sclc") / n, 6).alias("shannon_h"),
+        F.round(
+            F.col("spairs") / (n * (n - F.lit(1.0))), 6
+        ).alias("simpson"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest({TOKENS_SQL}) AS tok FROM documents
+  ) GROUP BY source, tok
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sclc,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS spairs
+  FROM tc GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
+       ROUND(LN(CAST(n_tokens AS DOUBLE))
+             - sclc / CAST(n_tokens AS DOUBLE), 6) AS shannon_h,
+       ROUND(spairs / (CAST(n_tokens AS DOUBLE)
+             * (CAST(n_tokens AS DOUBLE) - 1.0)), 6) AS simpson
+FROM agg
+"""
+
+
+BURST_TOPK = 20
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Term burstiness for the top-K corpus terms: occurrences per
+    containing document (n/df — a bursty term concentrates) and the
+    variance-to-mean ratio of per-document counts including zero docs,
+    computed entirely from exact integers ((Σc²·D - n²) / (n·D)) — a
+    Poisson term has VMR 1, content words run far above it. Scale
+    shape: one (doc, token) count shuffle, one token-keyed reduction,
+    a TakeOrdered for the K output terms; the corpus doc count is the
+    only broadcast scalar. No floats until the final division."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    per_doc = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    per_term = per_doc.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    d = F.lit(int(n_docs)).cast("bigint")
+    return (
+        per_term.select(
+            "tok",
+            "n",
+            "df",
+            F.round(F.col("n") / F.col("df").cast("double"), 6).alias(
+                "burstiness"
+            ),
+            F.round(
+                (F.col("sc2") * d - F.col("n") * F.col("n")).cast("double")
+                / (F.col("n") * d).cast("double"),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.desc("n"), "tok")
+        .limit(BURST_TOPK)
+    )
+
+
+SQL_TERM_BURSTINESS = f"""
+WITH per_doc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+  ) GROUP BY doc_id, tok
+),
+per_term AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c * c) AS BIGINT) AS sc2
+  FROM per_doc GROUP BY tok
+),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
+SELECT tok, n, df,
+       ROUND(n / CAST(df AS DOUBLE), 6) AS burstiness,
+       ROUND(CAST(sc2 * d.nd - n * n AS DOUBLE)
+             / CAST(n * d.nd AS DOUBLE), 6) AS vmr
+FROM per_term CROSS JOIN d
+ORDER BY n DESC, tok LIMIT {BURST_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11171,6 +11422,10 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "struct_order_battery": q_struct_order_battery,
     "rfm_segments": q_rfm_segments,
     "hierarchy_rollup": q_hierarchy_rollup,
+    "zipf_slope": q_zipf_slope,
+    "readability_scores": q_readability_scores,
+    "lexical_diversity": q_lexical_diversity,
+    "term_burstiness": q_term_burstiness,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -11375,6 +11630,10 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "struct_order_battery": SQL_STRUCT_ORDER_BATTERY,
     "rfm_segments": SQL_RFM_SEGMENTS,
     "hierarchy_rollup": SQL_HIERARCHY_ROLLUP,
+    "zipf_slope": SQL_ZIPF_SLOPE,
+    "readability_scores": SQL_READABILITY_SCORES,
+    "lexical_diversity": SQL_LEXICAL_DIVERSITY,
+    "term_burstiness": SQL_TERM_BURSTINESS,
 }
 
 
@@ -11513,6 +11772,10 @@ _R6_ADDED: list[str] = [
     "struct_order_battery",
     "rfm_segments",
     "hierarchy_rollup",
+    "zipf_slope",
+    "readability_scores",
+    "lexical_diversity",
+    "term_burstiness",
 ]
 
 _R6_WINDOW: list[str] = (
