@@ -11754,6 +11754,12 @@ _R6_RESTAMP: list[str] = [
 #: Queries ADDED in round 6 (registered below the stamp window; they
 #: are oracle-checked locally and rotate into the r7 stamp prefix —
 #: the same add-then-rotate lifecycle every post-r1 query followed).
+#: ROUND-7 ROTATION PLAN (apply at the START of round 7, never
+#: mid-round): keep the 5 frag rows pinned at positions 1-5, place all
+#: entries of this list at positions 6-24 (every one is driver-
+#: unstamped through r6), add any r7-modified queries for restamps,
+#: and refill the remainder of the 50-slot window from the r6 window
+#: in its original order.
 _R6_ADDED: list[str] = [
     "event_transition_matrix",
     "user_path_topk",
