@@ -218,6 +218,8 @@ HEADLINE = [
     "readability_scores",
     "lexical_diversity",
     "term_burstiness",
+    "bm25_search",
+    "referential_integrity_audit",
 ]
 
 

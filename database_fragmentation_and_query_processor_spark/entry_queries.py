@@ -11201,6 +11201,199 @@ ORDER BY n DESC, tok LIMIT {BURST_TOPK}
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("hash", "join")
+BM25_TOPK = 10
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25-ranked conjunctive keyword search (Robertson/Spärck Jones —
+    the default ranking function of every text search engine): posting
+    lists for the query terms only (the filter pushes into the token
+    stream — the inverted-index probe shape, never a full-vocabulary
+    build), AND-intersection via the per-doc term-count pivot, score
+    summed over terms with doc-length normalization. IDF and the
+    per-term quotients come from exact integer counts; the only floats
+    are the final log/division, rounded. Scale shape: one shuffle keyed
+    on doc_id carrying ONLY rows whose token is a query term; corpus
+    stats (N, avgdl) are two broadcast scalars."""
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("dl")
+    )
+    stats = lens.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+    ).head()
+    n_docs, sum_dl = int(stats["n"]), int(stats["sdl"])
+    hits = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_per_term = hits.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(df_per_term), "tok")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (
+                        1
+                        - BM25_B
+                        + BM25_B
+                        * F.col("dl")
+                        * F.lit(float(n_docs))
+                        / F.lit(float(sum_dl))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms_hit"),
+        F.sum("s").alias("score_raw"),
+    )
+    # conjunctive: every query term must match
+    return (
+        agg.where(F.col("n_terms_hit") == len(BM25_TERMS))
+        .select("doc_id", F.round("score_raw", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+SQL_BM25_SEARCH = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl
+  FROM lens
+),
+hits AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+  ) WHERE tok IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, tok
+),
+dfs AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY tok),
+scored AS (
+  SELECT h.doc_id,
+         LN((CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (h.tf * ({BM25_K1} + 1))
+           / (h.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * l.dl
+              * CAST(s.n AS DOUBLE) / CAST(s.sdl AS DOUBLE))) AS sc
+  FROM hits h
+  JOIN dfs d USING (tok)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, ROUND(SUM(sc), 6) AS bm25
+FROM scored GROUP BY doc_id
+HAVING COUNT(*) = {len(BM25_TERMS)}
+ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
+def q_referential_integrity_audit(spark, sf_dir):
+    """Cross-table referential-integrity audit over the star schema:
+    orphan counts for every FK edge (orders→customer,
+    lineitem→orders/part/supplier, customer/supplier→nation) plus the
+    parent row counts — the data-quality gate run before any join-heavy
+    workload is trusted. Each edge is a left-anti join against a
+    DISTINCT key projection; dimension key sets broadcast, the two
+    fact-side edges shuffle once on the key. Emits one row per edge."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    def edge(name, child, ckey, parent, pkey):
+        orphans = child.select(F.col(ckey).alias("k")).join(
+            parent.select(F.col(pkey).alias("k")).distinct(), "k", "left_anti"
+        )
+        return (
+            child.agg(F.count("*").cast("bigint").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").cast("bigint").alias("n_orphans")))
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+
+    edges = [
+        edge("orders.custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        edge("customer.nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        edge("supplier.nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+SQL_REFERENTIAL_INTEGRITY_AUDIT = """
+SELECT 'orders.custkey->customer' AS fk_edge,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.orderkey->orders',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem.partkey->part',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.suppkey->supplier',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'customer.nationkey->nation',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'supplier.nationkey->nation',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = s.s_nationkey))
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11436,6 +11629,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability_scores": q_readability_scores,
     "lexical_diversity": q_lexical_diversity,
     "term_burstiness": q_term_burstiness,
+    "bm25_search": q_bm25_search,
+    "referential_integrity_audit": q_referential_integrity_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -11644,6 +11839,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "readability_scores": SQL_READABILITY_SCORES,
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "term_burstiness": SQL_TERM_BURSTINESS,
+    "bm25_search": SQL_BM25_SEARCH,
+    "referential_integrity_audit": SQL_REFERENTIAL_INTEGRITY_AUDIT,
 }
 
 
@@ -11792,6 +11989,8 @@ _R6_ADDED: list[str] = [
     "readability_scores",
     "lexical_diversity",
     "term_burstiness",
+    "bm25_search",
+    "referential_integrity_audit",
 ]
 
 _R6_WINDOW: list[str] = (
