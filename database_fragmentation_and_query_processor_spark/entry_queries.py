@@ -10183,6 +10183,10 @@ def q_kmv_set_similarity(spark, sf_dir):
         .agg((F.count("*") == 2).alias("in_both"))
     )
     wu = Window.partitionBy("ta", "tb").orderBy("uh")
+    # estimator denominator is the KEPT union-sketch size min(K, |union|),
+    # not K: when both audiences fit in one sketch the union sketch IS
+    # the union and the estimate collapses to the exact Jaccard
+    # (tests/test_operators_r6b.py pins this small-set exactness)
     est = (
         merged.withColumn("rk", F.row_number().over(wu))
         .where(F.col("rk") <= KMV_K)
@@ -10190,7 +10194,7 @@ def q_kmv_set_similarity(spark, sf_dir):
         .agg(
             (
                 F.sum(F.when(F.col("in_both"), 1).otherwise(0)).cast("double")
-                / KMV_K
+                / F.count("*")
             ).alias("j_kmv_raw")
         )
     )
@@ -10260,7 +10264,7 @@ uni AS (
 ),
 est AS (
   SELECT ta, tb,
-         SUM(CASE WHEN in_both THEN 1 ELSE 0 END) / CAST({KMV_K} AS DOUBLE)
+         SUM(CASE WHEN in_both THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
            AS j_kmv_raw
   FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY uh) AS rk
