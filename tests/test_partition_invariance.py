@@ -27,6 +27,17 @@ def _canon(df):
         "embedding_centroids",      # fixed-point quantized float sums
         "equi_depth_histogram",     # histogram-bisection order stats (r5)
         "multimodal_audio_windows", # position-weighted integer checksums (r5)
+        # mid-round-6 additions — every one claims exact-integer or
+        # deterministically-ordered arithmetic:
+        "kmv_set_similarity",       # md5 bottom-k sketch + integer counts
+        "cusum_changepoint",        # ordered-window cumulative sums
+        "bitwise_battery",          # pure integer bit ops
+        "embedding_covariance_topk",# DECIMAL(38,0) quantized numerators
+        "map_functions_battery",    # integer-cent map round-trip
+        "struct_order_battery",     # quantized struct comparisons
+        "rfm_segments",             # bucketed deterministic numbering
+        "hierarchy_rollup",         # bit-arithmetic closure, integer sums
+        "term_burstiness",          # exact-integer burstiness/VMR
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
