@@ -220,6 +220,8 @@ HEADLINE = [
     "term_burstiness",
     "bm25_search",
     "referential_integrity_audit",
+    "item_cooccurrence_topk",
+    "woe_binning",
 ]
 
 

@@ -11398,6 +11398,145 @@ SELECT 'supplier.nationkey->nation',
 """
 
 
+COOC_TOPK = 20
+
+
+def q_item_cooccurrence_topk(spark, sf_dir):
+    """Item-item collaborative-filtering similarity from co-purchase
+    counts: cosine(i,j) = c_ij / sqrt(c_i * c_j) over per-order item
+    sets — the classic item-based recommender precompute. Scale shape:
+    the pair generation is a self-join ON THE ORDER KEY (per-order
+    quadratic, bounded by basket size — never an item-item cross), the
+    per-item order counts broadcast onto the pair aggregate, and the
+    output is a TakeOrdered top-k. All counts are exact integers; the
+    cosine is the only float, rounded, with (i, j) tie-breaks."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    pairs = (
+        items.alias("a")
+        .join(items.alias("b"), "ok")
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("i"), F.col("b.item").alias("j")
+        )
+        .agg(F.count("*").cast("bigint").alias("c_ij"))
+    )
+    totals = items.groupBy("item").agg(F.count("*").cast("bigint").alias("c"))
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("item").alias("i"), F.col("c").alias("c_i"))),
+            "i",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("item").alias("j"), F.col("c").alias("c_j"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "c_ij",
+            "c_i",
+            "c_j",
+            F.round(
+                F.col("c_ij")
+                / F.sqrt(F.col("c_i").cast("double") * F.col("c_j").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("c_ij"), F.desc("cosine"), "i", "j")
+        .limit(COOC_TOPK)
+    )
+
+
+SQL_ITEM_COOCCURRENCE_TOPK = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+pairs AS (
+  SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS c_ij
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item
+),
+totals AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item
+)
+SELECT p.i, p.j, p.c_ij, ti.c AS c_i, tj.c AS c_j,
+       ROUND(p.c_ij / SQRT(CAST(ti.c AS DOUBLE) * CAST(tj.c AS DOUBLE)), 6)
+         AS cosine
+FROM pairs p
+JOIN totals ti ON ti.item = p.i
+JOIN totals tj ON tj.item = p.j
+ORDER BY p.c_ij DESC, cosine DESC, p.i, p.j LIMIT {COOC_TOPK}
+"""
+
+
+WOE_BAND = 25_000
+WOE_BAD_STATUS = "F"
+
+
+def q_woe_binning(spark, sf_dir):
+    """Weight-of-evidence binning (the credit-scoring feature screen):
+    per price band, WOE = ln((good_share)/(bad_share)) for the binary
+    label o_orderstatus = 'F', plus each band's information-value
+    contribution (good_share - bad_share) * WOE. All shares derive
+    from exact integer counts (the two totals broadcast as scalars);
+    ln is the only float, rounded — the ab_test_zscore precedent. One
+    partial-aggregated shuffle on the small band key."""
+    orders = _t(spark, sf_dir, "orders")
+    banded = orders.select(
+        F.floor(F.col("o_totalprice") / WOE_BAND).cast("bigint").alias("band"),
+        F.when(F.col("o_orderstatus") == WOE_BAD_STATUS, 1)
+        .otherwise(0)
+        .alias("bad"),
+    )
+    per_band = banded.groupBy("band").agg(
+        F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+    )
+    tot = per_band.agg(
+        F.sum("n_good").alias("g"), F.sum("n_bad").alias("b")
+    ).head()
+    g_tot, b_tot = int(tot["g"]), int(tot["b"])
+    gs = F.col("n_good").cast("double") / float(g_tot)
+    bs = F.col("n_bad").cast("double") / float(b_tot)
+    woe = F.log(gs / bs)
+    return per_band.where(
+        (F.col("n_good") > 0) & (F.col("n_bad") > 0)
+    ).select(
+        "band",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round((gs - bs) * woe, 6).alias("iv_contrib"),
+    )
+
+
+SQL_WOE_BINNING = f"""
+WITH banded AS (
+  SELECT CAST(FLOOR(o_totalprice / {WOE_BAND}) AS BIGINT) AS band,
+         CASE WHEN o_orderstatus = '{WOE_BAD_STATUS}' THEN 1 ELSE 0 END AS bad
+  FROM orders
+),
+per_band AS (
+  SELECT band,
+         CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+         CAST(SUM(bad) AS BIGINT) AS n_bad
+  FROM banded GROUP BY band
+),
+tot AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS b FROM per_band)
+SELECT band, n_good, n_bad,
+       ROUND(LN((CAST(n_good AS DOUBLE) / t.g)
+                / (CAST(n_bad AS DOUBLE) / t.b)), 6) AS woe,
+       ROUND((CAST(n_good AS DOUBLE) / t.g - CAST(n_bad AS DOUBLE) / t.b)
+             * LN((CAST(n_good AS DOUBLE) / t.g)
+                  / (CAST(n_bad AS DOUBLE) / t.b)), 6) AS iv_contrib
+FROM per_band CROSS JOIN tot t
+WHERE n_good > 0 AND n_bad > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11635,6 +11774,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_burstiness": q_term_burstiness,
     "bm25_search": q_bm25_search,
     "referential_integrity_audit": q_referential_integrity_audit,
+    "item_cooccurrence_topk": q_item_cooccurrence_topk,
+    "woe_binning": q_woe_binning,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -11845,6 +11986,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "term_burstiness": SQL_TERM_BURSTINESS,
     "bm25_search": SQL_BM25_SEARCH,
     "referential_integrity_audit": SQL_REFERENTIAL_INTEGRITY_AUDIT,
+    "item_cooccurrence_topk": SQL_ITEM_COOCCURRENCE_TOPK,
+    "woe_binning": SQL_WOE_BINNING,
 }
 
 
@@ -11995,6 +12138,8 @@ _R6_ADDED: list[str] = [
     "term_burstiness",
     "bm25_search",
     "referential_integrity_audit",
+    "item_cooccurrence_topk",
+    "woe_binning",
 ]
 
 _R6_WINDOW: list[str] = (
