@@ -8312,15 +8312,27 @@ def q_mad_outliers(spark, sf_dir):
     aggregation state is ≤segments·bins cells instead of buffering
     every group member in one task — the shape that survives a
     billion-row event type."""
+    from .cache import track
     from .operators.stats import grouped_percentiles_df
 
-    ev = _events(spark, sf_dir)
+    # One parquet scan feeds everything downstream: the median
+    # selector, the deviation stream, and the final conditional agg
+    # all read this persisted 2-column projection.
+    ev = track(
+        _events(spark, sf_dir).select("event_type", "value").persist()
+    )
     med = grouped_percentiles_df(ev, ["event_type"], "value", [0.5]).select(
         "event_type", F.col("percentiles")[0].alias("med")
     )
-    dev = (
+    # dev feeds BOTH the MAD selector (which scans it eagerly, 2–4
+    # passes, inside grouped_percentiles_df) and the returned
+    # conditional aggregate — persist it so the events-scan + median
+    # join runs once (tracked: bench/session release it after the
+    # consuming action).
+    dev = track(
         ev.join(F.broadcast(med), "event_type")
         .select("event_type", "value", F.abs(F.col("value") - F.col("med")).alias("ad"))
+        .persist()
     )
     mad = grouped_percentiles_df(dev, ["event_type"], "ad", [0.5]).select(
         "event_type", F.round(F.col("percentiles")[0], 6).alias("mad")
