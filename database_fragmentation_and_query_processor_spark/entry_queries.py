@@ -9504,11 +9504,13 @@ def q_event_transition_matrix(spark, sf_dir):
     user_id once with bounded per-user state (lead carries one row);
     the (src, dst) aggregation domain is |event_type|^2 — tiny at any
     scale. The row-normalizing window runs over that tiny domain, never
-    the raw events."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    the raw events. Reads through the schema-adaptive _events loader
+    (canonical tsn micros) so a re-drifted physical ts encoding can't
+    silently reorder sequences."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
     pairs = (
-        ev.select("user_id", "ts", "event_id", "event_type")
+        ev.select("user_id", "tsn", "event_id", "event_type")
         .withColumn("dst", F.lead("event_type").over(w))
         .where(F.col("dst").isNotNull())
     )
@@ -9529,7 +9531,8 @@ def q_event_transition_matrix(spark, sf_dir):
 SQL_EVENT_TRANSITION_MATRIX = """
 WITH seq AS (
   SELECT event_type AS src,
-         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS dst
   FROM events
 ),
 c AS (
@@ -9553,11 +9556,13 @@ def q_user_path_topk(spark, sf_dir):
     aggregation state and the path-string key width, so the final
     groupBy key stays O(8 · |event_type| chars) no matter how long the
     raw streams get. Deterministic: collect_list order is laundered
-    through array_sort on the (rn, event_type) struct."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    through array_sort on the (rn, event_type) struct. Reads through
+    the schema-adaptive _events loader (canonical tsn micros) so a
+    re-drifted physical ts encoding can't silently reorder heads."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
     head = (
-        ev.select("user_id", "ts", "event_id", "event_type")
+        ev.select("user_id", "tsn", "event_id", "event_type")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= PATH_MAX_EVENTS)
     )
@@ -9579,7 +9584,8 @@ def q_user_path_topk(spark, sf_dir):
 SQL_USER_PATH_TOPK = f"""
 WITH ranked AS (
   SELECT user_id, event_type,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
   FROM events
 ),
 paths AS (
@@ -10370,6 +10376,31 @@ SNM_WINDOW = 5
 SNM_KEY_LEN = 32
 
 
+def snm_lead_expr(col_name: str):
+    """Numeric order-preserving coarsening of a string sort key: the
+    big-endian integer value of the key's first 7 UTF-8 BYTES, zero-
+    padded to a fixed 14 hex digits. Fixed-width padding keeps short
+    keys ordered against longer ones ('b' = 0x62000000000000 sorts
+    after 'aaaaaaa' = 0x61616161616161 exactly as the strings do),
+    byte slicing keeps multi-byte chars inside the 56-bit budget
+    (14 hex digits < 2^63, no conv overflow), and \\x00 padding sorts
+    before every real byte. Keys sharing a 7-byte prefix coarsen to
+    the same value — callers MUST keep the full key as a tie-break in
+    their order columns."""
+    return F.coalesce(
+        F.conv(
+            F.rpad(
+                F.hex(F.substring(F.encode(col_name, "UTF-8"), 1, 7)),
+                14,
+                "0",
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(-1),
+    )
+
+
 def q_sorted_neighborhood_pairs(spark, sf_dir):
     """Sorted-neighborhood near-dup mining — the classic alternative to
     LSH blocking (Hernandez & Stolfo 1995): sort the corpus by a
@@ -10393,17 +10424,17 @@ def q_sorted_neighborhood_pairs(spark, sf_dir):
         ).alias("ss"),
     )
     # stable_row_number buckets on a numeric leading key; the big-endian
-    # integer value of the key's 7-byte UTF-8 prefix is an order-
-    # preserving coarsening of the lexicographic sort (empty key -> -1,
-    # before every non-empty prefix), so bucket order == key order and
-    # the parallel numbering reproduces ROW_NUMBER() OVER (snm_key, id)
-    keyed = keyed.withColumn(
-        "lead",
-        F.coalesce(
-            F.conv(F.hex(F.substring("snm_key", 1, 7)), 16, 10).cast("bigint"),
-            F.lit(-1),
-        ),
-    )
+    # integer value of the key's first 7 UTF-8 BYTES, zero-padded to a
+    # fixed 14 hex digits, is an order-preserving coarsening of the
+    # lexicographic (byte-wise — Spark's string comparison) sort:
+    # fixed-width padding makes 'b' (0x62000000000000) sort after
+    # 'aaaaaaa' (0x61616161616161) exactly as the strings do, byte
+    # slicing keeps multi-byte chars inside the 56-bit budget (7 bytes
+    # = 14 hex digits < 2^63, no conv overflow), and \x00-padding sorts
+    # before every real byte. Ties (shared 7-byte prefix) are broken by
+    # the full snm_key in order_cols, so the parallel numbering
+    # reproduces ROW_NUMBER() OVER (ORDER BY snm_key, doc_id).
+    keyed = keyed.withColumn("lead", snm_lead_expr("snm_key"))
     pos = stable_row_number(
         keyed, order_cols=["lead", "snm_key", "doc_id"], out_col="rn"
     )
@@ -11411,6 +11442,11 @@ SELECT 'supplier.nationkey->nation',
 
 
 COOC_TOPK = 20
+#: Fail-fast ceiling on distinct items per order: the co-occurrence
+#: pair join is quadratic per basket (TPC-H baskets hold ≤7 lines; the
+#: margin covers real-world carts while still catching a degenerate
+#: "one order holds the catalog" feed before it becomes a cross join).
+COOC_MAX_BASKET = 1000
 
 
 def q_item_cooccurrence_topk(spark, sf_dir):
@@ -11418,14 +11454,36 @@ def q_item_cooccurrence_topk(spark, sf_dir):
     counts: cosine(i,j) = c_ij / sqrt(c_i * c_j) over per-order item
     sets — the classic item-based recommender precompute. Scale shape:
     the pair generation is a self-join ON THE ORDER KEY (per-order
-    quadratic, bounded by basket size — never an item-item cross), the
-    per-item order counts broadcast onto the pair aggregate, and the
-    output is a TakeOrdered top-k. All counts are exact integers; the
-    cosine is the only float, rounded, with (i, j) tie-breaks."""
+    quadratic, bounded by basket size — never an item-item cross; the
+    ``COOC_MAX_BASKET`` contract fails fast on a pathological
+    mega-basket before launching the quadratic join, mirroring
+    blocked_jaccard_pairs' ``max_block_docs``), the per-item order
+    counts join back as PLAIN shuffle joins — item cardinality is
+    corpus-sized (a 100M-item catalog does not broadcast), so a hard
+    broadcast hint here is a driver-OOM ceiling; AQE may still pick a
+    broadcast at runtime when the measured side is small, which is the
+    right split of responsibility — and the output is a TakeOrdered
+    top-k. All counts are exact integers; the cosine is the only
+    float, rounded, with (i, j) tie-breaks."""
     li = _t(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
     ).distinct()
+    oversized = (
+        items.groupBy("ok")
+        .agg(F.count("*").alias("n_items"))
+        .where(F.col("n_items") > COOC_MAX_BASKET)
+        .limit(5)
+        .collect()
+    )
+    if oversized:
+        worst = ", ".join(f"{r['ok']}={r['n_items']}" for r in oversized)
+        raise ValueError(
+            f"item_cooccurrence_topk: basket(s) exceed COOC_MAX_BASKET="
+            f"{COOC_MAX_BASKET} distinct items ({worst}); the per-order "
+            f"self-join is quadratic in basket size — cap or split the "
+            f"offending baskets first"
+        )
     pairs = (
         items.alias("a")
         .join(items.alias("b"), "ok")
@@ -11438,11 +11496,11 @@ def q_item_cooccurrence_topk(spark, sf_dir):
     totals = items.groupBy("item").agg(F.count("*").cast("bigint").alias("c"))
     return (
         pairs.join(
-            F.broadcast(totals.select(F.col("item").alias("i"), F.col("c").alias("c_i"))),
+            totals.select(F.col("item").alias("i"), F.col("c").alias("c_i")),
             "i",
         )
         .join(
-            F.broadcast(totals.select(F.col("item").alias("j"), F.col("c").alias("c_j"))),
+            totals.select(F.col("item").alias("j"), F.col("c").alias("c_j")),
             "j",
         )
         .select(

@@ -432,6 +432,12 @@ def wav_frame_rms(
                     (np.zeros(1), np.cumsum(mono * mono))
                 )
                 s = np.arange(n_f, dtype=np.int64) * hop
+                # when hop > frame the ceil-div count can place the last
+                # start at/past n — a zero-length frame reported as
+                # rms 0.0; keep only starts with at least one sample
+                if s[-1] >= n:
+                    s = s[s < n]
+                    n_f = int(s.size)
                 e = np.minimum(s + frame, n)
                 counts = np.maximum(e - s, 1)
                 vals = np.sqrt((sq[e] - sq[np.minimum(s, n)]) / counts)
