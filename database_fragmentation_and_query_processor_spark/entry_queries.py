@@ -12232,7 +12232,56 @@ _missing = [n for n in _R6_WINDOW if n not in _QUERIES_ALL]
 if _missing:
     raise RuntimeError(f"r6 stamp window names unknown queries: {_missing}")
 
-_HEAD = _R6_WINDOW
+#: Queries whose IMPLEMENTATION changed in round 7 and therefore need a
+#: fresh driver stamp on the new code path: the six consumers of the
+#: bounded-state percentile selectors (operators/stats.py gained
+#: persisted-input bisection + Arrow gathers + the all-gatherable fast
+#: path; mad_outliers additionally persists its shared projections).
+#: The four other r7-modified queries (item_cooccurrence_topk,
+#: sorted_neighborhood_pairs, event_transition_matrix, user_path_topk)
+#: are in _R6_ADDED and enter the window through the rotation anyway.
+_R7_RESTAMP: list[str] = [
+    "events_value_quantiles",
+    "approx_quantile_audit",
+    "mad_outliers",
+    "equi_depth_histogram",
+    "quantile_disc_battery",
+    "funnel_time_to_convert",
+]
+
+#: Queries ADDED in round 7 (registered below the stamp window; they
+#: are oracle-checked locally and rotate into the r8 stamp prefix —
+#: the same add-then-rotate lifecycle every post-r1 query followed).
+#: ROUND-8 ROTATION PLAN (apply at the START of round 8, never
+#: mid-round): keep the 5 frag rows pinned at positions 1-5, place all
+#: entries of this list next, add any r8-modified queries for restamps,
+#: and refill the remainder of the 50-slot window from the r7 window
+#: in its original order.
+_R7_ADDED: list[str] = []
+
+#: Round-7 driver stamp window: the 5 pinned reference fragmentation
+#: rows, the 25 round-6 additions (the only registry entries without a
+#: driver stamp through r6 — stamping them makes driver coverage
+#: 209/209), the 6 round-7-modified queries above, and a refill of 14
+#: unchanged queries from the round-6 window in its original order.
+_R7_WINDOW: list[str] = (
+    _R6_WINDOW[:5]
+    + _R6_ADDED
+    + _R7_RESTAMP
+    + [
+        n
+        for n in _R6_WINDOW[5:]
+        if n not in set(_R7_RESTAMP)
+    ][: 50 - 5 - len(_R6_ADDED) - len(_R7_RESTAMP)]
+)
+
+if len(_R7_WINDOW) != 50 or len(set(_R7_WINDOW)) != 50:
+    raise RuntimeError("r7 stamp window must be exactly 50 unique queries")
+_missing = [n for n in _R7_WINDOW if n not in _QUERIES_ALL]
+if _missing:
+    raise RuntimeError(f"r7 stamp window names unknown queries: {_missing}")
+
+_HEAD = _R7_WINDOW
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{n: _QUERIES_ALL[n] for n in _HEAD},
