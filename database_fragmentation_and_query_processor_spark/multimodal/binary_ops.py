@@ -135,26 +135,34 @@ def resize_images(
     ``codec="stub"`` (default, and the only oracle-mirrored path): the
     fake "resize" strides the payload down to width×height bytes,
     deterministically — no codec libs needed, DuckDB replays the byte
-    arithmetic exactly. ``codec="pil"`` is the REAL decode path behind
-    the soft PIL dependency: each payload is decoded as an actual
-    image, resized bilinearly, and emitted as raw RGB bytes
-    (width·height·3). Availability is checked at PLAN BUILD time on
-    the driver (fail fast, not per-task), and workers re-import PIL
-    through the module-level soft import. The distributed shape —
-    binary in/out schema, batch iteration, decoder init per task — is
-    identical for both codecs.
+    arithmetic exactly. ``codec="builtin"`` is a REAL-pixels path with
+    zero external deps: the vendored numpy codec (multimodal/codecs.py)
+    decodes P6 PPM / uncompressed 24-bit BMP payloads and resizes
+    bilinearly to raw RGB bytes (width·height·3). ``codec="pil"`` is
+    the full-format real decode behind the soft PIL dependency: each
+    payload is decoded as an actual image, resized, and emitted as raw
+    RGB. PIL availability is checked at PLAN BUILD time on the driver
+    (fail fast, not per-task), and workers re-import PIL through the
+    module-level soft import. The distributed shape — binary in/out
+    schema, batch iteration, decoder init per task — is identical for
+    all codecs.
     """
-    if codec not in ("stub", "pil"):
-        raise ValueError(f"codec must be 'stub' or 'pil', got {codec!r}")
+    if codec not in ("stub", "builtin", "pil"):
+        raise ValueError(
+            f"codec must be 'stub', 'builtin' or 'pil', got {codec!r}"
+        )
     if codec == "pil" and not HAS_PIL:
         raise NotImplementedError(
             "resize_images(codec='pil') requires Pillow, which is not "
-            "installed; use the deterministic codec='stub' path"
+            "installed; use codec='builtin' (vendored PPM/BMP decode) "
+            "or the deterministic codec='stub' path"
         )
     target = width * height
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
+
+        from .codecs import decode_image_rgb, resize_rgb
 
         for pdf in batches:
             out = []
@@ -163,6 +171,10 @@ def resize_images(
                 if codec == "pil":
                     img = _PILImage.open(io.BytesIO(raw)).convert("RGB")
                     out.append(img.resize((width, height)).tobytes())
+                    continue
+                if codec == "builtin":
+                    arr = decode_image_rgb(raw)
+                    out.append(resize_rgb(arr, width, height).tobytes())
                     continue
                 d = decode_stub(raw)  # stub decode; raises if impossible
                 if d["n_bytes"] == 0:
