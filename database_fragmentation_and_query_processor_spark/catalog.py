@@ -21,6 +21,7 @@ file layout, both handled by Spark's partitioned-dataset machinery.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass
 
 from . import fs as fslib
@@ -75,6 +76,19 @@ class FragmentCatalog:
         self._fs.makedirs(self.warehouse)
         fslib.write_json_atomic(self._fs, self.path, doc)
 
+    @contextmanager
+    def _locked(self):
+        """Advisory writer lock around every read-modify-write: the
+        single-writer assumption (module docstring) enforced rather
+        than hoped — a concurrent mutator fails fast with the holder's
+        identity instead of silently losing an update."""
+        self._fs.makedirs(self.warehouse)
+        lock = fslib.acquire_writer_lock(self._fs, self.warehouse)
+        try:
+            yield
+        finally:
+            fslib.release_writer_lock(self._fs, lock)
+
     # -- range ----------------------------------------------------------
     def range_meta(self) -> RangeMetadata:
         doc = self._read().get("range")
@@ -89,18 +103,19 @@ class FragmentCatalog:
     ) -> RangeMetadata:
         """Partial update with the reference's ``>= 0`` sentinel semantics
         (Interface1.py:84-95): a negative argument means "don't touch"."""
-        meta = self.range_meta()
-        if n >= 0:
-            meta.n = int(n)
-        if min_value >= 0:
-            meta.min_value = float(min_value)
-        if max_value >= 0:
-            meta.max_value = float(max_value)
-        if interval >= 0:
-            meta.interval = float(interval)
-        doc = self._read()
-        doc["range"] = asdict(meta)
-        self._write(doc)
+        with self._locked():
+            meta = self.range_meta()
+            if n >= 0:
+                meta.n = int(n)
+            if min_value >= 0:
+                meta.min_value = float(min_value)
+            if max_value >= 0:
+                meta.max_value = float(max_value)
+            if interval >= 0:
+                meta.interval = float(interval)
+            doc = self._read()
+            doc["range"] = asdict(meta)
+            self._write(doc)
         return meta
 
     # -- round robin ----------------------------------------------------
@@ -112,14 +127,15 @@ class FragmentCatalog:
         """Partial update; ``last_inserted`` uses ``>= -1`` because -1 is a
         legal cursor value (reference guard at Interface1.py:66 is ``>= 0``
         but its init path writes -1 directly, Interface1.py:58)."""
-        meta = self.round_robin_meta()
-        if n >= 0:
-            meta.n = int(n)
-        if last_inserted >= -1:
-            meta.last_inserted = int(last_inserted)
-        doc = self._read()
-        doc["round_robin"] = asdict(meta)
-        self._write(doc)
+        with self._locked():
+            meta = self.round_robin_meta()
+            if n >= 0:
+                meta.n = int(n)
+            if last_inserted >= -1:
+                meta.last_inserted = int(last_inserted)
+            doc = self._read()
+            doc["round_robin"] = asdict(meta)
+            self._write(doc)
         return meta
 
     # -- hash [EXT] -----------------------------------------------------
@@ -128,20 +144,22 @@ class FragmentCatalog:
         return HashMetadata(**doc) if doc else HashMetadata()
 
     def update_hash(self, n: int = -1, key: str | None = None) -> HashMetadata:
-        meta = self.hash_meta()
-        if n >= 0:
-            meta.n = int(n)
-        if key is not None:
-            meta.key = key
-        doc = self._read()
-        doc["hash"] = asdict(meta)
-        self._write(doc)
+        with self._locked():
+            meta = self.hash_meta()
+            if n >= 0:
+                meta.n = int(n)
+            if key is not None:
+                meta.key = key
+            doc = self._read()
+            doc["hash"] = asdict(meta)
+            self._write(doc)
         return meta
 
     def clear(self, scheme: str | None = None) -> None:
-        if scheme is None:
-            self._fs.delete(self.path)
-            return
-        doc = self._read()
-        doc.pop(scheme, None)
-        self._write(doc)
+        with self._locked():
+            if scheme is None:
+                self._fs.delete(self.path)
+                return
+            doc = self._read()
+            doc.pop(scheme, None)
+            self._write(doc)

@@ -130,6 +130,28 @@ class LocalFS:
             )
         return out
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._local(path))
+
+    def read_bytes(self, path: str, offset: int, length: int) -> bytes:
+        """One bounded range read — the splittable-source data primitive."""
+        with open(self._local(path), "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create-if-absent (O_CREAT|O_EXCL — atomic on POSIX); False
+        when the file already exists. The writer-lock primitive."""
+        p = self._local(path)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        return True
+
 
 class HadoopFS:
     """Hadoop ``FileSystem`` implementation via the session JVM.
@@ -143,6 +165,7 @@ class HadoopFS:
         jvm = spark._jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._jvm = jvm
+        self._gateway = spark.sparkContext._gateway
         conf = spark._jsc.hadoopConfiguration()
         self._fs = self._Path(base).getFileSystem(conf)
         scheme = self._fs.getUri().getScheme()
@@ -206,6 +229,43 @@ class HadoopFS:
             )
         out.sort(key=lambda t: t[0])
         return out
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._Path(path)).getLen())
+
+    def read_bytes(self, path: str, offset: int, length: int) -> bytes:
+        """One bounded range read through FSDataInputStream. Driver-side
+        only (needs the py4j gateway); the splittable ratings source
+        uses this for PLANNING-adjacent reads — Python workers have no
+        JVM gateway, so their data path is LocalFS (file://) or Spark's
+        native scan."""
+        stream = self._fs.open(self._Path(path))
+        try:
+            stream.seek(int(offset))
+            arr = self._gateway.new_array(self._jvm.byte, int(length))
+            total = 0
+            while total < length:
+                n = stream.read(arr, total, int(length) - total)
+                if n < 0:
+                    break
+                total += n
+            # py4j byte[] -> Python bytes (signed -> unsigned)
+            return bytes(b & 0xFF for b in arr[:total])
+        finally:
+            stream.close()
+
+    def create_exclusive(self, path: str, text: str) -> bool:
+        """Create-if-absent via Hadoop ``create(path, overwrite=False)``
+        — atomic on HDFS (namenode-arbitrated); best-effort on object
+        stores without conditional PUT, which is why the lock built on
+        it is ADVISORY (see :func:`acquire_writer_lock`)."""
+        try:
+            out = self._fs.create(self._Path(path), False)
+        except Exception:
+            return False
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+        return True
 
 
 def fs_for(path: str, spark=None):
@@ -313,6 +373,64 @@ def dataset_exists(fs, target: str) -> bool:
     if fs.atomic_rename:
         return fs.is_dir(target)
     return False
+
+
+# ---------------------------------------------------------------------------
+# Advisory single-writer lock
+# ---------------------------------------------------------------------------
+#
+# The engine's documented concurrency model is single-writer (the
+# reference's one psycopg2 session). This lock turns that assumption
+# from hoped-for into enforced: catalog mutations acquire it, a second
+# concurrent writer fails fast with a clear owner message instead of
+# silently interleaving read-modify-writes. It is ADVISORY — atomic
+# where create-if-absent is (POSIX O_EXCL, HDFS create) and best-effort
+# on object stores without conditional PUT; true multi-writer needs a
+# table format (Delta/Iceberg), which stays out of scope.
+
+LOCK_FILENAME = "_WRITER_LOCK"
+#: A holder that has not renewed within this window is presumed dead
+#: (crashed client) and its lock is broken by the next acquirer.
+LOCK_TTL_SEC = 300
+
+
+class LockHeldError(RuntimeError):
+    """Another writer currently holds the warehouse lock."""
+
+
+def acquire_writer_lock(
+    fs, dir_path: str, owner: str | None = None, ttl_sec: int = LOCK_TTL_SEC
+) -> str:
+    """Acquire the advisory writer lock for ``dir_path``; returns the
+    lock path (pass to :func:`release_writer_lock`). A live lock by
+    another owner raises :class:`LockHeldError`; a stale one (older
+    than its TTL) is broken and re-acquired."""
+    lock = join(dir_path, LOCK_FILENAME)
+    owner = owner or f"pid-{os.getpid()}"
+    for _attempt in range(2):
+        payload = json.dumps(
+            {"owner": owner, "acquired_ns": time.time_ns(), "ttl_sec": ttl_sec}
+        )
+        if fs.create_exclusive(lock, payload):
+            return lock
+        try:
+            doc = json.loads(fs.read_text(lock))
+        except Exception:
+            doc = {}
+        age_sec = (time.time_ns() - int(doc.get("acquired_ns", 0))) / 1e9
+        if age_sec > float(doc.get("ttl_sec", ttl_sec)):
+            fs.delete(lock)  # stale holder: break and retry once
+            continue
+        raise LockHeldError(
+            f"writer lock on {dir_path} held by "
+            f"{doc.get('owner', '<unknown>')} "
+            f"({age_sec:.0f}s old, ttl {doc.get('ttl_sec', ttl_sec)}s)"
+        )
+    raise LockHeldError(f"could not acquire writer lock on {dir_path}")
+
+
+def release_writer_lock(fs, lock_path: str) -> None:
+    fs.delete(lock_path)
 
 
 # ---------------------------------------------------------------------------

@@ -24,9 +24,14 @@ Scale design — the part worth having beyond ``spark.read.csv``:
   schema order; the timestamp field is dropped at parse time exactly
   like the reference (Interface1.py:29-30).
 
-Local-filesystem paths only (the Python worker opens the file with
-``open``); on an HDFS/S3 warehouse this source would resolve ranges
-through the Hadoop FileSystem shim (``fs.py``) instead.
+All IO is routed through the warehouse filesystem shim (``fs.py``):
+planning resolves listings/sizes with ``fs_for(path, spark)`` (so a
+driver with a session can plan over any Hadoop-reachable URI), and the
+per-partition data path reads bounded byte ranges through
+``fs.read_bytes``. Python workers have no JVM gateway, so the worker
+data path supports bare paths and ``file://`` URIs (LocalFS); truly
+remote schemes (hdfs/s3a) should use the native splittable scan in
+``sources/ratings.py`` — the two readers share the format semantics.
 Malformed lines raise — the reference assumes well-formed input; the
 quarantining loader family (csv_src/jsonl) is the lenient path.
 """
@@ -35,7 +40,10 @@ from __future__ import annotations
 
 import glob as _glob
 import os
+import posixpath
 from collections.abc import Iterator
+
+from ..fs import fs_for
 
 try:  # PySpark >= 4
     from pyspark.sql.datasource import (
@@ -62,6 +70,10 @@ except ImportError:  # pragma: no cover - PySpark 3 fallback
 
 DEFAULT_SPLIT_BYTES = 32 * 1024 * 1024
 
+#: Block size for the buffered range reader (one fs.read_bytes per
+#: block, not per line).
+READ_BLOCK_BYTES = 4 * 1024 * 1024
+
 RATINGS_DDL = "userid int, movieid int, rating double"
 
 
@@ -74,26 +86,36 @@ class RatingsRange(InputPartition):
         self.end = end
 
 
-def _resolve_files(path: str) -> list[str]:
-    """Expand a path/glob/directory into a sorted list of data files."""
-    if os.path.isdir(path):
+def _resolve_files(path: str, fs) -> list[str]:
+    """Expand a path / directory / local glob into a sorted file list,
+    using only shim calls for path types the shim can answer."""
+    if fs.is_dir(path):
         out = sorted(
-            p
-            for p in _glob.glob(os.path.join(path, "*"))
-            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+            child
+            for child, is_dir, _sz, _mt in fs.list_status(path)
+            if not is_dir
+            and not posixpath.basename(child).startswith(("_", "."))
         )
-    else:
+    elif fs.exists(path):
+        out = [path]
+    elif "://" not in path:
+        # glob patterns only make sense for bare local paths
         out = sorted(p for p in _glob.glob(path) if os.path.isfile(p))
+    else:
+        out = []
     if not out:
         raise FileNotFoundError(f"movielens_ratings: no input files at {path!r}")
     return out
 
 
-def plan_ranges(path: str, split_bytes: int) -> list[RatingsRange]:
-    """Driver-side planning: file sizes only, no data bytes touched."""
+def plan_ranges(path: str, split_bytes: int, spark=None) -> list[RatingsRange]:
+    """Driver-side planning: file sizes only, no data bytes touched.
+    With a session, any Hadoop-reachable URI plans correctly; without
+    one, bare paths and ``file://`` URIs resolve via LocalFS."""
+    fs = fs_for(path, spark)
     ranges: list[RatingsRange] = []
-    for f in _resolve_files(path):
-        size = os.path.getsize(f)
+    for f in _resolve_files(path, fs):
+        size = fs.size(f)
         if size == 0:
             continue
         start = 0
@@ -104,29 +126,63 @@ def plan_ranges(path: str, split_bytes: int) -> list[RatingsRange]:
     return ranges
 
 
-def read_range(part: RatingsRange) -> Iterator[tuple[int, int, float]]:
-    """Parse one byte range. Boundary rule (TextInputFormat semantics):
-    skip the partial line at a non-zero start; finish the line that
-    crosses ``end``."""
-    with open(part.path, "rb") as fh:
-        fh.seek(part.start)
-        if part.start > 0:
-            fh.readline()  # first (possibly complete) line -> previous range
-        while True:
-            # inclusive boundary (Hadoop LineRecordReader rule): a line
-            # STARTING at exactly ``end`` is read by THIS range, because
-            # the next range unconditionally discards its first line
-            if fh.tell() > part.end:
-                break
-            line = fh.readline()
-            if not line:
-                break
-            s = line.decode("utf-8").strip()
-            if not s:
+def _iter_range_lines(
+    fs, path: str, start: int, end: int, block_bytes: int = READ_BLOCK_BYTES
+) -> Iterator[bytes]:
+    """Lines of ``path`` owned by range [start, end): skip the partial
+    first line at a non-zero start; emit every line STARTING at a
+    position <= end (a line starting exactly at ``end`` belongs to
+    THIS range, because the next range unconditionally discards its
+    first line — the Hadoop LineRecordReader rule). Buffered: one
+    ``fs.read_bytes`` per ``block_bytes``, never per line."""
+    size = fs.size(path)
+    pos = start  # next absolute byte to fetch
+    buf = bytearray()
+    buf_base = start  # absolute offset of buf[0]
+    skip_first = start > 0
+    scanned = 0  # index into buf where newline scanning resumes
+
+    while True:
+        nl = buf.find(b"\n", scanned)
+        if nl == -1:
+            if pos < size:
+                scanned = len(buf)
+                take = min(block_bytes, size - pos)
+                chunk = fs.read_bytes(path, pos, take)
+                if not chunk:  # defensive: truncated read
+                    break
+                pos += len(chunk)
+                buf.extend(chunk)
                 continue
-            words = s.split("::")
-            # reference keeps fields 0-2, drops the timestamp
-            yield int(words[0]), int(words[1]), float(words[2])
+            # EOF: the remainder (no trailing newline) is the last line
+            if buf and not skip_first and buf_base <= end:
+                yield bytes(buf)
+            return
+        line = bytes(buf[: nl + 1])
+        line_start = buf_base
+        del buf[: nl + 1]
+        buf_base += nl + 1
+        scanned = 0
+        if skip_first:
+            skip_first = False
+            continue
+        if line_start > end:
+            return
+        yield line
+
+
+def read_range(part: RatingsRange) -> Iterator[tuple[int, int, float]]:
+    """Parse one byte range through the filesystem shim (runs in the
+    Python worker: ``fs_for`` without a session — bare and ``file://``
+    paths resolve to LocalFS; other schemes raise with guidance)."""
+    fs = fs_for(part.path)
+    for raw in _iter_range_lines(fs, part.path, part.start, part.end):
+        s = raw.decode("utf-8").strip()
+        if not s:
+            continue
+        words = s.split("::")
+        # reference keeps fields 0-2, drops the timestamp
+        yield int(words[0]), int(words[1]), float(words[2])
 
 
 class RatingsReader(DataSourceReader):
@@ -139,7 +195,14 @@ class RatingsReader(DataSourceReader):
         )
 
     def partitions(self):
-        return plan_ranges(self.path, self.split_bytes)
+        # planning runs on the driver, where a session exists
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        except Exception:  # pragma: no cover - session-less planning
+            spark = None
+        return plan_ranges(self.path, self.split_bytes, spark)
 
     def read(self, partition: RatingsRange):
         return read_range(partition)

@@ -209,6 +209,7 @@ def test_no_bare_posix_io_in_shimmed_modules():
         "api.py",
         os.path.join("streaming", "events.py"),
         os.path.join("sources", "incremental.py"),
+        os.path.join("sources", "ratings_datasource.py"),
         os.path.join("operators", "timeseries.py"),
     ]
     banned = ("os.rename(", "os.replace(", "shutil.rmtree(", "shutil.move(")
@@ -216,3 +217,59 @@ def test_no_bare_posix_io_in_shimmed_modules():
         src = open(os.path.join(pkg, rel)).read()
         for tok in banned:
             assert tok not in src, f"{rel} still calls {tok} directly"
+    # the splittable source's DATA path must go through fs.read_bytes,
+    # never a bare builtin open (r6 verdict item: local-only datasource)
+    import re as _re
+
+    ds_src = open(
+        os.path.join(pkg, "sources", "ratings_datasource.py")
+    ).read()
+    bare_open = _re.findall(r"(?<![\w.])open\(", ds_src)
+    assert not bare_open, "ratings_datasource bypasses the fs shim"
+    assert "fs.read_bytes" in ds_src or "read_bytes(" in ds_src
+
+
+def test_writer_lock_contention(tmp_path):
+    """Catalog mutations enforce the single-writer model: a live lock
+    by another owner fails the mutation fast (with the holder named)
+    and leaves the sidecar untouched; release unblocks."""
+    import pytest
+
+    from database_fragmentation_and_query_processor_spark import fs as fslib
+    from database_fragmentation_and_query_processor_spark.catalog import (
+        FragmentCatalog,
+    )
+
+    wh = str(tmp_path / "wh")
+    cat = FragmentCatalog(wh)
+    cat.update_range(n=3)
+    shim = fslib.fs_for(wh)
+    lock = fslib.acquire_writer_lock(shim, wh, owner="other-writer")
+    with pytest.raises(fslib.LockHeldError, match="other-writer"):
+        cat.update_range(n=5)
+    assert cat.range_meta().n == 3  # losing writer changed nothing
+    fslib.release_writer_lock(shim, lock)
+    assert cat.update_range(n=5).n == 5
+
+
+def test_writer_lock_breaks_stale_holder(tmp_path):
+    """A lock whose holder exceeded its TTL (crashed client) is broken
+    by the next acquirer instead of wedging the catalog forever."""
+    import json as _json
+
+    from database_fragmentation_and_query_processor_spark import fs as fslib
+    from database_fragmentation_and_query_processor_spark.catalog import (
+        FragmentCatalog,
+    )
+
+    wh = str(tmp_path / "wh")
+    shim = fslib.fs_for(wh)
+    shim.makedirs(wh)
+    shim.write_text_atomic(
+        fslib.join(wh, fslib.LOCK_FILENAME),
+        _json.dumps({"owner": "dead", "acquired_ns": 0, "ttl_sec": 1}),
+    )
+    cat = FragmentCatalog(wh)
+    assert cat.update_range(n=7).n == 7  # broke the stale lock
+    # and the lock was released again afterwards
+    assert not shim.exists(fslib.join(wh, fslib.LOCK_FILENAME))

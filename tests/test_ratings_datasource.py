@@ -80,3 +80,41 @@ def test_directory_and_missing_paths(tmp_path, registered):
     assert df.count() == 2
     with pytest.raises(Exception):
         RDS.plan_ranges(str(tmp_path / "nope"), 8)
+
+
+def test_file_uri_partitions_and_read(spark, tmp_path, registered):
+    """The r6 gap: the source was local-path-only. All IO now routes
+    through the fs.py shim, so a ``file://`` URI plans (HadoopFS via
+    the session) and reads (LocalFS in the worker) end to end."""
+    p = tmp_path / "uri.txt"
+    lines = [f"{i}::{i * 7}::{(i % 10) / 2.0}::{1000 + i}" for i in range(40)]
+    p.write_text("\n".join(lines) + "\n")
+    uri = f"file://{p}"
+
+    # driver-side planning over the URI, through the session's HadoopFS
+    ranges = RDS.plan_ranges(uri, 64, spark)
+    assert len(ranges) > 3
+    assert all(r.path.startswith("file:") for r in ranges)
+    rows = sorted(r for rg in ranges for r in RDS.read_range(rg))
+    assert rows == sorted(
+        (i, i * 7, (i % 10) / 2.0) for i in range(40)
+    )
+
+    # and the registered reader surface over the same URI
+    df = (
+        registered.read.format("movielens_ratings")
+        .option("split_bytes", "64")
+        .load(uri)
+    )
+    assert sorted(tuple(r) for r in df.collect()) == rows
+
+
+def test_file_uri_directory_listing(spark, registered, tmp_path):
+    (tmp_path / "a.txt").write_text("1::2::3.0::1\n")
+    (tmp_path / "b.txt").write_text("3::4::5.0::2\n")
+    (tmp_path / "_SUCCESS").write_text("")
+    df = registered.read.format("movielens_ratings").load(f"file://{tmp_path}")
+    assert sorted(tuple(r) for r in df.collect()) == [
+        (1, 2, 3.0),
+        (3, 4, 5.0),
+    ]
