@@ -20,6 +20,7 @@ the driver's synthetic ``lineitem`` table, per FIXTURES.md §1.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -11608,6 +11609,435 @@ WHERE n_good > 0 AND n_bad > 0
 
 
 # ---------------------------------------------------------------------------
+# round-7 additions: statistical profiling + data-selection operators
+# ---------------------------------------------------------------------------
+
+
+def q_grouped_mode(spark, sf_dir):
+    """Statistical mode per group with a DETERMINISTIC tie-break
+    (highest count, then smallest value) — the categorical-imputation /
+    data-profiling primitive. Scale shape: one shuffle onto the
+    (group, value) domain for exact counts, then a max_by-style struct
+    max per group — no window over raw rows, no per-group value
+    buffering (the struct max is a 2-field aggregation state)."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    best = counts.groupBy("l_returnflag").agg(
+        F.max(
+            F.struct(F.col("n"), (-F.col("l_quantity")).alias("negq"))
+        ).alias("b"),
+        F.count("*").cast("bigint").alias("n_distinct_values"),
+    )
+    return best.select(
+        "l_returnflag",
+        (-F.col("b.negq")).alias("mode_quantity"),
+        F.col("b.n").alias("n_mode"),
+        "n_distinct_values",
+    )
+
+
+SQL_GROUPED_MODE = """
+WITH c AS (
+  SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+r AS (
+  SELECT l_returnflag, l_quantity, n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_quantity ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS n_distinct_values
+  FROM c
+)
+SELECT l_returnflag, l_quantity AS mode_quantity, n AS n_mode,
+       n_distinct_values
+FROM r WHERE rn = 1
+"""
+
+
+def q_benford_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of o_totalprice — the classic
+    fabricated-data / ingestion-corruption screen. The leading digit is
+    extracted via integer→string (floor to BIGINT, first char), which
+    is bit-stable across engines, unlike a float log10 at power-of-ten
+    boundaries. Emits one row per digit with the observed share, the
+    Benford expectation ln(1+1/d)/ln(10), and the chi-square
+    contribution — a 9-row aggregation domain at any corpus size."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    per = (
+        orders.where(F.col("o_totalprice") >= 1.0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("t")).head()
+    t = int(tot["t"])
+    expected = F.log(1.0 + 1.0 / F.col("digit")) / F.lit(math.log(10.0))
+    share = F.col("n").cast("double") / F.lit(float(t))
+    chi = (
+        (share - expected) * (share - expected) / expected * F.lit(float(t))
+    )
+    return per.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(chi, 6).alias("chi2_contrib"),
+    )
+
+
+SQL_BENFORD_DIGIT_AUDIT = """
+WITH per AS (
+  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice >= 1.0
+  GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS t FROM per)
+SELECT digit, n,
+       ROUND(CAST(n AS DOUBLE) / t, 6) AS share,
+       ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS benford_share,
+       ROUND((CAST(n AS DOUBLE) / t - LN(1.0 + 1.0 / digit) / LN(10.0))
+             * (CAST(n AS DOUBLE) / t - LN(1.0 + 1.0 / digit) / LN(10.0))
+             / (LN(1.0 + 1.0 / digit) / LN(10.0)) * t, 6) AS chi2_contrib
+FROM per CROSS JOIN tot
+"""
+
+
+ACF_MAX_LAG = 7
+
+
+def q_revenue_autocorr(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily-revenue series — the
+    seasonality/trend screen a forecasting pipeline runs first. The
+    raw table collapses to one row per DAY (exact decimal sums) before
+    any window touches it, so the single-partition lag window runs
+    over a calendar-bounded series (36,500 rows per century — O(1)
+    relative to corpus size), never over raw orders. Pearson corr of
+    (r_t, r_{t-k}) matches both engines' sample-corr aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("r")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "r",
+        *[
+            F.lag("r", k).over(w).alias(f"r_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    aggs = lagged.agg(
+        *[
+            F.round(F.corr("r", f"r_{k}"), 6).alias(f"acf_{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ]
+    ).head()
+    rows = [
+        (
+            k,
+            None if aggs[f"acf_{k}"] is None else float(aggs[f"acf_{k}"]),
+        )
+        for k in range(1, ACF_MAX_LAG + 1)
+    ]
+    return spark.createDataFrame(rows, "lag int, acf double")
+
+
+SQL_REVENUE_AUTOCORR = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT r,
+         {", ".join(f"LAG(r, {k}) OVER (ORDER BY d) AS r_{k}" for k in range(1, ACF_MAX_LAG + 1))}
+  FROM daily
+)
+{" UNION ALL ".join(f"SELECT {k} AS lag, ROUND(CORR(r, r_{k}), 6) AS acf FROM lagged" for k in range(1, ACF_MAX_LAG + 1))}
+"""
+
+
+def q_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality index of order value (ISO weekday,
+    Mon=1): per-dow exact order counts and decimal-exact revenue, and
+    the index avg-order-value(dow) / avg-order-value(global) — the
+    pre-forecast profile. 7-row aggregation domain; the global scalar
+    comes from re-aggregating the 7 partials, not a second scan."""
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        orders.select(
+            (F.weekday("o_orderdate") + 1).alias("dow"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("p").alias("rev"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_orders").alias("n"), F.sum("rev").alias("r")
+    ).head()
+    g_avg = float(tot["r"]) / float(tot["n"])
+    return per.select(
+        "dow",
+        "n_orders",
+        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        F.round(
+            (F.col("rev").cast("double") / F.col("n_orders")) / F.lit(g_avg),
+            6,
+        ).alias("dow_index"),
+    )
+
+
+SQL_DOW_SEASONALITY = """
+WITH per AS (
+  SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(n_orders) AS n, SUM(rev) AS r FROM per)
+SELECT dow, n_orders,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       ROUND((CAST(rev AS DOUBLE) / n_orders)
+             / (CAST(t.r AS DOUBLE) / t.n), 6) AS dow_index
+FROM per CROSS JOIN tot t
+"""
+
+
+def q_gini_concentration(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the concentration
+    audit (how top-heavy is the customer base). Needs every customer's
+    global rank by revenue: computed with the bucketed two-phase
+    numbering (operators/scaling.stable_row_number — never a
+    single-task ORDER BY window), on integer cents so bucket
+    boundaries are exact. The Σ rank·x_i term sums DECIMAL products
+    (order-independent), so the result is bit-stable; formula
+    G = 2·Σ i·x_i / (n·Σx) − (n+1)/n over ascending x, i = 1..n."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    keyed = per_cust.select(
+        "o_custkey",
+        "rev",
+        (F.col("rev") * 100).cast("bigint").alias("cents"),
+    )
+    ranked = stable_row_number(
+        keyed, order_cols=["cents", "o_custkey"], out_col="rn"
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev").alias("total"),
+        # keep the product inside DECIMAL(12,0)·DECIMAL(18,2) so both
+        # engines stay within 38-digit decimal math (exact, no overflow)
+        F.sum(
+            (F.col("rn") + 1).cast("decimal(12,0)")
+            * F.col("rev").cast("decimal(18,2)")
+        ).alias("weighted"),
+    ).head()
+    n, total, weighted = int(agg["n"]), agg["total"], agg["weighted"]
+    gini = (
+        2.0 * float(weighted) / (n * float(total)) - (n + 1) / float(n)
+    )
+    rows = [(n, round(float(total), 2), round(gini, 6))]
+    return spark.createDataFrame(
+        rows, "n_customers bigint, total_revenue double, gini double"
+    )
+
+
+SQL_GINI_CONCENTRATION = """
+WITH per AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT rev, ROW_NUMBER() OVER (
+           ORDER BY CAST(rev * 100 AS BIGINT), o_custkey) AS i
+  FROM per
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rev) AS total,
+         SUM(CAST(i AS DECIMAL(12,0)) * CAST(rev AS DECIMAL(18,2)))
+           AS weighted
+  FROM ranked
+)
+SELECT n AS n_customers,
+       ROUND(CAST(total AS DOUBLE), 2) AS total_revenue,
+       ROUND(2.0 * CAST(weighted AS DOUBLE) / (n * CAST(total AS DOUBLE))
+             - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+FROM agg
+"""
+
+
+KL_TOPK = 200
+
+
+def q_unigram_kl_divergence(spark, sf_dir):
+    """Per-source unigram KL divergence against the corpus — the
+    data-selection / domain-shift measure (how far each source's token
+    distribution sits from the mixture; DSIR's cousin on raw unigrams).
+    Scale design: the vocabulary is truncated to the corpus TOP-K
+    tokens (count desc, token asc tie-break) with everything else
+    folded into one '<other>' bucket, so the per-source distribution
+    lives on a FIXED (K+1)-symbol domain no matter the corpus — the
+    same bounded-model-state contract as DSIR's 256 hash buckets.
+    Counts are exact integers; add-1 smoothing over the K+1 symbols;
+    each ln term is cast to DECIMAL(28,12) before summing so the
+    reduction is order-independent."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(KL_TOPK)
+        .select("tok")
+    )
+    sym = toks.join(F.broadcast(top.withColumn("keep", F.lit(True))), "tok", "left").select(
+        "source",
+        F.when(F.col("keep"), F.col("tok")).otherwise(F.lit("<other>")).alias("sym"),
+    )
+    per = sym.groupBy("source", "sym").agg(F.count("*").alias("c_s"))
+    corpus = per.groupBy("sym").agg(F.sum("c_s").alias("c_g"))
+    n_source = per.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    n_total = corpus.agg(F.sum("c_g").alias("n_g")).head()["n_g"]
+    v = corpus.count()  # ≤ K+1 symbols
+    # dense (source × symbol) grid so zero counts contribute their
+    # smoothed mass — (K+1)·|sources| rows, corpus-size-independent
+    grid = n_source.crossJoin(F.broadcast(corpus))
+    joined = grid.join(per, ["source", "sym"], "left").fillna(
+        0, subset=["c_s"]
+    )
+    p_s = (F.col("c_s") + 1).cast("double") / (F.col("n_s") + v).cast("double")
+    p_g = (F.col("c_g") + 1).cast("double") / F.lit(float(int(n_total) + v))
+    term = (p_s * F.log(p_s / p_g)).cast("decimal(28,12)")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(term).cast("double"), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
+SQL_UNIGRAM_KL_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT source, unnest({TOKENS_SQL}) AS tok FROM documents
+),
+top AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {KL_TOPK}
+  )
+),
+sym AS (
+  SELECT t.source,
+         CASE WHEN top.tok IS NOT NULL THEN t.tok ELSE '<other>' END AS sym
+  FROM toks t LEFT JOIN top ON t.tok = top.tok
+),
+per AS (SELECT source, sym, COUNT(*) AS c_s FROM sym GROUP BY source, sym),
+corpus AS (SELECT sym, SUM(c_s) AS c_g FROM per GROUP BY sym),
+n_source AS (SELECT source, SUM(c_s) AS n_s FROM per GROUP BY source),
+consts AS (SELECT SUM(c_g) AS n_g, COUNT(*) AS v FROM corpus),
+grid AS (
+  SELECT ns.source, ns.n_s, c.sym, c.c_g FROM n_source ns CROSS JOIN corpus c
+),
+joined AS (
+  SELECT g.source, g.n_s, g.c_g, COALESCE(p.c_s, 0) AS c_s
+  FROM grid g LEFT JOIN per p ON p.source = g.source AND p.sym = g.sym
+)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(
+         (CAST(c_s + 1 AS DOUBLE) / (n_s + k.v))
+         * LN((CAST(c_s + 1 AS DOUBLE) / (n_s + k.v))
+              / (CAST(c_g + 1 AS DOUBLE) / (k.n_g + k.v)))
+         AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_vs_corpus
+FROM joined CROSS JOIN consts k
+GROUP BY source
+"""
+
+
+RANK_NTILES = 4
+
+
+def q_rank_functions_battery(spark, sf_dir):
+    """Rank-function battery: percent_rank, cume_dist, ntile(4) and
+    dense_rank over per-priority order-value windows, aggregated per
+    (priority, quartile) with only order-independent reductions
+    (count/min/max — no float sums, so the hash compare is exact).
+    The ordering key (o_totalprice, o_orderkey) is total, making every
+    rank deterministic in both engines. Scale note: the windows
+    partition by priority — at 100 TB this is the documented skew
+    point and the battery exists to pin SEMANTICS; rank-at-scale paths
+    use the bucketed two-phase numbering instead."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(RANK_NTILES).over(w).alias("q"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "q")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("pr"), 6).alias("min_pct_rank"),
+            F.round(F.max("pr"), 6).alias("max_pct_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+            F.max("dr").cast("bigint").alias("max_dense_rank"),
+            F.round(F.min("o_totalprice"), 2).alias("q_lo"),
+            F.round(F.max("o_totalprice"), 2).alias("q_hi"),
+        )
+    )
+
+
+SQL_RANK_FUNCTIONS_BATTERY = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         PERCENT_RANK() OVER w AS pr,
+         CUME_DIST() OVER w AS cd,
+         NTILE({RANK_NTILES}) OVER w AS q,
+         DENSE_RANK() OVER w AS dr
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey)
+)
+SELECT o_orderpriority, q,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(pr), 6) AS min_pct_rank,
+       ROUND(MAX(pr), 6) AS max_pct_rank,
+       ROUND(MAX(cd), 6) AS max_cume_dist,
+       CAST(MAX(dr) AS BIGINT) AS max_dense_rank,
+       ROUND(MIN(o_totalprice), 2) AS q_lo,
+       ROUND(MAX(o_totalprice), 2) AS q_hi
+FROM ranked
+GROUP BY o_orderpriority, q
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -11846,6 +12276,15 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "referential_integrity_audit": q_referential_integrity_audit,
     "item_cooccurrence_topk": q_item_cooccurrence_topk,
     "woe_binning": q_woe_binning,
+    # -- round-7 additions (below the stamp window; rotate into the r8
+    #    prefix — see _R7_ADDED) --
+    "grouped_mode": q_grouped_mode,
+    "benford_digit_audit": q_benford_digit_audit,
+    "revenue_autocorr": q_revenue_autocorr,
+    "dow_seasonality": q_dow_seasonality,
+    "gini_concentration": q_gini_concentration,
+    "unigram_kl_divergence": q_unigram_kl_divergence,
+    "rank_functions_battery": q_rank_functions_battery,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -12058,6 +12497,13 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "referential_integrity_audit": SQL_REFERENTIAL_INTEGRITY_AUDIT,
     "item_cooccurrence_topk": SQL_ITEM_COOCCURRENCE_TOPK,
     "woe_binning": SQL_WOE_BINNING,
+    "grouped_mode": SQL_GROUPED_MODE,
+    "benford_digit_audit": SQL_BENFORD_DIGIT_AUDIT,
+    "revenue_autocorr": SQL_REVENUE_AUTOCORR,
+    "dow_seasonality": SQL_DOW_SEASONALITY,
+    "gini_concentration": SQL_GINI_CONCENTRATION,
+    "unigram_kl_divergence": SQL_UNIGRAM_KL_DIVERGENCE,
+    "rank_functions_battery": SQL_RANK_FUNCTIONS_BATTERY,
 }
 
 
@@ -12257,7 +12703,15 @@ _R7_RESTAMP: list[str] = [
 #: entries of this list next, add any r8-modified queries for restamps,
 #: and refill the remainder of the 50-slot window from the r7 window
 #: in its original order.
-_R7_ADDED: list[str] = []
+_R7_ADDED: list[str] = [
+    "grouped_mode",
+    "benford_digit_audit",
+    "revenue_autocorr",
+    "dow_seasonality",
+    "gini_concentration",
+    "unigram_kl_divergence",
+    "rank_functions_battery",
+]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation
 #: rows, the 25 round-6 additions (the only registry entries without a

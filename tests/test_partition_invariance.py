@@ -38,6 +38,15 @@ def _canon(df):
         "rfm_segments",             # bucketed deterministic numbering
         "hierarchy_rollup",         # bit-arithmetic closure, integer sums
         "term_burstiness",          # exact-integer burstiness/VMR
+        # round-7 additions:
+        "grouped_mode",             # integer counts + struct max tie-break
+        "benford_digit_audit",      # integer digit counts, scalar shares
+        "revenue_autocorr",         # decimal daily sums; corr over the
+                                    # window-sorted single-partition series
+        "dow_seasonality",          # decimal sums on a 7-row domain
+        "gini_concentration",       # decimal Σ rank·x over bucketed ranks
+        "unigram_kl_divergence",    # integer counts + DECIMAL(28,12) terms
+        "rank_functions_battery",   # total ordering + min/max only
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
