@@ -8302,57 +8302,42 @@ def q_mad_outliers(spark, sf_dir):
     """Robust anomaly detection: per-event-type MEDIAN and median
     absolute deviation (MAD) — the heavy-tail-safe alternative to the
     mean/σ z-score (user_zscore_outliers), which a single extreme value
-    can drag. Exact interpolated medians via two grouped percentile
-    passes (type cardinality is tiny, so each agg is a small exact
-    sort-based aggregate, not a full-table window); outlier counting is
-    one conditional aggregate against the broadcast (type, median, mad)
-    table. Medians/MADs rounded to 6 before the comparison so the flag
-    is engine-identical. Both median passes run through
-    operators/stats.grouped_percentiles_df (iterative histogram
-    bisection): identical percentile_cont values, but per-scan
-    aggregation state is ≤segments·bins cells instead of buffering
-    every group member in one task — the shape that survives a
-    billion-row event type."""
-    from .cache import track
-    from .operators.stats import grouped_percentiles_df
+    can drag. Exact interpolated median and MAD per type come from
+    operators/stats.grouped_median_mad — one Arrow transfer when every
+    group fits the gather threshold, two bounded-state histogram-
+    bisection selector rounds otherwise (never Spark's buffer-every-
+    value exact percentile; the shape that survives a billion-row
+    event type). Outlier counting is one conditional aggregate against
+    the broadcast (type, median, mad) literal. Medians/MADs rounded to
+    6 IN SPARK before the comparison so the flag is engine-identical."""
+    from .operators.stats import grouped_median_mad
 
-    # One parquet scan feeds everything downstream: the median
-    # selector, the deviation stream, and the final conditional agg
-    # all read this persisted 2-column projection.
-    ev = track(
-        _events(spark, sf_dir).select("event_type", "value").persist()
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    got = grouped_median_mad(ev, ["event_type"], "value")
+    # (type, median, MAD) is the model state — group-cardinality-bounded,
+    # so it rides back as a literal frame; ROUNDING STAYS IN SPARK
+    # (F.round half-up == the oracle's ROUND) on the raw doubles.
+    stats = spark.createDataFrame(
+        [(k[0], med, mad) for k, (med, mad, _n) in got.items()],
+        "event_type string, med double, mad_raw double",
+    ).select(
+        "event_type", "med", F.round("mad_raw", 6).alias("mad")
     )
-    med = grouped_percentiles_df(ev, ["event_type"], "value", [0.5]).select(
-        "event_type", F.col("percentiles")[0].alias("med")
+    flagged = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (
+            F.round(F.abs(F.col("value") - F.col("med")), 6)
+            > MAD_K * F.col("mad")
+        ).alias("is_out"),
     )
-    # dev feeds BOTH the MAD selector (which scans it eagerly, 2–4
-    # passes, inside grouped_percentiles_df) and the returned
-    # conditional aggregate — persist it so the events-scan + median
-    # join runs once (tracked: bench/session release it after the
-    # consuming action).
-    dev = track(
-        ev.join(F.broadcast(med), "event_type")
-        .select("event_type", "value", F.abs(F.col("value") - F.col("med")).alias("ad"))
-        .persist()
-    )
-    mad = grouped_percentiles_df(dev, ["event_type"], "ad", [0.5]).select(
-        "event_type", F.round(F.col("percentiles")[0], 6).alias("mad")
-    )
-    flagged = (
-        dev.join(F.broadcast(mad), "event_type")
-        .select(
-            "event_type",
-            (F.round(F.col("ad"), 6) > MAD_K * F.col("mad")).alias("is_out"),
-        )
-    )
-    stats = med.join(mad, "event_type")
     return (
-        flagged.groupBy("event_type")
+        flagged.groupBy("event_type", "med", "mad")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.sum(F.when(F.col("is_out"), 1).otherwise(0)).cast("bigint").alias("n_outliers"),
         )
-        .join(stats, "event_type")
         .select(
             "event_type", "n_events", "n_outliers",
             F.round(F.col("med"), 6).alias("median_value"),

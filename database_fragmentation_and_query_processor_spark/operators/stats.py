@@ -518,3 +518,80 @@ def grouped_percentiles_df(
     )
     rows = [(*key, vals, n) for key, (vals, n) in got.items()]
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def _pcont(sorted_vals: "np.ndarray", p: float) -> float:
+    """SQL-standard percentile_cont over a pre-sorted array: the same
+    h = p·(n−1) interpolation as interpolate_percentiles, evaluated
+    driver-side (used by the one-transfer MAD fast path)."""
+    n = sorted_vals.size
+    h = p * (n - 1)
+    lo = int(h // 1)
+    hi = -(int(-h // 1))
+    v_lo, v_hi = float(sorted_vals[lo]), float(sorted_vals[hi])
+    return v_lo + (h - lo) * (v_hi - v_lo)
+
+
+def grouped_median_mad(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    bins: int = 1024,
+    gather_threshold: int = 65536,
+) -> dict[tuple, tuple[float, float, int]]:
+    """Per-group (median, MAD, n) — the robust-outlier model state.
+
+    MAD needs TWO dependent selections (median of v, then median of
+    |v − med|). The general path runs them as two bounded-state
+    selector calls with the deviation stream derived in between —
+    correct at any group size, but 2× the scan/collect cost. When
+    EVERY group fits ``gather_threshold`` (the same driver-volume
+    bound the selectors' gather step already accepts), ONE Arrow
+    transfer of the projected frame yields both statistics per group
+    in numpy — identical percentile_cont arithmetic, a third of the
+    Spark jobs. At scale the fast path simply never fires and the
+    multi-pass selectors take over."""
+    gcols = list(group_cols)
+    vals = df.select(
+        *[F.col(g) for g in gcols], F.col(col).cast("double").alias("v")
+    ).where(F.col(col).isNotNull()).persist()
+    try:
+        head = (
+            vals.groupBy(*gcols)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if head and all(int(r["n"]) <= gather_threshold for r in head):
+            pdf = vals.toPandas()
+            out: dict[tuple, tuple[float, float, int]] = {}
+            for r in head:
+                key = tuple(r[g] for g in gcols)
+                mask = None
+                for g, kv in zip(gcols, key):
+                    m = pdf[g].isna() if kv is None else (pdf[g] == kv)
+                    mask = m if mask is None else (mask & m)
+                vs = np.sort(pdf.loc[mask, "v"].to_numpy())
+                med = _pcont(vs, 0.5)
+                mad = _pcont(np.sort(np.abs(vs - med)), 0.5)
+                out[key] = (med, mad, int(r["n"]))
+            return out
+    finally:
+        vals.unpersist()
+
+    # general path: two bounded-state selector rounds with the
+    # deviation stream joined in between (the pre-r7 mad_outliers shape)
+    med = grouped_exact_percentiles(
+        df, gcols, col, [0.5], bins=bins, gather_threshold=gather_threshold
+    )
+    med_rows = [(*key, m[0][0]) for key, m in med.items()]
+    med_df = df.sparkSession.createDataFrame(med_rows, [*gcols, "_med"])
+    dev = df.join(F.broadcast(med_df), gcols).select(
+        *[F.col(g) for g in gcols],
+        F.abs(F.col(col).cast("double") - F.col("_med")).alias("_ad"),
+    )
+    mad = grouped_exact_percentiles(
+        dev, gcols, "_ad", [0.5], bins=bins, gather_threshold=gather_threshold
+    )
+    return {
+        key: (med[key][0][0], mad[key][0][0], med[key][1]) for key in med
+    }

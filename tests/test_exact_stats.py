@@ -184,3 +184,34 @@ def test_percentiles_match_spark_exact_percentile(spark):
     ).head()[0]
     for g, r in zip(got, ref):
         assert abs(g - r) < 1e-9 * max(1.0, abs(r)), (g, r)
+
+
+def test_grouped_median_mad_paths_agree(spark):
+    """grouped_median_mad's one-transfer fast path (every group under
+    the gather threshold) and its two-round selector fallback (forced
+    with a tiny threshold) must produce identical (median, MAD, n) —
+    and both must equal a numpy percentile_cont reference."""
+    import numpy as np
+
+    from database_fragmentation_and_query_processor_spark.operators.stats import (
+        grouped_median_mad,
+    )
+
+    rnd = random.Random(23)
+    rows = [("a", rnd.uniform(0, 100)) for _ in range(501)] + [
+        ("b", rnd.uniform(-50, 50)) for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    fast = grouped_median_mad(df, ["g"], "x")
+    slow = grouped_median_mad(df, ["g"], "x", bins=8, gather_threshold=32)
+    assert set(fast) == set(slow) == {("a",), ("b",)}
+    for key in fast:
+        fm, fd, fn = fast[key]
+        sm, sd, sn = slow[key]
+        assert fn == sn
+        assert abs(fm - sm) < 1e-9 and abs(fd - sd) < 1e-9
+        vs = np.array([x for g, x in rows if (g,) == key])
+        ref_med = float(np.percentile(vs, 50))
+        ref_mad = float(np.percentile(np.abs(vs - ref_med), 50))
+        assert abs(fm - ref_med) < 1e-9
+        assert abs(fd - ref_mad) < 1e-9
