@@ -1,0 +1,94 @@
+"""Plan-shape assertions for the seven round-7 queries: the scale
+claims in their docstrings (no single-task windows over raw rows,
+partial aggregation, no cartesian joins, bounded model state) must be
+visible in the physical plans or the operator source."""
+
+from __future__ import annotations
+
+import inspect
+
+from database_fragmentation_and_query_processor_spark import entry_queries as EQ
+from database_fragmentation_and_query_processor_spark.plans import (
+    final_explain_formatted,
+)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return final_explain_formatted(EQ.QUERIES[name](spark, sf_dir))
+
+
+def test_grouped_mode_has_no_window(spark, sf_dir):
+    """Mode is two keyed aggregations (struct max) — a per-group
+    ROW_NUMBER window over the (group, value) counts would serialize a
+    corpus-sized value domain through one task per group."""
+    plan = _plan(spark, sf_dir, "grouped_mode")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    # map-side combine on both aggregations
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_benford_scan_prunes_to_one_column(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "benford_digit_audit")
+    assert "o_totalprice" in plan
+    for col in ("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"):
+        assert col not in plan, f"benford reads {col} it never uses"
+    assert "SinglePartition" not in plan
+
+
+def test_revenue_autocorr_window_runs_on_daily_rollup(spark, sf_dir):
+    """The lag window is allowed its single partition ONLY because the
+    input collapsed to one row per day first: the plan must aggregate
+    (daily rollup) BEFORE the window, and the returned frame itself is
+    a literal scan (the 7 ACF scalars), not a full-plan replay."""
+    src = inspect.getsource(EQ.q_revenue_autocorr)
+    assert "groupBy" in src.split("Window.orderBy")[0]
+    plan = _plan(spark, sf_dir, "revenue_autocorr")
+    # result is a 7-row local/literal relation
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_dow_seasonality_is_one_shuffle(spark, sf_dir):
+    import re
+
+    plan = _plan(spark, sf_dir, "dow_seasonality")
+    assert "Window" not in plan
+    # shuffles only between partial and final aggregates (the detail
+    # section repeats each tree node, so count detail entries only)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan
+
+
+def test_gini_uses_bucketed_numbering_not_global_sort_window(spark, sf_dir):
+    """Ranking must come from operators/scaling.stable_row_number (the
+    bucketed two-phase numbering), never ROW_NUMBER over a
+    SinglePartition window."""
+    src = inspect.getsource(EQ.q_gini_concentration)
+    assert "stable_row_number" in src
+    assert "Window.orderBy" not in src
+
+
+def test_unigram_kl_domain_is_bounded(spark, sf_dir):
+    """The KL grid must be the (sources x K+1 symbols) cross of two
+    TINY aggregates — the only cross join allowed — and the raw token
+    stream must never hit a cartesian or nested-loop join."""
+    src = inspect.getsource(EQ.q_unigram_kl_divergence)
+    assert "limit(KL_TOPK)" in src.replace(" ", "").replace("\n", "") or (
+        "limit(KL_TOPK)" in src
+    )
+    plan = _plan(spark, sf_dir, "unigram_kl_divergence")
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_battery_windows_partition_by_priority(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "rank_functions_battery")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_cooc_basket_guard_runs_before_pair_join():
+    """The COOC_MAX_BASKET fail-fast must trigger during plan BUILD
+    (a metadata-sized aggregate), before the quadratic pair join is
+    even constructed."""
+    src = inspect.getsource(EQ.q_item_cooccurrence_topk)
+    assert src.index("COOC_MAX_BASKET") < src.index('join(items.alias("b")')
