@@ -12022,6 +12022,100 @@ GROUP BY o_orderpriority, q
 """
 
 
+PQ_M = 4       # subspaces
+PQ_CODES = 8   # codebook entries per subspace
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (the FAISS IVF-PQ memory path): each
+    vector compresses to PQ_M codebook indices (m·log2(codes) bits vs
+    dim·32); the query's exact distances to every codebook entry form
+    the asymmetric-distance (ADC) table and a vector's approximate
+    distance is PQ_M table lookups — one pure-expression scan, no join.
+    The whole pipeline (lowest-id seeds, fused one-step Lloyd with
+    round-6 means, round-6 argmin encoding) is deterministic
+    arithmetic, so the DuckDB oracle replays it as static SQL
+    (operators/similarity.py:pq_codebooks/pq_topk)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.pq_topk(
+        emb, [float(v) for v in qvec], k=KNN_K, m=PQ_M, n_codes=PQ_CODES
+    )
+
+
+def _sq_l2_sub_sql(a: str, b: str, n: int) -> str:
+    """Squared-L2 between two n-element DuckDB lists (the subspace
+    variant of _sq_l2_sql)."""
+    diff = f"(CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))"
+    return (f"list_sum(list_transform(range(1, {n + 1}), "
+            f"j -> {diff} * {diff}))")
+
+
+SQL_ANN_PQ_TOPK = f"""
+WITH subs AS (SELECT CAST(range AS INT) AS s FROM range(0, {PQ_M})),
+base AS (
+  SELECT e.vec_id, sub.s,
+         list_transform(
+           e.embedding[(sub.s*{PQ_SUB}+1):(sub.s*{PQ_SUB}+{PQ_SUB})],
+           v -> CAST(v AS DOUBLE)) AS subv
+  FROM embeddings e CROSS JOIN subs sub
+),
+seed_ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM embeddings ORDER BY vec_id LIMIT {PQ_CODES}
+),
+seeds AS (
+  SELECT b.s, si.code, b.subv AS seed
+  FROM base b JOIN seed_ids si USING (vec_id)
+),
+assign0 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT b.vec_id, b.s, sd.code,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.s
+             ORDER BY ROUND({_sq_l2_sub_sql('b.subv', 'sd.seed', PQ_SUB)}, 6),
+                      sd.code) AS rk
+    FROM base b JOIN seeds sd ON sd.s = b.s
+  ) WHERE rk = 1
+),
+dims AS (SELECT CAST(range AS INT) AS j FROM range(1, {PQ_SUB + 1})),
+means AS (
+  SELECT a.s, a.code, d.j, ROUND(AVG(b.subv[d.j]), 6) AS mn
+  FROM assign0 a
+  JOIN base b ON b.vec_id = a.vec_id AND b.s = a.s
+  CROSS JOIN dims d
+  GROUP BY a.s, a.code, d.j
+),
+books AS (
+  SELECT sd.s, sd.code, COALESCE(mm.c, sd.seed) AS cent
+  FROM seeds sd LEFT JOIN (
+    SELECT s, code, list(mn ORDER BY j) AS c FROM means GROUP BY s, code
+  ) mm ON mm.s = sd.s AND mm.code = sd.code
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT b.vec_id, b.s, bk.code,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.s
+             ORDER BY ROUND({_sq_l2_sub_sql('b.subv', 'bk.cent', PQ_SUB)}, 6),
+                      bk.code) AS rk
+    FROM base b JOIN books bk ON bk.s = b.s
+  ) WHERE rk = 1
+),
+q AS (SELECT s, subv AS qsub FROM base WHERE vec_id = 0),
+adc AS (
+  SELECT bk.s, bk.code, {_sq_l2_sub_sql('q.qsub', 'bk.cent', PQ_SUB)} AS d
+  FROM books bk JOIN q ON q.s = bk.s
+)
+SELECT e.vec_id, ROUND(SUM(a.d), 6) AS pq_dist
+FROM enc e JOIN adc a ON a.s = e.s AND a.code = e.code
+GROUP BY e.vec_id
+ORDER BY pq_dist, e.vec_id
+LIMIT {KNN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12270,6 +12364,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gini_concentration": q_gini_concentration,
     "unigram_kl_divergence": q_unigram_kl_divergence,
     "rank_functions_battery": q_rank_functions_battery,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -12489,6 +12584,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "gini_concentration": SQL_GINI_CONCENTRATION,
     "unigram_kl_divergence": SQL_UNIGRAM_KL_DIVERGENCE,
     "rank_functions_battery": SQL_RANK_FUNCTIONS_BATTERY,
+    "ann_pq_topk": SQL_ANN_PQ_TOPK,
 }
 
 
@@ -12696,6 +12792,7 @@ _R7_ADDED: list[str] = [
     "gini_concentration",
     "unigram_kl_divergence",
     "rank_functions_battery",
+    "ann_pq_topk",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -369,3 +369,108 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the embedding is split into
+    ``m`` contiguous subspaces of dim/m dims; each subspace gets its
+    own ``n_codes``-entry k-means codebook (the FAISS IVF-PQ memory
+    path: m·log2(n_codes) bits per vector instead of dim·32).
+
+    Deterministic like kmeans_centroids — seeds are the n_codes
+    lowest-id vectors' sub-slices, refined by Lloyd steps whose means
+    round to 6 — and FUSED across subspaces: one posexplode job
+    assigns/averages all m subspaces together, so codebook training is
+    2 jobs per iteration regardless of m, and only m·n_codes·(dim/m)
+    scalars reach the driver."""
+    sub = dim // m
+    seeds = emb.orderBy(id_col).limit(n_codes).select(vec_col).collect()
+    books: list[list[list[float]]] = [
+        [
+            [float(v) for v in r[vec_col][s * sub : (s + 1) * sub]]
+            for r in seeds
+        ]
+        for s in range(m)
+    ]
+    subs_arr = F.array(
+        *[F.slice(F.col(vec_col), s * sub + 1, sub) for s in range(m)]
+    )
+    for _ in range(iters):
+        exploded = emb.select(
+            F.posexplode(subs_arr).alias("s", "subv")
+        )
+        code = None
+        for s in range(m):
+            c = nearest_centroid_expr(F.col("subv"), books[s])
+            code = (
+                F.when(F.col("s") == s, c)
+                if code is None
+                else code.when(F.col("s") == s, c)
+            )
+        means = (
+            exploded.withColumn("code", code)
+            .select("s", "code", F.posexplode("subv").alias("pos", "v"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mn"))
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]
+        for r in means:
+            # round-6 kills summation-order divergence (same contract
+            # as kmeans_centroids → static-SQL oracle expressible)
+            new[r["s"]][r["code"]][r["pos"]] = round(float(r["mn"]), 6)
+        books = new
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors: every vector is encoded
+    as m codebook indices; the query is NOT encoded — its exact
+    squared-L2 to every codebook entry forms the asymmetric-distance
+    lookup table (driver-side: m·n_codes scalars), and a vector's
+    approximate distance is the sum of m table lookups. The scan is
+    one pure-expression pass (argmin per subspace + literal-array
+    element_at), no join, no shuffle except the top-k — the 100 TB
+    memory story: 8 codes/vector instead of 64 floats."""
+    dim = len(query_vec)
+    sub = dim // m
+    books = pq_codebooks(
+        emb, m=m, n_codes=n_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    total = None
+    for s in range(m):
+        qsub = [float(v) for v in query_vec[s * sub : (s + 1) * sub]]
+        # ADC table entry: exact L2(q_sub, centroid) in plain Python
+        # IEEE doubles, left-to-right — the oracle's list_sum order
+        adc = [
+            sum((a - b) * (a - b) for a, b in zip(qsub, c))
+            for c in books[s]
+        ]
+        code = nearest_centroid_expr(
+            F.slice(F.col(vec_col), s * sub + 1, sub), books[s]
+        )
+        d = F.element_at(F.array(*[F.lit(x) for x in adc]), code + 1)
+        total = d if total is None else total + d
+    return (
+        emb.select(F.col(id_col), F.round(total, 6).alias("pq_dist"))
+        .orderBy("pq_dist", id_col)
+        .limit(k)
+    )
