@@ -222,6 +222,19 @@ HEADLINE = [
     "referential_integrity_audit",
     "item_cooccurrence_topk",
     "woe_binning",
+    # round-7 additions
+    "grouped_mode",
+    "benford_digit_audit",
+    "revenue_autocorr",
+    "dow_seasonality",
+    "gini_concentration",
+    "unigram_kl_divergence",
+    "rank_functions_battery",
+    "ann_pq_topk",
+    "psi_drift",
+    "ppl_tercile_buckets",
+    "suffix_prefix_overlap_pairs",
+    "domain_mix_entropy",
 ]
 
 

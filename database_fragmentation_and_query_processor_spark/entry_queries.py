@@ -12116,6 +12116,292 @@ LIMIT {KNN_K}
 """
 
 
+PSI_BAND = 50_000
+PSI_SPLIT_DATE = "1998-01-01"
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between the pre- and post-1998 order
+    populations, per price band — the credit-model drift monitor that
+    pairs with woe_binning: PSI contribution (p_new − p_old)·ln(p_new/
+    p_old); bands with a side at zero are excluded (standard practice;
+    woe_binning precedent). Exact integer counts onto a small band
+    domain, one shuffle, ln rounded last."""
+    orders = _t(spark, sf_dir, "orders")
+    banded = orders.select(
+        F.floor(F.col("o_totalprice") / PSI_BAND).cast("bigint").alias("band"),
+        F.when(
+            F.col("o_orderdate") < F.lit(PSI_SPLIT_DATE).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    per = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_old"),
+        F.sum("period").cast("bigint").alias("n_new"),
+    )
+    tot = per.agg(F.sum("n_old").alias("o"), F.sum("n_new").alias("n")).head()
+    p_old = F.col("n_old").cast("double") / float(int(tot["o"]))
+    p_new = F.col("n_new").cast("double") / float(int(tot["n"]))
+    return per.where((F.col("n_old") > 0) & (F.col("n_new") > 0)).select(
+        "band",
+        "n_old",
+        "n_new",
+        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias(
+            "psi_contrib"
+        ),
+    )
+
+
+SQL_PSI_DRIFT = f"""
+WITH banded AS (
+  SELECT CAST(FLOOR(o_totalprice / {PSI_BAND}) AS BIGINT) AS band,
+         CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT_DATE} 00:00:00'
+              THEN 0 ELSE 1 END AS period
+  FROM orders
+),
+per AS (
+  SELECT band,
+         CAST(SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(SUM(period) AS BIGINT) AS n_new
+  FROM banded GROUP BY band
+),
+tot AS (SELECT SUM(n_old) AS o, SUM(n_new) AS n FROM per)
+SELECT band, n_old, n_new,
+       ROUND((CAST(n_new AS DOUBLE) / t.n - CAST(n_old AS DOUBLE) / t.o)
+             * LN((CAST(n_new AS DOUBLE) / t.n)
+                  / (CAST(n_old AS DOUBLE) / t.o)), 6) AS psi_contrib
+FROM per CROSS JOIN tot t
+WHERE n_old > 0 AND n_new > 0
+"""
+
+
+PPL_T1 = 1.0 / 3.0
+PPL_T2 = 2.0 / 3.0
+
+
+def q_ppl_tercile_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-language tercile
+    boundaries over the bigram-LM document perplexity split the corpus
+    into head/middle/tail quality tiers (the published pipeline keeps
+    head+middle for training). Boundaries come from the bounded-state
+    grouped selector (language cardinality is tiny; per-lang volume is
+    not); per-doc scoring is the same corpus-bigram MLE as
+    doc_lm_perplexity — duplicated inline rather than refactored so
+    that stamped query's code path stays untouched this round (shared
+    helper scheduled with the r8 restamp)."""
+    from .operators.stats import grouped_percentiles_df
+
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    tl = docs.select("doc_id", "lang", toks.alias("t")).where(
+        F.size("t") >= 2
+    )
+    big = tl.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", "p.w1", "p.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cu = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("nb"),
+            F.sum(
+                F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+            ).alias("logp"),
+        )
+        .select(
+            "lang",
+            F.round(
+                F.exp(-F.col("logp") / F.col("nb").cast("double")), 6
+            ).alias("ppl"),
+        )
+    )
+    terc = grouped_percentiles_df(scored, ["lang"], "ppl", [PPL_T1, PPL_T2])
+    bounds = terc.select(
+        "lang",
+        F.round(F.col("percentiles")[0], 6).alias("t1"),
+        F.round(F.col("percentiles")[1], 6).alias("t2"),
+    )
+    bucketed = scored.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), "head")
+        .when(F.col("ppl") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.avg(F.col("ppl").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("avg_ppl"),
+    )
+
+
+SQL_PPL_TERCILE_BUCKETS = f"""
+WITH tl AS (
+  SELECT doc_id, lang, {TOKENS_SQL} AS t FROM documents
+  WHERE len({TOKENS_SQL}) >= 2
+),
+big AS (
+  SELECT doc_id, lang,
+         unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM tl
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+cu AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1),
+scored AS (
+  SELECT lang,
+         ROUND(exp(-SUM(ln(CAST(cb.c12 AS DOUBLE) / CAST(cu.c1 AS DOUBLE)))
+                   / COUNT(*)), 6) AS ppl
+  FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+  GROUP BY doc_id, lang
+),
+bounds AS (
+  SELECT lang,
+         ROUND(quantile_cont(ppl, {PPL_T1!r}), 6) AS t1,
+         ROUND(quantile_cont(ppl, {PPL_T2!r}), 6) AS t2
+  FROM scored GROUP BY lang
+),
+bucketed AS (
+  SELECT s.lang, s.ppl,
+         CASE WHEN s.ppl <= b.t1 THEN 'head'
+              WHEN s.ppl <= b.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored s JOIN bounds b USING (lang)
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(AVG(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_ppl
+FROM bucketed GROUP BY lang, bucket
+"""
+
+
+OVERLAP_W = 64  # normalized chars matched between one doc's tail and another's head
+
+
+def q_suffix_prefix_overlap_pairs(spark, sf_dir):
+    """Concatenation-artifact detector: doc A's normalized LAST
+    OVERLAP_W chars equal doc B's normalized FIRST OVERLAP_W chars —
+    the signature of a document split across records (or two records
+    glued from one source). Equi-join on md5 of the fixed-width
+    window, so candidate generation is hash-keyed (never pairwise);
+    only docs long enough to own a full window participate."""
+    docs = _docs_with_dups(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        norm.alias("nt"),
+        F.length(norm).alias("nl"),
+    ).where(F.col("nl") >= OVERLAP_W)
+    heads = base.select(
+        F.col("doc_id").alias("id_b"),
+        F.md5(F.substring("nt", 1, OVERLAP_W)).alias("h"),
+    )
+    tails = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.md5(
+            F.substring(
+                "nt", (F.col("nl") - OVERLAP_W + 1).cast("int"), OVERLAP_W
+            )
+        ).alias("h"),
+    )
+    return (
+        tails.join(heads, "h")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+SQL_SUFFIX_PREFIX_OVERLAP_PAIRS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+base AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+  FROM corpus
+),
+sized AS (
+  SELECT doc_id, nt, length(nt) AS nl FROM base WHERE length(nt) >= {OVERLAP_W}
+),
+heads AS (
+  SELECT doc_id AS id_b, md5(substr(nt, 1, {OVERLAP_W})) AS h FROM sized
+),
+tails AS (
+  SELECT doc_id AS id_a,
+         md5(substr(nt, nl - {OVERLAP_W} + 1, {OVERLAP_W})) AS h
+  FROM sized
+)
+SELECT t.id_a, h2.id_b
+FROM tails t JOIN heads h2 USING (h)
+WHERE t.id_a <> h2.id_b
+"""
+
+
+def q_domain_mix_entropy(spark, sf_dir):
+    """Source-mix diversity per language: Shannon entropy of the
+    source distribution and its exponential (the 'effective number of
+    sources') — the corpus-composition audit a mixture designer reads
+    before setting sampling weights. Exact integer counts on the tiny
+    (lang, source) domain; ln rounded last."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = per.groupBy("lang").agg(F.sum("n").alias("nl"))
+    p = F.col("n").cast("double") / F.col("nl").cast("double")
+    ent = per.join(tot, "lang").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.max("nl").cast("bigint").alias("n_docs"),
+        F.round(
+            -F.sum((p * F.log(p)).cast("decimal(28,12)")).cast("double"), 6
+        ).alias("entropy"),
+    )
+    return ent.select(
+        "lang",
+        "n_sources",
+        "n_docs",
+        "entropy",
+        F.round(F.exp("entropy"), 6).alias("effective_sources"),
+    )
+
+
+SQL_DOMAIN_MIX_ENTROPY = """
+WITH per AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT lang, SUM(n) AS nl FROM per GROUP BY lang),
+ent AS (
+  SELECT per.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(MAX(nl) AS BIGINT) AS n_docs,
+         ROUND(CAST(-SUM(CAST(
+           (CAST(n AS DOUBLE) / nl) * LN(CAST(n AS DOUBLE) / nl)
+           AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+  FROM per JOIN tot USING (lang)
+  GROUP BY per.lang
+)
+SELECT lang, n_sources, n_docs, entropy,
+       ROUND(exp(entropy), 6) AS effective_sources
+FROM ent
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12365,6 +12651,10 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_kl_divergence": q_unigram_kl_divergence,
     "rank_functions_battery": q_rank_functions_battery,
     "ann_pq_topk": q_ann_pq_topk,
+    "psi_drift": q_psi_drift,
+    "ppl_tercile_buckets": q_ppl_tercile_buckets,
+    "suffix_prefix_overlap_pairs": q_suffix_prefix_overlap_pairs,
+    "domain_mix_entropy": q_domain_mix_entropy,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -12585,6 +12875,10 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "unigram_kl_divergence": SQL_UNIGRAM_KL_DIVERGENCE,
     "rank_functions_battery": SQL_RANK_FUNCTIONS_BATTERY,
     "ann_pq_topk": SQL_ANN_PQ_TOPK,
+    "psi_drift": SQL_PSI_DRIFT,
+    "ppl_tercile_buckets": SQL_PPL_TERCILE_BUCKETS,
+    "suffix_prefix_overlap_pairs": SQL_SUFFIX_PREFIX_OVERLAP_PAIRS,
+    "domain_mix_entropy": SQL_DOMAIN_MIX_ENTROPY,
 }
 
 
@@ -12793,6 +13087,10 @@ _R7_ADDED: list[str] = [
     "unigram_kl_divergence",
     "rank_functions_battery",
     "ann_pq_topk",
+    "psi_drift",
+    "ppl_tercile_buckets",
+    "suffix_prefix_overlap_pairs",
+    "domain_mix_entropy",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

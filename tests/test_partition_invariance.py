@@ -47,6 +47,10 @@ def _canon(df):
         "gini_concentration",       # decimal Σ rank·x over bucketed ranks
         "unigram_kl_divergence",    # integer counts + DECIMAL(28,12) terms
         "rank_functions_battery",   # total ordering + min/max only
+        "psi_drift",                # integer band counts, ln last
+        "suffix_prefix_overlap_pairs",  # md5 window equi-join
+        "domain_mix_entropy",       # integer counts + DECIMAL(28,12) terms
+        "ann_pq_topk",              # round-6 quantizer + literal ADC table
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
