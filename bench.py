@@ -235,6 +235,7 @@ HEADLINE = [
     "ppl_tercile_buckets",
     "suffix_prefix_overlap_pairs",
     "domain_mix_entropy",
+    "ann_ivfpq_topk",
 ]
 
 

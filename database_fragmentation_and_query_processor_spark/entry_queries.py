@@ -12402,6 +12402,142 @@ FROM ent
 """
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-k — the production ANN composition (FAISS's deployed
+    shape): the IVF coarse quantizer prunes to IVF_NPROBE inverted
+    lists (partition-pruned index reads at scale), PQ-ADC scores the
+    candidates from m codebook lookups instead of raw floats (m codes
+    per vector in memory). One expression-only scan: coarse assign +
+    probe filter + ADC sum, no join. Both quantizers are the
+    deterministic round-6 k-means of ivf_topk/pq_topk, so the oracle
+    replays the full composition as static SQL
+    (operators/similarity.py:ivfpq_topk)."""
+    emb = _emb(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.ivfpq_topk(
+        emb,
+        [float(v) for v in qvec],
+        k=KNN_K,
+        n_lists=IVF_N_LISTS,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+        n_codes=PQ_CODES,
+    )
+
+
+SQL_ANN_IVFPQ_TOPK = f"""
+WITH cseeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         embedding AS seed
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_N_LISTS}
+),
+cassign0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, s.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_sq_l2_sql('e.embedding', 's.seed')}, 6), s.list_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN cseeds s
+  ) WHERE rk = 1
+),
+cdims AS (SELECT CAST(range AS INT) AS j FROM range(1, {EMB_DIM + 1})),
+cmeans AS (
+  SELECT a.list_id, d.j, ROUND(AVG(CAST(e.embedding[d.j] AS DOUBLE)), 6) AS m
+  FROM cassign0 a JOIN embeddings e USING (vec_id) CROSS JOIN cdims d
+  GROUP BY a.list_id, d.j
+),
+ccents AS (
+  SELECT s.list_id,
+         COALESCE(mm.c, list_transform(s.seed, v -> CAST(v AS DOUBLE))) AS cent
+  FROM cseeds s LEFT JOIN (
+    SELECT list_id, list(m ORDER BY j) AS c FROM cmeans GROUP BY list_id
+  ) mm USING (list_id)
+),
+qfull AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.list_id FROM ccents c, qfull
+  ORDER BY ROUND({_sq_l2_sql('qfull.qv', 'c.cent')}, 6), c.list_id
+  LIMIT {IVF_NPROBE}
+),
+cassign1 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND({_sq_l2_sql('e.embedding', 'c.cent')}, 6), c.list_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN ccents c
+  ) WHERE rk = 1
+),
+subs AS (SELECT CAST(range AS INT) AS s FROM range(0, {PQ_M})),
+base AS (
+  SELECT e.vec_id, sub.s,
+         list_transform(
+           e.embedding[(sub.s*{PQ_SUB}+1):(sub.s*{PQ_SUB}+{PQ_SUB})],
+           v -> CAST(v AS DOUBLE)) AS subv
+  FROM embeddings e CROSS JOIN subs sub
+),
+seed_ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM embeddings ORDER BY vec_id LIMIT {PQ_CODES}
+),
+pseeds AS (
+  SELECT b.s, si.code, b.subv AS seed
+  FROM base b JOIN seed_ids si USING (vec_id)
+),
+passign0 AS (
+  SELECT vec_id, s, code FROM (
+    SELECT b.vec_id, b.s, sd.code,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.s
+             ORDER BY ROUND({_sq_l2_sub_sql('b.subv', 'sd.seed', PQ_SUB)}, 6),
+                      sd.code) AS rk
+    FROM base b JOIN pseeds sd ON sd.s = b.s
+  ) WHERE rk = 1
+),
+pdims AS (SELECT CAST(range AS INT) AS j FROM range(1, {PQ_SUB + 1})),
+pmeans AS (
+  SELECT a.s, a.code, d.j, ROUND(AVG(b.subv[d.j]), 6) AS mn
+  FROM passign0 a
+  JOIN base b ON b.vec_id = a.vec_id AND b.s = a.s
+  CROSS JOIN pdims d
+  GROUP BY a.s, a.code, d.j
+),
+pbooks AS (
+  SELECT sd.s, sd.code, COALESCE(mm.c, sd.seed) AS cent
+  FROM pseeds sd LEFT JOIN (
+    SELECT s, code, list(mn ORDER BY j) AS c FROM pmeans GROUP BY s, code
+  ) mm ON mm.s = sd.s AND mm.code = sd.code
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT b.vec_id, b.s, bk.code,
+           row_number() OVER (
+             PARTITION BY b.vec_id, b.s
+             ORDER BY ROUND({_sq_l2_sub_sql('b.subv', 'bk.cent', PQ_SUB)}, 6),
+                      bk.code) AS rk
+    FROM base b JOIN pbooks bk ON bk.s = b.s
+  ) WHERE rk = 1
+),
+qsubs AS (SELECT s, subv AS qsub FROM base WHERE vec_id = 0),
+adc AS (
+  SELECT bk.s, bk.code, {_sq_l2_sub_sql('qsubs.qsub', 'bk.cent', PQ_SUB)} AS d
+  FROM pbooks bk JOIN qsubs ON qsubs.s = bk.s
+),
+dist AS (
+  SELECT e.vec_id, ROUND(SUM(a.d), 6) AS pq_dist
+  FROM enc e JOIN adc a ON a.s = e.s AND a.code = e.code
+  GROUP BY e.vec_id
+)
+SELECT d.vec_id, d.pq_dist
+FROM dist d JOIN cassign1 ca ON ca.vec_id = d.vec_id
+WHERE ca.list_id IN (SELECT list_id FROM probe)
+ORDER BY d.pq_dist, d.vec_id
+LIMIT {KNN_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12655,6 +12791,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppl_tercile_buckets": q_ppl_tercile_buckets,
     "suffix_prefix_overlap_pairs": q_suffix_prefix_overlap_pairs,
     "domain_mix_entropy": q_domain_mix_entropy,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -12879,6 +13016,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "ppl_tercile_buckets": SQL_PPL_TERCILE_BUCKETS,
     "suffix_prefix_overlap_pairs": SQL_SUFFIX_PREFIX_OVERLAP_PAIRS,
     "domain_mix_entropy": SQL_DOMAIN_MIX_ENTROPY,
+    "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
 }
 
 
@@ -13091,6 +13229,7 @@ _R7_ADDED: list[str] = [
     "ppl_tercile_buckets",
     "suffix_prefix_overlap_pairs",
     "domain_mix_entropy",
+    "ann_ivfpq_topk",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

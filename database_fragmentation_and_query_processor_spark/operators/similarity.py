@@ -474,3 +474,61 @@ def pq_topk(
         .orderBy("pq_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition (what FAISS deploys at
+    scale) — the IVF coarse quantizer prunes the search to nprobe
+    inverted lists (at scale: partition-pruned index reads,
+    nprobe/n_lists of the corpus touched), and candidates are scored
+    by the PQ asymmetric-distance table instead of their raw floats
+    (m codes per vector in memory, not dim floats). Both quantizers
+    are the deterministic round-6 k-means used by ivf_topk/pq_topk, so
+    the DuckDB oracle replays the whole composition as static SQL.
+    One expression-only scan: coarse assign + probe filter + ADC sum —
+    no join anywhere."""
+    dim = len(query_vec)
+    sub = dim // m
+    cents = kmeans_centroids(emb, n_lists, iters, id_col, vec_col)
+    cdists = [
+        round(
+            sum((float(a) - b) * (float(a) - b) for a, b in zip(query_vec, c)),
+            6,
+        )
+        for c in cents
+    ]
+    probe = sorted(range(len(cents)), key=lambda i: (cdists[i], i))[:nprobe]
+    books = pq_codebooks(
+        emb, m=m, n_codes=n_codes, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    total = None
+    for s in range(m):
+        qsub = [float(v) for v in query_vec[s * sub : (s + 1) * sub]]
+        adc = [
+            sum((a - b) * (a - b) for a, b in zip(qsub, c))
+            for c in books[s]
+        ]
+        code = nearest_centroid_expr(
+            F.slice(F.col(vec_col), s * sub + 1, sub), books[s]
+        )
+        d = F.element_at(F.array(*[F.lit(x) for x in adc]), code + 1)
+        total = d if total is None else total + d
+    coarse = nearest_centroid_expr(F.col(vec_col), cents)
+    return (
+        emb.where(coarse.isin([int(p) for p in probe]))
+        .select(F.col(id_col), F.round(total, 6).alias("pq_dist"))
+        .orderBy("pq_dist", id_col)
+        .limit(k)
+    )

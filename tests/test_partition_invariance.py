@@ -51,6 +51,7 @@ def _canon(df):
         "suffix_prefix_overlap_pairs",  # md5 window equi-join
         "domain_mix_entropy",       # integer counts + DECIMAL(28,12) terms
         "ann_pq_topk",              # round-6 quantizer + literal ADC table
+        "ann_ivfpq_topk",           # both quantizers round-6 deterministic
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

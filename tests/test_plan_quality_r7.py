@@ -86,6 +86,15 @@ def test_rank_battery_windows_partition_by_priority(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_pq_and_ivfpq_scans_are_join_free(spark, sf_dir):
+    """PQ-ADC scoring is m literal-array lookups; IVF-PQ adds only a
+    probe FILTER on the coarse assignment — neither may introduce a
+    join into the candidate scan."""
+    for name in ("ann_pq_topk", "ann_ivfpq_topk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+
+
 def test_cooc_basket_guard_runs_before_pair_join():
     """The COOC_MAX_BASKET fail-fast must trigger during plan BUILD
     (a metadata-sized aggregate), before the quadratic pair join is
