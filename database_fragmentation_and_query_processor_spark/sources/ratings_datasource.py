@@ -219,6 +219,25 @@ class RatingsDataSource(DataSource):
     def reader(self, schema):
         return RatingsReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        names = [f.name for f in schema.fields]
+        if names[:3] != ["userid", "movieid", "rating"]:
+            raise ValueError(
+                f"movielens_ratings writes (userid, movieid, rating) "
+                f"schemas; got {names}"
+            )
+        w = RatingsWriter(self.options, overwrite)
+        if overwrite:
+            # driver-side: clear previous contents before tasks run
+            from ..fs import fs_for
+
+            fs = fs_for(w.path)
+            if fs.is_dir(w.path):
+                for child, is_dir, _s, _m in fs.list_status(w.path):
+                    if not is_dir:
+                        fs.delete(child)
+        return w
+
 
 def register(spark) -> None:
     """Idempotent registration of the format with a SparkSession."""
@@ -227,3 +246,86 @@ def register(spark) -> None:
             "movielens_ratings needs the PySpark 4 Python DataSource API"
         )
     spark.dataSource.register(RatingsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# write path: df.write.format("movielens_ratings").save(path)
+# ---------------------------------------------------------------------------
+
+try:  # PySpark >= 4 writer surface
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    HAVE_WRITER_API = True
+except ImportError:  # pragma: no cover - PySpark 3 fallback
+    HAVE_WRITER_API = False
+
+    class DataSourceWriter:  # type: ignore[no-redef]
+        pass
+
+    class WriterCommitMessage:  # type: ignore[no-redef]
+        pass
+
+
+class RatingsCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+def render_rating_line(userid: int, movieid: int, rating: float) -> str:
+    """One ``::`` input-format line. The timestamp field the loader
+    discards (Interface1.py:29-30) is emitted as 0, and the rating uses
+    Python float rendering ('2.0', '4.5') — a write→load round trip
+    reproduces the relation exactly."""
+    return f"{int(userid)}::{int(movieid)}::{float(rating)}::0"
+
+
+class RatingsWriter(DataSourceWriter):
+    """Per-task writer: each partition lands one uniquely-named final
+    file (task-id + uuid — speculative duplicates cannot collide), the
+    driver-side commit drops a ``_SUCCESS`` marker, and abort removes
+    this attempt's files. Same locality scope as the reader's data
+    path: bare/``file://`` paths (Python workers have no JVM gateway);
+    the files are plain text so any downstream engine reads them."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("movielens_ratings write requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> RatingsCommit:
+        import uuid as _uuid
+
+        from ..fs import fs_for
+
+        fs = fs_for(self.path)
+        fs.makedirs(self.path)
+        name = f"part-{_uuid.uuid4().hex}.txt"
+        dest = posixpath.join(self.path, name)
+        lines = []
+        n = 0
+        for row in iterator:
+            lines.append(
+                render_rating_line(row[0], row[1], row[2])
+            )
+            n += 1
+        fs.write_text_atomic(dest, "\n".join(lines) + ("\n" if lines else ""))
+        return RatingsCommit(dest, n)
+
+    def commit(self, messages) -> None:
+        from ..fs import fs_for
+
+        fs = fs_for(self.path)
+        total = sum(m.n_rows for m in messages if m is not None)
+        fs.write_text_atomic(
+            posixpath.join(self.path, "_SUCCESS"), f"{total}\n"
+        )
+
+    def abort(self, messages) -> None:
+        from ..fs import fs_for
+
+        fs = fs_for(self.path)
+        for m in messages:
+            if m is not None:
+                fs.delete(m.path)
