@@ -97,3 +97,61 @@ def test_resize_upscale_edges_clamped():
     vals = up[0, :, 0].tolist()
     assert vals == sorted(vals)
     assert vals[0] == 0 and vals[-1] == 200
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+
+    @st.composite
+    def _images(draw):
+        h = draw(st.integers(min_value=1, max_value=12))
+        w = draw(st.integers(min_value=1, max_value=12))
+        seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(_images())
+    def test_ppm_roundtrip_property(img):
+        assert (C.decode_ppm(C.encode_ppm(img)) == img).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(_images())
+    def test_bmp_roundtrip_property(img):
+        assert (C.decode_bmp(_bmp_bytes(img)) == img).all()
+        assert (C.decode_bmp(_bmp_bytes(img, top_down=True)) == img).all()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        _images(),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+    )
+    def test_resize_bounds_property(img, w, h):
+        """Resized pixels are always inside the source min/max per
+        channel (bilinear interpolation cannot overshoot), and the
+        output shape is exactly (h, w, 3)."""
+        out = C.resize_rgb(img, w, h)
+        assert out.shape == (h, w, 3)
+        for ch in range(3):
+            assert out[:, :, ch].min() >= img[:, :, ch].min()
+            assert out[:, :, ch].max() <= img[:, :, ch].max()
+
+    @settings(max_examples=20, deadline=None)
+    @given(_images())
+    def test_resize_constant_image_is_constant(img):
+        flat = np.full_like(img, img[0, 0])
+        out = C.resize_rgb(flat, 5, 3)
+        assert (out == img[0, 0]).all()
