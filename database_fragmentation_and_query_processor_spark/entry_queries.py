@@ -11887,18 +11887,31 @@ def q_unigram_kl_divergence(spark, sf_dir):
     toks = docs.select(
         "source", F.explode(T.tokens(F.col("text"))).alias("tok")
     )
+    # ONE pass over the raw token stream: everything downstream (top-K
+    # selection, symbol folding, distributions) operates on the
+    # (source, tok) count aggregate — vocab-sized, not corpus-sized
+    per0 = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
     top = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("n"))
+        per0.groupBy("tok")
+        .agg(F.sum("c").alias("n"))
         .orderBy(F.desc("n"), "tok")
         .limit(KL_TOPK)
         .select("tok")
     )
-    sym = toks.join(F.broadcast(top.withColumn("keep", F.lit(True))), "tok", "left").select(
-        "source",
-        F.when(F.col("keep"), F.col("tok")).otherwise(F.lit("<other>")).alias("sym"),
+    per = (
+        per0.join(
+            F.broadcast(top.withColumn("keep", F.lit(True))), "tok", "left"
+        )
+        .select(
+            "source",
+            F.when(F.col("keep"), F.col("tok"))
+            .otherwise(F.lit("<other>"))
+            .alias("sym"),
+            "c",
+        )
+        .groupBy("source", "sym")
+        .agg(F.sum("c").alias("c_s"))
     )
-    per = sym.groupBy("source", "sym").agg(F.count("*").alias("c_s"))
     corpus = per.groupBy("sym").agg(F.sum("c_s").alias("c_g"))
     n_source = per.groupBy("source").agg(F.sum("c_s").alias("n_s"))
     n_total = corpus.agg(F.sum("c_g").alias("n_g")).head()["n_g"]
