@@ -236,6 +236,9 @@ HEADLINE = [
     "suffix_prefix_overlap_pairs",
     "domain_mix_entropy",
     "ann_ivfpq_topk",
+    "containment_pairs",
+    "dedup_cluster_histogram",
+    "tokenizer_fertility",
 ]
 
 

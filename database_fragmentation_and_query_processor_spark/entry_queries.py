@@ -12551,6 +12551,199 @@ LIMIT {KNN_K}
 """
 
 
+CONTAIN_THRESHOLD = 0.9
+CONTAIN_MAX_BLOCK = 10_000  # fail-fast ceiling on per-language block size
+CONTAIN_SAMPLE_PERMILLE = 400  # contained-side audit stratum
+CONTAIN_SALT = "containment"
+
+
+def q_containment_pairs(spark, sf_dir):
+    """DIRECTED containment detection — |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| ≥ 0.9 means doc A is (near-)wholly contained in B:
+    the quote/excerpt/superset relation symmetric Jaccard misses (a
+    short doc inside a long one has low Jaccard but full containment).
+    Audit-grade exact variant over a DETERMINISTIC md5 stratum of the
+    contained side (the blocked_jaccard_pairs sample_frac procedure —
+    reruns audit the identical stratum), within language blocks under
+    the blocked_jaccard-style fail-fast cap (containment candidates
+    cannot share a length bucket by construction, so length cannot
+    tighten the blocking); an integer length-feasibility prune
+    (10·|B| ≥ 9·|A| — |A∩B| ≤ |B| makes smaller Bs impossible) drops
+    most pairs before any set intersection. The 100 TB production path
+    is the inverted-index/LSH candidate route, with this as its
+    bounded ground-truth check (the near_dup_audit pattern)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(D.shingles(F.col("text"), SHINGLE_N)).alias("ss"),
+    )
+    oversized = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > CONTAIN_MAX_BLOCK)
+        .limit(5)
+        .collect()
+    )
+    if oversized:
+        worst = ", ".join(f"{r['lang']}={r['n']}" for r in oversized)
+        raise ValueError(
+            f"containment_pairs: language block(s) exceed "
+            f"CONTAIN_MAX_BLOCK={CONTAIN_MAX_BLOCK} docs ({worst}); the "
+            f"within-block pair join is quadratic — use the LSH candidate "
+            f"route or tighten the blocking first"
+        )
+    a = base.where(
+        SampleOp.hash_bucket(F.col("doc_id"), CONTAIN_SALT)
+        < F.lit(CONTAIN_SAMPLE_PERMILLE)
+    ).select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        F.col("ss").alias("ss_a"),
+        F.size("ss").alias("na"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("id_b"),
+        "lang",
+        F.col("ss").alias("ss_b"),
+        F.size("ss").alias("nb"),
+    )
+    cont = (
+        F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
+        / F.col("na").cast("double")
+    )
+    return (
+        a.join(b, "lang")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where((F.col("na") > 0) & (F.lit(10) * F.col("nb") >= F.lit(9) * F.col("na")))
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+tokc AS (SELECT doc_id, lang, {TOKENS_SQL} AS t FROM corpus),
+shc AS (SELECT doc_id, lang,
+        CASE WHEN len(t) < {SHINGLE_N} THEN [array_to_string(t, ' ')]
+             ELSE list_transform(range(0, len(t) - {SHINGLE_N - 1}),
+                                 i -> array_to_string(t[i+1:i+{SHINGLE_N}], ' '))
+        END AS s
+        FROM tokc),
+ssc AS (SELECT doc_id, lang, list_distinct(s) AS ss FROM shc),
+sidea AS (
+  SELECT doc_id, lang, ss, len(ss) AS na FROM ssc
+  WHERE CAST('0x' || substr(md5('{CONTAIN_SALT}' || CAST(doc_id AS VARCHAR)),
+             1, 13) AS BIGINT) % 1000 < {CONTAIN_SAMPLE_PERMILLE}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+             / CAST(a.na AS DOUBLE), 6) AS containment
+FROM sidea a JOIN ssc b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE a.na > 0 AND 10 * len(b.ss) >= 9 * a.na
+  AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+      / CAST(a.na AS DOUBLE) >= {CONTAIN_THRESHOLD}
+"""
+
+
+def q_dedup_cluster_histogram(spark, sf_dir):
+    """Dedup reporting rollup: how many near-dup clusters exist at each
+    size (the shape dedup dashboards plot — a long tail of pairs, a few
+    large clusters). Builds on the connected-components clustering; the
+    histogram is one extra tiny aggregation over per-cluster sizes."""
+    from .operators.graph import cluster_sizes, connected_components
+
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = D.near_dup_pairs(
+        docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
+    ).select("id_a", "id_b")
+    sizes = cluster_sizes(connected_components(pairs))
+    return (
+        sizes.groupBy(F.col("n_docs").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .withColumn(
+            "n_docs_total",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint"),
+        )
+    )
+
+
+def _sql_dedup_cluster_histogram() -> str:
+    return f"""
+SELECT n_docs AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(n_docs * COUNT(*) AS BIGINT) AS n_docs_total
+FROM ({_sql_dedup_clusters()}) clusters
+GROUP BY n_docs
+"""
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — chars per whitespace token
+    and per BPE-ish token, plus the BPE/ws split ratio: the
+    multilingual tokenizer-budget audit (how many subword tokens a
+    language pays per character decides its effective context length
+    and training cost). Integer sums onto the tiny lang domain; ratios
+    rounded last."""
+    docs = _docs(spark, sf_dir)
+    per = (
+        docs.select(
+            "lang",
+            F.col("n_chars").cast("bigint").alias("nc"),
+            T.token_count(F.col("text")).alias("nw"),
+            T.bpe_token_count(F.col("text")).alias("nb"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nc").cast("bigint").alias("total_chars"),
+            F.sum("nw").cast("bigint").alias("total_ws_tokens"),
+            F.sum("nb").cast("bigint").alias("total_bpe_tokens"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        "total_ws_tokens",
+        "total_bpe_tokens",
+        F.round(
+            F.col("total_chars").cast("double") / F.col("total_ws_tokens"),
+            6,
+        ).alias("chars_per_ws_token"),
+        F.round(
+            F.col("total_chars").cast("double") / F.col("total_bpe_tokens"),
+            6,
+        ).alias("chars_per_bpe_token"),
+        F.round(
+            F.col("total_bpe_tokens").cast("double")
+            / F.col("total_ws_tokens"),
+            6,
+        ).alias("bpe_per_ws"),
+    )
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS total_ws_tokens,
+         CAST(SUM({_BPE_LEN_SQL}) AS BIGINT) AS total_bpe_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, total_chars, total_ws_tokens, total_bpe_tokens,
+       ROUND(CAST(total_chars AS DOUBLE) / total_ws_tokens, 6)
+         AS chars_per_ws_token,
+       ROUND(CAST(total_chars AS DOUBLE) / total_bpe_tokens, 6)
+         AS chars_per_bpe_token,
+       ROUND(CAST(total_bpe_tokens AS DOUBLE) / total_ws_tokens, 6)
+         AS bpe_per_ws
+FROM per
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12805,6 +12998,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_prefix_overlap_pairs": q_suffix_prefix_overlap_pairs,
     "domain_mix_entropy": q_domain_mix_entropy,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "containment_pairs": q_containment_pairs,
+    "dedup_cluster_histogram": q_dedup_cluster_histogram,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -13030,6 +13226,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "suffix_prefix_overlap_pairs": SQL_SUFFIX_PREFIX_OVERLAP_PAIRS,
     "domain_mix_entropy": SQL_DOMAIN_MIX_ENTROPY,
     "ann_ivfpq_topk": SQL_ANN_IVFPQ_TOPK,
+    "containment_pairs": SQL_CONTAINMENT_PAIRS,
+    "dedup_cluster_histogram": _sql_dedup_cluster_histogram(),
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
 }
 
 
@@ -13243,6 +13442,9 @@ _R7_ADDED: list[str] = [
     "suffix_prefix_overlap_pairs",
     "domain_mix_entropy",
     "ann_ivfpq_topk",
+    "containment_pairs",
+    "dedup_cluster_histogram",
+    "tokenizer_fertility",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

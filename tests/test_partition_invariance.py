@@ -52,6 +52,8 @@ def _canon(df):
         "domain_mix_entropy",       # integer counts + DECIMAL(28,12) terms
         "ann_pq_topk",              # round-6 quantizer + literal ADC table
         "ann_ivfpq_topk",           # both quantizers round-6 deterministic
+        "containment_pairs",        # md5 stratum + exact set arithmetic
+        "tokenizer_fertility",      # integer sums, ratios last
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
