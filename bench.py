@@ -239,6 +239,9 @@ HEADLINE = [
     "containment_pairs",
     "dedup_cluster_histogram",
     "tokenizer_fertility",
+    "frag_pruning_report",
+    "epoch_mixture_sample",
+    "embedding_norm_audit",
 ]
 
 

@@ -12744,6 +12744,243 @@ FROM per
 """
 
 
+#: Probe ranges for the pruning report: interior, multi-fragment,
+#: point, full-domain, and sub-fragment probes (boundary values
+#: included deliberately — they exercise the closed/open bucket rule).
+FRAG_PROBES = [
+    (0.5, 1.5),
+    (1.0, 3.0),
+    (2.5, 2.5),
+    (0.0, 5.0),
+    (3.7, 4.2),
+]
+
+
+def _bucket_py(x: float) -> int:
+    """Driver-side mirror of range_fragment_expr for LITERAL probe
+    endpoints (same closed/open rule, last-bucket absorb)."""
+    shifted = x - RANGE_MIN
+    b = (
+        0
+        if shifted <= RANGE_INTERVAL
+        else math.ceil(shifted / RANGE_INTERVAL) - 1
+    )
+    return min(max(b, 0), RANGE_N - 1)
+
+
+def q_frag_pruning_report(spark, sf_dir):
+    """Quantified fragment-pruning benefit — the cost model behind the
+    reference's rangeQuery selectMode walk (Interface1.py:272-290): for
+    each probe range, how many fragments the range scheme touches
+    (fragment-of(lo)..fragment-of(hi)) vs round-robin's all-n, how many
+    rows those fragments hold, and the realized scan fraction. One
+    conditional-aggregate scan computes every probe's counters
+    (2·|probes|+1 agg cells); probe fragment ids are literal arithmetic
+    on the fixed [0,5] domain. This is the report a DBA reads to pick
+    the partitioning scheme — pruned row fraction ≈ selectivity for
+    range probes, always 1.0 for RR."""
+    r = _ratings(spark, sf_dir).withColumn("fragment_id", _bucket_col())
+    aggs = []
+    for i, (lo, hi) in enumerate(FRAG_PROBES):
+        lf, hf = _bucket_py(lo), _bucket_py(hi)
+        aggs.append(
+            F.sum(
+                F.when(F.col("fragment_id").between(lf, hf), 1).otherwise(0)
+            ).alias(f"scan_{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("rating").between(lo, hi), 1).otherwise(0)
+            ).alias(f"match_{i}")
+        )
+    head = r.agg(F.count("*").alias("total"), *aggs).head()
+    total = int(head["total"])
+    rows = []
+    for i, (lo, hi) in enumerate(FRAG_PROBES):
+        lf, hf = _bucket_py(lo), _bucket_py(hi)
+        scanned = int(head[f"scan_{i}"])
+        rows.append(
+            (
+                i,
+                float(lo),
+                float(hi),
+                lf,
+                hf,
+                hf - lf + 1,
+                RANGE_N,
+                scanned,
+                int(head[f"match_{i}"]),
+                total,
+                round(scanned / total, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "probe_id int, lo double, hi double, lo_frag int, hi_frag int, "
+        "frags_scanned_range int, frags_scanned_rr int, "
+        "rows_scanned_range bigint, rows_matching bigint, "
+        "rows_total bigint, scan_fraction double",
+    )
+
+
+def _sql_frag_pruning_report() -> str:
+    parts = []
+    for i, (lo, hi) in enumerate(FRAG_PROBES):
+        lf, hf = _bucket_py(lo), _bucket_py(hi)
+        parts.append(f"""
+SELECT {i} AS probe_id, CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi,
+       {lf} AS lo_frag, {hf} AS hi_frag,
+       {hf - lf + 1} AS frags_scanned_range, {RANGE_N} AS frags_scanned_rr,
+       CAST(SUM(CASE WHEN frag BETWEEN {lf} AND {hf} THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_scanned_range,
+       CAST(SUM(CASE WHEN rating >= {lo} AND rating <= {hi} THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_matching,
+       CAST(COUNT(*) AS BIGINT) AS rows_total,
+       ROUND(SUM(CASE WHEN frag BETWEEN {lf} AND {hf} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS scan_fraction
+FROM f""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {RATINGS_CTE},
+f AS (SELECT {_bucket_sql()} AS frag, rating FROM ratings)
+{body}
+"""
+
+
+MIX_ALPHA_SQRT = True  # sqrt(n) temperature smoothing (alpha = 0.5)
+MIX_SALT = "epoch_mix"
+
+
+def q_epoch_mixture_sample(spark, sf_dir):
+    """Materialize one training-epoch sample under sqrt-smoothed
+    mixture weights (the multilingual standard: w_s ∝ √n_s upweights
+    small sources relative to their natural share): per-source keep
+    rate = ⌊1000·√n_s / √n_max⌋ permille, the decision a deterministic
+    md5 of the doc id — reproducible across runs, partitionings, and
+    engines, the randomSplit-free way to cut an epoch. Output: per
+    source, natural size, target permille, kept count, and an id
+    checksum pinning EXACTLY which docs were kept (not just how
+    many)."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    mx = int(counts.agg(F.max("n").alias("m")).head()["m"])
+    rates = counts.select(
+        "source",
+        "n",
+        F.least(
+            F.lit(1000),
+            F.floor(
+                F.lit(1000.0) * F.sqrt(F.col("n").cast("double"))
+                / F.lit(math.sqrt(float(mx)))
+            ),
+        )
+        .cast("int")
+        .alias("permille"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(
+            SampleOp.hash_bucket(F.col("doc_id"), MIX_SALT)
+            < F.col("permille")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_checksum"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "permille",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce(
+            F.col("kept_id_checksum"), F.lit(0).cast("bigint")
+        ).alias("kept_id_checksum"),
+    )
+
+
+SQL_EPOCH_MIXTURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+mx AS (SELECT MAX(n) AS m FROM counts),
+rates AS (
+  SELECT source, n,
+         CAST(LEAST(1000, FLOOR(1000.0 * SQRT(CAST(n AS DOUBLE))
+                                / SQRT(CAST(m AS DOUBLE)))) AS INT)
+           AS permille
+  FROM counts CROSS JOIN mx
+),
+kept AS (
+  SELECT d.source,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(d.doc_id) AS BIGINT) AS kept_id_checksum
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5('{MIX_SALT}' || CAST(d.doc_id AS VARCHAR)),
+             1, 13) AS BIGINT) % 1000 < r.permille
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n AS BIGINT) AS n_docs,
+       r.permille,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.kept_id_checksum, 0) AS kept_id_checksum
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+NORM_TOL = 0.01
+
+
+def q_embedding_norm_audit(spark, sf_dir):
+    """Embedding L2-norm audit — the correctness precondition for every
+    cosine-via-dot shortcut and for IVF/PQ distance comparability:
+    per-norm-rounded stats (min/max/mean) and the count of vectors
+    whose norm strays more than 1% from unit length. Norms rounded to
+    6 BEFORE aggregation; the mean sums DECIMAL(28,12) terms so the
+    reduction is order-free."""
+    emb = _emb(spark, sf_dir)
+    sq = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    normed = emb.select(F.round(F.sqrt(sq), 6).alias("nrm"))
+    return normed.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.round(
+            F.avg(F.col("nrm").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("mean_norm"),
+        F.sum(
+            F.when(F.abs(F.col("nrm") - 1.0) > NORM_TOL, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_unnormalized"),
+    )
+
+
+SQL_EMBEDDING_NORM_AUDIT = f"""
+WITH normed AS (
+  SELECT ROUND(SQRT(list_sum(list_transform(embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6) AS nrm
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       MIN(nrm) AS min_norm,
+       MAX(nrm) AS max_norm,
+       ROUND(CAST(AVG(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE), 6)
+         AS mean_norm,
+       CAST(SUM(CASE WHEN ABS(nrm - 1.0) > {NORM_TOL} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unnormalized
+FROM normed
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13001,6 +13238,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "dedup_cluster_histogram": q_dedup_cluster_histogram,
     "tokenizer_fertility": q_tokenizer_fertility,
+    "frag_pruning_report": q_frag_pruning_report,
+    "epoch_mixture_sample": q_epoch_mixture_sample,
+    "embedding_norm_audit": q_embedding_norm_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -13229,6 +13469,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "containment_pairs": SQL_CONTAINMENT_PAIRS,
     "dedup_cluster_histogram": _sql_dedup_cluster_histogram(),
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "frag_pruning_report": _sql_frag_pruning_report(),
+    "epoch_mixture_sample": SQL_EPOCH_MIXTURE_SAMPLE,
+    "embedding_norm_audit": SQL_EMBEDDING_NORM_AUDIT,
 }
 
 
@@ -13445,6 +13688,9 @@ _R7_ADDED: list[str] = [
     "containment_pairs",
     "dedup_cluster_histogram",
     "tokenizer_fertility",
+    "frag_pruning_report",
+    "epoch_mixture_sample",
+    "embedding_norm_audit",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

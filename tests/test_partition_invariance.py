@@ -54,6 +54,9 @@ def _canon(df):
         "ann_ivfpq_topk",           # both quantizers round-6 deterministic
         "containment_pairs",        # md5 stratum + exact set arithmetic
         "tokenizer_fertility",      # integer sums, ratios last
+        "frag_pruning_report",      # integer conditional counts
+        "epoch_mixture_sample",     # md5 keep decisions + integer sums
+        "embedding_norm_audit",     # round-6 norms, decimal mean
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
