@@ -242,6 +242,7 @@ HEADLINE = [
     "frag_pruning_report",
     "epoch_mixture_sample",
     "embedding_norm_audit",
+    "lsh_banding_curve",
 ]
 
 

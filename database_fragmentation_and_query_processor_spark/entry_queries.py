@@ -12981,6 +12981,82 @@ FROM normed
 """
 
 
+def _scurve_prob(s: float, k: int, bands: int) -> float:
+    """P(LSH candidate | true Jaccard s) = 1 − (1 − s^r)^b with
+    r = k/bands rows per band — the published banding S-curve."""
+    r = k // bands
+    return round(1.0 - (1.0 - s**r) ** bands, 6)
+
+
+def q_lsh_banding_curve(spark, sf_dir):
+    """MinHash-banding calibration audit: the measured candidate-pair
+    count per exact-Jaccard decile next to the theoretical S-curve
+    P(candidate|s) = 1−(1−s^r)^b for the configured (k, bands) — the
+    table an operator reads to decide whether the banding matches the
+    dedup threshold (steep part of the curve should straddle it).
+    Candidates come from the SAME generate-then-verify pipeline as
+    minhash_near_dup_pairs with NO threshold (every candidate keeps
+    its exact Jaccard); a 10-row literal decile spine left-joins the
+    measured counts so empty deciles still report. Theory values are
+    driver-side literals — identical doubles in both engines."""
+    docs = _docs_with_dups(spark, sf_dir)
+    pairs = D.near_dup_pairs(
+        docs, threshold=0.0, k=MINHASH_K, bands=MINHASH_BANDS
+    ).where(F.col("jaccard").isNotNull())
+    measured = (
+        pairs.select(
+            F.least(
+                F.floor(F.round(F.col("jaccard"), 6) * 10).cast("int"),
+                F.lit(9),
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("n_candidates"))
+    )
+    spine_rows = [
+        (
+            d,
+            round(d / 10.0 + 0.05, 6),
+            _scurve_prob(d / 10.0 + 0.05, MINHASH_K, MINHASH_BANDS),
+        )
+        for d in range(10)
+    ]
+    spine = spark.createDataFrame(
+        spine_rows, "decile int, s_mid double, p_candidate_theory double"
+    )
+    return spine.join(measured, "decile", "left").select(
+        "decile",
+        "s_mid",
+        "p_candidate_theory",
+        F.coalesce(F.col("n_candidates"), F.lit(0).cast("bigint")).alias(
+            "n_candidates"
+        ),
+    )
+
+
+def _sql_lsh_banding_curve() -> str:
+    spine = ", ".join(
+        f"({d}, {round(d / 10.0 + 0.05, 6)!r}, "
+        f"{_scurve_prob(d / 10.0 + 0.05, MINHASH_K, MINHASH_BANDS)!r})"
+        for d in range(10)
+    )
+    return f"""
+WITH {DOCS_WITH_DUPS_CTE},
+{_near_dup_ctes()},
+measured AS (
+  SELECT LEAST(CAST(FLOOR(ROUND(j, 6) * 10) AS INT), 9) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM verified WHERE j IS NOT NULL
+  GROUP BY 1
+),
+spine(decile, s_mid, p_candidate_theory) AS (VALUES {spine})
+SELECT s.decile, CAST(s.s_mid AS DOUBLE) AS s_mid,
+       CAST(s.p_candidate_theory AS DOUBLE) AS p_candidate_theory,
+       COALESCE(m.n_candidates, 0) AS n_candidates
+FROM spine s LEFT JOIN measured m ON m.decile = s.decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13241,6 +13317,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frag_pruning_report": q_frag_pruning_report,
     "epoch_mixture_sample": q_epoch_mixture_sample,
     "embedding_norm_audit": q_embedding_norm_audit,
+    "lsh_banding_curve": q_lsh_banding_curve,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -13472,6 +13549,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "frag_pruning_report": _sql_frag_pruning_report(),
     "epoch_mixture_sample": SQL_EPOCH_MIXTURE_SAMPLE,
     "embedding_norm_audit": SQL_EMBEDDING_NORM_AUDIT,
+    "lsh_banding_curve": _sql_lsh_banding_curve(),
 }
 
 
@@ -13691,6 +13769,7 @@ _R7_ADDED: list[str] = [
     "frag_pruning_report",
     "epoch_mixture_sample",
     "embedding_norm_audit",
+    "lsh_banding_curve",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

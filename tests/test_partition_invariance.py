@@ -57,6 +57,7 @@ def _canon(df):
         "frag_pruning_report",      # integer conditional counts
         "epoch_mixture_sample",     # md5 keep decisions + integer sums
         "embedding_norm_audit",     # round-6 norms, decimal mean
+        "lsh_banding_curve",        # md5 sketch + integer decile counts
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
