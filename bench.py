@@ -243,6 +243,8 @@ HEADLINE = [
     "epoch_mixture_sample",
     "embedding_norm_audit",
     "lsh_banding_curve",
+    "copurchase_bfs_hops",
+    "mink_prob_contamination",
 ]
 
 

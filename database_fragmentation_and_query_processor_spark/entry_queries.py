@@ -7132,6 +7132,86 @@ FROM tris, edges_n, nodes_n
 """
 
 
+BFS_SEED_MOD = 97  # users with user_id % 97 == 0 seed the traversal
+BFS_MAX_HOPS = 3
+
+
+def q_copurchase_bfs_hops(spark, sf_dir):
+    """Bounded multi-source BFS over the co-purchase graph: exact hop
+    distance from a deterministic seed set (user_id % {mod} == 0) out
+    to {h} hops — the "blast radius" / influence-reach traversal
+    (operators/graph.py:bfs_hops, frontier iteration, work per round
+    proportional to the frontier's fan-out). Hops are exact integers,
+    so the per-hop rollup (count, min/max/sum of node ids) hash-matches
+    an oracle that replays the traversal as {h} unrolled min-hop
+    relaxation CTEs — Bellman-Ford agrees with BFS within the hop
+    bound. New parity category: recursive/iterative graph traversal
+    checked against unrolled recursive SQL."""
+    from .operators.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("id_a").alias("node"))
+        .union(edges.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % BFS_SEED_MOD == 0)
+    hops = bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS)
+    return (
+        hops.groupBy("hop")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+            F.sum("node").cast("bigint").alias("sum_node"),
+        )
+        .orderBy("hop")
+        .select(F.col("hop").cast("bigint").alias("hop"),
+                "n_nodes", "min_node", "max_node", "sum_node")
+    )
+
+
+q_copurchase_bfs_hops.__doc__ = q_copurchase_bfs_hops.__doc__.format(
+    mod=BFS_SEED_MOD, h=BFS_MAX_HOPS
+)
+
+
+def _sql_copurchase_bfs_hops() -> str:
+    iters = []
+    prev = "d0"
+    for i in range(1, BFS_MAX_HOPS + 1):
+        iters.append(f"""
+d{i} AS (
+  SELECT node, MIN(hop) AS hop FROM (
+    SELECT node, hop FROM {prev}
+    UNION ALL
+    SELECT b.e_dst AS node, d.hop + 1 AS hop
+    FROM bidir b JOIN {prev} d ON b.e_src = d.node
+  ) GROUP BY node
+)""")
+        prev = f"d{i}"
+    return f"""
+WITH {_COPURCHASE_EDGES_CTE},
+bidir AS (
+  SELECT id_a AS e_src, id_b AS e_dst FROM e
+  UNION ALL
+  SELECT id_b AS e_src, id_a AS e_dst FROM e
+),
+nodes AS (SELECT DISTINCT e_src AS node FROM bidir),
+d0 AS (
+  SELECT node, 0 AS hop FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+),
+{','.join(iters)}
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node,
+       CAST(SUM(node) AS BIGINT) AS sum_node
+FROM {prev}
+GROUP BY hop ORDER BY hop
+"""
+
+
 SEM_DUP_SALT = 100_000  # perturbed-clone ids live above this offset
 SEM_DUP_MOD = 13
 SEM_TAU = 0.95  # within-cluster cosine threshold
@@ -11972,6 +12052,117 @@ GROUP BY source
 """
 
 
+MINK_PCT = 20  # score = mean logprob of the lowest 20% of token probs
+MINK_TOPN = 25
+
+
+def q_mink_prob_contamination(spark, sf_dir):
+    """Min-K% Prob membership scoring (Shi et al. 2024, "Detecting
+    Pretraining Data from Large Language Models"): score each document
+    by the MEAN log-probability of its {pct}% least-probable tokens
+    under a reference LM — unusually high scores (no surprising tokens
+    anywhere) flag texts the model has memorized. The reference model
+    here is the corpus unigram MLE (the same stand-in the perplexity
+    filter uses). Top-{topn} docs by score surface the most
+    contamination-suspect documents.
+
+    Hash-exactness: a token's logprob depends only on its corpus count,
+    so the bottom-k SELECTION is by (count, token) row_number — ties at
+    the boundary carry identical logprobs and cannot change the
+    selected multiset — and each ln term is cast to DECIMAL(28,12)
+    before summing (order-independent reduction). Scale: one token-count
+    agg, one join back onto the token stream, one per-doc window
+    (partition = one document), one per-doc agg — all key-shuffles on
+    uniform keys; model state is the vocabulary count table."""
+    docs = _docs(spark, sf_dir)
+    tl = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    cu = tl.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = int(cu.agg(F.sum("c")).head()[0])
+    w = Window.partitionBy("doc_id").orderBy("c", "tok")
+    scored = (
+        tl.join(cu, "tok")
+        .select(
+            "doc_id",
+            "c",
+            "tok",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n_tok"),
+        )
+        .withColumn(
+            "k_cnt",
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("n_tok") * MINK_PCT / 100).cast("bigint"),
+            ),
+        )
+        .where(F.col("rn") <= F.col("k_cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_tok").cast("bigint").alias("n_tokens"),
+            F.max("k_cnt").cast("bigint").alias("k_tokens"),
+            F.sum(
+                F.log(F.col("c").cast("double") / F.lit(float(n_total)))
+                .cast("decimal(28,12)")
+            ).alias("lp_sum"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            "k_tokens",
+            F.round(
+                F.col("lp_sum").cast("double") / F.col("k_tokens").cast("double"),
+                6,
+            ).alias("mink_score"),
+        )
+        .orderBy(F.desc("mink_score"), "doc_id")
+        .limit(MINK_TOPN)
+    )
+
+
+q_mink_prob_contamination.__doc__ = q_mink_prob_contamination.__doc__.format(
+    pct=MINK_PCT, topn=MINK_TOPN
+)
+
+
+SQL_MINK_PROB_CONTAMINATION = f"""
+WITH tl AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+),
+cu AS (SELECT tok, COUNT(*) AS c FROM tl GROUP BY tok),
+tot AS (SELECT SUM(c) AS n FROM cu),
+rk AS (
+  SELECT t.doc_id, u.c, t.tok,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY u.c, t.tok) AS rn,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS n_tok
+  FROM tl t JOIN cu u USING (tok)
+),
+sel AS (
+  SELECT doc_id, c, n_tok,
+         GREATEST(1, CAST(CEIL(n_tok * {MINK_PCT} / 100.0) AS BIGINT)) AS k_cnt
+  FROM rk
+  WHERE rn <= GREATEST(1, CAST(CEIL(n_tok * {MINK_PCT} / 100.0) AS BIGINT))
+),
+scored AS (
+  SELECT doc_id,
+         CAST(MAX(n_tok) AS BIGINT) AS n_tokens,
+         CAST(MAX(k_cnt) AS BIGINT) AS k_tokens,
+         SUM(CAST(LN(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+             AS DECIMAL(28,12))) AS lp_sum
+  FROM sel CROSS JOIN tot t GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, k_tokens,
+       ROUND(CAST(lp_sum AS DOUBLE) / CAST(k_tokens AS DOUBLE), 6)
+         AS mink_score
+FROM scored
+ORDER BY mink_score DESC, doc_id
+LIMIT {MINK_TOPN}
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -13318,6 +13509,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_mixture_sample": q_epoch_mixture_sample,
     "embedding_norm_audit": q_embedding_norm_audit,
     "lsh_banding_curve": q_lsh_banding_curve,
+    "copurchase_bfs_hops": q_copurchase_bfs_hops,
+    "mink_prob_contamination": q_mink_prob_contamination,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -13550,6 +13743,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "epoch_mixture_sample": SQL_EPOCH_MIXTURE_SAMPLE,
     "embedding_norm_audit": SQL_EMBEDDING_NORM_AUDIT,
     "lsh_banding_curve": _sql_lsh_banding_curve(),
+    "copurchase_bfs_hops": _sql_copurchase_bfs_hops(),
+    "mink_prob_contamination": SQL_MINK_PROB_CONTAMINATION,
 }
 
 
@@ -13770,6 +13965,8 @@ _R7_ADDED: list[str] = [
     "epoch_mixture_sample",
     "embedding_norm_audit",
     "lsh_banding_curve",
+    "copurchase_bfs_hops",
+    "mink_prob_contamination",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -147,6 +147,56 @@ def pagerank_integer(
     return ranks
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Multi-source BFS: (node, hop) for every node within ``max_hops``
+    of the seed set, hop = exact shortest-path edge distance.
+
+    Frontier-style iteration — the Pregel BFS plan expressed
+    relationally: each round joins the edge list against ONLY the nodes
+    discovered in the previous round (not the whole settled set), then
+    anti-joins the settled set to keep first-discovery hops. Work per
+    round is proportional to the frontier's edge fan-out, so total work
+    is O(edges within max_hops) regardless of graph size — the property
+    that makes relational BFS viable on a 100 TB edge list. Lineage is
+    truncated per round (localCheckpoint), and the loop exits early on
+    an empty frontier."""
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    bidir = (
+        e.union(e.select(F.col("e_dst"), F.col("e_src")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    settled = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = settled
+    for h in range(1, max_hops + 1):
+        nxt = (
+            bidir.join(frontier, bidir.e_src == frontier.node)
+            .select(F.col("e_dst").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        settled = settled.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled
+
+
 def triangle_counts(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:

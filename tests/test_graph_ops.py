@@ -105,3 +105,45 @@ def test_semantic_dedup_drops_exactly_the_perturbed_clones(spark, sf_dir):
     assert n_vecs == n_base + len(clone_ids)
     assert n_dropped == len(clone_ids)
     assert checksum == sum(clone_ids)
+
+
+def test_bfs_hops_path_graph(spark):
+    """Path 1-2-3-4-5-6, seed {1}: exact hop distances, truncated at
+    max_hops (node 5 at hop 4 and node 6 at hop 5 must NOT appear)."""
+    from database_fragmentation_and_query_processor_spark.operators.graph import bfs_hops
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(_edges(spark, pairs), seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_multi_source_min_distance(spark):
+    """Two seeds on a path: every node takes the NEAREST seed's
+    distance (multi-source BFS, not per-seed products)."""
+    from database_fragmentation_and_query_processor_spark.operators.graph import bfs_hops
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(_edges(spark, pairs), seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_hops_early_exit_on_exhausted_frontier(spark):
+    """A 2-node component explored with max_hops=10 stops after the
+    frontier empties — the settled set is just the component."""
+    from database_fragmentation_and_query_processor_spark.operators.graph import bfs_hops
+
+    pairs = [(7, 8), (20, 21)]
+    seeds = spark.createDataFrame([(7,)], "node bigint")
+    got = {
+        r["node"]: r["hop"]
+        for r in bfs_hops(_edges(spark, pairs), seeds, max_hops=10).collect()
+    }
+    assert got == {7: 0, 8: 1}

@@ -58,6 +58,8 @@ def _canon(df):
         "epoch_mixture_sample",     # md5 keep decisions + integer sums
         "embedding_norm_audit",     # round-6 norms, decimal mean
         "lsh_banding_curve",        # md5 sketch + integer decile counts
+        "copurchase_bfs_hops",      # exact integer hops + integer rollup
+        "mink_prob_contamination",  # count-ranked selection, decimal sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -101,3 +101,24 @@ def test_cooc_basket_guard_runs_before_pair_join():
     even constructed."""
     src = inspect.getsource(EQ.q_item_cooccurrence_topk)
     assert src.index("COOC_MAX_BASKET") < src.index('join(items.alias("b")')
+
+
+def test_bfs_propagates_from_frontier_not_settled():
+    """Each BFS round must join edges against the PREVIOUS round's
+    discoveries only — joining the whole settled set makes round cost
+    grow with the visited-set size instead of the frontier fan-out."""
+    from database_fragmentation_and_query_processor_spark.operators import graph
+
+    src = inspect.getsource(graph.bfs_hops)
+    assert "bidir.join(frontier" in src
+    assert "left_anti" in src  # first-discovery dedup against settled
+    assert "localCheckpoint" in src  # per-round lineage truncation
+
+
+def test_mink_window_is_per_document_and_topk_is_bounded(spark, sf_dir):
+    """The bottom-k selection window partitions by doc_id (never a
+    single global partition), and the final top-N is TakeOrdered, not
+    a global sort of every document."""
+    plan = _plan(spark, sf_dir, "mink_prob_contamination")
+    assert "SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
