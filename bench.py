@@ -245,6 +245,8 @@ HEADLINE = [
     "lsh_banding_curve",
     "copurchase_bfs_hops",
     "mink_prob_contamination",
+    "theil_sen_trend",
+    "hard_negative_mining",
 ]
 
 

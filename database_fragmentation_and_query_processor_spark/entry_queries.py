@@ -12163,6 +12163,165 @@ LIMIT {MINK_TOPN}
 """
 
 
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of daily revenue: the (lower) MEDIAN of
+    all pairwise day-to-day slopes — the outlier-resistant alternative
+    to the OLS fit in value_regression (one mega-order day cannot drag
+    it). Scale shape: the corpus collapses to a DAILY rollup first
+    (integer-cent sums, one key-shuffle), so the pairwise slope set
+    lives on the calendar-day domain — days², data-size-independent,
+    the bounded-model-state pattern. Hash-exactness: slopes are exact
+    integer (num, den) rationals; the double quotient is used for
+    ORDERING only, with (num, den) tie-breaks, and the k-th element is
+    taken as max-of-sorted-prefix — no floor-division sign pitfalls,
+    engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice").cast("double") * 100).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, F.col("b.d") > F.col("a.d"))
+        .select(
+            (F.col("b.cents") - F.col("a.cents")).alias("num"),
+            F.datediff(F.col("b.d"), F.col("a.d")).cast("bigint").alias("den"),
+        )
+        .withColumn(
+            "slope", F.col("num").cast("double") / F.col("den").cast("double")
+        )
+    )
+    pairs = pairs.persist()
+    try:
+        n_days = daily.count()
+        n_pairs = pairs.count()
+        k = (n_pairs + 1) // 2
+        kth = (
+            pairs.orderBy("slope", "num", "den")
+            .limit(k)
+            .agg(F.max(F.struct("slope", "num", "den")).alias("m"))
+            .head()["m"]
+        )
+    finally:
+        pairs.unpersist()
+    out = spark.createDataFrame(
+        [(int(n_days), int(n_pairs), float(kth["slope"]) / 100.0)],
+        "n_days bigint, n_pairs bigint, raw double",
+    )
+    return out.select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("raw"), 6).alias("sen_slope_per_day"),
+    )
+
+
+SQL_THEIL_SEN_TREND = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT (b.cents - a.cents) AS num,
+         CAST(date_diff('day', a.d, b.d) AS BIGINT) AS den
+  FROM daily a JOIN daily b ON b.d > a.d
+),
+sl AS (
+  SELECT num, den, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope
+  FROM pairs
+),
+st AS (SELECT COUNT(*) AS n_pairs FROM sl),
+nd AS (SELECT COUNT(*) AS n_days FROM daily),
+rk AS (
+  SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, num, den) AS rn FROM sl
+)
+SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(st.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(rk.slope / 100.0, 6) AS sen_slope_per_day
+FROM rk CROSS JOIN st CROSS JOIN nd
+WHERE rk.rn = (st.n_pairs + 1) // 2
+"""
+
+
+HN_ANCHOR_MOD = 17   # vec_id % 17 == 0 anchors the mining stratum
+HN_PLANES = 6        # coarser buckets than dedup: negatives need RECALL
+HN_LO, HN_HI = 0.0, 0.98   # near-but-not-duplicate cosine band
+
+
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive-training pair construction: for each anchor vector
+    (deterministic stratum vec_id % {mod} == 0), the HARDEST negative —
+    the highest-cosine neighbor inside the near-but-not-duplicate band
+    [{lo}, {hi}) — plus the candidate count behind the choice. This is
+    the embedding-training data-prep step (hard negatives make
+    contrastive losses work); duplicates (cosine ≥ {hi}) are excluded
+    so the pair teaches separation, not identity. Scale shape:
+    candidates come ONLY from the anchor's {pl}-bit sign-RP LSH bucket
+    (never all-pairs; COARSER than the dedup buckets, because negative
+    mining needs candidate recall where dedup needs precision), and the
+    per-anchor argmax is a struct-max aggregation (tie → larger id,
+    engine-identical), not a window."""
+    emb = _emb(spark, sf_dir)
+    sigs = S.with_lsh_signature(
+        emb, n_planes=HN_PLANES, sig_col="sig", dim=EMB_DIM
+    ).select("vec_id", "embedding", "sig")
+    anchors = sigs.where(F.col("vec_id") % HN_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        "sig",
+    )
+    cos = F.round(V.cosine(F.col("a_emb"), F.col("embedding")), 6)
+    band = (
+        anchors.join(sigs, "sig")
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", F.col("vec_id").alias("negative_id"), cos.alias("c"))
+        .where((F.col("c") >= HN_LO) & (F.col("c") < HN_HI))
+    )
+    best = band.groupBy("anchor_id").agg(
+        F.max(F.struct("c", "negative_id")).alias("m"),
+        F.count("*").cast("bigint").alias("n_cands"),
+    )
+    return best.select(
+        "anchor_id",
+        F.col("m.negative_id").alias("negative_id"),
+        F.col("m.c").alias("cosine_sim"),
+        "n_cands",
+    )
+
+
+q_hard_negative_mining.__doc__ = q_hard_negative_mining.__doc__.format(
+    mod=HN_ANCHOR_MOD, lo=HN_LO, hi=HN_HI, pl=HN_PLANES
+)
+
+
+def _sql_hard_negative_mining() -> str:
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {_sig_sql('embedding', HN_PLANES)} AS sig
+  FROM embeddings
+),
+band AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS c
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND b.vec_id <> a.vec_id
+  WHERE a.vec_id % {HN_ANCHOR_MOD} = 0
+),
+inband AS (SELECT * FROM band WHERE c >= {HN_LO} AND c < {HN_HI})
+SELECT anchor_id, negative_id, c AS cosine_sim, n_cands FROM (
+  SELECT anchor_id, negative_id, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor_id ORDER BY c DESC, negative_id DESC
+         ) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY anchor_id) AS BIGINT) AS n_cands
+  FROM inband
+) WHERE rn = 1
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -13511,6 +13670,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_banding_curve": q_lsh_banding_curve,
     "copurchase_bfs_hops": q_copurchase_bfs_hops,
     "mink_prob_contamination": q_mink_prob_contamination,
+    "theil_sen_trend": q_theil_sen_trend,
+    "hard_negative_mining": q_hard_negative_mining,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -13745,6 +13906,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "lsh_banding_curve": _sql_lsh_banding_curve(),
     "copurchase_bfs_hops": _sql_copurchase_bfs_hops(),
     "mink_prob_contamination": SQL_MINK_PROB_CONTAMINATION,
+    "theil_sen_trend": SQL_THEIL_SEN_TREND,
+    "hard_negative_mining": _sql_hard_negative_mining(),
 }
 
 
@@ -13967,6 +14130,8 @@ _R7_ADDED: list[str] = [
     "lsh_banding_curve",
     "copurchase_bfs_hops",
     "mink_prob_contamination",
+    "theil_sen_trend",
+    "hard_negative_mining",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -60,6 +60,8 @@ def _canon(df):
         "lsh_banding_curve",        # md5 sketch + integer decile counts
         "copurchase_bfs_hops",      # exact integer hops + integer rollup
         "mink_prob_contamination",  # count-ranked selection, decimal sums
+        "theil_sen_trend",          # integer-rational slopes, k-th by sort
+        "hard_negative_mining",     # round-6 cosine + struct-max argmax
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -122,3 +122,27 @@ def test_mink_window_is_per_document_and_topk_is_bounded(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mink_prob_contamination")
     assert "SinglePartition" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_theil_sen_pairs_live_on_the_daily_rollup():
+    """The pairwise slope set must be built from the aggregated daily
+    frame (days² pairs, calendar-bounded), never from raw orders — a
+    raw-row self-join would be corpus-quadratic."""
+    src = inspect.getsource(EQ.q_theil_sen_trend)
+    assert src.index("groupBy") < src.index(".join(")
+
+
+def test_theil_sen_result_is_literal(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "theil_sen_trend")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_hard_negative_mining_is_bucketed_struct_max(spark, sf_dir):
+    """Candidates only from LSH-bucket equality (no cartesian), argmax
+    via aggregation (no per-anchor window)."""
+    plan = _plan(spark, sf_dir, "hard_negative_mining")
+    assert "Cartesian" not in plan
+    assert "Window" not in plan
+    # struct-max lowers to SortAggregate (binary-unsafe agg buffer) —
+    # any partial+final Aggregate pair is the shape we want
+    assert "Aggregate" in plan
