@@ -247,6 +247,7 @@ HEADLINE = [
     "mink_prob_contamination",
     "theil_sen_trend",
     "hard_negative_mining",
+    "quantile_normalize_audit",
 ]
 
 

@@ -12322,6 +12322,97 @@ SELECT anchor_id, negative_id, c AS cosine_sim, n_cands FROM (
 """
 
 
+def q_quantile_normalize_audit(spark, sf_dir):
+    """Quantile normalization (the microarray/batch-effect-correction
+    transform, Bolstad et al. 2003): each event value is replaced by
+    the CORPUS value at the equivalent rank position, so every
+    event_type ends up with the same marginal distribution; the audit
+    reports per-type raw vs normalized moments. Exactness: values are
+    integer cents, ranks are exact integers with (cents, event_id)
+    tie-breaks, and the target index floor((rg·(N−1)) div (n_g−1)) is
+    nonneg-integer arithmetic (truncating and flooring division agree).
+    Scale shape: NO per-type single-task window — the per-type rank is
+    the bucketed two-phase prefix count (operators/scaling.py:
+    stable_prefix_sum) and the global rank the bucketed two-phase
+    numbering (stable_row_number); the rank→value lookup is one
+    key-shuffle join on the target index."""
+    from .operators.scaling import stable_prefix_sum, stable_row_number
+
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+        "event_id",
+    )
+    n_total = v.count()
+    ranked = stable_prefix_sum(
+        v.withColumn("_one", F.lit(1).cast("bigint")),
+        order_cols=["c", "event_id"],
+        value_col="_one",
+        group_cols=["event_type"],
+        out_col="rg",
+    ).drop("_one")
+    ng = v.groupBy("event_type").agg(F.count("*").alias("n_g"))
+    corpus = stable_row_number(
+        v.select("c", "event_id"), ["c", "event_id"], out_col="gr"
+    ).select("gr", F.col("c").alias("nc"))
+    idx = ranked.join(ng, "event_type").withColumn(
+        "j",
+        F.when(
+            F.col("n_g") > 1,
+            F.expr(f"(rg * {n_total - 1}) div (n_g - 1)"),
+        ).otherwise(F.lit((n_total - 1) // 2)).cast("bigint"),
+    )
+    norm = idx.join(corpus, idx.j == corpus.gr)
+    dec = lambda col: F.sum(F.col(col).cast("decimal(38,0)")).cast("double")
+    return (
+        norm.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(dec("c") / (F.max("n_g") * 100.0), 6).alias("raw_mean"),
+            F.round(dec("nc") / (F.max("n_g") * 100.0), 6).alias("norm_mean"),
+            F.round(F.min("nc") / 100.0, 6).alias("norm_min"),
+            F.round(F.max("nc") / 100.0, 6).alias("norm_max"),
+        )
+    )
+
+
+SQL_QUANTILE_NORMALIZE_AUDIT = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c, event_id
+  FROM events
+),
+tot AS (SELECT COUNT(*) AS n FROM v),
+g AS (
+  SELECT event_type, c, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, event_id)
+           - 1 AS rg,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_g
+  FROM v
+),
+og AS (
+  SELECT c AS nc, ROW_NUMBER() OVER (ORDER BY c, event_id) - 1 AS gr FROM v
+),
+idx AS (
+  SELECT g.event_type, g.c, g.n_g,
+         CASE WHEN g.n_g > 1 THEN (g.rg * (t.n - 1)) // (g.n_g - 1)
+              ELSE (t.n - 1) // 2 END AS j
+  FROM g CROSS JOIN tot t
+),
+norm AS (SELECT i.event_type, i.c, i.n_g, o.nc FROM idx i JOIN og o ON o.gr = i.j)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE)
+             / (MAX(n_g) * 100.0), 6) AS raw_mean,
+       ROUND(CAST(SUM(CAST(nc AS DECIMAL(38,0))) AS DOUBLE)
+             / (MAX(n_g) * 100.0), 6) AS norm_mean,
+       ROUND(MIN(nc) / 100.0, 6) AS norm_min,
+       ROUND(MAX(nc) / 100.0, 6) AS norm_max
+FROM norm
+GROUP BY event_type
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -13672,6 +13763,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mink_prob_contamination": q_mink_prob_contamination,
     "theil_sen_trend": q_theil_sen_trend,
     "hard_negative_mining": q_hard_negative_mining,
+    "quantile_normalize_audit": q_quantile_normalize_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -13908,6 +14000,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "mink_prob_contamination": SQL_MINK_PROB_CONTAMINATION,
     "theil_sen_trend": SQL_THEIL_SEN_TREND,
     "hard_negative_mining": _sql_hard_negative_mining(),
+    "quantile_normalize_audit": SQL_QUANTILE_NORMALIZE_AUDIT,
 }
 
 
@@ -14132,6 +14225,7 @@ _R7_ADDED: list[str] = [
     "mink_prob_contamination",
     "theil_sen_trend",
     "hard_negative_mining",
+    "quantile_normalize_audit",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -62,6 +62,7 @@ def _canon(df):
         "mink_prob_contamination",  # count-ranked selection, decimal sums
         "theil_sen_trend",          # integer-rational slopes, k-th by sort
         "hard_negative_mining",     # round-6 cosine + struct-max argmax
+        "quantile_normalize_audit", # exact integer ranks + decimal sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -146,3 +146,13 @@ def test_hard_negative_mining_is_bucketed_struct_max(spark, sf_dir):
     # struct-max lowers to SortAggregate (binary-unsafe agg buffer) —
     # any partial+final Aggregate pair is the shape we want
     assert "Aggregate" in plan
+
+
+def test_quantile_normalize_has_no_single_partition_window(spark, sf_dir):
+    """Both rank computations must be the bucketed two-phase helpers —
+    a PARTITION BY event_type (or global ORDER BY) window would funnel
+    a 100 TB type through one task."""
+    src = inspect.getsource(EQ.q_quantile_normalize_audit)
+    assert "stable_prefix_sum" in src and "stable_row_number" in src
+    plan = _plan(spark, sf_dir, "quantile_normalize_audit")
+    assert "SinglePartition" not in plan
