@@ -248,6 +248,10 @@ HEADLINE = [
     "theil_sen_trend",
     "hard_negative_mining",
     "quantile_normalize_audit",
+    "mann_whitney_rank_test",
+    "ks_one_vs_rest",
+    "twap_user_value",
+    "poisson_bootstrap_ci",
 ]
 
 

@@ -12413,6 +12413,398 @@ GROUP BY event_type
 """
 
 
+def q_mann_whitney_rank_test(spark, sf_dir):
+    """Mann-Whitney U rank-sum test, one event_type vs the rest of the
+    corpus (the nonparametric A/B test for 'does this segment's value
+    distribution sit higher?'). Exactness: midranks with ties are kept
+    DOUBLED so they stay integers — dmr(v) = 2·(#strictly below) +
+    cnt(v) + 1 — and the per-type rank sum is a decimal sum of integer
+    products; doubles appear only in the final U/z division. The tie
+    correction Σ(t³−t) enters the variance exactly. Scale shape: ranks
+    come from per-distinct-value counts + the bucketed two-phase prefix
+    sum (operators/scaling.py:stable_prefix_sum) — never a global-ORDER
+    window; the rank-sum join keys on the distinct-value domain, and
+    the only driver state is two scalars (n, tie sum)."""
+    from .operators.scaling import stable_prefix_sum
+
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    vc = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
+    pv = stable_prefix_sum(vc, order_cols=["c"], value_col="cnt", out_col="below")
+    dm = pv.withColumn(
+        "dmr", (2 * F.col("below") + F.col("cnt") + 1).cast("decimal(38,0)")
+    )
+    scal = vc.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("ties"),
+    ).head()
+    n, ties = int(scal["n"]), float(scal["ties"])
+    tc = v.groupBy("event_type", "c").agg(
+        F.count("*").cast("bigint").alias("cnt_t")
+    )
+    r = (
+        tc.join(dm.select("c", "dmr"), "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt_t").cast("bigint").alias("n1"),
+            F.sum(F.col("cnt_t").cast("decimal(38,0)") * F.col("dmr")).alias("r1d"),
+        )
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = (F.lit(n) - F.col("n1")).cast("double")
+    u = (F.col("r1d").cast("double") - n1 * (n1 + 1)) / 2.0
+    mu = n1 * n2 / 2.0
+    var = n1 * n2 / 12.0 * ((n + 1) - F.lit(ties) / (float(n) * (n - 1)))
+    return r.select(
+        "event_type",
+        "n1",
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - mu) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+SQL_MANN_WHITNEY_RANK_TEST = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+vc AS (SELECT c, COUNT(*) AS cnt FROM v GROUP BY c),
+pv AS (
+  SELECT c, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS below
+  FROM vc
+),
+sc AS (
+  SELECT SUM(cnt) AS n,
+         CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS DOUBLE) AS ties
+  FROM vc
+),
+tc AS (SELECT event_type, c, COUNT(*) AS cnt_t FROM v GROUP BY 1, 2),
+r AS (
+  SELECT event_type, SUM(cnt_t) AS n1,
+         SUM(CAST(cnt_t AS DECIMAL(38,0)) * (2 * below + cnt + 1)) AS r1d
+  FROM tc JOIN pv USING (c) GROUP BY 1
+)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+       ROUND((CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0, 1)
+         AS u_stat,
+       ROUND(((CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
+              - CAST(n1 AS DOUBLE) * (s.n - n1) / 2.0)
+             / SQRT(CAST(n1 AS DOUBLE) * (s.n - n1) / 12.0
+                    * ((s.n + 1) - s.ties / (CAST(s.n AS DOUBLE) * (s.n - 1)))),
+             6) AS z_score
+FROM r CROSS JOIN sc s
+"""
+
+
+def q_ks_one_vs_rest(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distance, each event_type vs the
+    rest: D = sup|F_t − F_rest|, evaluated at every distinct value of
+    the union (where the sup of two step functions is attained).
+    Exactness: the statistic is kept as the INTEGER numerator
+    |cum_t·n_rest − cum_rest·n_t| (decimal products) and only the final
+    D divides; the argmax location ties break to the larger value via
+    struct-max. Scale shape: the evaluation grid is |event_type| ×
+    |distinct cents| (a bounded audit domain — the type side is a
+    broadcast of a fixed-small dimension); per-type cumulative counts
+    come from the bucketed two-phase prefix sum, never a per-type
+    single-task window over raw events."""
+    from .operators.scaling import stable_prefix_sum
+
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    n_total = v.count()
+    types = v.select("event_type").distinct()
+    vals = v.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt_all"))
+    tc = v.groupBy("event_type", "c").agg(
+        F.count("*").cast("bigint").alias("cnt_t")
+    )
+    grid = (
+        vals.crossJoin(F.broadcast(types))
+        .join(tc, ["event_type", "c"], "left")
+        .withColumn("cnt_t", F.coalesce("cnt_t", F.lit(0)).cast("bigint"))
+    )
+    cum = stable_prefix_sum(
+        grid,
+        order_cols=["c"],
+        value_col="cnt_t",
+        group_cols=["event_type"],
+        out_col="below_t",
+    ).withColumn("cum_t", F.col("below_t") + F.col("cnt_t"))
+    pall = stable_prefix_sum(
+        vals, order_cols=["c"], value_col="cnt_all", out_col="below_all"
+    ).select("c", (F.col("below_all") + F.col("cnt_all")).alias("cum_all"))
+    nt = v.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_t"))
+    d = (
+        cum.join(pall, "c")
+        .join(F.broadcast(nt), "event_type")
+        .withColumn(
+            "d_num",
+            F.abs(
+                F.col("cum_t").cast("decimal(38,0)") * (F.lit(n_total) - F.col("n_t"))
+                - (F.col("cum_all") - F.col("cum_t")).cast("decimal(38,0)")
+                * F.col("n_t")
+            ),
+        )
+    )
+    best = d.groupBy("event_type", "n_t").agg(
+        F.max(F.struct(F.col("d_num"), F.col("c").alias("at_c"))).alias("m")
+    )
+    return best.select(
+        "event_type",
+        "n_t",
+        F.round(
+            F.col("m.d_num").cast("double")
+            / (F.col("n_t").cast("double") * (F.lit(n_total) - F.col("n_t"))),
+            6,
+        ).alias("d_stat"),
+        F.col("m.at_c").alias("ks_at"),
+    )
+
+
+SQL_KS_ONE_VS_REST = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+tot AS (SELECT COUNT(*) AS n FROM v),
+vals AS (SELECT c, COUNT(*) AS cnt_all FROM v GROUP BY c),
+types AS (SELECT DISTINCT event_type FROM v),
+tc AS (SELECT event_type, c, COUNT(*) AS cnt_t FROM v GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, va.c, va.cnt_all, COALESCE(tc.cnt_t, 0) AS cnt_t
+  FROM vals va CROSS JOIN types t
+  LEFT JOIN tc ON tc.event_type = t.event_type AND tc.c = va.c
+),
+cum AS (
+  SELECT event_type, c,
+         SUM(cnt_t) OVER (PARTITION BY event_type ORDER BY c) AS cum_t,
+         SUM(cnt_all) OVER (PARTITION BY event_type ORDER BY c) AS cum_all
+  FROM grid
+),
+nt AS (SELECT event_type, COUNT(*) AS n_t FROM v GROUP BY 1),
+d AS (
+  SELECT cu.event_type, nt.n_t, cu.c,
+         ABS(CAST(cu.cum_t AS DECIMAL(38,0)) * (t.n - nt.n_t)
+             - CAST(cu.cum_all - cu.cum_t AS DECIMAL(38,0)) * nt.n_t) AS d_num,
+         t.n AS n
+  FROM cum cu JOIN nt USING (event_type) CROSS JOIN tot t
+)
+SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
+       ROUND(CAST(d_num AS DOUBLE)
+             / (CAST(n_t AS DOUBLE) * (n - n_t)), 6) AS d_stat,
+       c AS ks_at
+FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY d_num DESC, c DESC) = 1
+"""
+
+
+def q_twap_user_value(spark, sf_dir):
+    """Time-weighted average value per user (the irregular-interval
+    TWAP: each observation holds until the next one, so a value that
+    persisted for an hour counts 3600× one that lasted a second —
+    unlike the row-weighted user_rolling_avg/ewma family). Exactness:
+    integer cents × integer micros per interval, summed as decimal;
+    one double division at the end. Scale shape: one shuffle on
+    user_id with a bounded-state lead window (carries a single row),
+    then a per-user aggregate — no global ordering anywhere."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    t = (
+        ev.select(
+            "user_id",
+            "tsn",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("decimal(38,0)").alias("cents"),
+        )
+        .withColumn("nxt", F.lead("tsn").over(w))
+    )
+    agg = t.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(
+            F.when(
+                F.col("nxt").isNotNull(),
+                F.col("cents") * (F.col("nxt") - F.col("tsn")),
+            )
+        ).alias("s"),
+        (F.max("tsn") - F.min("tsn")).cast("bigint").alias("span_us"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.round(
+            F.col("s").cast("double") / (F.col("span_us").cast("double") * 100.0),
+            6,
+        ).alias("twap"),
+    )
+
+
+SQL_TWAP_USER_VALUE = """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS tsn, event_id,
+         CAST(FLOOR(value * 100) AS DECIMAL(38,0)) AS cents,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+),
+agg AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         SUM(CASE WHEN nxt IS NOT NULL THEN cents * (nxt - tsn) END) AS s,
+         MAX(tsn) - MIN(tsn) AS span_us
+  FROM t GROUP BY user_id
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       CAST(span_us AS BIGINT) AS span_us,
+       ROUND(CAST(s AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100.0), 6) AS twap
+FROM agg
+WHERE span_us > 0
+"""
+
+
+def _poisson1_thresholds() -> list[int]:
+    """Cumulative Poisson(1) CDF at k = 0..8, scaled to the 52-bit
+    integer lattice of the md5-derived uniform: thr_k = ⌊CDF(k)·2^52⌋.
+    Computed once in Python and baked into BOTH engines' expressions as
+    integer literals, so the weight lookup is pure bigint comparison —
+    no float parsing or libm call can diverge between Spark and the
+    oracle."""
+    import math
+
+    out, cdf, term = [], 0.0, math.exp(-1.0)
+    for k in range(9):
+        cdf += term
+        out.append(int(cdf * (1 << 52)))
+        term /= k + 1
+    return out
+
+
+_POISSON1_THR = _poisson1_thresholds()
+
+
+def _poisson1_case(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {thr} THEN {k}" for k, thr in enumerate(_POISSON1_THR)
+    )
+    return f"(CASE {whens} ELSE {len(_POISSON1_THR)} END)"
+
+
+BOOT_B = 32
+
+
+def q_poisson_bootstrap_ci(spark, sf_dir):
+    """Poisson(1) bootstrap confidence intervals for mean order value
+    per priority segment — the streaming-friendly bootstrap (each row
+    draws its replicate multiplicities independently, so resampling is
+    a map-side weight, never a data reshuffle; this is how you put
+    error bars on metrics over a 100 TB corpus in one pass). B = 32
+    replicas; weights are the Poisson(1) inverse CDF over an md5(key,
+    b)-derived 52-bit uniform, with the CDF baked as integer lattice
+    thresholds (_poisson1_thresholds) so both engines compare bigints.
+    Exactness: weighted sums are decimal; replicate means are rounded
+    BEFORE the order-statistic selection so the sort keys are identical
+    cross-engine. The 32-slot fan-out collapses immediately to the
+    (segment × B) domain — bounded collect_list of 32 doubles per
+    segment, nearest-rank (⌈q·B⌉) percentiles."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    truth = o.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum("cents").cast("double") / (F.count("*") * 100.0), 6
+        ).alias("true_mean"),
+    )
+    b = o.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rep = (
+        b.withColumn("u52", u)
+        .withColumn("w", F.expr(_poisson1_case("u52")).cast("bigint"))
+        .groupBy("seg", "b")
+        .agg(
+            F.sum("w").cast("bigint").alias("nw"),
+            F.sum(F.col("cents") * F.col("w")).alias("s"),
+        )
+        .filter(F.col("nw") > 0)
+        .withColumn(
+            "mean_b",
+            F.round(
+                F.col("s").cast("double") / (F.col("nw").cast("double") * 100.0), 6
+            ),
+        )
+    )
+    boots = rep.groupBy("seg").agg(
+        F.array_sort(F.collect_list("mean_b")).alias("ms")
+    )
+    return truth.join(boots, "seg").select(
+        "seg",
+        "n_orders",
+        "true_mean",
+        F.element_at("ms", 2).alias("boot_p05"),
+        F.element_at("ms", 16).alias("boot_p50"),
+        F.element_at("ms", 31).alias("boot_p95"),
+    )
+
+
+def _sql_poisson_bootstrap_ci() -> str:
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority AS seg, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) AS cents
+  FROM orders
+),
+truth AS (
+  SELECT seg, COUNT(*) AS n_orders,
+         ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0), 6) AS true_mean
+  FROM o GROUP BY seg
+),
+bs AS (
+  SELECT seg, cents, br.b AS b,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
+                                  || CAST(br.b AS VARCHAR)), 1, 13))
+              AS BIGINT) AS u52
+  FROM o CROSS JOIN (SELECT UNNEST(range({BOOT_B})) AS b) br
+),
+rep AS (
+  SELECT seg, b, SUM(w) AS nw, SUM(cents * w) AS s
+  FROM (SELECT seg, b, cents, {_poisson1_case("u52")} AS w FROM bs) x
+  GROUP BY seg, b
+),
+means AS (
+  SELECT seg,
+         ROUND(CAST(s AS DOUBLE) / (CAST(nw AS DOUBLE) * 100.0), 6) AS mean_b
+  FROM rep WHERE nw > 0
+),
+boots AS (SELECT seg, list_sort(list(mean_b)) AS ms FROM means GROUP BY seg)
+SELECT t.seg, CAST(t.n_orders AS BIGINT) AS n_orders, t.true_mean,
+       ms[2] AS boot_p05, ms[16] AS boot_p50, ms[31] AS boot_p95
+FROM truth t JOIN boots USING (seg)
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -13764,6 +14156,10 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "theil_sen_trend": q_theil_sen_trend,
     "hard_negative_mining": q_hard_negative_mining,
     "quantile_normalize_audit": q_quantile_normalize_audit,
+    "mann_whitney_rank_test": q_mann_whitney_rank_test,
+    "ks_one_vs_rest": q_ks_one_vs_rest,
+    "twap_user_value": q_twap_user_value,
+    "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -14001,6 +14397,10 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "theil_sen_trend": SQL_THEIL_SEN_TREND,
     "hard_negative_mining": _sql_hard_negative_mining(),
     "quantile_normalize_audit": SQL_QUANTILE_NORMALIZE_AUDIT,
+    "mann_whitney_rank_test": SQL_MANN_WHITNEY_RANK_TEST,
+    "ks_one_vs_rest": SQL_KS_ONE_VS_REST,
+    "twap_user_value": SQL_TWAP_USER_VALUE,
+    "poisson_bootstrap_ci": _sql_poisson_bootstrap_ci(),
 }
 
 
@@ -14226,6 +14626,10 @@ _R7_ADDED: list[str] = [
     "theil_sen_trend",
     "hard_negative_mining",
     "quantile_normalize_audit",
+    "mann_whitney_rank_test",
+    "ks_one_vs_rest",
+    "twap_user_value",
+    "poisson_bootstrap_ci",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -63,6 +63,10 @@ def _canon(df):
         "theil_sen_trend",          # integer-rational slopes, k-th by sort
         "hard_negative_mining",     # round-6 cosine + struct-max argmax
         "quantile_normalize_audit", # exact integer ranks + decimal sums
+        "mann_whitney_rank_test",   # doubled-integer midranks, decimal sums
+        "ks_one_vs_rest",           # integer D numerator, struct-max argmax
+        "twap_user_value",          # cents x micros decimal interval sums
+        "poisson_bootstrap_ci",     # integer-lattice weights, sorted replicas
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -156,3 +156,41 @@ def test_quantile_normalize_has_no_single_partition_window(spark, sf_dir):
     assert "stable_prefix_sum" in src and "stable_row_number" in src
     plan = _plan(spark, sf_dir, "quantile_normalize_audit")
     assert "SinglePartition" not in plan
+
+
+def test_mann_whitney_ranks_are_two_phase(spark, sf_dir):
+    """Midranks must come from distinct-value counts + the bucketed
+    prefix sum — a global ORDER BY window over raw events would funnel
+    100 TB through one task."""
+    src = inspect.getsource(EQ.q_mann_whitney_rank_test)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "mann_whitney_rank_test")
+    assert "SinglePartition" not in plan
+
+
+def test_ks_grid_is_bounded_and_no_cartesian(spark, sf_dir):
+    """The KS evaluation grid is |types| x |distinct cents| with the
+    tiny type dimension broadcast; per-type cumulatives are two-phase."""
+    src = inspect.getsource(EQ.q_ks_one_vs_rest)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "ks_one_vs_rest")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_twap_window_is_per_user(spark, sf_dir):
+    """The lead window shuffles on user_id (bounded per-user state) —
+    never an unpartitioned global sort."""
+    plan = _plan(spark, sf_dir, "twap_user_value")
+    assert "SinglePartition" not in plan
+    assert "user_id" in plan
+
+
+def test_poisson_bootstrap_is_mapside_weights(spark, sf_dir):
+    """Bootstrap resampling must be a map-side weight fan-out collapsing
+    straight to the (segment x B) domain — no Window, no data reshuffle
+    beyond the keyed aggregations (partial+final HashAggregate pairs)."""
+    plan = _plan(spark, sf_dir, "poisson_bootstrap_ci")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 4
