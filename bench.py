@@ -252,6 +252,9 @@ HEADLINE = [
     "ks_one_vs_rest",
     "twap_user_value",
     "poisson_bootstrap_ci",
+    "spearman_corr_grouped",
+    "isotonic_calibration",
+    "dp_noisy_counts",
 ]
 
 

@@ -12805,6 +12805,257 @@ FROM truth t JOIN boots USING (seg)
 """
 
 
+def q_spearman_corr_grouped(spark, sf_dir):
+    """Spearman rank correlation between quantity and extended price
+    within each return flag — the tie-robust monotone-association audit
+    (Pearson on midranks). Exactness: doubled-integer midranks per
+    column from distinct-value counts + the bucketed two-phase prefix
+    sum (scale factor 2 cancels in ρ); the five moment sums are exact
+    decimals; the ρ combination is the only double step. Scale shape:
+    rank maps live on the (group × distinct-value) domain and join back
+    to rows by key — two keyed shuffles, no global-ORDER window, no
+    per-group single task."""
+    from .operators.scaling import stable_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("vx"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("vy"),
+    )
+
+    def rank_map(col: str, out: str):
+        cnts = li.groupBy("g", col).agg(F.count("*").cast("bigint").alias("cnt"))
+        pv = stable_prefix_sum(
+            cnts, order_cols=[col], value_col="cnt", group_cols=["g"],
+            out_col="below",
+        )
+        return pv.select(
+            "g", col,
+            (2 * F.col("below") + F.col("cnt") + 1)
+            .cast("decimal(38,0)").alias(out),
+        )
+
+    rx = rank_map("vx", "a")
+    ry = rank_map("vy", "b")
+    j = li.join(rx, ["g", "vx"]).join(ry, ["g", "vy"])
+    m = j.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    nn = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    num = nn * F.col("sab").cast("double") - sa * sb
+    dx = nn * F.col("saa").cast("double") - sa * sa
+    dy = nn * F.col("sbb").cast("double") - sb * sb
+    return m.select(
+        "g", "n", F.round(num / F.sqrt(dx * dy), 6).alias("rho")
+    )
+
+
+SQL_SPEARMAN_CORR_GROUPED = """
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(FLOOR(l_quantity * 100) AS BIGINT) AS vx,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS vy
+  FROM lineitem
+),
+cx AS (SELECT g, vx, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+rx AS (
+  SELECT g, vx,
+         CAST(2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY vx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS DECIMAL(38,0)) AS a
+  FROM cx
+),
+cy AS (SELECT g, vy, COUNT(*) AS cnt FROM li GROUP BY 1, 2),
+ry AS (
+  SELECT g, vy,
+         CAST(2 * COALESCE(SUM(cnt) OVER (PARTITION BY g ORDER BY vy
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS DECIMAL(38,0)) AS b
+  FROM cy
+),
+j AS (
+  SELECT li.g, a, b FROM li
+  JOIN rx ON rx.g = li.g AND rx.vx = li.vx
+  JOIN ry ON ry.g = li.g AND ry.vy = li.vy
+),
+m AS (
+  SELECT g, COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb,
+         SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(a * b) AS sab
+  FROM j GROUP BY g
+)
+SELECT g, CAST(n AS BIGINT) AS n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS rho
+FROM m
+"""
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic regression (PAVA) of mean extended price on quantity —
+    the monotone calibration fit, via the exact minimax identity
+    fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) instead of an iterative
+    pool-adjacent-violators loop (no driver-side mutation, no UDF).
+    Scale shape: rows collapse FIRST onto the distinct-quantity domain
+    (one keyed aggregate; TPC-H quantity has ~50 distinct values, and
+    any bucketed score calibration has a fixed bucket domain), so the
+    j≤i≤k triple grid is domain³ — data-size-independent. The ordering
+    window runs on that rolled-up domain only (the revenue_autocorr
+    dispensation). Exactness: prefix sums are decimal/bigint; interval
+    means are identical bigint→double divisions in both engines, so
+    min/max over them agree; one final round."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("cy"),
+    )
+    per = li.groupBy("x").agg(
+        F.count("*").cast("bigint").alias("w"),
+        F.sum("cy").alias("s"),
+    )
+    wo = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "x", "w", "s",
+        F.sum("w").over(wo).alias("cw"),
+        F.sum("s").over(wo).alias("cs"),
+    )
+    lo = cum.select(
+        F.col("x").alias("j"),
+        (F.col("cw") - F.col("w")).alias("cw0"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+    )
+    hi = cum.select(
+        F.col("x").alias("k"), F.col("cw").alias("cwk"), F.col("cs").alias("csk")
+    )
+    pairs = lo.join(F.broadcast(hi), F.col("j") <= F.col("k")).select(
+        "j", "k",
+        (
+            (F.col("csk") - F.col("cs0")).cast("double")
+            / (F.col("cwk") - F.col("cw0")).cast("double")
+        ).alias("mean_jk"),
+    )
+    dom = per.select(F.col("x").alias("i"))
+    tri = pairs.join(
+        F.broadcast(dom), (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k"))
+    )
+    inner = tri.groupBy("i", "j").agg(F.min("mean_jk").alias("inner_min"))
+    fit = inner.groupBy("i").agg(F.max("inner_min").alias("fit"))
+    return (
+        per.join(fit, per.x == fit.i)
+        .select(
+            "x",
+            F.col("w").alias("n_x"),
+            F.round(F.col("s").cast("double") / (F.col("w") * 100.0), 6)
+            .alias("raw_mean"),
+            F.round(F.col("fit") / 100.0, 6).alias("iso_fit"),
+        )
+    )
+
+
+SQL_ISOTONIC_CALIBRATION = """
+WITH li AS (
+  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100) AS DECIMAL(38,0)) AS cy
+  FROM lineitem
+),
+per AS (SELECT x, COUNT(*) AS w, SUM(cy) AS s FROM li GROUP BY x),
+cum AS (
+  SELECT x, w, s,
+         SUM(w) OVER (ORDER BY x) AS cw,
+         SUM(s) OVER (ORDER BY x) AS cs
+  FROM per
+),
+pairs AS (
+  SELECT lo.x AS j, hi.x AS k,
+         CAST(hi.cs - (lo.cs - lo.s) AS DOUBLE)
+           / CAST(hi.cw - (lo.cw - lo.w) AS DOUBLE) AS mean_jk
+  FROM cum lo JOIN cum hi ON lo.x <= hi.x
+),
+tri AS (
+  SELECT p.j, p.k, d.x AS i, p.mean_jk
+  FROM pairs p JOIN (SELECT x FROM per) d ON p.j <= d.x AND d.x <= p.k
+),
+inner_min AS (SELECT i, j, MIN(mean_jk) AS inner_min FROM tri GROUP BY i, j),
+fit AS (SELECT i, MAX(inner_min) AS fit FROM inner_min GROUP BY i)
+SELECT per.x, CAST(per.w AS BIGINT) AS n_x,
+       ROUND(CAST(per.s AS DOUBLE) / (per.w * 100.0), 6) AS raw_mean,
+       ROUND(fit.fit / 100.0, 6) AS iso_fit
+FROM per JOIN fit ON fit.i = per.x
+"""
+
+
+DP_EPSILON = 1.0
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private release of the (lang × source) document
+    histogram via the Laplace mechanism (sensitivity 1, ε = 1): noise =
+    −(1/ε)·sign(u−½)·ln(1−2|u−½|) with u a 52-bit md5-derived uniform
+    over the group key — the deterministic-replay form both engines
+    compute from the SAME integer lattice, so the 'randomness' is
+    auditable. The ln argument is clamped to 2⁻⁵² (a hash collision
+    with the lattice edge would be −∞). Scale shape: pure map-side
+    hash + one keyed aggregate onto a bounded domain; the noise is a
+    per-group scalar expression. Output rounds to 4 decimals."""
+    d = _t(spark, sf_dir, "documents").select("lang", "source")
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("lang"), F.col("source"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    centered = u - 0.5
+    arg = F.greatest(F.lit(2.0 ** -52), 1.0 - 2.0 * F.abs(centered))
+    noise = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(arg)
+    )
+    return g.select(
+        "lang",
+        "source",
+        "true_n",
+        F.round(F.col("true_n") + noise, 4).alias("noisy_n"),
+        F.round(F.abs(noise), 4).alias("abs_err"),
+    )
+
+
+SQL_DP_NOISY_COUNTS = f"""
+WITH g AS (
+  SELECT lang, source, COUNT(*) AS true_n FROM documents GROUP BY 1, 2
+),
+n AS (
+  SELECT lang, source, true_n,
+         CAST(CAST(('0x' || substr(md5(lang || '|' || source), 1, 13))
+                   AS BIGINT) AS DOUBLE) / {float(1 << 52)!r} AS u
+  FROM g
+)
+SELECT lang, source, CAST(true_n AS BIGINT) AS true_n,
+       ROUND(true_n + {-1.0 / DP_EPSILON!r} * SIGN(u - 0.5)
+             * LN(GREATEST({2.0 ** -52!r}, 1.0 - 2.0 * ABS(u - 0.5))), 4)
+         AS noisy_n,
+       ROUND(ABS({-1.0 / DP_EPSILON!r} * SIGN(u - 0.5)
+             * LN(GREATEST({2.0 ** -52!r}, 1.0 - 2.0 * ABS(u - 0.5)))), 4)
+         AS abs_err
+FROM n
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -14160,6 +14411,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_one_vs_rest": q_ks_one_vs_rest,
     "twap_user_value": q_twap_user_value,
     "poisson_bootstrap_ci": q_poisson_bootstrap_ci,
+    "spearman_corr_grouped": q_spearman_corr_grouped,
+    "isotonic_calibration": q_isotonic_calibration,
+    "dp_noisy_counts": q_dp_noisy_counts,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -14401,6 +14655,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "ks_one_vs_rest": SQL_KS_ONE_VS_REST,
     "twap_user_value": SQL_TWAP_USER_VALUE,
     "poisson_bootstrap_ci": _sql_poisson_bootstrap_ci(),
+    "spearman_corr_grouped": SQL_SPEARMAN_CORR_GROUPED,
+    "isotonic_calibration": SQL_ISOTONIC_CALIBRATION,
+    "dp_noisy_counts": SQL_DP_NOISY_COUNTS,
 }
 
 
@@ -14630,6 +14887,9 @@ _R7_ADDED: list[str] = [
     "ks_one_vs_rest",
     "twap_user_value",
     "poisson_bootstrap_ci",
+    "spearman_corr_grouped",
+    "isotonic_calibration",
+    "dp_noisy_counts",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

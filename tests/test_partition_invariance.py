@@ -67,6 +67,9 @@ def _canon(df):
         "ks_one_vs_rest",           # integer D numerator, struct-max argmax
         "twap_user_value",          # cents x micros decimal interval sums
         "poisson_bootstrap_ci",     # integer-lattice weights, sorted replicas
+        "spearman_corr_grouped",    # doubled midranks, decimal moment sums
+        "isotonic_calibration",     # minimax over identical bigint->double means
+        "dp_noisy_counts",          # md5-lattice uniforms, scalar noise
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

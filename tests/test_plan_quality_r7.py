@@ -194,3 +194,38 @@ def test_poisson_bootstrap_is_mapside_weights(spark, sf_dir):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_spearman_ranks_are_two_phase(spark, sf_dir):
+    """Both rank maps must come from distinct-value counts + the
+    bucketed prefix sum and join back by key — never a per-group
+    ROW_NUMBER over raw lineitem rows."""
+    src = inspect.getsource(EQ.q_spearman_corr_grouped)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "spearman_corr_grouped")
+    assert "SinglePartition" not in plan
+
+
+def test_isotonic_grid_is_on_rolled_up_domain(spark, sf_dir):
+    """The minimax grid and its ordering window run on the distinct-x
+    domain AFTER the keyed aggregate (the revenue_autocorr
+    dispensation) — raw rows must collapse first, and the fit must be
+    monotone nondecreasing."""
+    src = inspect.getsource(EQ.q_isotonic_calibration)
+    assert src.index('groupBy("x")') < src.index("Window.orderBy")
+    rows = sorted(
+        EQ.QUERIES["isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["x"],
+    )
+    fits = [r["iso_fit"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
+
+
+def test_dp_noisy_counts_prunes_text_column(spark, sf_dir):
+    """The DP histogram reads only (lang, source) — the documents scan
+    must never materialize the text column; noise is a scalar
+    expression over the bounded group domain (no Window)."""
+    plan = _plan(spark, sf_dir, "dp_noisy_counts")
+    assert "text" not in plan
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
