@@ -255,6 +255,10 @@ HEADLINE = [
     "spearman_corr_grouped",
     "isotonic_calibration",
     "dp_noisy_counts",
+    "roc_auc_by_source",
+    "sax_daily_motifs",
+    "discrete_hazard_curve",
+    "fd_violation_audit",
 ]
 
 

@@ -13056,6 +13056,301 @@ FROM n
 """
 
 
+def q_roc_auc_by_source(spark, sf_dir):
+    """Exact ROC-AUC of document length as a predictor of lang='en',
+    per source — the training-pipeline eval metric, computed by the
+    rank-sum identity AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with tie
+    midranks (equivalent to the trapezoidal ROC integral, no curve
+    materialization). Exactness: doubled-integer midranks from
+    per-(source, length) counts + the bucketed two-phase prefix sum;
+    decimal rank-sum products; AUC and Gini are the only double steps.
+    Scale shape: everything lives on the (source × distinct-length)
+    domain after one keyed aggregate — no global window, no per-group
+    single task."""
+    from .operators.scaling import stable_prefix_sum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("c"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    cnts = d.groupBy("source", "c").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("cnt_pos"),
+    )
+    pv = stable_prefix_sum(
+        cnts, order_cols=["c"], value_col="cnt", group_cols=["source"],
+        out_col="below",
+    ).withColumn(
+        "dmr", (2 * F.col("below") + F.col("cnt") + 1).cast("decimal(38,0)")
+    )
+    agg = pv.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cnt_pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt_pos").cast("decimal(38,0)") * F.col("dmr")).alias("r1d"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n0 = (F.col("n") - F.col("n_pos")).cast("double")
+    auc = (F.col("r1d").cast("double") - n1 * (n1 + 1)) / (2.0 * n1 * n0)
+    return agg.select(
+        "source",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+    )
+
+
+SQL_ROC_AUC_BY_SOURCE = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS c,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+cnts AS (
+  SELECT source, c, COUNT(*) AS cnt, SUM(pos) AS cnt_pos
+  FROM d GROUP BY 1, 2
+),
+pv AS (
+  SELECT source, c, cnt, cnt_pos,
+         CAST(2 * COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + cnt + 1 AS DECIMAL(38,0)) AS dmr
+  FROM cnts
+),
+agg AS (
+  SELECT source, SUM(cnt) AS n, SUM(cnt_pos) AS n_pos,
+         SUM(CAST(cnt_pos AS DECIMAL(38,0)) * dmr) AS r1d
+  FROM pv GROUP BY source
+)
+SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n - n_pos AS BIGINT) AS n_neg,
+       ROUND((CAST(r1d AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)), 6)
+         AS auc,
+       ROUND(2.0 * ((CAST(r1d AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)))
+             - 1.0, 6) AS gini
+FROM agg
+"""
+
+
+#: Gaussian quartile breakpoints for a 4-symbol SAX alphabet — shared
+#: verbatim between both engines so the symbolization is bit-identical.
+SAX_BREAKS = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def q_sax_daily_motifs(spark, sf_dir):
+    """SAX symbolic motif discovery (Lin et al. 2003) over the daily
+    revenue series: z-normalize the day-domain rollup, map each day to
+    a 4-symbol Gaussian-equiprobable alphabet, form 7-day tumbling
+    words, and count recurring words (motifs). Exactness: daily sums
+    are decimal cents; μ/σ come from exact decimal moments via one
+    scalar cross-join (same expression tree both engines); the
+    breakpoints are shared float literals, so symbolization is
+    bit-identical. Scale shape: raw orders collapse to the calendar-day
+    domain FIRST (one keyed aggregate); everything after — scalar
+    moments, symbol mapping, word grouping — is day-domain-sized,
+    data-size-independent."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("rev"))
+    sc = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).alias("s2"),
+    )
+    z_in = daily.crossJoin(F.broadcast(sc))
+    mu = F.col("s").cast("double") / F.col("n")
+    sig = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        / F.col("n")
+    )
+    z = (F.col("rev").cast("double") - mu) / sig
+    sym = (
+        F.when(z < SAX_BREAKS[0], "a")
+        .when(z < SAX_BREAKS[1], "b")
+        .when(z < SAX_BREAKS[2], "c")
+        .otherwise("d")
+    )
+    wk = z_in.select(
+        (F.col("d") - (F.col("d") % 7)).alias("wk"), F.col("d").alias("dd"),
+        sym.alias("sym"),
+    )
+    words = wk.groupBy("wk").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dd", "sym"))),
+                lambda s: s["sym"],
+            ),
+            "",
+        ).alias("motif")
+    )
+    return words.groupBy("motif").agg(
+        F.count("*").cast("bigint").alias("n_weeks")
+    )
+
+
+SQL_SAX_DAILY_MOTIFS = f"""
+WITH o AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) AS cents
+  FROM orders
+),
+daily AS (SELECT d, SUM(cents) AS rev FROM o GROUP BY d),
+sc AS (
+  SELECT COUNT(*) AS n, SUM(rev) AS s, SUM(rev * rev) AS s2 FROM daily
+),
+z AS (
+  SELECT d,
+         (CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / SQRT((CAST(s2 AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS z
+  FROM daily CROSS JOIN sc
+),
+syms AS (
+  SELECT d - (d % 7) AS wk, d,
+         CASE WHEN z < {SAX_BREAKS[0]!r} THEN 'a'
+              WHEN z < {SAX_BREAKS[1]!r} THEN 'b'
+              WHEN z < {SAX_BREAKS[2]!r} THEN 'c'
+              ELSE 'd' END AS sym
+  FROM z
+),
+words AS (SELECT wk, string_agg(sym, '' ORDER BY d) AS motif FROM syms GROUP BY wk)
+SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_weeks FROM words GROUP BY motif
+"""
+
+
+def q_discrete_hazard_curve(spark, sf_dir):
+    """Discrete-time hazard (churn) curve: for each observed lifetime
+    a (days between a user's first and last event), the hazard is
+    P(churn at age a | survived to a) = churned(a) / at_risk(a), with
+    at_risk(a) = N − (# users with lifetime < a) — the survival-
+    analysis primitive with censoring-free semantics on a closed
+    corpus. Exactness: lifetimes and risk sets are pure integers; one
+    final division. Scale shape: users collapse to per-user (min, max)
+    in one keyed aggregate, then to the bounded lifetime-day domain;
+    the at-risk suffix count is N minus the bucketed two-phase prefix
+    sum — no global window, one driver scalar (N)."""
+    from .operators.scaling import stable_prefix_sum
+
+    ev = _events(spark, sf_dir)
+    ages = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(f"(max(tsn) - min(tsn)) div {US_PER_DAY}")
+            .cast("bigint").alias("age")
+        )
+        .groupBy("age")
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    n_users = int(
+        ages.agg(F.sum("n_churned").alias("n")).head()["n"]
+    )
+    pv = stable_prefix_sum(
+        ages, order_cols=["age"], value_col="n_churned", out_col="below"
+    )
+    return pv.select(
+        F.col("age").alias("age_days"),
+        "n_churned",
+        (F.lit(n_users) - F.col("below")).cast("bigint").alias("n_at_risk"),
+        F.round(
+            F.col("n_churned").cast("double")
+            / (F.lit(n_users) - F.col("below")).cast("double"),
+            6,
+        ).alias("hazard"),
+    )
+
+
+SQL_DISCRETE_HAZARD_CURVE = """
+WITH ages AS (
+  SELECT user_id,
+         CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS BIGINT)
+           AS age
+  FROM events GROUP BY user_id
+),
+per AS (SELECT age, COUNT(*) AS n_churned FROM ages GROUP BY age),
+tot AS (SELECT SUM(n_churned) AS n FROM per),
+pv AS (
+  SELECT age, n_churned,
+         COALESCE(SUM(n_churned) OVER (ORDER BY age ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per
+)
+SELECT age AS age_days, CAST(n_churned AS BIGINT) AS n_churned,
+       CAST(t.n - below AS BIGINT) AS n_at_risk,
+       ROUND(CAST(n_churned AS DOUBLE) / CAST(t.n - below AS DOUBLE), 6)
+         AS hazard
+FROM pv CROSS JOIN tot t
+"""
+
+
+def q_fd_violation_audit(spark, sf_dir):
+    """Functional-dependency profiling: for candidate FDs across three
+    tables (o_custkey→o_orderpriority, user_id→event_type,
+    source→lang), report how many LHS groups violate the dependency
+    and the worst RHS fan-out — the data-quality audit that tells a
+    pipeline which 'key-ish' columns are safe to join or dedup on.
+    Exactness: pure integer counts. Scale shape: one COUNT(DISTINCT)
+    aggregate keyed on the LHS per candidate (Spark plans exact
+    distinct as a two-phase expand-aggregate, skew-safe), then a
+    collapse to one row per FD; the three audits union without any
+    cross-table shuffle."""
+
+    def audit(df, lhs, rhs, name):
+        per = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("k"))
+        return per.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum((F.col("k") > 1).cast("bigint")).cast("bigint")
+            .alias("n_violating"),
+            F.max("k").cast("bigint").alias("max_rhs_variants"),
+        )
+
+    o = _t(spark, sf_dir, "orders")
+    ev = _events(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    return (
+        audit(o, "o_custkey", "o_orderpriority", "o_custkey->o_orderpriority")
+        .unionAll(audit(ev, "user_id", "event_type", "user_id->event_type"))
+        .unionAll(audit(d, "source", "lang", "source->lang"))
+    )
+
+
+SQL_FD_VIOLATION_AUDIT = """
+WITH a1 AS (
+  SELECT o_custkey AS lhs, COUNT(DISTINCT o_orderpriority) AS k
+  FROM orders GROUP BY 1
+),
+a2 AS (
+  SELECT user_id AS lhs, COUNT(DISTINCT event_type) AS k
+  FROM events GROUP BY 1
+),
+a3 AS (SELECT source AS lhs, COUNT(DISTINCT lang) AS k FROM documents GROUP BY 1)
+SELECT 'o_custkey->o_orderpriority' AS fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(MAX(k) AS BIGINT) AS max_rhs_variants
+FROM a1
+UNION ALL
+SELECT 'user_id->event_type', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(k) AS BIGINT)
+FROM a2
+UNION ALL
+SELECT 'source->lang', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(MAX(k) AS BIGINT)
+FROM a3
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -14414,6 +14709,10 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_corr_grouped": q_spearman_corr_grouped,
     "isotonic_calibration": q_isotonic_calibration,
     "dp_noisy_counts": q_dp_noisy_counts,
+    "roc_auc_by_source": q_roc_auc_by_source,
+    "sax_daily_motifs": q_sax_daily_motifs,
+    "discrete_hazard_curve": q_discrete_hazard_curve,
+    "fd_violation_audit": q_fd_violation_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -14658,6 +14957,10 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "spearman_corr_grouped": SQL_SPEARMAN_CORR_GROUPED,
     "isotonic_calibration": SQL_ISOTONIC_CALIBRATION,
     "dp_noisy_counts": SQL_DP_NOISY_COUNTS,
+    "roc_auc_by_source": SQL_ROC_AUC_BY_SOURCE,
+    "sax_daily_motifs": SQL_SAX_DAILY_MOTIFS,
+    "discrete_hazard_curve": SQL_DISCRETE_HAZARD_CURVE,
+    "fd_violation_audit": SQL_FD_VIOLATION_AUDIT,
 }
 
 
@@ -14890,6 +15193,10 @@ _R7_ADDED: list[str] = [
     "spearman_corr_grouped",
     "isotonic_calibration",
     "dp_noisy_counts",
+    "roc_auc_by_source",
+    "sax_daily_motifs",
+    "discrete_hazard_curve",
+    "fd_violation_audit",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

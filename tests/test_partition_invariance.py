@@ -70,6 +70,10 @@ def _canon(df):
         "spearman_corr_grouped",    # doubled midranks, decimal moment sums
         "isotonic_calibration",     # minimax over identical bigint->double means
         "dp_noisy_counts",          # md5-lattice uniforms, scalar noise
+        "roc_auc_by_source",        # rank-sum AUC, doubled midranks
+        "sax_daily_motifs",         # day-domain z-score, shared breakpoints
+        "discrete_hazard_curve",    # integer lifetimes and risk sets
+        "fd_violation_audit",       # exact COUNT(DISTINCT) profiling
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

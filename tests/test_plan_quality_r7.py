@@ -229,3 +229,43 @@ def test_dp_noisy_counts_prunes_text_column(spark, sf_dir):
     assert "text" not in plan
     assert "Window" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_roc_auc_ranks_are_two_phase(spark, sf_dir):
+    """AUC midranks come from per-(source, length) counts + the
+    bucketed prefix sum — and the documents scan must prune text."""
+    src = inspect.getsource(EQ.q_roc_auc_by_source)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "roc_auc_by_source")
+    assert "SinglePartition" not in plan
+    assert "text" not in plan
+
+
+def test_sax_collapses_to_day_domain_first(spark, sf_dir):
+    """Symbolization must run on the daily rollup (groupBy before the
+    scalar cross-join), and the scalar side of that join is a broadcast
+    of one row — never a cartesian over raw orders."""
+    src = inspect.getsource(EQ.q_sax_daily_motifs)
+    assert src.index('groupBy("d")') < src.index("crossJoin")
+    plan = _plan(spark, sf_dir, "sax_daily_motifs")
+    assert "CartesianProduct" not in plan
+    # the scalar moment frame joins as a 1-row broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hazard_prefix_is_two_phase(spark, sf_dir):
+    src = inspect.getsource(EQ.q_discrete_hazard_curve)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "discrete_hazard_curve")
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan or "_bk" in plan  # only the bucketed window
+
+
+def test_fd_audit_uses_expand_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per LHS must plan as Spark's two-phase
+    aggregate (partial+final), never a per-LHS window; the three table
+    audits union without a join."""
+    plan = _plan(spark, sf_dir, "fd_violation_audit")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("HashAggregate") >= 6
