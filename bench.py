@@ -259,6 +259,9 @@ HEADLINE = [
     "sax_daily_motifs",
     "discrete_hazard_curve",
     "fd_violation_audit",
+    "mutual_information_matrix",
+    "kendall_tau_daily",
+    "jl_projection_audit",
 ]
 
 

@@ -13351,6 +13351,298 @@ FROM a3
 """
 
 
+def q_mutual_information_matrix(spark, sf_dir):
+    """Mutual information + normalized MI between categorical feature
+    pairs — the feature-redundancy audit a selection pipeline runs
+    before training: (lang, source) on documents and (event_type,
+    day-of-week) on events. Exactness: joint and marginal counts are
+    pure integers; each ln term is cast to decimal(38,18) BEFORE the
+    sum so the float reduction is order-independent (memory rule:
+    raw double sums break cross-engine hashes); day-of-week is integer
+    epoch-day mod 7 (engine dow builtins disagree on week start).
+    Scale shape: one keyed aggregate onto the bounded joint domain per
+    pair; marginals re-aggregate that tiny table; no window, no raw-row
+    second pass."""
+
+    def mi(df, a, b, name):
+        joint = df.groupBy(
+            F.col(a).cast("string").alias("va"),
+            F.col(b).cast("string").alias("vb"),
+        ).agg(F.count("*").cast("bigint").alias("nij"))
+        ma = joint.groupBy("va").agg(F.sum("nij").cast("bigint").alias("ni"))
+        mb = joint.groupBy("vb").agg(F.sum("nij").cast("bigint").alias("nj"))
+        n = F.col("n").cast("double")
+        tot = joint.agg(F.sum("nij").cast("bigint").alias("n"))
+        j = (
+            joint.join(ma, "va").join(mb, "vb").crossJoin(F.broadcast(tot))
+        )
+        term = (
+            (F.col("nij").cast("double") / n)
+            * F.log(
+                F.col("nij").cast("double") * n
+                / (F.col("ni").cast("double") * F.col("nj").cast("double"))
+            )
+        ).cast("decimal(38,18)")
+        ha_t = (
+            -(F.col("ni").cast("double") / n)
+            * F.log(F.col("ni").cast("double") / n)
+        ).cast("decimal(38,18)")
+        hb_t = (
+            -(F.col("nj").cast("double") / n)
+            * F.log(F.col("nj").cast("double") / n)
+        ).cast("decimal(38,18)")
+        ha = ma.crossJoin(F.broadcast(tot)).agg(F.sum(ha_t).alias("ha"))
+        hb = mb.crossJoin(F.broadcast(tot)).agg(F.sum(hb_t).alias("hb"))
+        mi_df = j.agg(
+            F.sum(F.col("nij")).cast("bigint").alias("n"),
+            F.sum(term).alias("mi"),
+        )
+        return (
+            mi_df.crossJoin(F.broadcast(ha))
+            .crossJoin(F.broadcast(hb))
+            .select(
+                F.lit(name).alias("pair"),
+                "n",
+                F.round(F.col("mi").cast("double"), 6).alias("mi"),
+                F.round(
+                    F.col("mi").cast("double")
+                    / F.sqrt(
+                        F.col("ha").cast("double") * F.col("hb").cast("double")
+                    ),
+                    6,
+                ).alias("nmi"),
+                F.round(F.col("ha").cast("double"), 6).alias("h_a"),
+                F.round(F.col("hb").cast("double"), 6).alias("h_b"),
+            )
+        )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = _events(spark, sf_dir).withColumn(
+        "dow", F.expr(f"(tsn div {US_PER_DAY}) % 7")
+    )
+    return mi(d, "lang", "source", "lang|source").unionAll(
+        mi(ev, "event_type", "dow", "event_type|dow")
+    )
+
+
+SQL_MUTUAL_INFORMATION_MATRIX = """
+WITH d1 AS (SELECT lang AS va, source AS vb FROM documents),
+d2 AS (
+  SELECT event_type AS va,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS VARCHAR) AS vb
+  FROM events
+),
+u AS (
+  SELECT 'lang|source' AS pair, va, vb FROM d1
+  UNION ALL SELECT 'event_type|dow', va, vb FROM d2
+),
+joint AS (SELECT pair, va, vb, COUNT(*) AS nij FROM u GROUP BY 1, 2, 3),
+ma AS (SELECT pair, va, SUM(nij) AS ni FROM joint GROUP BY 1, 2),
+mb AS (SELECT pair, vb, SUM(nij) AS nj FROM joint GROUP BY 1, 2),
+tot AS (SELECT pair, SUM(nij) AS n FROM joint GROUP BY 1),
+mi AS (
+  SELECT j.pair, SUM(j.nij) AS n,
+         SUM(CAST((CAST(j.nij AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * LN(CAST(j.nij AS DOUBLE) * CAST(t.n AS DOUBLE)
+                  / (CAST(a.ni AS DOUBLE) * CAST(b.nj AS DOUBLE)))
+             AS DECIMAL(38,18))) AS mi
+  FROM joint j
+  JOIN ma a ON a.pair = j.pair AND a.va = j.va
+  JOIN mb b ON b.pair = j.pair AND b.vb = j.vb
+  JOIN tot t ON t.pair = j.pair
+  GROUP BY j.pair
+),
+ha AS (
+  SELECT a.pair,
+         SUM(CAST(-(CAST(a.ni AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * LN(CAST(a.ni AS DOUBLE) / CAST(t.n AS DOUBLE))
+             AS DECIMAL(38,18))) AS ha
+  FROM ma a JOIN tot t ON t.pair = a.pair GROUP BY a.pair
+),
+hb AS (
+  SELECT b.pair,
+         SUM(CAST(-(CAST(b.nj AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * LN(CAST(b.nj AS DOUBLE) / CAST(t.n AS DOUBLE))
+             AS DECIMAL(38,18))) AS hb
+  FROM mb b JOIN tot t ON t.pair = b.pair GROUP BY b.pair
+)
+SELECT mi.pair, CAST(mi.n AS BIGINT) AS n,
+       ROUND(CAST(mi.mi AS DOUBLE), 6) AS mi,
+       ROUND(CAST(mi.mi AS DOUBLE)
+             / SQRT(CAST(ha.ha AS DOUBLE) * CAST(hb.hb AS DOUBLE)), 6) AS nmi,
+       ROUND(CAST(ha.ha AS DOUBLE), 6) AS h_a,
+       ROUND(CAST(hb.hb AS DOUBLE), 6) AS h_b
+FROM mi JOIN ha ON ha.pair = mi.pair JOIN hb ON hb.pair = mi.pair
+"""
+
+
+def q_kendall_tau_daily(spark, sf_dir):
+    """Kendall τ-b between calendar day and daily revenue — the
+    concordance-based trend test that complements theil_sen_trend's
+    slope estimate (same bounded pair domain: pairs live on days²
+    after the daily rollup, data-size-independent). Exactness:
+    concordant/discordant/tied counts are pure integers from exact
+    integer-cent comparisons; τ-b's one double step divides by
+    √(n₀(n₀−n_ties)). The day side has no ties by construction, so
+    the x tie-correction is zero."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("rev"))
+    a = daily.select(F.col("d").alias("di"), F.col("rev").alias("ri"))
+    b = daily.select(F.col("d").alias("dj"), F.col("rev").alias("rj"))
+    pairs = a.join(F.broadcast(b), F.col("di") < F.col("dj"))
+    agg = pairs.agg(
+        F.sum((F.col("rj") > F.col("ri")).cast("bigint")).alias("c"),
+        F.sum((F.col("rj") < F.col("ri")).cast("bigint")).alias("dx"),
+        F.sum((F.col("rj") == F.col("ri")).cast("bigint")).alias("t"),
+    )
+    n0 = F.col("c") + F.col("dx") + F.col("t")
+    return agg.select(
+        (F.col("c")).cast("bigint").alias("concordant"),
+        (F.col("dx")).cast("bigint").alias("discordant"),
+        (F.col("t")).cast("bigint").alias("ties_y"),
+        F.round(
+            (F.col("c") - F.col("dx")).cast("double")
+            / F.sqrt(
+                n0.cast("double") * (n0 - F.col("t")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+SQL_KENDALL_TAU_DAILY = """
+WITH o AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) AS cents
+  FROM orders
+),
+daily AS (SELECT d, SUM(cents) AS rev FROM o GROUP BY d),
+pairs AS (
+  SELECT a.rev AS ri, b.rev AS rj
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+agg AS (
+  SELECT SUM(CASE WHEN rj > ri THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN rj < ri THEN 1 ELSE 0 END) AS dx,
+         SUM(CASE WHEN rj = ri THEN 1 ELSE 0 END) AS t
+  FROM pairs
+)
+SELECT CAST(c AS BIGINT) AS concordant, CAST(dx AS BIGINT) AS discordant,
+       CAST(t AS BIGINT) AS ties_y,
+       ROUND(CAST(c - dx AS DOUBLE)
+             / SQRT(CAST(c + dx + t AS DOUBLE)
+                    * CAST((c + dx + t) - t AS DOUBLE)), 6) AS tau_b
+FROM agg
+"""
+
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 Achlioptas sign matrix for the JL projection, derived from
+    md5 of the (row, col) index pair at build time and baked into BOTH
+    engines' expressions as literals — the projection is public,
+    deterministic arithmetic, not engine RNG."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl_{i}_{j}".encode()).digest()[0] % 2 == 0 else -1
+            for j in range(JL_OUT_DIM)
+        ]
+        for i in range(JL_IN_DIM)
+    ]
+
+
+def _jl_exprs(one_based: bool) -> tuple[list[str], str]:
+    """(projection component expressions, squared-norm expression) as
+    engine-neutral SQL text over an `embedding` array column. Terms
+    chain left-associatively in fixed index order so the float
+    reductions are bit-identical across engines (and trivially
+    partition-invariant: per-row arithmetic only)."""
+    signs = _jl_signs()
+    base = 1 if one_based else 0
+
+    def el(i: int) -> str:
+        return f"CAST(embedding[{i + base}] AS DOUBLE)"
+
+    projs = []
+    for j in range(JL_OUT_DIM):
+        terms = [
+            (f"{el(i)}" if signs[i][j] > 0 else f"(- {el(i)})")
+            for i in range(JL_IN_DIM)
+        ]
+        projs.append(" + ".join(terms))
+    norm2 = " + ".join(f"{el(i)} * {el(i)}" for i in range(JL_IN_DIM))
+    return projs, norm2
+
+
+def q_jl_projection_audit(spark, sf_dir):
+    """Johnson–Lindenstrauss norm-preservation audit: project each
+    64-d embedding to 16-d with a ±1 sign matrix and report, per
+    label, how well (d/k)·‖Pv‖²/‖v‖² concentrates around 1 — the
+    check you run before trusting a random-projection index at scale.
+    The sign matrix is md5-derived at build time and baked into BOTH
+    engines as literals (_jl_signs); every per-row reduction is a
+    fixed-order left-associative chain, so doubles agree bit-for-bit.
+    Scale shape: pure per-row projection arithmetic + one keyed
+    aggregate; ratio terms are decimal-cast before the group sums so
+    the reduction is order-independent."""
+    projs, norm2 = _jl_exprs(one_based=False)
+    e = _t(spark, sf_dir, "embeddings")
+    pcols = [F.expr(p).alias(f"p{j}") for j, p in enumerate(projs)]
+    r = e.select("label", F.expr(norm2).alias("n2"), *pcols)
+    pn2 = None
+    for j in range(JL_OUT_DIM):
+        t = F.col(f"p{j}") * F.col(f"p{j}")
+        pn2 = t if pn2 is None else pn2 + t
+    ratio = (
+        pn2 * F.lit(float(JL_IN_DIM) / JL_OUT_DIM) / F.col("n2")
+    )
+    r = r.select("label", ratio.alias("ratio"))
+    return r.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(38,18)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_ratio"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+    )
+
+
+def _sql_jl_projection_audit() -> str:
+    projs, norm2 = _jl_exprs(one_based=True)
+    pn2 = " + ".join(f"(p{j}) * (p{j})" for j in range(JL_OUT_DIM))
+    pcols = ",\n         ".join(f"({p}) AS p{j}" for j, p in enumerate(projs))
+    return f"""
+WITH r AS (
+  SELECT label, ({norm2}) AS n2,
+         {pcols}
+  FROM embeddings
+),
+rt AS (
+  SELECT label, ({pn2}) * {float(JL_IN_DIM) / JL_OUT_DIM!r} / n2 AS ratio
+  FROM r
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_ratio,
+       ROUND(MIN(ratio), 6) AS min_ratio,
+       ROUND(MAX(ratio), 6) AS max_ratio
+FROM rt
+GROUP BY label
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -14713,6 +15005,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sax_daily_motifs": q_sax_daily_motifs,
     "discrete_hazard_curve": q_discrete_hazard_curve,
     "fd_violation_audit": q_fd_violation_audit,
+    "mutual_information_matrix": q_mutual_information_matrix,
+    "kendall_tau_daily": q_kendall_tau_daily,
+    "jl_projection_audit": q_jl_projection_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -14961,6 +15256,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "sax_daily_motifs": SQL_SAX_DAILY_MOTIFS,
     "discrete_hazard_curve": SQL_DISCRETE_HAZARD_CURVE,
     "fd_violation_audit": SQL_FD_VIOLATION_AUDIT,
+    "mutual_information_matrix": SQL_MUTUAL_INFORMATION_MATRIX,
+    "kendall_tau_daily": SQL_KENDALL_TAU_DAILY,
+    "jl_projection_audit": _sql_jl_projection_audit(),
 }
 
 
@@ -15197,6 +15495,9 @@ _R7_ADDED: list[str] = [
     "sax_daily_motifs",
     "discrete_hazard_curve",
     "fd_violation_audit",
+    "mutual_information_matrix",
+    "kendall_tau_daily",
+    "jl_projection_audit",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -74,6 +74,9 @@ def _canon(df):
         "sax_daily_motifs",         # day-domain z-score, shared breakpoints
         "discrete_hazard_curve",    # integer lifetimes and risk sets
         "fd_violation_audit",       # exact COUNT(DISTINCT) profiling
+        "mutual_information_matrix",# decimal-cast ln terms, integer counts
+        "kendall_tau_daily",        # integer concordance on day-pair domain
+        "jl_projection_audit",      # fixed-order per-row chains, decimal sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -269,3 +269,33 @@ def test_fd_audit_uses_expand_distinct(spark, sf_dir):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("HashAggregate") >= 6
+
+
+def test_mutual_information_runs_on_joint_domain(spark, sf_dir):
+    """MI terms are computed on the bounded joint-count table — raw
+    rows are touched exactly once per pair (the joint aggregate); no
+    window, no cartesian beyond 1-row scalar broadcasts."""
+    plan = _plan(spark, sf_dir, "mutual_information_matrix")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kendall_pairs_live_on_day_domain(spark, sf_dir):
+    """The O(days²) self-join must be on the daily rollup (groupBy
+    before the join) with the replicated side broadcast."""
+    src = inspect.getsource(EQ.q_kendall_tau_daily)
+    assert src.index('groupBy("d")') < src.index(".join(")
+    plan = _plan(spark, sf_dir, "kendall_tau_daily")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jl_audit_is_pure_projection(spark, sf_dir):
+    """The JL audit is per-row arithmetic + one keyed aggregate — no
+    joins, no windows, no shuffle other than the final group-by; the
+    sign matrix must be baked as literals (no engine RNG)."""
+    src = inspect.getsource(EQ._jl_signs)
+    assert "hashlib" in src and "random" not in src
+    plan = _plan(spark, sf_dir, "jl_projection_audit")
+    assert "Join" not in plan
+    assert "Window" not in plan
