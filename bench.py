@@ -262,6 +262,9 @@ HEADLINE = [
     "mutual_information_matrix",
     "kendall_tau_daily",
     "jl_projection_audit",
+    "conformal_interval_calibration",
+    "feature_hash_collision_audit",
+    "ngram_novelty_rate",
 ]
 
 

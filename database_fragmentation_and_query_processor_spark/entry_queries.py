@@ -12822,6 +12822,10 @@ def q_spearman_corr_grouped(spark, sf_dir):
         F.floor(F.col("l_quantity") * 100).cast("bigint").alias("vx"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("vy"),
     )
+    # three consumers (both rank maps + the row join) and four prefix-
+    # helper prep jobs would each rescan the parquet projection —
+    # persist for the plan's lifetime (released via cache.release_all)
+    li = _track_cached(li.persist())
 
     def rank_map(col: str, out: str):
         cnts = li.groupBy("g", col).agg(F.count("*").cast("bigint").alias("cnt"))
@@ -13640,6 +13644,275 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        ROUND(MAX(ratio), 6) AS max_ratio
 FROM rt
 GROUP BY label
+"""
+
+
+CONFORMAL_ALPHA = 0.1  # 90% split-conformal intervals
+
+
+def q_conformal_interval_calibration(spark, sf_dir):
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018)
+    around the per-type mean: a deterministic md5 half-split fits the
+    predictor and takes the ⌈(1−α)(n+1)⌉-th smallest calibration
+    residual as the interval half-width; the held-out half reports
+    empirical coverage (should be ≳ 90%). Exactness: residuals are
+    kept integer by scaling through the calibration count — r =
+    |c·n_c − s_c| — so the quantile pick is an exact order statistic
+    via per-(type, r) counts + the bucketed two-phase prefix sum
+    (min r with inclusive-count ≥ k), never a per-type sort window
+    over raw rows. Scale shape: two keyed aggregates + one broadcast
+    of per-type scalars; the residual-count domain is the only large
+    intermediate and it shuffles on (type, r)."""
+    from .operators.scaling import stable_prefix_sum
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    is_calib = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    ev = ev.withColumn("calib", is_calib)
+    stats = (
+        ev.filter("calib")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_c"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s_c"),
+        )
+        .withColumn(
+            "k",
+            F.least(
+                F.ceil((1.0 - CONFORMAL_ALPHA) * (F.col("n_c") + 1)).cast("bigint"),
+                F.col("n_c"),
+            ),
+        )
+    )
+    resid = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "r",
+        F.abs(
+            F.col("c").cast("decimal(38,0)") * F.col("n_c") - F.col("s_c")
+        ).cast("bigint"),
+    )
+    rc = (
+        resid.filter("calib")
+        .groupBy("event_type", "r")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    pv = stable_prefix_sum(
+        rc, order_cols=["r"], value_col="cnt", group_cols=["event_type"],
+        out_col="below",
+    )
+    q = (
+        pv.join(F.broadcast(stats.select("event_type", "k")), "event_type")
+        .filter(F.col("below") + F.col("cnt") >= F.col("k"))
+        .groupBy("event_type")
+        .agg(F.min("r").alias("q_scaled"))
+    )
+    ev_side = (
+        resid.filter(~F.col("calib"))
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_c", "q_scaled")
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum((F.col("r") <= F.col("q_scaled")).cast("bigint"))
+            .cast("bigint").alias("n_covered"),
+        )
+    )
+    return ev_side.join(
+        stats.select("event_type", F.col("n_c").alias("n_calib")), "event_type"
+    ).select(
+        "event_type",
+        "n_calib",
+        "n_eval",
+        F.round(
+            F.col("q_scaled").cast("double")
+            / (F.col("n_c").cast("double") * 100.0),
+            6,
+        ).alias("q_halfwidth"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_eval").cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+SQL_CONFORMAL_INTERVAL_CALIBRATION = f"""
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % 2 = 0 AS calib
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_c,
+         SUM(CAST(c AS DECIMAL(38,0))) AS s_c,
+         LEAST(CAST(CEIL({1.0 - CONFORMAL_ALPHA!r} * (COUNT(*) + 1)) AS BIGINT),
+               COUNT(*)) AS k
+  FROM ev WHERE calib GROUP BY event_type
+),
+resid AS (
+  SELECT ev.event_type, ev.calib,
+         CAST(ABS(CAST(ev.c AS DECIMAL(38,0)) * st.n_c - st.s_c) AS BIGINT) AS r
+  FROM ev JOIN stats st USING (event_type)
+),
+q AS (
+  SELECT x.event_type, x.r AS q_scaled
+  FROM (
+    SELECT event_type, r,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY r) AS rn
+    FROM resid WHERE calib
+  ) x
+  JOIN stats st ON st.event_type = x.event_type AND x.rn = st.k
+),
+evs AS (
+  SELECT re.event_type, COUNT(*) AS n_eval,
+         SUM(CASE WHEN re.r <= q.q_scaled THEN 1 ELSE 0 END) AS n_covered
+  FROM resid re JOIN q USING (event_type)
+  WHERE NOT re.calib GROUP BY re.event_type
+)
+SELECT s.event_type, CAST(s.n_c AS BIGINT) AS n_calib,
+       CAST(e.n_eval AS BIGINT) AS n_eval,
+       ROUND(CAST(q.q_scaled AS DOUBLE) / (CAST(s.n_c AS DOUBLE) * 100.0), 6)
+         AS q_halfwidth,
+       ROUND(CAST(e.n_covered AS DOUBLE) / CAST(e.n_eval AS DOUBLE), 6)
+         AS coverage
+FROM stats s JOIN q USING (event_type) JOIN evs e ON e.event_type = s.event_type
+"""
+
+
+FEATURE_HASH_BUCKETS = 1 << 14
+
+
+def q_feature_hash_collision_audit(spark, sf_dir):
+    """Feature-hashing collision audit: hash the corpus vocabulary
+    into 2¹⁴ buckets (the hashing-trick feature space) and report the
+    bucket-load histogram — how many buckets hold 0, 1, 2, … distinct
+    terms. The empty-bucket row is the constant table size minus the
+    occupied count (one bounded driver scalar). Exactness: pure
+    integer counts over md5-53-bit arithmetic shared with the oracle.
+    Scale shape: vocabulary dedup is one hash-groupBy on the term;
+    bucket loads and the histogram are two more keyed aggregates onto
+    strictly shrinking domains."""
+    d = _docs(spark, sf_dir)
+    terms = (
+        d.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    per = terms.select(
+        (
+            F.conv(F.substring(F.md5("term"), 1, 13), 16, 10).cast("bigint")
+            % FEATURE_HASH_BUCKETS
+        ).alias("bucket")
+    ).groupBy("bucket").agg(F.count("*").cast("bigint").alias("k"))
+    occupied = per.count()
+    hist = per.groupBy(F.col("k").alias("bucket_load")).agg(
+        F.count("*").cast("bigint").alias("n_buckets")
+    )
+    empty = spark.createDataFrame(
+        [(0, FEATURE_HASH_BUCKETS - occupied)], "bucket_load bigint, n_buckets bigint"
+    )
+    return hist.unionAll(empty)
+
+
+SQL_FEATURE_HASH_COLLISION_AUDIT = f"""
+WITH toks AS (SELECT {TOKENS_SQL.replace("trim(text)", "trim(lower(text))")} AS t FROM documents),
+terms AS (
+  SELECT DISTINCT unnest(t) AS term FROM toks
+),
+per AS (
+  SELECT CAST(('0x' || substr(md5(term), 1, 13)) AS BIGINT)
+           % {FEATURE_HASH_BUCKETS} AS bucket, COUNT(*) AS k
+  FROM terms WHERE length(term) > 0 GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS bucket_load, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM per GROUP BY k
+UNION ALL
+SELECT 0, {FEATURE_HASH_BUCKETS} - (SELECT COUNT(*) FROM per)
+"""
+
+
+NOVELTY_N = 3
+
+
+def q_ngram_novelty_rate(spark, sf_dir):
+    """Corpus novelty curve: per document, the fraction of its
+    distinct word 3-grams whose FIRST appearance (min doc_id order) is
+    this document — the diversity/redundancy signal a data-mixing
+    pipeline tracks as it appends sources (a shrinking novelty rate
+    means the new slice is re-treading old text). Aggregated per
+    source. Exactness: first-appearance is an integer min; per-doc
+    ratios are identical double divisions, decimal-cast before the
+    source-level mean so the reduction is order-independent. Scale
+    shape: gram stream → min-agg on the md5 gram key → join back on
+    the same key (two shuffles on uniform 32-char keys), then two
+    shrinking keyed aggregates."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(_word_grams(T.tokens(F.col("text")), NOVELTY_N))
+        ).alias("g"),
+    ).select("doc_id", "source", F.md5("g").alias("gh"))
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "gh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("total"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint"))
+            .cast("bigint").alias("novel"),
+        )
+        .withColumn(
+            "ratio",
+            F.col("novel").cast("double") / F.col("total").cast("double"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("ratio").cast("decimal(38,18)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_novelty"),
+        F.round(F.min("ratio"), 6).alias("min_novelty"),
+        F.round(F.max("ratio"), 6).alias("max_novelty"),
+    )
+
+
+SQL_NGRAM_NOVELTY_RATE = f"""
+WITH toks AS (SELECT doc_id, source, {TOKENS_SQL} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {NOVELTY_N - 2}, 1)),
+           j -> md5(array_to_string(t[j:j+{NOVELTY_N - 1}], ' '))
+         )) AS gh
+  FROM toks
+),
+first AS (SELECT gh, MIN(doc_id) AS first_doc FROM grams GROUP BY gh),
+per_doc AS (
+  SELECT g.doc_id, g.source, COUNT(*) AS total,
+         SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS novel
+  FROM grams g JOIN first f USING (gh)
+  GROUP BY g.doc_id, g.source
+),
+r AS (
+  SELECT source, CAST(novel AS DOUBLE) / CAST(total AS DOUBLE) AS ratio
+  FROM per_doc
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_novelty,
+       ROUND(MIN(ratio), 6) AS min_novelty,
+       ROUND(MAX(ratio), 6) AS max_novelty
+FROM r GROUP BY source
 """
 
 
@@ -15008,6 +15281,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_information_matrix": q_mutual_information_matrix,
     "kendall_tau_daily": q_kendall_tau_daily,
     "jl_projection_audit": q_jl_projection_audit,
+    "conformal_interval_calibration": q_conformal_interval_calibration,
+    "feature_hash_collision_audit": q_feature_hash_collision_audit,
+    "ngram_novelty_rate": q_ngram_novelty_rate,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -15259,6 +15535,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "mutual_information_matrix": SQL_MUTUAL_INFORMATION_MATRIX,
     "kendall_tau_daily": SQL_KENDALL_TAU_DAILY,
     "jl_projection_audit": _sql_jl_projection_audit(),
+    "conformal_interval_calibration": SQL_CONFORMAL_INTERVAL_CALIBRATION,
+    "feature_hash_collision_audit": SQL_FEATURE_HASH_COLLISION_AUDIT,
+    "ngram_novelty_rate": SQL_NGRAM_NOVELTY_RATE,
 }
 
 
@@ -15498,6 +15777,9 @@ _R7_ADDED: list[str] = [
     "mutual_information_matrix",
     "kendall_tau_daily",
     "jl_projection_audit",
+    "conformal_interval_calibration",
+    "feature_hash_collision_audit",
+    "ngram_novelty_rate",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

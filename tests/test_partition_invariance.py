@@ -77,6 +77,9 @@ def _canon(df):
         "mutual_information_matrix",# decimal-cast ln terms, integer counts
         "kendall_tau_daily",        # integer concordance on day-pair domain
         "jl_projection_audit",      # fixed-order per-row chains, decimal sums
+        "conformal_interval_calibration",  # integer-scaled residual quantile
+        "feature_hash_collision_audit",    # md5 buckets, pure integer counts
+        "ngram_novelty_rate",       # integer first-doc min, decimal-cast means
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

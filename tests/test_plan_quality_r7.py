@@ -299,3 +299,31 @@ def test_jl_audit_is_pure_projection(spark, sf_dir):
     plan = _plan(spark, sf_dir, "jl_projection_audit")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_conformal_quantile_is_count_based(spark, sf_dir):
+    """The calibration quantile must be the count-based order statistic
+    (two-phase prefix over per-(type, residual) counts) — never a
+    per-type sort window over raw residual rows; per-type scalars reach
+    the big side as broadcasts."""
+    src = inspect.getsource(EQ.q_conformal_interval_calibration)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "conformal_interval_calibration")
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_feature_hash_domains_shrink(spark, sf_dir):
+    """vocab dedup → bucket loads → histogram: three keyed aggregates
+    on strictly shrinking domains, no window, no join."""
+    plan = _plan(spark, sf_dir, "feature_hash_collision_audit")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_novelty_joins_on_gram_key(spark, sf_dir):
+    """First-appearance attribution is a min-agg + equi-join on the
+    uniform md5 gram key — no window, no cartesian."""
+    plan = _plan(spark, sf_dir, "ngram_novelty_rate")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
