@@ -265,6 +265,8 @@ HEADLINE = [
     "conformal_interval_calibration",
     "feature_hash_collision_audit",
     "ngram_novelty_rate",
+    "wasserstein_one_vs_rest",
+    "source_ablation_audit",
 ]
 
 

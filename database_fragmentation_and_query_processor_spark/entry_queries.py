@@ -12502,18 +12502,14 @@ FROM r CROSS JOIN sc s
 """
 
 
-def q_ks_one_vs_rest(spark, sf_dir):
-    """Two-sample Kolmogorov–Smirnov distance, each event_type vs the
-    rest: D = sup|F_t − F_rest|, evaluated at every distinct value of
-    the union (where the sup of two step functions is attained).
-    Exactness: the statistic is kept as the INTEGER numerator
-    |cum_t·n_rest − cum_rest·n_t| (decimal products) and only the final
-    D divides; the argmax location ties break to the larger value via
-    struct-max. Scale shape: the evaluation grid is |event_type| ×
-    |distinct cents| (a bounded audit domain — the type side is a
-    broadcast of a fixed-small dimension); per-type cumulative counts
-    come from the bucketed two-phase prefix sum, never a per-type
-    single-task window over raw events."""
+def _etype_value_cums(spark, sf_dir):
+    """Shared evaluation grid for distribution-distance audits (KS,
+    Wasserstein): per (event_type, distinct cent value), the type's
+    inclusive cumulative count, the global cumulative count, the
+    per-type total, and the grand total — plus the type's integer
+    one-vs-rest discrepancy numerator |cum_t·n_rest − cum_rest·n_t|.
+    Built with the bucketed two-phase prefix sums; the type dimension
+    is a broadcast of a fixed-small domain."""
     from .operators.scaling import stable_prefix_sum
 
     ev = _events(spark, sf_dir)
@@ -12554,6 +12550,22 @@ def q_ks_one_vs_rest(spark, sf_dir):
             ),
         )
     )
+    return d, vals, n_total
+
+
+def q_ks_one_vs_rest(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov distance, each event_type vs the
+    rest: D = sup|F_t − F_rest|, evaluated at every distinct value of
+    the union (where the sup of two step functions is attained).
+    Exactness: the statistic is kept as the INTEGER numerator
+    |cum_t·n_rest − cum_rest·n_t| (decimal products) and only the final
+    D divides; the argmax location ties break to the larger value via
+    struct-max. Scale shape: the evaluation grid is |event_type| ×
+    |distinct cents| (a bounded audit domain — the type side is a
+    broadcast of a fixed-small dimension); per-type cumulative counts
+    come from the bucketed two-phase prefix sum (_etype_value_cums),
+    never a per-type single-task window over raw events."""
+    d, _vals, n_total = _etype_value_cums(spark, sf_dir)
     best = d.groupBy("event_type", "n_t").agg(
         F.max(F.struct(F.col("d_num"), F.col("c").alias("at_c"))).alias("m")
     )
@@ -13914,6 +13926,174 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(MAX(ratio), 6) AS max_novelty
 FROM r GROUP BY source
 """
+
+
+def q_wasserstein_one_vs_rest(spark, sf_dir):
+    """1-D Wasserstein (earth-mover) distance, each event_type vs the
+    rest — the L¹ companion to ks_one_vs_rest's sup statistic: W₁ =
+    ∫|F_t − F_rest| dv = Σ_gaps |F_t(v) − F_rest(v)|·(v_next − v),
+    sensitive to WHERE the mass differs rather than the single worst
+    point. Exactness: each term is the integer discrepancy numerator
+    times the integer cent gap (decimal products), summed as decimal;
+    one final division by n_t·n_rest·100. The consecutive-value gap
+    comes from the two-phase row numbering + a self-join on rn+1 —
+    never a global LEAD window over the value domain. Shares
+    _etype_value_cums with the KS audit."""
+    from .operators.scaling import stable_row_number
+
+    d, vals, n_total = _etype_value_cums(spark, sf_dir)
+    rn = stable_row_number(vals.select("c"), ["c"], out_col="rn")
+    gaps = (
+        rn.alias("a")
+        .join(rn.alias("b"), F.col("a.rn") + 1 == F.col("b.rn"))
+        .select(
+            F.col("a.c").alias("c"), (F.col("b.c") - F.col("a.c")).alias("gap")
+        )
+    )
+    terms = d.join(gaps, "c").withColumn(
+        "term", F.col("d_num") * F.col("gap").cast("decimal(38,0)")
+    )
+    agg = terms.groupBy("event_type", "n_t").agg(F.sum("term").alias("s"))
+    return agg.select(
+        "event_type",
+        "n_t",
+        F.round(
+            F.col("s").cast("double")
+            / (
+                F.col("n_t").cast("double")
+                * (F.lit(n_total) - F.col("n_t"))
+                * 100.0
+            ),
+            6,
+        ).alias("w1"),
+    )
+
+
+SQL_WASSERSTEIN_ONE_VS_REST = """
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+tot AS (SELECT COUNT(*) AS n FROM v),
+vals AS (SELECT c, COUNT(*) AS cnt_all FROM v GROUP BY c),
+types AS (SELECT DISTINCT event_type FROM v),
+tc AS (SELECT event_type, c, COUNT(*) AS cnt_t FROM v GROUP BY 1, 2),
+grid AS (
+  SELECT t.event_type, va.c, va.cnt_all, COALESCE(tc.cnt_t, 0) AS cnt_t
+  FROM vals va CROSS JOIN types t
+  LEFT JOIN tc ON tc.event_type = t.event_type AND tc.c = va.c
+),
+cum AS (
+  SELECT event_type, c,
+         SUM(cnt_t) OVER (PARTITION BY event_type ORDER BY c) AS cum_t,
+         SUM(cnt_all) OVER (PARTITION BY event_type ORDER BY c) AS cum_all
+  FROM grid
+),
+nt AS (SELECT event_type, COUNT(*) AS n_t FROM v GROUP BY 1),
+gaps AS (
+  SELECT c, LEAD(c) OVER (ORDER BY c) - c AS gap FROM vals
+  QUALIFY gap IS NOT NULL
+),
+terms AS (
+  SELECT cu.event_type, nt.n_t, t.n,
+         ABS(CAST(cu.cum_t AS DECIMAL(38,0)) * (t.n - nt.n_t)
+             - CAST(cu.cum_all - cu.cum_t AS DECIMAL(38,0)) * nt.n_t)
+           * CAST(g.gap AS DECIMAL(38,0)) AS term
+  FROM cum cu
+  JOIN nt USING (event_type)
+  JOIN gaps g USING (c)
+  CROSS JOIN tot t
+)
+SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
+       ROUND(CAST(SUM(term) AS DOUBLE)
+             / (CAST(n_t AS DOUBLE) * (n - n_t) * 100.0), 6) AS w1
+FROM terms
+GROUP BY event_type, n_t, n
+"""
+
+
+def q_source_ablation_audit(spark, sf_dir):
+    """Leave-one-out source attribution — the data-mixture question
+    'what does source s uniquely contribute, and how would dropping it
+    move the corpus statistics?': per source, (a) the number of
+    distinct word 3-grams that appear ONLY in that source (its unique
+    diversity contribution), and (b) the exact change in corpus mean
+    doc length if the source were removed. Exactness: uniqueness is an
+    integer distinct-source count on the md5 gram key; the LOO delta is
+    computed from exact integer totals — mean(all) − mean(all∖s) =
+    (S/N) − (S−S_s)/(N−N_s) — in one identical double expression.
+    Scale shape: one distinct-source aggregate on the gram key, two
+    keyed rollups, one 1-row scalar broadcast; no window, no pairwise
+    anything."""
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(_word_grams(T.tokens(F.col("text")), NOVELTY_N))
+        ).alias("g"),
+    ).select("source", F.md5("g").alias("gh")).distinct()
+    per_gram = grams.groupBy("gh").agg(
+        F.countDistinct("source").cast("bigint").alias("n_src"),
+        F.min("source").alias("only_src"),
+    )
+    uniq = (
+        per_gram.filter(F.col("n_src") == 1)
+        .groupBy(F.col("only_src").alias("source"))
+        .agg(F.count("*").cast("bigint").alias("unique_grams"))
+    )
+    lens = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("s_chars"),
+    )
+    tot = lens.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("s_chars").alias("ss"),
+    )
+    j = lens.join(uniq, "source", "left").crossJoin(F.broadcast(tot))
+    mean_all = F.col("ss").cast("double") / F.col("nn").cast("double")
+    mean_loo = (F.col("ss") - F.col("s_chars")).cast("double") / (
+        F.col("nn") - F.col("n_docs")
+    ).cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("unique_grams"), F.lit(0)).cast("bigint")
+        .alias("unique_grams"),
+        F.round(mean_all - mean_loo, 6).alias("loo_mean_delta"),
+    )
+
+
+SQL_SOURCE_ABLATION_AUDIT = f"""
+WITH toks AS (SELECT doc_id, source, {{TOKENS}} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           range(1, greatest(len(t) - {NOVELTY_N - 2}, 1)),
+           j -> md5(array_to_string(t[j:j+{NOVELTY_N - 1}], ' '))
+         )) AS gh
+  FROM toks
+),
+per_gram AS (
+  SELECT gh, COUNT(DISTINCT source) AS n_src, MIN(source) AS only_src
+  FROM grams GROUP BY gh
+),
+uniq AS (
+  SELECT only_src AS source, COUNT(*) AS unique_grams
+  FROM per_gram WHERE n_src = 1 GROUP BY 1
+),
+lens AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CAST(n_chars AS DECIMAL(38,0))) AS s_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS nn, SUM(s_chars) AS ss FROM lens)
+SELECT l.source, CAST(l.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(u.unique_grams, 0) AS BIGINT) AS unique_grams,
+       ROUND(CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE)
+             - CAST(t.ss - l.s_chars AS DOUBLE)
+               / CAST(t.nn - l.n_docs AS DOUBLE), 6) AS loo_mean_delta
+FROM lens l LEFT JOIN uniq u ON u.source = l.source CROSS JOIN tot t
+""".replace("{TOKENS}", TOKENS_SQL)
 
 
 RANK_NTILES = 4
@@ -15284,6 +15464,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conformal_interval_calibration": q_conformal_interval_calibration,
     "feature_hash_collision_audit": q_feature_hash_collision_audit,
     "ngram_novelty_rate": q_ngram_novelty_rate,
+    "wasserstein_one_vs_rest": q_wasserstein_one_vs_rest,
+    "source_ablation_audit": q_source_ablation_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -15538,6 +15720,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "conformal_interval_calibration": SQL_CONFORMAL_INTERVAL_CALIBRATION,
     "feature_hash_collision_audit": SQL_FEATURE_HASH_COLLISION_AUDIT,
     "ngram_novelty_rate": SQL_NGRAM_NOVELTY_RATE,
+    "wasserstein_one_vs_rest": SQL_WASSERSTEIN_ONE_VS_REST,
+    "source_ablation_audit": SQL_SOURCE_ABLATION_AUDIT,
 }
 
 
@@ -15780,6 +15964,8 @@ _R7_ADDED: list[str] = [
     "conformal_interval_calibration",
     "feature_hash_collision_audit",
     "ngram_novelty_rate",
+    "wasserstein_one_vs_rest",
+    "source_ablation_audit",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

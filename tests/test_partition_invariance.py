@@ -80,6 +80,8 @@ def _canon(df):
         "conformal_interval_calibration",  # integer-scaled residual quantile
         "feature_hash_collision_audit",    # md5 buckets, pure integer counts
         "ngram_novelty_rate",       # integer first-doc min, decimal-cast means
+        "wasserstein_one_vs_rest",  # integer numerator x gap, decimal sums
+        "source_ablation_audit",    # integer uniqueness counts, exact LOO
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -171,7 +171,9 @@ def test_mann_whitney_ranks_are_two_phase(spark, sf_dir):
 def test_ks_grid_is_bounded_and_no_cartesian(spark, sf_dir):
     """The KS evaluation grid is |types| x |distinct cents| with the
     tiny type dimension broadcast; per-type cumulatives are two-phase."""
-    src = inspect.getsource(EQ.q_ks_one_vs_rest)
+    src = inspect.getsource(EQ.q_ks_one_vs_rest) + inspect.getsource(
+        EQ._etype_value_cums
+    )
     assert "stable_prefix_sum" in src
     plan = _plan(spark, sf_dir, "ks_one_vs_rest")
     assert "CartesianProduct" not in plan
@@ -325,5 +327,24 @@ def test_novelty_joins_on_gram_key(spark, sf_dir):
     """First-appearance attribution is a min-agg + equi-join on the
     uniform md5 gram key — no window, no cartesian."""
     plan = _plan(spark, sf_dir, "ngram_novelty_rate")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_wasserstein_gaps_avoid_global_lead(spark, sf_dir):
+    """Consecutive-value gaps come from two-phase numbering + an rn+1
+    self-join — a global LEAD window over the value domain would be a
+    single task at 100 TB."""
+    src = inspect.getsource(EQ.q_wasserstein_one_vs_rest)
+    assert "stable_row_number" in src and "F.lead" not in src
+    plan = _plan(spark, sf_dir, "wasserstein_one_vs_rest")
+    assert "CartesianProduct" not in plan
+
+
+def test_source_ablation_is_three_aggregates(spark, sf_dir):
+    """Uniqueness attribution is one distinct-source aggregate on the
+    gram key + shrinking rollups; the corpus totals reach each source
+    row as a 1-row broadcast, never a re-scan per source."""
+    plan = _plan(spark, sf_dir, "source_ablation_audit")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
