@@ -267,6 +267,9 @@ HEADLINE = [
     "ngram_novelty_rate",
     "wasserstein_one_vs_rest",
     "source_ablation_audit",
+    "anova_f_oneway",
+    "levene_variance_test",
+    "srm_check",
 ]
 
 

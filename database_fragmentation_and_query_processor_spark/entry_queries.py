@@ -14096,6 +14096,228 @@ FROM lens l LEFT JOIN uniq u ON u.source = l.source CROSS JOIN tot t
 """.replace("{TOKENS}", TOKENS_SQL)
 
 
+def q_anova_f_oneway(spark, sf_dir):
+    """One-way ANOVA F test of mean order value across priority
+    segments — does segment explain any variance? Exactness: all five
+    sufficient statistics (per-group n, Σx, Σx² in integer cents) are
+    exact decimals from one keyed aggregate; between/within sums of
+    squares and F are assembled in one identical double expression.
+    Scale shape: one map-side-combinable aggregate onto the bounded
+    segment domain, one 1-row scalar broadcast — raw rows are read
+    exactly once. Output is a single row (k, N, F, eta²)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("x"),
+    )
+    per = o.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("s2").alias("ss2"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sg"),
+    )
+    grand = F.col("ss").cast("double") * F.col("ss").cast("double") / F.col(
+        "nn"
+    ).cast("double")
+    ssb = F.col("sg") - grand
+    ssw = F.col("ss2").cast("double") - F.col("sg")
+    fstat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("nn") - F.col("k")).cast("double")
+    )
+    eta2 = ssb / (F.col("ss2").cast("double") - grand)
+    return tot.select(
+        "k",
+        F.col("nn").alias("n_total"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(eta2, 6).alias("eta_sq"),
+    )
+
+
+SQL_ANOVA_F_ONEWAY = """
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) AS x
+  FROM orders
+),
+per AS (
+  SELECT g, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS s2 FROM o GROUP BY g
+),
+tot AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(s) AS ss, SUM(s2) AS ss2,
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS sg
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_total,
+       ROUND(((sg - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                     / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(ss2 AS DOUBLE) - sg) / CAST(nn - k AS DOUBLE)), 6)
+         AS f_stat,
+       ROUND((sg - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                    / CAST(nn AS DOUBLE))
+             / (CAST(ss2 AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+                                       / CAST(nn AS DOUBLE)), 6) AS eta_sq
+FROM tot
+"""
+
+
+def q_levene_variance_test(spark, sf_dir):
+    """Levene's test (mean-centered form) for homogeneity of value
+    variance across event types — the guard you run before trusting a
+    pooled-variance A/B readout. Two passes: exact per-type means from
+    integer-cent decimals, then the ANOVA-on-|x−x̄_g| assembled from
+    decimal-cast deviation sums (the |·| terms are identical doubles
+    both engines, decimal-cast before grouping so reduction order can't
+    skew the hash). Scale shape: two keyed aggregates over raw rows
+    with a broadcast of per-type means between them; W is one scalar
+    row."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    means = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+    )
+    dev = ev.join(F.broadcast(means), "event_type").withColumn(
+        "z",
+        F.abs(
+            F.col("c").cast("double")
+            - F.col("s").cast("double") / F.col("n").cast("double")
+        ),
+    )
+    per = dev.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("z").cast("decimal(38,12)")).alias("sz"),
+        F.sum((F.col("z") * F.col("z")).cast("decimal(38,12)")).alias("sz2"),
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("sz").alias("tsz"),
+        F.sum("sz2").alias("tsz2"),
+        F.sum(
+            F.col("sz").cast("double") * F.col("sz").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sg"),
+    )
+    grand = F.col("tsz").cast("double") * F.col("tsz").cast("double") / F.col(
+        "nn"
+    ).cast("double")
+    w = ((F.col("sg") - grand) / (F.col("k") - 1).cast("double")) / (
+        (F.col("tsz2").cast("double") - F.col("sg"))
+        / (F.col("nn") - F.col("k")).cast("double")
+    )
+    return tot.select(
+        "k", F.col("nn").alias("n_total"), F.round(w, 6).alias("w_stat")
+    )
+
+
+SQL_LEVENE_VARIANCE_TEST = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+means AS (
+  SELECT event_type, COUNT(*) AS n, SUM(CAST(c AS DECIMAL(38,0))) AS s
+  FROM ev GROUP BY event_type
+),
+dev AS (
+  SELECT ev.event_type,
+         ABS(CAST(ev.c AS DOUBLE)
+             - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE)) AS z
+  FROM ev JOIN means m USING (event_type)
+),
+per AS (
+  SELECT d.event_type, MAX(m.n) AS n,
+         SUM(CAST(z AS DECIMAL(38,12))) AS sz,
+         SUM(CAST(z * z AS DECIMAL(38,12))) AS sz2
+  FROM dev d JOIN means m USING (event_type) GROUP BY d.event_type
+),
+tot AS (
+  SELECT COUNT(*) AS k, SUM(n) AS nn, SUM(sz) AS tsz, SUM(sz2) AS tsz2,
+         SUM(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE)) AS sg
+  FROM per
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_total,
+       ROUND(((sg - CAST(tsz AS DOUBLE) * CAST(tsz AS DOUBLE)
+                     / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((CAST(tsz2 AS DOUBLE) - sg) / CAST(nn - k AS DOUBLE)), 6)
+         AS w_stat
+FROM tot
+"""
+
+
+SRM_CHI2_CRIT = 3.841458820694124  # chi², 1 dof, alpha = 0.05
+
+
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch health check, per experiment stratum
+    (event_type): users are hash-assigned 50/50 by md5(user_id), and
+    the observed split is tested with a 1-dof chi-square against the
+    expected ratio — the first thing a trustworthy experimentation
+    pipeline alarms on. Exactness: assignment and counts are pure
+    integer md5 arithmetic; chi² = (a−b)²/(a+b) is one double step,
+    and the flag compares against a shared critical-value literal.
+    Scale shape: distinct users per (type, arm) via one expand
+    aggregate, then the bounded (type × 2) domain."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        % 2
+    ).alias("arm")
+    per = (
+        ev.select("event_type", "user_id", arm)
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("arm") == 0).cast("bigint")).cast("bigint").alias("a"),
+            F.sum((F.col("arm") == 1).cast("bigint")).cast("bigint").alias("b"),
+        )
+    )
+    chi2 = (
+        (F.col("a") - F.col("b")).cast("double")
+        * (F.col("a") - F.col("b")).cast("double")
+        / (F.col("a") + F.col("b")).cast("double")
+    )
+    return per.select(
+        "event_type",
+        F.col("a").alias("n_arm0"),
+        F.col("b").alias("n_arm1"),
+        F.round(chi2, 6).alias("chi_sq"),
+        (chi2 > SRM_CHI2_CRIT).alias("srm_flag"),
+    )
+
+
+SQL_SRM_CHECK = f"""
+WITH u AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % 2 AS arm
+  FROM events
+),
+per AS (
+  SELECT event_type,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS b
+  FROM u GROUP BY event_type
+)
+SELECT event_type, CAST(a AS BIGINT) AS n_arm0, CAST(b AS BIGINT) AS n_arm1,
+       ROUND(CAST(a - b AS DOUBLE) * CAST(a - b AS DOUBLE)
+             / CAST(a + b AS DOUBLE), 6) AS chi_sq,
+       (CAST(a - b AS DOUBLE) * CAST(a - b AS DOUBLE)
+        / CAST(a + b AS DOUBLE)) > {SRM_CHI2_CRIT!r} AS srm_flag
+FROM per
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -15466,6 +15688,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty_rate": q_ngram_novelty_rate,
     "wasserstein_one_vs_rest": q_wasserstein_one_vs_rest,
     "source_ablation_audit": q_source_ablation_audit,
+    "anova_f_oneway": q_anova_f_oneway,
+    "levene_variance_test": q_levene_variance_test,
+    "srm_check": q_srm_check,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -15722,6 +15947,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "ngram_novelty_rate": SQL_NGRAM_NOVELTY_RATE,
     "wasserstein_one_vs_rest": SQL_WASSERSTEIN_ONE_VS_REST,
     "source_ablation_audit": SQL_SOURCE_ABLATION_AUDIT,
+    "anova_f_oneway": SQL_ANOVA_F_ONEWAY,
+    "levene_variance_test": SQL_LEVENE_VARIANCE_TEST,
+    "srm_check": SQL_SRM_CHECK,
 }
 
 
@@ -15966,6 +16194,9 @@ _R7_ADDED: list[str] = [
     "ngram_novelty_rate",
     "wasserstein_one_vs_rest",
     "source_ablation_audit",
+    "anova_f_oneway",
+    "levene_variance_test",
+    "srm_check",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

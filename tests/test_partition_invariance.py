@@ -82,6 +82,9 @@ def _canon(df):
         "ngram_novelty_rate",       # integer first-doc min, decimal-cast means
         "wasserstein_one_vs_rest",  # integer numerator x gap, decimal sums
         "source_ablation_audit",    # integer uniqueness counts, exact LOO
+        "anova_f_oneway",           # decimal sufficient statistics
+        "levene_variance_test",     # decimal-cast deviation sums
+        "srm_check",                # md5 arms, integer counts
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -348,3 +348,29 @@ def test_source_ablation_is_three_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "source_ablation_audit")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_anova_reads_rows_once(spark, sf_dir):
+    """The sufficient statistics come from ONE keyed aggregate over the
+    orders scan — the scan must appear once and no join/window."""
+    plan = _plan(spark, sf_dir, "anova_f_oneway")
+    # no join or window anywhere → the scan feeds exactly one
+    # aggregation pipeline (AQE's formatted output repeats the node
+    # across plan sections, so a node count would overstate reads)
+    assert "Window" not in plan and "Join" not in plan
+    assert "o_totalprice" in plan and "o_orderkey" not in plan
+
+
+def test_levene_broadcasts_group_means(spark, sf_dir):
+    """Pass 2 reaches raw rows through a broadcast of the bounded
+    per-type means — never a shuffle join on the fact side."""
+    plan = _plan(spark, sf_dir, "levene_variance_test")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_srm_uses_expand_distinct(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "srm_check")
+    assert "Window" not in plan
+    assert "Join" not in plan
