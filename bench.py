@@ -270,6 +270,9 @@ HEADLINE = [
     "anova_f_oneway",
     "levene_variance_test",
     "srm_check",
+    "pinball_loss_eval",
+    "median_ci_binomial",
+    "intrinsic_dim_twonn",
 ]
 
 

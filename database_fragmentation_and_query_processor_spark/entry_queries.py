@@ -14318,6 +14318,295 @@ FROM per
 """
 
 
+PINBALL_TAUS = (0.5, 0.9)
+
+
+def q_pinball_loss_eval(spark, sf_dir):
+    """Pinball (quantile) loss evaluation: take the exact per-type p50
+    and p90 as constant predictors and score them with their own loss
+    ρ_τ — the eval metric for any quantile forecaster, here grounding
+    the baseline a model must beat. Exactness: the quantile is the
+    nearest-rank order statistic via per-(type, value) counts + the
+    two-phase prefix sum (min value with inclusive count ≥ ⌈τ·n⌉);
+    losses are conditional integer-cent sums (decimal) with one double
+    assembly. Scale shape: counts domain + one broadcast of per-type
+    quantiles back onto raw rows; no sort window anywhere."""
+    from .operators.scaling import stable_prefix_sum
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    nt = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    vc = ev.groupBy("event_type", "c").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    pv = stable_prefix_sum(
+        vc, order_cols=["c"], value_col="cnt", group_cols=["event_type"],
+        out_col="below",
+    ).join(F.broadcast(nt), "event_type")
+    incl = F.col("below") + F.col("cnt")
+    qs = pv.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(incl >= F.ceil(F.lit(tau) * F.col("n")), F.col("c"))
+            ).alias(f"q{int(tau * 100)}")
+            for tau in PINBALL_TAUS
+        ]
+    )
+    j = ev.join(F.broadcast(qs), "event_type")
+    def _tau_cols(tau):
+        q = F.col(f"q{int(tau * 100)}")
+        loss = (
+            F.lit(tau)
+            * F.sum(
+                F.when(
+                    F.col("c") > q, (F.col("c") - q).cast("decimal(38,0)")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).cast("double")
+            + F.lit(1.0 - tau)
+            * F.sum(
+                F.when(
+                    F.col("c") <= q, (q - F.col("c")).cast("decimal(38,0)")
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).cast("double")
+        ).alias(f"l{int(tau * 100)}")
+        return [loss, F.max(q).alias(f"mq{int(tau * 100)}")]
+
+    out = j.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[col for tau in PINBALL_TAUS for col in _tau_cols(tau)],
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("mq50") / 100.0, 6).alias("q50"),
+        F.round(F.col("mq90") / 100.0, 6).alias("q90"),
+        F.round(F.col("l50") / (F.col("n").cast("double") * 100.0), 6)
+        .alias("pinball50"),
+        F.round(F.col("l90") / (F.col("n").cast("double") * 100.0), 6)
+        .alias("pinball90"),
+    )
+
+
+SQL_PINBALL_LOSS_EVAL = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+nt AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type),
+vc AS (SELECT event_type, c, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+pv AS (
+  SELECT vc.event_type, vc.c, vc.cnt, nt.n,
+         COALESCE(SUM(cnt) OVER (PARTITION BY vc.event_type ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt AS incl
+  FROM vc JOIN nt USING (event_type)
+),
+qs AS (
+  SELECT event_type,
+         MIN(CASE WHEN incl >= CEIL(0.5 * n) THEN c END) AS q50,
+         MIN(CASE WHEN incl >= CEIL(0.9 * n) THEN c END) AS q90
+  FROM pv GROUP BY event_type
+),
+j AS (SELECT ev.event_type, ev.c, qs.q50, qs.q90 FROM ev JOIN qs USING (event_type)),
+agg AS (
+  SELECT event_type, COUNT(*) AS n, MAX(q50) AS mq50, MAX(q90) AS mq90,
+         0.5 * CAST(SUM(CASE WHEN c > q50
+                        THEN CAST(c - q50 AS DECIMAL(38,0))
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+         + 0.5 * CAST(SUM(CASE WHEN c <= q50
+                          THEN CAST(q50 - c AS DECIMAL(38,0))
+                          ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS l50,
+         0.9 * CAST(SUM(CASE WHEN c > q90
+                        THEN CAST(c - q90 AS DECIMAL(38,0))
+                        ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+         + 0.09999999999999998 * CAST(SUM(CASE WHEN c <= q90
+                          THEN CAST(q90 - c AS DECIMAL(38,0))
+                          ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE) AS l90
+  FROM j GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(mq50 / 100.0, 6) AS q50,
+       ROUND(mq90 / 100.0, 6) AS q90,
+       ROUND(l50 / (CAST(n AS DOUBLE) * 100.0), 6) AS pinball50,
+       ROUND(l90 / (CAST(n AS DOUBLE) * 100.0), 6) AS pinball90
+FROM agg
+"""
+
+
+MEDIAN_CI_Z = 1.959963984540054  # two-sided 95% normal quantile
+
+
+def q_median_ci_binomial(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the per-type
+    median via the binomial order-statistic bound: the CI endpoints are
+    the ⌊(n − z√n)/2⌋-th and ⌈1 + (n + z√n)/2⌉-th smallest values
+    (clamped to [1, n]) — no distributional assumption, no resampling.
+    Exactness: positions come from one identical double expression on
+    integer n; the three order statistics are count-based selections
+    over the (type, value) domain (min value with inclusive count ≥ k)
+    — never a per-type sort. Scale shape: identical to the pinball
+    machinery — counts, two-phase prefix, bounded-domain selection."""
+    from .operators.scaling import stable_prefix_sum
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    nt = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    nd = F.col("n").cast("double")
+    rt = F.sqrt(nd) * F.lit(MEDIAN_CI_Z)
+    ks = nt.select(
+        "event_type",
+        "n",
+        F.greatest(F.floor((nd - rt) / 2.0).cast("bigint"), F.lit(1))
+        .alias("k_lo"),
+        F.ceil(nd / 2.0).cast("bigint").alias("k_med"),
+        F.least(
+            F.ceil(1.0 + (nd + rt) / 2.0).cast("bigint"), F.col("n")
+        ).alias("k_hi"),
+    )
+    vc = ev.groupBy("event_type", "c").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    pv = stable_prefix_sum(
+        vc, order_cols=["c"], value_col="cnt", group_cols=["event_type"],
+        out_col="below",
+    ).join(F.broadcast(ks), "event_type")
+    incl = F.col("below") + F.col("cnt")
+    sel = pv.groupBy("event_type", "n").agg(
+        F.min(F.when(incl >= F.col("k_lo"), F.col("c"))).alias("lo"),
+        F.min(F.when(incl >= F.col("k_med"), F.col("c"))).alias("med"),
+        F.min(F.when(incl >= F.col("k_hi"), F.col("c"))).alias("hi"),
+    )
+    return sel.select(
+        "event_type",
+        "n",
+        F.round(F.col("lo") / 100.0, 6).alias("ci_lo"),
+        F.round(F.col("med") / 100.0, 6).alias("median"),
+        F.round(F.col("hi") / 100.0, 6).alias("ci_hi"),
+    )
+
+
+SQL_MEDIAN_CI_BINOMIAL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events
+),
+nt AS (SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type),
+ks AS (
+  SELECT event_type, n,
+         GREATEST(CAST(FLOOR((CAST(n AS DOUBLE)
+             - SQRT(CAST(n AS DOUBLE)) * {MEDIAN_CI_Z!r}) / 2.0) AS BIGINT), 1)
+           AS k_lo,
+         CAST(CEIL(CAST(n AS DOUBLE) / 2.0) AS BIGINT) AS k_med,
+         LEAST(CAST(CEIL(1.0 + (CAST(n AS DOUBLE)
+             + SQRT(CAST(n AS DOUBLE)) * {MEDIAN_CI_Z!r}) / 2.0) AS BIGINT), n)
+           AS k_hi
+  FROM nt
+),
+vc AS (SELECT event_type, c, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+pv AS (
+  SELECT vc.event_type, vc.c, ks.n, ks.k_lo, ks.k_med, ks.k_hi,
+         COALESCE(SUM(cnt) OVER (PARTITION BY vc.event_type ORDER BY c
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cnt AS incl
+  FROM vc JOIN ks USING (event_type)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND(MIN(CASE WHEN incl >= k_lo THEN c END) / 100.0, 6) AS ci_lo,
+       ROUND(MIN(CASE WHEN incl >= k_med THEN c END) / 100.0, 6) AS median,
+       ROUND(MIN(CASE WHEN incl >= k_hi THEN c END) / 100.0, 6) AS ci_hi
+FROM pv GROUP BY event_type, n
+"""
+
+
+TWONN_PLANES = 4  # coarse buckets: the ratio estimator needs neighbors
+
+
+def q_intrinsic_dim_twonn(spark, sf_dir):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding manifold, per label: ID ≈ n / Σ ln(d₂/d₁) over each
+    point's two nearest in-bucket neighbors (cosine distance) — the
+    'is this 64-d space really 8-d?' audit that sizes PQ/IVF
+    parameters. Scale shape: neighbors come ONLY from the point's
+    4-bit sign-RP LSH bucket (within-bucket pairs, Σ|bucket|², the
+    semantic_dedup contract — never all-pairs); the 1st/2nd minima are
+    two struct-min aggregations with a keyed join between them, not a
+    sort window. Exactness: distances are rounded cosines (identical
+    doubles), ln-ratio terms are decimal-cast before the label sum;
+    zero-distance duplicates are excluded (the ratio is undefined on
+    them)."""
+    emb = _emb(spark, sf_dir)
+    sigs = S.with_lsh_signature(
+        emb, n_planes=TWONN_PLANES, sig_col="sig", dim=EMB_DIM
+    ).select("vec_id", "label", "embedding", "sig")
+    a = sigs.select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("embedding").alias("a_emb"),
+        "sig",
+    )
+    d = F.round(1.0 - V.cosine(F.col("a_emb"), F.col("embedding")), 6)
+    pairs = (
+        a.join(sigs, "sig")
+        .where(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid", "albl", d.alias("d"), F.col("vec_id").alias("nid")
+        )
+        .where(F.col("d") > 0)
+    )
+    m1 = pairs.groupBy("aid").agg(F.min(F.struct("d", "nid")).alias("m1"))
+    m2 = (
+        pairs.join(m1, "aid")
+        .where(F.struct("d", "nid") != F.col("m1"))
+        .groupBy("aid", "albl", "m1")
+        .agg(F.min(F.struct("d", "nid")).alias("m2"))
+    )
+    terms = m2.select(
+        F.col("albl").alias("label"),
+        F.log(F.col("m2.d") / F.col("m1.d")).cast("decimal(38,18)").alias("t"),
+    )
+    return terms.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_used"),
+        F.round(
+            F.count("*").cast("double") / F.sum("t").cast("double"), 6
+        ).alias("id_hat"),
+    )
+
+
+def _sql_intrinsic_dim_twonn() -> str:
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, label, embedding,
+         {_sig_sql('embedding', TWONN_PLANES)} AS sig
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS aid, a.label AS albl,
+         ROUND(1.0 - {_cosine_sql('a.embedding', 'b.embedding')}, 6) AS d,
+         b.vec_id AS nid
+  FROM sigs a JOIN sigs b ON a.sig = b.sig AND b.vec_id <> a.vec_id
+),
+pos AS (SELECT * FROM pairs WHERE d > 0),
+rk AS (
+  SELECT aid, albl, d,
+         ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d, nid) AS rn
+  FROM pos
+),
+two AS (
+  SELECT aid, albl,
+         MAX(CASE WHEN rn = 1 THEN d END) AS d1,
+         MAX(CASE WHEN rn = 2 THEN d END) AS d2
+  FROM rk WHERE rn <= 2 GROUP BY aid, albl
+  HAVING MAX(CASE WHEN rn = 2 THEN d END) IS NOT NULL
+),
+terms AS (
+  SELECT albl AS label, CAST(LN(d2 / d1) AS DECIMAL(38,18)) AS t FROM two
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_used,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6) AS id_hat
+FROM terms GROUP BY label
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -15691,6 +15980,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anova_f_oneway": q_anova_f_oneway,
     "levene_variance_test": q_levene_variance_test,
     "srm_check": q_srm_check,
+    "pinball_loss_eval": q_pinball_loss_eval,
+    "median_ci_binomial": q_median_ci_binomial,
+    "intrinsic_dim_twonn": q_intrinsic_dim_twonn,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -15950,6 +16242,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "anova_f_oneway": SQL_ANOVA_F_ONEWAY,
     "levene_variance_test": SQL_LEVENE_VARIANCE_TEST,
     "srm_check": SQL_SRM_CHECK,
+    "pinball_loss_eval": SQL_PINBALL_LOSS_EVAL,
+    "median_ci_binomial": SQL_MEDIAN_CI_BINOMIAL,
+    "intrinsic_dim_twonn": _sql_intrinsic_dim_twonn(),
 }
 
 
@@ -16197,6 +16492,9 @@ _R7_ADDED: list[str] = [
     "anova_f_oneway",
     "levene_variance_test",
     "srm_check",
+    "pinball_loss_eval",
+    "median_ci_binomial",
+    "intrinsic_dim_twonn",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

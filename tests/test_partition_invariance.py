@@ -85,6 +85,9 @@ def _canon(df):
         "anova_f_oneway",           # decimal sufficient statistics
         "levene_variance_test",     # decimal-cast deviation sums
         "srm_check",                # md5 arms, integer counts
+        "pinball_loss_eval",        # count-based quantiles, decimal losses
+        "median_ci_binomial",       # integer order-stat positions
+        "intrinsic_dim_twonn",      # struct-min neighbors, decimal ln sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -374,3 +374,30 @@ def test_srm_uses_expand_distinct(spark, sf_dir):
     plan = _plan(spark, sf_dir, "srm_check")
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_pinball_quantiles_are_count_based(spark, sf_dir):
+    """Both quantile predictors come from the count-based selection
+    (two-phase prefix over per-(type, value) counts) and reach raw rows
+    as a broadcast — never a per-type sort window."""
+    src = inspect.getsource(EQ.q_pinball_loss_eval)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "pinball_loss_eval")
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_median_ci_is_count_based(spark, sf_dir):
+    src = inspect.getsource(EQ.q_median_ci_binomial)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "median_ci_binomial")
+    assert "SinglePartition" not in plan
+
+
+def test_twonn_neighbors_are_bucketed_struct_mins(spark, sf_dir):
+    """Candidate pairs come only from the LSH bucket equi-join and the
+    two nearest neighbors are struct-min aggregations + one keyed join
+    — no sort window over the pair stream, no cartesian."""
+    plan = _plan(spark, sf_dir, "intrinsic_dim_twonn")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
