@@ -13603,7 +13603,8 @@ def _jl_exprs(one_based: bool) -> tuple[list[str], str]:
 def q_jl_projection_audit(spark, sf_dir):
     """Johnson–Lindenstrauss norm-preservation audit: project each
     64-d embedding to 16-d with a ±1 sign matrix and report, per
-    label, how well (d/k)·‖Pv‖²/‖v‖² concentrates around 1 — the
+    label, how well ‖Pv‖²/(k·‖v‖²) concentrates around 1 (for ±1
+    entries E[‖Pv‖²] = k·‖v‖², so 1/k is the unbiased scale) — the
     check you run before trusting a random-projection index at scale.
     The sign matrix is md5-derived at build time and baked into BOTH
     engines as literals (_jl_signs); every per-row reduction is a
@@ -13619,9 +13620,7 @@ def q_jl_projection_audit(spark, sf_dir):
     for j in range(JL_OUT_DIM):
         t = F.col(f"p{j}") * F.col(f"p{j}")
         pn2 = t if pn2 is None else pn2 + t
-    ratio = (
-        pn2 * F.lit(float(JL_IN_DIM) / JL_OUT_DIM) / F.col("n2")
-    )
+    ratio = pn2 * F.lit(1.0 / JL_OUT_DIM) / F.col("n2")
     r = r.select("label", ratio.alias("ratio"))
     return r.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
@@ -13646,7 +13645,7 @@ WITH r AS (
   FROM embeddings
 ),
 rt AS (
-  SELECT label, ({pn2}) * {float(JL_IN_DIM) / JL_OUT_DIM!r} / n2 AS ratio
+  SELECT label, ({pn2}) * {1.0 / JL_OUT_DIM!r} / n2 AS ratio
   FROM r
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
