@@ -273,6 +273,8 @@ HEADLINE = [
     "pinball_loss_eval",
     "median_ci_binomial",
     "intrinsic_dim_twonn",
+    "ann_ndcg_eval",
+    "mase_seasonal_naive",
 ]
 
 

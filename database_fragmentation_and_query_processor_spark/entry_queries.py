@@ -14606,6 +14606,174 @@ FROM terms GROUP BY label
 """
 
 
+def _ndcg_discounts() -> dict[int, float]:
+    """1/log₂(rank+1) discounts for NDCG@k, computed once in Python and
+    baked into BOTH engines as literals — no libm log in either plan."""
+    import math
+
+    return {i: 1.0 / math.log2(i + 1) for i in range(1, KNN_K + 1)}
+
+
+_NDCG_DISC = _ndcg_discounts()
+_NDCG_IDCG = 0.0
+for _d in [_NDCG_DISC[i] for i in range(1, KNN_K + 1)]:
+    _NDCG_IDCG += _d  # fixed-order sum, mirrored as ONE literal
+
+
+def _ndcg_disc_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = {i} THEN {_NDCG_DISC[i]!r}"
+        for i in range(1, KNN_K + 1)
+    )
+    return f"(CASE {whens} ELSE 0.0 END)"
+
+
+def q_ann_ndcg_eval(spark, sf_dir):
+    """NDCG@k of the two production ANN methods (IVF, sign-LSH probe)
+    against exact brute-force relevance — the ranking-quality
+    complement to ann_recall_audit's set-overlap recall: NDCG also
+    penalizes returning the right neighbors in the wrong order.
+    Relevance is binary membership in the exact top-k; discounts
+    1/log₂(rank+1) and the IDCG are Python-computed literals shared
+    verbatim with the oracle (no engine log call). Scale shape: each
+    method's ranked list is ≤ k rows, so the rank window and the DCG
+    sum run on a k-row frame (the rolled-up-domain dispensation); the
+    exact side is one brute-force scan reused by both methods via
+    persist."""
+    emb = _emb(spark, sf_dir)
+    qvec = list(emb.where(F.col("vec_id") == 0).select("embedding").head()[0])
+    exact = (
+        S.brute_force_topk(emb, qvec, k=KNN_K)
+        .select("vec_id")
+        .withColumn("rel", F.lit(1))
+        .persist()
+    )
+    _track_cached(exact)
+    methods = {
+        "ivf": S.ivf_topk(
+            emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE
+        ),
+        "lsh_h2": S.lsh_topk(
+            emb, qvec, k=KNN_K, n_planes=ANN_PLANES,
+            probe_hamming=ANN_PROBE_HAMMING, dim=EMB_DIM,
+        ),
+    }
+    outs = []
+    w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    for name in sorted(methods):
+        ranked = methods[name].withColumn("rk", F.row_number().over(w))
+        j = ranked.join(exact, "vec_id", "left").withColumn(
+            "rel", F.coalesce("rel", F.lit(0))
+        )
+        dcg = F.sum(
+            (F.expr(_ndcg_disc_case("rk")) * F.col("rel"))
+            .cast("decimal(38,18)")
+        ).cast("double")
+        outs.append(
+            j.agg(
+                F.lit(name).alias("method"),
+                F.sum("rel").cast("bigint").alias("n_relevant"),
+                F.round(dcg, 6).alias("dcg"),
+                F.round(dcg / F.lit(_NDCG_IDCG), 6).alias("ndcg"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def _sql_ann_ndcg_eval() -> str:
+    def row(method: str, ann_sql: str) -> str:
+        return f"""
+SELECT '{method}' AS method,
+       CAST(SUM(rel) AS BIGINT) AS n_relevant,
+       ROUND(CAST(SUM(CAST({_ndcg_disc_case("rk")} * rel
+                          AS DECIMAL(38,18))) AS DOUBLE), 6) AS dcg,
+       ROUND(CAST(SUM(CAST({_ndcg_disc_case("rk")} * rel
+                          AS DECIMAL(38,18))) AS DOUBLE)
+             / {_NDCG_IDCG!r}, 6) AS ndcg
+FROM (
+  SELECT a.vec_id,
+         ROW_NUMBER() OVER (ORDER BY a.cosine_sim DESC, a.vec_id) AS rk,
+         CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS rel
+  FROM ({ann_sql}) a
+  LEFT JOIN (SELECT vec_id FROM ({SQL_KNN_BRUTEFORCE})) e
+    ON e.vec_id = a.vec_id
+)"""
+
+    return (
+        row("ivf", SQL_ANN_IVF_TOPK)
+        + "\nUNION ALL\n"
+        + row("lsh_h2", _lsh_topk_sql(ANN_PROBE_HAMMING))
+    )
+
+
+def q_mase_seasonal_naive(spark, sf_dir):
+    """Forecast-baseline evaluation on the daily revenue series: MAE of
+    the seasonal-naive forecast (value 7 days ago) scaled by the MAE of
+    the one-step naive (yesterday) — MASE < 1 means weekly seasonality
+    carries real signal, and any model worth deploying must beat BOTH
+    numbers. Exactness: absolute errors are integer cents summed as
+    decimal; two final double divisions. Scale shape: rows collapse to
+    the calendar-day domain first; the lag-1/lag-7 alignments are
+    self-joins on the integer day key (no LEAD/LAG window), scored only
+    where both references exist."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").alias("rev"))
+    l1 = daily.select((F.col("d") + 1).alias("d"), F.col("rev").alias("rev_l1"))
+    l7 = daily.select((F.col("d") + 7).alias("d"), F.col("rev").alias("rev_l7"))
+    j = daily.join(l1, "d").join(l7, "d")
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        F.sum(F.abs(F.col("rev") - F.col("rev_l1"))).alias("s1"),
+        F.sum(F.abs(F.col("rev") - F.col("rev_l7"))).alias("s7"),
+    )
+    return agg.select(
+        "n_scored",
+        F.round(
+            F.col("s1").cast("double") / (F.col("n_scored") * 100.0), 6
+        ).alias("mae_naive1"),
+        F.round(
+            F.col("s7").cast("double") / (F.col("n_scored") * 100.0), 6
+        ).alias("mae_snaive7"),
+        F.round(
+            F.col("s7").cast("double") / F.col("s1").cast("double"), 6
+        ).alias("mase"),
+    )
+
+
+SQL_MASE_SEASONAL_NAIVE = """
+WITH o AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) AS cents
+  FROM orders
+),
+daily AS (SELECT d, SUM(cents) AS rev FROM o GROUP BY d),
+j AS (
+  SELECT a.rev, b.rev AS rev_l1, c.rev AS rev_l7
+  FROM daily a
+  JOIN daily b ON b.d = a.d - 1
+  JOIN daily c ON c.d = a.d - 7
+),
+agg AS (
+  SELECT COUNT(*) AS n_scored,
+         SUM(ABS(rev - rev_l1)) AS s1,
+         SUM(ABS(rev - rev_l7)) AS s7
+  FROM j
+)
+SELECT CAST(n_scored AS BIGINT) AS n_scored,
+       ROUND(CAST(s1 AS DOUBLE) / (n_scored * 100.0), 6) AS mae_naive1,
+       ROUND(CAST(s7 AS DOUBLE) / (n_scored * 100.0), 6) AS mae_snaive7,
+       ROUND(CAST(s7 AS DOUBLE) / CAST(s1 AS DOUBLE), 6) AS mase
+FROM agg
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -15982,6 +16150,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pinball_loss_eval": q_pinball_loss_eval,
     "median_ci_binomial": q_median_ci_binomial,
     "intrinsic_dim_twonn": q_intrinsic_dim_twonn,
+    "ann_ndcg_eval": q_ann_ndcg_eval,
+    "mase_seasonal_naive": q_mase_seasonal_naive,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -16244,6 +16414,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "pinball_loss_eval": SQL_PINBALL_LOSS_EVAL,
     "median_ci_binomial": SQL_MEDIAN_CI_BINOMIAL,
     "intrinsic_dim_twonn": _sql_intrinsic_dim_twonn(),
+    "ann_ndcg_eval": _sql_ann_ndcg_eval(),
+    "mase_seasonal_naive": SQL_MASE_SEASONAL_NAIVE,
 }
 
 
@@ -16494,6 +16666,8 @@ _R7_ADDED: list[str] = [
     "pinball_loss_eval",
     "median_ci_binomial",
     "intrinsic_dim_twonn",
+    "ann_ndcg_eval",
+    "mase_seasonal_naive",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

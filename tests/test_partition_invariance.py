@@ -88,6 +88,8 @@ def _canon(df):
         "pinball_loss_eval",        # count-based quantiles, decimal losses
         "median_ci_binomial",       # integer order-stat positions
         "intrinsic_dim_twonn",      # struct-min neighbors, decimal ln sums
+        "ann_ndcg_eval",            # literal discounts, k-row rank frame
+        "mase_seasonal_naive",      # integer-cent errors on day-key joins
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

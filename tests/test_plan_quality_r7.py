@@ -401,3 +401,26 @@ def test_twonn_neighbors_are_bucketed_struct_mins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "intrinsic_dim_twonn")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ndcg_discounts_are_literals(spark, sf_dir):
+    """No log() in either engine's NDCG plan — discounts and the IDCG
+    are Python-computed literals; the rank window runs on a ≤k-row
+    frame only (the rolled-up-domain dispensation)."""
+    src = inspect.getsource(EQ.q_ann_ndcg_eval)
+    assert "F.log" not in src and "log2" not in src.replace(
+        "1/log₂", ""
+    ).replace("log₂", "")
+    plan = _plan(spark, sf_dir, "ann_ndcg_eval")
+    assert "LOG" not in plan.upper().replace("LOGICAL", "")
+
+
+def test_mase_collapses_to_day_domain(spark, sf_dir):
+    """Lag alignment is a self-join on the integer day key AFTER the
+    daily rollup — no LAG window, no cartesian."""
+    src = inspect.getsource(EQ.q_mase_seasonal_naive)
+    assert src.index('groupBy("d")') < src.index(".join(")
+    assert "F.lag" not in src and "F.lead" not in src
+    plan = _plan(spark, sf_dir, "mase_seasonal_naive")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
