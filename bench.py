@@ -275,6 +275,8 @@ HEADLINE = [
     "intrinsic_dim_twonn",
     "ann_ndcg_eval",
     "mase_seasonal_naive",
+    "weighted_median_exact",
+    "bloom_fp_rate_audit",
 ]
 
 

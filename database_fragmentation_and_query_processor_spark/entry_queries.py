@@ -14774,6 +14774,207 @@ FROM agg
 """
 
 
+def q_weighted_median_exact(spark, sf_dir):
+    """Exact weighted median (quantity-weighted extended price per
+    return flag) — the fairness/robust-stats primitive where each row
+    counts by its weight, not once. Exactness: integer quantity weights
+    accumulate through the bucketed two-phase prefix sum and the
+    selection compares 2·cumweight ≥ W (doubled to stay integer at the
+    half-total threshold); value and threshold never touch floats.
+    Scale shape: per-(group, value) weight sums, two-phase prefix,
+    bounded-domain selection — the grouped-percentile shape with
+    weights as the measure."""
+    from .operators.scaling import stable_prefix_sum
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("w"),
+    )
+    vw = li.groupBy("g", "v").agg(F.sum("w").cast("bigint").alias("wv"))
+    tot = li.groupBy("g").agg(F.sum("w").cast("bigint").alias("tw"))
+    pv = stable_prefix_sum(
+        vw, order_cols=["v"], value_col="wv", group_cols=["g"], out_col="below"
+    ).join(F.broadcast(tot), "g")
+    sel = (
+        pv.filter(2 * (F.col("below") + F.col("wv")) >= F.col("tw"))
+        .groupBy("g", "tw")
+        .agg(F.min("v").alias("mv"))
+    )
+    return sel.select(
+        "g",
+        F.col("tw").alias("total_weight"),
+        F.round(F.col("mv") / 100.0, 6).alias("weighted_median"),
+    )
+
+
+SQL_WEIGHTED_MEDIAN_EXACT = """
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+),
+vw AS (SELECT g, v, SUM(w) AS wv FROM li GROUP BY 1, 2),
+tot AS (SELECT g, SUM(w) AS tw FROM li GROUP BY g),
+pv AS (
+  SELECT vw.g, vw.v, vw.wv, tot.tw,
+         COALESCE(SUM(wv) OVER (PARTITION BY vw.g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM vw JOIN tot USING (g)
+)
+SELECT g, CAST(tw AS BIGINT) AS total_weight,
+       ROUND(MIN(CASE WHEN 2 * (below + wv) >= tw THEN v END) / 100.0, 6)
+         AS weighted_median
+FROM pv GROUP BY g, tw
+"""
+
+
+BLOOM_AUDIT_BITS = 1 << 14
+BLOOM_AUDIT_HASHES = 3
+
+
+def q_bloom_fp_rate_audit(spark, sf_dir):
+    """Bloom-filter calibration audit: measure the REAL false-positive
+    rate of a (2¹⁴ bits, 3 hash) filter built over the urgent-order key
+    set when probed by every lineitem order key, next to the textbook
+    expectation (1 − e^(−kn/m))^k — the sizing evidence for the
+    runtime-filter decontamination path (operators/joins.py uses the
+    same geometry with engine-native hashes; FP behavior depends on the
+    hash family only through uniformity, so this md5-position replay
+    calibrates it portably). Exactness: membership is 'all k md5
+    positions present', counted as an integer distinct-position match
+    against the position set — one semi-join shape; ground truth is the
+    exact key semi-join. Scale shape: the position set is ≤ k·|dim|
+    integers on a bounded bit domain; the probe is a keyed join on
+    position, never a per-row filter scan."""
+    o = _t(spark, sf_dir, "orders")
+    dim = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    fact = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def positions(df):
+        out = None
+        for i in range(BLOOM_AUDIT_HASHES):
+            p = df.select(
+                "k",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.col("k").cast("string"),
+                                              F.lit(str(i)))), 1, 13
+                        ), 16, 10,
+                    ).cast("bigint") % BLOOM_AUDIT_BITS
+                ).alias("p"),
+            )
+            out = p if out is None else out.unionAll(p)
+        return out
+
+    bits = positions(dim).select("p").distinct()
+    probe = (
+        positions(fact)
+        .join(bits, "p", "left_semi")
+        .groupBy("k")
+        .agg(F.countDistinct("p").alias("hits"))
+    )
+    # distinct collapses duplicate positions for one key; a key whose
+    # k probes collide still needs ALL its DISTINCT positions present
+    nprobe = positions(fact).groupBy("k").agg(
+        F.countDistinct("p").alias("need")
+    )
+    flagged = (
+        nprobe.join(probe, "k", "left")
+        .withColumn("hit", F.coalesce("hits", F.lit(0)) == F.col("need"))
+        .select("k", "hit")
+    )
+    truth = fact.join(dim, "k", "left_semi").withColumn("t", F.lit(True))
+    j = flagged.join(truth.select("k", "t"), "k", "left").withColumn(
+        "t", F.coalesce("t", F.lit(False))
+    )
+    n_dim = dim.count()
+    base = 1.0 - F.exp(
+        F.lit(float(-BLOOM_AUDIT_HASHES * n_dim) / BLOOM_AUDIT_BITS)
+    )
+    expected = base * base * base  # k = 3 as repeated multiply, no POWER
+    agg = j.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(F.col("t").cast("bigint")).cast("bigint").alias("n_true"),
+        F.sum(F.col("hit").cast("bigint")).cast("bigint").alias("n_flagged"),
+        F.sum((F.col("hit") & ~F.col("t")).cast("bigint")).cast("bigint")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "n_probed",
+        "n_true",
+        "n_flagged",
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probed") - F.col("n_true")).cast("double"),
+            6,
+        ).alias("fp_rate"),
+        F.round(expected, 6).alias("fp_expected"),
+    )
+
+
+def _sql_bloom_fp_rate_audit() -> str:
+    pos = " UNION ALL ".join(
+        f"SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '_{i}'),"
+        f" 1, 13)) AS BIGINT) % {BLOOM_AUDIT_BITS} AS p FROM {{side}}"
+        for i in range(BLOOM_AUDIT_HASHES)
+    )
+    return f"""
+WITH dim AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+),
+fact AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+dpos AS (SELECT DISTINCT p FROM ({pos.format(side='dim')})),
+fpos AS ({pos.format(side='fact')}),
+need AS (SELECT k, COUNT(DISTINCT p) AS need FROM fpos GROUP BY k),
+hits AS (
+  SELECT f.k, COUNT(DISTINCT f.p) AS hits
+  FROM fpos f JOIN dpos d ON d.p = f.p GROUP BY f.k
+),
+flagged AS (
+  SELECT n.k, COALESCE(h.hits, 0) = n.need AS hit
+  FROM need n LEFT JOIN hits h ON h.k = n.k
+),
+truth AS (SELECT f.k, TRUE AS t FROM fact f JOIN dim d ON d.k = f.k),
+j AS (
+  SELECT fl.k, fl.hit, COALESCE(tr.t, FALSE) AS t
+  FROM flagged fl LEFT JOIN truth tr ON tr.k = fl.k
+),
+nd AS (SELECT COUNT(*) AS n_dim FROM dim),
+agg AS (
+  SELECT COUNT(*) AS n_probed,
+         SUM(CASE WHEN t THEN 1 ELSE 0 END) AS n_true,
+         SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_flagged,
+         SUM(CASE WHEN hit AND NOT t THEN 1 ELSE 0 END) AS n_false_pos
+  FROM j
+)
+SELECT CAST(n_probed AS BIGINT) AS n_probed,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_flagged AS BIGINT) AS n_flagged,
+       ROUND(CAST(n_false_pos AS DOUBLE)
+             / CAST(n_probed - n_true AS DOUBLE), 6) AS fp_rate,
+       ROUND((1.0 - EXP(CAST(-{BLOOM_AUDIT_HASHES} * n_dim AS DOUBLE)
+                        / {BLOOM_AUDIT_BITS}))
+             * (1.0 - EXP(CAST(-{BLOOM_AUDIT_HASHES} * n_dim AS DOUBLE)
+                          / {BLOOM_AUDIT_BITS}))
+             * (1.0 - EXP(CAST(-{BLOOM_AUDIT_HASHES} * n_dim AS DOUBLE)
+                          / {BLOOM_AUDIT_BITS})), 6) AS fp_expected
+FROM agg CROSS JOIN nd
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -16152,6 +16353,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intrinsic_dim_twonn": q_intrinsic_dim_twonn,
     "ann_ndcg_eval": q_ann_ndcg_eval,
     "mase_seasonal_naive": q_mase_seasonal_naive,
+    "weighted_median_exact": q_weighted_median_exact,
+    "bloom_fp_rate_audit": q_bloom_fp_rate_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -16416,6 +16619,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "intrinsic_dim_twonn": _sql_intrinsic_dim_twonn(),
     "ann_ndcg_eval": _sql_ann_ndcg_eval(),
     "mase_seasonal_naive": SQL_MASE_SEASONAL_NAIVE,
+    "weighted_median_exact": SQL_WEIGHTED_MEDIAN_EXACT,
+    "bloom_fp_rate_audit": _sql_bloom_fp_rate_audit(),
 }
 
 
@@ -16668,6 +16873,8 @@ _R7_ADDED: list[str] = [
     "intrinsic_dim_twonn",
     "ann_ndcg_eval",
     "mase_seasonal_naive",
+    "weighted_median_exact",
+    "bloom_fp_rate_audit",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -90,6 +90,8 @@ def _canon(df):
         "intrinsic_dim_twonn",      # struct-min neighbors, decimal ln sums
         "ann_ndcg_eval",            # literal discounts, k-row rank frame
         "mase_seasonal_naive",      # integer-cent errors on day-key joins
+        "weighted_median_exact",    # integer weights, doubled threshold
+        "bloom_fp_rate_audit",      # md5 positions, integer membership
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -424,3 +424,19 @@ def test_mase_collapses_to_day_domain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mase_seasonal_naive")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_is_count_based(spark, sf_dir):
+    src = inspect.getsource(EQ.q_weighted_median_exact)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "weighted_median_exact")
+    assert "SinglePartition" not in plan
+
+
+def test_bloom_audit_probes_by_position_join(spark, sf_dir):
+    """Membership is a keyed join on the bounded position domain (plus
+    the exact truth semi-join) — no window, no cartesian, no per-row
+    bitset scan."""
+    plan = _plan(spark, sf_dir, "bloom_fp_rate_audit")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
