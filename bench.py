@@ -277,6 +277,7 @@ HEADLINE = [
     "mase_seasonal_naive",
     "weighted_median_exact",
     "bloom_fp_rate_audit",
+    "hurst_exponent",
 ]
 
 

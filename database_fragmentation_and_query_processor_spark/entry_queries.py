@@ -14975,6 +14975,182 @@ FROM agg CROSS JOIN nd
 """
 
 
+HURST_SCALES = (7, 14, 28, 56)
+
+
+def q_hurst_exponent(spark, sf_dir):
+    """Hurst exponent of the daily revenue series by rescaled-range
+    (R/S) analysis: at each block scale s ∈ {7,14,28,56}, partition the
+    day axis into complete s-day blocks, compute each block's rescaled
+    range R/S (range of cumulative mean-deviations over the population
+    std), and fit ln E[R/S] against ln s — slope ≈ H (0.5 = memoryless,
+    >0.5 = persistent trends; the long-range-dependence diagnostic for
+    any time-series feature pipeline). Scale shape: everything after
+    the one daily rollup lives on the day domain; in-block cumulative
+    sums use per-block windows (blocks are ≤ 56 rows — bounded state by
+    construction); the regression runs on a 4-point frame. Blocks are
+    indexed by POSITION on the observed-day sequence (two-phase row
+    numbering), not the calendar — a sparse fixture/corpus would never
+    fill a calendar-aligned 56-day block. Exactness: block sums are
+    decimal cents; deviations, R, S and the logs are identical double
+    chains; ln-term sums are decimal-cast; ln(s) regression constants
+    are Python literals shared with the oracle."""
+    from .operators.scaling import stable_row_number
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("d"),
+        F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+    )
+    daily = stable_row_number(
+        o.groupBy("d").agg(F.sum("cents").alias("rev")), ["d"], out_col="rn"
+    )
+    per_scale = []
+    for s in HURST_SCALES:
+        blk = daily.select(
+            F.expr(f"rn div {s}").alias("b"),
+            "d",
+            F.col("rev").cast("double").alias("x"),
+        )
+        stats = blk.groupBy("b").agg(
+            F.count("*").alias("nb"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")).alias("sx2"),
+        ).where(F.col("nb") == s)
+        w = (
+            Window.partitionBy("b")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        mean = F.col("sx").cast("double") / F.lit(float(s))
+        dev = blk.join(stats, "b").withColumn(
+            "cum", F.sum(F.col("x") - mean).over(w)
+        )
+        rs = dev.groupBy("b", "sx", "sx2").agg(
+            (F.max("cum") - F.min("cum")).alias("r")
+        )
+        sd = F.sqrt(
+            F.col("sx2").cast("double") / F.lit(float(s))
+            - (F.col("sx").cast("double") / F.lit(float(s)))
+            * (F.col("sx").cast("double") / F.lit(float(s)))
+        )
+        lnrs = rs.where(F.col("r") > 0).select(
+            F.log(F.col("r") / sd).cast("decimal(38,18)").alias("t")
+        )
+        per_scale.append(
+            lnrs.agg(
+                F.lit(s).cast("bigint").alias("scale_days"),
+                F.count("*").cast("bigint").alias("n_blocks"),
+                (F.sum("t").cast("double") / F.count("*")).alias("mean_ln_rs"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    pts = _reduce(lambda a, b: a.unionByName(b), per_scale)
+    import math
+
+    lx = {s: math.log(float(s)) for s in HURST_SCALES}
+    mlx = 0.0
+    for s in HURST_SCALES:
+        mlx += lx[s]
+    mlx /= len(HURST_SCALES)
+    sxx = 0.0
+    for s in HURST_SCALES:
+        sxx += (lx[s] - mlx) * (lx[s] - mlx)
+    # slope = Σ (lx - mlx) · y / Σ (lx - mlx)² — the x-side constants
+    # are Python literals; only y comes from data
+    wcol = F.create_map(
+        *[F.lit(v) for s in HURST_SCALES
+          for v in (s, (lx[s] - mlx) / sxx)]
+    )
+    sl = pts.withColumn("wx", wcol[F.col("scale_days")]).agg(
+        F.sum(
+            (F.col("wx") * F.col("mean_ln_rs")).cast("decimal(38,18)")
+        ).cast("double").alias("h")
+    )
+    return pts.crossJoin(F.broadcast(sl)).select(
+        "scale_days",
+        "n_blocks",
+        F.round("mean_ln_rs", 6).alias("mean_ln_rs"),
+        F.round("h", 6).alias("hurst"),
+    )
+
+
+def _sql_hurst_exponent() -> str:
+    import math
+
+    lx = {s: math.log(float(s)) for s in HURST_SCALES}
+    mlx = 0.0
+    for s in HURST_SCALES:
+        mlx += lx[s]
+    mlx /= len(HURST_SCALES)
+    sxx = 0.0
+    for s in HURST_SCALES:
+        sxx += (lx[s] - mlx) * (lx[s] - mlx)
+    scale_ctes = []
+    for s in HURST_SCALES:
+        scale_ctes.append(f"""
+blk{s} AS (
+  SELECT rn // {s} AS b, d, CAST(rev AS DOUBLE) AS x FROM daily
+),
+st{s} AS (
+  SELECT b, COUNT(*) AS nb, SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(x * x AS DECIMAL(38,6))) AS sx2
+  FROM blk{s} GROUP BY b HAVING COUNT(*) = {s}
+),
+dev{s} AS (
+  SELECT k.b, k.sx, k.sx2,
+         SUM(k.x - CAST(k.sx AS DOUBLE) / {float(s)!r})
+           OVER (PARTITION BY k.b ORDER BY k.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM (SELECT blk{s}.*, st{s}.sx, st{s}.sx2
+        FROM blk{s} JOIN st{s} USING (b)) k
+),
+rs{s} AS (
+  SELECT b, sx, sx2, MAX(cum) - MIN(cum) AS r
+  FROM dev{s} GROUP BY b, sx, sx2
+),
+pt{s} AS (
+  SELECT CAST({s} AS BIGINT) AS scale_days,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(LN(r / SQRT(CAST(sx2 AS DOUBLE) / {float(s)!r}
+               - (CAST(sx AS DOUBLE) / {float(s)!r})
+                 * (CAST(sx AS DOUBLE) / {float(s)!r})))
+               AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mean_ln_rs
+  FROM rs{s} WHERE r > 0
+)""")
+    pts_union = " UNION ALL ".join(
+        f"SELECT * FROM pt{s}" for s in HURST_SCALES
+    )
+    wx_case = " ".join(
+        f"WHEN scale_days = {s} THEN {(lx[s] - mlx) / sxx!r}"
+        for s in HURST_SCALES
+    )
+    return f"""
+WITH o AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)) AS cents
+  FROM orders
+),
+daily AS (
+  SELECT d, SUM(cents) AS rev,
+         ROW_NUMBER() OVER (ORDER BY d) - 1 AS rn
+  FROM o GROUP BY d
+),
+{",".join(scale_ctes)},
+pts AS ({pts_union}),
+sl AS (
+  SELECT CAST(SUM(CAST((CASE {wx_case} END) * mean_ln_rs
+              AS DECIMAL(38,18))) AS DOUBLE) AS h
+  FROM pts
+)
+SELECT scale_days, n_blocks, ROUND(mean_ln_rs, 6) AS mean_ln_rs,
+       ROUND(h, 6) AS hurst
+FROM pts CROSS JOIN sl
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -16355,6 +16531,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mase_seasonal_naive": q_mase_seasonal_naive,
     "weighted_median_exact": q_weighted_median_exact,
     "bloom_fp_rate_audit": q_bloom_fp_rate_audit,
+    "hurst_exponent": q_hurst_exponent,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -16621,6 +16798,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "mase_seasonal_naive": SQL_MASE_SEASONAL_NAIVE,
     "weighted_median_exact": SQL_WEIGHTED_MEDIAN_EXACT,
     "bloom_fp_rate_audit": _sql_bloom_fp_rate_audit(),
+    "hurst_exponent": _sql_hurst_exponent(),
 }
 
 
@@ -16875,6 +17053,7 @@ _R7_ADDED: list[str] = [
     "mase_seasonal_naive",
     "weighted_median_exact",
     "bloom_fp_rate_audit",
+    "hurst_exponent",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

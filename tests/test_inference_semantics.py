@@ -154,6 +154,60 @@ def test_feature_hash_histogram_accounts_all_buckets(spark):
     assert sum(r["n_buckets"] for r in rows) == EQ.FEATURE_HASH_BUCKETS
 
 
+def test_ndcg_bounded_and_consistent_with_hits(spark):
+    rows = _rows(spark, "ann_ndcg_eval")
+    assert {r["method"] for r in rows} == {"ivf", "lsh_h2"}
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+        # a method with zero relevant hits must score zero, and a
+        # perfect hit set scores 1 only when every rank is relevant
+        if r["n_relevant"] == 0:
+            assert r["ndcg"] == 0.0
+        if r["ndcg"] >= 1.0 - 1e-9:
+            assert r["n_relevant"] == EQ.KNN_K
+
+
+def test_mase_components_positive(spark):
+    (r,) = _rows(spark, "mase_seasonal_naive")
+    assert r["n_scored"] > 0
+    assert r["mae_naive1"] > 0.0 and r["mae_snaive7"] > 0.0
+    assert abs(r["mase"] - r["mae_snaive7"] / r["mae_naive1"]) < 1e-4
+
+
+def test_weighted_median_within_value_range(spark):
+    med = {r["g"]: r["weighted_median"]
+           for r in _rows(spark, "weighted_median_exact")}
+    import duckdb
+
+    con = duckdb.connect()
+    lims = con.sql(
+        "SELECT l_returnflag AS g, MIN(l_extendedprice) AS lo, "
+        "MAX(l_extendedprice) AS hi FROM "
+        f"'{SF}/lineitem.parquet' GROUP BY 1"
+    ).df()
+    for _, row in lims.iterrows():
+        assert row["lo"] - 0.01 <= med[row["g"]] <= row["hi"] + 0.01
+
+
+def test_bloom_fp_rate_near_textbook(spark):
+    (r,) = _rows(spark, "bloom_fp_rate_audit")
+    assert r["n_flagged"] >= r["n_true"]  # no false negatives, ever
+    # measured FP within a loose factor of the expectation (binomial
+    # noise on a small probe set at sf0.001)
+    assert r["fp_rate"] <= max(5.0 * r["fp_expected"], 0.05)
+
+
+def test_hurst_is_a_valid_exponent(spark):
+    rows = _rows(spark, "hurst_exponent")
+    assert len(rows) == len(EQ.HURST_SCALES)
+    h = rows[0]["hurst"]
+    assert all(r["hurst"] == h for r in rows)
+    assert 0.0 < h < 1.2  # R/S estimator can slightly exceed 1 on
+    # short series; far outside means the ln E[R/S] points are broken
+    for r in rows:
+        assert r["n_blocks"] > 0
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving_order(spark):
     rows = sorted(_rows(spark, "isotonic_calibration"), key=lambda r: r["x"])
     fits = [r["iso_fit"] for r in rows]

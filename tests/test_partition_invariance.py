@@ -92,6 +92,7 @@ def _canon(df):
         "mase_seasonal_naive",      # integer-cent errors on day-key joins
         "weighted_median_exact",    # integer weights, doubled threshold
         "bloom_fp_rate_audit",      # md5 positions, integer membership
+        "hurst_exponent",           # day-domain blocks, decimal ln sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

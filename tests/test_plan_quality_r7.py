@@ -440,3 +440,14 @@ def test_bloom_audit_probes_by_position_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bloom_fp_rate_audit")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hurst_blocks_are_bounded_windows(spark, sf_dir):
+    """In-block cumulative sums run per (scale, block) — blocks are at
+    most 56 rows by construction, and the window partitions on the
+    block id, never a global order; rows collapse to the day domain
+    before any of it."""
+    src = inspect.getsource(EQ.q_hurst_exponent)
+    assert src.index('groupBy("d")') < src.index("Window.partitionBy")
+    plan = _plan(spark, sf_dir, "hurst_exponent")
+    assert "CartesianProduct" not in plan
