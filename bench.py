@@ -278,6 +278,8 @@ HEADLINE = [
     "weighted_median_exact",
     "bloom_fp_rate_audit",
     "hurst_exponent",
+    "abtest_cuped",
+    "partial_corr_audit",
 ]
 
 

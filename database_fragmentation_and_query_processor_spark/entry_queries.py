@@ -15151,6 +15151,246 @@ FROM pts CROSS JOIN sl
 """
 
 
+def q_abtest_cuped(spark, sf_dir):
+    """CUPED variance reduction for the A/B readout (Deng et al. 2013):
+    per user, pre-period spend X (first half of the time range) and
+    post-period spend Y; θ = cov(X,Y)/var(X) pooled across arms, the
+    adjusted metric is Y − θ(X − X̄), and the per-arm report shows the
+    variance reduction the covariate buys — the standard lever for
+    shipping experiments faster. Exactness: X/Y are integer cents from
+    one conditional per-user aggregate; per-arm and pooled moments are
+    exact decimals; θ, the adjusted means and the CLOSED-FORM adjusted
+    variance var(Y) − 2θcov + θ²var(X) are assembled in one identical
+    double expression (no second pass over users). Scale shape: one
+    pass over events → per-user, one keyed aggregate → per-arm (2
+    rows), one 1-row pooled broadcast."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "tsn",
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    lo_hi = ev.agg(F.min("tsn").alias("lo"), F.max("tsn").alias("hi")).head()
+    mid = (int(lo_hi["lo"]) + int(lo_hi["hi"])) // 2
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("tsn") <= mid, F.col("c")).otherwise(0))
+        .cast("bigint").alias("x"),
+        F.sum(F.when(F.col("tsn") > mid, F.col("c")).otherwise(0))
+        .cast("bigint").alias("y"),
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+        ).cast("bigint")
+        % 2
+    ).alias("arm")
+    u = per_user.select(arm, "x", "y")
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("y")
+            ).alias("sxy"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("x")
+            ).alias("sxx"),
+            F.sum(
+                F.col("y").cast("decimal(38,0)") * F.col("y")
+            ).alias("syy"),
+        )
+
+    per_arm = moments(u, ["arm"])
+    pooled = moments(u, []).select(
+        F.col("n").alias("pn"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+        F.col("sxy").alias("psxy"),
+        F.col("sxx").alias("psxx"),
+    )
+    j = per_arm.crossJoin(F.broadcast(pooled))
+    pnd = F.col("pn").cast("double")
+    cov_p = F.col("psxy").cast("double") / pnd - (
+        F.col("psx").cast("double") / pnd
+    ) * (F.col("psy").cast("double") / pnd)
+    varx_p = F.col("psxx").cast("double") / pnd - (
+        F.col("psx").cast("double") / pnd
+    ) * (F.col("psx").cast("double") / pnd)
+    theta = cov_p / varx_p
+    meanx_p = F.col("psx").cast("double") / pnd
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vy = F.col("syy").cast("double") / nd - my * my
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    cv = F.col("sxy").cast("double") / nd - mx * my
+    vy_adj = vy - 2.0 * theta * cv + theta * theta * vx
+    return j.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("n").alias("n_users"),
+        F.round(my / 100.0, 6).alias("mean_y"),
+        F.round((my - theta * (mx - meanx_p)) / 100.0, 6)
+        .alias("mean_y_cuped"),
+        F.round(1.0 - vy_adj / vy, 6).alias("var_reduction"),
+    )
+
+
+SQL_ABTEST_CUPED = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tsn,
+         CAST(FLOOR(value * 100) AS BIGINT) AS c
+  FROM events
+),
+mid AS (SELECT (MIN(tsn) + MAX(tsn)) // 2 AS m FROM ev),
+per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN tsn <= (SELECT m FROM mid) THEN c ELSE 0 END) AS x,
+         SUM(CASE WHEN tsn > (SELECT m FROM mid) THEN c ELSE 0 END) AS y
+  FROM ev GROUP BY user_id
+),
+u AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % 2 AS arm, x, y
+  FROM per_user
+),
+per_arm AS (
+  SELECT arm, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM u GROUP BY arm
+),
+pooled AS (
+  SELECT COUNT(*) AS pn,
+         SUM(CAST(x AS DECIMAL(38,0))) AS psx,
+         SUM(CAST(y AS DECIMAL(38,0))) AS psy,
+         SUM(CAST(x AS DECIMAL(38,0)) * y) AS psxy,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) AS psxx
+  FROM u
+),
+k AS (
+  SELECT a.*, p.pn, p.psx, p.psy, p.psxy, p.psxx,
+         (CAST(p.psxy AS DOUBLE) / CAST(p.pn AS DOUBLE)
+          - (CAST(p.psx AS DOUBLE) / CAST(p.pn AS DOUBLE))
+            * (CAST(p.psy AS DOUBLE) / CAST(p.pn AS DOUBLE)))
+         / (CAST(p.psxx AS DOUBLE) / CAST(p.pn AS DOUBLE)
+            - (CAST(p.psx AS DOUBLE) / CAST(p.pn AS DOUBLE))
+              * (CAST(p.psx AS DOUBLE) / CAST(p.pn AS DOUBLE))) AS theta
+  FROM per_arm a CROSS JOIN pooled p
+)
+SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_users,
+       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS mean_y,
+       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE)))
+             / 100.0, 6) AS mean_y_cuped,
+       ROUND(1.0 - (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    - 2.0 * theta
+                      * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                    + theta * theta
+                      * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+                   / (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+         AS var_reduction
+FROM k
+"""
+
+
+def q_partial_corr_audit(spark, sf_dir):
+    """Partial correlation of quantity and extended price CONTROLLING
+    for discount — r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)):
+    the confounder check a feature-selection pass runs before trusting
+    a pairwise correlation. Exactness: all three Pearson correlations
+    come from one aggregate of exact decimal moment sums over integer
+    cents; the partial-correlation assembly is one identical double
+    expression. Scale shape: one map-side-combinable aggregate, one
+    output row — rows are read exactly once."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)").alias("y"),
+        F.floor(F.col("l_discount") * 100).cast("decimal(38,0)").alias("z"),
+    )
+    m = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[F.sum(F.col(c)).alias(f"s{c}") for c in ("x", "y", "z")],
+        *[
+            F.sum(F.col(a) * F.col(b)).alias(f"s{a}{b}")
+            for a, b in (("x", "x"), ("y", "y"), ("z", "z"),
+                         ("x", "y"), ("x", "z"), ("y", "z"))
+        ],
+    )
+    nd = F.col("n").cast("double")
+
+    def r(a, b):
+        num = nd * F.col(f"s{a}{b}").cast("double") - F.col(
+            f"s{a}"
+        ).cast("double") * F.col(f"s{b}").cast("double")
+        da = nd * F.col(f"s{a}{a}").cast("double") - F.col(
+            f"s{a}"
+        ).cast("double") * F.col(f"s{a}").cast("double")
+        db = nd * F.col(f"s{b}{b}").cast("double") - F.col(
+            f"s{b}"
+        ).cast("double") * F.col(f"s{b}").cast("double")
+        return num / F.sqrt(da * db)
+
+    rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
+    part = (rxy - rxz * ryz) / F.sqrt(
+        (1.0 - rxz * rxz) * (1.0 - ryz * ryz)
+    )
+    return m.select(
+        "n",
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(part, 6).alias("partial_r_xy_given_z"),
+    )
+
+
+def _sql_partial_corr_audit() -> str:
+    def r(a, b):
+        num = (f"(CAST(n AS DOUBLE) * CAST(s{a}{b} AS DOUBLE)"
+               f" - CAST(s{a} AS DOUBLE) * CAST(s{b} AS DOUBLE))")
+        da = (f"(CAST(n AS DOUBLE) * CAST(s{a}{a} AS DOUBLE)"
+              f" - CAST(s{a} AS DOUBLE) * CAST(s{a} AS DOUBLE))")
+        db = (f"(CAST(n AS DOUBLE) * CAST(s{b}{b} AS DOUBLE)"
+              f" - CAST(s{b} AS DOUBLE) * CAST(s{b} AS DOUBLE))")
+        return f"({num} / SQRT({da} * {db}))"
+
+    rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
+    part = (f"(({rxy} - {rxz} * {ryz})"
+            f" / SQRT((1.0 - {rxz} * {rxz}) * (1.0 - {ryz} * {ryz})))")
+    return f"""
+WITH li AS (
+  SELECT CAST(FLOOR(l_quantity * 100) AS DECIMAL(38,0)) AS x,
+         CAST(FLOOR(l_extendedprice * 100) AS DECIMAL(38,0)) AS y,
+         CAST(FLOOR(l_discount * 100) AS DECIMAL(38,0)) AS z
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+         SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+  FROM li
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND({rxy}, 6) AS r_xy,
+       ROUND({rxz}, 6) AS r_xz,
+       ROUND({ryz}, 6) AS r_yz,
+       ROUND({part}, 6) AS partial_r_xy_given_z
+FROM m
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -16532,6 +16772,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median_exact": q_weighted_median_exact,
     "bloom_fp_rate_audit": q_bloom_fp_rate_audit,
     "hurst_exponent": q_hurst_exponent,
+    "abtest_cuped": q_abtest_cuped,
+    "partial_corr_audit": q_partial_corr_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -16799,6 +17041,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "weighted_median_exact": SQL_WEIGHTED_MEDIAN_EXACT,
     "bloom_fp_rate_audit": _sql_bloom_fp_rate_audit(),
     "hurst_exponent": _sql_hurst_exponent(),
+    "abtest_cuped": SQL_ABTEST_CUPED,
+    "partial_corr_audit": _sql_partial_corr_audit(),
 }
 
 
@@ -17054,6 +17298,8 @@ _R7_ADDED: list[str] = [
     "weighted_median_exact",
     "bloom_fp_rate_audit",
     "hurst_exponent",
+    "abtest_cuped",
+    "partial_corr_audit",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -208,6 +208,22 @@ def test_hurst_is_a_valid_exponent(spark):
         assert r["n_blocks"] > 0
 
 
+def test_cuped_reduces_variance_and_bounds(spark):
+    rows = _rows(spark, "abtest_cuped")
+    assert {r["arm"] for r in rows} == {0, 1}
+    for r in rows:
+        # theta is the pooled OLS minimizer, so pooled variance cannot
+        # grow; per-arm can differ slightly but must stay sane
+        assert r["var_reduction"] <= 1.0
+        assert r["n_users"] > 0
+
+
+def test_partial_corr_bounded(spark):
+    (r,) = _rows(spark, "partial_corr_audit")
+    for k in ("r_xy", "r_xz", "r_yz", "partial_r_xy_given_z"):
+        assert -1.0 - 1e-9 <= r[k] <= 1.0 + 1e-9
+
+
 def test_isotonic_fit_is_monotone_and_mean_preserving_order(spark):
     rows = sorted(_rows(spark, "isotonic_calibration"), key=lambda r: r["x"])
     fits = [r["iso_fit"] for r in rows]

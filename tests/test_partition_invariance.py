@@ -93,6 +93,8 @@ def _canon(df):
         "weighted_median_exact",    # integer weights, doubled threshold
         "bloom_fp_rate_audit",      # md5 positions, integer membership
         "hurst_exponent",           # day-domain blocks, decimal ln sums
+        "abtest_cuped",             # decimal moments, closed-form variance
+        "partial_corr_audit",       # one-pass decimal moment sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -451,3 +451,22 @@ def test_hurst_blocks_are_bounded_windows(spark, sf_dir):
     assert src.index('groupBy("d")') < src.index("Window.partitionBy")
     plan = _plan(spark, sf_dir, "hurst_exponent")
     assert "CartesianProduct" not in plan
+
+
+def test_cuped_variance_is_closed_form(spark, sf_dir):
+    """The adjusted variance must come from the moment identities —
+    no second aggregation pass over per-user rows after θ is known
+    (source computes vy_adj from vy/cv/vx columns), and the pooled
+    scalars reach the 2-row arm table as a broadcast."""
+    src = inspect.getsource(EQ.q_abtest_cuped)
+    assert "vy - 2.0 * theta * cv + theta * theta * vx" in src
+    plan = _plan(spark, sf_dir, "abtest_cuped")
+    assert "Window" not in plan
+
+
+def test_partial_corr_single_aggregate(spark, sf_dir):
+    """All nine moments come from ONE aggregate — no join, no window,
+    and the scan prunes to the three value columns."""
+    plan = _plan(spark, sf_dir, "partial_corr_audit")
+    assert "Join" not in plan and "Window" not in plan
+    assert "l_orderkey" not in plan
