@@ -280,6 +280,7 @@ HEADLINE = [
     "hurst_exponent",
     "abtest_cuped",
     "partial_corr_audit",
+    "ols_multifeature_grouped",
 ]
 
 

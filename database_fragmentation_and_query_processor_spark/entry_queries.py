@@ -15391,6 +15391,125 @@ FROM m
 """
 
 
+def q_ols_multifeature_grouped(spark, sf_dir):
+    """Closed-form multiple linear regression per return flag — price ~
+    b0 + b1·quantity + b2·discount — solved by Cramer's rule on the
+    3×3 normal equations, plus R² from the normal-equation identity
+    SSE = Syy − b0·Sy − b1·S1y − b2·S2y. The 'ML in one aggregate'
+    pattern: ten exact decimal moment sums per group are the ONLY pass
+    over data; the solve is per-group scalar arithmetic on a bounded
+    domain (no gradient steps, no driver matrices). Determinants and
+    coefficients are identical double expression trees in both
+    engines. Scale shape: one map-side-combinable keyed aggregate;
+    rows read exactly once."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_quantity") * 100).cast("decimal(38,0)").alias("x1"),
+        F.floor(F.col("l_discount") * 100).cast("decimal(38,0)").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = li.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    nn = d("n")
+    # A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]; rhs = [sy, s1y, s2y]
+    det = (
+        nn * (d("s11") * d("s22") - d("s12") * d("s12"))
+        - d("s1") * (d("s1") * d("s22") - d("s12") * d("s2"))
+        + d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    )
+    det0 = (
+        d("sy") * (d("s11") * d("s22") - d("s12") * d("s12"))
+        - d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y"))
+        + d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    )
+    det1 = (
+        nn * (d("s1y") * d("s22") - d("s12") * d("s2y"))
+        - d("sy") * (d("s1") * d("s22") - d("s12") * d("s2"))
+        + d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    )
+    det2 = (
+        nn * (d("s11") * d("s2y") - d("s1y") * d("s12"))
+        - d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+        + d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sse = d("syy") - b0 * d("sy") - b1 * d("s1y") - b2 * d("s2y")
+    sst = d("syy") - d("sy") * d("sy") / nn
+    return m.select(
+        "g",
+        "n",
+        F.round(b0 / 100.0, 6).alias("b_intercept"),
+        F.round(b1, 6).alias("b_quantity"),
+        F.round(b2, 6).alias("b_discount"),
+        F.round(1.0 - sse / sst, 6).alias("r_squared"),
+    )
+
+
+def _sql_ols_multifeature_grouped() -> str:
+    def dd(c):
+        return f"CAST({c} AS DOUBLE)"
+
+    nn = dd("n")
+    det = (
+        f"({nn} * ({dd('s11')} * {dd('s22')} - {dd('s12')} * {dd('s12')})"
+        f" - {dd('s1')} * ({dd('s1')} * {dd('s22')} - {dd('s12')} * {dd('s2')})"
+        f" + {dd('s2')} * ({dd('s1')} * {dd('s12')} - {dd('s11')} * {dd('s2')}))"
+    )
+    det0 = (
+        f"({dd('sy')} * ({dd('s11')} * {dd('s22')} - {dd('s12')} * {dd('s12')})"
+        f" - {dd('s1')} * ({dd('s1y')} * {dd('s22')} - {dd('s12')} * {dd('s2y')})"
+        f" + {dd('s2')} * ({dd('s1y')} * {dd('s12')} - {dd('s11')} * {dd('s2y')}))"
+    )
+    det1 = (
+        f"({nn} * ({dd('s1y')} * {dd('s22')} - {dd('s12')} * {dd('s2y')})"
+        f" - {dd('sy')} * ({dd('s1')} * {dd('s22')} - {dd('s12')} * {dd('s2')})"
+        f" + {dd('s2')} * ({dd('s1')} * {dd('s2y')} - {dd('s1y')} * {dd('s2')}))"
+    )
+    det2 = (
+        f"({nn} * ({dd('s11')} * {dd('s2y')} - {dd('s1y')} * {dd('s12')})"
+        f" - {dd('s1')} * ({dd('s1')} * {dd('s2y')} - {dd('s1y')} * {dd('s2')})"
+        f" + {dd('sy')} * ({dd('s1')} * {dd('s12')} - {dd('s11')} * {dd('s2')}))"
+    )
+    b0, b1, b2 = (f"({det0} / {det})", f"({det1} / {det})",
+                  f"({det2} / {det})")
+    sse = (f"({dd('syy')} - {b0} * {dd('sy')} - {b1} * {dd('s1y')}"
+           f" - {b2} * {dd('s2y')})")
+    sst = f"({dd('syy')} - {dd('sy')} * {dd('sy')} / {nn})"
+    return f"""
+WITH li AS (
+  SELECT l_returnflag AS g,
+         CAST(FLOOR(l_quantity * 100) AS DECIMAL(38,0)) AS x1,
+         CAST(FLOOR(l_discount * 100) AS DECIMAL(38,0)) AS x2,
+         CAST(FLOOR(l_extendedprice * 100) AS DECIMAL(38,0)) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT g, COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12, SUM(x2 * x2) AS s22,
+         SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+  FROM li GROUP BY g
+)
+SELECT g, CAST(n AS BIGINT) AS n,
+       ROUND({b0} / 100.0, 6) AS b_intercept,
+       ROUND({b1}, 6) AS b_quantity,
+       ROUND({b2}, 6) AS b_discount,
+       ROUND(1.0 - {sse} / {sst}, 6) AS r_squared
+FROM m
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -16774,6 +16893,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hurst_exponent": q_hurst_exponent,
     "abtest_cuped": q_abtest_cuped,
     "partial_corr_audit": q_partial_corr_audit,
+    "ols_multifeature_grouped": q_ols_multifeature_grouped,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -17043,6 +17163,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "hurst_exponent": _sql_hurst_exponent(),
     "abtest_cuped": SQL_ABTEST_CUPED,
     "partial_corr_audit": _sql_partial_corr_audit(),
+    "ols_multifeature_grouped": _sql_ols_multifeature_grouped(),
 }
 
 
@@ -17300,6 +17421,7 @@ _R7_ADDED: list[str] = [
     "hurst_exponent",
     "abtest_cuped",
     "partial_corr_audit",
+    "ols_multifeature_grouped",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -95,6 +95,7 @@ def _canon(df):
         "hurst_exponent",           # day-domain blocks, decimal ln sums
         "abtest_cuped",             # decimal moments, closed-form variance
         "partial_corr_audit",       # one-pass decimal moment sums
+        "ols_multifeature_grouped", # Cramer solve on decimal moments
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

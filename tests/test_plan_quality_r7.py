@@ -470,3 +470,11 @@ def test_partial_corr_single_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "partial_corr_audit")
     assert "Join" not in plan and "Window" not in plan
     assert "l_orderkey" not in plan
+
+
+def test_ols_is_one_aggregate(spark, sf_dir):
+    """The regression is ten moment sums + per-group scalar arithmetic
+    — one keyed aggregate, no join, no window, no iteration."""
+    plan = _plan(spark, sf_dir, "ols_multifeature_grouped")
+    assert "Join" not in plan and "Window" not in plan
+    assert "l_orderkey" not in plan
