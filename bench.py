@@ -281,6 +281,7 @@ HEADLINE = [
     "abtest_cuped",
     "partial_corr_audit",
     "ols_multifeature_grouped",
+    "logreg_newton",
 ]
 
 

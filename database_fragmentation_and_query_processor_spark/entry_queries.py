@@ -15510,6 +15510,187 @@ FROM m
 """
 
 
+def _cramer3(a11, a12, a13, a22, a23, a33, g0, g1, g2):
+    """Solve the symmetric 3×3 system A·d = g by Cramer's rule using
+    plain binary double arithmetic — the SAME expression shapes the
+    SQL oracle evaluates, so Python-solved steps and engine-solved
+    steps agree bit-for-bit (IEEE doubles, no reassociation)."""
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    d0 = (
+        g0 * (a22 * a33 - a23 * a23)
+        - a12 * (g1 * a33 - a23 * g2)
+        + a13 * (g1 * a23 - a22 * g2)
+    )
+    d1 = (
+        a11 * (g1 * a33 - a23 * g2)
+        - g0 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * g2 - g1 * a13)
+    )
+    d2 = (
+        a11 * (a22 * g2 - g1 * a23)
+        - a12 * (a12 * g2 - g1 * a13)
+        + g0 * (a12 * a23 - a22 * a13)
+    )
+    return d0 / det, d1 / det, d2 / det
+
+
+LOGREG_STEPS = 2
+
+
+def q_logreg_newton(spark, sf_dir):
+    """Logistic regression with a FIXED two-step Newton solve —
+    P(urgent order | price, day-of-week) — the iterative-ML-on-Spark
+    pattern with bounded driver state: each step is ONE aggregate of
+    twelve decimal-cast gradient/Hessian moments; the 3×3 solve runs
+    on those twelve scalars (driver-side here, scalar CTEs in the
+    oracle — _cramer3 keeps the expression shapes identical so the
+    doubles agree bit-for-bit); the final pass scores log-loss. Scale
+    shape: LOGREG_STEPS+1 passes over rows, each a map-side-combinable
+    aggregate; driver state is 12 floats per step regardless of corpus
+    size. Features are per-row double chains (price/1e5, dow/7)
+    identical in both engines; sigmoids are shared EXP expressions."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        (
+            F.floor(F.col("o_totalprice") * 100).cast("double") / 100000.0
+        ).alias("x1"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("bigint") % 7
+        ).cast("double").alias("x2"),
+    ).withColumn("x2", F.col("x2") / 7.0)
+
+    def step_moments(b0, b1, b2):
+        z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        w = p * (1.0 - p)
+        dec = lambda e: F.sum(e.cast("decimal(38,18)")).cast("double")
+        r = o.agg(
+            dec(F.col("y") - p).alias("g0"),
+            dec((F.col("y") - p) * F.col("x1")).alias("g1"),
+            dec((F.col("y") - p) * F.col("x2")).alias("g2"),
+            dec(w).alias("a11"),
+            dec(w * F.col("x1")).alias("a12"),
+            dec(w * F.col("x2")).alias("a13"),
+            dec(w * F.col("x1") * F.col("x1")).alias("a22"),
+            dec(w * F.col("x1") * F.col("x2")).alias("a23"),
+            dec(w * F.col("x2") * F.col("x2")).alias("a33"),
+        ).head()
+        return r
+
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(LOGREG_STEPS):
+        m = step_moments(*beta)
+        d0, d1, d2 = _cramer3(
+            m["a11"], m["a12"], m["a13"], m["a22"], m["a23"], m["a33"],
+            m["g0"], m["g1"], m["g2"],
+        )
+        beta = (beta[0] + d0, beta[1] + d1, beta[2] + d2)
+    z = F.lit(beta[0]) + F.lit(beta[1]) * F.col("x1") + F.lit(beta[2]) * F.col(
+        "x2"
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    dec = lambda e: F.sum(e.cast("decimal(38,18)")).cast("double")
+    out = o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        dec(
+            -(
+                F.col("y") * F.log(p)
+                + (1.0 - F.col("y")) * F.log(1.0 - p)
+            )
+        ).alias("nll"),
+    )
+    return out.select(
+        "n",
+        "n_pos",
+        F.round(F.lit(beta[0]), 6).alias("beta0"),
+        F.round(F.lit(beta[1]), 6).alias("beta1_price"),
+        F.round(F.lit(beta[2]), 6).alias("beta2_dow"),
+        F.round(F.col("nll") / F.col("n"), 6).alias("log_loss"),
+    )
+
+
+def _sql_logreg_newton() -> str:
+    feats = """
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+           / 100000.0 AS x1,
+         CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              % 7 AS DOUBLE) / 7.0 AS x2
+  FROM orders
+"""
+
+    def moments(tag: str, b0: str, b1: str, b2: str, src_extra: str) -> str:
+        z = f"({b0} + {b1} * x1 + {b2} * x2)"
+        p = f"(1.0 / (1.0 + EXP(-{z})))"
+        w = f"({p} * (1.0 - {p}))"
+        dec = lambda e: f"CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
+        return f"""
+m{tag} AS (
+  SELECT {dec(f'(y - {p})')} AS g0,
+         {dec(f'(y - {p}) * x1')} AS g1,
+         {dec(f'(y - {p}) * x2')} AS g2,
+         {dec(w)} AS a11,
+         {dec(f'{w} * x1')} AS a12,
+         {dec(f'{w} * x2')} AS a13,
+         {dec(f'{w} * x1 * x1')} AS a22,
+         {dec(f'{w} * x1 * x2')} AS a23,
+         {dec(f'{w} * x2 * x2')} AS a33
+  FROM feats{src_extra}
+)"""
+
+    def solve(tag: str, prev_b: tuple[str, str, str]) -> str:
+        det = ("(a11 * (a22 * a33 - a23 * a23)"
+               " - a12 * (a12 * a33 - a23 * a13)"
+               " + a13 * (a12 * a23 - a22 * a13))")
+        d0 = ("(g0 * (a22 * a33 - a23 * a23)"
+              " - a12 * (g1 * a33 - a23 * g2)"
+              " + a13 * (g1 * a23 - a22 * g2))")
+        d1 = ("(a11 * (g1 * a33 - a23 * g2)"
+              " - g0 * (a12 * a33 - a23 * a13)"
+              " + a13 * (a12 * g2 - g1 * a13))")
+        d2 = ("(a11 * (a22 * g2 - g1 * a23)"
+              " - a12 * (a12 * g2 - g1 * a13)"
+              " + g0 * (a12 * a23 - a22 * a13))")
+        return f"""
+b{tag} AS (
+  SELECT {prev_b[0]} + {d0} / {det} AS b0,
+         {prev_b[1]} + {d1} / {det} AS b1,
+         {prev_b[2]} + {d2} / {det} AS b2
+  FROM m{tag}
+)"""
+
+    z2 = "(b0 + b1 * x1 + b2 * x2)"
+    p2 = f"(1.0 / (1.0 + EXP(-{z2})))"
+    return f"""
+WITH feats AS ({feats}),
+{moments('1', '0.0', '0.0', '0.0', '')},
+{solve('1', ('0.0', '0.0', '0.0'))},
+{moments('2', 'b0', 'b1', 'b2', ' CROSS JOIN b1')},
+{solve('2', ('(SELECT b0 FROM b1)', '(SELECT b1 FROM b1)',
+             '(SELECT b2 FROM b1)'))},
+loss AS (
+  SELECT COUNT(*) AS n, SUM(y) AS n_pos,
+         CAST(SUM(CAST(-(y * LN({p2}) + (1.0 - y) * LN(1.0 - {p2}))
+              AS DECIMAL(38,18))) AS DOUBLE) AS nll
+  FROM feats CROSS JOIN b2
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       ROUND((SELECT b0 FROM b2), 6) AS beta0,
+       ROUND((SELECT b1 FROM b2), 6) AS beta1_price,
+       ROUND((SELECT b2 FROM b2), 6) AS beta2_dow,
+       ROUND(nll / n, 6) AS log_loss
+FROM loss
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -16894,6 +17075,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abtest_cuped": q_abtest_cuped,
     "partial_corr_audit": q_partial_corr_audit,
     "ols_multifeature_grouped": q_ols_multifeature_grouped,
+    "logreg_newton": q_logreg_newton,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -17164,6 +17346,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "abtest_cuped": SQL_ABTEST_CUPED,
     "partial_corr_audit": _sql_partial_corr_audit(),
     "ols_multifeature_grouped": _sql_ols_multifeature_grouped(),
+    "logreg_newton": _sql_logreg_newton(),
 }
 
 
@@ -17422,6 +17605,7 @@ _R7_ADDED: list[str] = [
     "abtest_cuped",
     "partial_corr_audit",
     "ols_multifeature_grouped",
+    "logreg_newton",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

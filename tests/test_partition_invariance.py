@@ -96,6 +96,7 @@ def _canon(df):
         "abtest_cuped",             # decimal moments, closed-form variance
         "partial_corr_audit",       # one-pass decimal moment sums
         "ols_multifeature_grouped", # Cramer solve on decimal moments
+        "logreg_newton",            # decimal-cast Newton moments, fixed steps
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -478,3 +478,13 @@ def test_ols_is_one_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ols_multifeature_grouped")
     assert "Join" not in plan and "Window" not in plan
     assert "l_orderkey" not in plan
+
+
+def test_logreg_driver_state_is_bounded(spark, sf_dir):
+    """Each Newton step collects exactly twelve scalars (one .head()
+    per step on an aggregate) — no per-row collect, no join, no window
+    in the returned scoring plan; driver state is corpus-size-free."""
+    src = inspect.getsource(EQ.q_logreg_newton)
+    assert ".head()" in src and ".collect()" not in src
+    plan = _plan(spark, sf_dir, "logreg_newton")
+    assert "Join" not in plan and "Window" not in plan
