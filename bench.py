@@ -282,6 +282,7 @@ HEADLINE = [
     "partial_corr_audit",
     "ols_multifeature_grouped",
     "logreg_newton",
+    "pca_power_iteration",
 ]
 
 

@@ -15691,6 +15691,186 @@ FROM loss
 """
 
 
+PCA_POWER_STEPS = 3
+
+
+def q_pca_power_iteration(spark, sf_dir):
+    """Top principal component of the embedding cloud by POWER
+    ITERATION on the covariance matrix — PCA without MLlib: the
+    covariance collapses to the d² = 4096-cell domain in one pass
+    (map-side combine, corpus-size-free shuffle), then three fixed
+    matrix-vector steps run as (d² join d) aggregations with L1
+    renormalization between steps; the Rayleigh quotient gives the top
+    eigenvalue and trace gives the explained-variance ratio — the
+    'is one direction carrying this space?' audit before PQ/whitening.
+    Exactness: covariance numerators are exact decimals on quantized
+    values (EMB_Q_SCALE); every float reduction over dims is
+    decimal-cast (order-free); the iteration is replayed verbatim as
+    chained CTEs in the oracle. Deterministic start v₀ = 1/d."""
+    emb = _emb(spark, sf_dir)
+    d1 = emb.select("embedding", F.posexplode("embedding").alias("i", "xi"))
+    d2 = d1.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.floor(F.col("xi").cast("double") * EMB_Q_SCALE)
+        .cast("bigint").alias("qi"),
+        F.posexplode("embedding").alias("j", "xj"),
+    ).select(
+        "i",
+        F.col("j").cast("bigint").alias("j"),
+        "qi",
+        F.floor(F.col("xj").cast("double") * EMB_Q_SCALE)
+        .cast("bigint").alias("qj"),
+    )
+    agg = d2.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("qi").cast("decimal(38,0)")).alias("sqi"),
+        F.sum(F.col("qj").cast("decimal(38,0)")).alias("sqj"),
+        F.sum(F.col("qi").cast("decimal(38,0)") * F.col("qj")).alias("sij"),
+    )
+    nd = F.col("n").cast("double")
+    qq = float(EMB_Q_SCALE) * EMB_Q_SCALE
+    c = agg.select(
+        "i",
+        "j",
+        (
+            (F.col("n") * F.col("sij") - F.col("sqi") * F.col("sqj"))
+            .cast("double") / nd / nd / F.lit(qq)
+        ).alias("cij"),
+    )
+    c = _track_cached(c.persist())
+    dec18 = "decimal(38,18)"
+    v = c.select(F.col("i").alias("j")).distinct().withColumn(
+        "val", F.lit(1.0 / EMB_DIM)
+    )
+    for _ in range(PCA_POWER_STEPS):
+        raw = (
+            c.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("cij") * F.col("val")).cast(dec18))
+                .cast("double").alias("raw")
+            )
+        )
+        s = raw.agg(
+            F.sum(F.abs(F.col("raw")).cast(dec18)).cast("double").alias("s")
+        )
+        v = raw.crossJoin(F.broadcast(s)).select(
+            F.col("i").alias("j"), (F.col("raw") / F.col("s")).alias("val")
+        )
+    cv = (
+        c.join(v, "j")
+        .groupBy("i")
+        .agg(
+            F.sum((F.col("cij") * F.col("val")).cast(dec18))
+            .cast("double").alias("cv")
+        )
+    )
+    ray = cv.join(
+        v.select(F.col("j").alias("i"), "val"), "i"
+    ).agg(
+        F.sum((F.col("cv") * F.col("val")).cast(dec18))
+        .cast("double").alias("vcv"),
+        F.sum((F.col("val") * F.col("val")).cast(dec18))
+        .cast("double").alias("vv"),
+    )
+    tr = c.where(F.col("i") == F.col("j")).agg(
+        F.sum(F.col("cij").cast(dec18)).cast("double").alias("trace")
+    )
+    top = v.agg(
+        F.max(
+            F.struct(F.abs(F.col("val")).alias("a"), F.col("j").alias("dim"))
+        ).alias("m")
+    )
+    return (
+        ray.crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.lit(EMB_DIM).cast("bigint").alias("d"),
+            F.round(F.col("vcv") / F.col("vv"), 6).alias("lambda_top"),
+            F.round(F.col("vcv") / F.col("vv") / F.col("trace"), 6)
+            .alias("explained_ratio"),
+            F.col("m.dim").alias("top_dim"),
+            F.round(F.col("m.a"), 6).alias("top_loading_abs"),
+        )
+    )
+
+
+def _sql_pca_power_iteration() -> str:
+    qq = float(EMB_Q_SCALE) * EMB_Q_SCALE
+    iters = []
+    prev = "v0"
+    for k in range(1, PCA_POWER_STEPS + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT c.i,
+         CAST(SUM(CAST(c.cij * v.val AS DECIMAL(38,18))) AS DOUBLE) AS raw
+  FROM c JOIN {prev} v ON v.j = c.j GROUP BY c.i
+),
+s{k} AS (
+  SELECT CAST(SUM(CAST(ABS(raw) AS DECIMAL(38,18))) AS DOUBLE) AS s FROM r{k}
+),
+v{k} AS (SELECT i AS j, raw / (SELECT s FROM s{k}) AS val FROM r{k})""")
+        prev = f"v{k}"
+    return f"""
+WITH d1 AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding) AS xi, embedding AS e
+  FROM embeddings
+),
+d2 AS (
+  SELECT CAST(i AS BIGINT) AS i,
+         CAST(FLOOR(CAST(xi AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT) AS qi,
+         generate_subscripts(e, 1) - 1 AS j,
+         unnest(e) AS xj
+  FROM d1
+),
+d3 AS (
+  SELECT i, CAST(j AS BIGINT) AS j, qi,
+         CAST(FLOOR(CAST(xj AS DOUBLE) * {EMB_Q_SCALE}) AS BIGINT) AS qj
+  FROM d2
+),
+agg AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(qi AS DECIMAL(38,0))) AS sqi,
+         SUM(CAST(qj AS DECIMAL(38,0))) AS sqj,
+         SUM(CAST(qi AS DECIMAL(38,0)) * qj) AS sij
+  FROM d3 GROUP BY i, j
+),
+c AS (
+  SELECT i, j,
+         CAST(n * sij - sqi * sqj AS DOUBLE)
+           / CAST(n AS DOUBLE) / CAST(n AS DOUBLE) / {qq!r} AS cij
+  FROM agg
+),
+v0 AS (SELECT DISTINCT i AS j, {1.0 / EMB_DIM!r} AS val FROM c),
+{",".join(iters)},
+cv AS (
+  SELECT c.i,
+         CAST(SUM(CAST(c.cij * v.val AS DECIMAL(38,18))) AS DOUBLE) AS cv
+  FROM c JOIN {prev} v ON v.j = c.j GROUP BY c.i
+),
+ray AS (
+  SELECT CAST(SUM(CAST(cv.cv * v.val AS DECIMAL(38,18))) AS DOUBLE) AS vcv,
+         CAST(SUM(CAST(v.val * v.val AS DECIMAL(38,18))) AS DOUBLE) AS vv
+  FROM cv JOIN {prev} v ON v.j = cv.i
+),
+tr AS (
+  SELECT CAST(SUM(CAST(cij AS DECIMAL(38,18))) AS DOUBLE) AS trace
+  FROM c WHERE i = j
+),
+top AS (
+  SELECT j AS top_dim, ABS(val) AS a FROM {prev}
+  ORDER BY ABS(val) DESC, j DESC LIMIT 1
+)
+SELECT CAST({EMB_DIM} AS BIGINT) AS d,
+       ROUND(vcv / vv, 6) AS lambda_top,
+       ROUND(vcv / vv / trace, 6) AS explained_ratio,
+       top_dim,
+       ROUND(a, 6) AS top_loading_abs
+FROM ray CROSS JOIN tr CROSS JOIN top
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -17076,6 +17256,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "partial_corr_audit": q_partial_corr_audit,
     "ols_multifeature_grouped": q_ols_multifeature_grouped,
     "logreg_newton": q_logreg_newton,
+    "pca_power_iteration": q_pca_power_iteration,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -17347,6 +17528,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "partial_corr_audit": _sql_partial_corr_audit(),
     "ols_multifeature_grouped": _sql_ols_multifeature_grouped(),
     "logreg_newton": _sql_logreg_newton(),
+    "pca_power_iteration": _sql_pca_power_iteration(),
 }
 
 
@@ -17606,6 +17788,7 @@ _R7_ADDED: list[str] = [
     "partial_corr_audit",
     "ols_multifeature_grouped",
     "logreg_newton",
+    "pca_power_iteration",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -97,6 +97,7 @@ def _canon(df):
         "partial_corr_audit",       # one-pass decimal moment sums
         "ols_multifeature_grouped", # Cramer solve on decimal moments
         "logreg_newton",            # decimal-cast Newton moments, fixed steps
+        "pca_power_iteration",      # d^2 covariance domain, decimal mat-vec
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

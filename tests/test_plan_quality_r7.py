@@ -488,3 +488,15 @@ def test_logreg_driver_state_is_bounded(spark, sf_dir):
     assert ".head()" in src and ".collect()" not in src
     plan = _plan(spark, sf_dir, "logreg_newton")
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_pca_iterates_on_covariance_domain(spark, sf_dir):
+    """Raw vectors are touched ONCE (the covariance fan-out); every
+    power-iteration step joins the 4096-cell matrix against a 64-row
+    vector — no second scan of embeddings, no window, no driver-side
+    matrix."""
+    src = inspect.getsource(EQ.q_pca_power_iteration)
+    assert ".head()" not in src and ".collect()" not in src
+    plan = _plan(spark, sf_dir, "pca_power_iteration")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
