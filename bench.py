@@ -283,6 +283,7 @@ HEADLINE = [
     "ols_multifeature_grouped",
     "logreg_newton",
     "pca_power_iteration",
+    "markov_stationary_mix",
 ]
 
 

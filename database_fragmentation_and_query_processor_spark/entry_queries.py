@@ -15871,6 +15871,118 @@ FROM ray CROSS JOIN tr CROSS JOIN top
 """
 
 
+MARKOV_POWER_STEPS = 8
+
+
+def q_markov_stationary_mix(spark, sf_dir):
+    """Stationary distribution of the per-user event-type Markov chain
+    — where user behavior settles if the observed transition dynamics
+    persist, vs the raw empirical mix (the drift between them flags
+    non-stationary product usage). Transitions come from the bounded
+    per-user lead window (event_transition_matrix's shape); the chain
+    is the |types|² count matrix row-normalized EXACTLY as integer
+    ratios, and π is eight power steps πP run as joins on the tiny
+    type domain with decimal-cast reductions — in-engine, replayed as
+    chained CTEs by the oracle. Exactness: transition counts are
+    integers; every division/multiplication is an identical double
+    chain; no renormalization needed (P is row-stochastic, π stays a
+    distribution up to rounding)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("tsn", "event_id")
+    tr = (
+        ev.select("user_id", "tsn", "event_id", "event_type")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    row_tot = tr.groupBy("src").agg(F.sum("c").cast("bigint").alias("rt"))
+    p = tr.join(row_tot, "src").select(
+        "src", "dst",
+        (F.col("c").cast("double") / F.col("rt").cast("double")).alias("p"),
+    )
+    p = _track_cached(p.persist())
+    emp = ev.groupBy(F.col("event_type").alias("t")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    tot = emp.agg(F.sum("n_events").cast("bigint").alias("n")).head()["n"]
+    pi = emp.select(
+        F.col("t").alias("src"),
+        (F.col("n_events").cast("double") / F.lit(float(tot))).alias("v"),
+    )
+    dec18 = "decimal(38,18)"
+    for _ in range(MARKOV_POWER_STEPS):
+        pi = (
+            p.join(pi, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(
+                F.sum((F.col("p") * F.col("v")).cast(dec18))
+                .cast("double").alias("v")
+            )
+        )
+    return (
+        emp.join(pi.select(F.col("src").alias("t"), "v"), "t")
+        .crossJoin(F.broadcast(emp.agg(F.sum("n_events").alias("ne"))))
+        .select(
+            F.col("t").alias("event_type"),
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("ne").cast("double"),
+                6,
+            ).alias("empirical_mix"),
+            F.round(F.col("v"), 6).alias("stationary_mix"),
+        )
+    )
+
+
+def _sql_markov_stationary_mix() -> str:
+    iters = []
+    prev = "pi0"
+    for k in range(1, MARKOV_POWER_STEPS + 1):
+        iters.append(f"""
+pi{k} AS (
+  SELECT p.dst AS src,
+         CAST(SUM(CAST(p.p * v.v AS DECIMAL(38,18))) AS DOUBLE) AS v
+  FROM p JOIN {prev} v ON v.src = p.src GROUP BY p.dst
+)""")
+        prev = f"pi{k}"
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tsn, event_id, event_type FROM events
+),
+seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY tsn, event_id) AS dst
+  FROM ev
+),
+tr AS (
+  SELECT src, dst, COUNT(*) AS c FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+row_tot AS (SELECT src, SUM(c) AS rt FROM tr GROUP BY src),
+p AS (
+  SELECT tr.src, tr.dst,
+         CAST(c AS DOUBLE) / CAST(rt AS DOUBLE) AS p
+  FROM tr JOIN row_tot USING (src)
+),
+emp AS (SELECT event_type AS t, COUNT(*) AS n_events FROM ev GROUP BY 1),
+tot AS (SELECT SUM(n_events) AS n FROM emp),
+pi0 AS (
+  SELECT t AS src,
+         CAST(n_events AS DOUBLE) / CAST((SELECT n FROM tot) AS DOUBLE) AS v
+  FROM emp
+),
+{",".join(iters)}
+SELECT emp.t AS event_type, CAST(emp.n_events AS BIGINT) AS n_events,
+       ROUND(CAST(emp.n_events AS DOUBLE)
+             / CAST((SELECT SUM(n_events) FROM emp) AS DOUBLE), 6)
+         AS empirical_mix,
+       ROUND(v.v, 6) AS stationary_mix
+FROM emp JOIN {prev} v ON v.src = emp.t
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -17257,6 +17369,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ols_multifeature_grouped": q_ols_multifeature_grouped,
     "logreg_newton": q_logreg_newton,
     "pca_power_iteration": q_pca_power_iteration,
+    "markov_stationary_mix": q_markov_stationary_mix,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -17529,6 +17642,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "ols_multifeature_grouped": _sql_ols_multifeature_grouped(),
     "logreg_newton": _sql_logreg_newton(),
     "pca_power_iteration": _sql_pca_power_iteration(),
+    "markov_stationary_mix": _sql_markov_stationary_mix(),
 }
 
 
@@ -17789,6 +17903,7 @@ _R7_ADDED: list[str] = [
     "ols_multifeature_grouped",
     "logreg_newton",
     "pca_power_iteration",
+    "markov_stationary_mix",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -98,6 +98,7 @@ def _canon(df):
         "ols_multifeature_grouped", # Cramer solve on decimal moments
         "logreg_newton",            # decimal-cast Newton moments, fixed steps
         "pca_power_iteration",      # d^2 covariance domain, decimal mat-vec
+        "markov_stationary_mix",    # integer transitions, decimal pi steps
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

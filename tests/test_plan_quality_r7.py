@@ -500,3 +500,13 @@ def test_pca_iterates_on_covariance_domain(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pca_power_iteration")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_markov_power_runs_on_type_domain(spark, sf_dir):
+    """Raw events feed ONE lead window (bounded per-user state) and one
+    count aggregate; all eight power steps join |types|²-sized frames —
+    the stationary solve never rescans events."""
+    plan = _plan(spark, sf_dir, "markov_stationary_mix")
+    assert "CartesianProduct" not in plan
+    # the only window is the per-user lead — partitioned, never global
+    assert "SinglePartition" not in plan or "user_id" in plan
