@@ -15709,12 +15709,14 @@ def q_pca_power_iteration(spark, sf_dir):
     chained CTEs in the oracle. Deterministic start v₀ = 1/d."""
     emb = _emb(spark, sf_dir)
     d1 = emb.select("embedding", F.posexplode("embedding").alias("i", "xi"))
+    # covariance is symmetric: fan out only j ≥ i (d(d+1)/2 cells, half
+    # the rows and shuffle volume) and mirror the strict upper triangle
     d2 = d1.select(
         F.col("i").cast("bigint").alias("i"),
         F.floor(F.col("xi").cast("double") * EMB_Q_SCALE)
         .cast("bigint").alias("qi"),
         F.posexplode("embedding").alias("j", "xj"),
-    ).select(
+    ).where(F.col("j") >= F.col("i")).select(
         "i",
         F.col("j").cast("bigint").alias("j"),
         "qi",
@@ -15729,7 +15731,7 @@ def q_pca_power_iteration(spark, sf_dir):
     )
     nd = F.col("n").cast("double")
     qq = float(EMB_Q_SCALE) * EMB_Q_SCALE
-    c = agg.select(
+    upper = agg.select(
         "i",
         "j",
         (
@@ -15737,7 +15739,15 @@ def q_pca_power_iteration(spark, sf_dir):
             .cast("double") / nd / nd / F.lit(qq)
         ).alias("cij"),
     )
-    c = _track_cached(c.persist())
+    # persist the TRIANGLE (the expensive fan-out aggregate) — the
+    # mirrored full matrix is derived from the cache, so the union's
+    # two branches don't each re-run the corpus×d² aggregation
+    upper = _track_cached(upper.persist())
+    c = upper.unionAll(
+        upper.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cij"
+        )
+    )
     dec18 = "decimal(38,18)"
     v = c.select(F.col("i").alias("j")).distinct().withColumn(
         "val", F.lit(1.0 / EMB_DIM)
