@@ -284,6 +284,8 @@ HEADLINE = [
     "logreg_newton",
     "pca_power_iteration",
     "markov_stationary_mix",
+    "negbin_overdispersion_fit",
+    "pareto_topk_share",
 ]
 
 

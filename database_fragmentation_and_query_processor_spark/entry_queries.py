@@ -15993,6 +15993,180 @@ FROM emp JOIN {prev} v ON v.src = emp.t
 """
 
 
+def q_negbin_overdispersion_fit(spark, sf_dir):
+    """Method-of-moments negative-binomial fit of per-user event
+    counts, per event_type — the burstiness model behind rate limits
+    and anomaly thresholds (a Poisson assumption under-alarms when
+    users are bursty): dispersion D = v/m, NB size r = m²/(v−m), NB
+    p = m/v; D ≈ 1 means Poisson is fine. Exactness: per-user counts
+    are integers; m and v come from exact decimal count moments; the
+    fit is one identical double expression (r/p null when v ≤ m — the
+    under-dispersed case where NB is undefined). Scale shape: two
+    keyed aggregates (events→user, users→type domain)."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    m = per_user.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("k").cast("decimal(38,0)")).alias("sk"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k")).alias("sk2"),
+    )
+    nd = F.col("n_users").cast("double")
+    mean = F.col("sk").cast("double") / nd
+    var = F.col("sk2").cast("double") / nd - mean * mean
+    return m.select(
+        "event_type",
+        "n_users",
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var / mean, 6).alias("dispersion"),
+        F.round(
+            F.when(var > mean, mean * mean / (var - mean)), 6
+        ).alias("nb_size_r"),
+        F.round(F.when(var > mean, mean / var), 6).alias("nb_p"),
+    )
+
+
+SQL_NEGBIN_OVERDISPERSION_FIT = """
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS k FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n_users,
+         SUM(CAST(k AS DECIMAL(38,0))) AS sk,
+         SUM(CAST(k AS DECIMAL(38,0)) * k) AS sk2
+  FROM per_user GROUP BY event_type
+)
+SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
+       ROUND(CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_events,
+       ROUND((CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+              - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+                * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
+             / (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+         AS dispersion,
+       ROUND(CASE WHEN (CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                        - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+                          * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                       > CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)
+             THEN (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+                  * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+                  / ((CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                      - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+                        * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                     - CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+             END, 6) AS nb_size_r,
+       ROUND(CASE WHEN (CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                        - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+                          * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
+                       > CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)
+             THEN (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+                  / (CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+                     - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
+                       * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
+             END, 6) AS nb_p
+FROM m
+"""
+
+
+PARETO_TOP_PCT = 10  # top-10% users
+
+
+def q_pareto_topk_share(spark, sf_dir):
+    """Revenue-concentration point estimate: what share of total order
+    value do the top 10% of customers hold? (The '80/20' number a data
+    mix or monetization review quotes — the Lorenz-point companion to
+    gini_concentration's full index.) Exactness: the cutoff is the
+    count-based order statistic over per-customer integer-cent totals
+    (min total with inclusive count ≥ n − ⌈n/10⌉ counting from below),
+    and the top-group share is a conditional decimal sum with the
+    boundary handled exactly: ties AT the cutoff are included from the
+    largest down, never double-counted, because selection works on the
+    (total, count) domain. Scale shape: orders→customer rollup, then
+    counts + two-phase prefix, one bounded selection, one conditional
+    aggregate."""
+    from .operators.scaling import stable_prefix_sum
+
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("tot")
+        )
+        # bigint cents per customer (exact; decimal only for the sum)
+        .select("o_custkey", F.col("tot").cast("bigint").alias("tot"))
+    )
+    n = cust.count()
+    k_top = -(-n // PARETO_TOP_PCT)  # ceil(n/10) customers in the top group
+    vc = cust.groupBy("tot").agg(F.count("*").cast("bigint").alias("cnt"))
+    pv = stable_prefix_sum(vc, order_cols=["tot"], value_col="cnt",
+                           out_col="below")
+    # cutoff = smallest total such that #customers with total >= it
+    # is <= k_top … equivalently the (n - k_top + 1)-th smallest
+    cutoff = (
+        pv.filter(F.col("below") + F.col("cnt") >= n - k_top + 1)
+        .agg(F.min("tot").alias("cut"))
+        .head()["cut"]
+    )
+    agg = cust.agg(
+        F.sum(F.col("tot").cast("decimal(38,0)")).alias("s_all"),
+        F.sum(
+            F.when(F.col("tot") >= cutoff, F.col("tot").cast("decimal(38,0)"))
+        ).alias("s_top"),
+        F.sum((F.col("tot") >= cutoff).cast("bigint")).cast("bigint")
+        .alias("n_top"),
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        "n_top",
+        F.round(F.lit(float(cutoff)) / 100.0, 6).alias("cutoff_value"),
+        F.round(
+            F.col("s_top").cast("double") / F.col("s_all").cast("double"), 6
+        ).alias("top_share"),
+    )
+
+
+SQL_PARETO_TOPK_SHARE = f"""
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)))
+              AS BIGINT) AS tot
+  FROM orders GROUP BY o_custkey
+),
+nk AS (
+  SELECT COUNT(*) AS n,
+         CAST(CEIL(COUNT(*) / {float(PARETO_TOP_PCT)!r}) AS BIGINT) AS k_top
+  FROM cust
+),
+vc AS (SELECT tot, COUNT(*) AS cnt FROM cust GROUP BY tot),
+pv AS (
+  SELECT tot, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY tot ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM vc
+),
+cut AS (
+  SELECT MIN(tot) AS cut FROM pv CROSS JOIN nk
+  WHERE below + cnt >= n - k_top + 1
+),
+agg AS (
+  SELECT SUM(CAST(tot AS DECIMAL(38,0))) AS s_all,
+         SUM(CASE WHEN tot >= (SELECT cut FROM cut)
+                  THEN CAST(tot AS DECIMAL(38,0)) END) AS s_top,
+         SUM(CASE WHEN tot >= (SELECT cut FROM cut) THEN 1 ELSE 0 END)
+           AS n_top
+  FROM cust
+)
+SELECT CAST((SELECT n FROM nk) AS BIGINT) AS n_customers,
+       CAST(n_top AS BIGINT) AS n_top,
+       ROUND(CAST((SELECT cut FROM cut) AS DOUBLE) / 100.0, 6)
+         AS cutoff_value,
+       ROUND(CAST(s_top AS DOUBLE) / CAST(s_all AS DOUBLE), 6) AS top_share
+FROM agg
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -17380,6 +17554,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logreg_newton": q_logreg_newton,
     "pca_power_iteration": q_pca_power_iteration,
     "markov_stationary_mix": q_markov_stationary_mix,
+    "negbin_overdispersion_fit": q_negbin_overdispersion_fit,
+    "pareto_topk_share": q_pareto_topk_share,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -17653,6 +17829,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "logreg_newton": _sql_logreg_newton(),
     "pca_power_iteration": _sql_pca_power_iteration(),
     "markov_stationary_mix": _sql_markov_stationary_mix(),
+    "negbin_overdispersion_fit": SQL_NEGBIN_OVERDISPERSION_FIT,
+    "pareto_topk_share": SQL_PARETO_TOPK_SHARE,
 }
 
 
@@ -17914,6 +18092,8 @@ _R7_ADDED: list[str] = [
     "logreg_newton",
     "pca_power_iteration",
     "markov_stationary_mix",
+    "negbin_overdispersion_fit",
+    "pareto_topk_share",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

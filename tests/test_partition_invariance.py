@@ -99,6 +99,8 @@ def _canon(df):
         "logreg_newton",            # decimal-cast Newton moments, fixed steps
         "pca_power_iteration",      # d^2 covariance domain, decimal mat-vec
         "markov_stationary_mix",    # integer transitions, decimal pi steps
+        "negbin_overdispersion_fit",# decimal count moments
+        "pareto_topk_share",        # count-based cutoff, decimal shares
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -510,3 +510,15 @@ def test_markov_power_runs_on_type_domain(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only window is the per-user lead — partitioned, never global
     assert "SinglePartition" not in plan or "user_id" in plan
+
+
+def test_negbin_is_two_keyed_aggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "negbin_overdispersion_fit")
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_pareto_cutoff_is_count_based(spark, sf_dir):
+    src = inspect.getsource(EQ.q_pareto_topk_share)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "pareto_topk_share")
+    assert "Window" not in plan or "_bk" in plan
