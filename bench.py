@@ -286,6 +286,7 @@ HEADLINE = [
     "markov_stationary_mix",
     "negbin_overdispersion_fit",
     "pareto_topk_share",
+    "gpd_tail_fit",
 ]
 
 

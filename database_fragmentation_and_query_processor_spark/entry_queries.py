@@ -16167,6 +16167,98 @@ FROM agg
 """
 
 
+GPD_TAIL_Q = 0.95  # peaks-over-threshold cutoff
+
+
+def q_gpd_tail_fit(spark, sf_dir):
+    """Extreme-value tail model: fit a Generalized Pareto Distribution
+    to order-value exceedances over the exact p95 (peaks-over-threshold
+    — the risk-analysis primitive behind 'how bad is the 1-in-1000
+    order?'): method-of-moments ξ = (1 − m²/v)/2 and σ = m·(m²/v + 1)/2
+    on the exceedance mean/variance. ξ < 0 ⇒ finite tail, ξ ≈ 0 ⇒
+    exponential, ξ > 0 ⇒ heavy. Exactness: the threshold is the
+    count-based order statistic (two-phase prefix over cent-value
+    counts); exceedance moments are exact decimals; the fit is one
+    identical double expression. Scale shape: counts domain + one
+    conditional aggregate over raw rows — no sort window."""
+    from .operators.scaling import stable_prefix_sum
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    n = o.count()
+    k = -(-(n * 95) // 100)  # ceil(0.95·n) without float
+    vc = o.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
+    pv = stable_prefix_sum(vc, order_cols=["c"], value_col="cnt",
+                           out_col="below")
+    u = int(
+        pv.filter(F.col("below") + F.col("cnt") >= k)
+        .agg(F.min("c").alias("u")).head()["u"]
+    )
+    exc = o.where(F.col("c") > u).select(
+        (F.col("c") - u).cast("decimal(38,0)").alias("e")
+    )
+    m = exc.agg(
+        F.count("*").cast("bigint").alias("n_exceed"),
+        F.sum("e").alias("se"),
+        F.sum(F.col("e") * F.col("e")).alias("se2"),
+    )
+    nd = F.col("n_exceed").cast("double")
+    mean = F.col("se").cast("double") / nd
+    var = F.col("se2").cast("double") / nd - mean * mean
+    xi = (1.0 - mean * mean / var) / 2.0
+    sigma = mean * (mean * mean / var + 1.0) / 2.0
+    return m.select(
+        F.lit(n).cast("bigint").alias("n_orders"),
+        "n_exceed",
+        F.round(F.lit(float(u)) / 100.0, 6).alias("threshold"),
+        F.round(xi, 6).alias("gpd_xi"),
+        F.round(sigma / 100.0, 6).alias("gpd_sigma"),
+    )
+
+
+SQL_GPD_TAIL_FIT = """
+WITH o AS (
+  SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+nk AS (SELECT COUNT(*) AS n, -((-(COUNT(*) * 95)) // 100) AS k FROM o),
+vc AS (SELECT c, COUNT(*) AS cnt FROM o GROUP BY c),
+pv AS (
+  SELECT c, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM vc
+),
+u AS (
+  SELECT MIN(c) AS u FROM pv CROSS JOIN nk WHERE below + cnt >= k
+),
+exc AS (
+  SELECT CAST(c - (SELECT u FROM u) AS DECIMAL(38,0)) AS e
+  FROM o WHERE c > (SELECT u FROM u)
+),
+m AS (
+  SELECT COUNT(*) AS n_exceed, SUM(e) AS se, SUM(e * e) AS se2 FROM exc
+)
+SELECT CAST((SELECT n FROM nk) AS BIGINT) AS n_orders,
+       CAST(n_exceed AS BIGINT) AS n_exceed,
+       ROUND(CAST((SELECT u FROM u) AS DOUBLE) / 100.0, 6) AS threshold,
+       ROUND((1.0 - (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                    * (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                    / (CAST(se2 AS DOUBLE) / CAST(n_exceed AS DOUBLE)
+                       - (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                         * (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))))
+             / 2.0, 6) AS gpd_xi,
+       ROUND((CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+             * ((CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                * (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                / (CAST(se2 AS DOUBLE) / CAST(n_exceed AS DOUBLE)
+                   - (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+                     * (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE)))
+                + 1.0) / 2.0 / 100.0, 6) AS gpd_sigma
+FROM m
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -17556,6 +17648,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "markov_stationary_mix": q_markov_stationary_mix,
     "negbin_overdispersion_fit": q_negbin_overdispersion_fit,
     "pareto_topk_share": q_pareto_topk_share,
+    "gpd_tail_fit": q_gpd_tail_fit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -17831,6 +17924,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "markov_stationary_mix": _sql_markov_stationary_mix(),
     "negbin_overdispersion_fit": SQL_NEGBIN_OVERDISPERSION_FIT,
     "pareto_topk_share": SQL_PARETO_TOPK_SHARE,
+    "gpd_tail_fit": SQL_GPD_TAIL_FIT,
 }
 
 
@@ -18094,6 +18188,7 @@ _R7_ADDED: list[str] = [
     "markov_stationary_mix",
     "negbin_overdispersion_fit",
     "pareto_topk_share",
+    "gpd_tail_fit",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -101,6 +101,7 @@ def _canon(df):
         "markov_stationary_mix",    # integer transitions, decimal pi steps
         "negbin_overdispersion_fit",# decimal count moments
         "pareto_topk_share",        # count-based cutoff, decimal shares
+        "gpd_tail_fit",             # count-based threshold, decimal moments
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

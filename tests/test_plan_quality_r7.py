@@ -522,3 +522,10 @@ def test_pareto_cutoff_is_count_based(spark, sf_dir):
     assert "stable_prefix_sum" in src
     plan = _plan(spark, sf_dir, "pareto_topk_share")
     assert "Window" not in plan or "_bk" in plan
+
+
+def test_gpd_threshold_is_count_based(spark, sf_dir):
+    src = inspect.getsource(EQ.q_gpd_tail_fit)
+    assert "stable_prefix_sum" in src
+    plan = _plan(spark, sf_dir, "gpd_tail_fit")
+    assert "Window" not in plan and "Join" not in plan
