@@ -287,6 +287,7 @@ HEADLINE = [
     "negbin_overdispersion_fit",
     "pareto_topk_share",
     "gpd_tail_fit",
+    "decision_stump_split",
 ]
 
 

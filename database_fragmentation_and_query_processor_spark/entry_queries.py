@@ -16259,6 +16259,109 @@ FROM m
 """
 
 
+def q_decision_stump_split(spark, sf_dir):
+    """Distributed decision-stump training: the single split of doc
+    length that best separates lang='en' by Gini gain — the inner loop
+    of every tree learner, run as a DataFrame plan: candidate
+    thresholds are the distinct feature values; left/right class
+    counts at every threshold come from per-(value) class counts + the
+    bucketed two-phase prefix sum (never a sort window); the argmax is
+    one struct-max aggregation (tie → larger threshold). Exactness:
+    all counts are integers; each candidate's gain is one identical
+    double expression; the struct-max compares those identical
+    doubles. Scale shape: one keyed aggregate onto the distinct-value
+    domain, the prefix, one reduce — rows are read once."""
+    from .operators.scaling import stable_prefix_sum
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("c"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    tot = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    ).head()
+    n, p = int(tot["n"]), int(tot["p"])
+    vc = d.groupBy("c").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("cpos"),
+    )
+    pv = stable_prefix_sum(
+        vc, order_cols=["c"], value_col="cnt", out_col="below"
+    )
+    pvp = stable_prefix_sum(
+        pv, order_cols=["c"], value_col="cpos", out_col="below_pos"
+    )
+    nl = (F.col("below") + F.col("cnt")).cast("double")
+    pl = (F.col("below_pos") + F.col("cpos")).cast("double")
+    nr = (F.lit(n) - (F.col("below") + F.col("cnt"))).cast("double")
+    pr = (F.lit(p) - (F.col("below_pos") + F.col("cpos"))).cast("double")
+    nd, pd_ = float(n), float(p)
+    gini_parent = 2.0 * (pd_ / nd) * (1.0 - pd_ / nd)
+    gini_l = 2.0 * (pl / nl) * (1.0 - pl / nl)
+    gini_r = 2.0 * (pr / nr) * (1.0 - pr / nr)
+    gain = (
+        F.lit(gini_parent) - (nl / F.lit(nd) * gini_l + nr / F.lit(nd) * gini_r)
+    )
+    cands = pvp.where(F.col("below") + F.col("cnt") < n).select(
+        gain.alias("gain"), F.col("c").alias("split")
+    )
+    best = cands.agg(F.max(F.struct("gain", "split")).alias("m"))
+    return best.select(
+        F.lit(n).cast("bigint").alias("n_docs"),
+        F.lit(p).cast("bigint").alias("n_pos"),
+        F.col("m.split").alias("best_split_n_chars"),
+        F.round(F.col("m.gain"), 6).alias("gini_gain"),
+        F.round(F.lit(gini_parent), 6).alias("gini_parent"),
+    )
+
+
+SQL_DECISION_STUMP_SPLIT = """
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS c,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n, SUM(pos) AS p FROM d),
+vc AS (SELECT c, COUNT(*) AS cnt, SUM(pos) AS cpos FROM d GROUP BY c),
+pv AS (
+  SELECT c, cnt, cpos,
+         COALESCE(SUM(cnt) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) + cnt AS nl_i,
+         COALESCE(SUM(cpos) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND 1 PRECEDING), 0) + cpos AS pl_i
+  FROM vc
+),
+cands AS (
+  SELECT c AS split,
+         2.0 * (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * (1.0 - CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE))
+         - (CAST(nl_i AS DOUBLE) / CAST(t.n AS DOUBLE)
+              * (2.0 * (CAST(pl_i AS DOUBLE) / CAST(nl_i AS DOUBLE))
+                 * (1.0 - CAST(pl_i AS DOUBLE) / CAST(nl_i AS DOUBLE)))
+            + CAST(t.n - nl_i AS DOUBLE) / CAST(t.n AS DOUBLE)
+              * (2.0 * (CAST(t.p - pl_i AS DOUBLE)
+                        / CAST(t.n - nl_i AS DOUBLE))
+                 * (1.0 - CAST(t.p - pl_i AS DOUBLE)
+                          / CAST(t.n - nl_i AS DOUBLE)))) AS gain
+  FROM pv CROSS JOIN tot t
+  WHERE nl_i < t.n
+)
+SELECT CAST(t.n AS BIGINT) AS n_docs, CAST(t.p AS BIGINT) AS n_pos,
+       x.split AS best_split_n_chars,
+       ROUND(x.gain, 6) AS gini_gain,
+       ROUND(2.0 * (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * (1.0 - CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+         AS gini_parent
+FROM (
+  SELECT split, gain,
+         ROW_NUMBER() OVER (ORDER BY gain DESC, split DESC) AS rn
+  FROM cands
+) x CROSS JOIN tot t
+WHERE x.rn = 1
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -17649,6 +17752,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negbin_overdispersion_fit": q_negbin_overdispersion_fit,
     "pareto_topk_share": q_pareto_topk_share,
     "gpd_tail_fit": q_gpd_tail_fit,
+    "decision_stump_split": q_decision_stump_split,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -17925,6 +18029,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "negbin_overdispersion_fit": SQL_NEGBIN_OVERDISPERSION_FIT,
     "pareto_topk_share": SQL_PARETO_TOPK_SHARE,
     "gpd_tail_fit": SQL_GPD_TAIL_FIT,
+    "decision_stump_split": SQL_DECISION_STUMP_SPLIT,
 }
 
 
@@ -18189,6 +18294,7 @@ _R7_ADDED: list[str] = [
     "negbin_overdispersion_fit",
     "pareto_topk_share",
     "gpd_tail_fit",
+    "decision_stump_split",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

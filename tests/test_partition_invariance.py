@@ -102,6 +102,7 @@ def _canon(df):
         "negbin_overdispersion_fit",# decimal count moments
         "pareto_topk_share",        # count-based cutoff, decimal shares
         "gpd_tail_fit",             # count-based threshold, decimal moments
+        "decision_stump_split",     # prefix class counts, struct-max argmax
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

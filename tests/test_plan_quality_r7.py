@@ -529,3 +529,14 @@ def test_gpd_threshold_is_count_based(spark, sf_dir):
     assert "stable_prefix_sum" in src
     plan = _plan(spark, sf_dir, "gpd_tail_fit")
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_stump_split_search_is_count_based(spark, sf_dir):
+    """Candidate evaluation runs on the distinct-value domain via the
+    two-phase prefix (both counts and class counts) with a struct-max
+    reduce — never a per-candidate rescan or sort window, and the scan
+    must prune the text column."""
+    src = inspect.getsource(EQ.q_decision_stump_split)
+    assert src.count("stable_prefix_sum") >= 2
+    plan = _plan(spark, sf_dir, "decision_stump_split")
+    assert "text" not in plan
