@@ -288,6 +288,8 @@ HEADLINE = [
     "pareto_topk_share",
     "gpd_tail_fit",
     "decision_stump_split",
+    "bigram_entropy_rate",
+    "theil_index_decomposition",
 ]
 
 

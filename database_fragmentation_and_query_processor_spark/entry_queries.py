@@ -16362,6 +16362,185 @@ WHERE x.rn = 1
 """
 
 
+def q_bigram_entropy_rate(spark, sf_dir):
+    """Per-source bigram entropy rate H(w₂|w₁) = −Σ p(w₁,w₂)·ln
+    p(w₂|w₁) and its unigram ceiling H(w₁) — the corpus-structure
+    signal behind 'how predictable is this source's text?' (low rate =
+    templated/boilerplate-heavy; the redundancy complement to
+    doc_lm_perplexity's per-doc scoring). Exactness: bigram/unigram
+    counts are integers with the unigram taken as the bigram-history
+    marginal (so conditionals sum to 1 exactly); each ln term is
+    decimal-cast before the per-source sum. Scale shape: one gram
+    explode → two keyed aggregates on uniform md5-free string keys →
+    a join on (source, w₁) — no windows, no driver state."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    big = d.select(
+        "source",
+        F.explode(_word_grams(toks, 2)).alias("g"),
+    ).select(
+        "source",
+        F.split(F.col("g"), " ").getItem(0).alias("w1"),
+        F.split(F.col("g"), " ").getItem(1).alias("w2"),
+    )
+    c12 = big.groupBy("source", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    c1 = c12.groupBy("source", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1")
+    )
+    nt = c12.groupBy("source").agg(F.sum("c12").cast("bigint").alias("n"))
+    j = c12.join(c1, ["source", "w1"]).join(F.broadcast(nt), "source")
+    term = (
+        -(F.col("c12").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+    ).cast("decimal(38,18)")
+    uterm = (
+        -(F.col("c1").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("c1").cast("double") / F.col("n").cast("double"))
+    ).cast("decimal(38,18)")
+    h2 = j.groupBy("source").agg(
+        F.sum("c12").cast("bigint").alias("n_bigrams"),
+        F.sum(term).cast("double").alias("h_rate"),
+    )
+    h1 = c1.join(F.broadcast(nt), "source").groupBy("source").agg(
+        F.sum(uterm).cast("double").alias("h_unigram")
+    )
+    return h2.join(h1, "source").select(
+        "source",
+        "n_bigrams",
+        F.round("h_rate", 6).alias("h_bigram_rate"),
+        F.round("h_unigram", 6).alias("h_unigram"),
+    )
+
+
+SQL_BIGRAM_ENTROPY_RATE = f"""
+WITH toks AS (SELECT source, {TOKENS_SQL} AS t FROM documents),
+big AS (
+  SELECT source,
+         unnest(list_transform(
+           range(1, greatest(len(t), 1)),
+           j -> array_to_string(t[j:j+1], ' ')
+         )) AS g
+  FROM toks WHERE len(t) >= 2
+),
+sp AS (
+  SELECT source, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+  FROM big
+),
+c12 AS (SELECT source, w1, w2, COUNT(*) AS c12 FROM sp GROUP BY 1, 2, 3),
+c1 AS (SELECT source, w1, SUM(c12) AS c1 FROM c12 GROUP BY 1, 2),
+nt AS (SELECT source, SUM(c12) AS n FROM c12 GROUP BY 1),
+h2 AS (
+  SELECT c12.source, SUM(c12.c12) AS n_bigrams,
+         CAST(SUM(CAST(-(CAST(c12.c12 AS DOUBLE) / CAST(nt.n AS DOUBLE))
+             * LN(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+             AS DECIMAL(38,18))) AS DOUBLE) AS h_rate
+  FROM c12
+  JOIN c1 ON c1.source = c12.source AND c1.w1 = c12.w1
+  JOIN nt ON nt.source = c12.source
+  GROUP BY c12.source
+),
+h1 AS (
+  SELECT c1.source,
+         CAST(SUM(CAST(-(CAST(c1.c1 AS DOUBLE) / CAST(nt.n AS DOUBLE))
+             * LN(CAST(c1.c1 AS DOUBLE) / CAST(nt.n AS DOUBLE))
+             AS DECIMAL(38,18))) AS DOUBLE) AS h_unigram
+  FROM c1 JOIN nt ON nt.source = c1.source GROUP BY c1.source
+)
+SELECT h2.source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(h_rate, 6) AS h_bigram_rate,
+       ROUND(h_unigram, 6) AS h_unigram
+FROM h2 JOIN h1 ON h1.source = h2.source
+"""
+
+
+def q_theil_index_decomposition(spark, sf_dir):
+    """Theil-T inequality index of customer order value, DECOMPOSED
+    into between-segment and within-segment components (priority
+    segments) — the additive inequality accounting Gini cannot give
+    (T = T_between + Σ share_g·T_within,g exactly): tells a revenue or
+    data-mixture review whether concentration lives across segments or
+    inside them. Exactness: customer totals are integer cents; every
+    ln term is decimal-cast before its group sum; the decomposition is
+    assembled from exact decimal group totals in one shared double
+    expression. Scale shape: orders→(customer, segment) rollup, keyed
+    aggregates onto the segment domain, one scalar broadcast."""
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderpriority").alias("seg"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).cast("bigint").alias("x")
+        )
+    )
+    tot = cust.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+    ).head()
+    n, sx = int(tot["n"]), float(tot["sx"])
+    mu = sx / n
+    # per-customer Theil terms against the GLOBAL mean, grouped by seg
+    t_term = (
+        (F.col("x").cast("double") / F.lit(mu))
+        * F.log(F.col("x").cast("double") / F.lit(mu))
+    ).cast("decimal(38,18)")
+    per_seg = cust.where(F.col("x") > 0).groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx_g"),
+        F.sum(t_term).cast("double").alias("t_sum"),
+    )
+    ng = F.col("n_g").cast("double")
+    mug = F.col("sx_g").cast("double") / ng
+    share = F.col("sx_g").cast("double") / F.lit(sx)
+    t_between_g = share * F.log(mug / F.lit(mu))
+    # total T restricted to the group, normalized by global n·μ
+    t_total_g = F.col("t_sum") / F.lit(float(n))
+    return per_seg.select(
+        "seg",
+        "n_g",
+        F.round(t_total_g, 6).alias("t_contribution"),
+        F.round(t_between_g, 6).alias("t_between"),
+        F.round(t_total_g - t_between_g, 6).alias("t_within_scaled"),
+    )
+
+
+SQL_THEIL_INDEX_DECOMPOSITION = """
+WITH cust AS (
+  SELECT o_custkey, o_orderpriority AS seg,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)))
+              AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+),
+tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx
+  FROM cust
+),
+per_seg AS (
+  SELECT seg, COUNT(*) AS n_g,
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx_g,
+         CAST(SUM(CAST((CAST(x AS DOUBLE) / (t.sx / t.n))
+             * LN(CAST(x AS DOUBLE) / (t.sx / t.n))
+             AS DECIMAL(38,18))) AS DOUBLE) AS t_sum
+  FROM cust CROSS JOIN tot t
+  WHERE x > 0
+  GROUP BY seg, t.n, t.sx
+)
+SELECT seg, CAST(n_g AS BIGINT) AS n_g,
+       ROUND(t_sum / CAST(t.n AS DOUBLE), 6) AS t_contribution,
+       ROUND(CAST(sx_g AS DOUBLE) / t.sx
+             * LN((CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                  / (t.sx / t.n)), 6) AS t_between,
+       ROUND(t_sum / CAST(t.n AS DOUBLE)
+             - CAST(sx_g AS DOUBLE) / t.sx
+               * LN((CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE))
+                    / (t.sx / t.n)), 6) AS t_within_scaled
+FROM per_seg CROSS JOIN tot t
+"""
+
+
 RANK_NTILES = 4
 
 
@@ -17753,6 +17932,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_topk_share": q_pareto_topk_share,
     "gpd_tail_fit": q_gpd_tail_fit,
     "decision_stump_split": q_decision_stump_split,
+    "bigram_entropy_rate": q_bigram_entropy_rate,
+    "theil_index_decomposition": q_theil_index_decomposition,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -18030,6 +18211,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "pareto_topk_share": SQL_PARETO_TOPK_SHARE,
     "gpd_tail_fit": SQL_GPD_TAIL_FIT,
     "decision_stump_split": SQL_DECISION_STUMP_SPLIT,
+    "bigram_entropy_rate": SQL_BIGRAM_ENTROPY_RATE,
+    "theil_index_decomposition": SQL_THEIL_INDEX_DECOMPOSITION,
 }
 
 
@@ -18295,6 +18478,8 @@ _R7_ADDED: list[str] = [
     "pareto_topk_share",
     "gpd_tail_fit",
     "decision_stump_split",
+    "bigram_entropy_rate",
+    "theil_index_decomposition",
 ]
 
 #: Round-7 driver stamp window: the 5 pinned reference fragmentation

@@ -103,6 +103,8 @@ def _canon(df):
         "pareto_topk_share",        # count-based cutoff, decimal shares
         "gpd_tail_fit",             # count-based threshold, decimal moments
         "decision_stump_split",     # prefix class counts, struct-max argmax
+        "bigram_entropy_rate",      # integer gram counts, decimal ln terms
+        "theil_index_decomposition",# integer cents, decimal Theil terms
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -531,6 +531,24 @@ def test_gpd_threshold_is_count_based(spark, sf_dir):
     assert "Window" not in plan and "Join" not in plan
 
 
+def test_bigram_entropy_joins_on_history_key(spark, sf_dir):
+    """The conditional-entropy join keys on (source, w1) after both
+    sides collapsed to count tables — no window, no cartesian beyond
+    the tiny per-source totals broadcast."""
+    plan = _plan(spark, sf_dir, "bigram_entropy_rate")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_theil_terms_computed_once_per_customer(spark, sf_dir):
+    """Theil terms are per-(customer, segment) rows aggregated straight
+    to the segment domain; global scalars enter as Python literals from
+    one bounded head() — no join back to raw orders."""
+    plan = _plan(spark, sf_dir, "theil_index_decomposition")
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
 def test_stump_split_search_is_count_based(spark, sf_dir):
     """Candidate evaluation runs on the distinct-value domain via the
     two-phase prefix (both counts and class counts) with a struct-max
