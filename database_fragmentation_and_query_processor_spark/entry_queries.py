@@ -11917,9 +11917,16 @@ def q_gini_concentration(spark, sf_dir):
     gini = (
         2.0 * float(weighted) / (n * float(total)) - (n + 1) / float(n)
     )
-    rows = [(n, round(float(total), 2), round(gini, 6))]
+    # Round IN-ENGINE (F.round = half-up like the oracle's ROUND);
+    # Python round() is banker's and diverges on half-ties at the
+    # rounded digit.
+    rows = [(n, float(total), gini)]
     return spark.createDataFrame(
         rows, "n_customers bigint, total_revenue double, gini double"
+    ).select(
+        "n_customers",
+        F.round("total_revenue", 2).alias("total_revenue"),
+        F.round("gini", 6).alias("gini"),
     )
 
 
@@ -16187,7 +16194,10 @@ def q_gpd_tail_fit(spark, sf_dir):
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("c")
     )
     n = o.count()
-    k = -(-(n * 95) // 100)  # ceil(0.95·n) without float
+    # ceil(0.95·n) without float. The oracle mirrors this as
+    # (n*95 + 99) // 100 because DuckDB's // truncates toward zero
+    # (so the -(-x//100) trick ceils in Python but floors in DuckDB).
+    k = (n * 95 + 99) // 100
     vc = o.groupBy("c").agg(F.count("*").cast("bigint").alias("cnt"))
     pv = stable_prefix_sum(vc, order_cols=["c"], value_col="cnt",
                            out_col="below")
@@ -16221,7 +16231,7 @@ SQL_GPD_TAIL_FIT = """
 WITH o AS (
   SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS c FROM orders
 ),
-nk AS (SELECT COUNT(*) AS n, -((-(COUNT(*) * 95)) // 100) AS k FROM o),
+nk AS (SELECT COUNT(*) AS n, (COUNT(*) * 95 + 99) // 100 AS k FROM o),
 vc AS (SELECT c, COUNT(*) AS cnt FROM o GROUP BY c),
 pv AS (
   SELECT c, cnt,

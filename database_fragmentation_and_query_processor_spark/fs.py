@@ -412,14 +412,35 @@ def acquire_writer_lock(
             {"owner": owner, "acquired_ns": time.time_ns(), "ttl_sec": ttl_sec}
         )
         if fs.create_exclusive(lock, payload):
-            return lock
+            # Read-back verify: on stores where create-if-absent is
+            # best-effort (no conditional PUT) two contenders' creates
+            # can both "succeed" last-write-wins; only the one whose
+            # payload is actually on disk holds the lock.
+            try:
+                held = fs.read_text(lock) == payload
+            except Exception:
+                held = False
+            if held:
+                return lock
+            continue
         try:
             doc = json.loads(fs.read_text(lock))
         except Exception:
             doc = {}
         age_sec = (time.time_ns() - int(doc.get("acquired_ns", 0))) / 1e9
         if age_sec > float(doc.get("ttl_sec", ttl_sec)):
-            fs.delete(lock)  # stale holder: break and retry once
+            # Break the stale lock by ATOMIC RENAME to a unique
+            # tombstone, never delete-in-place: exactly one of N racing
+            # contenders wins the rename (the losers raise on the
+            # now-missing source), so a slow loser can never remove the
+            # winner's freshly created lock — the race a bare
+            # delete-then-create leaves open.
+            tomb = f"{lock}.broken-{time.time_ns()}-{os.getpid()}"
+            try:
+                fs.rename(lock, tomb)
+            except Exception:
+                continue  # another contender broke it first; re-contend
+            fs.delete(tomb)
             continue
         raise LockHeldError(
             f"writer lock on {dir_path} held by "

@@ -287,16 +287,18 @@ def kmeans_centroids(
         means = (
             assigned.select("_list", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("_list", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            # round-6 kills double-summation-order divergence so the
+            # quantizer (and hence the whole IVF result) is identical
+            # across engines — this is what makes the DuckDB oracle for
+            # ivf_topk expressible as static SQL. Rounded IN-ENGINE:
+            # F.round is half-up like the oracle's ROUND; Python
+            # round() is banker's and diverges on exact half-ties.
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
             .collect()
         )
         new = [list(c) for c in cents]  # empty lists keep their centroid
         for r in means:
-            # round-6 kills double-summation-order divergence so the
-            # quantizer (and hence the whole IVF result) is identical
-            # across engines — this is what makes the DuckDB oracle for
-            # ivf_topk expressible as static SQL.
-            new[r["_list"]][r["pos"]] = round(float(r["m"]), 6)
+            new[r["_list"]][r["pos"]] = float(r["m"])
         cents = new
     return cents
 
@@ -419,14 +421,17 @@ def pq_codebooks(
             exploded.withColumn("code", code)
             .select("s", "code", F.posexplode("subv").alias("pos", "v"))
             .groupBy("s", "code", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("mn"))
+            # round-6 kills summation-order divergence (same contract
+            # as kmeans_centroids → static-SQL oracle expressible).
+            # Rounding happens IN-ENGINE: F.round is half-up like the
+            # oracle's ROUND, while Python round() is banker's and
+            # diverges on exact half-ties at the 6th decimal.
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mn"))
             .collect()
         )
         new = [[list(c) for c in book] for book in books]
         for r in means:
-            # round-6 kills summation-order divergence (same contract
-            # as kmeans_centroids → static-SQL oracle expressible)
-            new[r["s"]][r["code"]][r["pos"]] = round(float(r["mn"]), 6)
+            new[r["s"]][r["code"]][r["pos"]] = float(r["mn"])
         books = new
     return books
 

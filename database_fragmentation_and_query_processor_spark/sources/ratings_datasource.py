@@ -281,12 +281,19 @@ def render_rating_line(userid: int, movieid: int, rating: float) -> str:
 
 
 class RatingsWriter(DataSourceWriter):
-    """Per-task writer: each partition lands one uniquely-named final
-    file (task-id + uuid — speculative duplicates cannot collide), the
-    driver-side commit drops a ``_SUCCESS`` marker, and abort removes
-    this attempt's files. Same locality scope as the reader's data
-    path: bare/``file://`` paths (Python workers have no JVM gateway);
-    the files are plain text so any downstream engine reads them."""
+    """Per-task writer with a two-phase task commit: each attempt
+    stages one uniquely-named file under ``_staging/`` (underscore
+    prefix → invisible to the reader's listing), and the DRIVER-side
+    ``commit`` renames only the files named in the returned commit
+    messages into the destination before dropping ``_SUCCESS``. A
+    retried or speculative attempt that finished ``write()`` but lost
+    the task-commit race therefore never surfaces to readers — its
+    orphan stays in ``_staging/``, which commit/abort sweep. Same
+    locality scope as the reader's data path: bare/``file://`` paths
+    (Python workers have no JVM gateway); the files are plain text so
+    any downstream engine reads them."""
+
+    STAGING_DIR = "_staging"
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -300,9 +307,10 @@ class RatingsWriter(DataSourceWriter):
         from ..fs import fs_for
 
         fs = fs_for(self.path)
-        fs.makedirs(self.path)
+        staging = posixpath.join(self.path, self.STAGING_DIR)
+        fs.makedirs(staging)
         name = f"part-{_uuid.uuid4().hex}.txt"
-        dest = posixpath.join(self.path, name)
+        dest = posixpath.join(staging, name)
         lines = []
         n = 0
         for row in iterator:
@@ -313,10 +321,26 @@ class RatingsWriter(DataSourceWriter):
         fs.write_text_atomic(dest, "\n".join(lines) + ("\n" if lines else ""))
         return RatingsCommit(dest, n)
 
+    def _sweep_staging(self, fs) -> None:
+        try:
+            fs.delete(posixpath.join(self.path, self.STAGING_DIR),
+                      recursive=True)
+        except Exception:
+            pass  # best-effort: leftovers are invisible to readers
+
     def commit(self, messages) -> None:
         from ..fs import fs_for
 
         fs = fs_for(self.path)
+        # Publish exactly the committed attempts' files; losing
+        # speculative/retried attempts stay behind in _staging.
+        for m in messages:
+            if m is not None:
+                fs.rename(
+                    m.path,
+                    posixpath.join(self.path, posixpath.basename(m.path)),
+                )
+        self._sweep_staging(fs)
         total = sum(m.n_rows for m in messages if m is not None)
         fs.write_text_atomic(
             posixpath.join(self.path, "_SUCCESS"), f"{total}\n"
@@ -328,4 +352,8 @@ class RatingsWriter(DataSourceWriter):
         fs = fs_for(self.path)
         for m in messages:
             if m is not None:
-                fs.delete(m.path)
+                try:
+                    fs.delete(m.path)
+                except Exception:
+                    pass
+        self._sweep_staging(fs)
