@@ -258,6 +258,77 @@ def salted_aggregate(
     )
 
 
+#: Per-bucket bigint budget for :func:`exact_group_sums` — 2^61 leaves
+#: 4x headroom under the 2^63 wrap. The residual hard-bound term
+#: (#scan-partitions extra rows per bucket, see docstring) then needs
+#: #partitions x max|term| <= 2^61: at 1e12-magnitude terms that is
+#: 2.3M partitions, far beyond any deployed topology.
+EXACT_SUM_BUDGET = 1 << 61
+
+
+def exact_group_sums(
+    df: DataFrame,
+    keys: list[str],
+    terms: dict[str, "F.Column"],
+    n_rows: int,
+    max_abs_term: int,
+) -> DataFrame:
+    """Exact, overflow-free SUM of bigint term expressions by ``keys``.
+
+    A single bigint SUM silently wraps (non-ANSI Spark) once a group
+    accumulates ~2^63 / max|term| rows — at EMB_Q_SCALE quantization
+    (terms up to 1e12) that is ~9.2M rows, a correctness ceiling a
+    100 TB corpus sails past. Per-term DECIMAL(38,0) accumulation is
+    exact but ~10x slower (measured round 7: the same corpus x d^2
+    fan-out ran 14-21s with decimal terms vs 1.5s with bigint sums).
+    This two-phase shape gets both:
+
+    - phase 1 sums BIGINT per (keys, salt bucket), where the bucket
+      fan-out is sized at runtime so no bucket's partial can reach the
+      budget: ``bucket_rows = 2^61 // max_abs_term`` and ``n_salts =
+      ceil(n_rows / bucket_rows)``;
+    - phase 2 merges the <= n_salts bounded partials per key as
+      DECIMAL(38,0) (a tiny aggregate: #keys x n_salts rows).
+
+    The salt is ``pmod(monotonically_increasing_id(), n_salts)``
+    materialized as a column: ids are CONSECUTIVE within every scan
+    partition, so bucket loads are balanced to +-1 per partition — a
+    HARD bound (bucket count <= n_rows/n_salts + #partitions), not a
+    hash-uniformity expectation. Which bucket a row lands in does not
+    affect the result (integer addition is order- and
+    partition-invariant), so the nondeterministic id is safe here.
+
+    ``n_rows`` may be an upper bound (overestimating only raises the
+    fan-out); ``max_abs_term`` must bound |term| for EVERY term
+    expression. Result is row-identical to
+    ``df.groupBy(keys).agg(count(*), F.sum(term)...)`` computed in
+    unbounded integer arithmetic, with a bigint ``n_rows`` count and
+    DECIMAL(38,0) sums named by the ``terms`` keys.
+    """
+    bucket_rows = max(1, EXACT_SUM_BUDGET // max(1, int(max_abs_term)))
+    n_salts = max(1, -(-max(1, int(n_rows)) // bucket_rows))
+    proj = df.select(
+        *[F.col(k) for k in keys],
+        *[t.cast("bigint").alias(f"_t_{name}") for name, t in terms.items()],
+    ).withColumn(
+        # materialized BEFORE the groupBy: grouping directly on a
+        # nondeterministic expression is rejected by the analyzer
+        "_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(int(n_salts))).cast("int"),
+    )
+    inner = proj.groupBy(*keys, "_salt").agg(
+        F.count("*").alias("_pn"),
+        *[F.sum(f"_t_{name}").alias(f"_p_{name}") for name in terms],
+    )
+    return inner.groupBy(*keys).agg(
+        F.sum("_pn").cast("bigint").alias("n_rows"),
+        *[
+            F.sum(F.col(f"_p_{name}").cast("decimal(38,0)")).alias(name)
+            for name in terms
+        ],
+    )
+
+
 def widen(df: DataFrame, key: str | None = None, target: int | None = None) -> DataFrame:
     """Repartition a narrow scan up to session parallelism — only when
     actually narrow, so cluster-scale scans (already thousands of

