@@ -14840,8 +14840,16 @@ def q_weighted_median_exact(spark, sf_dir):
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
         F.floor(F.col("l_quantity")).cast("bigint").alias("w"),
     )
-    vw = li.groupBy("g", "v").agg(F.sum("w").cast("bigint").alias("wv"))
-    tot = li.groupBy("g").agg(F.sum("w").cast("bigint").alias("tw"))
+    # persist the collapsed (g, v) weight domain: it feeds the total,
+    # the prefix-sum helper's bounded pre-passes, AND the final plan —
+    # without the cache each reference re-scans lineitem
+    vw = _track_cached(
+        li.groupBy("g", "v").agg(F.sum("w").cast("bigint").alias("wv"))
+        .persist()
+    )
+    # total weight re-aggregates the already-collapsed (g, v) domain —
+    # deriving it from the raw projection would scan lineitem twice
+    tot = vw.groupBy("g").agg(F.sum("wv").cast("bigint").alias("tw"))
     pv = stable_prefix_sum(
         vw, order_cols=["v"], value_col="wv", group_cols=["g"], out_col="below"
     ).join(F.broadcast(tot), "g")
@@ -14896,53 +14904,54 @@ def q_bloom_fp_rate_audit(spark, sf_dir):
     positions present', counted as an integer distinct-position match
     against the position set — one semi-join shape; ground truth is the
     exact key semi-join. Scale shape: the position set is ≤ k·|dim|
-    integers on a bounded bit domain; the probe is a keyed join on
-    position, never a per-row filter scan."""
+    integers on a bounded bit domain (broadcast-safe: ≤ 2¹⁴ rows BY
+    CONSTRUCTION, not by data size); fact positions are built in ONE
+    pass (explode, not a k-way self-union) and probed by ONE left join
+    + one groupBy that derives hits and need together — the round-7
+    version built the fact position set twice with no persist."""
     o = _t(spark, sf_dir, "orders")
-    dim = (
+    dim = _track_cached(
         o.where(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .persist()
     )
-    fact = (
+    fact = _track_cached(
         _t(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("k"))
         .distinct()
+        .persist()
     )
 
     def positions(df):
-        out = None
-        for i in range(BLOOM_AUDIT_HASHES):
-            p = df.select(
-                "k",
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws("_", F.col("k").cast("string"),
-                                              F.lit(str(i)))), 1, 13
-                        ), 16, 10,
-                    ).cast("bigint") % BLOOM_AUDIT_BITS
-                ).alias("p"),
+        hs = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("_", F.col("k").cast("string"),
+                                          F.lit(str(i)))), 1, 13
+                    ), 16, 10,
+                ).cast("bigint") % BLOOM_AUDIT_BITS
             )
-            out = p if out is None else out.unionAll(p)
-        return out
+            for i in range(BLOOM_AUDIT_HASHES)
+        ]
+        return df.select("k", F.explode(F.array(*hs)).alias("p"))
 
-    bits = positions(dim).select("p").distinct()
-    probe = (
+    bits = positions(dim).select("p").distinct().withColumn("m", F.lit(True))
+    # one pass: mark each fact position against the bit set, then a
+    # single groupBy(k) yields BOTH the distinct positions a key needs
+    # (duplicate probes collapse) and how many of them are present
+    per_key = (
         positions(fact)
-        .join(bits, "p", "left_semi")
+        .join(F.broadcast(bits), "p", "left")
         .groupBy("k")
-        .agg(F.countDistinct("p").alias("hits"))
+        .agg(
+            F.countDistinct("p").alias("need"),
+            F.countDistinct(F.when(F.col("m"), F.col("p"))).alias("hits"),
+        )
     )
-    # distinct collapses duplicate positions for one key; a key whose
-    # k probes collide still needs ALL its DISTINCT positions present
-    nprobe = positions(fact).groupBy("k").agg(
-        F.countDistinct("p").alias("need")
-    )
-    flagged = (
-        nprobe.join(probe, "k", "left")
-        .withColumn("hit", F.coalesce("hits", F.lit(0)) == F.col("need"))
-        .select("k", "hit")
+    flagged = per_key.select(
+        "k", (F.col("hits") == F.col("need")).alias("hit")
     )
     truth = fact.join(dim, "k", "left_semi").withColumn("t", F.lit(True))
     j = flagged.join(truth.select("k", "t"), "k", "left").withColumn(
@@ -18588,7 +18597,60 @@ _missing = [n for n in _R7_WINDOW if n not in _QUERIES_ALL]
 if _missing:
     raise RuntimeError(f"r7 stamp window names unknown queries: {_missing}")
 
-_HEAD = _R7_WINDOW
+#: Queries whose IMPLEMENTATION changed in round 8 and already carry a
+#: driver stamp from an earlier round, so they need a fresh one on the
+#: new code path: the two embedding-stats queries rebuilt on the
+#: overflow-safe exact_group_sums two-phase aggregation. The other
+#: round-8-modified queries (pca_power_iteration, bloom_fp_rate_audit,
+#: weighted_median_exact, gpd_tail_fit, gini_concentration,
+#: ann_pq_topk, ann_ivfpq_topk, ann_ivf_topk) were never stamped — they
+#: are round-7 additions and enter through the rotation below.
+_R8_RESTAMP: list[str] = [
+    "embedding_covariance_topk",
+    "embedding_dim_variance",
+]
+
+#: The 67 round-7 additions exceed one 50-slot window (5 frag pins +
+#: 2 restamps leave 43 free slots), so the rotation is split across
+#: two rounds. Round 8 front-loads the judge's priorities — the ANN
+#: family, the rank tests, the iterative fits whose CTE-replay oracles
+#: are the most fragile — plus every round-8-modified query; the
+#: remaining 24 are _R8_DEFERRED and form the core of the r9 window.
+#: ROUND-9 ROTATION PLAN (apply at the START of round 9): keep the 5
+#: frag pins, place _R8_DEFERRED next, add any r9-modified queries as
+#: restamps, and refill from the r8 window in its original order.
+_R8_PRIORITY: list[str] = [
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ndcg_eval",
+    "mann_whitney_rank_test",
+    "ks_one_vs_rest",
+    "wasserstein_one_vs_rest",
+    "spearman_corr_grouped",
+    "kendall_tau_daily",
+    "logreg_newton",
+    "pca_power_iteration",
+    "gpd_tail_fit",
+    "gini_concentration",
+    "bloom_fp_rate_audit",
+    "weighted_median_exact",
+]
+
+_R8_STAMP: list[str] = _R8_PRIORITY + [
+    n for n in _R7_ADDED if n not in set(_R8_PRIORITY)
+][: 50 - 5 - len(_R8_RESTAMP) - len(_R8_PRIORITY)]
+
+_R8_DEFERRED: list[str] = [n for n in _R7_ADDED if n not in set(_R8_STAMP)]
+
+_R8_WINDOW: list[str] = _R7_WINDOW[:5] + _R8_STAMP + _R8_RESTAMP
+
+if len(_R8_WINDOW) != 50 or len(set(_R8_WINDOW)) != 50:
+    raise RuntimeError("r8 stamp window must be exactly 50 unique queries")
+_missing = [n for n in _R8_WINDOW if n not in _QUERIES_ALL]
+if _missing:
+    raise RuntimeError(f"r8 stamp window names unknown queries: {_missing}")
+
+_HEAD = _R8_WINDOW
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{n: _QUERIES_ALL[n] for n in _HEAD},
