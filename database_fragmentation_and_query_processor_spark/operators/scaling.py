@@ -275,32 +275,39 @@ def exact_group_sums(
 ) -> DataFrame:
     """Exact, overflow-free SUM of bigint term expressions by ``keys``.
 
-    A single bigint SUM silently wraps (non-ANSI Spark) once a group
-    accumulates ~2^63 / max|term| rows — at EMB_Q_SCALE quantization
-    (terms up to 1e12) that is ~9.2M rows, a correctness ceiling a
-    100 TB corpus sails past. Per-term DECIMAL(38,0) accumulation is
-    exact but ~10x slower (measured round 7: the same corpus x d^2
-    fan-out ran 14-21s with decimal terms vs 1.5s with bigint sums).
-    This two-phase shape gets both:
+    A single bigint SUM silently wraps (non-ANSI Spark) or raises
+    ARITHMETIC_OVERFLOW (ANSI) once a group accumulates ~2^63 /
+    max|term| rows — at EMB_Q_SCALE quantization (terms up to 1e12)
+    that is ~9.2M rows, a correctness ceiling a 100 TB corpus sails
+    past. Per-term DECIMAL(38,0) accumulation is exact but ~10x slower
+    (measured round 7: the same corpus x d^2 fan-out ran 14-21s with
+    decimal terms vs 1.5s with bigint sums). This two-phase shape gets
+    both:
 
     - phase 1 sums BIGINT per (keys, salt bucket), where the bucket
       fan-out is sized at runtime so no bucket's partial can reach the
       budget: ``bucket_rows = 2^61 // max_abs_term`` and ``n_salts =
       ceil(n_rows / bucket_rows)``;
     - phase 2 merges the <= n_salts bounded partials per key as
-      DECIMAL(38,0) (a tiny aggregate: #keys x n_salts rows).
+      DECIMAL(38,0) (a small aggregate: <= #keys x n_salts rows).
 
-    The salt is ``pmod(monotonically_increasing_id(), n_salts)``
-    materialized as a column: ids are CONSECUTIVE within every scan
-    partition, so bucket loads are balanced to +-1 per partition — a
-    HARD bound (bucket count <= n_rows/n_salts + #partitions), not a
-    hash-uniformity expectation. Which bucket a row lands in does not
-    affect the result (integer addition is order- and
-    partition-invariant), so the nondeterministic id is safe here.
+    The salt is ``pmod(xxhash64(monotonically_increasing_id()),
+    n_salts)`` materialized as a column. Hashing the id matters: the
+    raw id is consecutive, and a key recurring at a fixed stride (the
+    posexplode pattern — the same dim index every d rows) would land
+    on only gcd-many salt values, concentrating one key's rows onto
+    few buckets. The hash decorrelates stride from bucket, so a key
+    group of g rows loads each of its n_salts buckets Binomial(g,
+    1/n_salts): with the 4x headroom between the 2^61 sizing budget
+    and the 2^63 wrap, overflow needs a bucket at 4x its mean — a
+    sub-1e-15 tail for any group large enough to matter. Which bucket
+    a row lands in does not affect the result (integer addition is
+    order- and partition-invariant), so the nondeterministic id is
+    safe here.
 
-    ``n_rows`` may be an upper bound (overestimating only raises the
-    fan-out); ``max_abs_term`` must bound |term| for EVERY term
-    expression. Result is row-identical to
+    ``n_rows`` must upper-bound the LARGEST KEY GROUP (not the frame —
+    overestimating only raises the fan-out); ``max_abs_term`` must
+    bound |term| for EVERY term expression. Result is row-identical to
     ``df.groupBy(keys).agg(count(*), F.sum(term)...)`` computed in
     unbounded integer arithmetic, with a bigint ``n_rows`` count and
     DECIMAL(38,0) sums named by the ``terms`` keys.
@@ -314,7 +321,9 @@ def exact_group_sums(
         # materialized BEFORE the groupBy: grouping directly on a
         # nondeterministic expression is rejected by the analyzer
         "_salt",
-        F.pmod(F.monotonically_increasing_id(), F.lit(int(n_salts))).cast("int"),
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(int(n_salts))
+        ).cast("int"),
     )
     inner = proj.groupBy(*keys, "_salt").agg(
         F.count("*").alias("_pn"),
