@@ -4169,21 +4169,38 @@ SELECT user_id, event_id, z FROM z WHERE ABS(z) > {Z_THRESH}
 def q_value_regression(spark, sf_dir):
     """Closed-form least-squares slope/intercept of event value on
     hour-of-day, per event type — the trend-fit aggregate. The five
-    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact integer sums
-    over quantized values in ONE map-side-combined pass; the solve is
-    two double divisions at the end. This is how regression scales:
-    never an iterative fit over the raw rows."""
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact integer
+    sums over quantized values; the solve is two double divisions at
+    the end. This is how regression scales: never an iterative fit
+    over the raw rows. The sums route through exact_group_sums
+    (runtime-sized two-phase: bigint inner sums on provably bounded
+    buckets, decimal merge) so Σxy — terms up to 23·max|y·1000| —
+    has NO 2^63 ceiling; sizing comes from a one-job pre-pass
+    (count + max|y|)."""
+    from .operators.scaling import exact_group_sums
+
     ev = _events(spark, sf_dir)
     x = F.expr(f"(tsn div {US_PER_HOUR}) % 24")
     y = F.floor(F.col("value") * VAL_Q_SCALE).cast("bigint")
     e = ev.select("event_type", x.alias("x"), y.alias("y"))
-    s = e.groupBy("event_type").agg(
+    pre = e.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
+        F.max(F.abs(F.col("y"))).alias("ymax"),
+    ).head()
+    n_all = int(pre["n"] or 0)
+    ymax = max(int(pre["ymax"] or 1), 1, 23)
+    s = exact_group_sums(
+        e,
+        keys=["event_type"],
+        terms={
+            "sx": F.col("x"),
+            "sy": F.col("y"),
+            "sxy": F.col("x") * F.col("y"),
+            "sxx": F.col("x") * F.col("x"),
+        },
+        n_rows=n_all,
+        max_abs_term=23 * ymax,
+    ).withColumnRenamed("n_rows", "n")
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
     syd = F.col("sy").cast("double")
@@ -11300,30 +11317,44 @@ def q_term_burstiness(spark, sf_dir):
     variance-to-mean ratio of per-document counts including zero docs,
     computed entirely from exact integers ((Σc²·D - n²) / (n·D)) — a
     Poisson term has VMR 1, content words run far above it. Scale
-    shape: one (doc, token) count shuffle, one token-keyed reduction,
-    a TakeOrdered for the K output terms; the corpus doc count is the
-    only broadcast scalar. No floats until the final division."""
+    shape: one (doc, token) count shuffle (persisted — it feeds the
+    sizing pre-pass and the reduction), one token-keyed reduction, a
+    TakeOrdered for the K output terms; the corpus doc count is the
+    only broadcast scalar. No floats until the final division. The
+    Σc² reduction routes through exact_group_sums (a stopword's
+    per-doc squares at web scale can pass 2^63), and the VMR
+    numerator sc2·D − n² is assembled in DECIMAL(38,0) — n² alone
+    wraps bigint once a term passes ~3e9 occurrences."""
+    from .operators.scaling import exact_group_sums
+
     docs = _docs(spark, sf_dir)
     n_docs = docs.count()
-    per_doc = (
+    per_doc = _track_cached(
         docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
     )
-    per_term = per_doc.groupBy("tok").agg(
-        F.sum("c").cast("bigint").alias("n"),
-        F.count("*").cast("bigint").alias("df"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    cmax = int(
+        per_doc.agg(F.max("c").alias("m")).head()["m"] or 1
     )
-    d = F.lit(int(n_docs)).cast("bigint")
+    per_term = exact_group_sums(
+        per_doc.select("tok", "c"),
+        keys=["tok"],
+        terms={"n": F.col("c"), "sc2": F.col("c") * F.col("c")},
+        n_rows=n_docs,  # a term appears in at most every document
+        max_abs_term=max(cmax * cmax, 1),
+    ).withColumnsRenamed({"n_rows": "df"})
+    dec = "decimal(38,0)"
+    d = F.lit(int(n_docs)).cast(dec)
     return (
         per_term.select(
             "tok",
-            "n",
+            F.col("n").cast("bigint").alias("n"),
             "df",
-            F.round(F.col("n") / F.col("df").cast("double"), 6).alias(
-                "burstiness"
-            ),
+            F.round(
+                F.col("n").cast("double") / F.col("df").cast("double"), 6
+            ).alias("burstiness"),
             F.round(
                 (F.col("sc2") * d - F.col("n") * F.col("n")).cast("double")
                 / (F.col("n") * d).cast("double"),
@@ -12769,16 +12800,30 @@ def q_poisson_bootstrap_ci(spark, sf_dir):
     replicas; weights are the Poisson(1) inverse CDF over an md5(key,
     b)-derived 52-bit uniform, with the CDF baked as integer lattice
     thresholds (_poisson1_thresholds) so both engines compare bigints.
-    Exactness: weighted sums are decimal; replicate means are rounded
-    BEFORE the order-statistic selection so the sort keys are identical
-    cross-engine. The 32-slot fan-out collapses immediately to the
-    (segment × B) domain — bounded collect_list of 32 doubles per
-    segment, nearest-rank (⌈q·B⌉) percentiles."""
+    Exactness: weighted sums are exact integers merged as decimals
+    (exact_group_sums — the per-term decimal multiply this replaced
+    was the query's hot cost at 32 replicas/row, and the bigint inner
+    sums carry a runtime-sized overflow budget from a one-job
+    pre-pass); replicate means are rounded BEFORE the order-statistic
+    selection so the sort keys are identical cross-engine. The 32-slot
+    fan-out collapses immediately to the (segment × B) domain —
+    bounded collect_list of 32 doubles per segment, nearest-rank
+    (⌈q·B⌉) percentiles."""
+    from .operators.scaling import exact_group_sums
+
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("seg"),
         "o_orderkey",
         F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cbig"),
     )
+    pre = o.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("cbig").alias("cmax"),
+    ).head()
+    n_orders_all = int(pre["n"] or 0)
+    cmax = max(int(pre["cmax"] or 1), 1)
+    wmax = len(_POISSON1_THR)  # the CASE's ELSE branch is the max weight
     truth = o.groupBy("seg").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.round(
@@ -12801,13 +12846,18 @@ def q_poisson_bootstrap_ci(spark, sf_dir):
         16,
         10,
     ).cast("bigint")
-    rep = (
+    weighted = (
         b.withColumn("u52", u)
         .withColumn("w", F.expr(_poisson1_case("u52")).cast("bigint"))
-        .groupBy("seg", "b")
-        .agg(
-            F.sum("w").cast("bigint").alias("nw"),
-            F.sum(F.col("cents") * F.col("w")).alias("s"),
+        .select("seg", "b", "w", "cbig")
+    )
+    rep = (
+        exact_group_sums(
+            weighted,
+            keys=["seg", "b"],
+            terms={"nw": F.col("w"), "s": F.col("cbig") * F.col("w")},
+            n_rows=n_orders_all,  # rows per (seg, b) ≤ total orders
+            max_abs_term=cmax * wmax,
         )
         .filter(F.col("nw") > 0)
         .withColumn(
@@ -18605,14 +18655,18 @@ if _missing:
 #: Queries whose IMPLEMENTATION changed in round 8 and already carry a
 #: driver stamp from an earlier round, so they need a fresh one on the
 #: new code path: the two embedding-stats queries rebuilt on the
-#: overflow-safe exact_group_sums two-phase aggregation. The other
-#: round-8-modified queries (pca_power_iteration, bloom_fp_rate_audit,
-#: weighted_median_exact, gpd_tail_fit, gini_concentration,
-#: ann_pq_topk, ann_ivfpq_topk, ann_ivf_topk) were never stamped — they
-#: are round-7 additions and enter through the rotation below.
+#: overflow-safe exact_group_sums two-phase aggregation, plus
+#: value_regression and term_burstiness whose corpus-scale product
+#: sums were hardened the same way. The other round-8-modified queries
+#: (pca_power_iteration, bloom_fp_rate_audit, weighted_median_exact,
+#: gpd_tail_fit, gini_concentration, poisson_bootstrap_ci, ann_pq_topk,
+#: ann_ivfpq_topk, ann_ivf_topk) were never stamped — they are round-7
+#: additions and enter through the rotation below.
 _R8_RESTAMP: list[str] = [
     "embedding_covariance_topk",
     "embedding_dim_variance",
+    "value_regression",
+    "term_burstiness",
 ]
 
 #: The 67 round-7 additions exceed one 50-slot window (5 frag pins +

@@ -35,16 +35,17 @@ def _stamped_through(last_round: int) -> set[str]:
 
 
 def test_stamp_window_composition():
-    """R8 window = 5 pinned frag rows, 43 of the 67 round-7 additions
+    """R8 window = 5 pinned frag rows, 41 of the 67 round-7 additions
     (judge priorities first: the ANN family, the rank tests, the
     fragile-oracle iterative fits, every round-8-modified query; the
-    rest in _R7_ADDED order), and the 2 round-8 restamps (the
-    embedding-stats queries rebuilt on exact_group_sums)."""
+    rest in _R7_ADDED order), and the 4 round-8 restamps (the
+    embedding-stats queries, value_regression, and term_burstiness —
+    all rebuilt on exact_group_sums)."""
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
     assert names[5:19] == EQ._R8_PRIORITY
-    assert names[5:48] == EQ._R8_STAMP
-    assert names[48:50] == EQ._R8_RESTAMP
+    assert names[5:46] == EQ._R8_STAMP
+    assert names[46:50] == EQ._R8_RESTAMP
     assert names[:50] == EQ._R8_WINDOW
     assert len(names) == len(set(names))
 
@@ -54,13 +55,13 @@ def test_r8_split_covers_all_r7_additions():
     exactly the 67 round-7 additions, disjointly."""
     assert set(EQ._R8_STAMP) | set(EQ._R8_DEFERRED) == set(EQ._R7_ADDED)
     assert not set(EQ._R8_STAMP) & set(EQ._R8_DEFERRED)
-    assert len(EQ._R8_STAMP) == 43 and len(EQ._R8_DEFERRED) == 24
+    assert len(EQ._R8_STAMP) == 41 and len(EQ._R8_DEFERRED) == 26
 
 
 def test_window_closes_the_evidence_gap():
     """After the r8 rotation the only queries without a PRIOR driver
-    stamp are the 67 round-7 additions; 43 of them are inside the
-    window (the other 24 are the documented r9 backlog), and nothing
+    stamp are the 67 round-7 additions; 41 of them are inside the
+    window (the other 26 are the documented r9 backlog), and nothing
     previously stamped fell out of evidence."""
     stamped = _stamped_through(7)
     if not stamped:  # correctness files absent (fresh checkout)
