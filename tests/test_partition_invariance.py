@@ -105,6 +105,9 @@ def _canon(df):
         "decision_stump_split",     # prefix class counts, struct-max argmax
         "bigram_entropy_rate",      # integer gram counts, decimal ln terms
         "theil_index_decomposition",# integer cents, decimal Theil terms
+        # round-8 overflow-hardened (exact_group_sums two-phase):
+        "value_regression",         # integer OLS sufficient statistics
+        "embedding_dim_variance",   # quantized Σq/Σq² via salted two-phase
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
