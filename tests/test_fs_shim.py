@@ -273,3 +273,91 @@ def test_writer_lock_breaks_stale_holder(tmp_path):
     assert cat.update_range(n=7).n == 7  # broke the stale lock
     # and the lock was released again afterwards
     assert not shim.exists(fslib.join(wh, fslib.LOCK_FILENAME))
+
+
+def test_writer_lock_break_leaves_no_tombstone(tmp_path):
+    """The stale break renames to a unique tombstone (atomic: one
+    winner per break) and deletes it — nothing lingers beside the
+    fresh lock."""
+    import json as _json
+
+    from database_fragmentation_and_query_processor_spark import fs as fslib
+
+    wh = str(tmp_path / "wh")
+    shim = fslib.fs_for(wh)
+    shim.makedirs(wh)
+    shim.write_text_atomic(
+        fslib.join(wh, fslib.LOCK_FILENAME),
+        _json.dumps({"owner": "dead", "acquired_ns": 0, "ttl_sec": 1}),
+    )
+    lock = fslib.acquire_writer_lock(shim, wh, owner="breaker")
+    names = [p for p, _d, _s, _m in shim.list_status(wh)]
+    assert not any(".broken-" in n for n in names)
+    assert _json.loads(shim.read_text(lock))["owner"] == "breaker"
+    fslib.release_writer_lock(shim, lock)
+
+
+def test_writer_lock_losing_breaker_does_not_steal(tmp_path):
+    """Two contenders read the same stale lock; the one whose
+    tombstone rename fails (the other won the atomic break) must NOT
+    delete anything or claim the lock — it re-contends and fails
+    loudly. Simulated by a shim whose rename always raises."""
+    import json as _json
+
+    import pytest
+
+    from database_fragmentation_and_query_processor_spark import fs as fslib
+
+    wh = str(tmp_path / "wh")
+    real = fslib.fs_for(wh)
+    real.makedirs(wh)
+    stale = _json.dumps({"owner": "dead", "acquired_ns": 0, "ttl_sec": 1})
+    real.write_text_atomic(fslib.join(wh, fslib.LOCK_FILENAME), stale)
+
+    class LosesEveryRename:
+        def __getattr__(self, name):
+            return getattr(real, name)
+
+        def rename(self, src, dst):
+            raise OSError("another contender broke the lock first")
+
+    with pytest.raises(fslib.LockHeldError):
+        fslib.acquire_writer_lock(LosesEveryRename(), wh, owner="loser")
+    # the existing lock file was never deleted by the loser
+    assert real.read_text(fslib.join(wh, fslib.LOCK_FILENAME)) == stale
+
+
+def test_writer_lock_readback_rejects_stolen_create(tmp_path):
+    """On stores where create-if-absent is best-effort, two creates can
+    both 'succeed' last-write-wins — the read-back verify means only
+    the contender whose payload is actually on disk holds the lock."""
+    import json as _json
+
+    import pytest
+
+    from database_fragmentation_and_query_processor_spark import fs as fslib
+
+    wh = str(tmp_path / "wh")
+    real = fslib.fs_for(wh)
+    real.makedirs(wh)
+    foreign = _json.dumps(
+        {"owner": "rival", "acquired_ns": 10**30, "ttl_sec": 300}
+    )
+
+    class LyingCreate:
+        lied = False
+
+        def __getattr__(self, name):
+            return getattr(real, name)
+
+        def create_exclusive(self, path, text):
+            if not self.lied:
+                # first attempt: claims success but the rival's
+                # concurrent PUT won (last-write-wins object store)
+                self.lied = True
+                real.write_text_atomic(path, foreign)
+                return True
+            return real.create_exclusive(path, text)
+
+    with pytest.raises(fslib.LockHeldError, match="rival"):
+        fslib.acquire_writer_lock(LyingCreate(), wh, owner="me")

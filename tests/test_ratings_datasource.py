@@ -169,3 +169,90 @@ def test_reference_fixture_roundtrips_through_writer(spark, registered, tmp_path
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in df.collect()
     )
+
+
+def _write_task(writer, rows):
+    return writer.write(iter(rows))
+
+
+def test_writer_stages_then_publishes_on_commit(tmp_path):
+    """Task output lands under _staging/ (underscore prefix — invisible
+    to the reader's listing); driver commit renames exactly the files
+    named in the commit messages into the destination and sweeps the
+    staging dir."""
+    import posixpath
+
+    from database_fragmentation_and_query_processor_spark.fs import fs_for
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+    )
+
+    dest = str(tmp_path / "out")
+    w = RatingsWriter({"path": dest}, overwrite=True)
+    msg = _write_task(w, [(1, 10, 4.5), (2, 20, 3.0)])
+    fs = fs_for(dest)
+    assert "/_staging/" in msg.path
+    # nothing reader-visible before commit
+    visible = [
+        posixpath.basename(p)
+        for p, is_dir, _s, _m in fs.list_status(dest)
+        if not is_dir and not posixpath.basename(p).startswith(("_", "."))
+    ]
+    assert visible == []
+    w.commit([msg])
+    visible = [
+        posixpath.basename(p)
+        for p, is_dir, _s, _m in fs.list_status(dest)
+        if not is_dir and not posixpath.basename(p).startswith(("_", "."))
+    ]
+    assert visible == [posixpath.basename(msg.path)]
+    assert not fs.exists(posixpath.join(dest, "_staging"))
+    assert fs.exists(posixpath.join(dest, "_SUCCESS"))
+
+
+def test_writer_orphan_attempt_never_surfaces(tmp_path):
+    """A retried/speculative attempt that finished write() but lost the
+    task commit (its message is not in the committed set) stays in
+    _staging and is swept — the reader can never double-count it. This
+    is the round-8 fix for the direct-to-destination orphan."""
+    import posixpath
+
+    from database_fragmentation_and_query_processor_spark.fs import fs_for
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+    )
+
+    dest = str(tmp_path / "out")
+    w = RatingsWriter({"path": dest}, overwrite=True)
+    winner = _write_task(w, [(1, 10, 4.5)])
+    loser = _write_task(w, [(1, 10, 4.5)])  # same rows, lost the race
+    w.commit([winner])  # loser's message never reached the driver
+    fs = fs_for(dest)
+    visible = [
+        posixpath.basename(p)
+        for p, is_dir, _s, _m in fs.list_status(dest)
+        if not is_dir and not posixpath.basename(p).startswith(("_", "."))
+    ]
+    assert visible == [posixpath.basename(winner.path)]
+    assert not fs.exists(loser.path)  # swept with the staging dir
+
+
+def test_writer_abort_leaves_destination_clean(tmp_path):
+    """abort() removes this attempt's staged files and the staging dir;
+    no _SUCCESS, nothing reader-visible."""
+    import posixpath
+
+    from database_fragmentation_and_query_processor_spark.fs import fs_for
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+    )
+
+    dest = str(tmp_path / "out")
+    w = RatingsWriter({"path": dest}, overwrite=True)
+    msg = _write_task(w, [(3, 30, 2.5)])
+    w.abort([msg])
+    fs = fs_for(dest)
+    names = [posixpath.basename(p) for p, *_ in fs.list_status(dest)]
+    assert not any(not n.startswith(("_", ".")) for n in names)
+    assert not fs.exists(posixpath.join(dest, "_staging"))
+    assert not fs.exists(posixpath.join(dest, "_SUCCESS"))
