@@ -303,3 +303,48 @@ def test_exact_group_sums_partition_invariant(spark):
             )
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # key
+            st.integers(min_value=-(1 << 57), max_value=1 << 57),  # term
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+)
+def test_exact_group_sums_property(spark, rows):
+    """Property: for ANY key/term multiset — including magnitudes where
+    a plain bigint SUM would wrap — exact_group_sums equals unbounded
+    Python integer arithmetic, with n_rows/max_abs_term derived the way
+    callers derive them (measured group max / max |term|)."""
+    from collections import defaultdict
+
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        exact_group_sums,
+    )
+
+    want_n: dict[int, int] = defaultdict(int)
+    want_s: dict[int, int] = defaultdict(int)
+    for k, v in rows:
+        want_n[k] += 1
+        want_s[k] += v
+    max_group = max(want_n.values())
+    max_abs = max((abs(v) for _k, v in rows), default=1)
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    got = {
+        r["k"]: (r["n_rows"], int(r["s"]))
+        for r in exact_group_sums(
+            df, ["k"], {"s": F.col("v")},
+            n_rows=max_group, max_abs_term=max(max_abs, 1),
+        ).collect()
+    }
+    assert got == {k: (want_n[k], want_s[k]) for k in want_n}
