@@ -290,6 +290,25 @@ HEADLINE = [
     "decision_stump_split",
     "bigram_entropy_rate",
     "theil_index_decomposition",
+    # round-8 completeness: the 17 registered queries that predated the
+    # headline list — with these, EVERY queries() entry is benched
+    "ann_ivf_topk",
+    "approx_distinct_users",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "event_funnel",
+    "events_json_kpis",
+    "frag_reconstruction",
+    "frag_rr_counts",
+    "lang_id_confusion",
+    "minhash_signatures",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_meta",
+    "multimodal_resize",
+    "orders_cube",
+    "simhash_near_dup_pairs",
+    "streaming_hourly",
 ]
 
 
