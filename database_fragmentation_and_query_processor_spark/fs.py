@@ -38,6 +38,7 @@ import itertools
 import json
 import os
 import posixpath
+import random
 import re
 import shutil
 import time
@@ -414,10 +415,21 @@ def acquire_writer_lock(
         if fs.create_exclusive(lock, payload):
             # Read-back verify: on stores where create-if-absent is
             # best-effort (no conditional PUT) two contenders' creates
-            # can both "succeed" last-write-wins; only the one whose
-            # payload is actually on disk holds the lock.
+            # can both "succeed" last-write-wins. The verify REDUCES —
+            # it cannot eliminate — the double-acquire window: the
+            # interleaving A-create, A-verify(sees own payload),
+            # B-overwrite, B-verify(sees own payload) still admits two
+            # holders. On such stores a second read-back after a short
+            # randomized delay shrinks the race further; true mutual
+            # exclusion needs an atomic conditional PUT, so the lock
+            # stays ADVISORY there (it IS exclusive where
+            # create_exclusive is atomic: O_EXCL locally, the namenode
+            # on HDFS — both atomic_rename stores, no delay paid).
             try:
                 held = fs.read_text(lock) == payload
+                if held and not getattr(fs, "atomic_rename", True):
+                    time.sleep(random.uniform(0.01, 0.05))
+                    held = fs.read_text(lock) == payload
             except Exception:
                 held = False
             if held:

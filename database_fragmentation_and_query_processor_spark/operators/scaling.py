@@ -265,6 +265,14 @@ def salted_aggregate(
 #: 2.3M partitions, far beyond any deployed topology.
 EXACT_SUM_BUDGET = 1 << 61
 
+#: Floor on the per-bucket row budget below which the binomial-tail
+#: sizing argument collapses (small mean load ⇒ a 4x-mean bucket is a
+#: routine Poisson fluctuation, not a 1e-15 tail — e.g. max|term| =
+#: 2^60 gives bucket_rows = 2, where P(load ≥ 8) ≈ 1e-3 PER BUCKET).
+#: Terms this large route to the exact per-term DECIMAL(38,0) path
+#: instead: slower (~10x, measured round 7) but unconditionally exact.
+EXACT_SUM_MIN_BUCKET_ROWS = 1 << 16
+
 
 def exact_group_sums(
     df: DataFrame,
@@ -285,8 +293,8 @@ def exact_group_sums(
     both:
 
     - phase 1 sums BIGINT per (keys, salt bucket), where the bucket
-      fan-out is sized at runtime so no bucket's partial can reach the
-      budget: ``bucket_rows = 2^61 // max_abs_term`` and ``n_salts =
+      fan-out is sized at runtime from a mean-load budget:
+      ``bucket_rows = 2^61 // max_abs_term`` and ``n_salts =
       ceil(n_rows / bucket_rows)``;
     - phase 2 merges the <= n_salts bounded partials per key as
       DECIMAL(38,0) (a small aggregate: <= #keys x n_salts rows).
@@ -298,12 +306,34 @@ def exact_group_sums(
     on only gcd-many salt values, concentrating one key's rows onto
     few buckets. The hash decorrelates stride from bucket, so a key
     group of g rows loads each of its n_salts buckets Binomial(g,
-    1/n_salts): with the 4x headroom between the 2^61 sizing budget
-    and the 2^63 wrap, overflow needs a bucket at 4x its mean — a
-    sub-1e-15 tail for any group large enough to matter. Which bucket
-    a row lands in does not affect the result (integer addition is
-    order- and partition-invariant), so the nondeterministic id is
-    safe here.
+    1/n_salts) with mean <= bucket_rows.
+
+    The overflow guarantee is PROBABILISTIC, not absolute: the 2^61
+    budget leaves 4x headroom under the 2^63 wrap, so a bucket partial
+    overflows only at >= 4x its mean load — a Chernoff tail of order
+    exp(-Theta(mean)). That bound is astronomically small ONLY when
+    the mean is large; for huge terms ``bucket_rows`` collapses (e.g.
+    max|term| = 2^60 gives bucket_rows = 2, where a 4x-mean bucket is
+    a ~1e-3-per-bucket event). :data:`EXACT_SUM_MIN_BUCKET_ROWS`
+    enforces the large-mean assumption: when ``2^61 // max_abs_term``
+    falls below 2^16, the salted shape is abandoned for a per-term
+    DECIMAL(38,0) accumulation — unconditionally exact, ~10x slower,
+    and acceptable precisely because such callers are summing few-row
+    frames of astronomical terms, not corpus-scale quantized products.
+
+    Stage-retry caveat (the SPARK-23207 class): the salt is
+    NONDETERMINISTIC, so if a shuffle-fetch failure forces PARTIAL
+    recompute of phase-1 map tasks, the recomputed rows can take
+    different salts than the already-consumed originals — Spark must
+    roll the whole stage back (it marks indeterminate output) or rows
+    could be double-counted/dropped. Partition-invariance of integer
+    sums covers WHERE a row lands, not a row landing twice. The
+    repo's tripwire: every consumer's DuckDB oracle hash-check plus
+    the ``n_rows``-vs-deterministic-``count()`` comparison in
+    ``tests/test_scale_ops.py`` would surface a retry-induced
+    miscount; where row identity exists, a content-derived salt (see
+    :func:`salted_aggregate`) avoids the hazard entirely and is the
+    preferred shape.
 
     ``n_rows`` must upper-bound the LARGEST KEY GROUP (not the frame —
     overestimating only raises the fan-out); ``max_abs_term`` must
@@ -312,7 +342,22 @@ def exact_group_sums(
     unbounded integer arithmetic, with a bigint ``n_rows`` count and
     DECIMAL(38,0) sums named by the ``terms`` keys.
     """
-    bucket_rows = max(1, EXACT_SUM_BUDGET // max(1, int(max_abs_term)))
+    bucket_rows = EXACT_SUM_BUDGET // max(1, int(max_abs_term))
+    if bucket_rows < EXACT_SUM_MIN_BUCKET_ROWS:
+        proj = df.select(
+            *[F.col(k) for k in keys],
+            *[
+                t.cast("decimal(38,0)").alias(f"_t_{name}")
+                for name, t in terms.items()
+            ],
+        )
+        return proj.groupBy(*keys).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            *[
+                F.sum(f"_t_{name}").cast("decimal(38,0)").alias(name)
+                for name in terms
+            ],
+        )
     n_salts = max(1, -(-max(1, int(n_rows)) // bucket_rows))
     proj = df.select(
         *[F.col(k) for k in keys],

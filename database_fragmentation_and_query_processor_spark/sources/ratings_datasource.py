@@ -39,6 +39,7 @@ quarantining loader family (csv_src/jsonl) is the lenient path.
 from __future__ import annotations
 
 import glob as _glob
+import json
 import os
 import posixpath
 from collections.abc import Iterator
@@ -88,14 +89,58 @@ class RatingsRange(InputPartition):
 
 def _resolve_files(path: str, fs) -> list[str]:
     """Expand a path / directory / local glob into a sorted file list,
-    using only shim calls for path types the shim can answer."""
+    using only shim calls for path types the shim can answer.
+
+    Directories produced by :class:`RatingsWriter` are read through the
+    ``_SUCCESS`` manifest, which closes the job-level commit window: the
+    writer publishes renames BEFORE the marker, so a driver crash
+    mid-commit leaves part files on disk with no ``_SUCCESS`` — and
+    because the staging sweep runs only AFTER the marker, such a
+    directory still contains ``_staging/``, which this reader treats as
+    a hard "partial commit" error instead of silently returning a
+    partial file set. Foreign directories (no ``_staging/``; absent,
+    empty, or non-manifest ``_SUCCESS`` — e.g. Hadoop's) keep the plain
+    listing behavior."""
     if fs.is_dir(path):
-        out = sorted(
-            child
-            for child, is_dir, _sz, _mt in fs.list_status(path)
-            if not is_dir
-            and not posixpath.basename(child).startswith(("_", "."))
-        )
+        listing = list(fs.list_status(path))
+        names = {posixpath.basename(c) for c, _d, _sz, _mt in listing}
+        manifest: list[str] | None = None
+        if "_SUCCESS" in names:
+            try:
+                doc = json.loads(
+                    fs.read_text(posixpath.join(path, "_SUCCESS"))
+                )
+                if isinstance(doc, dict) and isinstance(
+                    doc.get("files"), list
+                ):
+                    manifest = [str(n) for n in doc["files"]]
+            except Exception:
+                manifest = None  # legacy / foreign marker: list instead
+        if manifest is not None:
+            missing = sorted(set(manifest) - names)
+            if missing:
+                raise IOError(
+                    f"movielens_ratings: _SUCCESS manifest at {path!r} "
+                    f"names files not on disk ({missing}); the commit "
+                    f"is corrupt — refusing a partial read"
+                )
+            out = sorted(posixpath.join(path, n) for n in manifest)
+        elif RatingsWriter.STAGING_DIR in names and "_SUCCESS" not in names:
+            raise IOError(
+                f"movielens_ratings: {path!r} has a {RatingsWriter.STAGING_DIR}/ "
+                f"directory but no _SUCCESS marker — a writer crashed "
+                f"mid-commit; the visible part files may be a partial "
+                f"set. Re-run the write (overwrite mode clears them) "
+                f"or remove {RatingsWriter.STAGING_DIR}/ to force a "
+                f"plain-listing read."
+            )
+        else:
+            out = sorted(
+                child
+                for child, is_dir, _sz, _mt in listing
+                if not is_dir
+                and not posixpath.basename(child).startswith(("_", "."))
+            )
     elif fs.exists(path):
         out = [path]
     elif "://" not in path:
@@ -285,7 +330,9 @@ class RatingsWriter(DataSourceWriter):
     stages one uniquely-named file under ``_staging/`` (underscore
     prefix → invisible to the reader's listing), and the DRIVER-side
     ``commit`` renames only the files named in the returned commit
-    messages into the destination before dropping ``_SUCCESS``. A
+    messages into the destination, then publishes them atomically via
+    a ``_SUCCESS`` JSON manifest the reader trusts over the listing
+    (see :meth:`commit` for the crash-ordering argument). A
     retried or speculative attempt that finished ``write()`` but lost
     the task-commit race therefore never surfaces to readers — its
     orphan stays in ``_staging/``, which commit/abort sweep. Same
@@ -329,22 +376,33 @@ class RatingsWriter(DataSourceWriter):
             pass  # best-effort: leftovers are invisible to readers
 
     def commit(self, messages) -> None:
+        """Job-level commit in three ordered steps: (1) rename each
+        committed attempt's staged file into the destination, (2)
+        atomically write the ``_SUCCESS`` MANIFEST (JSON naming exactly
+        the published files — the reader trusts it over the listing, so
+        the whole committed set becomes visible in the one marker
+        write), (3) sweep ``_staging/``. The sweep runs LAST so a crash
+        anywhere before the marker leaves ``_staging/`` behind as a
+        tamper-evident seal: the reader refuses directories that have
+        staging leftovers but no ``_SUCCESS`` (partial commit), instead
+        of silently reading whichever subset of renames landed."""
         from ..fs import fs_for
 
         fs = fs_for(self.path)
         # Publish exactly the committed attempts' files; losing
         # speculative/retried attempts stay behind in _staging.
+        published = []
         for m in messages:
             if m is not None:
-                fs.rename(
-                    m.path,
-                    posixpath.join(self.path, posixpath.basename(m.path)),
-                )
-        self._sweep_staging(fs)
+                name = posixpath.basename(m.path)
+                fs.rename(m.path, posixpath.join(self.path, name))
+                published.append(name)
         total = sum(m.n_rows for m in messages if m is not None)
         fs.write_text_atomic(
-            posixpath.join(self.path, "_SUCCESS"), f"{total}\n"
+            posixpath.join(self.path, "_SUCCESS"),
+            json.dumps({"n_rows": total, "files": sorted(published)}) + "\n",
         )
+        self._sweep_staging(fs)
 
     def abort(self, messages) -> None:
         from ..fs import fs_for

@@ -256,3 +256,81 @@ def test_writer_abort_leaves_destination_clean(tmp_path):
     assert not any(not n.startswith(("_", ".")) for n in names)
     assert not fs.exists(posixpath.join(dest, "_staging"))
     assert not fs.exists(posixpath.join(dest, "_SUCCESS"))
+
+
+def test_success_manifest_pins_the_committed_file_set(tmp_path):
+    """Round-9 fix: _SUCCESS is a JSON manifest naming exactly the
+    published files; the reader trusts it over the listing, so a stray
+    part file dropped beside a committed set (a lost rename from an
+    aborted concurrent job, an operator's copy-paste) is never read."""
+    import json as _json
+    import posixpath
+
+    from database_fragmentation_and_query_processor_spark.fs import fs_for
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+        _resolve_files,
+    )
+
+    dest = str(tmp_path / "out")
+    w = RatingsWriter({"path": dest}, overwrite=True)
+    msg = _write_task(w, [(1, 10, 4.5), (2, 20, 3.0)])
+    w.commit([msg])
+    fs = fs_for(dest)
+    doc = _json.loads(fs.read_text(posixpath.join(dest, "_SUCCESS")))
+    assert doc["n_rows"] == 2
+    assert doc["files"] == [posixpath.basename(msg.path)]
+    # a stray file beside the committed set is invisible to the reader
+    (tmp_path / "out" / "part-stray.txt").write_text("9::9::1.0::0\n")
+    files = _resolve_files(dest, fs)
+    assert [posixpath.basename(p) for p in files] == doc["files"]
+
+
+def test_reader_refuses_partial_commit(tmp_path):
+    """A driver crash between the publish renames and the _SUCCESS
+    marker leaves part files visible but _staging/ behind (the sweep
+    runs last); the reader must refuse that directory rather than
+    silently return whichever subset of renames landed."""
+    import posixpath
+
+    import pytest as _pytest
+
+    from database_fragmentation_and_query_processor_spark.fs import fs_for
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+        _resolve_files,
+    )
+
+    dest = str(tmp_path / "out")
+    w = RatingsWriter({"path": dest}, overwrite=True)
+    msg = _write_task(w, [(1, 10, 4.5)])
+    fs = fs_for(dest)
+    # simulate the crash: the rename landed, the marker never did
+    fs.rename(msg.path, posixpath.join(dest, posixpath.basename(msg.path)))
+    assert fs.exists(posixpath.join(dest, RatingsWriter.STAGING_DIR))
+    with _pytest.raises(IOError, match="partial|mid-commit"):
+        _resolve_files(dest, fs)
+
+
+def test_manifest_naming_missing_file_is_an_error(tmp_path):
+    """A manifest that names files not on disk means the commit is
+    corrupt (the ordering makes this unreachable by a crash alone);
+    refuse rather than read a partial set."""
+    import posixpath
+
+    import pytest as _pytest
+
+    from database_fragmentation_and_query_processor_spark.fs import fs_for
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+        _resolve_files,
+    )
+
+    dest = str(tmp_path / "out")
+    w = RatingsWriter({"path": dest}, overwrite=True)
+    msg = _write_task(w, [(1, 10, 4.5)])
+    w.commit([msg])
+    fs = fs_for(dest)
+    fs.delete(posixpath.join(dest, posixpath.basename(msg.path)))
+    with _pytest.raises(IOError, match="manifest"):
+        _resolve_files(dest, fs)

@@ -348,3 +348,58 @@ def test_exact_group_sums_property(spark, rows):
         ).collect()
     }
     assert got == {k: (want_n[k], want_s[k]) for k in want_n}
+
+
+def test_exact_group_sums_huge_terms_take_decimal_fallback(spark):
+    """Round-9 ADVICE fix: when 2^61 // max|term| drops below the
+    2^16 bucket-row floor the binomial-tail sizing argument collapses
+    (mean bucket load O(1) — a 4x-mean bucket is a routine
+    fluctuation, not a 1e-15 tail), so the helper must abandon the
+    salted shape for unconditionally-exact per-term DECIMAL(38,0)
+    accumulation. Checks both the routing (no _salt in the plan) and
+    the value (2^60-magnitude terms, far past any bigint sum)."""
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        EXACT_SUM_BUDGET,
+        EXACT_SUM_MIN_BUCKET_ROWS,
+        exact_group_sums,
+    )
+
+    big = 1 << 60
+    assert EXACT_SUM_BUDGET // big < EXACT_SUM_MIN_BUCKET_ROWS
+    df = spark.range(0, 40, 1, 4).select(
+        (F.col("id") % 2).alias("k"), F.lit(big).alias("v")
+    )
+    out = exact_group_sums(
+        df, ["k"], {"s": F.col("v")}, n_rows=40, max_abs_term=big
+    )
+    assert "_salt" not in out._jdf.queryExecution().executedPlan().toString()
+    got = sorted((r["k"], r["n_rows"], int(r["s"])) for r in out.collect())
+    assert got == [(0, 20, 20 * big), (1, 20, 20 * big)]
+    # salted path still engages for quantized-product magnitudes
+    small = exact_group_sums(
+        df.select("k", (F.col("k") + 1).alias("v")),
+        ["k"],
+        {"s": F.col("v")},
+        n_rows=40_000_000,
+        max_abs_term=10**12,
+    )
+    assert "_salt" in small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_group_sums_n_rows_matches_deterministic_count(spark):
+    """The stage-retry tripwire the helper's docstring promises: the
+    merged n_rows total must equal a deterministic count() of the same
+    input — a recompute-after-fetch-failure double-count/drop (the
+    SPARK-23207 class the nondeterministic salt reintroduces) would
+    break this equality."""
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        exact_group_sums,
+    )
+
+    df = spark.range(0, 5000, 1, 16).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 101).alias("v")
+    )
+    out = exact_group_sums(
+        df, ["k"], {"s": F.col("v")}, n_rows=5000, max_abs_term=101
+    )
+    assert sum(r["n_rows"] for r in out.collect()) == df.count()
