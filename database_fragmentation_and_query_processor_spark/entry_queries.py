@@ -3849,6 +3849,23 @@ EMB_Q_SCALE = 1_000_000
 VAL_Q_SCALE = 1_000
 
 
+#: Memo for :func:`_emb_qstats`, keyed by (Spark applicationId,
+#: sf_dir). The three scalars are a property of the DATASET, not of
+#: the query — before round 9 each embedding-stats query in a session
+#: re-ran the same corpus scan for the same three numbers (three
+#: redundant full reads in a session running the family; at 100 TB a
+#: second full read is real money). Keying by applicationId scopes the
+#: memo to one SparkSession lifetime, so a restarted session (or a
+#: rewritten dataset under a new session) never sees stale stats; the
+#: test data is immutable within a session by contract (TESTDATA.md).
+#: The at-scale extension is to persist (count, max|q|, dim) into the
+#: dataset's catalog sidecar at write time so even the first query
+#: skips the pre-pass; for now the memo amortizes it to once per
+#: (session, dataset).
+_EMB_QSTATS_CACHE: dict[tuple[str, str], tuple[int, int, int]] = {}
+_EMB_QSTATS_MISSES: int = 0  # test hook: counts actual corpus scans
+
+
 def _emb_qstats(spark, sf_dir) -> tuple[int, int, int]:
     """One bounded pre-pass over the element explode of ``embeddings``:
     (vector count, max |quantized element|, max array length). These
@@ -3859,7 +3876,14 @@ def _emb_qstats(spark, sf_dir) -> tuple[int, int, int]:
     The vector count upper-bounds EVERY key group the family
     aggregates (per-dim rows and per-(i,j)-cell rows are both one per
     vector). One column-pruned scan + a 3-scalar reduce (vectors are
-    counted as dim==0 rows, so no second job)."""
+    counted as dim==0 rows, so no second job), memoized per
+    (session, dataset) — see :data:`_EMB_QSTATS_CACHE`."""
+    global _EMB_QSTATS_MISSES
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    hit = _EMB_QSTATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _EMB_QSTATS_MISSES += 1
     emb = _emb(spark, sf_dir)
     ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
     q = F.floor(F.col("x").cast("double") * EMB_Q_SCALE).cast("bigint")
@@ -3871,6 +3895,7 @@ def _emb_qstats(spark, sf_dir) -> tuple[int, int, int]:
     nv = int(r["nv"] or 0)
     qmax = max(int(r["qmax"] or 1), 1)
     d = int(r["dmax"] or 0) + 1
+    _EMB_QSTATS_CACHE[key] = (nv, qmax, d)
     return nv, qmax, d
 
 
@@ -18709,7 +18734,49 @@ _missing = [n for n in _R8_WINDOW if n not in _QUERIES_ALL]
 if _missing:
     raise RuntimeError(f"r8 stamp window names unknown queries: {_missing}")
 
-_HEAD = _R8_WINDOW
+#: Queries whose IMPLEMENTATION changed in round 9 and already carry a
+#: driver stamp, so they need a fresh one on the new code path: the six
+#: consumers of exact_group_sums (the helper gained the
+#: EXACT_SUM_MIN_BUCKET_ROWS floor + decimal fallback this round — no
+#: current caller crosses the floor, but the driver should evidence
+#: the family on the code that now contains the branch), which are
+#: also the queries whose _emb_qstats sizing pre-pass became cached
+#: per (session, sf_dir) this round.
+_R9_RESTAMP: list[str] = [
+    "embedding_covariance_topk",
+    "embedding_dim_variance",
+    "value_regression",
+    "term_burstiness",
+    "poisson_bootstrap_ci",
+    "pca_power_iteration",
+]
+
+#: Round-9 window (the backlog-closing rotation the r8 verdict
+#: prescribed): the 5 frag pins, ALL 26 _R8_DEFERRED queries (the only
+#: registry entries never driver-stamped through r8 — stamping them
+#: makes cumulative driver evidence 276/276), the 6 round-9 restamps,
+#: and a refill of 13 unchanged queries from the round-8 window in its
+#: original order.
+_R9_STAMP: list[str] = list(_R8_DEFERRED)
+
+_R9_WINDOW: list[str] = (
+    _R8_WINDOW[:5]
+    + _R9_STAMP
+    + _R9_RESTAMP
+    + [
+        n
+        for n in _R8_WINDOW[5:]
+        if n not in set(_R9_RESTAMP)
+    ][: 50 - 5 - len(_R9_STAMP) - len(_R9_RESTAMP)]
+)
+
+if len(_R9_WINDOW) != 50 or len(set(_R9_WINDOW)) != 50:
+    raise RuntimeError("r9 stamp window must be exactly 50 unique queries")
+_missing = [n for n in _R9_WINDOW if n not in _QUERIES_ALL]
+if _missing:
+    raise RuntimeError(f"r9 stamp window names unknown queries: {_missing}")
+
+_HEAD = _R9_WINDOW
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{n: _QUERIES_ALL[n] for n in _HEAD},

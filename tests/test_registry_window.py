@@ -35,23 +35,24 @@ def _stamped_through(last_round: int) -> set[str]:
 
 
 def test_stamp_window_composition():
-    """R8 window = 5 pinned frag rows, 41 of the 67 round-7 additions
-    (judge priorities first: the ANN family, the rank tests, the
-    fragile-oracle iterative fits, every round-8-modified query; the
-    rest in _R7_ADDED order), and the 4 round-8 restamps (the
-    embedding-stats queries, value_regression, and term_burstiness —
-    all rebuilt on exact_group_sums)."""
+    """R9 window (the backlog-closing rotation the r8 verdict
+    prescribed) = 5 pinned frag rows, ALL 26 _R8_DEFERRED queries (the
+    only registry entries never driver-stamped through r8), the 6
+    round-9 restamps (the exact_group_sums consumers — the helper
+    gained the bucket-row floor + decimal fallback and the cached
+    qstats pre-pass this round), and 13 refills from the round-8
+    window in its original order."""
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
-    assert names[5:19] == EQ._R8_PRIORITY
-    assert names[5:46] == EQ._R8_STAMP
-    assert names[46:50] == EQ._R8_RESTAMP
-    assert names[:50] == EQ._R8_WINDOW
+    assert names[5:31] == EQ._R9_STAMP
+    assert names[5:31] == EQ._R8_DEFERRED
+    assert names[31:37] == EQ._R9_RESTAMP
+    assert names[:50] == EQ._R9_WINDOW
     assert len(names) == len(set(names))
 
 
-def test_r8_split_covers_all_r7_additions():
-    """The two-round rotation loses nothing: stamp ∪ deferred is
+def test_r8_split_covered_all_r7_additions():
+    """The two-round rotation lost nothing: r8 stamp ∪ deferred is
     exactly the 67 round-7 additions, disjointly."""
     assert set(EQ._R8_STAMP) | set(EQ._R8_DEFERRED) == set(EQ._R7_ADDED)
     assert not set(EQ._R8_STAMP) & set(EQ._R8_DEFERRED)
@@ -59,37 +60,40 @@ def test_r8_split_covers_all_r7_additions():
 
 
 def test_window_closes_the_evidence_gap():
-    """After the r8 rotation the only queries without a PRIOR driver
-    stamp are the 67 round-7 additions; 41 of them are inside the
-    window (the other 26 are the documented r9 backlog), and nothing
-    previously stamped fell out of evidence."""
-    stamped = _stamped_through(7)
+    """After the r9 rotation, every query ever registered through r8
+    has a stamp OR sits inside the current window: the only queries
+    without a stamp through r8 are the 26 _R8_DEFERRED, all of which
+    the r9 window front-loads — driver evidence reaches the full
+    registry this round (new _R9_ADDED queries register BELOW the
+    window and rotate in next round, per the standing convention)."""
+    stamped = _stamped_through(8)
     if not stamped:  # correctness files absent (fresh checkout)
         return
     names = list(EQ.QUERIES)
     window = set(names[:50])
-    never_stamped = {n for n in names if n not in stamped}
-    assert never_stamped == set(EQ._R7_ADDED)
-    assert set(EQ._R8_STAMP) <= window
-    assert not set(EQ._R8_DEFERRED) & window
-
-
-def test_window_restamps_every_round8_modified_query():
-    """Every query whose implementation changed in round 8 must get a
-    fresh driver stamp on the new code path — the two restamps plus
-    the modified round-7 additions, which must all be in _R8_STAMP."""
-    names = list(EQ.QUERIES)
-    assert set(EQ._R8_RESTAMP) <= set(names[:50])
-    modified_r7_additions = {
-        "pca_power_iteration",
-        "bloom_fp_rate_audit",
-        "weighted_median_exact",
-        "gpd_tail_fit",
-        "gini_concentration",
-        "ann_pq_topk",
-        "ann_ivfpq_topk",
+    never_stamped = {
+        n for n in names if n not in stamped and n not in set(
+            getattr(EQ, "_R9_ADDED", [])
+        )
     }
-    assert modified_r7_additions <= set(names[:50])
+    assert never_stamped == set(EQ._R8_DEFERRED)
+    assert never_stamped <= window
+
+
+def test_window_restamps_every_round9_modified_query():
+    """Every query whose implementation changed in round 9 must get a
+    fresh driver stamp on the new code path: the six exact_group_sums
+    consumers (floor-fallback branch + cached qstats sizing)."""
+    names = list(EQ.QUERIES)
+    assert set(EQ._R9_RESTAMP) == {
+        "embedding_covariance_topk",
+        "embedding_dim_variance",
+        "value_regression",
+        "term_burstiness",
+        "poisson_bootstrap_ci",
+        "pca_power_iteration",
+    }
+    assert set(EQ._R9_RESTAMP) <= set(names[:50])
 
 
 def test_every_query_has_an_oracle():
