@@ -309,6 +309,10 @@ HEADLINE = [
     "orders_cube",
     "simhash_near_dup_pairs",
     "streaming_hourly",
+    # round-9 additions
+    "bpe_merge_learning",
+    "line_quality_filter",
+    "url_domain_dedup",
 ]
 
 

@@ -108,6 +108,10 @@ def _canon(df):
         # round-8 overflow-hardened (exact_group_sums two-phase):
         "value_regression",         # integer OLS sufficient statistics
         "embedding_dim_variance",   # quantized Σq/Σq² via salted two-phase
+        # round-9 additions:
+        "bpe_merge_learning",       # integer pair counts, total-order argmax
+        "line_quality_filter",      # integer counts, decimal-cast ln sums
+        "url_domain_dedup",         # pure string/integer canonicalization
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
