@@ -316,6 +316,78 @@ HEADLINE = [
 ]
 
 
+#: Per-query historical QUIET timings (the operative record under this
+#: sandbox's bursty ambient load — BASELINE.md documents the
+#: interpretation rule). Keyed by str(sf) then query name; value is the
+#: fastest time ever recorded for that query at that scale factor. Used
+#: as the retime trigger's data source: any line slower than
+#: RETIME_FACTOR × its own quiet value re-runs once, not just the
+#: global slowest-10 (r8/r9 verdicts: two demonstrated misses where an
+#: ambient spike survived into the round record because the inflated
+#: line was fast in absolute terms or its retime landed in the same
+#: contended window).
+QUIET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "QUIET_LINES.json")
+RETIME_FACTOR = 3.0
+RETIME_FLOOR_SEC = 0.5  # ignore sub-floor lines: 3x of 0.1s is noise
+RETIME_EXTRA_CAP = 20   # bound the extra pass under a fully contended run
+
+
+def load_quiet(sf: float) -> dict[str, float]:
+    try:
+        with open(QUIET_PATH) as f:
+            doc = json.load(f)
+        vals = doc.get(str(sf), {})
+        return {k: float(v) for k, v in vals.items()}
+    except Exception:
+        return {}
+
+
+def update_quiet(sf: float, *timing_maps: dict) -> None:
+    """Fold this run's timings into the quiet record: quiet = min over
+    history (ambient load only ever inflates, so min converges on the
+    true steady value)."""
+    try:
+        with open(QUIET_PATH) as f:
+            doc = json.load(f)
+    except Exception:
+        doc = {}
+    vals = {k: float(v) for k, v in doc.get(str(sf), {}).items()}
+    for tm in timing_maps:
+        for name, v in tm.items():
+            if isinstance(v, float):
+                vals[name] = min(vals.get(name, v), v)
+    doc[str(sf)] = {k: vals[k] for k in sorted(vals)}
+    try:
+        with open(QUIET_PATH, "w") as f:
+            json.dump(doc, f, indent=0, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {QUIET_PATH}: {exc}", file=sys.stderr)
+
+
+def retime_candidates(
+    timings: dict[str, float | str], quiet: dict[str, float]
+) -> list[str]:
+    """The lines worth a noise-isolation second run: the 10 slowest
+    (the original global trigger) PLUS any line >RETIME_FACTOR× its own
+    historical quiet value (the per-line trigger — catches a fast-in-
+    absolute-terms query sitting in a contended window, which the
+    global top-10 misses), capped so a fully contended run stays
+    bounded."""
+    floats = {k: v for k, v in timings.items() if isinstance(v, float)}
+    slowest = [k for k, _ in sorted(floats.items(), key=lambda kv: -kv[1])[:10]]
+    spiked = [
+        k
+        for k, v in sorted(floats.items(), key=lambda kv: -kv[1])
+        if k not in set(slowest)
+        and v >= RETIME_FLOOR_SEC
+        and quiet.get(k) is not None
+        and v > RETIME_FACTOR * quiet[k]
+    ][:RETIME_EXTRA_CAP]
+    return slowest + spiked
+
+
 def compact_summary(out: dict) -> dict:
     """The final stdout line: everything a 2000-char tail-window parser
     must recover — totals, error count, the 10 slowest queries as
@@ -397,14 +469,15 @@ def main() -> None:
     # Noise-isolation retime: this sandbox's ambient load attaches
     # multi-x inflation to whichever query occupies a contended window
     # (BASELINE.md documents 25x swings on unchanged trivial queries).
-    # Re-running the 10 slowest lines once, after the full pass, bakes
-    # the round-3/4 "isolated re-measurement" protocol into the harness:
-    # a line that collapses on retime was load, not code.
+    # Re-running suspect lines once, after the full pass, bakes the
+    # round-3/4 "isolated re-measurement" protocol into the harness: a
+    # line that collapses on retime was load, not code. Suspect = the
+    # 10 slowest PLUS anything >3x its own historical quiet value (see
+    # retime_candidates — the per-line trigger the r9 verdict ordered
+    # after two rounds where a spike survived the global-top-10 net).
+    quiet = load_quiet(sf)
     retimed: dict[str, float | str] = {}
-    for name, _first in sorted(
-        ((k, v) for k, v in timings.items() if isinstance(v, float)),
-        key=lambda kv: -kv[1],
-    )[:10]:
+    for name in retime_candidates(timings, quiet):
         retimed[name] = run_once(spark, sf_dir, name)
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
@@ -430,6 +503,7 @@ def main() -> None:
         out["r1_subset_n"] = sum(1 for k in timings if k in r1_names)
     except Exception:
         pass
+    update_quiet(sf, timings, retimed)
     print(json.dumps(out))
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")

@@ -128,10 +128,13 @@ def _resolve_files(path: str, fs) -> list[str]:
         elif RatingsWriter.STAGING_DIR in names and "_SUCCESS" not in names:
             raise IOError(
                 f"movielens_ratings: {path!r} has a {RatingsWriter.STAGING_DIR}/ "
-                f"directory but no _SUCCESS marker — a writer crashed "
-                f"mid-commit; the visible part files may be a partial "
-                f"set. Re-run the write (overwrite mode clears them) "
-                f"or remove {RatingsWriter.STAGING_DIR}/ to force a "
+                f"directory but no _SUCCESS marker — either a write job "
+                f"is still in progress (reading a destination during "
+                f"its first write is unsupported; retry after it "
+                f"commits) or a writer crashed mid-commit, in which "
+                f"case the visible part files may be a partial set. "
+                f"Re-run the write (overwrite mode clears them) or "
+                f"remove {RatingsWriter.STAGING_DIR}/ to force a "
                 f"plain-listing read."
             )
         else:
@@ -385,10 +388,24 @@ class RatingsWriter(DataSourceWriter):
         anywhere before the marker leaves ``_staging/`` behind as a
         tamper-evident seal: the reader refuses directories that have
         staging leftovers but no ``_SUCCESS`` (partial commit), instead
-        of silently reading whichever subset of renames landed."""
+        of silently reading whichever subset of renames landed.
+
+        Append mode (``overwrite=False``): the new manifest UNIONS the
+        previously committed manifest's files and row count, so earlier
+        jobs' part files stay visible — a manifest naming only the
+        current job's files would silently orphan every prior commit
+        (the manifest-trusting reader never lists them). Appending onto
+        a directory that already has visible data files but no valid
+        manifest is rejected: there is no authoritative prior file set
+        to union, and guessing from the listing could resurrect files a
+        crashed overwrite meant to retract."""
         from ..fs import fs_for
 
         fs = fs_for(self.path)
+        prior_files: list[str] = []
+        prior_rows = 0
+        if not self.overwrite:
+            prior_files, prior_rows = self._prior_commit(fs)
         # Publish exactly the committed attempts' files; losing
         # speculative/retried attempts stay behind in _staging.
         published = []
@@ -397,12 +414,67 @@ class RatingsWriter(DataSourceWriter):
                 name = posixpath.basename(m.path)
                 fs.rename(m.path, posixpath.join(self.path, name))
                 published.append(name)
-        total = sum(m.n_rows for m in messages if m is not None)
+        total = prior_rows + sum(
+            m.n_rows for m in messages if m is not None
+        )
         fs.write_text_atomic(
             posixpath.join(self.path, "_SUCCESS"),
-            json.dumps({"n_rows": total, "files": sorted(published)}) + "\n",
+            json.dumps(
+                {"n_rows": total,
+                 "files": sorted(set(prior_files) | set(published))}
+            ) + "\n",
         )
         self._sweep_staging(fs)
+
+    def _prior_commit(self, fs) -> tuple[list[str], int]:
+        """The previously committed (files, n_rows) to carry into an
+        append's manifest. Empty/fresh destinations append onto
+        nothing; a valid manifest is authoritative; visible data files
+        WITHOUT a valid manifest are ambiguous (foreign directory, or a
+        legacy marker) and append onto them is refused."""
+        if not fs.is_dir(self.path):
+            return [], 0
+        listing = list(fs.list_status(self.path))
+        data_names = sorted(
+            posixpath.basename(c)
+            for c, is_dir, _sz, _mt in listing
+            if not is_dir
+            and not posixpath.basename(c).startswith("_")
+        )
+        marker = posixpath.join(self.path, "_SUCCESS")
+        doc = None
+        names = {posixpath.basename(c) for c, _d, _sz, _mt in listing}
+        if "_SUCCESS" in names:
+            try:
+                doc = json.loads(fs.read_text(marker))
+            except Exception:
+                doc = None
+        if (
+            isinstance(doc, dict)
+            and isinstance(doc.get("files"), list)
+        ):
+            files = [str(n) for n in doc["files"]]
+            missing = sorted(set(files) - names)
+            if missing:
+                raise IOError(
+                    f"movielens_ratings: cannot append at {self.path!r} — "
+                    f"the existing _SUCCESS manifest names files not on "
+                    f"disk ({missing}); the prior commit is corrupt"
+                )
+            try:
+                rows = int(doc.get("n_rows", 0))
+            except (TypeError, ValueError):
+                rows = 0
+            return files, rows
+        if data_names:
+            raise IOError(
+                f"movielens_ratings: cannot append at {self.path!r} — "
+                f"the directory has visible data files {data_names[:5]} "
+                f"but no valid _SUCCESS manifest to union into the new "
+                f"commit. Use overwrite mode, or commit the existing "
+                f"files with a manifest first."
+            )
+        return [], 0
 
     def abort(self, messages) -> None:
         from ..fs import fs_for

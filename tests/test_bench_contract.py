@@ -62,3 +62,42 @@ def test_headline_is_subset_of_registry():
     missing = set(bench.HEADLINE) - set(EQ.QUERIES)
     assert not missing, missing
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_retime_candidates_adds_per_line_quiet_trigger():
+    """R10: the retime set = global slowest-10 ∪ any line >3x its own
+    historical quiet value (≥ the absolute floor) — the per-line
+    trigger catches a fast-in-absolute-terms query sitting in a
+    contended window, which the global top-10 misses (the r8/r9
+    demonstrated failure mode)."""
+    timings = {f"q{i:02d}": 10.0 + i for i in range(10)}  # the top 10
+    timings["spiked"] = 2.0      # > 3x its 0.5 quiet -> retimed
+    timings["steady"] = 2.0      # at its own quiet -> not retimed
+    timings["tiny_spike"] = 0.3  # 3x of 0.1 but under floor -> skipped
+    timings["broken"] = "ERR AnalysisException"
+    quiet = {"spiked": 0.5, "steady": 2.0, "tiny_spike": 0.1}
+    cand = bench.retime_candidates(timings, quiet)
+    assert len([c for c in cand if c.startswith("q")]) == 10
+    assert "spiked" in cand
+    assert "steady" not in cand
+    assert "tiny_spike" not in cand
+    assert "broken" not in cand
+
+
+def test_retime_candidates_cap_bounds_contended_runs():
+    timings = {f"s{i:03d}": 5.0 for i in range(100)}
+    quiet = {k: 0.1 for k in timings}
+    cand = bench.retime_candidates(timings, quiet)
+    assert len(cand) == 10 + bench.RETIME_EXTRA_CAP
+
+
+def test_quiet_record_covers_the_registry():
+    """QUIET_LINES.json must know every registered query at sf0.1 —
+    a registry addition without a quiet line silently opts out of the
+    per-line trigger (bench.py folds each run in, so the file stays
+    current once seeded; new queries gain their line on first bench)."""
+    quiet = bench.load_quiet(0.1)
+    known = set(quiet)
+    registered = set(EQ.QUERIES)
+    missing = registered - known - set(getattr(EQ, "_R10_ADDED", []))
+    assert not missing, missing

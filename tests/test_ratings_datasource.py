@@ -334,3 +334,94 @@ def test_manifest_naming_missing_file_is_an_error(tmp_path):
     fs.delete(posixpath.join(dest, posixpath.basename(msg.path)))
     with _pytest.raises(IOError, match="manifest"):
         _resolve_files(dest, fs)
+
+
+def test_append_commit_unions_prior_manifest(tmp_path):
+    """Round-10 fix (r9 advisor, high): an append-mode commit must
+    carry the previously committed manifest forward — a manifest naming
+    only the second job's files silently orphans every file the first
+    job published (the manifest-trusting reader never lists them)."""
+    import json as _json
+    import posixpath
+
+    from database_fragmentation_and_query_processor_spark.fs import fs_for
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+        _resolve_files,
+    )
+
+    dest = str(tmp_path / "out")
+    w1 = RatingsWriter({"path": dest}, overwrite=True)
+    m1 = _write_task(w1, [(1, 10, 4.5), (2, 20, 3.0)])
+    w1.commit([m1])
+    w2 = RatingsWriter({"path": dest}, overwrite=False)
+    m2 = _write_task(w2, [(3, 30, 1.5)])
+    w2.commit([m2])
+    fs = fs_for(dest)
+    doc = _json.loads(fs.read_text(posixpath.join(dest, "_SUCCESS")))
+    assert doc["n_rows"] == 3
+    assert doc["files"] == sorted(
+        [posixpath.basename(m1.path), posixpath.basename(m2.path)]
+    )
+    names = {posixpath.basename(p) for p in _resolve_files(dest, fs)}
+    assert posixpath.basename(m1.path) in names  # job1 still visible
+    assert posixpath.basename(m2.path) in names
+
+
+def test_append_onto_unmanifested_data_is_refused(tmp_path):
+    """Appending onto a directory with visible data files but no valid
+    manifest has no authoritative prior file set to union — refuse
+    rather than guess from the listing."""
+    import pytest as _pytest
+
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+    )
+
+    dest = tmp_path / "out"
+    dest.mkdir()
+    (dest / "part-foreign.txt").write_text("9::9::1.0::0\n")
+    w = RatingsWriter({"path": str(dest)}, overwrite=False)
+    msg = _write_task(w, [(1, 10, 4.5)])
+    with _pytest.raises(IOError, match="append"):
+        w.commit([msg])
+
+
+def test_append_into_fresh_directory_behaves_like_first_write(tmp_path):
+    """Append with no prior commit is just the first commit: one
+    manifest naming this job's files."""
+    import json as _json
+    import posixpath
+
+    from database_fragmentation_and_query_processor_spark.fs import fs_for
+    from database_fragmentation_and_query_processor_spark.sources.ratings_datasource import (
+        RatingsWriter,
+    )
+
+    dest = str(tmp_path / "out")
+    w = RatingsWriter({"path": dest}, overwrite=False)
+    msg = _write_task(w, [(1, 10, 4.5)])
+    w.commit([msg])
+    fs = fs_for(dest)
+    doc = _json.loads(fs.read_text(posixpath.join(dest, "_SUCCESS")))
+    assert doc["n_rows"] == 1
+    assert doc["files"] == [posixpath.basename(msg.path)]
+
+
+def test_spark_append_mode_roundtrip(spark, registered, tmp_path):
+    """End-to-end through Spark's writer surface: overwrite then append
+    then read — the union of both jobs' rows comes back."""
+    dest = str(tmp_path / "out")
+    df1 = spark.createDataFrame(
+        [(1, 10, 4.5), (2, 20, 3.0)], "userid int, movieid int, rating double"
+    )
+    df1.write.format("movielens_ratings").mode("overwrite").save(dest)
+    df2 = spark.createDataFrame(
+        [(3, 30, 1.5)], "userid int, movieid int, rating double"
+    )
+    df2.write.format("movielens_ratings").mode("append").save(dest)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.format("movielens_ratings").load(dest).collect()
+    )
+    assert got == [(1, 10, 4.5), (2, 20, 3.0), (3, 30, 1.5)]

@@ -35,20 +35,28 @@ def _stamped_through(last_round: int) -> set[str]:
 
 
 def test_stamp_window_composition():
-    """R9 window (the backlog-closing rotation the r8 verdict
-    prescribed) = 5 pinned frag rows, ALL 26 _R8_DEFERRED queries (the
-    only registry entries never driver-stamped through r8), the 6
-    round-9 restamps (the exact_group_sums consumers — the helper
-    gained the bucket-row floor + decimal fallback and the cached
-    qstats pre-pass this round), and 13 refills from the round-8
-    window in its original order."""
+    """R10 window (the rotation the r9 verdict prescribed) = 5 pinned
+    frag rows, the 3 _R9_ADDED queries (first driver stamp — cumulative
+    evidence reaches the full 279-query pre-r10 registry), the 7
+    round-10 restamps (twonn's persisted pair expansion + the six
+    exact_group_sums consumers whose shared qstats memo gained
+    dead-session eviction), and 35 refills from the round-9 window in
+    its original order."""
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
-    assert names[5:31] == EQ._R9_STAMP
-    assert names[5:31] == EQ._R8_DEFERRED
-    assert names[31:37] == EQ._R9_RESTAMP
-    assert names[:50] == EQ._R9_WINDOW
+    assert names[5:8] == EQ._R9_ADDED
+    assert names[8:15] == EQ._R10_RESTAMP
+    assert names[:50] == EQ._R10_WINDOW
     assert len(names) == len(set(names))
+
+
+def test_r9_window_composition_was_backlog_closing():
+    """Historical pin: the r9 window front-loaded ALL 26 _R8_DEFERRED
+    queries after the frag pins, then the 6 r9 restamps — the shape the
+    r9 driver stamped (CORRECTNESS_r09.json, 50/50 green)."""
+    assert EQ._R9_WINDOW[:5] == FRAG_PINNED
+    assert EQ._R9_WINDOW[5:31] == EQ._R9_STAMP == EQ._R8_DEFERRED
+    assert EQ._R9_WINDOW[31:37] == EQ._R9_RESTAMP
 
 
 def test_r8_split_covered_all_r7_additions():
@@ -60,32 +68,34 @@ def test_r8_split_covered_all_r7_additions():
 
 
 def test_window_closes_the_evidence_gap():
-    """After the r9 rotation, every query ever registered through r8
-    has a stamp OR sits inside the current window: the only queries
-    without a stamp through r8 are the 26 _R8_DEFERRED, all of which
-    the r9 window front-loads — driver evidence reaches the full
-    registry this round (new _R9_ADDED queries register BELOW the
+    """After the r10 rotation, every query registered through r9 has a
+    stamp OR sits inside the current window: the only pre-r10 entries
+    without a stamp through r9 are the 3 _R9_ADDED, all of which the
+    r10 window front-loads — driver evidence reaches the full pre-r10
+    registry this round (new _R10_ADDED queries register BELOW the
     window and rotate in next round, per the standing convention)."""
-    stamped = _stamped_through(8)
+    stamped = _stamped_through(9)
     if not stamped:  # correctness files absent (fresh checkout)
         return
     names = list(EQ.QUERIES)
     window = set(names[:50])
     never_stamped = {
         n for n in names if n not in stamped and n not in set(
-            getattr(EQ, "_R9_ADDED", [])
+            getattr(EQ, "_R10_ADDED", [])
         )
     }
-    assert never_stamped == set(EQ._R8_DEFERRED)
+    assert never_stamped == set(EQ._R9_ADDED)
     assert never_stamped <= window
 
 
-def test_window_restamps_every_round9_modified_query():
-    """Every query whose implementation changed in round 9 must get a
-    fresh driver stamp on the new code path: the six exact_group_sums
-    consumers (floor-fallback branch + cached qstats sizing)."""
+def test_window_restamps_every_round10_modified_query():
+    """Every query whose implementation changed in round 10 must get a
+    fresh driver stamp on the new code path: twonn (persisted pair
+    expansion, the r9 judge's weak item) plus the six qstats-memo
+    consumers (dead-session eviction in the shared cache)."""
     names = list(EQ.QUERIES)
-    assert set(EQ._R9_RESTAMP) == {
+    assert set(EQ._R10_RESTAMP) == {
+        "intrinsic_dim_twonn",
         "embedding_covariance_topk",
         "embedding_dim_variance",
         "value_regression",
@@ -93,7 +103,7 @@ def test_window_restamps_every_round9_modified_query():
         "poisson_bootstrap_ci",
         "pca_power_iteration",
     }
-    assert set(EQ._R9_RESTAMP) <= set(names[:50])
+    assert set(EQ._R10_RESTAMP) <= set(names[:50])
 
 
 def test_every_query_has_an_oracle():
