@@ -313,6 +313,10 @@ HEADLINE = [
     "bpe_merge_learning",
     "line_quality_filter",
     "url_domain_dedup",
+    # round-10 additions
+    "line_dedup_exact",
+    "kn_bigram_perplexity",
+    "unigram_lm_learning",
 ]
 
 

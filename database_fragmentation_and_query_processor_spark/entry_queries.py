@@ -18011,6 +18011,31 @@ def _bpe_oracle_sql(k: int) -> str:
 SQL_BPE_MERGE_LEARNING = _bpe_oracle_sql(BPE_MERGES)
 
 
+def _doc_lines(spark, sf_dir):
+    """The PERSISTED line-explode of the corpus: (doc_id, line_idx,
+    lt), where lines are fixed LINE_TOKENS-token windows (the synthetic
+    corpus has no newlines). Shared substrate of the per-line family —
+    line_quality_filter (score + rewrite) and line_dedup_exact (CCNet
+    stage-1 dedup + rewrite) both fan out from it, each consuming it
+    twice (per-line decision, per-doc reassembly), so it is persisted
+    and registered with cache.track (released by the harness's
+    release_all between queries). Each CALL builds its own frame: the
+    lifecycle is per-returned-plan, not per-session."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    tl = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= 1)
+    n_lines = F.expr(f"(size(t) + {LINE_TOKENS - 1}) div {LINE_TOKENS}")
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.slice(F.col("t"), i * LINE_TOKENS + 1, LINE_TOKENS),
+    )
+    return _track_cached(
+        tl.select(
+            "doc_id", F.posexplode(lines).alias("line_idx", "lt")
+        ).persist()
+    )
+
+
 def q_line_quality_filter(spark, sf_dir):
     """CCNet/KenLM-style PER-LINE quality filtering WITH REWRITE — the
     sub-document analogue of paragraph_dedup that C4/CCNet pipelines
@@ -18036,19 +18061,7 @@ def q_line_quality_filter(spark, sf_dir):
     the keep decision compares identically-built doubles; the rewrite
     is emitted as md5 of the kept-line concatenation (rows stay O(1)
     wide, same convention as paragraph_dedup)."""
-    docs = _docs(spark, sf_dir)
-    toks = T.tokens(F.col("text"))
-    tl = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= 1)
-    n_lines = F.expr(f"(size(t) + {LINE_TOKENS - 1}) div {LINE_TOKENS}")
-    lines = F.transform(
-        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
-        lambda i: F.slice(F.col("t"), i * LINE_TOKENS + 1, LINE_TOKENS),
-    )
-    lx = _track_cached(
-        tl.select(
-            "doc_id", F.posexplode(lines).alias("line_idx", "lt")
-        ).persist()
-    )
+    lx = _doc_lines(spark, sf_dir)
     wx = lx.select("doc_id", "line_idx", F.explode("lt").alias("w"))
     cw = wx.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
     tot = cw.agg(F.sum("c").cast("bigint").alias("n_total"))
@@ -18384,6 +18397,454 @@ GROUP BY registrable_domain
 
 
 # ---------------------------------------------------------------------------
+# round-10 batch: corpus-wide exact line dedup, KN-smoothed bigram LM,
+# unigram-LM (SentencePiece-style) tokenizer vocabulary learning
+# ---------------------------------------------------------------------------
+
+#: The per-line family's shared line-explode, as a DuckDB CTE fragment
+#: (mirrors _doc_lines; both line_quality_filter and line_dedup_exact
+#: compose it).
+LX_CTE_SQL = f"""tl AS (
+  SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+  WHERE len({TOKENS_SQL}) >= 1
+),
+lx0 AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, (len(t) + {LINE_TOKENS - 1}) // {LINE_TOKENS}),
+           i -> struct_pack(
+             idx := CAST(i AS INT),
+             lt := t[i * {LINE_TOKENS} + 1 : i * {LINE_TOKENS} + {LINE_TOKENS}]
+           )
+         ) AS ls
+  FROM tl
+),
+lx AS (
+  SELECT doc_id, u.idx AS line_idx, u.lt AS lt
+  FROM (SELECT doc_id, unnest(ls) AS u FROM lx0)
+)"""
+
+
+def q_line_dedup_exact(spark, sf_dir):
+    """CCNet STAGE-1 corpus-wide exact line dedup WITH REWRITE — the
+    per-line md5 first-occurrence pass that runs BEFORE per-line
+    quality filtering (line_quality_filter): hash every line of every
+    document, keep only each hash's corpus-wide first occurrence (by
+    (doc_id, line_idx) — the same owner rule as paragraph_dedup), and
+    reassemble the surviving lines in original order. This is the pass
+    that strips cross-site boilerplate (nav bars, cookie banners)
+    before any model-based scoring sees it.
+
+    Scale shape: reuses the per-line family's persisted line-explode
+    (_doc_lines); ownership is a struct-min aggregation on the line
+    hash (one shuffle on md5-uniform keys, bounded state per hash —
+    never a window over the corpus-wide line stream) + one keyed join
+    back; reassembly is one aggregate per doc. Cross-engine exactness:
+    the keep decision is an integer (doc_id, line_idx) total-order
+    minimum; counts are integers; the rewrite is emitted as md5 of the
+    kept-line concatenation (rows stay O(1) wide, the paragraph_dedup
+    convention)."""
+    lx = _doc_lines(spark, sf_dir)
+    inst = lx.select(
+        "doc_id",
+        "line_idx",
+        "lt",
+        F.md5(F.concat_ws(" ", F.col("lt"))).alias("h"),
+    )
+    owners = inst.groupBy("h").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("first"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    )
+    j = inst.join(owners, "h").select(
+        "doc_id",
+        "line_idx",
+        "lt",
+        "n_copies",
+        (F.struct("doc_id", "line_idx") == F.col("first")).alias("kept"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.size("lt")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.sum(F.when(F.col("kept"), F.col("n_copies") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("copies_owned"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("kept"),
+                                    F.struct("line_idx", "lt"),
+                                )
+                            )
+                        ),
+                        lambda s: s["lt"],
+                    )
+                ),
+            )
+        ).alias("rewrite_md5"),
+    )
+
+
+SQL_LINE_DEDUP_EXACT = f"""
+WITH {LX_CTE_SQL},
+inst AS (
+  SELECT doc_id, line_idx, lt, md5(array_to_string(lt, ' ')) AS h FROM lx
+),
+ranked AS (
+  SELECT doc_id, line_idx, lt,
+         COUNT(*) OVER (PARTITION BY h) AS n_copies,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, line_idx) AS rk
+  FROM inst
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk = 1 THEN len(lt) ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(SUM(CASE WHEN rk = 1 THEN n_copies - 1 ELSE 0 END) AS BIGINT)
+         AS copies_owned,
+       md5(COALESCE(string_agg(
+         CASE WHEN rk = 1 THEN array_to_string(lt, ' ') END,
+         ' ' ORDER BY line_idx), '')) AS rewrite_md5
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+#: Kneser-Ney absolute discount. 0.75 is the textbook fixed value (the
+#: Chen–Goodman estimate D = n1/(n1+2·n2) is corpus-derived; a fixed
+#: literal keeps the cross-engine arithmetic pinned).
+KN_DISCOUNT = 0.75
+
+
+def q_kn_bigram_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity per document — the
+    KenLM-faithful upgrade of doc_lm_perplexity's MLE model:
+
+        p(w2|w1) = max(c12 − D, 0)/c1 + ((D·N1+(w1·))/c1) · (N1+(·w2)/T)
+
+    where N1+(w1·) is the distinct-continuation count of the history,
+    N1+(·w2) the distinct-history (continuation) count of the word, and
+    T the distinct bigram-type total. Unlike the MLE filter, mass is
+    reserved for unseen continuations (the backoff term), so a document
+    whose bigrams are rare-but-observed is not scored degenerately
+    against one sharing mass with the open vocabulary — the smoothing
+    every production KenLM quality filter runs with.
+
+    Scale shape: bigram/history/continuation count tables are three
+    hash aggregates on uniform string keys off ONE bigram explode; the
+    scorer is that stream joined back on (w1,w2), w1, w2 (AQE decides
+    broadcast vs shuffle; the type-total rides a broadcast 1-row
+    frame); one aggregate per doc. Exactness: all counts are integers;
+    p is one identically-parenthesised double expression; each log term
+    is decimal-cast before the per-doc sum (order-free)."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    tl = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
+    big = tl.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    # persisted: the bigram TYPE table feeds four consumers (the
+    # history/continuation/type-total counts and the scorer join) —
+    # uncached, each reference re-runs the corpus-sized bigram explode
+    # (5 parquet scans of documents); cached, the model tables all
+    # derive from the (w1,w2)-domain cache and the corpus is read only
+    # for the two bigram-stream passes (cb build + scorer).
+    cb = _track_cached(
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        .persist()
+    )
+    hist = cb.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1f"),
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1b"))
+    types = cb.agg(F.count("*").cast("bigint").alias("n_types"))
+    d = F.lit(KN_DISCOUNT)
+    c1d = F.col("c1").cast("double")
+    p = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0)) / c1d
+        + d
+        * F.col("n1f").cast("double")
+        / c1d
+        * (F.col("n1b").cast("double") / F.col("n_types").cast("double"))
+    )
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(hist, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(F.log(p).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.exp(-F.col("logp") / F.col("n_bigrams").cast("double")), 6
+        ).alias("kn_perplexity"),
+    )
+
+
+SQL_KN_BIGRAM_PERPLEXITY = f"""
+WITH tl AS (
+  SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+  WHERE len({TOKENS_SQL}) >= 2
+),
+big AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM tl
+),
+cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+hist AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM cb GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1b FROM cb GROUP BY w2),
+types AS (SELECT COUNT(*) AS n_types FROM cb),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(CAST(ln(
+           GREATEST(CAST(c12 AS DOUBLE) - {KN_DISCOUNT!r}, 0.0)
+             / CAST(c1 AS DOUBLE)
+           + {KN_DISCOUNT!r} * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+             * (CAST(n1b AS DOUBLE) / CAST(n_types AS DOUBLE))
+         ) AS DECIMAL(38,18))) AS DOUBLE) AS logp
+  FROM big JOIN cb USING (w1, w2) JOIN hist USING (w1) JOIN cont USING (w2),
+       types
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(exp(-logp / CAST(n_bigrams AS DOUBLE)), 6) AS kn_perplexity
+FROM scored
+"""
+
+
+UNI_MAXLEN = 4  # longest candidate piece (chars)
+UNI_SEED_PERMILLE = 2  # seed: substrings holding >=2permille of substring mass
+#: per-round keep thresholds: a piece survives round k iff its usage
+#: share of the round's segmentation mass is >= this many permille.
+#: Rising schedule => the vocabulary keeps shrinking (SentencePiece
+#: prunes toward a target size); single-character pieces are exempt
+#: (required-char set, guarantees segmentability).
+UNI_PRUNE_PERMILLE = (5, 10, 20)
+
+
+def q_unigram_lm_learning(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer vocabulary learning —
+    the EM companion of bpe_merge_learning: seed a candidate vocabulary
+    with every frequent substring (length ≤ UNI_MAXLEN), then run
+    fixed-K hard-EM rounds of (segment the corpus under the current
+    vocabulary → re-estimate piece usage counts → prune low-likelihood
+    pieces), and report the final vocabulary with its unigram
+    negative log-probabilities. Segmentation is deterministic greedy
+    longest-match (hard-EM / WordPiece-inference variant of Viterbi:
+    the segmentation step is a total function of the vocabulary set, so
+    both engines replay it exactly — no float DP scores to tie-break);
+    pruning drops pieces below a rising usage-share threshold, the
+    count-proxy of SentencePiece's lowest-likelihood-loss pruning, with
+    single characters exempt (the required-char set).
+
+    Scale shape: the corpus is touched ONCE (tokenize → word-frequency
+    aggregate, one shuffle on the word key, persisted); the substring
+    expansion, every segmentation, and every count table live on the
+    collapsed (word) / (piece) vocabulary domain — millions of rows at
+    web scale, never corpus-sized. Per round: one join of the persisted
+    substring-position table against the current vocabulary, a
+    longest-match table groupBy, a per-word map, and ONE pass of the
+    greedy walk as a JVM higher-order aggregate (lambda touches only
+    lambda vars and plain column refs — the interpreted-HOF CSE rule).
+    K is fixed; there are NO driver-side collects: the whole K-round
+    loop is one lazy plan, with each round's count table persisted to
+    break the (counts → total, counts → vocab) diamond that would
+    otherwise double the upstream chain per round.
+
+    Exactness: all counts and prune comparisons are integers
+    (cnt·1000 ≥ permille·total — no float shares); the only floats are
+    the final reported -ln(cnt/total), identical single expressions
+    rounded to 6dp. The DuckDB oracle replays the K rounds as chained
+    CTEs whose walk is a recursive CTE over a materialized
+    longest-match table."""
+    docs = _docs(spark, sf_dir)
+    wf = _track_cached(
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .persist()
+    )
+    # SQL-side lambdas on purpose: PySpark 4.1.2's PYTHON lambda
+    # conversion miscompiles substring(w, <lambda var>, <literal>)
+    # (the length argument comes back as pos-1); the SQL parser path
+    # is correct, so the substring expansion and the greedy walk below
+    # are F.expr strings.
+    subs_expr = f"""
+flatten(transform(sequence(1, {UNI_MAXLEN}), L ->
+  CASE WHEN length(w) >= L THEN
+    transform(sequence(1, length(w) - L + 1),
+              s -> struct(CAST(s AS INT) AS s, substring(w, s, L) AS piece))
+  ELSE CAST(array() AS array<struct<s:int,piece:string>>) END))
+"""
+    subs = _track_cached(
+        wf.select("w", "freq", F.explode(F.expr(subs_expr)).alias("sp"))
+        .select("w", "freq", F.col("sp.s").alias("s"), F.col("sp.piece").alias("piece"))
+        .persist()
+    )
+    mass = _track_cached(
+        subs.where(F.length("piece") >= 2)
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    tot0 = mass.agg(F.sum("cnt").cast("bigint").alias("t"))
+    vocab = (
+        mass.crossJoin(F.broadcast(tot0))
+        .where(F.col("cnt") * 1000 >= F.lit(UNI_SEED_PERMILLE) * F.col("t"))
+        .select("piece")
+    )
+
+    def segment_counts(vocab_df):
+        """One greedy-longest-match segmentation of the word domain
+        under vocab_df, returning the persisted (piece, cnt) table."""
+        best = (
+            subs.join(vocab_df, "piece")
+            .groupBy("w", "s")
+            .agg(F.max(F.length("piece")).cast("int").alias("l"))
+        )
+        maps = best.groupBy("w").agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(F.col("s").cast("string").alias("k"), F.col("l").alias("v"))
+                )
+            ).alias("m")
+        )
+        walk_expr = """
+aggregate(
+  sequence(1, length(w)),
+  struct(CAST(1 AS INT) AS p, CAST(array() AS array<string>) AS ps),
+  (acc, i) -> CASE WHEN i != acc.p THEN acc ELSE
+    named_struct(
+      'p', CAST(acc.p + coalesce(element_at(m, CAST(acc.p AS STRING)), 1)
+                AS INT),
+      'ps', concat(acc.ps, array(substring(w, acc.p,
+              coalesce(element_at(m, CAST(acc.p AS STRING)), 1)))))
+  END
+).ps
+"""
+        seg = wf.join(maps, "w", "left").select(
+            F.explode(F.expr(walk_expr)).alias("piece"), "freq"
+        )
+        return _track_cached(
+            seg.groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            .persist()
+        )
+
+    for permille in UNI_PRUNE_PERMILLE:
+        cnt = segment_counts(vocab)
+        tot = cnt.agg(F.sum("cnt").cast("bigint").alias("t"))
+        vocab = (
+            cnt.where(F.length("piece") >= 2)
+            .crossJoin(F.broadcast(tot))
+            .where(F.col("cnt") * 1000 >= F.lit(permille) * F.col("t"))
+            .select("piece")
+        )
+    final_cnt = segment_counts(vocab)
+    final_tot = final_cnt.agg(F.sum("cnt").cast("bigint").alias("t"))
+    return final_cnt.crossJoin(F.broadcast(final_tot)).select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "cnt",
+        F.round(
+            -F.log(F.col("cnt").cast("double") / F.col("t").cast("double")), 6
+        ).alias("neg_logp"),
+    )
+
+
+def _unigram_walk_sql(k: int, vocab: str) -> str:
+    """One oracle EM round: the longest-match table (a plain join —
+    NOT a correlated subquery; DuckDB's correlated MAX inside a
+    recursive CTE proved non-deterministic), the recursive greedy walk,
+    and the round's count/total tables. MATERIALIZED hints keep DuckDB
+    from re-expanding the chain per reference."""
+    return f"""
+best{k} AS MATERIALIZED (
+  SELECT s.w, s.s AS p, MAX(length(s.piece)) AS l
+  FROM subs s JOIN {vocab} v ON s.piece = v.piece
+  GROUP BY s.w, s.s
+),
+walk{k} AS (
+  SELECT w, freq, CAST(1 AS INT) AS p, CAST([] AS VARCHAR[]) AS ps FROM wf
+  UNION ALL
+  SELECT x.w, x.freq, CAST(x.p + COALESCE(b.l, 1) AS INT) AS p,
+         list_append(x.ps, substr(x.w, x.p, COALESCE(b.l, 1))) AS ps
+  FROM walk{k} x LEFT JOIN best{k} b ON b.w = x.w AND b.p = x.p
+  WHERE x.p <= length(x.w)
+),
+seg{k} AS (SELECT unnest(ps) AS piece, freq FROM walk{k} WHERE p > length(w)),
+cnt{k} AS MATERIALIZED (SELECT piece, SUM(freq) AS cnt FROM seg{k} GROUP BY piece),
+tot{k} AS MATERIALIZED (SELECT SUM(cnt) AS t FROM cnt{k})"""
+
+
+def _unigram_oracle_sql() -> str:
+    n = len(UNI_PRUNE_PERMILLE)
+    parts = [
+        "WITH RECURSIVE",
+        f"toks AS (SELECT {TOKENS_SQL} AS t FROM documents),",
+        "wf AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM"
+        " (SELECT unnest(t) AS w FROM toks) GROUP BY w),",
+        "subs AS MATERIALIZED (",
+        "  SELECT w, freq, substr(w, s, L) AS piece, s",
+        "  FROM wf,",
+        "       LATERAL (SELECT unnest(range(1, length(w)+1)) AS s) ss,",
+        f"       LATERAL (SELECT unnest([{','.join(str(i) for i in range(1, UNI_MAXLEN + 1))}]) AS L) ll",
+        "  WHERE s + L - 1 <= length(w)",
+        "),",
+        "mass AS (SELECT piece, SUM(freq) AS m FROM subs"
+        " WHERE length(piece) >= 2 GROUP BY piece),",
+        "tot0 AS (SELECT SUM(m) AS t FROM mass),",
+        "vocab0 AS MATERIALIZED (SELECT piece FROM mass, tot0"
+        f" WHERE m * 1000 >= {UNI_SEED_PERMILLE} * t)",
+    ]
+    for i, permille in enumerate(UNI_PRUNE_PERMILLE, start=1):
+        parts.append("," + _unigram_walk_sql(i, f"vocab{i - 1}"))
+        parts.append(
+            f", vocab{i} AS MATERIALIZED (SELECT piece FROM cnt{i}, tot{i}"
+            f" WHERE length(piece) >= 2 AND cnt * 1000 >= {permille} * t)"
+        )
+    parts.append("," + _unigram_walk_sql(n + 1, f"vocab{n}"))
+    parts.append(
+        f"""
+SELECT piece, CAST(length(piece) AS INT) AS piece_len,
+       CAST(cnt AS BIGINT) AS cnt,
+       ROUND(-ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS neg_logp
+FROM cnt{n + 1}, tot{n + 1}"""
+    )
+    return "\n".join(parts)
+
+
+SQL_UNIGRAM_LM_LEARNING = _unigram_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -18696,6 +19157,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merge_learning": q_bpe_merge_learning,
     "line_quality_filter": q_line_quality_filter,
     "url_domain_dedup": q_url_domain_dedup,
+    "line_dedup_exact": q_line_dedup_exact,
+    "kn_bigram_perplexity": q_kn_bigram_perplexity,
+    "unigram_lm_learning": q_unigram_lm_learning,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -18978,6 +19442,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "bpe_merge_learning": SQL_BPE_MERGE_LEARNING,
     "line_quality_filter": SQL_LINE_QUALITY_FILTER,
     "url_domain_dedup": SQL_URL_DOMAIN_DEDUP,
+    "line_dedup_exact": SQL_LINE_DEDUP_EXACT,
+    "kn_bigram_perplexity": SQL_KN_BIGRAM_PERPLEXITY,
+    "unigram_lm_learning": SQL_UNIGRAM_LM_LEARNING,
 }
 
 
@@ -19421,7 +19888,11 @@ if _missing:
 
 #: Queries ADDED in round 10 (registered below the stamp window; they
 #: rotate into the r11 stamp prefix per the standing convention).
-_R10_ADDED: list[str] = []
+_R10_ADDED: list[str] = [
+    "line_dedup_exact",
+    "kn_bigram_perplexity",
+    "unigram_lm_learning",
+]
 
 _HEAD = _R10_WINDOW
 

@@ -112,6 +112,10 @@ def _canon(df):
         "bpe_merge_learning",       # integer pair counts, total-order argmax
         "line_quality_filter",      # integer counts, decimal-cast ln sums
         "url_domain_dedup",         # pure string/integer canonicalization
+        # round-10 additions:
+        "line_dedup_exact",         # md5 hash, integer (doc,idx) min-owner
+        "kn_bigram_perplexity",     # integer counts, decimal-cast ln sums
+        "unigram_lm_learning",      # integer counts, integer prune compares
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

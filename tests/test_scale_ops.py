@@ -403,3 +403,78 @@ def test_exact_group_sums_n_rows_matches_deterministic_count(spark):
         df, ["k"], {"s": F.col("v")}, n_rows=5000, max_abs_term=101
     )
     assert sum(r["n_rows"] for r in out.collect()) == df.count()
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.sets(
+        st.integers(min_value=-10_000, max_value=10_000), min_size=1,
+        max_size=150,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=9),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_stable_row_number_property(spark, keys, n_buckets, n_parts):
+    """Property (r9 verdict task 4): for ANY unique-key multiset, any
+    bucket count, and any input partitioning, stable_row_number equals
+    the Python sort index — the substrate under ~30 rank/percentile
+    operators was example-tested only."""
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        stable_row_number,
+    )
+
+    ordered = sorted(keys)
+    want = {k: i for i, k in enumerate(ordered)}
+    df = spark.createDataFrame(
+        [(k,) for k in sorted(keys, key=lambda x: (x % 3, -x))],
+        "k long",
+    ).repartition(n_parts)
+    got = {
+        r["k"]: r["rn"]
+        for r in stable_row_number(df, ["k"], n_buckets=n_buckets).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # group
+            st.integers(min_value=-500, max_value=500),  # order key
+            st.integers(min_value=-(1 << 30), max_value=1 << 30),  # value
+        ),
+        min_size=1,
+        max_size=150,
+        unique_by=lambda t: (t[0], t[1]),  # unique order key per group
+    ),
+    n_buckets=st.integers(min_value=1, max_value=9),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_stable_prefix_sum_property(spark, rows, n_buckets, n_parts):
+    """Property: for ANY (group, unique-order-key, value) multiset and
+    any bucket count / partitioning, stable_prefix_sum equals the
+    exclusive running sum computed by plain Python over the
+    group-sorted rows."""
+    from collections import defaultdict
+
+    from database_fragmentation_and_query_processor_spark.operators.scaling import (
+        stable_prefix_sum,
+    )
+
+    want: dict[tuple[int, int], int] = {}
+    acc: dict[int, int] = defaultdict(int)
+    for g, k, v in sorted(rows):
+        want[(g, k)] = acc[g]
+        acc[g] += v
+    df = spark.createDataFrame(
+        [(g, k, v) for g, k, v in sorted(rows, key=lambda t: (t[1] % 5, -t[2]))],
+        "g int, k long, v long",
+    ).repartition(n_parts)
+    got = {
+        (r["g"], r["k"]): int(r["psum"])
+        for r in stable_prefix_sum(
+            df, ["k"], "v", group_cols=["g"], n_buckets=n_buckets
+        ).collect()
+    }
+    assert got == want
