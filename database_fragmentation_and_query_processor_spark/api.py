@@ -295,7 +295,7 @@ def compact_fragments(
         )
         clustered = df.repartition(F.col(FRAGMENT_COL), salt)
     clustered.write.mode("overwrite").partitionBy(FRAGMENT_COL).parquet(staged)
-    fslib.commit_staged(wfs, staged, path)
+    fslib.commit_staged(wfs, staged, path, require_marker=True)
 
 
 def delete_tables(spark: SparkSession, table_or_all: str, warehouse: str) -> None:

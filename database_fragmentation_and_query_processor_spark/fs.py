@@ -311,13 +311,38 @@ def stage_path(fs, target: str, tag: str) -> str:
     return join(target, f"gen-{token}")
 
 
-def commit_staged(fs, staged: str, target: str) -> str:
+def commit_staged(
+    fs, staged: str, target: str, require_marker: bool = False
+) -> str:
     """Atomically make ``staged`` the current content of ``target``.
 
     Returns the path readers should scan (== ``target`` on
     rename-capable stores; the generation dir in pointer mode).
-    """
+
+    ``require_marker=True`` extends the ratings DataSource's
+    marker-gated commit discipline to this swap path: the staged
+    directory must contain a job-complete ``_SUCCESS`` marker (Spark's
+    Hadoop committer writes one) or the commit is refused — a
+    half-written staged directory (crashed or still-running write job)
+    can then never be published. The compaction and streaming
+    write-then-swap callers all write via Spark and pass True; generic
+    shim users staging non-Spark content keep the unchecked default.
+
+    On rename stores the swap itself is two renames (current → old,
+    staged → current) — there is no atomic directory replace — so a
+    crash between them leaves ``target`` missing with the versions
+    parked in sibling dirs. That window is healed, not hidden:
+    :func:`recover_interrupted_commit` runs first (repairing any
+    interrupted PREDECESSOR commit), and the same function is exported
+    for readers that find the dataset missing."""
+    if require_marker and not fs.exists(join(staged, "_SUCCESS")):
+        raise IOError(
+            f"commit_staged: {staged!r} has no _SUCCESS marker — the "
+            f"staging write is incomplete (crashed, or still running); "
+            f"refusing to publish it over {target!r}"
+        )
     if fs.atomic_rename:
+        recover_interrupted_commit(fs, target, exclude=staged)
         if fs.exists(target):
             old = f"{target}.{new_token('old')}"
             fs.rename(target, old)
@@ -330,6 +355,84 @@ def commit_staged(fs, staged: str, target: str) -> str:
     fs.write_text_atomic(join(target, POINTER_FILE), gen_name)
     _prune_generations(fs, target, keep=KEEP_GENERATIONS)
     return join(target, gen_name)
+
+
+def _token_key(name: str) -> tuple[int, int]:
+    """Numeric (time_ns, counter) ordering of a ``new_token`` suffix."""
+    parts = name.split("-")
+    try:
+        return (int(parts[-2]), int(parts[-1]))
+    except (ValueError, IndexError):
+        return (0, 0)
+
+
+def recover_interrupted_commit(
+    fs, target: str, exclude: str | None = None
+) -> str | None:
+    """Heal a rename-store commit that crashed between its two renames.
+
+    Such a crash leaves ``target`` MISSING while the versions sit in
+    sibling dirs: ``target.old-<tok>`` (the pre-commit version, parked
+    by the first rename) and/or the staged ``target.<tag>-<tok>`` (the
+    new version that never landed). Recovery restores, in preference
+    order: the newest staged sibling that carries a job-complete
+    ``_SUCCESS`` marker (finishing the interrupted commit), else the
+    newest ``old-`` sibling (rolling back to the pre-commit version).
+    No-op when ``target`` exists (nothing was interrupted — stray
+    siblings there belong to in-flight writers and are not touched) or
+    in pointer mode (that commit is a single atomic pointer write).
+    Returns the restored path, or None if nothing needed recovery.
+    Races are benign: rename is atomic, so of N concurrent recoverers
+    exactly one wins and the losers see the target present on
+    re-check. ``exclude`` names a staged dir that must not be promoted
+    (commit_staged passes its own staged input — the commit about to
+    land is not an interrupted predecessor)."""
+    if not getattr(fs, "atomic_rename", True):
+        return None
+    if fs.exists(target):
+        return None
+    base = posixpath.basename(target.rstrip("/"))
+    parent = posixpath.dirname(target.rstrip("/"))
+    try:
+        listing = list(fs.list_status(parent))
+    except Exception:
+        return None
+    staged_sibs: list[str] = []
+    old_sibs: list[str] = []
+    excl = posixpath.basename(exclude.rstrip("/")) if exclude else None
+    for p, is_dir, _sz, _mt in listing:
+        if not is_dir:
+            continue
+        name = posixpath.basename(p)
+        if not name.startswith(base + ".") or name == excl:
+            continue
+        token = name[len(base) + 1:]
+        (old_sibs if token.startswith("old-") else staged_sibs).append(p)
+
+    def newest_first(paths: list[str]) -> list[str]:
+        return sorted(
+            paths, key=lambda p: _token_key(posixpath.basename(p)),
+            reverse=True,
+        )
+
+    for cand in newest_first(staged_sibs):
+        if fs.exists(join(cand, "_SUCCESS")):
+            try:
+                fs.rename(cand, target)
+                return target
+            except Exception:
+                if fs.exists(target):  # lost a benign recovery race
+                    return target
+                raise
+    for cand in newest_first(old_sibs):
+        try:
+            fs.rename(cand, target)
+            return target
+        except Exception:
+            if fs.exists(target):
+                return target
+            raise
+    return None
 
 
 def _prune_generations(fs, target: str, keep: int) -> None:

@@ -392,7 +392,7 @@ def upsert_sink(
             )
         staged = fslib.stage_path(wfs, target_path, f"merge-{batch_id}")
         merged.write.mode("overwrite").parquet(staged)
-        fslib.commit_staged(wfs, staged, target_path)
+        fslib.commit_staged(wfs, staged, target_path, require_marker=True)
 
     writer = stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True
@@ -445,7 +445,7 @@ def cdc_sink(
         )
         staged = fslib.stage_path(wfs, target_path, f"cdc-{batch_id}")
         merged.write.mode("overwrite").parquet(staged)
-        fslib.commit_staged(wfs, staged, target_path)
+        fslib.commit_staged(wfs, staged, target_path, require_marker=True)
 
     writer = change_stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True

@@ -361,3 +361,105 @@ def test_writer_lock_readback_rejects_stolen_create(tmp_path):
 
     with pytest.raises(fslib.LockHeldError, match="rival"):
         fslib.acquire_writer_lock(LyingCreate(), wh, owner="me")
+
+
+# ---------------------------------------------------------------------------
+# Round-10 hardening: marker-gated swap commits + crash-mid-commit recovery
+# ---------------------------------------------------------------------------
+
+def test_commit_refuses_unmarked_staged_dir_when_required(tmp_path):
+    """require_marker extends the ratings DataSource's marker-gated
+    discipline to the write-then-swap path: a staged dir without the
+    job-complete _SUCCESS (crashed or still-running write) must never
+    be published over the live dataset."""
+    import pytest
+
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "base")
+    fs.write_text_atomic(fslib.join(s0, "_SUCCESS"), "")
+    fslib.commit_staged(fs, s0, target, require_marker=True)
+    s1 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s1, "half-written")  # no _SUCCESS
+    with pytest.raises(IOError, match="_SUCCESS"):
+        fslib.commit_staged(fs, s1, target, require_marker=True)
+    # live dataset untouched by the refused commit
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "base"
+
+
+def test_recovery_completes_interrupted_commit_with_marker(tmp_path):
+    """Crash between the two swap renames (old parked, staged never
+    landed): recovery must COMPLETE the commit — the staged sibling
+    carries _SUCCESS, so it is the newest consistent version."""
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    # stage v1 (complete, marked), then simulate the crash: only the
+    # first rename (target -> old) happened
+    s1 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s1, "v1")
+    fs.write_text_atomic(fslib.join(s1, "_SUCCESS"), "")
+    fs.rename(target, f"{target}.{fslib.new_token('old')}")
+    assert not fs.exists(target)
+    got = fslib.recover_interrupted_commit(fs, target)
+    assert got == target
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "v1"
+
+
+def test_recovery_rolls_back_to_old_without_marker(tmp_path):
+    """Same crash, but the staged dir carries no _SUCCESS (non-Spark
+    content, or itself incomplete): recovery must roll BACK to the
+    parked pre-commit version, never publish the unmarked dir."""
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    s1 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s1, "v1-unmarked")
+    fs.rename(target, f"{target}.{fslib.new_token('old')}")
+    got = fslib.recover_interrupted_commit(fs, target)
+    assert got == target
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "v0"
+
+
+def test_recovery_noops_on_healthy_dataset_and_pointer_mode(tmp_path):
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    # healthy: in-flight sibling stages must NOT be touched
+    s1 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s1, "inflight")
+    fs.write_text_atomic(fslib.join(s1, "_SUCCESS"), "")
+    assert fslib.recover_interrupted_commit(fs, target) is None
+    assert fs.exists(s1)
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "v0"
+    # pointer mode: commits are single atomic pointer writes
+    pfs = fslib.LocalFS(atomic_rename=False)
+    ptarget = str(tmp_path / "pds")
+    ps = fslib.stage_path(pfs, ptarget, "gen")
+    _write_marker_dir(pfs, ps, "p0")
+    fslib.commit_staged(pfs, ps, ptarget)
+    assert fslib.recover_interrupted_commit(pfs, ptarget) is None
+
+
+def test_next_commit_self_heals_interrupted_predecessor(tmp_path):
+    """commit_staged runs recovery first: a writer landing after a
+    crashed predecessor finds the dataset healed and replaces it
+    normally (no missing-target surprise, no lost old version)."""
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    fs.rename(target, f"{target}.{fslib.new_token('old')}")  # the crash
+    s2 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s2, "v2")
+    fs.write_text_atomic(fslib.join(s2, "_SUCCESS"), "")
+    assert fslib.commit_staged(fs, s2, target, require_marker=True) == target
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "v2"
