@@ -317,6 +317,8 @@ HEADLINE = [
     "line_dedup_exact",
     "kn_bigram_perplexity",
     "unigram_lm_learning",
+    "exact_substr_dedup",
+    "nb_quality_classifier",
 ]
 
 

@@ -18844,6 +18844,253 @@ FROM cnt{n + 1}, tot{n + 1}"""
 SQL_UNIGRAM_LM_LEARNING = _unigram_oracle_sql()
 
 
+def q_exact_substr_dedup(spark, sf_dir):
+    """Exact-substring deduplication WITH REWRITE (the ExactSubstr
+    remover of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better") — the removal companion of
+    dup_span_coverage (which only measures): every DUPSPAN_L-token
+    window that occurs more than once corpus-wide keeps only its FIRST
+    occurrence (minimum (doc_id, pos) — the paragraph_dedup owner
+    rule); all token positions covered by a non-owned duplicated
+    window are removed from their documents and the survivors are
+    reassembled in original order.
+
+    Scale shape: the window-hash table is built once, persisted, and
+    shared by the frequency/owner aggregation and the removal join
+    (both shuffle on the md5-uniform hash key; ownership is a
+    struct-min, never a corpus-wide window function); the
+    covered-position explode is a bounded L× fan-out over NON-OWNED
+    duplicated windows only — rare at web scale, exactly the rows being
+    deleted. The rewrite is a per-doc array filter (positions not in
+    the removed set) — document-bounded, no shuffle beyond the one
+    removed-positions aggregate. Exactness: md5 hashes, integer
+    positions, integer total-order ownership; the rewrite is emitted as
+    md5 of the kept-token join (O(1)-wide rows, the paragraph_dedup
+    convention)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= 1
+    )
+    wins = _track_cached(
+        base.select(
+            "doc_id",
+            F.posexplode(_word_grams(F.col("t"), DUPSPAN_L)).alias(
+                "pos", "gram"
+            ),
+        )
+        .select("doc_id", "pos", T.token_hash(F.col("gram")).alias("h"))
+        .persist()
+    )
+    owners = wins.groupBy("h").agg(
+        F.count("*").alias("c"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    removed = (
+        wins.join(owners.where(F.col("c") >= 2), "h")
+        .where(F.struct("doc_id", "pos") != F.col("first"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos") + 1, F.col("pos") + DUPSPAN_L)
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("rp"))
+    )
+    j = base.join(removed, "doc_id", "left").select(
+        "doc_id",
+        "t",
+        F.coalesce(F.col("rp"), F.array().cast("array<int>")).alias("rp"),
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size("rp").cast("bigint").alias("n_removed"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(filter(sequence(1, size(t)),"
+                    " p -> NOT array_contains(rp, p)),"
+                    " p -> element_at(t, p))"
+                ),
+            )
+        ).alias("rewrite_md5"),
+    )
+
+
+SQL_EXACT_SUBSTR_DEDUP = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM corpus
+         WHERE len({TOKENS_SQL}) >= 1),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(t) - {DUPSPAN_L} + 1, 0))) AS pos,
+         t AS t2
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(array_to_string(t2[pos + 1:pos + {DUPSPAN_L}], ' ')), 1, 13)) AS BIGINT) AS h
+  FROM wins
+),
+owned AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY h) AS c,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM hashed
+),
+removedpos AS (
+  SELECT DISTINCT doc_id, unnest(range(pos + 1, pos + {DUPSPAN_L} + 1)) AS p
+  FROM owned WHERE c >= 2 AND rk > 1
+),
+rems AS (SELECT doc_id, list(p) AS rp FROM removedpos GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(r.rp), 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.t) + 1),
+                       p -> NOT list_contains(COALESCE(r.rp, []), p)),
+           p -> t.t[p]), ' '), '')) AS rewrite_md5
+FROM toks t LEFT JOIN rems r USING (doc_id)
+"""
+
+
+NB_ALPHA = 1  # Laplace add-one smoothing (exact integer numerators)
+
+
+def q_nb_quality_classifier(spark, sf_dir):
+    """In-engine quality-classifier training + inference — the
+    fastText/CCNet pipeline stage that trains a cheap linear text
+    classifier on weak labels and scores the whole corpus with it,
+    expressed entirely as count aggregates: a multinomial naive Bayes
+    with Laplace smoothing, trained on a deterministic weak label
+    (source-index parity — the stand-in for 'curated vs crawl' source
+    buckets) and applied in-sample to every document. Reports per-doc
+    log-odds, the predicted class, and the weak label (the consumer
+    thresholds log_odds exactly like CCNet thresholds its fastText
+    score).
+
+    Scale shape: ONE corpus tokenize feeds a persisted (doc, word,
+    count) table consumed by BOTH the training aggregation (class-
+    conditional counts: one shuffle on the uniform word key) and the
+    scoring join (same key; AQE broadcasts the model when it fits —
+    the model table is vocabulary-sized, the classic broadcast-able
+    dim); corpus-level scalars (class token totals, vocab size, class
+    priors) ride broadcast 1-row frames. No driver collects, no UDFs —
+    'model training' here is literally a count table, which is why NB
+    is THE classifier you can train at 100 TB in one pass. Exactness:
+    counts are integers; each per-word log-likelihood-ratio term is one
+    identically-parenthesised double, decimal-cast before the per-doc
+    sum (order-free); the prediction is the sign of the score."""
+    docs = _docs(spark, sf_dir)
+    lbl = F.pmod(
+        F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"), F.lit(2)
+    ).cast("int")
+    base = docs.select(
+        "doc_id", lbl.alias("weak_label"), T.tokens(F.col("text")).alias("t")
+    ).where(F.size("t") >= 1)
+    tw = _track_cached(
+        base.select("doc_id", "weak_label", F.explode("t").alias("w"))
+        .groupBy("doc_id", "weak_label", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    cw = tw.groupBy("w").agg(
+        F.sum(F.when(F.col("weak_label") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("weak_label") == 0, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+    )
+    stats = cw.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c0").cast("bigint").alias("t0"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    # priors from the cached token table (distinct docs per class) —
+    # deriving them from `base` would be a second corpus scan
+    prior = (
+        tw.select("doc_id", "weak_label")
+        .distinct()
+        .agg(
+            F.sum("weak_label").cast("bigint").alias("n1"),
+            F.sum(1 - F.col("weak_label")).cast("bigint").alias("n0"),
+        )
+    )
+    term = F.log(
+        (F.col("c1") + NB_ALPHA).cast("double")
+        / (F.col("t1") + F.col("v")).cast("double")
+    ) - F.log(
+        (F.col("c0") + NB_ALPHA).cast("double")
+        / (F.col("t0") + F.col("v")).cast("double")
+    )
+    scored = (
+        tw.join(cw, "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "weak_label")
+        .agg(
+            F.sum((F.col("cnt").cast("double") * term).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("lo_sum")
+        )
+    )
+    log_prior = F.log(
+        F.col("n1").cast("double") / F.col("n0").cast("double")
+    )
+    return scored.crossJoin(F.broadcast(prior)).select(
+        "doc_id",
+        "weak_label",
+        F.round(log_prior + F.col("lo_sum"), 6).alias("log_odds"),
+        (log_prior + F.col("lo_sum") > 0).cast("int").alias("pred_label"),
+    )
+
+
+SQL_NB_QUALITY_CLASSIFIER = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 AS INT)
+           AS weak_label,
+         {TOKENS_SQL} AS t
+  FROM documents WHERE len({TOKENS_SQL}) >= 1
+),
+tw AS (
+  SELECT doc_id, weak_label, w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, weak_label, unnest(t) AS w FROM base)
+  GROUP BY 1, 2, 3
+),
+cw AS (
+  SELECT w,
+         SUM(CASE WHEN weak_label = 1 THEN cnt ELSE 0 END) AS c1,
+         SUM(CASE WHEN weak_label = 0 THEN cnt ELSE 0 END) AS c0
+  FROM tw GROUP BY w
+),
+stats AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM cw),
+prior AS (
+  SELECT SUM(weak_label) AS n1, SUM(1 - weak_label) AS n0
+  FROM (SELECT DISTINCT doc_id, weak_label FROM tw)
+),
+scored AS (
+  SELECT doc_id, weak_label,
+         CAST(SUM(CAST(CAST(cnt AS DOUBLE) * (
+           ln(CAST(c1 + {NB_ALPHA} AS DOUBLE) / CAST(t1 + v AS DOUBLE))
+           - ln(CAST(c0 + {NB_ALPHA} AS DOUBLE) / CAST(t0 + v AS DOUBLE))
+         ) AS DECIMAL(38,18))) AS DOUBLE) AS lo_sum
+  FROM tw JOIN cw USING (w), stats
+  GROUP BY doc_id, weak_label
+)
+SELECT doc_id, weak_label,
+       ROUND(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) + lo_sum, 6)
+         AS log_odds,
+       CAST(CASE WHEN ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) + lo_sum > 0
+            THEN 1 ELSE 0 END AS INT) AS pred_label
+FROM scored, prior
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -19160,6 +19407,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_exact": q_line_dedup_exact,
     "kn_bigram_perplexity": q_kn_bigram_perplexity,
     "unigram_lm_learning": q_unigram_lm_learning,
+    "exact_substr_dedup": q_exact_substr_dedup,
+    "nb_quality_classifier": q_nb_quality_classifier,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -19445,6 +19694,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "line_dedup_exact": SQL_LINE_DEDUP_EXACT,
     "kn_bigram_perplexity": SQL_KN_BIGRAM_PERPLEXITY,
     "unigram_lm_learning": SQL_UNIGRAM_LM_LEARNING,
+    "exact_substr_dedup": SQL_EXACT_SUBSTR_DEDUP,
+    "nb_quality_classifier": SQL_NB_QUALITY_CLASSIFIER,
 }
 
 
@@ -19892,6 +20143,8 @@ _R10_ADDED: list[str] = [
     "line_dedup_exact",
     "kn_bigram_perplexity",
     "unigram_lm_learning",
+    "exact_substr_dedup",
+    "nb_quality_classifier",
 ]
 
 _HEAD = _R10_WINDOW

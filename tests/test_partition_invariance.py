@@ -116,6 +116,8 @@ def _canon(df):
         "line_dedup_exact",         # md5 hash, integer (doc,idx) min-owner
         "kn_bigram_perplexity",     # integer counts, decimal-cast ln sums
         "unigram_lm_learning",      # integer counts, integer prune compares
+        "exact_substr_dedup",       # md5 windows, integer owner/positions
+        "nb_quality_classifier",    # integer counts, decimal-cast LLR sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -1,5 +1,7 @@
 """Semantic invariants + plan shapes for the round-10 operators
-(line_dedup_exact, kn_bigram_perplexity, unigram_lm_learning).
+(line_dedup_exact, kn_bigram_perplexity, unigram_lm_learning; the
+wave-2 operators exact_substr_dedup / nb_quality_classifier are pinned
+in tests/test_r10_wave2.py).
 
 Oracle equality (tests/test_oracle_queries.py) proves Spark == DuckDB;
 these pin properties a SHARED bug could break silently — conservation
@@ -238,6 +240,8 @@ def test_r10_additions_register_below_the_stamp_window():
         "line_dedup_exact",
         "kn_bigram_perplexity",
         "unigram_lm_learning",
+        "exact_substr_dedup",
+        "nb_quality_classifier",
     ]
     for n in EQ._R10_ADDED:
         assert n in EQ.QUERIES and n in EQ.ORACLE_SQL

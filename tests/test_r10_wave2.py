@@ -1,0 +1,143 @@
+"""Semantic invariants + plan shapes for the round-10 wave-2 operators
+(exact_substr_dedup, nb_quality_classifier)."""
+
+from __future__ import annotations
+
+import inspect
+import re
+
+from pyspark.sql import functions as F
+
+from database_fragmentation_and_query_processor_spark import entry_queries as EQ
+from database_fragmentation_and_query_processor_spark.plans import (
+    final_explain_formatted,
+)
+
+
+def _distinct_parquet_scans(plan: str) -> int:
+    return len(set(re.findall(r"Scan parquet\s*\((\d+)\)", plan)))
+
+
+# ---------------------------------------------------------------------------
+# exact_substr_dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_substr_dedup_twin_docs_fully_removed(spark, sf_dir):
+    """The synthesized duplicate twins (doc_id + DUP_SALT, identical
+    text) must lose every window-covered token to their originals, and
+    the originals must keep their full text (they own every shared
+    window by the (doc_id, pos) minimum); docs shorter than the window
+    are untouched."""
+    rows = {
+        r["doc_id"]: r
+        for r in EQ._QUERIES_ALL["exact_substr_dedup"](spark, sf_dir)
+        .collect()
+    }
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    twins = [d for d in rows if d >= EQ.DUP_SALT]
+    assert twins
+    n_fully_removed = 0
+    for d in twins:
+        tw, orig = rows[d], rows[d - EQ.DUP_SALT]
+        assert tw["n_tokens"] == orig["n_tokens"]
+        if tw["n_tokens"] >= EQ.DUPSPAN_L:
+            # twin text is 100% duplicated; every token is covered
+            assert tw["n_removed"] == tw["n_tokens"]
+            assert tw["rewrite_md5"] == empty_md5
+            n_fully_removed += 1
+        else:
+            assert tw["n_removed"] == 0
+    assert n_fully_removed > 0
+    for r in rows.values():
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        assert (r["rewrite_md5"] == empty_md5) == (
+            r["n_removed"] == r["n_tokens"]
+        )
+
+
+def test_exact_substr_originals_keep_unshared_text(spark, sf_dir):
+    """An original whose text occurs nowhere else must be fully kept:
+    its rewrite hash equals the hash of its own token join."""
+    from database_fragmentation_and_query_processor_spark.functions import (
+        text as T,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in EQ._QUERIES_ALL["exact_substr_dedup"](spark, sf_dir)
+        .collect()
+    }
+    docs = EQ._docs(spark, sf_dir)
+    own = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", T.tokens(F.col("text")))).alias("h"),
+        ).collect()
+    }
+    n_checked = 0
+    for did, r in rows.items():
+        if r["n_removed"] == 0 and did in own and r["n_tokens"] > 0:
+            assert r["rewrite_md5"] == own[did]
+            n_checked += 1
+    assert n_checked > 0
+
+
+def test_exact_substr_plan_shapes(spark, sf_dir):
+    """The window table is persisted and shared by the owner table and
+    the removal join (one corpus pass feeds both); ownership is a
+    struct-min aggregation, not a corpus-wide window; no Python."""
+    src = inspect.getsource(EQ.q_exact_substr_dedup)
+    assert "_track_cached" in src and "F.min(F.struct" in src
+    plan = final_explain_formatted(
+        EQ._QUERIES_ALL["exact_substr_dedup"](spark, sf_dir)
+    )
+    assert "InMemoryTableScan" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# nb_quality_classifier
+# ---------------------------------------------------------------------------
+
+def test_nb_classifier_beats_chance_on_weak_labels(spark, sf_dir):
+    """In-sample NB trained on the weak source-parity labels must beat
+    chance — a broken likelihood table degenerates to the prior and
+    scores ~50%. The synthetic sources share most of their word
+    distribution (token-level class TVD ≈ 2%), so the bar is a binomial
+    z-test against 0.5, not a fixed accuracy: per-doc aggregation of
+    the small per-token signal is exactly what NB is supposed to do."""
+    rows = EQ._QUERIES_ALL["nb_quality_classifier"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    acc = sum(1 for r in rows if r["pred_label"] == r["weak_label"]) / n
+    z = (acc - 0.5) / (0.25 / n) ** 0.5
+    assert z > 2.5, f"in-sample accuracy {acc} (z={z:.2f}) is chance-level"
+    assert {r["weak_label"] for r in rows} == {0, 1}
+    assert any(r["log_odds"] > 0 for r in rows)
+    assert any(r["log_odds"] < 0 for r in rows)
+
+
+def test_nb_classifier_score_is_prior_plus_likelihood(spark, sf_dir):
+    """pred_label must be exactly the sign of log_odds (one shared
+    expression, no separate threshold drift)."""
+    for r in EQ._QUERIES_ALL["nb_quality_classifier"](spark, sf_dir).collect():
+        assert r["pred_label"] == (1 if r["log_odds"] > 0 else 0)
+
+
+def test_nb_classifier_plan_shapes(spark, sf_dir):
+    """The per-doc token-count table is persisted (it feeds BOTH the
+    class-conditional count build and the scoring join — the train and
+    inference passes share one corpus read); scalars ride broadcast
+    1-row frames; no Python, no windows."""
+    src = inspect.getsource(EQ.q_nb_quality_classifier)
+    assert "_track_cached" in src
+    plan = final_explain_formatted(
+        EQ._QUERIES_ALL["nb_quality_classifier"](spark, sf_dir)
+    )
+    assert _distinct_parquet_scans(plan) <= 1, "one corpus read"
+    assert "InMemoryTableScan" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
