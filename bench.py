@@ -319,6 +319,8 @@ HEADLINE = [
     "unigram_lm_learning",
     "exact_substr_dedup",
     "nb_quality_classifier",
+    "nb_calibration_audit",
+    "quality_budget_mix",
 ]
 
 

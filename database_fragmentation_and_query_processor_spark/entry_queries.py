@@ -18985,16 +18985,34 @@ def q_nb_quality_classifier(spark, sf_dir):
     counts are integers; each per-word log-likelihood-ratio term is one
     identically-parenthesised double, decimal-cast before the per-doc
     sum (order-free); the prediction is the sign of the score."""
+    scored = _nb_scored(spark, sf_dir)
+    return scored.select(
+        "doc_id",
+        "weak_label",
+        F.round(F.col("score"), 6).alias("log_odds"),
+        (F.col("score") > 0).cast("int").alias("pred_label"),
+    )
+
+
+def _nb_scored(spark, sf_dir):
+    """The shared NB train+score pipeline (see q_nb_quality_classifier
+    for the full story): returns one row per scoreable document —
+    (doc_id, source, weak_label, n_toks, score), where score is the
+    unrounded posterior log-odds. Consumed by the classifier, the
+    calibration audit, and the quality-budget mixer."""
     docs = _docs(spark, sf_dir)
     lbl = F.pmod(
         F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"), F.lit(2)
     ).cast("int")
     base = docs.select(
-        "doc_id", lbl.alias("weak_label"), T.tokens(F.col("text")).alias("t")
+        "doc_id",
+        "source",
+        lbl.alias("weak_label"),
+        T.tokens(F.col("text")).alias("t"),
     ).where(F.size("t") >= 1)
     tw = _track_cached(
-        base.select("doc_id", "weak_label", F.explode("t").alias("w"))
-        .groupBy("doc_id", "weak_label", "w")
+        base.select("doc_id", "source", "weak_label", F.explode("t").alias("w"))
+        .groupBy("doc_id", "source", "weak_label", "w")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .persist()
     )
@@ -19031,11 +19049,12 @@ def q_nb_quality_classifier(spark, sf_dir):
     scored = (
         tw.join(cw, "w")
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id", "weak_label")
+        .groupBy("doc_id", "source", "weak_label")
         .agg(
             F.sum((F.col("cnt").cast("double") * term).cast("decimal(38,18)"))
             .cast("double")
-            .alias("lo_sum")
+            .alias("lo_sum"),
+            F.sum("cnt").cast("bigint").alias("n_toks"),
         )
     )
     log_prior = F.log(
@@ -19043,24 +19062,26 @@ def q_nb_quality_classifier(spark, sf_dir):
     )
     return scored.crossJoin(F.broadcast(prior)).select(
         "doc_id",
+        "source",
         "weak_label",
-        F.round(log_prior + F.col("lo_sum"), 6).alias("log_odds"),
-        (log_prior + F.col("lo_sum") > 0).cast("int").alias("pred_label"),
+        "n_toks",
+        (log_prior + F.col("lo_sum")).alias("score"),
     )
 
 
-SQL_NB_QUALITY_CLASSIFIER = f"""
-WITH base AS (
-  SELECT doc_id,
+#: The shared NB train+score CTE chain (mirrors _nb_scored): ends with
+#: ``nbscored(doc_id, source, weak_label, n_toks, score)``.
+_NB_SCORED_CTE_SQL = f"""base AS (
+  SELECT doc_id, source,
          CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 AS INT)
            AS weak_label,
          {TOKENS_SQL} AS t
   FROM documents WHERE len({TOKENS_SQL}) >= 1
 ),
 tw AS (
-  SELECT doc_id, weak_label, w, COUNT(*) AS cnt
-  FROM (SELECT doc_id, weak_label, unnest(t) AS w FROM base)
-  GROUP BY 1, 2, 3
+  SELECT doc_id, source, weak_label, w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, source, weak_label, unnest(t) AS w FROM base)
+  GROUP BY 1, 2, 3, 4
 ),
 cw AS (
   SELECT w,
@@ -19074,20 +19095,216 @@ prior AS (
   FROM (SELECT DISTINCT doc_id, weak_label FROM tw)
 ),
 scored AS (
-  SELECT doc_id, weak_label,
+  SELECT doc_id, source, weak_label,
          CAST(SUM(CAST(CAST(cnt AS DOUBLE) * (
            ln(CAST(c1 + {NB_ALPHA} AS DOUBLE) / CAST(t1 + v AS DOUBLE))
            - ln(CAST(c0 + {NB_ALPHA} AS DOUBLE) / CAST(t0 + v AS DOUBLE))
-         ) AS DECIMAL(38,18))) AS DOUBLE) AS lo_sum
+         ) AS DECIMAL(38,18))) AS DOUBLE) AS lo_sum,
+         SUM(cnt) AS n_toks
   FROM tw JOIN cw USING (w), stats
-  GROUP BY doc_id, weak_label
-)
+  GROUP BY doc_id, source, weak_label
+),
+nbscored AS (
+  SELECT doc_id, source, weak_label, n_toks,
+         ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) + lo_sum AS score
+  FROM scored, prior
+)"""
+
+SQL_NB_QUALITY_CLASSIFIER = f"""
+WITH {_NB_SCORED_CTE_SQL}
 SELECT doc_id, weak_label,
-       ROUND(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) + lo_sum, 6)
-         AS log_odds,
-       CAST(CASE WHEN ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) + lo_sum > 0
-            THEN 1 ELSE 0 END AS INT) AS pred_label
-FROM scored, prior
+       ROUND(score, 6) AS log_odds,
+       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS pred_label
+FROM nbscored
+"""
+
+
+NB_CAL_BINS = 10
+
+
+def q_nb_calibration_audit(spark, sf_dir):
+    """Classifier calibration audit (the reliability-diagram table
+    behind expected-calibration-error): sigmoid the NB log-odds into a
+    confidence p = 1/(1+e^(-score)), bucket into NB_CAL_BINS fixed
+    deciles, and report each bin's size, mean confidence, and empirical
+    positive rate — the audit a CCNet-style pipeline runs before
+    trusting a classifier threshold to gate a corpus. A well-calibrated
+    bin has mean_conf ≈ emp_rate; the |gap| column is the per-bin ECE
+    contribution numerator.
+
+    Scale shape: one pass over _nb_scored's output (the corpus-read
+    discipline lives there); the audit itself is a fixed-10-bucket
+    integer groupBy. Exactness: p and its decile are identical double
+    expressions (floor of identical doubles); per-bin confidence sums
+    are decimal-cast (order-free); rates are integer ratios."""
+    scored = _nb_scored(spark, sf_dir)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+    b = F.least(
+        F.floor(p * NB_CAL_BINS), F.lit(NB_CAL_BINS - 1)
+    ).cast("int")
+    return (
+        scored.select(
+            b.alias("bin"), p.alias("p"), F.col("weak_label")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mean_conf"),
+            F.round(
+                F.sum("weak_label").cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("emp_rate"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "mean_conf",
+            "emp_rate",
+            F.round(F.abs(F.col("mean_conf") - F.col("emp_rate")), 6).alias(
+                "abs_gap"
+            ),
+        )
+    )
+
+
+SQL_NB_CALIBRATION_AUDIT = f"""
+WITH {_NB_SCORED_CTE_SQL},
+pb AS (
+  SELECT CAST(LEAST(FLOOR((1.0 / (1.0 + exp(-score))) * {NB_CAL_BINS}),
+                    {NB_CAL_BINS - 1}) AS INT) AS bin,
+         1.0 / (1.0 + exp(-score)) AS p,
+         weak_label
+  FROM nbscored
+),
+agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_conf,
+         ROUND(CAST(SUM(weak_label) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 6) AS emp_rate
+  FROM pb GROUP BY bin
+)
+SELECT bin, n_docs, mean_conf, emp_rate,
+       ROUND(ABS(mean_conf - emp_rate), 6) AS abs_gap
+FROM agg
+"""
+
+
+#: quality_budget_mix keeps this share of the corpus token mass
+#: (permille), taking sources greedily from the highest mean quality
+#: score down, with a fractional keep on the source that straddles the
+#: budget boundary.
+MIX_BUDGET_PERMILLE = 500
+
+
+def q_quality_budget_mix(spark, sf_dir):
+    """Quality-budgeted source mixing: the data-mixing step that turns
+    per-document classifier scores into a per-SOURCE keep plan under a
+    token budget — rank sources by mean NB quality score, keep whole
+    sources from the top until the next source would cross
+    MIX_BUDGET_PERMILLE of the corpus token mass, and keep the
+    straddling source fractionally. Composes the in-engine classifier
+    (_nb_scored) with the mixing family (mixture_weights,
+    domain_soft_cap): this is how a curation pipeline decides 'keep all
+    of src7, half of src12, none of src3' for a fixed training budget.
+
+    Scale shape: everything after the shared scorer lives on the SOURCE
+    domain (a handful of rows at any corpus size), so the ranking
+    window runs under the rolled-up-domain dispensation (constant-size
+    frame, same as ann_ndcg_eval). Exactness: token sums are integers;
+    the budget comparison is the integer cross-product
+    cum·1000 vs permille·total (no float shares); mean scores are
+    decimal-cast sums; the only fractional output is the straddling
+    source's keep_frac, one identical double division rounded 6dp."""
+    scored = _nb_scored(spark, sf_dir)
+    per_src = scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+        (
+            F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_score"),
+    )
+    w = Window.orderBy(F.desc("mean_score"), F.asc("source"))
+    ranked = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "mean_score",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.coalesce(
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("cum_before"),
+    )
+    total = per_src.agg(F.sum("n_tokens").cast("bigint").alias("total_toks"))
+    lhs_full = (F.col("cum_before") + F.col("n_tokens")) * 1000
+    lhs_none = F.col("cum_before") * 1000
+    budget = F.lit(MIX_BUDGET_PERMILLE) * F.col("total_toks")
+    keep_frac = (
+        F.when(lhs_full <= budget, F.lit(1.0))
+        .when(lhs_none >= budget, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (
+                    F.lit(MIX_BUDGET_PERMILLE) * F.col("total_toks")
+                    - F.lit(1000) * F.col("cum_before")
+                ).cast("double")
+                / (F.lit(1000) * F.col("n_tokens")).cast("double"),
+                6,
+            )
+        )
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("mean_score", 6).alias("mean_score"),
+        "rank",
+        keep_frac.alias("keep_frac"),
+    )
+
+
+SQL_QUALITY_BUDGET_MIX = f"""
+WITH {_NB_SCORED_CTE_SQL},
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+         CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_score
+  FROM nbscored GROUP BY source
+),
+ranked AS (
+  SELECT source, n_docs, n_tokens, mean_score,
+         CAST(ROW_NUMBER() OVER (ORDER BY mean_score DESC, source) AS INT)
+           AS rank,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY mean_score DESC, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM per_src
+),
+total AS (SELECT SUM(n_tokens) AS total_toks FROM per_src)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(mean_score, 6) AS mean_score,
+       rank,
+       CASE
+         WHEN (cum_before + n_tokens) * 1000
+              <= {MIX_BUDGET_PERMILLE} * total_toks THEN 1.0
+         WHEN cum_before * 1000 >= {MIX_BUDGET_PERMILLE} * total_toks THEN 0.0
+         ELSE ROUND(CAST({MIX_BUDGET_PERMILLE} * total_toks
+                         - 1000 * cum_before AS DOUBLE)
+                    / CAST(1000 * n_tokens AS DOUBLE), 6)
+       END AS keep_frac
+FROM ranked, total
 """
 
 
@@ -19409,6 +19626,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_learning": q_unigram_lm_learning,
     "exact_substr_dedup": q_exact_substr_dedup,
     "nb_quality_classifier": q_nb_quality_classifier,
+    "nb_calibration_audit": q_nb_calibration_audit,
+    "quality_budget_mix": q_quality_budget_mix,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -19696,6 +19915,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "unigram_lm_learning": SQL_UNIGRAM_LM_LEARNING,
     "exact_substr_dedup": SQL_EXACT_SUBSTR_DEDUP,
     "nb_quality_classifier": SQL_NB_QUALITY_CLASSIFIER,
+    "nb_calibration_audit": SQL_NB_CALIBRATION_AUDIT,
+    "quality_budget_mix": SQL_QUALITY_BUDGET_MIX,
 }
 
 
@@ -20145,6 +20366,8 @@ _R10_ADDED: list[str] = [
     "unigram_lm_learning",
     "exact_substr_dedup",
     "nb_quality_classifier",
+    "nb_calibration_audit",
+    "quality_budget_mix",
 ]
 
 _HEAD = _R10_WINDOW

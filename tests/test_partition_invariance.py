@@ -118,6 +118,8 @@ def _canon(df):
         "unigram_lm_learning",      # integer counts, integer prune compares
         "exact_substr_dedup",       # md5 windows, integer owner/positions
         "nb_quality_classifier",    # integer counts, decimal-cast LLR sums
+        "nb_calibration_audit",     # identical sigmoid doubles, decimal bins
+        "quality_budget_mix",       # integer budget compares, decimal means
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

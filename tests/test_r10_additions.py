@@ -242,6 +242,8 @@ def test_r10_additions_register_below_the_stamp_window():
         "unigram_lm_learning",
         "exact_substr_dedup",
         "nb_quality_classifier",
+        "nb_calibration_audit",
+        "quality_budget_mix",
     ]
     for n in EQ._R10_ADDED:
         assert n in EQ.QUERIES and n in EQ.ORACLE_SQL

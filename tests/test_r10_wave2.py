@@ -132,7 +132,7 @@ def test_nb_classifier_plan_shapes(spark, sf_dir):
     class-conditional count build and the scoring join — the train and
     inference passes share one corpus read); scalars ride broadcast
     1-row frames; no Python, no windows."""
-    src = inspect.getsource(EQ.q_nb_quality_classifier)
+    src = inspect.getsource(EQ._nb_scored)  # the shared train+score core
     assert "_track_cached" in src
     plan = final_explain_formatted(
         EQ._QUERIES_ALL["nb_quality_classifier"](spark, sf_dir)
@@ -141,3 +141,64 @@ def test_nb_classifier_plan_shapes(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# nb_calibration_audit / quality_budget_mix (the NB-scorer consumers)
+# ---------------------------------------------------------------------------
+
+def test_nb_calibration_bins_partition_the_corpus(spark, sf_dir):
+    """Bin sizes must sum to the scored-doc count, confidences and
+    rates must be probabilities, bins must be valid deciles, and the
+    audit must be NONTRIVIAL (more than one occupied bin — a sigmoid
+    or binning bug collapses everything into one bucket)."""
+    rows = EQ._QUERIES_ALL["nb_calibration_audit"](spark, sf_dir).collect()
+    n_scored = EQ._QUERIES_ALL["nb_quality_classifier"](spark, sf_dir).count()
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    assert len(rows) >= 2
+    for r in rows:
+        assert 0 <= r["bin"] < EQ.NB_CAL_BINS
+        assert 0.0 <= r["mean_conf"] <= 1.0
+        assert 0.0 <= r["emp_rate"] <= 1.0
+        assert abs(r["abs_gap"] - abs(round(r["mean_conf"] - r["emp_rate"], 6))) < 1e-9
+        # a decile's mean confidence lies inside the decile
+        assert r["bin"] / EQ.NB_CAL_BINS - 1e-9 <= r["mean_conf"] <= (
+            (r["bin"] + 1) / EQ.NB_CAL_BINS + 1e-9
+        )
+
+
+def test_quality_budget_mix_is_a_greedy_prefix_plan(spark, sf_dir):
+    """keep_frac must be monotone non-increasing in rank (a greedy
+    prefix: full sources, then at most one fractional straddler, then
+    zeros), and the kept token mass must equal the budget share of the
+    corpus exactly (up to the 6dp rounding of the one fraction)."""
+    rows = sorted(
+        EQ._QUERIES_ALL["quality_budget_mix"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    fracs = [r["keep_frac"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(fracs, fracs[1:]))
+    assert all(0.0 <= f <= 1.0 for f in fracs)
+    n_partial = sum(1 for f in fracs if 0.0 < f < 1.0)
+    assert n_partial <= 1
+    total = sum(r["n_tokens"] for r in rows)
+    kept = sum(r["n_tokens"] * r["keep_frac"] for r in rows)
+    want = total * EQ.MIX_BUDGET_PERMILLE / 1000.0
+    assert abs(kept - want) <= max(r["n_tokens"] for r in rows) * 1e-5
+    # ranking follows mean quality, best first
+    means = [r["mean_score"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(means, means[1:]))
+
+
+def test_nb_consumers_share_one_corpus_read(spark, sf_dir):
+    """Both NB-scorer consumers inherit the scorer's corpus-read
+    discipline: one persisted token table, one parquet scan, the
+    source-domain window only on the rolled-up frame."""
+    for name in ("nb_calibration_audit", "quality_budget_mix"):
+        plan = final_explain_formatted(
+            EQ._QUERIES_ALL[name](spark, sf_dir)
+        )
+        assert _distinct_parquet_scans(plan) <= 1, name
+        assert "InMemoryTableScan" in plan, name
+        assert "BatchEvalPython" not in plan, name
