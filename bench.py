@@ -321,6 +321,7 @@ HEADLINE = [
     "nb_quality_classifier",
     "nb_calibration_audit",
     "quality_budget_mix",
+    "nb_holdout_eval",
 ]
 
 

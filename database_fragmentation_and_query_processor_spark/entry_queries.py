@@ -18994,29 +18994,46 @@ def q_nb_quality_classifier(spark, sf_dir):
     )
 
 
-def _nb_scored(spark, sf_dir):
+def _nb_scored(spark, sf_dir, holdout: bool = False):
     """The shared NB train+score pipeline (see q_nb_quality_classifier
     for the full story): returns one row per scoreable document —
-    (doc_id, source, weak_label, n_toks, score), where score is the
-    unrounded posterior log-odds. Consumed by the classifier, the
-    calibration audit, and the quality-budget mixer."""
+    (doc_id, source, weak_label, n_toks, score[, split]), where score
+    is the unrounded posterior log-odds. Consumed by the classifier,
+    the calibration audit, and the quality-budget mixer.
+
+    ``holdout=True`` trains the model ONLY on the md5 train split
+    (doc_split_assign's deterministic buckets) while still scoring
+    every document, and adds the ``split`` column — the out-of-sample
+    evaluation mode. Scoring then LEFT-joins the model so val/test
+    words absent from the train vocabulary keep their Laplace mass
+    (c=0 → ln((0+1)/(T+V)) terms) instead of being dropped."""
     docs = _docs(spark, sf_dir)
     lbl = F.pmod(
         F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"), F.lit(2)
     ).cast("int")
+    b = SampleOp.hash_bucket(F.col("doc_id"), SPLIT_SALT)
+    split = (
+        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+        .when(b < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
     base = docs.select(
         "doc_id",
         "source",
         lbl.alias("weak_label"),
+        split.alias("split"),
         T.tokens(F.col("text")).alias("t"),
     ).where(F.size("t") >= 1)
     tw = _track_cached(
-        base.select("doc_id", "source", "weak_label", F.explode("t").alias("w"))
-        .groupBy("doc_id", "source", "weak_label", "w")
+        base.select(
+            "doc_id", "source", "weak_label", "split", F.explode("t").alias("w")
+        )
+        .groupBy("doc_id", "source", "weak_label", "split", "w")
         .agg(F.count("*").cast("bigint").alias("cnt"))
         .persist()
     )
-    cw = tw.groupBy("w").agg(
+    train_tw = tw.where(F.col("split") == "train") if holdout else tw
+    cw = train_tw.groupBy("w").agg(
         F.sum(F.when(F.col("weak_label") == 1, F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("c1"),
@@ -19029,27 +19046,29 @@ def _nb_scored(spark, sf_dir):
         F.sum("c0").cast("bigint").alias("t0"),
         F.count("*").cast("bigint").alias("v"),
     )
-    # priors from the cached token table (distinct docs per class) —
-    # deriving them from `base` would be a second corpus scan
+    # priors from the cached token table (distinct TRAINING docs per
+    # class) — deriving them from `base` would be a second corpus scan
     prior = (
-        tw.select("doc_id", "weak_label")
+        train_tw.select("doc_id", "weak_label")
         .distinct()
         .agg(
             F.sum("weak_label").cast("bigint").alias("n1"),
             F.sum(1 - F.col("weak_label")).cast("bigint").alias("n0"),
         )
     )
+    c1s = F.coalesce(F.col("c1"), F.lit(0))
+    c0s = F.coalesce(F.col("c0"), F.lit(0))
     term = F.log(
-        (F.col("c1") + NB_ALPHA).cast("double")
+        (c1s + NB_ALPHA).cast("double")
         / (F.col("t1") + F.col("v")).cast("double")
     ) - F.log(
-        (F.col("c0") + NB_ALPHA).cast("double")
+        (c0s + NB_ALPHA).cast("double")
         / (F.col("t0") + F.col("v")).cast("double")
     )
     scored = (
-        tw.join(cw, "w")
+        tw.join(cw, "w", "left" if holdout else "inner")
         .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id", "source", "weak_label")
+        .groupBy("doc_id", "source", "weak_label", "split")
         .agg(
             F.sum((F.col("cnt").cast("double") * term).cast("decimal(38,18)"))
             .cast("double")
@@ -19064,8 +19083,37 @@ def _nb_scored(spark, sf_dir):
         "doc_id",
         "source",
         "weak_label",
+        "split",
         "n_toks",
         (log_prior + F.col("lo_sum")).alias("score"),
+    )
+
+
+def q_nb_holdout_eval(spark, sf_dir):
+    """Out-of-sample classifier evaluation — the step that makes the
+    in-engine NB trustworthy: train ONLY on the deterministic md5
+    train split (doc_split_assign's 80/10/10 buckets), score every
+    document, and report the per-split confusion counts. In-sample
+    accuracy (nb_quality_classifier) flatters any classifier; a corpus
+    gate is deployed on its val/test behavior. Words unseen in
+    training keep their Laplace smoothing mass (left-join + coalesce),
+    exactly how a shipped NB handles open vocabulary.
+
+    Scale shape: identical to the in-sample scorer — one corpus
+    tokenize into the persisted (doc, split, word, count) table that
+    feeds the train-filtered model build AND the all-docs scoring join;
+    the confusion rollup is a 12-row integer aggregate. Exactness: all
+    counts integer; the prediction is the sign of identically-built
+    doubles."""
+    scored = _nb_scored(spark, sf_dir, holdout=True)
+    return (
+        scored.select(
+            "split",
+            "weak_label",
+            (F.col("score") > 0).cast("int").alias("pred_label"),
+        )
+        .groupBy("split", "weak_label", "pred_label")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
 
 
@@ -19116,6 +19164,52 @@ SELECT doc_id, weak_label,
        ROUND(score, 6) AS log_odds,
        CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS pred_label
 FROM nbscored
+"""
+
+SQL_NB_HOLDOUT_EVAL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 AS INT)
+           AS weak_label,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+              WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_VAL_PERMILLE} THEN 'val'
+              ELSE 'test' END AS split,
+         {TOKENS_SQL} AS t
+  FROM documents WHERE len({TOKENS_SQL}) >= 1
+),
+tw AS (
+  SELECT doc_id, weak_label, split, w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, weak_label, split, unnest(t) AS w FROM base)
+  GROUP BY 1, 2, 3, 4
+),
+cw AS (
+  SELECT w,
+         SUM(CASE WHEN weak_label = 1 THEN cnt ELSE 0 END) AS c1,
+         SUM(CASE WHEN weak_label = 0 THEN cnt ELSE 0 END) AS c0
+  FROM tw WHERE split = 'train' GROUP BY w
+),
+stats AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM cw),
+prior AS (
+  SELECT SUM(weak_label) AS n1, SUM(1 - weak_label) AS n0
+  FROM (SELECT DISTINCT doc_id, weak_label FROM tw WHERE split = 'train')
+),
+scored AS (
+  SELECT doc_id, weak_label, split,
+         CAST(SUM(CAST(CAST(cnt AS DOUBLE) * (
+           ln(CAST(COALESCE(c1, 0) + {NB_ALPHA} AS DOUBLE)
+              / CAST(t1 + v AS DOUBLE))
+           - ln(CAST(COALESCE(c0, 0) + {NB_ALPHA} AS DOUBLE)
+                / CAST(t0 + v AS DOUBLE))
+         ) AS DECIMAL(38,18))) AS DOUBLE) AS lo_sum
+  FROM tw LEFT JOIN cw USING (w), stats
+  GROUP BY doc_id, weak_label, split
+)
+SELECT split, weak_label,
+       CAST(CASE WHEN ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) + lo_sum > 0
+            THEN 1 ELSE 0 END AS INT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scored, prior
+GROUP BY 1, 2, 3
 """
 
 
@@ -19628,6 +19722,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_quality_classifier": q_nb_quality_classifier,
     "nb_calibration_audit": q_nb_calibration_audit,
     "quality_budget_mix": q_quality_budget_mix,
+    "nb_holdout_eval": q_nb_holdout_eval,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -19917,6 +20012,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "nb_quality_classifier": SQL_NB_QUALITY_CLASSIFIER,
     "nb_calibration_audit": SQL_NB_CALIBRATION_AUDIT,
     "quality_budget_mix": SQL_QUALITY_BUDGET_MIX,
+    "nb_holdout_eval": SQL_NB_HOLDOUT_EVAL,
 }
 
 
@@ -20368,6 +20464,7 @@ _R10_ADDED: list[str] = [
     "nb_quality_classifier",
     "nb_calibration_audit",
     "quality_budget_mix",
+    "nb_holdout_eval",
 ]
 
 _HEAD = _R10_WINDOW

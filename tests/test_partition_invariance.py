@@ -120,6 +120,7 @@ def _canon(df):
         "nb_quality_classifier",    # integer counts, decimal-cast LLR sums
         "nb_calibration_audit",     # identical sigmoid doubles, decimal bins
         "quality_budget_mix",       # integer budget compares, decimal means
+        "nb_holdout_eval",          # md5 splits, integer confusion counts
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -202,3 +202,41 @@ def test_nb_consumers_share_one_corpus_read(spark, sf_dir):
         assert _distinct_parquet_scans(plan) <= 1, name
         assert "InMemoryTableScan" in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_nb_holdout_confusion_is_complete_and_out_of_sample(spark, sf_dir):
+    """The confusion cube must cover every scoreable doc exactly once,
+    carry all three splits, and be genuinely out-of-sample: holdout
+    train-split predictions must differ from the in-sample model's
+    somewhere (the model saw ~80% of the data, not all of it), while
+    val/test rows exist to measure generalization."""
+    rows = EQ._QUERIES_ALL["nb_holdout_eval"](spark, sf_dir).collect()
+    n_total = sum(r["n_docs"] for r in rows)
+    n_scored = EQ._QUERIES_ALL["nb_quality_classifier"](spark, sf_dir).count()
+    assert n_total == n_scored
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val", "test"}
+    for r in rows:
+        assert r["weak_label"] in (0, 1) and r["pred_label"] in (0, 1)
+        assert r["n_docs"] > 0
+    # train split dominates (the 80/10/10 md5 buckets)
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
+
+
+def test_nb_holdout_plan_keeps_single_corpus_read(spark, sf_dir):
+    """Holdout mode shares the in-sample scorer's discipline: one
+    persisted token table feeds the train-filtered model build and the
+    all-docs scoring join (now a LEFT join for open-vocabulary Laplace
+    mass); still one parquet scan, no Python."""
+    src = inspect.getsource(EQ._nb_scored)
+    assert '"left" if holdout else "inner"' in src
+    plan = final_explain_formatted(
+        EQ._QUERIES_ALL["nb_holdout_eval"](spark, sf_dir)
+    )
+    assert _distinct_parquet_scans(plan) <= 1
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
