@@ -322,6 +322,7 @@ HEADLINE = [
     "nb_calibration_audit",
     "quality_budget_mix",
     "nb_holdout_eval",
+    "k_anonymity_audit",
 ]
 
 

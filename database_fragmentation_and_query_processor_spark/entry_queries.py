@@ -19117,6 +19117,70 @@ def q_nb_holdout_eval(spark, sf_dir):
     )
 
 
+KANON_CHAR_BUCKET = 64  # quasi-identifier coarsening of n_chars
+KANON_MIN_K = 5  # the release bar: groups below this are re-identifiable
+
+
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity / l-diversity release audit — the privacy check run
+    before PUBLISHING a dataset (the non-noising companion of
+    dp_noisy_counts): treat (lang, coarsened length) as the
+    quasi-identifier an adversary plausibly knows, ``source`` as the
+    sensitive attribute, and report the re-identification risk
+    histogram — for each k-band (k=1 unique, 2..4, 5..9, 10+): how many
+    QI equivalence classes, how many documents, and the worst (min) and
+    best (max) l-diversity. A release policy then reads one row:
+    everything in bands below KANON_MIN_K must be suppressed or
+    generalized.
+
+    Scale shape: one groupBy on the QI pair (count + distinct-sensitive
+    — bounded by |sources| per group), then a 4-row band rollup. All
+    integers; no floats anywhere."""
+    docs = _docs(spark, sf_dir)
+    qi_len = F.floor(F.col("n_chars") / KANON_CHAR_BUCKET).cast("bigint")
+    groups = (
+        docs.groupBy(F.col("lang").alias("qi_lang"), qi_len.alias("qi_len"))
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.countDistinct("source").cast("bigint").alias("l"),
+        )
+    )
+    band = (
+        F.when(F.col("k") == 1, "k=1")
+        .when(F.col("k") < KANON_MIN_K, "2-4")
+        .when(F.col("k") < 10, "5-9")
+        .otherwise("10+")
+    )
+    return (
+        groups.groupBy(band.alias("k_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("k").cast("bigint").alias("n_docs"),
+            F.min("l").cast("bigint").alias("min_l"),
+            F.max("l").cast("bigint").alias("max_l"),
+        )
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = f"""
+WITH groups AS (
+  SELECT lang AS qi_lang,
+         CAST(FLOOR(n_chars / {KANON_CHAR_BUCKET}) AS BIGINT) AS qi_len,
+         COUNT(*) AS k, COUNT(DISTINCT source) AS l
+  FROM documents GROUP BY 1, 2
+)
+SELECT CASE WHEN k = 1 THEN 'k=1'
+            WHEN k < {KANON_MIN_K} THEN '2-4'
+            WHEN k < 10 THEN '5-9'
+            ELSE '10+' END AS k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_docs,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(MAX(l) AS BIGINT) AS max_l
+FROM groups GROUP BY 1
+"""
+
+
 #: The shared NB train+score CTE chain (mirrors _nb_scored): ends with
 #: ``nbscored(doc_id, source, weak_label, n_toks, score)``.
 _NB_SCORED_CTE_SQL = f"""base AS (
@@ -19723,6 +19787,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_calibration_audit": q_nb_calibration_audit,
     "quality_budget_mix": q_quality_budget_mix,
     "nb_holdout_eval": q_nb_holdout_eval,
+    "k_anonymity_audit": q_k_anonymity_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -20013,6 +20078,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "nb_calibration_audit": SQL_NB_CALIBRATION_AUDIT,
     "quality_budget_mix": SQL_QUALITY_BUDGET_MIX,
     "nb_holdout_eval": SQL_NB_HOLDOUT_EVAL,
+    "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
 }
 
 
@@ -20465,6 +20531,7 @@ _R10_ADDED: list[str] = [
     "nb_calibration_audit",
     "quality_budget_mix",
     "nb_holdout_eval",
+    "k_anonymity_audit",
 ]
 
 _HEAD = _R10_WINDOW

@@ -121,6 +121,7 @@ def _canon(df):
         "nb_calibration_audit",     # identical sigmoid doubles, decimal bins
         "quality_budget_mix",       # integer budget compares, decimal means
         "nb_holdout_eval",          # md5 splits, integer confusion counts
+        "k_anonymity_audit",        # pure integer k/l counts and bands
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

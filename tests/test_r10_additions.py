@@ -245,6 +245,7 @@ def test_r10_additions_register_below_the_stamp_window():
         "nb_calibration_audit",
         "quality_budget_mix",
         "nb_holdout_eval",
+        "k_anonymity_audit",
     ]
     for n in EQ._R10_ADDED:
         assert n in EQ.QUERIES and n in EQ.ORACLE_SQL

@@ -240,3 +240,27 @@ def test_nb_holdout_plan_keeps_single_corpus_read(spark, sf_dir):
     assert _distinct_parquet_scans(plan) <= 1
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_k_anonymity_bands_partition_groups_and_docs(spark, sf_dir):
+    """Band rows must partition BOTH the QI equivalence classes and the
+    corpus docs exactly; l-diversity is bounded by the source count;
+    the audit is nontrivial (at least two occupied bands at test SFs)."""
+    rows = EQ._QUERIES_ALL["k_anonymity_audit"](spark, sf_dir).collect()
+    docs = EQ._docs(spark, sf_dir)
+    n_docs = docs.count()
+    qi = (
+        docs.groupBy(
+            "lang",
+            F.floor(F.col("n_chars") / EQ.KANON_CHAR_BUCKET),
+        ).count()
+    )
+    n_groups = qi.count()
+    n_sources = docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_groups"] for r in rows) == n_groups
+    assert {r["k_band"] for r in rows} <= {"k=1", "2-4", "5-9", "10+"}
+    assert len(rows) >= 2
+    for r in rows:
+        assert 1 <= r["min_l"] <= r["max_l"] <= n_sources
+        assert r["n_groups"] >= 1 and r["n_docs"] >= r["n_groups"]
