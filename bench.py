@@ -323,6 +323,7 @@ HEADLINE = [
     "quality_budget_mix",
     "nb_holdout_eval",
     "k_anonymity_audit",
+    "pr_auc_by_source",
 ]
 
 

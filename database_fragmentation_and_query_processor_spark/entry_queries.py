@@ -18868,8 +18868,14 @@ def q_exact_substr_dedup(spark, sf_dir):
     md5 of the kept-token join (O(1)-wide rows, the paragraph_dedup
     convention)."""
     docs = _docs_with_dups(spark, sf_dir)
-    base = docs.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
-        F.size("t") >= 1
+    # persisted: the tokenized corpus feeds BOTH the window-hash build
+    # and the final rewrite join — uncached, the rewrite re-tokenizes
+    # (and _docs_with_dups' union re-reads the corpus twice per
+    # reference)
+    base = _track_cached(
+        docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+        .where(F.size("t") >= 1)
+        .persist()
     )
     wins = _track_cached(
         base.select(
@@ -19178,6 +19184,116 @@ SELECT CASE WHEN k = 1 THEN 'k=1'
        CAST(MIN(l) AS BIGINT) AS min_l,
        CAST(MAX(l) AS BIGINT) AS max_l
 FROM groups GROUP BY 1
+"""
+
+
+def q_pr_auc_by_source(spark, sf_dir):
+    """Exact PR-AUC (average precision) of document length as a
+    predictor of lang='en', per source — the imbalanced-class twin of
+    roc_auc_by_source (PR is the curve that matters when positives are
+    rare, the usual case for quality/contamination classifiers). AP is
+    computed by the step-sum identity over DESCENDING distinct
+    thresholds: AP = Σ_t ΔR_t · P_t with ties collapsed into one
+    threshold row — no curve materialization, no per-source sort.
+
+    Exactness: threshold-cumulative TP/N come from the bucketed
+    two-phase prefix sum over per-(source, length) counts; each row's
+    ΔR·P term is a ratio of DECIMAL(38,0) integer products (overflow-
+    safe at any corpus size) evaluated as one identical double, decimal-
+    cast before the per-source sum (order-free). Scale shape: the
+    (source × distinct-length) domain after one keyed aggregate — same
+    contract as the ROC twin."""
+    from .operators.scaling import stable_prefix_sum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("c"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    cnts = _track_cached(
+        d.groupBy("source", "c")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("pos").cast("bigint").alias("cnt_pos"),
+        )
+        .withColumn("negc", -F.col("c"))
+        .persist()
+    )
+    pn = stable_prefix_sum(
+        cnts, order_cols=["negc"], value_col="cnt", group_cols=["source"],
+        out_col="below_n",
+    ).select("source", "c", "below_n")
+    pp = stable_prefix_sum(
+        cnts, order_cols=["negc"], value_col="cnt_pos",
+        group_cols=["source"], out_col="below_pos",
+    )
+    rows = pp.join(pn, ["source", "c"])
+    tot = cnts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("cnt_pos").cast("bigint").alias("n_pos"),
+    )
+    tp = (F.col("below_pos") + F.col("cnt_pos")).cast("decimal(38,0)")
+    nn = (F.col("below_n") + F.col("cnt")).cast("decimal(38,0)")
+    num = F.col("cnt_pos").cast("decimal(38,0)") * tp
+    den = F.col("n_pos").cast("decimal(38,0)") * nn
+    term = (num.cast("double") / den.cast("double")).cast("decimal(38,18)")
+    agg = (
+        rows.join(tot, "source")
+        .where(F.col("n_pos") > 0)
+        .groupBy("source", "n", "n_pos")
+        .agg(F.sum(term).cast("double").alias("ap"))
+    )
+    return agg.select(
+        "source",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        F.round("ap", 6).alias("pr_auc"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+        ).alias("baseline_prevalence"),
+    )
+
+
+SQL_PR_AUC_BY_SOURCE = """
+WITH d AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS c,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+cnts AS (
+  SELECT source, c, COUNT(*) AS cnt, SUM(pos) AS cnt_pos
+  FROM d GROUP BY 1, 2
+),
+pv AS (
+  SELECT source, c, cnt, cnt_pos,
+         COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below_n,
+         COALESCE(SUM(cnt_pos) OVER (PARTITION BY source ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below_pos
+  FROM cnts
+),
+tot AS (SELECT source, SUM(cnt) AS n, SUM(cnt_pos) AS n_pos
+        FROM cnts GROUP BY source),
+agg AS (
+  SELECT pv.source, n, n_pos,
+         CAST(SUM(CAST(
+           CAST(CAST(cnt_pos AS DECIMAL(38,0))
+                * CAST(below_pos + cnt_pos AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(CAST(n_pos AS DECIMAL(38,0))
+                  * CAST(below_n + cnt AS DECIMAL(38,0)) AS DOUBLE)
+         AS DECIMAL(38,18))) AS DOUBLE) AS ap
+  FROM pv JOIN tot ON pv.source = tot.source
+  WHERE n_pos > 0
+  GROUP BY pv.source, n, n_pos
+)
+SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n - n_pos AS BIGINT) AS n_neg,
+       ROUND(ap, 6) AS pr_auc,
+       ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+         AS baseline_prevalence
+FROM agg
 """
 
 
@@ -19788,6 +19904,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_budget_mix": q_quality_budget_mix,
     "nb_holdout_eval": q_nb_holdout_eval,
     "k_anonymity_audit": q_k_anonymity_audit,
+    "pr_auc_by_source": q_pr_auc_by_source,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -20079,6 +20196,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "quality_budget_mix": SQL_QUALITY_BUDGET_MIX,
     "nb_holdout_eval": SQL_NB_HOLDOUT_EVAL,
     "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
+    "pr_auc_by_source": SQL_PR_AUC_BY_SOURCE,
 }
 
 
@@ -20532,6 +20650,7 @@ _R10_ADDED: list[str] = [
     "quality_budget_mix",
     "nb_holdout_eval",
     "k_anonymity_audit",
+    "pr_auc_by_source",
 ]
 
 _HEAD = _R10_WINDOW

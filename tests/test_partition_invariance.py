@@ -122,6 +122,7 @@ def _canon(df):
         "quality_budget_mix",       # integer budget compares, decimal means
         "nb_holdout_eval",          # md5 splits, integer confusion counts
         "k_anonymity_audit",        # pure integer k/l counts and bands
+        "pr_auc_by_source",         # decimal integer-product ratio terms
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -246,6 +246,7 @@ def test_r10_additions_register_below_the_stamp_window():
         "quality_budget_mix",
         "nb_holdout_eval",
         "k_anonymity_audit",
+        "pr_auc_by_source",
     ]
     for n in EQ._R10_ADDED:
         assert n in EQ.QUERIES and n in EQ.ORACLE_SQL

@@ -264,3 +264,99 @@ def test_k_anonymity_bands_partition_groups_and_docs(spark, sf_dir):
     for r in rows:
         assert 1 <= r["min_l"] <= r["max_l"] <= n_sources
         assert r["n_groups"] >= 1 and r["n_docs"] >= r["n_groups"]
+
+
+def test_pr_auc_bounds_and_consistency_with_roc(spark, sf_dir):
+    """AP must be a probability, every source must appear with the
+    same class totals as the ROC twin, and the metric must be
+    nontrivial (not everywhere equal to the random-classifier baseline
+    prevalence)."""
+    pr = {
+        r["source"]: r
+        for r in EQ._QUERIES_ALL["pr_auc_by_source"](spark, sf_dir).collect()
+    }
+    roc = {
+        r["source"]: r
+        for r in EQ._QUERIES_ALL["roc_auc_by_source"](spark, sf_dir).collect()
+    }
+    assert set(pr) == set(roc)
+    n_off_baseline = 0
+    for src, r in pr.items():
+        assert 0.0 < r["pr_auc"] <= 1.0
+        assert 0.0 < r["baseline_prevalence"] < 1.0
+        assert r["n_pos"] == roc[src]["n_pos"]
+        assert r["n_neg"] == roc[src]["n_neg"]
+        if abs(r["pr_auc"] - r["baseline_prevalence"]) > 1e-6:
+            n_off_baseline += 1
+    assert n_off_baseline > 0
+
+
+def test_pr_auc_is_exactly_one_for_a_perfect_predictor(spark):
+    """Sanity oracle on a constructed frame: when every positive
+    outranks every negative, AP must be exactly 1; when every score is
+    tied, AP must equal the prevalence."""
+    import database_fragmentation_and_query_processor_spark.entry_queries as eq
+
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, lang string, n_chars long"
+        )
+        real = eq._t
+        try:
+            eq._t = lambda s, d, t: df
+            return {
+                r["source"]: r
+                for r in eq._QUERIES_ALL["pr_auc_by_source"](
+                    spark, "unused"
+                ).collect()
+            }
+        finally:
+            eq._t = real
+
+    perfect = [(i, "s", "en" if i < 5 else "de", 1000 - i) for i in range(10)]
+    out = run(perfect)
+    assert out["s"]["pr_auc"] == 1.0
+    tied = [(i, "s", "en" if i < 5 else "de", 7) for i in range(10)]
+    out = run(tied)
+    assert abs(out["s"]["pr_auc"] - 0.5) < 1e-9  # prevalence 5/10
+
+
+def test_pr_auc_plan_uses_two_phase_prefix_not_window(spark, sf_dir):
+    import inspect as _inspect
+
+    src = _inspect.getsource(EQ.q_pr_auc_by_source)
+    assert "stable_prefix_sum" in src
+    plan = final_explain_formatted(
+        EQ._QUERIES_ALL["pr_auc_by_source"](spark, sf_dir)
+    )
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# family-wide plan hygiene for every round-10 addition
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", [
+    "line_dedup_exact",
+    "kn_bigram_perplexity",
+    "unigram_lm_learning",
+    "exact_substr_dedup",
+    "nb_quality_classifier",
+    "nb_calibration_audit",
+    "quality_budget_mix",
+    "nb_holdout_eval",
+    "k_anonymity_audit",
+    "pr_auc_by_source",
+])
+def test_r10_added_plan_hygiene(spark, sf_dir, name):
+    """Every round-10 operator's final plan: at most two distinct
+    parquet scans (shared intermediates are persisted, never
+    re-derived), no Python row evaluation, no cartesian product."""
+    plan = final_explain_formatted(EQ._QUERIES_ALL[name](spark, sf_dir))
+    assert _distinct_parquet_scans(plan) <= 2, name
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
