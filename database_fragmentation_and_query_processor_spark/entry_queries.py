@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Callable
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -17843,6 +17844,28 @@ LINE_TOKENS = 8
 #: one fixed multiplier stands in for the tercile cut here).
 LINE_NLL_MULT = 1.05
 
+#: The multiplier as an exact integer ratio so the keep decision is an
+#: integer cross-product in BOTH engines (1.05 = 21/20; no float ever
+#: reaches the comparison).
+_LINE_NLL_FR = Fraction(str(LINE_NLL_MULT))
+LINE_NLL_MULT_NUM = _LINE_NLL_FR.numerator
+LINE_NLL_MULT_DEN = _LINE_NLL_FR.denominator
+
+#: The shared per-word negative-log-likelihood lattice: the ONLY
+#: transcendental any per-line-LM query hashes is quantized ONCE per
+#: vocabulary word as floor(-ln(p) * NLL_LATTICE) BIGINT — identical
+#: expression text in both engines — and every downstream sum, keep
+#: decision, and reported mean is exact integer / DECIMAL arithmetic on
+#: those lattice points. Engine-libm ln streams may differ by ulps
+#: (CORRECTNESS_r10's line_quality_filter red: 1310/3609 per-line nll
+#: doubles were bitwise different Spark-vs-DuckDB and one per-doc mean
+#: sat 1.5e-10 from its round-6dp boundary); on the lattice a libm
+#: divergence can only flip a word's q by 1 when -ln(p)*1e9 sits within
+#: ulps of an integer — a vocabulary-sized knife-edge population,
+#: ~5 orders of magnitude smaller than the per-row-double population,
+#: and a single flip moves a 6dp-rounded mean by ~1e-12.
+NLL_LATTICE = 1_000_000_000
+
 
 def _bpe_wrap(sym: str) -> str:
     """A symbol embedded in the merge-state string: space-wrapped, so
@@ -18056,45 +18079,65 @@ def q_line_quality_filter(spark, sf_dir):
     totals and the entropy scalar ride broadcast 1-row frames — no
     driver-side collects in the returned plan.
 
-    Cross-engine exactness: counts are integers; each -ln p term and
-    each per-line nll is decimal-cast before summation (order-free);
-    the keep decision compares identically-built doubles; the rewrite
-    is emitted as md5 of the kept-line concatenation (rows stay O(1)
-    wide, same convention as paragraph_dedup)."""
+    Cross-engine exactness (the NLL_LATTICE convention — rebuilt after
+    CORRECTNESS_r10's hash red, where per-row engine-ln doubles summed
+    into a 6dp-rounded mean that sat 1.5e-10 from its rounding
+    boundary): the ONLY transcendental is quantized ONCE per vocabulary
+    word as q = floor(-ln(c/n_total) * NLL_LATTICE) BIGINT, identical
+    expression text in both engines. Everything downstream is exact —
+    per-line nll is the integer sum of q, the corpus-entropy side is
+    the integer Σ c·q, the keep decision is the integer cross-product
+    lq·n_total·DEN <= NUM·hq·n_toks (LINE_NLL_MULT as an exact
+    fraction), and mean_line_nll is a decimal-cast sum of per-line
+    ratios of exact integers (each < 2^53, so the per-line double is
+    bit-identical in both engines) divided by an integer count. No
+    engine-evaluated transcendental ever reaches the hashed output
+    (the pr_auc_by_source convention). The rewrite is emitted as md5
+    of the kept-line concatenation (rows stay O(1) wide, same
+    convention as paragraph_dedup)."""
     lx = _doc_lines(spark, sf_dir)
     wx = lx.select("doc_id", "line_idx", F.explode("lt").alias("w"))
-    cw = wx.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
-    tot = cw.agg(F.sum("c").cast("bigint").alias("n_total"))
+    cw0 = wx.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    tot = cw0.agg(F.sum("c").cast("bigint").alias("n_total"))
     pw = F.col("c").cast("double") / F.col("n_total").cast("double")
-    hrow = (
-        cw.crossJoin(F.broadcast(tot))
-        .agg(
-            F.sum((-pw * F.log(pw)).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("h")
-        )
+    cw = cw0.crossJoin(F.broadcast(tot)).select(
+        "w",
+        "c",
+        F.floor((-F.log(pw)) * F.lit(float(NLL_LATTICE)))
+        .cast("bigint")
+        .alias("q"),
+    )
+    hrow = cw.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("q")).alias("hq")
     )
     scored = (
-        wx.join(cw, "w")
-        .crossJoin(F.broadcast(tot))
+        wx.join(cw.select("w", "q"), "w")
         .groupBy("doc_id", "line_idx")
         .agg(
             F.count("*").cast("bigint").alias("n_toks"),
-            F.sum((-F.log(pw)).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("nll_sum"),
+            F.sum("q").cast("bigint").alias("lq"),
         )
-        .withColumn("nll", F.col("nll_sum") / F.col("n_toks").cast("double"))
     )
-    keep = scored.crossJoin(F.broadcast(hrow)).select(
-        "doc_id",
-        "line_idx",
-        "nll",
-        (F.col("nll") <= F.lit(float(LINE_NLL_MULT)) * F.col("h")).alias(
-            "kept"
-        ),
+    keep = (
+        scored.crossJoin(F.broadcast(hrow))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "line_idx",
+            "n_toks",
+            "lq",
+            (
+                F.col("lq").cast("decimal(38,0)")
+                * F.col("n_total")
+                * F.lit(LINE_NLL_MULT_DEN)
+                <= F.lit(LINE_NLL_MULT_NUM) * F.col("hq") * F.col("n_toks")
+            ).alias("kept"),
+        )
     )
     jl = lx.join(keep, ["doc_id", "line_idx"])
+    line_nll = F.col("lq").cast("double") / (
+        F.col("n_toks") * F.lit(NLL_LATTICE)
+    ).cast("double")
     return jl.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_lines"),
         F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),
@@ -18120,7 +18163,7 @@ def q_line_quality_filter(spark, sf_dir):
             )
         ).alias("rewrite_md5"),
         F.round(
-            F.sum(F.col("nll").cast("decimal(38,18)")).cast("double")
+            F.sum(line_nll.cast("decimal(38,18)")).cast("double")
             / F.count("*").cast("double"),
             6,
         ).alias("mean_line_nll"),
@@ -18148,29 +18191,26 @@ lx AS (
   FROM (SELECT doc_id, unnest(ls) AS u FROM lx0)
 ),
 wx AS (SELECT doc_id, line_idx, unnest(lt) AS w FROM lx),
-cw AS (SELECT w, COUNT(*) AS c FROM wx GROUP BY w),
-tot AS (SELECT SUM(c) AS n_total FROM cw),
-hrow AS (
-  SELECT CAST(SUM(CAST(
-           -(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
-           * ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
-         AS DECIMAL(38,18))) AS DOUBLE) AS h
-  FROM cw, tot
+cw0 AS (SELECT w, COUNT(*) AS c FROM wx GROUP BY w),
+tot AS (SELECT SUM(c) AS n_total FROM cw0),
+cw AS (
+  SELECT w, c,
+         CAST(FLOOR((-ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)))
+                    * {float(NLL_LATTICE)!r}) AS BIGINT) AS q
+  FROM cw0, tot
 ),
+hrow AS (SELECT SUM(CAST(c AS HUGEINT) * q) AS hq FROM cw),
 scored AS (
   SELECT doc_id, line_idx, COUNT(*) AS n_toks,
-         CAST(SUM(CAST(
-           -ln(CAST(cw.c AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
-         AS DECIMAL(38,18))) AS DOUBLE) AS nll_sum
-  FROM wx JOIN cw USING (w), tot
+         CAST(SUM(q) AS BIGINT) AS lq
+  FROM wx JOIN cw USING (w)
   GROUP BY doc_id, line_idx
 ),
 keep AS (
-  SELECT doc_id, line_idx,
-         nll_sum / CAST(n_toks AS DOUBLE) AS nll,
-         (nll_sum / CAST(n_toks AS DOUBLE))
-           <= CAST({LINE_NLL_MULT} AS DOUBLE) * h AS kept
-  FROM scored, hrow
+  SELECT doc_id, line_idx, n_toks, lq,
+         (CAST(lq AS HUGEINT) * n_total * {LINE_NLL_MULT_DEN}
+            <= {LINE_NLL_MULT_NUM} * hq * n_toks) AS kept
+  FROM scored, hrow, tot
 )
 SELECT lx.doc_id,
        COUNT(*) AS n_lines,
@@ -18179,7 +18219,9 @@ SELECT lx.doc_id,
        md5(COALESCE(string_agg(
          CASE WHEN kept THEN array_to_string(lt, ' ') END,
          ' ' ORDER BY lx.line_idx), '')) AS rewrite_md5,
-       ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS DOUBLE)
+       ROUND(CAST(SUM(CAST(CAST(lq AS DOUBLE)
+                           / CAST(n_toks * {NLL_LATTICE} AS DOUBLE)
+                      AS DECIMAL(38,18))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE), 6) AS mean_line_nll
 FROM lx JOIN keep USING (doc_id, line_idx)
 GROUP BY lx.doc_id
@@ -18543,8 +18585,15 @@ def q_kn_bigram_perplexity(spark, sf_dir):
     scorer is that stream joined back on (w1,w2), w1, w2 (AQE decides
     broadcast vs shuffle; the type-total rides a broadcast 1-row
     frame); one aggregate per doc. Exactness: all counts are integers;
-    p is one identically-parenthesised double expression; each log term
-    is decimal-cast before the per-doc sum (order-free)."""
+    p is one identically-parenthesised double expression whose ln is
+    quantized per BIGRAM TYPE onto the NLL_LATTICE (floor(ln p·1e9)
+    BIGINT — the only transcendental); the per-doc sum is exact
+    integer arithmetic and the reported per-token mean NLL is the
+    rounded double of an exact integer ratio. The headline column is
+    kn_mean_nll (= ln of the perplexity) rather than exp(mean) — a
+    quality filter thresholds either identically, and exp of a sum of
+    engine-ln terms is exactly the hash surface the r10 verdict
+    flagged."""
     docs = _docs(spark, sf_dir)
     toks = T.tokens(F.col("text"))
     tl = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= 2)
@@ -18594,17 +18643,21 @@ def q_kn_bigram_perplexity(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum(F.log(p).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("logp"),
+            F.sum(
+                F.floor(F.log(p) * F.lit(float(NLL_LATTICE))).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("lpq"),
         )
     )
     return scored.select(
         "doc_id",
         "n_bigrams",
         F.round(
-            F.exp(-F.col("logp") / F.col("n_bigrams").cast("double")), 6
-        ).alias("kn_perplexity"),
+            (-F.col("lpq")).cast("double")
+            / (F.col("n_bigrams") * F.lit(NLL_LATTICE)).cast("double"),
+            6,
+        ).alias("kn_mean_nll"),
     )
 
 
@@ -18623,18 +18676,19 @@ cont AS (SELECT w2, COUNT(*) AS n1b FROM cb GROUP BY w2),
 types AS (SELECT COUNT(*) AS n_types FROM cb),
 scored AS (
   SELECT doc_id, COUNT(*) AS n_bigrams,
-         CAST(SUM(CAST(ln(
+         CAST(SUM(CAST(FLOOR(ln(
            GREATEST(CAST(c12 AS DOUBLE) - {KN_DISCOUNT!r}, 0.0)
              / CAST(c1 AS DOUBLE)
            + {KN_DISCOUNT!r} * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
              * (CAST(n1b AS DOUBLE) / CAST(n_types AS DOUBLE))
-         ) AS DECIMAL(38,18))) AS DOUBLE) AS logp
+         ) * {float(NLL_LATTICE)!r}) AS BIGINT)) AS BIGINT) AS lpq
   FROM big JOIN cb USING (w1, w2) JOIN hist USING (w1) JOIN cont USING (w2),
        types
   GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       ROUND(exp(-logp / CAST(n_bigrams AS DOUBLE)), 6) AS kn_perplexity
+       ROUND(CAST(-lpq AS DOUBLE)
+             / CAST(n_bigrams * {NLL_LATTICE} AS DOUBLE), 6) AS kn_mean_nll
 FROM scored
 """
 
@@ -18769,12 +18823,21 @@ aggregate(
         )
     final_cnt = segment_counts(vocab)
     final_tot = final_cnt.agg(F.sum("cnt").cast("bigint").alias("t"))
+    # the reported -ln p is quantized onto the NLL_LATTICE before the
+    # 6dp round so the hashed double is a deterministic function of
+    # integers (engine-ln ulps can only flip the per-piece floor, a
+    # vocabulary-sized knife-edge population — the r11 hardening)
     return final_cnt.crossJoin(F.broadcast(final_tot)).select(
         "piece",
         F.length("piece").cast("int").alias("piece_len"),
         "cnt",
         F.round(
-            -F.log(F.col("cnt").cast("double") / F.col("t").cast("double")), 6
+            F.floor(
+                (-F.log(F.col("cnt").cast("double") / F.col("t").cast("double")))
+                * F.lit(float(NLL_LATTICE))
+            ).cast("double")
+            / F.lit(float(NLL_LATTICE)),
+            6,
         ).alias("neg_logp"),
     )
 
@@ -18835,7 +18898,9 @@ def _unigram_oracle_sql() -> str:
         f"""
 SELECT piece, CAST(length(piece) AS INT) AS piece_len,
        CAST(cnt AS BIGINT) AS cnt,
-       ROUND(-ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 6) AS neg_logp
+       ROUND(CAST(FLOOR((-ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)))
+                        * {float(NLL_LATTICE)!r}) AS DOUBLE)
+             / {float(NLL_LATTICE)!r}, 6) AS neg_logp
 FROM cnt{n + 1}, tot{n + 1}"""
     )
     return "\n".join(parts)
@@ -18916,9 +18981,13 @@ def q_exact_substr_dedup(spark, sf_dir):
         F.md5(
             F.concat_ws(
                 " ",
+                # array_except walks the position sequence once against
+                # a hash set of rp (order of the first array preserved,
+                # and both arrays are duplicate-free) — the per-position
+                # array_contains filter the r10 verdict flagged was
+                # O(n_tokens × n_removed) per doc
                 F.expr(
-                    "transform(filter(sequence(1, size(t)),"
-                    " p -> NOT array_contains(rp, p)),"
+                    "transform(array_except(sequence(1, size(t)), rp),"
                     " p -> element_at(t, p))"
                 ),
             )
@@ -18988,31 +19057,42 @@ def q_nb_quality_classifier(spark, sf_dir):
     priors) ride broadcast 1-row frames. No driver collects, no UDFs —
     'model training' here is literally a count table, which is why NB
     is THE classifier you can train at 100 TB in one pass. Exactness:
-    counts are integers; each per-word log-likelihood-ratio term is one
-    identically-parenthesised double, decimal-cast before the per-doc
-    sum (order-free); the prediction is the sign of the score."""
+    counts are integers; the per-word LLR is quantized once per
+    vocabulary word on the NLL_LATTICE (see _nb_scored); log_odds is
+    the rounded double of the exact integer score_q and the prediction
+    is its sign — no engine-ln sum reaches the hash."""
     scored = _nb_scored(spark, sf_dir)
     return scored.select(
         "doc_id",
         "weak_label",
-        F.round(F.col("score"), 6).alias("log_odds"),
-        (F.col("score") > 0).cast("int").alias("pred_label"),
+        F.round(
+            F.col("score_q").cast("double") / F.lit(float(NLL_LATTICE)), 6
+        ).alias("log_odds"),
+        (F.col("score_q") > 0).cast("int").alias("pred_label"),
     )
 
 
 def _nb_scored(spark, sf_dir, holdout: bool = False):
     """The shared NB train+score pipeline (see q_nb_quality_classifier
     for the full story): returns one row per scoreable document —
-    (doc_id, source, weak_label, n_toks, score[, split]), where score
-    is the unrounded posterior log-odds. Consumed by the classifier,
-    the calibration audit, and the quality-budget mixer.
+    (doc_id, source, weak_label, split, n_toks, score_q), where
+    score_q is the posterior log-odds on the shared NLL_LATTICE: the
+    per-word log-likelihood-ratio is quantized ONCE per vocabulary
+    word as tq = floor(LLR·NLL_LATTICE) BIGINT (identical expression
+    text in both engines — the only transcendentals in the family),
+    and score_q = floor(ln(n1/n0)·NLL_LATTICE) + Σ cnt·tq is exact
+    DECIMAL integer arithmetic from there on. Consumers derive doubles
+    from score_q (a deterministic function of integers, so bit-equal
+    across engines) instead of hashing engine-ln sums — the hardening
+    the r10 verdict required before this family's first stamp.
 
     ``holdout=True`` trains the model ONLY on the md5 train split
     (doc_split_assign's deterministic buckets) while still scoring
     every document, and adds the ``split`` column — the out-of-sample
     evaluation mode. Scoring then LEFT-joins the model so val/test
     words absent from the train vocabulary keep their Laplace mass
-    (c=0 → ln((0+1)/(T+V)) terms) instead of being dropped."""
+    (the constant c=0 lattice term tq0, quantized once from the same
+    expression) instead of being dropped."""
     docs = _docs(spark, sf_dir)
     lbl = F.pmod(
         F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"), F.lit(2)
@@ -19039,7 +19119,7 @@ def _nb_scored(spark, sf_dir, holdout: bool = False):
         .persist()
     )
     train_tw = tw.where(F.col("split") == "train") if holdout else tw
-    cw = train_tw.groupBy("w").agg(
+    cw0 = train_tw.groupBy("w").agg(
         F.sum(F.when(F.col("weak_label") == 1, F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("c1"),
@@ -19047,7 +19127,7 @@ def _nb_scored(spark, sf_dir, holdout: bool = False):
         .cast("bigint")
         .alias("c0"),
     )
-    stats = cw.agg(
+    stats = cw0.agg(
         F.sum("c1").cast("bigint").alias("t1"),
         F.sum("c0").cast("bigint").alias("t0"),
         F.count("*").cast("bigint").alias("v"),
@@ -19062,36 +19142,54 @@ def _nb_scored(spark, sf_dir, holdout: bool = False):
             F.sum(1 - F.col("weak_label")).cast("bigint").alias("n0"),
         )
     )
-    c1s = F.coalesce(F.col("c1"), F.lit(0))
-    c0s = F.coalesce(F.col("c0"), F.lit(0))
-    term = F.log(
-        (c1s + NB_ALPHA).cast("double")
-        / (F.col("t1") + F.col("v")).cast("double")
-    ) - F.log(
-        (c0s + NB_ALPHA).cast("double")
-        / (F.col("t0") + F.col("v")).cast("double")
+
+    def _llr_q(c1c, c0c):
+        # the per-word LLR quantized on the shared NLL_LATTICE — the
+        # only transcendental, evaluated once per VOCABULARY word (not
+        # per scoring row), identical expression text in the oracle
+        return F.floor(
+            (
+                F.log(
+                    (c1c + NB_ALPHA).cast("double")
+                    / (F.col("t1") + F.col("v")).cast("double")
+                )
+                - F.log(
+                    (c0c + NB_ALPHA).cast("double")
+                    / (F.col("t0") + F.col("v")).cast("double")
+                )
+            )
+            * F.lit(float(NLL_LATTICE))
+        ).cast("bigint")
+
+    cw = cw0.crossJoin(F.broadcast(stats)).select(
+        "w", _llr_q(F.col("c1"), F.col("c0")).alias("tq")
     )
+    # the open-vocabulary constant: a train-unseen word's Laplace-mass
+    # LLR on the same lattice (holdout scoring coalesces onto it)
+    oov = stats.select(_llr_q(F.lit(0), F.lit(0)).alias("tq0"))
     scored = (
         tw.join(cw, "w", "left" if holdout else "inner")
-        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(oov))
         .groupBy("doc_id", "source", "weak_label", "split")
         .agg(
-            F.sum((F.col("cnt").cast("double") * term).cast("decimal(38,18)"))
-            .cast("double")
-            .alias("lo_sum"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * F.coalesce(F.col("tq"), F.col("tq0"))
+            ).alias("sq"),
             F.sum("cnt").cast("bigint").alias("n_toks"),
         )
     )
-    log_prior = F.log(
-        F.col("n1").cast("double") / F.col("n0").cast("double")
-    )
+    prior_q = F.floor(
+        F.log(F.col("n1").cast("double") / F.col("n0").cast("double"))
+        * F.lit(float(NLL_LATTICE))
+    ).cast("bigint")
     return scored.crossJoin(F.broadcast(prior)).select(
         "doc_id",
         "source",
         "weak_label",
         "split",
         "n_toks",
-        (log_prior + F.col("lo_sum")).alias("score"),
+        (prior_q + F.col("sq")).alias("score_q"),
     )
 
 
@@ -19109,14 +19207,14 @@ def q_nb_holdout_eval(spark, sf_dir):
     tokenize into the persisted (doc, split, word, count) table that
     feeds the train-filtered model build AND the all-docs scoring join;
     the confusion rollup is a 12-row integer aggregate. Exactness: all
-    counts integer; the prediction is the sign of identically-built
-    doubles."""
+    counts integer; the prediction is the sign of the exact integer
+    lattice score (see _nb_scored)."""
     scored = _nb_scored(spark, sf_dir, holdout=True)
     return (
         scored.select(
             "split",
             "weak_label",
-            (F.col("score") > 0).cast("int").alias("pred_label"),
+            (F.col("score_q") > 0).cast("int").alias("pred_label"),
         )
         .groupBy("split", "weak_label", "pred_label")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
@@ -19298,7 +19396,8 @@ FROM agg
 
 
 #: The shared NB train+score CTE chain (mirrors _nb_scored): ends with
-#: ``nbscored(doc_id, source, weak_label, n_toks, score)``.
+#: ``nbscored(doc_id, source, weak_label, n_toks, score_q)`` where
+#: score_q is the exact integer lattice log-odds.
 _NB_SCORED_CTE_SQL = f"""base AS (
   SELECT doc_id, source,
          CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 2 AS INT)
@@ -19311,38 +19410,44 @@ tw AS (
   FROM (SELECT doc_id, source, weak_label, unnest(t) AS w FROM base)
   GROUP BY 1, 2, 3, 4
 ),
-cw AS (
+cw0 AS (
   SELECT w,
          SUM(CASE WHEN weak_label = 1 THEN cnt ELSE 0 END) AS c1,
          SUM(CASE WHEN weak_label = 0 THEN cnt ELSE 0 END) AS c0
   FROM tw GROUP BY w
 ),
-stats AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM cw),
+stats AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM cw0),
+cw AS (
+  SELECT w,
+         CAST(FLOOR((
+           ln(CAST(c1 + {NB_ALPHA} AS DOUBLE) / CAST(t1 + v AS DOUBLE))
+           - ln(CAST(c0 + {NB_ALPHA} AS DOUBLE) / CAST(t0 + v AS DOUBLE))
+         ) * {float(NLL_LATTICE)!r}) AS BIGINT) AS tq
+  FROM cw0, stats
+),
 prior AS (
   SELECT SUM(weak_label) AS n1, SUM(1 - weak_label) AS n0
   FROM (SELECT DISTINCT doc_id, weak_label FROM tw)
 ),
 scored AS (
   SELECT doc_id, source, weak_label,
-         CAST(SUM(CAST(CAST(cnt AS DOUBLE) * (
-           ln(CAST(c1 + {NB_ALPHA} AS DOUBLE) / CAST(t1 + v AS DOUBLE))
-           - ln(CAST(c0 + {NB_ALPHA} AS DOUBLE) / CAST(t0 + v AS DOUBLE))
-         ) AS DECIMAL(38,18))) AS DOUBLE) AS lo_sum,
+         SUM(CAST(cnt AS HUGEINT) * tq) AS sq,
          SUM(cnt) AS n_toks
-  FROM tw JOIN cw USING (w), stats
+  FROM tw JOIN cw USING (w)
   GROUP BY doc_id, source, weak_label
 ),
 nbscored AS (
   SELECT doc_id, source, weak_label, n_toks,
-         ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) + lo_sum AS score
+         CAST(FLOOR(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                    * {float(NLL_LATTICE)!r}) AS BIGINT) + sq AS score_q
   FROM scored, prior
 )"""
 
 SQL_NB_QUALITY_CLASSIFIER = f"""
 WITH {_NB_SCORED_CTE_SQL}
 SELECT doc_id, weak_label,
-       ROUND(score, 6) AS log_odds,
-       CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INT) AS pred_label
+       ROUND(CAST(score_q AS DOUBLE) / {float(NLL_LATTICE)!r}, 6) AS log_odds,
+       CAST(CASE WHEN score_q > 0 THEN 1 ELSE 0 END AS INT) AS pred_label
 FROM nbscored
 """
 
@@ -19362,30 +19467,41 @@ tw AS (
   FROM (SELECT doc_id, weak_label, split, unnest(t) AS w FROM base)
   GROUP BY 1, 2, 3, 4
 ),
-cw AS (
+cw0 AS (
   SELECT w,
          SUM(CASE WHEN weak_label = 1 THEN cnt ELSE 0 END) AS c1,
          SUM(CASE WHEN weak_label = 0 THEN cnt ELSE 0 END) AS c0
   FROM tw WHERE split = 'train' GROUP BY w
 ),
-stats AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM cw),
+stats AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v FROM cw0),
+cw AS (
+  SELECT w,
+         CAST(FLOOR((
+           ln(CAST(c1 + {NB_ALPHA} AS DOUBLE) / CAST(t1 + v AS DOUBLE))
+           - ln(CAST(c0 + {NB_ALPHA} AS DOUBLE) / CAST(t0 + v AS DOUBLE))
+         ) * {float(NLL_LATTICE)!r}) AS BIGINT) AS tq
+  FROM cw0, stats
+),
+oov AS (
+  SELECT CAST(FLOOR((
+           ln(CAST(0 + {NB_ALPHA} AS DOUBLE) / CAST(t1 + v AS DOUBLE))
+           - ln(CAST(0 + {NB_ALPHA} AS DOUBLE) / CAST(t0 + v AS DOUBLE))
+         ) * {float(NLL_LATTICE)!r}) AS BIGINT) AS tq0
+  FROM stats
+),
 prior AS (
   SELECT SUM(weak_label) AS n1, SUM(1 - weak_label) AS n0
   FROM (SELECT DISTINCT doc_id, weak_label FROM tw WHERE split = 'train')
 ),
 scored AS (
   SELECT doc_id, weak_label, split,
-         CAST(SUM(CAST(CAST(cnt AS DOUBLE) * (
-           ln(CAST(COALESCE(c1, 0) + {NB_ALPHA} AS DOUBLE)
-              / CAST(t1 + v AS DOUBLE))
-           - ln(CAST(COALESCE(c0, 0) + {NB_ALPHA} AS DOUBLE)
-                / CAST(t0 + v AS DOUBLE))
-         ) AS DECIMAL(38,18))) AS DOUBLE) AS lo_sum
-  FROM tw LEFT JOIN cw USING (w), stats
+         SUM(CAST(cnt AS HUGEINT) * COALESCE(tq, tq0)) AS sq
+  FROM tw LEFT JOIN cw USING (w), oov
   GROUP BY doc_id, weak_label, split
 )
 SELECT split, weak_label,
-       CAST(CASE WHEN ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE)) + lo_sum > 0
+       CAST(CASE WHEN CAST(FLOOR(ln(CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                                 * {float(NLL_LATTICE)!r}) AS BIGINT) + sq > 0
             THEN 1 ELSE 0 END AS INT) AS pred_label,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM scored, prior
@@ -19394,6 +19510,17 @@ GROUP BY 1, 2, 3
 
 
 NB_CAL_BINS = 10
+
+#: The decile bin EDGES moved off the sigmoid onto the score lattice:
+#: p >= k/10  ⟺  score >= logit(k/10), so the boundaries are the nine
+#: logit values pre-multiplied onto the NLL_LATTICE and baked as
+#: INTEGER literals into both engines (the poisson_bootstrap_ci
+#: inverse-CDF convention). Binning is then a pure integer comparison
+#: against score_q — no engine-exp knife edge at any bin edge.
+NB_CAL_THRESHOLDS: tuple[int, ...] = tuple(
+    int(round(math.log((k / NB_CAL_BINS) / (1 - k / NB_CAL_BINS)) * NLL_LATTICE))
+    for k in range(1, NB_CAL_BINS)
+)
 
 
 def q_nb_calibration_audit(spark, sf_dir):
@@ -19408,24 +19535,35 @@ def q_nb_calibration_audit(spark, sf_dir):
 
     Scale shape: one pass over _nb_scored's output (the corpus-read
     discipline lives there); the audit itself is a fixed-10-bucket
-    integer groupBy. Exactness: p and its decile are identical double
-    expressions (floor of identical doubles); per-bin confidence sums
-    are decimal-cast (order-free); rates are integer ratios."""
+    integer groupBy. Exactness: the bin is an integer comparison of
+    the lattice score against the baked NB_CAL_THRESHOLDS literals
+    (never floor-of-sigmoid — a bin-edge knife edge); the confidence
+    entering mean_conf is itself floor-quantized onto the lattice
+    (p_q = floor(p·NLL_LATTICE), where p is the sigmoid of the exact
+    integer score — NB scores saturate p to exactly 0.0/1.0 for all
+    but the near-boundary docs, so the floor's knife-edge population
+    is the handful of |score| < ~40 docs, margin-audited in
+    tests/test_float_margins.py); per-bin sums and rates are integer
+    ratios."""
     scored = _nb_scored(spark, sf_dir)
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
-    b = F.least(
-        F.floor(p * NB_CAL_BINS), F.lit(NB_CAL_BINS - 1)
+    b = sum(
+        ((F.col("score_q") >= F.lit(t)).cast("int") for t in NB_CAL_THRESHOLDS),
+        F.lit(0),
     ).cast("int")
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("score_q").cast("double") / F.lit(float(NLL_LATTICE))))
+    )
+    pq = F.floor(p * F.lit(float(NLL_LATTICE))).cast("bigint")
     return (
-        scored.select(
-            b.alias("bin"), p.alias("p"), F.col("weak_label")
-        )
+        scored.select(b.alias("bin"), pq.alias("pq"), F.col("weak_label"))
         .groupBy("bin")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.round(
-                F.sum(F.col("p").cast("decimal(38,18)")).cast("double")
-                / F.count("*").cast("double"),
+                F.sum("pq").cast("double")
+                / F.count("*").cast("double")
+                / F.lit(float(NLL_LATTICE)),
                 6,
             ).alias("mean_conf"),
             F.round(
@@ -19446,19 +19584,24 @@ def q_nb_calibration_audit(spark, sf_dir):
     )
 
 
+_NB_CAL_BIN_SQL = " + ".join(
+    f"(CASE WHEN score_q >= {t} THEN 1 ELSE 0 END)" for t in NB_CAL_THRESHOLDS
+)
+
 SQL_NB_CALIBRATION_AUDIT = f"""
 WITH {_NB_SCORED_CTE_SQL},
 pb AS (
-  SELECT CAST(LEAST(FLOOR((1.0 / (1.0 + exp(-score))) * {NB_CAL_BINS}),
-                    {NB_CAL_BINS - 1}) AS INT) AS bin,
-         1.0 / (1.0 + exp(-score)) AS p,
+  SELECT CAST(0 + {_NB_CAL_BIN_SQL} AS INT) AS bin,
+         CAST(FLOOR((1.0 / (1.0 + exp(-(CAST(score_q AS DOUBLE)
+                                        / {float(NLL_LATTICE)!r}))))
+                    * {float(NLL_LATTICE)!r}) AS BIGINT) AS pq,
          weak_label
   FROM nbscored
 ),
 agg AS (
   SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         ROUND(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_conf,
+         ROUND(CAST(SUM(pq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / {float(NLL_LATTICE)!r}, 6) AS mean_conf,
          ROUND(CAST(SUM(weak_label) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE), 6) AS emp_rate
   FROM pb GROUP BY bin
@@ -19493,15 +19636,17 @@ def q_quality_budget_mix(spark, sf_dir):
     frame, same as ann_ndcg_eval). Exactness: token sums are integers;
     the budget comparison is the integer cross-product
     cum·1000 vs permille·total (no float shares); mean scores are
-    decimal-cast sums; the only fractional output is the straddling
-    source's keep_frac, one identical double division rounded 6dp."""
+    exact integer-lattice sums (see _nb_scored) divided down to
+    doubles; the only fractional output is the straddling source's
+    keep_frac, one identical double division rounded 6dp."""
     scored = _nb_scored(spark, sf_dir)
     per_src = scored.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
         (
-            F.sum(F.col("score").cast("decimal(38,18)")).cast("double")
+            F.sum("score_q").cast("double")
             / F.count("*").cast("double")
+            / F.lit(float(NLL_LATTICE))
         ).alias("mean_score"),
     )
     w = Window.orderBy(F.desc("mean_score"), F.asc("source"))
@@ -19550,8 +19695,8 @@ SQL_QUALITY_BUDGET_MIX = f"""
 WITH {_NB_SCORED_CTE_SQL},
 per_src AS (
   SELECT source, COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
-         CAST(SUM(CAST(score AS DECIMAL(38,18))) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) AS mean_score
+         CAST(SUM(score_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           / {float(NLL_LATTICE)!r} AS mean_score
   FROM nbscored GROUP BY source
 ),
 ranked AS (

@@ -83,12 +83,15 @@ def test_line_dedup_plan_shapes(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def test_kn_perplexity_is_proper_and_differs_from_mle(spark, sf_dir):
-    """Every KN score is a finite perplexity > 1 (each p(w2|w1) < 1);
-    the doc set and n_bigrams agree with the MLE filter's; and the
-    smoothing is NONTRIVIAL — scores differ from the unsmoothed model
-    on most documents. (No one-sided bound holds: the discount lowers
-    observed-bigram mass but the backoff term can overshoot it for
-    words with concentrated continuation probability.)"""
+    """Every KN score is a proper mean NLL > 0 (each p(w2|w1) < 1, so
+    the implied perplexity is > 1); the doc set and n_bigrams agree
+    with the MLE filter's; and the smoothing is NONTRIVIAL — scores
+    differ from the unsmoothed model on most documents. (No one-sided
+    bound holds: the discount lowers observed-bigram mass but the
+    backoff term can overshoot it for words with concentrated
+    continuation probability.)"""
+    import math
+
     kn = {
         r["doc_id"]: r
         for r in EQ._QUERIES_ALL["kn_bigram_perplexity"](spark, sf_dir)
@@ -102,9 +105,11 @@ def test_kn_perplexity_is_proper_and_differs_from_mle(spark, sf_dir):
     assert set(kn) == set(mle)
     n_diff = 0
     for did, r in kn.items():
-        assert r["kn_perplexity"] > 1.0
+        assert r["kn_mean_nll"] > 0.0
         assert r["n_bigrams"] == mle[did]["n_bigrams"]
-        if abs(r["kn_perplexity"] - mle[did]["perplexity"]) > 1e-9:
+        # compare on the shared log scale (MLE reports exp(mean nll),
+        # KN reports the mean nll itself — the lattice-safe surface)
+        if abs(r["kn_mean_nll"] - math.log(mle[did]["perplexity"])) > 1e-6:
             n_diff += 1
     assert n_diff > len(kn) * 0.9
 
