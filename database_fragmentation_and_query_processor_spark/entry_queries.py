@@ -20798,7 +20798,40 @@ _R10_ADDED: list[str] = [
     "pr_auc_by_source",
 ]
 
-_HEAD = _R10_WINDOW
+#: Queries whose IMPLEMENTATION changed in round 11 and already carry a
+#: driver stamp, so they need a fresh one on the new code path:
+#: line_quality_filter — the r10 hash red (`CORRECTNESS_r10.json`,
+#: rows/schema green, value hash false), rebuilt on the NLL_LATTICE
+#: integer quantization so no engine-ln double reaches the hash.
+_R11_RESTAMP: list[str] = [
+    "line_quality_filter",
+]
+
+#: Round-11 window per the standing rotation convention + the r10
+#: verdict's tasks 1-3: the 5 frag pins, the 10 _R10_ADDED queries
+#: (first driver stamps — every float surface among them was
+#: lattice-hardened BEFORE first contact, per verdict task 2), the
+#: line_quality_filter restamp on its lattice rebuild, and 34 refills
+#: from the round-10 window in its original order. A green round makes
+#: cumulative driver evidence 289/289.
+_R11_WINDOW: list[str] = (
+    _R10_WINDOW[:5]
+    + _R10_ADDED
+    + _R11_RESTAMP
+    + [
+        n
+        for n in _R10_WINDOW[5:]
+        if n not in set(_R11_RESTAMP)
+    ][: 50 - 5 - len(_R10_ADDED) - len(_R11_RESTAMP)]
+)
+
+if len(_R11_WINDOW) != 50 or len(set(_R11_WINDOW)) != 50:
+    raise RuntimeError("r11 stamp window must be exactly 50 unique queries")
+_missing = [n for n in _R11_WINDOW if n not in _QUERIES_ALL]
+if _missing:
+    raise RuntimeError(f"r11 stamp window names unknown queries: {_missing}")
+
+_HEAD = _R11_WINDOW
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{n: _QUERIES_ALL[n] for n in _HEAD},

@@ -1,0 +1,366 @@
+"""Rounding-margin tripwires for transcendental-derived hash surfaces
+(the r10 verdict's task 4 — the generic guard that keeps the
+line_quality_filter failure class from recurring silently).
+
+Background (VERDICT r10): the driver's value-hash compare red-flagged
+line_quality_filter because its hashed ``mean_line_nll`` was a
+6dp-rounded mean of per-row engine-``ln`` doubles — engine libm
+streams differ by ulps across environments, and one per-doc mean sat
+1.5e-10 from its round-half boundary. The r11 hardening moved every
+per-row transcendental in the new-query families onto the shared
+NLL_LATTICE (floor(·1e9) BIGINT quantization of the ONE transcendental
+term, exact integer/DECIMAL arithmetic downstream).
+
+Three tripwires:
+
+1. **Enumeration** — every registry query whose oracle SQL evaluates a
+   transcendental must be classified in ``TRANSCENDENTAL_REGISTRY``
+   below. A new query that hashes raw engine-ln doubles fails this
+   test until its float surface is reviewed (latticed, or margin-
+   classified with eyes open). This is the "can never recur silently"
+   guarantee.
+
+2. **Lattice floor-argument margins** — for the latticed families, the
+   only cross-engine knife edge left is the floor argument sitting
+   within libm-divergence distance (~ulps of the 1e9-scaled value,
+   ≈1e-5) of an integer. We assert (a) no argument is pathologically
+   ON an integer-adjacent knife edge (min distance > 1e-9 — catches
+   exact/systematic alignment), and (b) the near-boundary population
+   (distance < 1e-4) stays below 2% of rows — a flip moves a hashed
+   6dp-rounded output by ~1e-12 per affected row, so a bounded flip
+   population keeps the output hash safe by 5+ orders of magnitude.
+
+3. **Legacy round-boundary margins** — window queries that still hash
+   rounded doubles with engine-transcendental lineage (all stamped
+   green in the driver environment in r10) get the verdict's literal
+   check: strip every ROUND(x, k) from the oracle, recompute, and
+   assert each float output sits > 1e-9 from its rounding boundary —
+   i.e. an engine-ln divergence at the observed 1.5e-10 scale cannot
+   flip the hashed value.
+
+All probes run in DuckDB/numpy only (margins are measurements of the
+data, not a cross-engine contract), so this file is cheap enough for
+the sf0.01 sweep.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from database_fragmentation_and_query_processor_spark import entry_queries as EQ
+
+from .oracle_harness import duck_connection
+
+LAT = float(EQ.NLL_LATTICE)
+
+_TRANSCENDENTAL_PAT = re.compile(r"\b(ln|exp|log|log10|log2)\s*\(", re.I)
+
+#: Every registry query whose DuckDB oracle evaluates a transcendental,
+#: classified by how that value reaches the hashed output:
+#:   "lattice"       — floor-quantized onto NLL_LATTICE before any
+#:                     hashed column (exact integer arithmetic after).
+#:   "legacy-margin" — a rounded double with engine-ln lineage reaches
+#:                     the hash; margin-checked in test 3 when in the
+#:                     stamp window (every one of these is driver-green
+#:                     from earlier rounds in the driver's own env).
+TRANSCENDENTAL_REGISTRY: dict[str, str] = {
+    # r11 lattice-hardened families
+    "line_quality_filter": "lattice",
+    "kn_bigram_perplexity": "lattice",
+    "unigram_lm_learning": "lattice",
+    "nb_quality_classifier": "lattice",
+    "nb_calibration_audit": "lattice",
+    "quality_budget_mix": "lattice",
+    "nb_holdout_eval": "lattice",
+    # legacy rounded-transcendental surfaces (pre-r11 conventions)
+    "doc_char_entropy": "legacy-margin",
+    "pmi_collocations": "legacy-margin",
+    "doc_lm_perplexity": "legacy-margin",
+    "tfidf_top_terms": "legacy-margin",
+    "scalar_functions": "legacy-margin",
+    "dsir_importance_weights": "legacy-margin",
+    "zipf_slope": "legacy-margin",
+    "lexical_diversity": "legacy-margin",
+    "bm25_search": "legacy-margin",
+    "woe_binning": "legacy-margin",
+    "benford_digit_audit": "legacy-margin",
+    "unigram_kl_divergence": "legacy-margin",
+    "psi_drift": "legacy-margin",
+    "ppl_tercile_buckets": "legacy-margin",
+    "domain_mix_entropy": "legacy-margin",
+    "mink_prob_contamination": "legacy-margin",
+    "dp_noisy_counts": "legacy-margin",
+    "mutual_information_matrix": "legacy-margin",
+    "intrinsic_dim_twonn": "legacy-margin",
+    "bloom_fp_rate_audit": "legacy-margin",
+    "hurst_exponent": "legacy-margin",
+    "logreg_newton": "legacy-margin",
+    "bigram_entropy_rate": "legacy-margin",
+    "theil_index_decomposition": "legacy-margin",
+}
+
+
+def test_transcendental_queries_are_enumerated():
+    """Any registry query whose oracle evaluates ln/exp/log must be
+    classified above — adding one without reviewing its float surface
+    fails here."""
+    affected = {
+        n
+        for n in EQ._QUERIES_ALL
+        if _TRANSCENDENTAL_PAT.search(EQ._ORACLE_SQL_ALL.get(n, ""))
+    }
+    assert affected == set(TRANSCENDENTAL_REGISTRY), (
+        affected ^ set(TRANSCENDENTAL_REGISTRY)
+    )
+
+
+def test_every_windowed_lattice_query_is_classified():
+    """The current stamp window's transcendental queries are exactly
+    the classified ones that rotated in (sanity link between the
+    window and the registry above)."""
+    win_affected = {
+        n
+        for n in EQ._R11_WINDOW
+        if _TRANSCENDENTAL_PAT.search(EQ.ORACLE_SQL.get(n, ""))
+    }
+    assert win_affected <= set(TRANSCENDENTAL_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# 2. lattice floor-argument margins
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duck_connection(sf_dir)
+    yield c
+    c.close()
+
+
+def _int_margins(y: np.ndarray) -> np.ndarray:
+    """Distance of each value from its nearest integer, EXCLUDING
+    values that are exactly integral (an exact lattice point floors
+    identically in both engines — zero distance there is safe)."""
+    y = y[np.isfinite(y)]
+    frac = y - np.floor(y)
+    d = np.minimum(frac, 1.0 - frac)
+    return d[d > 0.0]
+
+
+def _assert_lattice_margins(name: str, y: np.ndarray) -> None:
+    d = _int_margins(np.asarray(y, dtype=np.float64))
+    if d.size == 0:
+        return
+    assert d.min() > 1e-9, (
+        f"{name}: a floor-lattice argument sits {d.min():.3e} from an "
+        f"integer — pathologically aligned, review the lattice"
+    )
+    near = float((d < 1e-4).mean())
+    assert near < 0.02, (
+        f"{name}: {near:.2%} of floor-lattice arguments sit within "
+        f"1e-4 of an integer — the libm flip population is too large"
+    )
+
+
+def test_lqf_word_lattice_margins(con):
+    """line_quality_filter's per-word -ln(c/n_total)·1e9 arguments.
+    (The line windows partition each doc's tokens exactly, so corpus
+    word counts equal the line-exploded counts.)"""
+    df = con.sql(
+        f"""
+        WITH tl AS (
+          SELECT {EQ.TOKENS_SQL} AS t FROM documents
+          WHERE len({EQ.TOKENS_SQL}) >= 1
+        ),
+        wx AS (SELECT unnest(t) AS w FROM tl),
+        cw0 AS (SELECT w, COUNT(*) AS c FROM wx GROUP BY w),
+        tot AS (SELECT SUM(c) AS n_total FROM cw0)
+        SELECT CAST(c AS BIGINT) AS c, CAST(n_total AS BIGINT) AS n
+        FROM cw0, tot
+        """
+    ).df()
+    y = -np.log(df["c"].to_numpy() / df["n"].to_numpy()) * LAT
+    _assert_lattice_margins("line_quality_filter", y)
+
+
+def test_nb_llr_lattice_margins(con):
+    """The NB family's per-word LLR·1e9 arguments (in-sample and the
+    train-split holdout variant, plus the OOV constant and the prior)."""
+    for label, where in (("insample", ""), ("holdout", "WHERE split = 'train'")):
+        df = con.sql(
+            f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                          % 2 AS INT) AS weak_label,
+                     CASE WHEN {EQ._SPLIT_BUCKET_SQL} < {EQ.SPLIT_TRAIN_PERMILLE}
+                          THEN 'train' ELSE 'other' END AS split,
+                     {EQ.TOKENS_SQL} AS t
+              FROM documents WHERE len({EQ.TOKENS_SQL}) >= 1
+            ),
+            tw AS (
+              SELECT doc_id, weak_label, split, w, COUNT(*) AS cnt
+              FROM (SELECT doc_id, weak_label, split, unnest(t) AS w
+                    FROM base)
+              GROUP BY 1, 2, 3, 4
+            ),
+            cw0 AS (
+              SELECT w,
+                     SUM(CASE WHEN weak_label = 1 THEN cnt ELSE 0 END) AS c1,
+                     SUM(CASE WHEN weak_label = 0 THEN cnt ELSE 0 END) AS c0
+              FROM tw {where} GROUP BY w
+            ),
+            stats AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v
+                      FROM cw0)
+            SELECT CAST(c1 AS BIGINT) AS c1, CAST(c0 AS BIGINT) AS c0,
+                   CAST(t1 AS BIGINT) AS t1, CAST(t0 AS BIGINT) AS t0,
+                   CAST(v AS BIGINT) AS v
+            FROM cw0, stats
+            """
+        ).df()
+        a = EQ.NB_ALPHA
+        llr = np.log((df["c1"] + a) / (df["t1"] + df["v"])) - np.log(
+            (df["c0"] + a) / (df["t0"] + df["v"])
+        )
+        # append the OOV constant (c1=c0=0 on the same totals)
+        t1, t0, v = df["t1"].iloc[0], df["t0"].iloc[0], df["v"].iloc[0]
+        oov = math.log(a / (t1 + v)) - math.log(a / (t0 + v))
+        _assert_lattice_margins(
+            f"nb_llr[{label}]", np.append(llr.to_numpy(), oov) * LAT
+        )
+
+
+def test_nb_calibration_sigmoid_lattice_margins(con):
+    """nb_calibration_audit's floor(sigmoid·1e9) arguments. NB scores
+    saturate the sigmoid to exactly 0.0/1.0 for all but near-boundary
+    docs (exact values are excluded as safe by _int_margins), so the
+    knife-edge population here should be tiny."""
+    df = con.sql(
+        f"WITH {EQ._NB_SCORED_CTE_SQL} "
+        f"SELECT CAST(score_q AS DOUBLE) AS s FROM nbscored"
+    ).df()
+    with np.errstate(over="ignore"):
+        p = 1.0 / (1.0 + np.exp(-(df["s"].to_numpy() / LAT)))
+    _assert_lattice_margins("nb_calibration_audit", p * LAT)
+
+
+def test_kn_bigram_lattice_margins(con):
+    """kn_bigram_perplexity's per-bigram-type ln(p_kn)·1e9 arguments."""
+    df = con.sql(
+        f"""
+        WITH tl AS (
+          SELECT doc_id, {EQ.TOKENS_SQL} AS t FROM documents
+          WHERE len({EQ.TOKENS_SQL}) >= 2
+        ),
+        big AS (
+          SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+          FROM tl
+        ),
+        cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+        hist AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM cb
+                 GROUP BY w1),
+        cont AS (SELECT w2, COUNT(*) AS n1b FROM cb GROUP BY w2),
+        types AS (SELECT COUNT(*) AS n_types FROM cb)
+        SELECT CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+               CAST(n1f AS BIGINT) AS n1f, CAST(n1b AS BIGINT) AS n1b,
+               CAST(n_types AS BIGINT) AS nt
+        FROM cb JOIN hist USING (w1) JOIN cont USING (w2), types
+        """
+    ).df()
+    d = EQ.KN_DISCOUNT
+    p = np.maximum(df["c12"] - d, 0.0) / df["c1"] + d * df["n1f"] / df[
+        "c1"
+    ] * (df["n1b"] / df["nt"])
+    _assert_lattice_margins("kn_bigram_perplexity", np.log(p.to_numpy()) * LAT)
+
+
+def test_unigram_lattice_margins(con):
+    """unigram_lm_learning's final -ln(cnt/t)·1e9 arguments, recovered
+    from the oracle's own output (t = Σ cnt of the final count table)."""
+    df = con.sql(EQ.SQL_UNIGRAM_LM_LEARNING).df()
+    t = float(df["cnt"].sum())
+    y = -np.log(df["cnt"].to_numpy() / t) * LAT
+    _assert_lattice_margins("unigram_lm_learning", y)
+
+
+# ---------------------------------------------------------------------------
+# 3. legacy round-boundary margins (window queries only)
+# ---------------------------------------------------------------------------
+
+
+def _strip_rounds(sql: str) -> tuple[str, int]:
+    """Replace every ROUND(expr, k) call with (expr) (balanced-paren
+    scan, outermost-first, repeated until none remain)."""
+    total = 0
+    while True:
+        m = re.search(r"\bROUND\s*\(", sql, re.I)
+        if not m:
+            return sql, total
+        open_paren = m.end() - 1
+        depth, j = 0, open_paren
+        while True:
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = sql[open_paren + 1 : j]
+        depth2, split = 0, None
+        for k2, c in enumerate(inner):
+            if c == "(":
+                depth2 += 1
+            elif c == ")":
+                depth2 -= 1
+            elif c == "," and depth2 == 0:
+                split = k2  # last top-level comma wins
+        expr = inner[:split] if split is not None else inner
+        sql = sql[: m.start()] + "(" + expr + ")" + sql[j + 1 :]
+        total += 1
+
+
+_LEGACY_IN_WINDOW = [
+    n
+    for n in EQ._R11_WINDOW
+    if TRANSCENDENTAL_REGISTRY.get(n) == "legacy-margin"
+]
+
+
+@pytest.mark.parametrize("name", _LEGACY_IN_WINDOW)
+def test_legacy_round_margins(name, con):
+    """The verdict's literal check for window queries that still hash
+    rounded engine-transcendental doubles: recompute unrounded, assert
+    every float output sits > 1e-9 from its 6dp round-half boundary —
+    a libm divergence at the observed 1.5e-10 failure scale cannot
+    flip the hashed value at this SF."""
+    sql, n_rounds = _strip_rounds(EQ.ORACLE_SQL[name])
+    if n_rounds == 0:
+        pytest.skip(f"{name}: oracle has no ROUND — integer-only hash")
+    df = con.sql(sql).df()
+    worst = None
+    for col in df.columns:
+        if df[col].dtype != np.float64:
+            continue
+        x = df[col].to_numpy()
+        x = x[np.isfinite(x)]
+        if x.size == 0:
+            continue
+        y = x * 1e6
+        frac = y - np.floor(y)
+        margin = np.abs(frac - 0.5).min() * 1e-6
+        if worst is None or margin < worst[0]:
+            worst = (margin, col)
+    if worst is None:
+        pytest.skip(f"{name}: no float outputs after unrounding")
+    assert worst[0] > 1e-9, (
+        f"{name}.{worst[1]}: unrounded value sits {worst[0]:.3e} from "
+        f"its round-6dp boundary — thinner than the engine-libm "
+        f"divergence scale; lattice this surface before it stamps"
+    )

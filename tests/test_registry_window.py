@@ -35,19 +35,28 @@ def _stamped_through(last_round: int) -> set[str]:
 
 
 def test_stamp_window_composition():
-    """R10 window (the rotation the r9 verdict prescribed) = 5 pinned
-    frag rows, the 3 _R9_ADDED queries (first driver stamp — cumulative
-    evidence reaches the full 279-query pre-r10 registry), the 7
-    round-10 restamps (twonn's persisted pair expansion + the six
-    exact_group_sums consumers whose shared qstats memo gained
-    dead-session eviction), and 35 refills from the round-9 window in
-    its original order."""
+    """R11 window (the rotation the r10 verdict prescribed) = 5 pinned
+    frag rows, the 10 _R10_ADDED queries (first driver stamps — every
+    float surface among them lattice-hardened before first contact),
+    the line_quality_filter restamp (the r10 hash red, rebuilt on the
+    NLL_LATTICE integer quantization), and 34 refills from the
+    round-10 window in its original order."""
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
-    assert names[5:8] == EQ._R9_ADDED
-    assert names[8:15] == EQ._R10_RESTAMP
-    assert names[:50] == EQ._R10_WINDOW
+    assert names[5:15] == EQ._R10_ADDED
+    assert names[15:16] == EQ._R11_RESTAMP == ["line_quality_filter"]
+    assert names[:50] == EQ._R11_WINDOW
     assert len(names) == len(set(names))
+
+
+def test_r10_window_composition_historical():
+    """Historical pin: the r10 window front-loaded the 3 _R9_ADDED
+    then the 7 r10 restamps — the shape the r10 driver stamped
+    (CORRECTNESS_r10.json, 49/50: line_quality_filter's value hash was
+    the one red; it restamps in r11 on the lattice rebuild)."""
+    assert EQ._R10_WINDOW[:5] == FRAG_PINNED
+    assert EQ._R10_WINDOW[5:8] == EQ._R9_ADDED
+    assert EQ._R10_WINDOW[8:15] == EQ._R10_RESTAMP
 
 
 def test_r9_window_composition_was_backlog_closing():
@@ -68,42 +77,35 @@ def test_r8_split_covered_all_r7_additions():
 
 
 def test_window_closes_the_evidence_gap():
-    """After the r10 rotation, every query registered through r9 has a
-    stamp OR sits inside the current window: the only pre-r10 entries
-    without a stamp through r9 are the 3 _R9_ADDED, all of which the
-    r10 window front-loads — driver evidence reaches the full pre-r10
-    registry this round (new _R10_ADDED queries register BELOW the
+    """After the r11 rotation, every query registered through r10 has a
+    stamp OR sits inside the current window: the only pre-r11 entries
+    without a driver row through r10 are the 10 _R10_ADDED, all of
+    which the r11 window front-loads — a green round makes cumulative
+    driver evidence 289/289 (new _R11_ADDED queries register BELOW the
     window and rotate in next round, per the standing convention)."""
-    stamped = _stamped_through(9)
+    stamped = _stamped_through(10)
     if not stamped:  # correctness files absent (fresh checkout)
         return
     names = list(EQ.QUERIES)
     window = set(names[:50])
     never_stamped = {
         n for n in names if n not in stamped and n not in set(
-            getattr(EQ, "_R10_ADDED", [])
+            getattr(EQ, "_R11_ADDED", [])
         )
     }
-    assert never_stamped == set(EQ._R9_ADDED)
+    assert never_stamped == set(EQ._R10_ADDED)
     assert never_stamped <= window
 
 
-def test_window_restamps_every_round10_modified_query():
-    """Every query whose implementation changed in round 10 must get a
-    fresh driver stamp on the new code path: twonn (persisted pair
-    expansion, the r9 judge's weak item) plus the six qstats-memo
-    consumers (dead-session eviction in the shared cache)."""
+def test_window_restamps_every_round11_modified_query():
+    """Every query whose implementation changed in round 11 must get a
+    fresh driver stamp on the new code path: line_quality_filter (the
+    r10 value-hash red, rebuilt on the NLL_LATTICE quantization). The
+    other r11-hardened float surfaces are all _R10_ADDED and enter
+    through the rotation anyway."""
     names = list(EQ.QUERIES)
-    assert set(EQ._R10_RESTAMP) == {
-        "intrinsic_dim_twonn",
-        "embedding_covariance_topk",
-        "embedding_dim_variance",
-        "value_regression",
-        "term_burstiness",
-        "poisson_bootstrap_ci",
-        "pca_power_iteration",
-    }
-    assert set(EQ._R10_RESTAMP) <= set(names[:50])
+    assert set(EQ._R11_RESTAMP) == {"line_quality_filter"}
+    assert set(EQ._R11_RESTAMP) <= set(names[:50])
 
 
 def test_every_query_has_an_oracle():
