@@ -3865,6 +3865,14 @@ VAL_Q_SCALE = 1_000
 #: (session, dataset).
 _EMB_QSTATS_CACHE: dict[tuple[str, str], tuple[int, int, int]] = {}
 _EMB_QSTATS_MISSES: int = 0  # test hook: counts actual corpus scans
+#: LRU bound on the memo. Eviction used to drop every entry whose
+#: applicationId differed from the current caller's — two LIVE
+#: SparkSessions alternating in one driver process then evicted each
+#: other on every miss, re-running the sizing scan each call (ADVICE
+#: r10). A small recency bound keeps both sessions' tuples warm while
+#: still capping growth from a long-lived driver cycling sessions;
+#: entries are 3 ints, so the bound is about hygiene, not memory.
+_EMB_QSTATS_MAX = 32
 
 
 def _emb_qstats(spark, sf_dir) -> tuple[int, int, int]:
@@ -3882,16 +3890,10 @@ def _emb_qstats(spark, sf_dir) -> tuple[int, int, int]:
     global _EMB_QSTATS_MISSES
     app_id = spark.sparkContext.applicationId
     key = (app_id, str(sf_dir))
-    hit = _EMB_QSTATS_CACHE.get(key)
+    hit = _EMB_QSTATS_CACHE.pop(key, None)
     if hit is not None:
+        _EMB_QSTATS_CACHE[key] = hit  # LRU refresh (dict keeps order)
         return hit
-    # Evict entries from dead sessions: a long-lived driver cycling
-    # SparkSessions (or datasets) would otherwise accumulate tuples for
-    # applicationIds that can never hit again (unbounded growth). Only
-    # the active session's entries survive; sizing tuples are 3 ints,
-    # so per-session growth is bounded by the dataset count.
-    for k in [k for k in _EMB_QSTATS_CACHE if k[0] != app_id]:
-        _EMB_QSTATS_CACHE.pop(k, None)
     _EMB_QSTATS_MISSES += 1
     emb = _emb(spark, sf_dir)
     ex = emb.select(F.posexplode("embedding").alias("dim", "x"))
@@ -3910,6 +3912,8 @@ def _emb_qstats(spark, sf_dir) -> tuple[int, int, int]:
     # needed for correctness; _EMB_QSTATS_MISSES is a test hook and
     # may overcount by design under true concurrency.
     _EMB_QSTATS_CACHE[key] = (nv, qmax, d)
+    while len(_EMB_QSTATS_CACHE) > _EMB_QSTATS_MAX:
+        _EMB_QSTATS_CACHE.pop(next(iter(_EMB_QSTATS_CACHE)), None)
     return nv, qmax, d
 
 
@@ -19072,6 +19076,42 @@ def q_nb_quality_classifier(spark, sf_dir):
     )
 
 
+def _nb_tokens(spark, sf_dir):
+    """The PERSISTED (doc_id, source, weak_label, split, word, count)
+    substrate of the in-engine text-classifier family: ONE corpus
+    tokenize + one shuffle on the (doc, word) composite, cached and
+    registered with cache.track because every classifier consumes it
+    at least twice (model build + scoring/feature pass). weak_label is
+    the deterministic source-parity label; split is doc_split_assign's
+    md5 80/10/10 bucketing. Shared by _nb_scored (naive Bayes) and
+    q_logreg_hash_text (feature-hashed logistic regression)."""
+    docs = _docs(spark, sf_dir)
+    lbl = F.pmod(
+        F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"), F.lit(2)
+    ).cast("int")
+    b = SampleOp.hash_bucket(F.col("doc_id"), SPLIT_SALT)
+    split = (
+        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
+        .when(b < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        lbl.alias("weak_label"),
+        split.alias("split"),
+        T.tokens(F.col("text")).alias("t"),
+    ).where(F.size("t") >= 1)
+    return _track_cached(
+        base.select(
+            "doc_id", "source", "weak_label", "split", F.explode("t").alias("w")
+        )
+        .groupBy("doc_id", "source", "weak_label", "split", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
+    )
+
+
 def _nb_scored(spark, sf_dir, holdout: bool = False):
     """The shared NB train+score pipeline (see q_nb_quality_classifier
     for the full story): returns one row per scoreable document —
@@ -19093,31 +19133,7 @@ def _nb_scored(spark, sf_dir, holdout: bool = False):
     words absent from the train vocabulary keep their Laplace mass
     (the constant c=0 lattice term tq0, quantized once from the same
     expression) instead of being dropped."""
-    docs = _docs(spark, sf_dir)
-    lbl = F.pmod(
-        F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int"), F.lit(2)
-    ).cast("int")
-    b = SampleOp.hash_bucket(F.col("doc_id"), SPLIT_SALT)
-    split = (
-        F.when(b < SPLIT_TRAIN_PERMILLE, "train")
-        .when(b < SPLIT_VAL_PERMILLE, "val")
-        .otherwise("test")
-    )
-    base = docs.select(
-        "doc_id",
-        "source",
-        lbl.alias("weak_label"),
-        split.alias("split"),
-        T.tokens(F.col("text")).alias("t"),
-    ).where(F.size("t") >= 1)
-    tw = _track_cached(
-        base.select(
-            "doc_id", "source", "weak_label", "split", F.explode("t").alias("w")
-        )
-        .groupBy("doc_id", "source", "weak_label", "split", "w")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .persist()
-    )
+    tw = _nb_tokens(spark, sf_dir)
     train_tw = tw.where(F.col("split") == "train") if holdout else tw
     cw0 = train_tw.groupBy("w").agg(
         F.sum(F.when(F.col("weak_label") == 1, F.col("cnt")).otherwise(0))

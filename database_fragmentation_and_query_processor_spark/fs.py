@@ -344,12 +344,20 @@ def commit_staged(
     if fs.atomic_rename:
         recover_interrupted_commit(fs, target, exclude=staged)
         if fs.exists(target):
-            old = f"{target}.{new_token('old')}"
-            fs.rename(target, old)
+            old = begin_swap(fs, staged, target)
             fs.rename(staged, target)
             fs.delete(old, recursive=True)
         else:
             fs.rename(staged, target)
+        # the breadcrumb travelled into target with the rename; and a
+        # live target means every remaining old- sibling is a
+        # superseded version some earlier crash left behind — GC both
+        # (single-writer model, the lock is held on this path)
+        try:
+            fs.delete(join(target, INTENT_FILE))
+        except Exception:
+            pass
+        _prune_old_siblings(fs, target)
         return target
     gen_name = posixpath.basename(staged)
     fs.write_text_atomic(join(target, POINTER_FILE), gen_name)
@@ -366,6 +374,65 @@ def _token_key(name: str) -> tuple[int, int]:
         return (0, 0)
 
 
+#: Breadcrumb a committing writer drops INTO its staged directory just
+#: before parking the current version: the file names the exact old-
+#: sibling this commit is about to create. Recovery uses it to tell
+#: "the staged dir of THIS interrupted commit" (safe to promote —
+#: finishing the commit) from "a staged dir some earlier writer
+#: abandoned before ever calling commit_staged" (never safe to promote
+#: over a parked committed version — doing so silently reverts the
+#: dataset, the failure ADVICE r10 flagged).
+INTENT_FILE = "_COMMIT_INTENT"
+
+
+def begin_swap(fs, staged: str, target: str) -> str:
+    """First half of the two-rename swap: mint the old- sibling name,
+    record it as ``staged``'s :data:`INTENT_FILE` breadcrumb, and park
+    the current version there. Returns the old- path. Factored out so
+    crash-recovery tests can leave the world exactly as a writer dying
+    between the two renames would."""
+    old = f"{target}.{new_token('old')}"
+    base = posixpath.basename(target.rstrip("/"))
+    fs.write_text_atomic(
+        join(staged, INTENT_FILE),
+        posixpath.basename(old)[len(base) + 1:],
+    )
+    fs.rename(target, old)
+    return old
+
+
+def _read_intent(fs, staged: str) -> str | None:
+    try:
+        p = join(staged, INTENT_FILE)
+        if fs.exists(p):
+            return fs.read_text(p).strip()
+    except Exception:
+        return None
+    return None
+
+
+def _prune_old_siblings(fs, target: str) -> None:
+    """GC parked ``target.old-*`` siblings once ``target`` is live
+    again. A crash between the swap's second rename and the delete
+    leaves one behind forever otherwise, and every survivor enlarges
+    the candidate set future recoveries must reason about. Safe under
+    the documented single-writer model: with the dataset present, any
+    old- sibling is a superseded version (only commit_staged creates
+    them, and its own delete runs before this)."""
+    base = posixpath.basename(target.rstrip("/"))
+    parent = posixpath.dirname(target.rstrip("/"))
+    try:
+        listing = list(fs.list_status(parent))
+    except Exception:
+        return
+    for p, is_dir, _sz, _mt in listing:
+        if is_dir and posixpath.basename(p).startswith(base + ".old-"):
+            try:
+                fs.delete(p, recursive=True)
+            except Exception:
+                pass
+
+
 def recover_interrupted_commit(
     fs, target: str, exclude: str | None = None
 ) -> str | None:
@@ -375,9 +442,17 @@ def recover_interrupted_commit(
     sibling dirs: ``target.old-<tok>`` (the pre-commit version, parked
     by the first rename) and/or the staged ``target.<tag>-<tok>`` (the
     new version that never landed). Recovery restores, in preference
-    order: the newest staged sibling that carries a job-complete
-    ``_SUCCESS`` marker (finishing the interrupted commit), else the
-    newest ``old-`` sibling (rolling back to the pre-commit version).
+    order: the staged sibling that carries BOTH a job-complete
+    ``_SUCCESS`` marker AND a :data:`INTENT_FILE` breadcrumb naming the
+    newest parked ``old-`` sibling — i.e. the staged dir of exactly the
+    commit that parked it (finishing that interrupted commit) — else
+    the newest ``old-`` sibling (rolling back to the pre-commit
+    version). A marked staged dir WITHOUT a matching breadcrumb is a
+    stage some writer abandoned before ever calling commit_staged; it
+    is never promoted over a parked version (that would silently
+    revert the dataset to stale data — ADVICE r10). When no ``old-``
+    sibling exists at all there is no committed version to shadow, so
+    the newest marked staged dir is promoted (first-commit liveness).
     No-op when ``target`` exists (nothing was interrupted — stray
     siblings there belong to in-flight writers and are not touched) or
     in pointer mode (that commit is a single atomic pointer write).
@@ -415,23 +490,48 @@ def recover_interrupted_commit(
             reverse=True,
         )
 
-    for cand in newest_first(staged_sibs):
-        if fs.exists(join(cand, "_SUCCESS")):
-            try:
-                fs.rename(cand, target)
-                return target
-            except Exception:
-                if fs.exists(target):  # lost a benign recovery race
-                    return target
-                raise
-    for cand in newest_first(old_sibs):
+    ordered_old = newest_first(old_sibs)
+    newest_old_token = (
+        posixpath.basename(ordered_old[0])[len(base) + 1:]
+        if ordered_old
+        else None
+    )
+
+    def _promote(cand: str) -> str | None:
         try:
             fs.rename(cand, target)
-            return target
         except Exception:
-            if fs.exists(target):
+            if fs.exists(target):  # lost a benign recovery race
                 return target
             raise
+        try:  # the breadcrumb travelled into target with the rename
+            fs.delete(join(target, INTENT_FILE))
+        except Exception:
+            pass
+        return target
+
+    for cand in newest_first(staged_sibs):
+        if not fs.exists(join(cand, "_SUCCESS")):
+            continue
+        if newest_old_token is not None:
+            # promotable only as the completion of the exact commit
+            # that parked the newest old- sibling
+            if _read_intent(fs, cand) != newest_old_token:
+                continue
+        got = _promote(cand)
+        if got:
+            if ordered_old and fs.exists(target):
+                # the completed commit's parked predecessor is now
+                # superseded, exactly as its own delete would have done
+                try:
+                    fs.delete(ordered_old[0], recursive=True)
+                except Exception:
+                    pass
+            return got
+    for cand in ordered_old:
+        got = _promote(cand)
+        if got:
+            return got
     return None
 
 

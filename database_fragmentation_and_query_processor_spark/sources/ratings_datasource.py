@@ -398,33 +398,45 @@ class RatingsWriter(DataSourceWriter):
         a directory that already has visible data files but no valid
         manifest is rejected: there is no authoritative prior file set
         to union, and guessing from the listing could resurrect files a
-        crashed overwrite meant to retract."""
-        from ..fs import fs_for
+        crashed overwrite meant to retract. The read-modify-write of
+        the manifest runs under the advisory writer lock: without it,
+        two concurrent appends both read the same prior manifest and
+        the loser's part files are silently orphaned when the winner's
+        manifest lands last (ADVICE r10)."""
+        from ..fs import acquire_writer_lock, fs_for, release_writer_lock
 
         fs = fs_for(self.path)
-        prior_files: list[str] = []
-        prior_rows = 0
+        lock = None
         if not self.overwrite:
-            prior_files, prior_rows = self._prior_commit(fs)
-        # Publish exactly the committed attempts' files; losing
-        # speculative/retried attempts stay behind in _staging.
-        published = []
-        for m in messages:
-            if m is not None:
-                name = posixpath.basename(m.path)
-                fs.rename(m.path, posixpath.join(self.path, name))
-                published.append(name)
-        total = prior_rows + sum(
-            m.n_rows for m in messages if m is not None
-        )
-        fs.write_text_atomic(
-            posixpath.join(self.path, "_SUCCESS"),
-            json.dumps(
-                {"n_rows": total,
-                 "files": sorted(set(prior_files) | set(published))}
-            ) + "\n",
-        )
-        self._sweep_staging(fs)
+            fs.makedirs(self.path)
+            lock = acquire_writer_lock(fs, self.path, owner="ratings-append")
+        try:
+            prior_files: list[str] = []
+            prior_rows = 0
+            if not self.overwrite:
+                prior_files, prior_rows = self._prior_commit(fs)
+            # Publish exactly the committed attempts' files; losing
+            # speculative/retried attempts stay behind in _staging.
+            published = []
+            for m in messages:
+                if m is not None:
+                    name = posixpath.basename(m.path)
+                    fs.rename(m.path, posixpath.join(self.path, name))
+                    published.append(name)
+            total = prior_rows + sum(
+                m.n_rows for m in messages if m is not None
+            )
+            fs.write_text_atomic(
+                posixpath.join(self.path, "_SUCCESS"),
+                json.dumps(
+                    {"n_rows": total,
+                     "files": sorted(set(prior_files) | set(published))}
+                ) + "\n",
+            )
+            self._sweep_staging(fs)
+        finally:
+            if lock is not None:
+                release_writer_lock(fs, lock)
 
     def _prior_commit(self, fs) -> tuple[list[str], int]:
         """The previously committed (files, n_rows) to carry into an
@@ -443,7 +455,13 @@ class RatingsWriter(DataSourceWriter):
         )
         marker = posixpath.join(self.path, "_SUCCESS")
         doc = None
-        names = {posixpath.basename(c) for c, _d, _sz, _mt in listing}
+        # files only: a directory named like a manifest part must not
+        # mask a genuinely missing data file (ADVICE r10)
+        names = {
+            posixpath.basename(c)
+            for c, is_dir, _sz, _mt in listing
+            if not is_dir
+        }
         if "_SUCCESS" in names:
             try:
                 doc = json.loads(fs.read_text(marker))

@@ -397,16 +397,21 @@ def test_recovery_completes_interrupted_commit_with_marker(tmp_path):
     s0 = fslib.stage_path(fs, target, "v")
     _write_marker_dir(fs, s0, "v0")
     fslib.commit_staged(fs, s0, target)
-    # stage v1 (complete, marked), then simulate the crash: only the
-    # first rename (target -> old) happened
+    # stage v1 (complete, marked), then simulate the crash exactly as
+    # the protocol leaves the world: intent breadcrumb + first rename
+    # (target -> old) happened, second rename never did
     s1 = fslib.stage_path(fs, target, "v")
     _write_marker_dir(fs, s1, "v1")
     fs.write_text_atomic(fslib.join(s1, "_SUCCESS"), "")
-    fs.rename(target, f"{target}.{fslib.new_token('old')}")
+    old = fslib.begin_swap(fs, s1, target)
     assert not fs.exists(target)
     got = fslib.recover_interrupted_commit(fs, target)
     assert got == target
     assert fs.read_text(fslib.join(target, "part-0.txt")) == "v1"
+    # the completed commit's parked predecessor is superseded, and the
+    # breadcrumb does not leak into the published dataset
+    assert not fs.exists(old)
+    assert not fs.exists(fslib.join(target, fslib.INTENT_FILE))
 
 
 def test_recovery_rolls_back_to_old_without_marker(tmp_path):
@@ -446,6 +451,68 @@ def test_recovery_noops_on_healthy_dataset_and_pointer_mode(tmp_path):
     _write_marker_dir(pfs, ps, "p0")
     fslib.commit_staged(pfs, ps, ptarget)
     assert fslib.recover_interrupted_commit(pfs, ptarget) is None
+
+
+def test_recovery_never_promotes_an_abandoned_stage_over_newer_data(
+    tmp_path,
+):
+    """ADVICE r10 (medium): a marked staged dir abandoned before
+    commit_staged was ever called (writer died right after the Spark
+    write) must NOT be promoted over a NEWER committed version parked
+    by a later interrupted commit — that silently reverts the dataset.
+    The abandoned stage has no _COMMIT_INTENT breadcrumb, so recovery
+    rolls back to the parked newer version instead."""
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    # the abandoned stage: complete content + _SUCCESS, its writer died
+    # before ever calling commit_staged (dataset live, so no recovery
+    # pass may consume it)
+    s_dead = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s_dead, "stale-abandoned")
+    fs.write_text_atomic(fslib.join(s_dead, "_SUCCESS"), "")
+    # a NEWER version commits normally over the live dataset
+    s1 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s1, "v1-committed")
+    fs.write_text_atomic(fslib.join(s1, "_SUCCESS"), "")
+    fslib.commit_staged(fs, s1, target)
+    # a subsequent require_marker=False commit (unmarked content)
+    # crashes between its two renames: v1 is parked in old-, the
+    # unmarked stage can't be promoted
+    s2 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s2, "v2-unmarked")
+    fslib.begin_swap(fs, s2, target)
+    got = fslib.recover_interrupted_commit(fs, target)
+    assert got == target
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "v1-committed"
+    # the abandoned stage is untouched (never promoted, never deleted —
+    # it may belong to a writer we cannot prove dead)
+    assert fs.read_text(fslib.join(s_dead, "part-0.txt")) == "stale-abandoned"
+
+
+def test_commit_prunes_stale_old_siblings(tmp_path):
+    """ADVICE r10 (low): an old- sibling left by a crash after the
+    second rename (before the delete) must not accumulate forever —
+    the next successful commit GCs it."""
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    # crash AFTER rename2, before delete: old- survives, target live
+    stale_old = f"{target}.old-{fslib.new_token('x')[2:]}"
+    fs.makedirs(stale_old)
+    fs.write_text_atomic(fslib.join(stale_old, "part-0.txt"), "parked")
+    s1 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s1, "v1")
+    fs.write_text_atomic(fslib.join(s1, "_SUCCESS"), "")
+    fslib.commit_staged(fs, s1, target, require_marker=True)
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "v1"
+    assert not fs.exists(stale_old)
+    # no _COMMIT_INTENT leaks into the live dataset
+    assert not fs.exists(fslib.join(target, fslib.INTENT_FILE))
 
 
 def test_next_commit_self_heals_interrupted_predecessor(tmp_path):

@@ -69,3 +69,25 @@ def test_emb_qstats_scans_once_per_session_and_dataset(spark, sf_dir):
     # and the memo returns the measured triple, not a stale default
     nv, qmax, d = EQ._EMB_QSTATS_CACHE[key]
     assert nv > 0 and qmax >= 1 and d > 0
+
+
+def test_emb_qstats_memo_keeps_other_live_sessions(spark, sf_dir):
+    """ADVICE r10: eviction used to drop every entry whose
+    applicationId differed from the caller's, so two live sessions
+    alternating in one driver permanently thrashed the memo. The LRU
+    bound must keep other sessions' entries across a miss."""
+    other = ("app-other-session", "/some/other/dataset")
+    EQ._EMB_QSTATS_CACHE[other] = (1, 1, 1)
+    key = (spark.sparkContext.applicationId, str(sf_dir))
+    EQ._EMB_QSTATS_CACHE.pop(key, None)
+    EQ._emb_qstats(spark, sf_dir)  # a miss for THIS session
+    assert other in EQ._EMB_QSTATS_CACHE  # the other session survived
+    EQ._EMB_QSTATS_CACHE.pop(other, None)
+    # and the bound actually bounds: flood with fake sessions
+    for i in range(2 * EQ._EMB_QSTATS_MAX):
+        EQ._EMB_QSTATS_CACHE[(f"app-{i}", "x")] = (1, 1, 1)
+        while len(EQ._EMB_QSTATS_CACHE) > EQ._EMB_QSTATS_MAX:
+            EQ._EMB_QSTATS_CACHE.pop(next(iter(EQ._EMB_QSTATS_CACHE)), None)
+    assert len(EQ._EMB_QSTATS_CACHE) <= EQ._EMB_QSTATS_MAX
+    for i in range(2 * EQ._EMB_QSTATS_MAX):
+        EQ._EMB_QSTATS_CACHE.pop((f"app-{i}", "x"), None)

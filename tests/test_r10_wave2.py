@@ -132,7 +132,8 @@ def test_nb_classifier_plan_shapes(spark, sf_dir):
     class-conditional count build and the scoring join — the train and
     inference passes share one corpus read); scalars ride broadcast
     1-row frames; no Python, no windows."""
-    src = inspect.getsource(EQ._nb_scored)  # the shared train+score core
+    # the shared train+score core persists its token substrate
+    src = inspect.getsource(EQ._nb_scored) + inspect.getsource(EQ._nb_tokens)
     assert "_track_cached" in src
     plan = final_explain_formatted(
         EQ._QUERIES_ALL["nb_quality_classifier"](spark, sf_dir)
