@@ -324,6 +324,8 @@ HEADLINE = [
     "nb_holdout_eval",
     "k_anonymity_audit",
     "pr_auc_by_source",
+    "logreg_hash_text",
+    "exact_substr_incremental",
 ]
 
 

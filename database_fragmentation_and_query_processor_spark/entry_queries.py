@@ -19743,6 +19743,467 @@ FROM ranked, total
 """
 
 
+#: Feature-hashing width of the logistic text classifier (+ intercept
+#: = 3 parameters, so the Newton step reuses logreg_newton's exact
+#: 3×3 Cramer solve). Tiny on purpose: the hashing trick's fixed-width
+#: property, not its capacity, is what the operator demonstrates — at
+#: 100 TB the same plan runs with 2^18 buckets and an L-BFGS tail.
+LOGREG_HASH_BUCKETS = 2
+
+
+def q_logreg_hash_text(spark, sf_dir):
+    """Feature-hashed logistic-regression text classifier — the
+    CCNet/fastText-class upgrade of the NB family (r10 verdict task 5):
+    hash every token into LOGREG_HASH_BUCKETS SIGNED features (the
+    hashing trick — md5 bucket + independent md5 sign bit — giving a
+    fixed-width feature map with no vocabulary build, THE property
+    that makes a linear text classifier trainable at 100 TB in one
+    pass), train a fixed two-step Newton solve on the md5 train split
+    ONLY, and report per-split size/positives/accuracy/log-loss plus
+    the fitted coefficients — in-sample and out-of-sample in one
+    table, the nb_holdout_eval discipline.
+
+    Scale shape: ONE corpus tokenize (the shared persisted _nb_tokens
+    substrate) → one per-doc feature aggregate, persisted because it
+    feeds LOGREG_STEPS moment passes plus the eval pass; each Newton
+    step is a single map-side-combinable aggregate of twelve
+    decimal-cast moments, so driver state is 12 floats per step
+    regardless of corpus size (the logreg_newton convention,
+    entry_queries.py:15708). Exactness: features are ratios of exact
+    integers (bit-identical doubles both engines); the sigmoid is
+    CLAMP-QUANTIZED onto the NLL_LATTICE before it enters any moment
+    (p = clamp(floor(sigmoid·1e9), 1, 1e9-1)/1e9), so every moment is
+    a decimal sum of products of exact doubles and the Python _cramer3
+    solve replays bit-for-bit as the oracle's chained CTEs; the
+    per-row log-loss term takes ln of those exact clamped rationals
+    and is floor-quantized onto the lattice, so the reported loss is
+    an exact integer ratio — no raw engine-transcendental reaches any
+    hashed output (the r11 hardening convention)."""
+    tw = _nb_tokens(spark, sf_dir)
+    h1 = T.token_hash(F.col("w"))
+    h2 = F.conv(F.substring(F.md5(F.col("w")), 14, 13), 16, 10).cast(
+        "bigint"
+    )
+    sgn = F.when(h2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    contrib = sgn * F.col("cnt")
+    fx = _track_cached(
+        tw.groupBy("doc_id", "weak_label", "split")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_toks"),
+            F.sum(
+                F.when(h1 % LOGREG_HASH_BUCKETS == 0, contrib).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s0"),
+            F.sum(
+                F.when(h1 % LOGREG_HASH_BUCKETS == 1, contrib).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s1"),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("weak_label").alias("y"),
+            (F.col("s0").cast("double") / F.col("n_toks").cast("double"))
+            .alias("x1"),
+            (F.col("s1").cast("double") / F.col("n_toks").cast("double"))
+            .alias("x2"),
+        )
+        .persist()
+    )
+    tr = fx.where(F.col("split") == "train")
+
+    def _p(z):
+        raw = 1.0 / (1.0 + F.exp(-z))
+        pq = F.least(
+            F.greatest(
+                F.floor(raw * F.lit(float(NLL_LATTICE))), F.lit(1)
+            ),
+            F.lit(NLL_LATTICE - 1),
+        )
+        return pq.cast("double") / F.lit(float(NLL_LATTICE))
+
+    def step_moments(b0, b1, b2):
+        z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        p = _p(z)
+        w = p * (1.0 - p)
+        dec = lambda e: F.sum(e.cast("decimal(38,18)")).cast("double")
+        return tr.agg(
+            dec(F.col("y") - p).alias("g0"),
+            dec((F.col("y") - p) * F.col("x1")).alias("g1"),
+            dec((F.col("y") - p) * F.col("x2")).alias("g2"),
+            dec(w).alias("a11"),
+            dec(w * F.col("x1")).alias("a12"),
+            dec(w * F.col("x2")).alias("a13"),
+            dec(w * F.col("x1") * F.col("x1")).alias("a22"),
+            dec(w * F.col("x1") * F.col("x2")).alias("a23"),
+            dec(w * F.col("x2") * F.col("x2")).alias("a33"),
+        ).head()
+
+    beta = (0.0, 0.0, 0.0)
+    for _ in range(LOGREG_STEPS):
+        m = step_moments(*beta)
+        d0, d1, d2 = _cramer3(
+            m["a11"], m["a12"], m["a13"], m["a22"], m["a23"], m["a33"],
+            m["g0"], m["g1"], m["g2"],
+        )
+        beta = (beta[0] + d0, beta[1] + d1, beta[2] + d2)
+    z = (
+        F.lit(beta[0])
+        + F.lit(beta[1]) * F.col("x1")
+        + F.lit(beta[2]) * F.col("x2")
+    )
+    p = _p(z)
+    loss_q = F.floor(
+        (
+            -(
+                F.col("y") * F.log(p)
+                + (1.0 - F.col("y")) * F.log(1.0 - p)
+            )
+        )
+        * F.lit(float(NLL_LATTICE))
+    ).cast("bigint")
+    pred = (z > 0).cast("int")
+    return (
+        fx.select(
+            "split",
+            "y",
+            pred.alias("pred"),
+            loss_q.alias("lq"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum((F.col("pred") == F.col("y")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.sum("lq").cast("bigint").alias("nll_q"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_pos",
+            F.round(
+                F.col("n_correct").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("accuracy"),
+            F.round(
+                F.col("nll_q").cast("double")
+                / F.col("n_docs").cast("double")
+                / F.lit(float(NLL_LATTICE)),
+                6,
+            ).alias("log_loss"),
+            F.round(F.lit(beta[0]), 6).alias("beta0"),
+            F.round(F.lit(beta[1]), 6).alias("beta1_h0"),
+            F.round(F.lit(beta[2]), 6).alias("beta2_h1"),
+        )
+    )
+
+
+def _sql_logreg_hash_text() -> str:
+    """CTE replay of q_logreg_hash_text: the hashed-feature build, the
+    two Newton steps as chained moment/solve CTEs (the _cramer3
+    expression shapes verbatim), and the per-split eval — all on the
+    clamp-latticed sigmoid."""
+    lat = f"{float(NLL_LATTICE)!r}"
+    feats = f"""
+  SELECT doc_id, split, weak_label AS y,
+         CAST(s0 AS DOUBLE) / CAST(n_toks AS DOUBLE) AS x1,
+         CAST(s1 AS DOUBLE) / CAST(n_toks AS DOUBLE) AS x2
+  FROM (
+    SELECT doc_id, split, weak_label,
+           SUM(cnt) AS n_toks,
+           SUM(CASE WHEN h1 % {LOGREG_HASH_BUCKETS} = 0 THEN sgn * cnt
+                    ELSE 0 END) AS s0,
+           SUM(CASE WHEN h1 % {LOGREG_HASH_BUCKETS} = 1 THEN sgn * cnt
+                    ELSE 0 END) AS s1
+    FROM (
+      SELECT doc_id, split, weak_label, cnt,
+             CAST(('0x' || substr(md5(w), 1, 13)) AS BIGINT) AS h1,
+             CASE WHEN CAST(('0x' || substr(md5(w), 14, 13)) AS BIGINT)
+                       % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM (
+        SELECT doc_id, split, weak_label, w, COUNT(*) AS cnt
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_TRAIN_PERMILLE}
+                      THEN 'train'
+                      WHEN {_SPLIT_BUCKET_SQL} < {SPLIT_VAL_PERMILLE}
+                      THEN 'val' ELSE 'test' END AS split,
+                 CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INT)
+                      % 2 AS INT) AS weak_label,
+                 unnest({TOKENS_SQL}) AS w
+          FROM documents WHERE len({TOKENS_SQL}) >= 1
+        )
+        GROUP BY 1, 2, 3, 4
+      )
+    )
+    GROUP BY 1, 2, 3
+  )
+"""
+
+    def p_of(z: str) -> str:
+        raw = f"(1.0 / (1.0 + EXP(-{z})))"
+        pq = f"LEAST(GREATEST(FLOOR({raw} * {lat}), 1), {NLL_LATTICE - 1})"
+        return f"(CAST({pq} AS DOUBLE) / {lat})"
+
+    def moments(tag: str, b0: str, b1: str, b2: str, src_extra: str) -> str:
+        z = f"({b0} + {b1} * x1 + {b2} * x2)"
+        p = p_of(z)
+        w = f"({p} * (1.0 - {p}))"
+        dec = lambda e: f"CAST(SUM(CAST({e} AS DECIMAL(38,18))) AS DOUBLE)"
+        return f"""
+m{tag} AS (
+  SELECT {dec(f'(y - {p})')} AS g0,
+         {dec(f'(y - {p}) * x1')} AS g1,
+         {dec(f'(y - {p}) * x2')} AS g2,
+         {dec(w)} AS a11,
+         {dec(f'{w} * x1')} AS a12,
+         {dec(f'{w} * x2')} AS a13,
+         {dec(f'{w} * x1 * x1')} AS a22,
+         {dec(f'{w} * x1 * x2')} AS a23,
+         {dec(f'{w} * x2 * x2')} AS a33
+  FROM tr{src_extra}
+)"""
+
+    def solve(tag: str, prev_b: tuple[str, str, str]) -> str:
+        det = ("(a11 * (a22 * a33 - a23 * a23)"
+               " - a12 * (a12 * a33 - a23 * a13)"
+               " + a13 * (a12 * a23 - a22 * a13))")
+        d0 = ("(g0 * (a22 * a33 - a23 * a23)"
+              " - a12 * (g1 * a33 - a23 * g2)"
+              " + a13 * (g1 * a23 - a22 * g2))")
+        d1 = ("(a11 * (g1 * a33 - a23 * g2)"
+              " - g0 * (a12 * a33 - a23 * a13)"
+              " + a13 * (a12 * g2 - g1 * a13))")
+        d2 = ("(a11 * (a22 * g2 - g1 * a23)"
+              " - a12 * (a12 * g2 - g1 * a13)"
+              " + g0 * (a12 * a23 - a22 * a13))")
+        return f"""
+b{tag} AS (
+  SELECT {prev_b[0]} + {d0} / {det} AS b0,
+         {prev_b[1]} + {d1} / {det} AS b1,
+         {prev_b[2]} + {d2} / {det} AS b2
+  FROM m{tag}
+)"""
+
+    zf = "(b0 + b1 * x1 + b2 * x2)"
+    pf = p_of(zf)
+    lossq = (
+        f"CAST(FLOOR((-(y * LN({pf}) + (1.0 - y) * LN(1.0 - {pf})))"
+        f" * {lat}) AS BIGINT)"
+    )
+    return f"""
+WITH feats AS ({feats}),
+tr AS (SELECT * FROM feats WHERE split = 'train'),
+{moments('1', '0.0', '0.0', '0.0', '')},
+{solve('1', ('0.0', '0.0', '0.0'))},
+{moments('2', '(SELECT b0 FROM b1)', '(SELECT b1 FROM b1)',
+         '(SELECT b2 FROM b1)', '')},
+{solve('2', ('(SELECT b0 FROM b1)', '(SELECT b1 FROM b1)',
+             '(SELECT b2 FROM b1)'))},
+ev AS (
+  SELECT split, y,
+         CAST(CASE WHEN {zf} > 0 THEN 1 ELSE 0 END AS INT) AS pred,
+         {lossq} AS lq
+  FROM feats CROSS JOIN b2
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
+       ROUND(CAST(SUM(lq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / {lat}, 6) AS log_loss,
+       ROUND((SELECT b0 FROM b2), 6) AS beta0,
+       ROUND((SELECT b1 FROM b2), 6) AS beta1_h0,
+       ROUND((SELECT b2 FROM b2), 6) AS beta2_h1
+FROM ev
+GROUP BY split
+"""
+
+
+SQL_LOGREG_HASH_TEXT = _sql_logreg_hash_text()
+
+
+def q_exact_substr_incremental(spark, sf_dir):
+    """Incremental ExactSubstr index maintenance (r10 verdict task 6 —
+    the incremental_near_dup analogue for exact_substr_dedup's window
+    index): the standing corpus's MATERIALIZED (window-hash → first
+    owner, count) table plus an O(batch) probe of a new-document batch
+    must reproduce exactly the full-recompute span removal restricted
+    to the batch — the identity that lets ingest run ExactSubstr
+    against 100 TB of standing data at the cost of the batch, not the
+    corpus. Also reports, per batch doc, how many window hashes the
+    new doc now OWNS that have standing-corpus occurrences
+    (spans_stolen — the index-update delta a maintenance job would
+    write back, since those standing occurrences just became
+    removable duplicates).
+
+    Scale shape: the index is built once from the standing corpus
+    (persisted here; a parquet table in production) — one shuffle on
+    the md5-uniform hash key; the probe is the batch's window stream
+    LEFT-joined against it (cost ∝ batch windows + matching index
+    rows, never the corpus); union ownership is
+    min(index_first, batch_first) — an O(1) merge per hash, no
+    corpus-wide window function. Exactness: md5 hashes, integer
+    positions, integer total-order ownership, md5 rewrite — no floats
+    anywhere. The oracle replays the FULL-corpus pipeline restricted
+    to batch docs, proving the incremental identity."""
+    docs = _docs_with_dups(spark, sf_dir)
+    is_new = (F.col("doc_id") % DUP_SALT) % INCR_BATCH_MOD == 0
+
+    def _wins(src):
+        base = src.select(
+            "doc_id", T.tokens(F.col("text")).alias("t")
+        ).where(F.size("t") >= 1)
+        return base, base.select(
+            "doc_id",
+            F.posexplode(_word_grams(F.col("t"), DUPSPAN_L)).alias(
+                "pos", "gram"
+            ),
+        ).select("doc_id", "pos", T.token_hash(F.col("gram")).alias("h"))
+
+    _, wins_old = _wins(docs.where(~is_new))
+    index = _track_cached(
+        wins_old.groupBy("h")
+        .agg(
+            F.count("*").cast("bigint").alias("c_old"),
+            F.min(F.struct("doc_id", "pos")).alias("first_old"),
+        )
+        .persist()
+    )
+    batch_base0, wins_new0 = _wins(docs.where(is_new))
+    batch_base = _track_cached(batch_base0.persist())
+    wins_new = _track_cached(wins_new0.persist())
+    bagg = wins_new.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("c_new"),
+        F.min(F.struct("doc_id", "pos")).alias("first_new"),
+    )
+    u = bagg.join(index, "h", "left").select(
+        "h",
+        (F.col("c_new") + F.coalesce(F.col("c_old"), F.lit(0))).alias(
+            "c_tot"
+        ),
+        F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+        F.when(
+            F.col("first_old").isNull()
+            | (F.col("first_new") < F.col("first_old")),
+            F.col("first_new"),
+        )
+        .otherwise(F.col("first_old"))
+        .alias("first_tot"),
+    )
+    probed = wins_new.join(u, "h")
+    removed = (
+        probed.where(
+            (F.col("c_tot") >= 2)
+            & (F.struct("doc_id", "pos") != F.col("first_tot"))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos") + 1, F.col("pos") + DUPSPAN_L)
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("p").alias("rp"))
+    )
+    stolen = (
+        probed.where(
+            (F.struct("doc_id", "pos") == F.col("first_tot"))
+            & (F.col("c_old") >= 1)
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("spans_stolen"))
+    )
+    j = (
+        batch_base.join(removed, "doc_id", "left")
+        .join(stolen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "t",
+            F.coalesce(F.col("rp"), F.array().cast("array<int>")).alias(
+                "rp"
+            ),
+            F.coalesce(F.col("spans_stolen"), F.lit(0))
+            .cast("bigint")
+            .alias("spans_stolen"),
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size("rp").cast("bigint").alias("n_removed"),
+        "spans_stolen",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_except(sequence(1, size(t)), rp),"
+                    " p -> element_at(t, p))"
+                ),
+            )
+        ).alias("rewrite_md5"),
+    )
+
+
+SQL_EXACT_SUBSTR_INCREMENTAL = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+toks AS (SELECT doc_id, {TOKENS_SQL} AS t FROM corpus
+         WHERE len({TOKENS_SQL}) >= 1),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(t) - {DUPSPAN_L} + 1, 0))) AS pos,
+         t AS t2
+  FROM toks
+),
+hashed AS (
+  SELECT doc_id, pos,
+         CAST(('0x' || substr(md5(array_to_string(t2[pos + 1:pos + {DUPSPAN_L}], ' ')), 1, 13)) AS BIGINT) AS h
+  FROM wins
+),
+owned AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY h) AS c,
+         SUM(CASE WHEN (doc_id % {DUP_SALT}) % {INCR_BATCH_MOD} != 0
+                  THEN 1 ELSE 0 END) OVER (PARTITION BY h) AS c_old,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+  FROM hashed
+),
+removedpos AS (
+  SELECT DISTINCT doc_id, unnest(range(pos + 1, pos + {DUPSPAN_L} + 1)) AS p
+  FROM owned
+  WHERE c >= 2 AND rk > 1 AND (doc_id % {DUP_SALT}) % {INCR_BATCH_MOD} = 0
+),
+rems AS (SELECT doc_id, list(p) AS rp FROM removedpos GROUP BY doc_id),
+steals AS (
+  SELECT doc_id, COUNT(*) AS spans_stolen
+  FROM owned
+  WHERE rk = 1 AND c_old >= 1
+        AND (doc_id % {DUP_SALT}) % {INCR_BATCH_MOD} = 0
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(r.rp), 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(s.spans_stolen, 0) AS BIGINT) AS spans_stolen,
+       md5(COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.t) + 1),
+                       p -> NOT list_contains(COALESCE(r.rp, []), p)),
+           p -> t.t[p]), ' '), '')) AS rewrite_md5
+FROM toks t
+LEFT JOIN rems r USING (doc_id)
+LEFT JOIN steals s USING (doc_id)
+WHERE (t.doc_id % {DUP_SALT}) % {INCR_BATCH_MOD} = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -20066,6 +20527,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_holdout_eval": q_nb_holdout_eval,
     "k_anonymity_audit": q_k_anonymity_audit,
     "pr_auc_by_source": q_pr_auc_by_source,
+    "logreg_hash_text": q_logreg_hash_text,
+    "exact_substr_incremental": q_exact_substr_incremental,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -20358,6 +20821,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "nb_holdout_eval": SQL_NB_HOLDOUT_EVAL,
     "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
     "pr_auc_by_source": SQL_PR_AUC_BY_SOURCE,
+    "logreg_hash_text": SQL_LOGREG_HASH_TEXT,
+    "exact_substr_incremental": SQL_EXACT_SUBSTR_INCREMENTAL,
 }
 
 
@@ -20846,6 +21311,13 @@ if len(_R11_WINDOW) != 50 or len(set(_R11_WINDOW)) != 50:
 _missing = [n for n in _R11_WINDOW if n not in _QUERIES_ALL]
 if _missing:
     raise RuntimeError(f"r11 stamp window names unknown queries: {_missing}")
+
+#: Queries ADDED in round 11 (registered below the stamp window; they
+#: rotate into the r12 stamp prefix per the standing convention).
+_R11_ADDED: list[str] = [
+    "logreg_hash_text",
+    "exact_substr_incremental",
+]
 
 _HEAD = _R11_WINDOW
 

@@ -76,6 +76,7 @@ TRANSCENDENTAL_REGISTRY: dict[str, str] = {
     "nb_calibration_audit": "lattice",
     "quality_budget_mix": "lattice",
     "nb_holdout_eval": "lattice",
+    "logreg_hash_text": "lattice",  # clamp-latticed sigmoid + latticed loss
     # legacy rounded-transcendental surfaces (pre-r11 conventions)
     "doc_char_entropy": "legacy-margin",
     "pmi_collocations": "legacy-margin",

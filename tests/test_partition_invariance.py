@@ -123,6 +123,9 @@ def _canon(df):
         "nb_holdout_eval",          # md5 splits, integer confusion counts
         "k_anonymity_audit",        # pure integer k/l counts and bands
         "pr_auc_by_source",         # decimal integer-product ratio terms
+        # round-11 additions:
+        "logreg_hash_text",         # clamp-latticed sigmoid, decimal moments
+        "exact_substr_incremental", # md5 windows, integer owner merge
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

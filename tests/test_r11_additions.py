@@ -1,0 +1,109 @@
+"""Semantic invariants + plan shapes for the round-11 operators
+(logreg_hash_text, exact_substr_incremental).
+
+Oracle equality (tests/test_oracle_queries.py) proves Spark == DuckDB;
+these tests pin properties a SHARED bug could break silently — the
+Newton solve actually fitting, the incremental probe reproducing the
+full recompute — plus the plan shapes the docstrings promise.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from database_fragmentation_and_query_processor_spark import entry_queries as EQ
+from database_fragmentation_and_query_processor_spark.plans import (
+    final_explain_formatted,
+)
+
+
+def _distinct_parquet_scans(plan: str) -> int:
+    return len(set(re.findall(r"Scan parquet\s*\((\d+)\)", plan)))
+
+
+# ---------------------------------------------------------------------------
+# logreg_hash_text
+# ---------------------------------------------------------------------------
+
+def test_logreg_hash_text_fits_and_partitions_the_corpus(spark, sf_dir):
+    """The eval table must cover every scoreable doc exactly once
+    across the three md5 splits; probabilities/losses must be proper;
+    the two Newton steps must actually FIT — training log-loss at the
+    fitted betas is below the β=0 baseline loss ln 2 (a solver that
+    returns zeros or diverges fails this, while both engines sharing
+    it would pass the oracle compare); and the fit is deterministic."""
+    rows = EQ._QUERIES_ALL["logreg_hash_text"](spark, sf_dir).collect()
+    n_scored = EQ._QUERIES_ALL["nb_quality_classifier"](spark, sf_dir).count()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == n_scored
+    for r in rows:
+        assert 0 < r["n_pos"] < r["n_docs"]  # both classes in every split
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["log_loss"] > 0.0
+    betas = {(r["beta0"], r["beta1_h0"], r["beta2_h1"]) for r in rows}
+    assert len(betas) == 1  # one model, reported on every split row
+    assert any(abs(b) > 1e-12 for b in next(iter(betas)))
+    train = next(r for r in rows if r["split"] == "train")
+    assert train["log_loss"] < math.log(2.0) + 1e-9
+    again = EQ._QUERIES_ALL["logreg_hash_text"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_logreg_hash_text_plan_shapes(spark, sf_dir):
+    """The per-doc feature frame is persisted (it feeds the Newton
+    moment passes AND the returned eval aggregate), so the returned
+    plan reads the cache — at most the substrate's one corpus scan —
+    with no Python eval and no window over the corpus."""
+    plan = final_explain_formatted(
+        EQ._QUERIES_ALL["logreg_hash_text"](spark, sf_dir)
+    )
+    assert _distinct_parquet_scans(plan) <= 1, plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# exact_substr_incremental
+# ---------------------------------------------------------------------------
+
+def test_incremental_equals_full_recompute_restricted_to_batch(
+    spark, sf_dir
+):
+    """THE maintenance identity: materialized index + O(batch) probe
+    must reproduce the full-corpus ExactSubstr removal restricted to
+    batch docs, column for column (n_tokens, n_removed, rewrite_md5)."""
+    inc = {
+        r["doc_id"]: r
+        for r in EQ._QUERIES_ALL["exact_substr_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r
+        for r in EQ._QUERIES_ALL["exact_substr_dedup"](spark, sf_dir)
+        .collect()
+        if (r["doc_id"] % EQ.DUP_SALT) % EQ.INCR_BATCH_MOD == 0
+    }
+    assert set(inc) == set(full) and inc
+    for d, r in inc.items():
+        assert r["n_tokens"] == full[d]["n_tokens"], d
+        assert r["n_removed"] == full[d]["n_removed"], d
+        assert r["rewrite_md5"] == full[d]["rewrite_md5"], d
+    # removal is nontrivial inside the batch: doc_id % 35 == 0 twins
+    # have both copies in the batch, so their windows duplicate
+    assert any(r["n_removed"] > 0 for r in inc.values())
+    assert all(r["spans_stolen"] >= 0 for r in inc.values())
+
+
+def test_incremental_substr_plan_shapes(spark, sf_dir):
+    """The standing-corpus index and the batch token/window frames are
+    persisted (index build + probe + rewrite must not re-tokenize), no
+    Python eval, no corpus-wide window function."""
+    plan = final_explain_formatted(
+        EQ._QUERIES_ALL["exact_substr_incremental"](spark, sf_dir)
+    )
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
