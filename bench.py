@@ -326,6 +326,8 @@ HEADLINE = [
     "pr_auc_by_source",
     "logreg_hash_text",
     "exact_substr_incremental",
+    "temperature_sampling_weights",
+    "dedup_bcubed_eval",
 ]
 
 

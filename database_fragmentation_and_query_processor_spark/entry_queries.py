@@ -20204,6 +20204,202 @@ WHERE (t.doc_id % {DUP_SALT}) % {INCR_BATCH_MOD} = 0
 """
 
 
+#: Temperature-sampling exponent α (the XLM/mT5 multilingual-mixing
+#: convention p_i ∝ q_i^α): α < 1 upweights low-resource languages.
+TEMP_SAMPLING_ALPHA = 0.3
+
+
+def q_temperature_sampling_weights(spark, sf_dir):
+    """Temperature-based language sampling weights — the multilingual
+    data-mixing rule of XLM / mT5: with q_i the actual token share of
+    language i, sample with p_i ∝ q_i^α (TEMP_SAMPLING_ALPHA < 1
+    flattens the distribution toward low-resource languages). Reports
+    per language the token count, actual share, tempered share, and
+    the boost factor p_i/q_i a weighted sampler applies — the
+    principled replacement for mixture_weights' hand-set targets.
+
+    Scale shape: one corpus aggregate onto the LANGUAGE domain (a
+    handful of rows at any corpus size), then constant-size arithmetic
+    — the rolled-up-domain dispensation. Exactness: q_i^α = exp(α·ln q)
+    is the only transcendental and is floor-quantized onto the
+    NLL_LATTICE per LANGUAGE (a |langs|-sized knife-edge population);
+    tempered shares are then exact integer ratios and the boost is one
+    identical double expression over them."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text"))).cast("bigint").alias("lang_tokens")
+    )
+    total = per.agg(F.sum("lang_tokens").cast("bigint").alias("total_tokens"))
+    qshare = F.col("lang_tokens").cast("double") / F.col(
+        "total_tokens"
+    ).cast("double")
+    eq = F.floor(
+        F.exp(F.lit(TEMP_SAMPLING_ALPHA) * F.log(qshare))
+        * F.lit(float(NLL_LATTICE))
+    ).cast("bigint")
+    pe = per.crossJoin(F.broadcast(total)).select(
+        "lang", "lang_tokens", "total_tokens", eq.alias("eq")
+    )
+    se = pe.agg(F.sum("eq").cast("bigint").alias("s"))
+    tshare = F.col("eq").cast("double") / F.col("s").cast("double")
+    ashare = F.col("lang_tokens").cast("double") / F.col(
+        "total_tokens"
+    ).cast("double")
+    return pe.crossJoin(F.broadcast(se)).select(
+        "lang",
+        "lang_tokens",
+        F.round(ashare, 6).alias("actual_share"),
+        F.round(tshare, 6).alias("temp_share"),
+        F.round(tshare / ashare, 6).alias("boost"),
+    )
+
+
+SQL_TEMPERATURE_SAMPLING_WEIGHTS = f"""
+WITH per AS (
+  SELECT lang, CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS lang_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per),
+pe AS (
+  SELECT lang, lang_tokens, total_tokens,
+         CAST(FLOOR(EXP({TEMP_SAMPLING_ALPHA!r}
+                        * LN(CAST(lang_tokens AS DOUBLE)
+                             / CAST(total_tokens AS DOUBLE)))
+                    * {float(NLL_LATTICE)!r}) AS BIGINT) AS eq
+  FROM per, tot
+),
+se AS (SELECT CAST(SUM(eq) AS BIGINT) AS s FROM pe)
+SELECT lang, lang_tokens,
+       ROUND(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+         AS actual_share,
+       ROUND(CAST(eq AS DOUBLE) / CAST(s AS DOUBLE), 6) AS temp_share,
+       ROUND((CAST(eq AS DOUBLE) / CAST(s AS DOUBLE))
+             / (CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
+             6) AS boost
+FROM pe, se
+"""
+
+
+def q_dedup_bcubed_eval(spark, sf_dir):
+    """B-cubed precision/recall/F1 of the MinHash-LSH dedup clustering
+    against the corpus's KNOWN duplicate structure — the evaluation
+    layer above dedup_clusters (near_dup_audit measures pair recall;
+    B³ is the standard CLUSTERING quality metric, per-document so
+    giant wrong clusters are punished in proportion to their size).
+    Ground truth: the synthesized twin structure of _docs_with_dups —
+    doc d and d+DUP_SALT share a truth cluster (key = doc_id mod
+    DUP_SALT); predictions: connected components over the LSH
+    near-dup pairs, singletons for unpaired docs.
+
+    Scale shape: the pair/component machinery is dedup_clusters'
+    (bucketed LSH, min-label propagation, O(diameter) rounds); the
+    evaluation itself is one (pred, truth) cell aggregate + two size
+    joins — the B³ sums Σ o²/|C| collapse to the cell domain, never
+    per-pair. Exactness: all counts integer; each cell term is an
+    integer-product DECIMAL ratio (the pr_auc_by_source convention);
+    P, R, F1 are identical double expressions over the exact sums."""
+    from .operators.graph import connected_components
+
+    docs = _docs_with_dups(spark, sf_dir).select("doc_id")
+    pairs = D.near_dup_pairs(
+        _docs_with_dups(spark, sf_dir),
+        threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS,
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    lab = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("pred_c"),
+        (F.col("doc_id") % DUP_SALT).alias("true_c"),
+    )
+    cells = lab.groupBy("pred_c", "true_c").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    psize = cells.groupBy("pred_c").agg(F.sum("o").cast("bigint").alias("cs"))
+    tsize = cells.groupBy("true_c").agg(F.sum("o").cast("bigint").alias("ls"))
+    o2 = (F.col("o").cast("decimal(38,0)") * F.col("o")).cast("double")
+    joined = cells.join(psize, "pred_c").join(tsize, "true_c")
+    sums = joined.agg(
+        F.sum("o").cast("bigint").alias("n_docs"),
+        F.sum((o2 / F.col("cs").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sp"),
+        F.sum((o2 / F.col("ls").cast("double")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("sr"),
+        F.countDistinct("pred_c").cast("bigint").alias("n_pred_clusters"),
+        F.countDistinct("true_c").cast("bigint").alias("n_true_clusters"),
+    )
+    p = F.col("sp") / F.col("n_docs").cast("double")
+    r = F.col("sr") / F.col("n_docs").cast("double")
+    return sums.select(
+        "n_docs",
+        "n_pred_clusters",
+        "n_true_clusters",
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
+    )
+
+
+SQL_DEDUP_BCUBED_EVAL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_MINHASH_NEAR_DUP_PAIRS}) t
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst AS node, w.label
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.label < e.dst
+),
+labels AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+corpus2 AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_SALT} AS doc_id FROM documents WHERE doc_id % 7 = 0
+),
+lab AS (
+  SELECT c.doc_id,
+         COALESCE(l.cluster_id, c.doc_id) AS pred_c,
+         c.doc_id % {DUP_SALT} AS true_c
+  FROM corpus2 c LEFT JOIN labels l ON l.node = c.doc_id
+),
+cells AS (
+  SELECT pred_c, true_c, COUNT(*) AS o FROM lab GROUP BY 1, 2
+),
+psize AS (SELECT pred_c, SUM(o) AS cs FROM cells GROUP BY pred_c),
+tsize AS (SELECT true_c, SUM(o) AS ls FROM cells GROUP BY true_c),
+sums AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(CAST(CAST(o AS DECIMAL(38,0)) * o AS DOUBLE)
+                       / CAST(cs AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+           AS sp,
+         CAST(SUM(CAST(CAST(CAST(o AS DECIMAL(38,0)) * o AS DOUBLE)
+                       / CAST(ls AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+           AS sr,
+         CAST(COUNT(DISTINCT pred_c) AS BIGINT) AS n_pred_clusters,
+         CAST(COUNT(DISTINCT true_c) AS BIGINT) AS n_true_clusters
+  FROM cells JOIN psize USING (pred_c) JOIN tsize USING (true_c)
+)
+SELECT n_docs, n_pred_clusters, n_true_clusters,
+       ROUND(sp / CAST(n_docs AS DOUBLE), 6) AS bcubed_precision,
+       ROUND(sr / CAST(n_docs AS DOUBLE), 6) AS bcubed_recall,
+       ROUND(2.0 * (sp / CAST(n_docs AS DOUBLE))
+                 * (sr / CAST(n_docs AS DOUBLE))
+             / ((sp / CAST(n_docs AS DOUBLE))
+                + (sr / CAST(n_docs AS DOUBLE))), 6) AS bcubed_f1
+FROM sums
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -20529,6 +20725,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pr_auc_by_source": q_pr_auc_by_source,
     "logreg_hash_text": q_logreg_hash_text,
     "exact_substr_incremental": q_exact_substr_incremental,
+    "temperature_sampling_weights": q_temperature_sampling_weights,
+    "dedup_bcubed_eval": q_dedup_bcubed_eval,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -20823,6 +21021,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "pr_auc_by_source": SQL_PR_AUC_BY_SOURCE,
     "logreg_hash_text": SQL_LOGREG_HASH_TEXT,
     "exact_substr_incremental": SQL_EXACT_SUBSTR_INCREMENTAL,
+    "temperature_sampling_weights": SQL_TEMPERATURE_SAMPLING_WEIGHTS,
+    "dedup_bcubed_eval": SQL_DEDUP_BCUBED_EVAL,
 }
 
 
@@ -21317,6 +21517,8 @@ if _missing:
 _R11_ADDED: list[str] = [
     "logreg_hash_text",
     "exact_substr_incremental",
+    "temperature_sampling_weights",
+    "dedup_bcubed_eval",
 ]
 
 _HEAD = _R11_WINDOW

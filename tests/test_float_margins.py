@@ -77,6 +77,7 @@ TRANSCENDENTAL_REGISTRY: dict[str, str] = {
     "quality_budget_mix": "lattice",
     "nb_holdout_eval": "lattice",
     "logreg_hash_text": "lattice",  # clamp-latticed sigmoid + latticed loss
+    "temperature_sampling_weights": "lattice",  # per-lang floor(q^a * 1e9)
     # legacy rounded-transcendental surfaces (pre-r11 conventions)
     "doc_char_entropy": "legacy-margin",
     "pmi_collocations": "legacy-margin",

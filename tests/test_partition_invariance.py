@@ -126,6 +126,8 @@ def _canon(df):
         # round-11 additions:
         "logreg_hash_text",         # clamp-latticed sigmoid, decimal moments
         "exact_substr_incremental", # md5 windows, integer owner merge
+        "temperature_sampling_weights",  # lang-domain lattice powers
+        "dedup_bcubed_eval",        # integer cells, decimal o^2 ratio sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

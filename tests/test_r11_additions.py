@@ -107,3 +107,54 @@ def test_incremental_substr_plan_shapes(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# temperature_sampling_weights
+# ---------------------------------------------------------------------------
+
+def test_temperature_sampling_flattens_toward_uniform(spark, sf_dir):
+    """The defining property of α < 1 temperature sampling: tempered
+    shares sum to 1, low-resource languages get boost > 1,
+    high-resource get boost < 1, and the ORDER of shares is preserved
+    (the power map is monotone). A sign error in the exponent or a
+    share/total swap breaks one of these while both engines would
+    still agree."""
+    rows = EQ._QUERIES_ALL["temperature_sampling_weights"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["actual_share"] for r in rows) - 1.0) < 1e-4
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r["actual_share"] < mean_share - 1e-9:
+            assert r["boost"] > 1.0, r
+        if r["actual_share"] > mean_share + 1e-9:
+            assert r["boost"] < 1.0, r
+    by_actual = sorted(rows, key=lambda r: r["actual_share"])
+    temp_in_that_order = [r["temp_share"] for r in by_actual]
+    assert temp_in_that_order == sorted(temp_in_that_order)
+
+
+# ---------------------------------------------------------------------------
+# dedup_bcubed_eval
+# ---------------------------------------------------------------------------
+
+def test_bcubed_scores_the_twin_structure(spark, sf_dir):
+    """B³ sanity: scores are proper probabilities; the corpus count
+    matches the dup-extended corpus; truth clusters = distinct
+    pre-dup ids; and on this corpus the LSH clustering is GOOD (twins
+    are identical texts, so recall must be high) but the score must
+    not be trivially 1-vs-0 — F1 consistent with P and R."""
+    row = EQ._QUERIES_ALL["dedup_bcubed_eval"](spark, sf_dir).head()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    n_dup = docs.where((docs.doc_id % 7) == 0).count()
+    assert row["n_docs"] == n + n_dup
+    assert row["n_true_clusters"] == n
+    for c in ("bcubed_precision", "bcubed_recall", "bcubed_f1"):
+        assert 0.0 < row[c] <= 1.0, (c, row[c])
+    assert row["bcubed_recall"] > 0.95  # identical twins must cluster
+    p, r = row["bcubed_precision"], row["bcubed_recall"]
+    assert abs(row["bcubed_f1"] - round(2 * p * r / (p + r), 6)) < 2e-6
