@@ -328,6 +328,8 @@ HEADLINE = [
     "exact_substr_incremental",
     "temperature_sampling_weights",
     "dedup_bcubed_eval",
+    "heaps_law_fit",
+    "data_constrained_effective_tokens",
 ]
 
 

@@ -20400,6 +20400,198 @@ FROM sums
 """
 
 
+def q_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit V = K·N^β across sources — the vocabulary-growth
+    companion of zipf_slope: each source contributes one (total
+    tokens, distinct words) point and the log-log OLS slope estimates
+    β (natural text sits near 0.4-0.6; β ≈ 1 means near-disjoint
+    vocabularies — synthetic or unmixed data; β ≈ 0 means heavy
+    boilerplate). A corpus curator reads the slope before trusting
+    vocabulary-budget extrapolations to 100 TB.
+
+    Scale shape: one token explode → per-(source, word) distinct →
+    per-source counts (two shuffles on uniform keys), then the OLS
+    runs over the SOURCE domain (a handful of rows at any corpus
+    size). Exactness: ln N and ln V are floor-quantized onto the
+    NLL_LATTICE per source (|sources|-sized knife-edge population);
+    the OLS moments are decimal-cast sums of exact lattice-point
+    doubles; slope/intercept are identical expressions over them."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("w")
+    )
+    per = toks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        F.countDistinct("w").cast("bigint").alias("n_vocab"),
+    )
+    lat = F.lit(float(NLL_LATTICE))
+    x = F.floor(F.log(F.col("n_tok").cast("double")) * lat).cast(
+        "bigint"
+    ).cast("double") / lat
+    y = F.floor(F.log(F.col("n_vocab").cast("double")) * lat).cast(
+        "bigint"
+    ).cast("double") / lat
+    pts = per.select(x.alias("x"), y.alias("y"))
+    dec = lambda e: F.sum(e.cast("decimal(38,18)")).cast("double")
+    ols = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return ols.select(
+        F.col("k").cast("bigint").alias("n_sources"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("k"), 6
+        ).alias("heaps_ln_k"),
+    )
+
+
+SQL_HEAPS_LAW_FIT = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_vocab
+  FROM (SELECT source, unnest({TOKENS_SQL}) AS w FROM documents)
+  GROUP BY source
+),
+pts AS (
+  SELECT CAST(FLOOR(LN(CAST(n_tok AS DOUBLE)) * {float(NLL_LATTICE)!r})
+              AS BIGINT) / {float(NLL_LATTICE)!r} AS x,
+         CAST(FLOOR(LN(CAST(n_vocab AS DOUBLE)) * {float(NLL_LATTICE)!r})
+              AS BIGINT) / {float(NLL_LATTICE)!r} AS y
+  FROM per
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT CAST(k AS BIGINT) AS n_sources,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS heaps_beta,
+       ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+         AS heaps_ln_k
+FROM ols
+"""
+
+
+#: Muennighoff et al. 2023 ("Scaling Data-Constrained Language
+#: Models"): repeated epochs beyond the first decay in value with
+#: characteristic constant R* ≈ 15 — effective data
+#: D' = U·(1 + R*·(1 − e^{−R/R*})) for R = epochs − 1 repeats over U
+#: unique tokens.
+DATA_RSTAR = 15.0
+
+
+def q_data_constrained_effective_tokens(spark, sf_dir):
+    """Data-constrained scaling audit — how much TRAINING VALUE each
+    source actually contributes once duplicate text is discounted:
+    per source, total token mass vs unique token mass (exact-dedup
+    md5 text groups within the source), the implied repetition epochs,
+    and the EFFECTIVE token count under the Muennighoff et al. decay
+    D' = U·(1 + R*·(1 − e^{−R/R*})) — the number a compute-allocation
+    plan should use instead of the raw count. Runs on the
+    dup-extended corpus so the synthesized twins create real
+    repetition.
+
+    Scale shape: one md5-keyed aggregate collapses the corpus to
+    (source, text-group) rows, one more to the SOURCE domain; the
+    decay arithmetic is constant-size. Exactness: masses are integer
+    token counts; epochs and R are ratios of exact integers; the one
+    transcendental e^{−R/R*} is floor-quantized onto the NLL_LATTICE
+    per source; effective tokens and retention are identical double
+    expressions over exact integers."""
+    docs = _docs_with_dups(spark, sf_dir)
+    g = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("th"),
+        T.token_count(F.col("text")).cast("bigint").alias("nt"),
+    )
+    grp = g.groupBy("source", "th").agg(
+        F.count("*").cast("bigint").alias("copies"),
+        F.max("nt").alias("nt"),
+    )
+    per = grp.groupBy("source").agg(
+        F.sum(F.col("copies") * F.col("nt")).cast("bigint").alias("total_tokens"),
+        F.sum("nt").cast("bigint").alias("unique_tokens"),
+    )
+    epochs = F.col("total_tokens").cast("double") / F.col(
+        "unique_tokens"
+    ).cast("double")
+    r = epochs - 1.0
+    eq = F.floor(
+        F.exp(-(r / F.lit(DATA_RSTAR))) * F.lit(float(NLL_LATTICE))
+    ).cast("bigint")
+    pe = per.select("source", "total_tokens", "unique_tokens", eq.alias("eq"))
+    mult = (
+        F.lit(1.0)
+        + F.lit(DATA_RSTAR)
+        * (F.lit(1.0) - F.col("eq").cast("double") / F.lit(float(NLL_LATTICE)))
+    )
+    eff = F.col("unique_tokens").cast("double") * mult
+    return pe.select(
+        "source",
+        "total_tokens",
+        "unique_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / F.col("unique_tokens").cast("double"),
+            6,
+        ).alias("epochs"),
+        F.round(eff, 6).alias("effective_tokens"),
+        F.round(
+            eff / F.col("total_tokens").cast("double"), 6
+        ).alias("value_retention"),
+    )
+
+
+SQL_DATA_CONSTRAINED_EFFECTIVE_TOKENS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+g AS (
+  SELECT source, md5(text) AS th,
+         CAST(len({TOKENS_SQL}) AS BIGINT) AS nt
+  FROM corpus
+),
+grp AS (
+  SELECT source, th, COUNT(*) AS copies, MAX(nt) AS nt
+  FROM g GROUP BY 1, 2
+),
+per AS (
+  SELECT source,
+         CAST(SUM(copies * nt) AS BIGINT) AS total_tokens,
+         CAST(SUM(nt) AS BIGINT) AS unique_tokens
+  FROM grp GROUP BY source
+),
+pe AS (
+  SELECT source, total_tokens, unique_tokens,
+         CAST(FLOOR(EXP(-((CAST(total_tokens AS DOUBLE)
+                           / CAST(unique_tokens AS DOUBLE) - 1.0)
+                          / {DATA_RSTAR!r}))
+                    * {float(NLL_LATTICE)!r}) AS BIGINT) AS eq
+  FROM per
+)
+SELECT source, total_tokens, unique_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE) / CAST(unique_tokens AS DOUBLE), 6)
+         AS epochs,
+       ROUND(CAST(unique_tokens AS DOUBLE)
+             * (1.0 + {DATA_RSTAR!r}
+                * (1.0 - CAST(eq AS DOUBLE) / {float(NLL_LATTICE)!r})), 6)
+         AS effective_tokens,
+       ROUND((CAST(unique_tokens AS DOUBLE)
+              * (1.0 + {DATA_RSTAR!r}
+                 * (1.0 - CAST(eq AS DOUBLE) / {float(NLL_LATTICE)!r})))
+             / CAST(total_tokens AS DOUBLE), 6) AS value_retention
+FROM pe
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -20727,6 +20919,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substr_incremental": q_exact_substr_incremental,
     "temperature_sampling_weights": q_temperature_sampling_weights,
     "dedup_bcubed_eval": q_dedup_bcubed_eval,
+    "heaps_law_fit": q_heaps_law_fit,
+    "data_constrained_effective_tokens": q_data_constrained_effective_tokens,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -21023,6 +21217,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "exact_substr_incremental": SQL_EXACT_SUBSTR_INCREMENTAL,
     "temperature_sampling_weights": SQL_TEMPERATURE_SAMPLING_WEIGHTS,
     "dedup_bcubed_eval": SQL_DEDUP_BCUBED_EVAL,
+    "heaps_law_fit": SQL_HEAPS_LAW_FIT,
+    "data_constrained_effective_tokens": SQL_DATA_CONSTRAINED_EFFECTIVE_TOKENS,
 }
 
 
@@ -21519,6 +21715,8 @@ _R11_ADDED: list[str] = [
     "exact_substr_incremental",
     "temperature_sampling_weights",
     "dedup_bcubed_eval",
+    "heaps_law_fit",
+    "data_constrained_effective_tokens",
 ]
 
 _HEAD = _R11_WINDOW

@@ -78,6 +78,8 @@ TRANSCENDENTAL_REGISTRY: dict[str, str] = {
     "nb_holdout_eval": "lattice",
     "logreg_hash_text": "lattice",  # clamp-latticed sigmoid + latticed loss
     "temperature_sampling_weights": "lattice",  # per-lang floor(q^a * 1e9)
+    "heaps_law_fit": "lattice",  # per-source floor(ln N * 1e9) OLS points
+    "data_constrained_effective_tokens": "lattice",  # per-source e^-R/R*
     # legacy rounded-transcendental surfaces (pre-r11 conventions)
     "doc_char_entropy": "legacy-margin",
     "pmi_collocations": "legacy-margin",

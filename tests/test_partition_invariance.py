@@ -128,6 +128,8 @@ def _canon(df):
         "exact_substr_incremental", # md5 windows, integer owner merge
         "temperature_sampling_weights",  # lang-domain lattice powers
         "dedup_bcubed_eval",        # integer cells, decimal o^2 ratio sums
+        "heaps_law_fit",            # source-domain lattice log points
+        "data_constrained_effective_tokens",  # integer masses, lattice exp
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -141,6 +141,43 @@ def test_temperature_sampling_flattens_toward_uniform(spark, sf_dir):
 # dedup_bcubed_eval
 # ---------------------------------------------------------------------------
 
+def test_heaps_fit_is_sublinear_and_positive(spark, sf_dir):
+    """Heaps' law on natural-ish text: 0 < β < 1 (vocabulary grows,
+    but sublinearly) and the intercept is finite — a swapped x/y or a
+    count/distinct mix-up pushes β outside the unit interval while
+    both engines would still agree."""
+    row = EQ._QUERIES_ALL["heaps_law_fit"](spark, sf_dir).head()
+    assert row["n_sources"] >= 3
+    assert 0.0 < row["heaps_beta"] < 1.0, row
+    assert math.isfinite(row["heaps_ln_k"])
+
+
+def test_data_constrained_decay_bounds(spark, sf_dir):
+    """The Muennighoff decay's defining bounds: unique ≤ effective ≤
+    total (repetition is worth less than fresh data but more than
+    nothing), epochs ≥ 1, retention ∈ (0, 1]; sources with real
+    repetition (the %7 twins) must show epochs > 1 AND retention < 1;
+    a source with no duplicates keeps retention ≈ 1."""
+    rows = EQ._QUERIES_ALL["data_constrained_effective_tokens"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    saw_repeat = False
+    for r in rows:
+        assert r["unique_tokens"] <= r["total_tokens"]
+        assert r["epochs"] >= 1.0 - 1e-9
+        assert 0.0 < r["value_retention"] <= 1.0 + 1e-9
+        assert (
+            r["unique_tokens"] - 1e-6
+            <= r["effective_tokens"]
+            <= r["total_tokens"] + 1e-6
+        )
+        if r["epochs"] > 1.0 + 1e-9:
+            saw_repeat = True
+            assert r["value_retention"] < 1.0
+    assert saw_repeat  # the synthesized twins create real repetition
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
