@@ -239,7 +239,10 @@ def test_unigram_plan_touches_corpus_once_with_no_collects(spark, sf_dir):
 # registry wiring
 # ---------------------------------------------------------------------------
 
-def test_r10_additions_register_below_the_stamp_window():
+def test_r10_additions_followed_the_add_then_rotate_lifecycle():
+    """The r10 additions registered BELOW the window in r10 and
+    rotated into the r11 stamp prefix (positions 6-15) for their first
+    driver stamps; the CURRENT below-window set is _R11_ADDED."""
     names = list(EQ.QUERIES)
     assert EQ._R10_ADDED == [
         "line_dedup_exact",
@@ -255,4 +258,7 @@ def test_r10_additions_register_below_the_stamp_window():
     ]
     for n in EQ._R10_ADDED:
         assert n in EQ.QUERIES and n in EQ.ORACLE_SQL
-        assert names.index(n) >= 50  # below the driver's stamp window
+        assert names.index(n) < 50  # rotated INTO the r11 stamp window
+    for n in EQ._R11_ADDED:
+        assert n in EQ.QUERIES and n in EQ.ORACLE_SQL
+        assert names.index(n) >= 50  # below the window until r12
