@@ -330,6 +330,9 @@ HEADLINE = [
     "dedup_bcubed_eval",
     "heaps_law_fit",
     "data_constrained_effective_tokens",
+    "shard_balance_audit",
+    "dedup_cluster_cohesion",
+    "rare_token_audit",
 ]
 
 

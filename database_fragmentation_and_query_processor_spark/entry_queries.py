@@ -20592,6 +20592,296 @@ FROM pe
 """
 
 
+N_OUTPUT_SHARDS = 64  # write-side export shards (the 100 TB layout unit)
+
+
+def q_shard_balance_audit(spark, sf_dir):
+    """Write-side shard-balance audit — the planning check before a
+    100 TB tokenized export: assign every document to one of
+    N_OUTPUT_SHARDS shards by md5(doc_id) and report the token-mass
+    balance the writer will actually see (per-shard doc/token spread,
+    max/mean skew, and the exact coefficient of variation). A skewed
+    assignment turns the export's slowest shard into the job's
+    wall-clock; this audit is how the hash choice gets signed off.
+
+    Scale shape: one corpus aggregate onto the SHARD domain (fixed
+    N_OUTPUT_SHARDS rows), then constant-size arithmetic. Exactness:
+    shard ids are md5-lattice buckets; all masses are integers; skew
+    is a ratio of exact integers and the CV comes from integer
+    sum/sum-of-squares (decimal-cast; n·Σx²−(Σx)² is exact), with the
+    one sqrt applied to an identical double — no engine divergence
+    surface beyond sqrt-of-identical-input (IEEE-exact, correctly
+    rounded in both engines)."""
+    docs = _docs(spark, sf_dir)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("bigint"),
+        F.lit(N_OUTPUT_SHARDS),
+    )
+    per = docs.select(
+        shard.alias("shard"),
+        T.token_count(F.col("text")).cast("bigint").alias("nt"),
+    ).groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("n_tokens"),
+    )
+    stats = per.agg(
+        F.count("*").cast("bigint").alias("n_shards"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.sum(
+            (F.col("n_tokens").cast("decimal(38,0)") * F.col("n_tokens"))
+        ).alias("ss"),
+    )
+    n = F.col("n_shards").cast("double")
+    mean = F.col("total_tokens").cast("double") / n
+    # exact integer variance numerator: n·Σx² − (Σx)²
+    varnum = (
+        F.col("n_shards") * F.col("ss")
+        - F.col("total_tokens").cast("decimal(38,0)")
+        * F.col("total_tokens")
+    )
+    cv = F.sqrt(varnum.cast("double")) / n / mean
+    return stats.select(
+        "n_shards",
+        "total_docs",
+        "total_tokens",
+        "max_tokens",
+        "min_tokens",
+        F.round(F.col("max_tokens").cast("double") / mean, 6).alias(
+            "max_over_mean"
+        ),
+        F.round(cv, 6).alias("token_cv"),
+    )
+
+
+SQL_SHARD_BALANCE_AUDIT = f"""
+WITH per AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+              AS BIGINT) % {N_OUTPUT_SHARDS} AS shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+         CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+         CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+         SUM(CAST(n_tokens AS HUGEINT) * n_tokens) AS ss
+  FROM per
+)
+SELECT n_shards, total_docs, total_tokens, max_tokens, min_tokens,
+       ROUND(CAST(max_tokens AS DOUBLE)
+             / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE)),
+             6) AS max_over_mean,
+       ROUND(SQRT(CAST(n_shards * ss
+                       - CAST(total_tokens AS HUGEINT) * total_tokens
+                  AS DOUBLE))
+             / CAST(n_shards AS DOUBLE)
+             / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE)),
+             6) AS token_cv
+FROM stats
+"""
+
+
+def q_dedup_cluster_cohesion(spark, sf_dir):
+    """Cohesion audit of the LSH dedup clusters — the over-merge
+    detector that B³ alone can't localize: transitive closure happily
+    chains A~B~C into one cluster even when A and C share nothing, so
+    for every multi-doc predicted cluster this reports the VERIFIED
+    edge density (verified near-dup pairs / C(n,2)) banded into a
+    histogram. density=1 clusters are cliques (safe to collapse to one
+    canonical doc); low-density bands are chain-merges a curator
+    should re-verify before deleting.
+
+    Scale shape: the pair/component machinery is dedup_clusters'; the
+    cohesion join assigns each verified pair to its cluster (one keyed
+    join on the pair's min-label side) and the density histogram runs
+    on the CLUSTER domain. Exactness: densities are integer ratios
+    (edges·2 vs n·(n−1) cross-products for the band edges — no float
+    division ever compared), counts integer."""
+    from .operators.graph import connected_components
+
+    pairs = D.near_dup_pairs(
+        _docs_with_dups(spark, sf_dir),
+        threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS,
+    ).select("id_a", "id_b")
+    pairs = _track_cached(pairs.persist())
+    comp = connected_components(pairs).select(
+        F.col("node").alias("id_a"), F.col("label").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    edges = (
+        pairs.join(comp, "id_a")
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+    cl = sizes.join(edges, "cluster_id").where(F.col("n_docs") >= 2)
+    # density band via integer cross-products: e·2 vs n(n−1)·threshold
+    full = F.col("n_edges") * 2 == F.col("n_docs") * (F.col("n_docs") - 1)
+    half = F.col("n_edges") * 4 >= F.col("n_docs") * (F.col("n_docs") - 1)
+    band = (
+        F.when(full, "clique")
+        .when(half, "dense(>=0.5)")
+        .otherwise("chained(<0.5)")
+    )
+    return (
+        cl.groupBy(band.alias("cohesion_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.max("n_docs").cast("bigint").alias("max_cluster"),
+        )
+    )
+
+
+SQL_DEDUP_CLUSTER_COHESION = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_MINHASH_NEAR_DUP_PAIRS}) t
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst AS node, w.label
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.label < e.dst
+),
+labels AS (SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, COUNT(*) AS n_docs FROM labels
+          GROUP BY cluster_id),
+pedges AS (
+  SELECT l.cluster_id, COUNT(*) AS n_edges
+  FROM pairs p JOIN labels l ON l.node = p.id_a
+  GROUP BY l.cluster_id
+),
+cl AS (
+  SELECT s.cluster_id, s.n_docs, e.n_edges
+  FROM sizes s JOIN pedges e USING (cluster_id)
+  WHERE s.n_docs >= 2
+)
+SELECT CASE WHEN n_edges * 2 = n_docs * (n_docs - 1) THEN 'clique'
+            WHEN n_edges * 4 >= n_docs * (n_docs - 1) THEN 'dense(>=0.5)'
+            ELSE 'chained(<0.5)' END AS cohesion_band,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(MAX(n_docs) AS BIGINT) AS max_cluster
+FROM cl GROUP BY 1
+"""
+
+
+#: "Rare" is RELATIVE: a token whose corpus count sits at least this
+#: factor below the mean count per vocabulary entry (c·FACTOR·|V| ≤
+#: total — an exact integer cross-product). A fixed hapax threshold is
+#: the web-corpus classic, but it is degenerate on any corpus whose
+#: generator bounds the vocabulary (this synthetic corpus has 31
+#: tokens, min count 26); the relative form is scale-free and keeps
+#: the same reading: the order-of-magnitude-below-typical tail.
+RARE_TOKEN_FACTOR = 10
+
+
+def q_rare_token_audit(spark, sf_dir):
+    """Lexical-tail health per source: the share of each source's
+    vocabulary and token mass carried by corpus-RARE tokens (count at
+    least RARE_TOKEN_FACTOR below the per-entry mean — the relative
+    hapax screen, see RARE_TOKEN_FACTOR) — high rare-mass flags OCR
+    noise, mangled encodings, or synthetic gibberish; near-zero
+    rare-mass flags boilerplate. The standard corpus-intake screen
+    next to gopher_quality_flags.
+
+    Scale shape: one corpus token explode → global count table (one
+    shuffle on the word key, persisted: it feeds the rare set AND the
+    per-source join) → per-(source, word) rollup joined against it;
+    the corpus totals ride a broadcast 1-row frame. Exactness:
+    everything is integer counts, an integer cross-product rare test,
+    and integer-ratio rounds."""
+    docs = _docs(spark, sf_dir)
+    tw = _track_cached(
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    cw = tw.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("c"))
+    tot = cw.agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("v_total"),
+    )
+    rare = (
+        F.col("c").cast("decimal(38,0)")
+        * F.lit(RARE_TOKEN_FACTOR)
+        * F.col("v_total")
+        <= F.col("n_total").cast("decimal(38,0)")
+    ).cast("bigint")
+    j = tw.join(cw, "w").crossJoin(F.broadcast(tot))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vocab"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.sum(rare).cast("bigint").alias("rare_vocab"),
+            F.sum(rare * F.col("cnt")).cast("bigint").alias("rare_tokens"),
+        )
+        .select(
+            "source",
+            "n_vocab",
+            "n_tokens",
+            "rare_vocab",
+            "rare_tokens",
+            F.round(
+                F.col("rare_vocab").cast("double")
+                / F.col("n_vocab").cast("double"),
+                6,
+            ).alias("rare_vocab_share"),
+            F.round(
+                F.col("rare_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("rare_token_share"),
+        )
+    )
+
+
+SQL_RARE_TOKEN_AUDIT = f"""
+WITH tw AS (
+  SELECT source, w, COUNT(*) AS cnt
+  FROM (SELECT source, unnest({TOKENS_SQL}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+cw AS (SELECT w, SUM(cnt) AS c FROM tw GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS v_total FROM cw),
+j AS (
+  SELECT source, cnt,
+         CASE WHEN CAST(c AS HUGEINT) * {RARE_TOKEN_FACTOR} * v_total
+                   <= CAST(n_total AS HUGEINT) THEN 1 ELSE 0 END AS rare
+  FROM tw JOIN cw USING (w), tot
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(rare) AS BIGINT) AS rare_vocab,
+       CAST(SUM(rare * cnt) AS BIGINT) AS rare_tokens,
+       ROUND(CAST(SUM(rare) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS rare_vocab_share,
+       ROUND(CAST(SUM(rare * cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+         AS rare_token_share
+FROM j
+GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -20921,6 +21211,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_bcubed_eval": q_dedup_bcubed_eval,
     "heaps_law_fit": q_heaps_law_fit,
     "data_constrained_effective_tokens": q_data_constrained_effective_tokens,
+    "shard_balance_audit": q_shard_balance_audit,
+    "dedup_cluster_cohesion": q_dedup_cluster_cohesion,
+    "rare_token_audit": q_rare_token_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -21219,6 +21512,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "dedup_bcubed_eval": SQL_DEDUP_BCUBED_EVAL,
     "heaps_law_fit": SQL_HEAPS_LAW_FIT,
     "data_constrained_effective_tokens": SQL_DATA_CONSTRAINED_EFFECTIVE_TOKENS,
+    "shard_balance_audit": SQL_SHARD_BALANCE_AUDIT,
+    "dedup_cluster_cohesion": SQL_DEDUP_CLUSTER_COHESION,
+    "rare_token_audit": SQL_RARE_TOKEN_AUDIT,
 }
 
 
@@ -21717,6 +22013,9 @@ _R11_ADDED: list[str] = [
     "dedup_bcubed_eval",
     "heaps_law_fit",
     "data_constrained_effective_tokens",
+    "shard_balance_audit",
+    "dedup_cluster_cohesion",
+    "rare_token_audit",
 ]
 
 _HEAD = _R11_WINDOW

@@ -130,6 +130,9 @@ def _canon(df):
         "dedup_bcubed_eval",        # integer cells, decimal o^2 ratio sums
         "heaps_law_fit",            # source-domain lattice log points
         "data_constrained_effective_tokens",  # integer masses, lattice exp
+        "shard_balance_audit",      # md5 shards, exact integer variance
+        "dedup_cluster_cohesion",   # integer density cross-products
+        "rare_token_audit",         # pure integer count ratios
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -178,6 +178,55 @@ def test_data_constrained_decay_bounds(spark, sf_dir):
     assert saw_repeat  # the synthesized twins create real repetition
 
 
+def test_shard_balance_is_sane_and_hash_uniform(spark, sf_dir):
+    """The md5 shard assignment must cover all shards at any real SF,
+    conserve the corpus exactly, and be reasonably uniform (CV well
+    under 1 and max/mean bounded — a broken hash that funnels docs
+    into few shards explodes both while the engines still agree)."""
+    row = EQ._QUERIES_ALL["shard_balance_audit"](spark, sf_dir).head()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert row["total_docs"] == docs.count()
+    assert 1 <= row["n_shards"] <= EQ.N_OUTPUT_SHARDS
+    assert row["min_tokens"] >= 0 and row["max_tokens"] >= row["min_tokens"]
+    assert row["max_over_mean"] >= 1.0
+    if row["total_docs"] >= 10 * EQ.N_OUTPUT_SHARDS:
+        assert row["n_shards"] == EQ.N_OUTPUT_SHARDS
+        assert row["token_cv"] < 1.0
+        assert row["max_over_mean"] < 3.0
+
+
+def test_cluster_cohesion_twins_are_cliques(spark, sf_dir):
+    """The synthesized twins form 2-doc clusters, and a 2-doc cluster
+    produced by verified pairs is BY CONSTRUCTION a clique — so the
+    clique band must exist and dominate; accounting must match the
+    multi-doc clusters of dedup_clusters."""
+    rows = EQ._QUERIES_ALL["dedup_cluster_cohesion"](spark, sf_dir).collect()
+    assert rows
+    bands = {r["cohesion_band"]: r for r in rows}
+    assert "clique" in bands
+    cl = EQ._QUERIES_ALL["dedup_clusters"](spark, sf_dir).collect()
+    multi = [r for r in cl if r["n_docs"] >= 2]
+    assert sum(r["n_clusters"] for r in rows) == len(multi)
+    assert sum(r["n_docs"] for r in rows) == sum(r["n_docs"] for r in multi)
+
+
+def test_rare_token_audit_accounting(spark, sf_dir):
+    """Per-source vocab/token accounting must be internally consistent
+    and the rare tail NONTRIVIAL both ways (some rare mass exists;
+    rare mass is a minority of total mass)."""
+    rows = EQ._QUERIES_ALL["rare_token_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["rare_vocab"] <= r["n_vocab"]
+        assert 0 <= r["rare_tokens"] <= r["n_tokens"]
+        assert 0.0 <= r["rare_token_share"] <= 1.0
+        assert 0.0 <= r["rare_vocab_share"] <= 1.0
+    assert any(r["rare_vocab"] > 0 for r in rows)
+    tot_rare = sum(r["rare_tokens"] for r in rows)
+    tot = sum(r["n_tokens"] for r in rows)
+    assert tot_rare < tot * 0.5
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
