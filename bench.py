@@ -333,6 +333,9 @@ HEADLINE = [
     "shard_balance_audit",
     "dedup_cluster_cohesion",
     "rare_token_audit",
+    "t_closeness_audit",
+    "qlm_dirichlet_search",
+    "doremi_domain_weights",
 ]
 
 

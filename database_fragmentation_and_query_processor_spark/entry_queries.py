@@ -20882,6 +20882,396 @@ GROUP BY source
 """
 
 
+#: t-closeness bands (Li et al. 2007): a QI class fails t-closeness at
+#: threshold t when the distance between its sensitive-attribute
+#: distribution and the global one exceeds t. For a categorical
+#: sensitive attribute the distance is the variational distance
+#: (1/2)·Σ|p_s − q_s|. The bands below use t = 0.10 (d·10 ≤ 2·n·N)
+#: and t = 0.25 (d·4 ≤ 2·n·N) as pure integer comparisons.
+def q_t_closeness_audit(spark, sf_dir):
+    """t-closeness release audit (Li, Li & Venkatasubramanian 2007) —
+    the distributional companion of k_anonymity_audit's k/l counts:
+    k-anonymity hides IDENTITY and l-diversity counts VALUES, but a QI
+    class whose sensitive-attribute DISTRIBUTION is skewed far from the
+    table's still leaks (attribute disclosure). Same quasi-identifier
+    as the k-audit — (lang, coarsened length) — with ``source`` the
+    sensitive attribute; per class, the variational distance
+    t = (1/2)·Σ_s |c_s/n − g_s/N| to the global source mix, rolled up
+    into release bands (t ≤ 0.10 / ≤ 0.25 / > 0.25).
+
+    Exactness: t's numerator is D = Σ_s |c_s·N − g_s·n| — absent
+    sources contribute g_s·n, folded in as n·(N − Σ_present g) — all
+    DECIMAL(38,0) integer products (HUGEINT in the oracle); band
+    predicates compare integers (10·D vs 2·n·N), and the reported max_t
+    is the identical exact-integer ratio in both engines. Scale shape:
+    ONE corpus scan into a persisted (QI, source) aggregate (bounded by
+    |QI|·|sources|) from which the class sizes, source marginals, and
+    grand total all derive; then a class-size join co-partitioned on
+    the QI key, a broadcast source-marginal join, and a 3-row band
+    rollup. No floats in any decision."""
+    docs = _docs(spark, sf_dir)
+    qi_len = F.floor(F.col("n_chars") / KANON_CHAR_BUCKET).cast("bigint")
+    cs = _track_cached(
+        docs.groupBy(
+            F.col("lang").alias("qi_lang"), qi_len.alias("qi_len"), "source"
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
+    ncls = cs.groupBy("qi_lang", "qi_len").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    gs = cs.groupBy("source").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = cs.agg(F.sum("c").cast("bigint").alias("n_total"))
+    j = (
+        cs.join(F.broadcast(gs), "source")
+        .join(ncls, ["qi_lang", "qi_len"])
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    per = j.groupBy("qi_lang", "qi_len").agg(
+        F.max("n").alias("n"),
+        F.max("n_total").alias("n_total"),
+        F.sum(F.abs(dec("c") * F.col("n_total") - dec("g") * F.col("n")))
+        .cast("decimal(38,0)")
+        .alias("d_present"),
+        F.sum("g").cast("bigint").alias("g_present"),
+    )
+    d = (
+        F.col("d_present")
+        + dec("n") * (F.col("n_total") - F.col("g_present"))
+    ).cast("decimal(38,0)")
+    den = (F.lit(2).cast("decimal(38,0)") * dec("n") * F.col("n_total")).cast(
+        "decimal(38,0)"
+    )
+    cls = per.select(
+        F.col("n"),
+        d.alias("d"),
+        den.alias("den"),
+        F.when(d * 10 <= den, "t<=0.10")
+        .when(d * 4 <= den, "0.10-0.25")
+        .otherwise(">0.25")
+        .alias("t_band"),
+    )
+    return (
+        cls.groupBy("t_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.round(
+                F.max(F.col("d").cast("double") / F.col("den").cast("double")),
+                6,
+            ).alias("max_t"),
+        )
+    )
+
+
+SQL_T_CLOSENESS_AUDIT = f"""
+WITH cs AS (
+  SELECT lang AS qi_lang,
+         CAST(FLOOR(n_chars / {KANON_CHAR_BUCKET}) AS BIGINT) AS qi_len,
+         source, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2, 3
+),
+ncls AS (
+  SELECT qi_lang, qi_len, CAST(SUM(c) AS BIGINT) AS n
+  FROM cs GROUP BY 1, 2
+),
+gs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS g
+       FROM documents GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+per AS (
+  SELECT qi_lang, qi_len, MAX(n) AS n, MAX(n_total) AS n_total,
+         SUM(ABS(CAST(c AS HUGEINT) * n_total - CAST(g AS HUGEINT) * n))
+           AS d_present,
+         CAST(SUM(g) AS BIGINT) AS g_present
+  FROM cs JOIN gs USING (source) JOIN ncls USING (qi_lang, qi_len), tot
+  GROUP BY 1, 2
+),
+cls AS (
+  SELECT n,
+         d_present + CAST(n AS HUGEINT) * (n_total - g_present) AS d,
+         2 * CAST(n AS HUGEINT) * n_total AS den
+  FROM per
+)
+SELECT CASE WHEN d * 10 <= den THEN 't<=0.10'
+            WHEN d * 4 <= den THEN '0.10-0.25'
+            ELSE '>0.25' END AS t_band,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       ROUND(MAX(CAST(d AS DOUBLE) / CAST(den AS DOUBLE)), 6) AS max_t
+FROM cls GROUP BY 1
+"""
+
+
+QLM_MU = 100  # Dirichlet prior mass (integer, so every ln arg is an
+              # exact integer ratio)
+QLM_TOPK = 15
+
+
+def q_qlm_dirichlet_search(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    2004) — the language-modeling ranking family next to bm25_search's
+    probabilistic-relevance one, and DISJUNCTIVE where BM25's entry is
+    conjunctive: every document scores (smoothing covers absent terms),
+    via the standard decomposition
+    score(d) = Σ_{t∈Q∩d} ln(1 + tf·|C|/(μ·cf_t)) + |Q|·ln(μ/(dl+μ)).
+
+    Exactness: both ln arguments are exact integer ratios (μ integer),
+    floor-quantized onto the NLL_LATTICE — the hit term per distinct
+    (tf, cf) pair, the length term per distinct dl — summed as BIGINTs;
+    the hashed score is lattice/1e9. Scale shape: the posting-list
+    probe (term filter pushed into the token stream, one shuffle keyed
+    on doc_id carrying only query-term rows, PERSISTED — it feeds both
+    the cf marginal and the score join), a broadcast cf frame, one
+    corpus scalar, one lens scan, and a final TakeOrdered top-k."""
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "doc_id", T.token_count(F.col("text")).alias("dl")
+    )
+    c_total = int(lens.agg(F.sum("dl").cast("bigint").alias("c")).head()["c"])
+    hits = _track_cached(
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .persist()
+    )
+    cfs = hits.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("cf"))
+    lat = F.lit(float(NLL_LATTICE))
+    l_hit = F.floor(
+        F.log(
+            F.lit(1.0)
+            + F.col("tf").cast("double")
+            * F.lit(float(c_total))
+            / (F.lit(float(QLM_MU)) * F.col("cf").cast("double"))
+        )
+        * lat
+    ).cast("bigint")
+    hterm = (
+        hits.join(F.broadcast(cfs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(l_hit).alias("hit_lat"),
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    l_len = F.floor(
+        F.log(
+            F.lit(float(QLM_MU))
+            / (F.col("dl").cast("double") + F.lit(float(QLM_MU)))
+        )
+        * lat
+    ).cast("bigint")
+    scored = lens.join(hterm, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_terms_hit"), F.lit(0)).cast("bigint").alias(
+            "n_terms_hit"
+        ),
+        (
+            (
+                F.coalesce(F.col("hit_lat"), F.lit(0))
+                + F.lit(len(BM25_TERMS)) * l_len
+            ).cast("double")
+            / lat
+        ).alias("s"),
+    )
+    return (
+        scored.select(
+            "doc_id", "n_terms_hit", F.round("s", 6).alias("qlm_score")
+        )
+        .orderBy(F.desc("qlm_score"), "doc_id")
+        .limit(QLM_TOPK)
+    )
+
+
+SQL_QLM_DIRICHLET_SEARCH = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS dl FROM documents
+),
+stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS c_total FROM lens),
+hits AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+  ) WHERE tok IN ({{terms}}) GROUP BY doc_id, tok
+),
+cfs AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM hits GROUP BY tok),
+hterm AS (
+  SELECT h.doc_id,
+         SUM(CAST(FLOOR(LN(1.0 + CAST(h.tf AS DOUBLE)
+                              * CAST(s.c_total AS DOUBLE)
+                              / ({QLM_MU}.0 * CAST(c.cf AS DOUBLE)))
+                        * {float(NLL_LATTICE)!r}) AS BIGINT)) AS hit_lat,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM hits h JOIN cfs c USING (tok) CROSS JOIN stats s
+  GROUP BY h.doc_id
+)
+SELECT l.doc_id,
+       COALESCE(h.n_terms_hit, 0) AS n_terms_hit,
+       ROUND(CAST(COALESCE(h.hit_lat, 0)
+                  + {{nq}} * CAST(FLOOR(LN({QLM_MU}.0
+                        / (CAST(l.dl AS DOUBLE) + {QLM_MU}.0))
+                      * {float(NLL_LATTICE)!r}) AS BIGINT) AS DOUBLE)
+             / {float(NLL_LATTICE)!r}, 6) AS qlm_score
+FROM lens l LEFT JOIN hterm h USING (doc_id)
+ORDER BY qlm_score DESC, doc_id LIMIT {QLM_TOPK}
+""".format(
+    terms=", ".join(f"'{t}'" for t in BM25_TERMS), nq=len(BM25_TERMS)
+)
+
+
+DOREMI_ETA = 1.0     # excess-loss temperature of the exp reweighting
+DOREMI_SMOOTH = 0.1  # uniform-mixture floor (no domain starves to 0)
+
+
+def q_doremi_domain_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie et al. 2023, one offline
+    step) — the EXCESS-LOSS upgrade of temperature_sampling_weights:
+    instead of flattening by size alone, upweight the domains a proxy
+    model finds hardest RELATIVE to a domain-fit reference. Per source,
+    the excess loss is the per-token gap between the corpus-global
+    unigram LM's NLL and the source's own — exactly
+    KL(source ‖ smoothed-global), ≥ 0 by Gibbs' inequality — and the
+    training weight is w_s ∝ token_share_s · e^{η·KL_s}, mixed with a
+    uniform floor ε/|S| so no domain starves.
+
+    Exactness: per-(source, word) ln terms are exact-integer-ratio
+    arguments floor-quantized onto the NLL_LATTICE, weighted by integer
+    counts into DECIMAL sums; the per-source e^{η·KL} is re-quantized
+    on the source domain (|S| knife edges); weights are ratios of
+    DECIMAL integer products. Scale shape: one token explode → one
+    (source, word) aggregate → a word-keyed join against the global
+    count table (both sides bounded by the vocabulary), then all
+    remaining arithmetic on the |S|-row domain with a 1-row total
+    attach."""
+    docs = _docs(spark, sf_dir)
+    tw = _track_cached(
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    gw = tw.groupBy("w").agg(F.sum("cnt").cast("bigint").alias("g"))
+    gtot = gw.agg(
+        F.sum("g").cast("bigint").alias("g_total"),
+        F.count("*").cast("bigint").alias("v_total"),
+    )
+    ns = tw.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n_s"))
+    lat = F.lit(float(NLL_LATTICE))
+    j = (
+        tw.join(gw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(gtot))
+    )
+    # ln(p_w/q_w) = ln( cnt·(G+V) / (n_s·(g+1)) ), quantized per word
+    l_w = F.floor(
+        F.log(
+            F.col("cnt").cast("double")
+            * (F.col("g_total") + F.col("v_total")).cast("double")
+            / (
+                F.col("n_s").cast("double")
+                * (F.col("g") + F.lit(1)).cast("double")
+            )
+        )
+        * lat
+    ).cast("bigint")
+    kl = (
+        j.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_s"),
+            F.sum(F.col("cnt").cast("decimal(38,0)") * l_w)
+            .cast("decimal(38,0)")
+            .alias("kl_lat"),
+        )
+        .select(
+            "source",
+            "n_s",
+            (
+                F.col("kl_lat").cast("double")
+                / (F.col("n_s").cast("double") * lat)
+            ).alias("kl"),
+        )
+    )
+    e_s = F.floor(F.exp(F.lit(DOREMI_ETA) * F.col("kl")) * lat).cast("bigint")
+    w = kl.select(
+        "source",
+        "n_s",
+        F.round("kl", 6).alias("excess_kl"),
+        (F.col("n_s").cast("decimal(38,0)") * e_s)
+        .cast("decimal(38,0)")
+        .alias("raw"),
+    )
+    tots = w.agg(
+        F.sum("raw").cast("decimal(38,0)").alias("raw_total"),
+        F.sum("n_s").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    share = F.col("n_s").cast("double") / F.col("n_total").cast("double")
+    wnorm = F.col("raw").cast("double") / F.col("raw_total").cast("double")
+    final = (
+        F.lit(1.0 - DOREMI_SMOOTH) * wnorm
+        + F.lit(DOREMI_SMOOTH) / F.col("n_sources").cast("double")
+    )
+    return w.crossJoin(F.broadcast(tots)).select(
+        "source",
+        F.round(share, 6).alias("token_share"),
+        "excess_kl",
+        F.round(final, 6).alias("doremi_weight"),
+        F.round(final / share, 6).alias("boost"),
+    )
+
+
+SQL_DOREMI_DOMAIN_WEIGHTS = f"""
+WITH tw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest({TOKENS_SQL}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+gw AS (SELECT w, CAST(SUM(cnt) AS BIGINT) AS g FROM tw GROUP BY w),
+gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS g_total,
+                CAST(COUNT(*) AS BIGINT) AS v_total FROM gw),
+ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s FROM tw GROUP BY source),
+kl AS (
+  SELECT source, MAX(n_s) AS n_s,
+         CAST(SUM(CAST(cnt AS HUGEINT)
+                  * CAST(FLOOR(LN(CAST(cnt AS DOUBLE)
+                                  * CAST(g_total + v_total AS DOUBLE)
+                                  / (CAST(n_s AS DOUBLE)
+                                     * CAST(g + 1 AS DOUBLE)))
+                               * {float(NLL_LATTICE)!r}) AS BIGINT))
+              AS DOUBLE)
+           / (CAST(MAX(n_s) AS DOUBLE) * {float(NLL_LATTICE)!r}) AS kl
+  FROM tw JOIN gw USING (w) JOIN ns USING (source), gtot
+  GROUP BY source
+),
+w AS (
+  SELECT source, n_s, ROUND(kl, 6) AS excess_kl,
+         CAST(n_s AS HUGEINT)
+           * CAST(FLOOR(EXP({DOREMI_ETA!r} * kl)
+                        * {float(NLL_LATTICE)!r}) AS BIGINT) AS raw
+  FROM kl
+),
+tots AS (
+  SELECT SUM(raw) AS raw_total, CAST(SUM(n_s) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM w
+)
+SELECT source,
+       ROUND(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         AS token_share,
+       excess_kl,
+       ROUND({1.0 - DOREMI_SMOOTH!r} * (CAST(raw AS DOUBLE)
+                                        / CAST(raw_total AS DOUBLE))
+             + {DOREMI_SMOOTH!r} / CAST(n_sources AS DOUBLE), 6)
+         AS doremi_weight,
+       ROUND(({1.0 - DOREMI_SMOOTH!r} * (CAST(raw AS DOUBLE)
+                                         / CAST(raw_total AS DOUBLE))
+              + {DOREMI_SMOOTH!r} / CAST(n_sources AS DOUBLE))
+             / (CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS boost
+FROM w, tots
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -21214,6 +21604,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_balance_audit": q_shard_balance_audit,
     "dedup_cluster_cohesion": q_dedup_cluster_cohesion,
     "rare_token_audit": q_rare_token_audit,
+    "t_closeness_audit": q_t_closeness_audit,
+    "qlm_dirichlet_search": q_qlm_dirichlet_search,
+    "doremi_domain_weights": q_doremi_domain_weights,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -21515,6 +21908,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "shard_balance_audit": SQL_SHARD_BALANCE_AUDIT,
     "dedup_cluster_cohesion": SQL_DEDUP_CLUSTER_COHESION,
     "rare_token_audit": SQL_RARE_TOKEN_AUDIT,
+    "t_closeness_audit": SQL_T_CLOSENESS_AUDIT,
+    "qlm_dirichlet_search": SQL_QLM_DIRICHLET_SEARCH,
+    "doremi_domain_weights": SQL_DOREMI_DOMAIN_WEIGHTS,
 }
 
 
@@ -22016,6 +22412,9 @@ _R11_ADDED: list[str] = [
     "shard_balance_audit",
     "dedup_cluster_cohesion",
     "rare_token_audit",
+    "t_closeness_audit",
+    "qlm_dirichlet_search",
+    "doremi_domain_weights",
 ]
 
 _HEAD = _R11_WINDOW

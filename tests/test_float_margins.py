@@ -80,6 +80,8 @@ TRANSCENDENTAL_REGISTRY: dict[str, str] = {
     "temperature_sampling_weights": "lattice",  # per-lang floor(q^a * 1e9)
     "heaps_law_fit": "lattice",  # per-source floor(ln N * 1e9) OLS points
     "data_constrained_effective_tokens": "lattice",  # per-source e^-R/R*
+    "qlm_dirichlet_search": "lattice",  # per-(tf,cf) + per-dl floor(ln·1e9)
+    "doremi_domain_weights": "lattice",  # per-word KL terms + per-source exp
     # legacy rounded-transcendental surfaces (pre-r11 conventions)
     "doc_char_entropy": "legacy-margin",
     "pmi_collocations": "legacy-margin",
@@ -290,6 +292,76 @@ def test_unigram_lattice_margins(con):
     t = float(df["cnt"].sum())
     y = -np.log(df["cnt"].to_numpy() / t) * LAT
     _assert_lattice_margins("unigram_lm_learning", y)
+
+
+def test_qlm_lattice_margins(con):
+    """qlm_dirichlet_search's two floor-argument families: the hit term
+    ln(1 + tf·C/(μ·cf))·1e9 over distinct (tf, cf) pairs and the length
+    term ln(μ/(dl+μ))·1e9 over distinct dl."""
+    terms = ", ".join(f"'{t}'" for t in EQ.BM25_TERMS)
+    df = con.sql(
+        f"""
+        WITH lens AS (
+          SELECT doc_id, CAST(len({EQ.TOKENS_SQL}) AS BIGINT) AS dl
+          FROM documents
+        ),
+        stats AS (SELECT SUM(dl) AS c_total FROM lens),
+        hits AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest({EQ.TOKENS_SQL}) AS tok FROM documents
+          ) WHERE tok IN ({terms}) GROUP BY doc_id, tok
+        ),
+        cfs AS (SELECT tok, SUM(tf) AS cf FROM hits GROUP BY tok)
+        SELECT DISTINCT CAST(h.tf AS BIGINT) AS tf,
+               CAST(c.cf AS BIGINT) AS cf,
+               CAST(s.c_total AS BIGINT) AS ct
+        FROM hits h JOIN cfs c USING (tok), stats s
+        """
+    ).df()
+    hit = np.log(1.0 + df["tf"].to_numpy() * df["ct"].to_numpy()
+                 / (EQ.QLM_MU * df["cf"].to_numpy()))
+    dls = con.sql(
+        f"SELECT DISTINCT CAST(len({EQ.TOKENS_SQL}) AS BIGINT) AS dl "
+        f"FROM documents"
+    ).df()["dl"].to_numpy()
+    length = np.log(EQ.QLM_MU / (dls + float(EQ.QLM_MU)))
+    _assert_lattice_margins(
+        "qlm_dirichlet_search", np.concatenate([hit, length]) * LAT
+    )
+
+
+def test_doremi_lattice_margins(con):
+    """doremi_domain_weights' per-(source, word) KL-term arguments
+    ln(cnt·(G+V)/(n_s·(g+1)))·1e9 and the per-source e^{η·KL}·1e9
+    re-quantization."""
+    df = con.sql(
+        f"""
+        WITH tw AS (
+          SELECT source, w, COUNT(*) AS cnt
+          FROM (SELECT source, unnest({EQ.TOKENS_SQL}) AS w FROM documents)
+          GROUP BY 1, 2
+        ),
+        gw AS (SELECT w, SUM(cnt) AS g FROM tw GROUP BY w),
+        gtot AS (SELECT SUM(g) AS g_total, COUNT(*) AS v_total FROM gw),
+        ns AS (SELECT source, SUM(cnt) AS n_s FROM tw GROUP BY source)
+        SELECT source, CAST(cnt AS BIGINT) AS cnt, CAST(g AS BIGINT) AS g,
+               CAST(n_s AS BIGINT) AS n_s,
+               CAST(g_total + v_total AS BIGINT) AS gv
+        FROM tw JOIN gw USING (w) JOIN ns USING (source), gtot
+        """
+    ).df()
+    args = np.log(
+        df["cnt"].to_numpy() * df["gv"].to_numpy().astype(np.float64)
+        / (df["n_s"].to_numpy().astype(np.float64) * (df["g"].to_numpy() + 1))
+    )
+    _assert_lattice_margins("doremi_domain_weights[kl-terms]", args * LAT)
+    lw = np.floor(args * LAT)
+    df = df.assign(term=df["cnt"].to_numpy() * lw)
+    per = df.groupby("source").agg(kl=("term", "sum"), n_s=("n_s", "max"))
+    kl = per["kl"].to_numpy() / (per["n_s"].to_numpy() * LAT)
+    _assert_lattice_margins(
+        "doremi_domain_weights[exp]", np.exp(EQ.DOREMI_ETA * kl) * LAT
+    )
 
 
 # ---------------------------------------------------------------------------

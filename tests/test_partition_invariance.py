@@ -133,6 +133,9 @@ def _canon(df):
         "shard_balance_audit",      # md5 shards, exact integer variance
         "dedup_cluster_cohesion",   # integer density cross-products
         "rare_token_audit",         # pure integer count ratios
+        "t_closeness_audit",        # integer cross-products, decimal ratios
+        "qlm_dirichlet_search",     # lattice ln terms, BIGINT sums
+        "doremi_domain_weights",    # lattice KL terms, decimal weights
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

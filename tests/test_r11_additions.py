@@ -227,6 +227,97 @@ def test_rare_token_audit_accounting(spark, sf_dir):
     assert tot_rare < tot * 0.5
 
 
+def test_t_closeness_accounting_and_bounds(spark, sf_dir):
+    """Band accounting must conserve the corpus (Σ n_docs = N); every
+    reported max_t is a proper variational distance in [0, 1]; and the
+    bands are consistent with their own max_t (a band labeled t<=0.10
+    cannot report max_t above 0.1 + rounding) — a numerator/denominator
+    swap or a dropped absent-source term breaks one of these while
+    both engines would still agree."""
+    rows = EQ._QUERIES_ALL["t_closeness_audit"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    caps = {"t<=0.10": 0.10, "0.10-0.25": 0.25, ">0.25": 1.0}
+    for r in rows:
+        assert r["t_band"] in caps
+        assert 0.0 <= r["max_t"] <= 1.0 + 1e-9, r
+        assert r["max_t"] <= caps[r["t_band"]] + 1e-6, r
+        if r["t_band"] == ">0.25":
+            assert r["max_t"] > 0.25
+    assert any(r["max_t"] > 0.0 for r in rows)
+
+
+def test_qlm_scores_are_proper_and_disjunctive(spark, sf_dir):
+    """The rank-equivalent QL decomposition has a nonpositive length
+    term and a nonnegative hit term, so a doc with NO query-term hits
+    can never out-score a doc that hits every term at equal-or-shorter
+    length — and on this corpus the top-1 must hit at least one term.
+    The ranking itself must come back sorted (a tie-break slip
+    reorders it only in one engine)."""
+    rows = EQ._QUERIES_ALL["qlm_dirichlet_search"](spark, sf_dir).collect()
+    assert len(rows) == EQ.QLM_TOPK
+    assert all(0 <= r["n_terms_hit"] <= len(EQ.BM25_TERMS) for r in rows)
+    assert rows[0]["n_terms_hit"] >= 1
+    scores = [r["qlm_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # disjunctive vs bm25_search's conjunctive AND: QLM may rank docs
+    # missing a term, but every bm25 top doc is scoreable here, so the
+    # two rankings share at least one doc on any corpus where the
+    # conjunctive set is nonempty
+    bm = {r["doc_id"] for r in EQ._QUERIES_ALL["bm25_search"](spark, sf_dir).collect()}
+    if bm:
+        assert any(r["n_terms_hit"] == len(EQ.BM25_TERMS) for r in rows)
+
+
+def test_doremi_weights_are_a_distribution_and_track_excess(spark, sf_dir):
+    """The DoReMi defining properties: weights form a distribution
+    (sum 1), every excess loss is nonnegative (KL ≥ 0 by Gibbs), the
+    uniform floor holds (weight ≥ ε/|S|), and the boost ORDER matches
+    the excess-loss order after controlling for share — implemented as:
+    among sources, boost is monotone in excess_kl whenever shares are
+    near-equal, checked via the normalized weight w/share ∝ e^{η·KL}."""
+    rows = EQ._QUERIES_ALL["doremi_domain_weights"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["doremi_weight"] for r in rows) - 1.0) < 1e-4
+    floor = EQ.DOREMI_SMOOTH / len(rows)
+    for r in rows:
+        assert r["excess_kl"] >= 0.0, r
+        assert r["doremi_weight"] >= floor - 1e-9, r
+        assert r["boost"] > 0.0
+    # w/share ∝ e^{η·KL} up to the uniform floor: strip the floor and
+    # check the residual ranks with excess_kl. Both columns are
+    # 6dp-rounded, so order is only asserted for CLEARLY separated KLs
+    # (near-ties can legitimately flip inside the rounding noise).
+    resid = [
+        ((r["doremi_weight"] - floor) / r["token_share"], r["excess_kl"])
+        for r in rows
+    ]
+    for wi, ki in resid:
+        for wj, kj in resid:
+            if ki + 1e-4 < kj:
+                assert wi <= wj + 1e-3, ((wi, ki), (wj, kj))
+
+
+def test_wave4_plan_shapes(spark, sf_dir):
+    """Plan tripwires for the wave-4 trio: t_closeness and doremi run
+    on ONE persisted corpus aggregate (class sizes / marginals / totals
+    all derive from the cache — a rewrite that re-scans the corpus per
+    marginal regresses this); qlm keeps the bm25 posting-list shape
+    (lens + filtered token stream = ≤2 corpus scans). None may use
+    per-row Python or a corpus-wide window."""
+    for name, max_scans, want_cache in (
+        ("t_closeness_audit", 1, True),
+        ("doremi_domain_weights", 1, True),
+        ("qlm_dirichlet_search", 2, False),
+    ):
+        plan = final_explain_formatted(EQ._QUERIES_ALL[name](spark, sf_dir))
+        assert _distinct_parquet_scans(plan) <= max_scans, (name, plan)
+        if want_cache:
+            assert "InMemoryTableScan" in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "Window" not in plan, name
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
