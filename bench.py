@@ -336,6 +336,9 @@ HEADLINE = [
     "t_closeness_audit",
     "qlm_dirichlet_search",
     "doremi_domain_weights",
+    "label_propagation_communities",
+    "kcenter_coreset",
+    "fellegi_sunter_linkage",
 ]
 
 

@@ -21272,6 +21272,350 @@ FROM w, tots
 """
 
 
+LPA_ROUNDS = 3
+LPA_TOPK = 20
+
+
+def q_label_propagation_communities(spark, sf_dir):
+    """Label-propagation community detection (Raghavan et al. 2007)
+    over the co-purchase graph — the COMMUNITY view next to
+    pagerank_copurchase's influence view and dedup_clusters' connected
+    components: plurality-of-neighbors label updates find dense
+    behavioral clusters, not just reachability. Three synchronous
+    rounds (operators/graph.py:label_propagation — integer argmax with
+    min-label tie-break, so the result is exact and replayable), then
+    the top-{k} communities by size.
+
+    Exactness: labels are node ids; the update is max(count) → min
+    (label) — a total order over integers, replayed by the oracle as
+    {r} unrolled count+QUALIFY CTEs. Scale shape: per round one
+    edge⋈label shuffle plus one (node, label) count — Pregel
+    relationally, lineage truncated per round; the rollup is one
+    aggregate on the label key."""
+    from .operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = label_propagation(edges, rounds=LPA_ROUNDS)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(LPA_TOPK)
+        .select(
+            F.col("community").cast("bigint").alias("community"),
+            "n_nodes", "min_node", "max_node",
+        )
+    )
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+c{i} AS (
+  SELECT b.dst AS node, l.label, COUNT(*) AS c
+  FROM bidir b JOIN {prev} l ON l.node = b.src
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, CAST(label AS BIGINT) AS label FROM c{i}
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label ASC) = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_COPURCHASE_EDGES_CTE},
+bidir AS (
+  SELECT id_a AS src, id_b AS dst FROM e
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM e
+),
+l0 AS (
+  SELECT src AS node, CAST(src AS BIGINT) AS label
+  FROM (SELECT DISTINCT src FROM bidir)
+),
+{','.join(rounds)}
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM {prev}
+GROUP BY label
+ORDER BY n_nodes DESC, community
+LIMIT {LPA_TOPK}
+"""
+
+
+SQL_LABEL_PROPAGATION_COMMUNITIES = _lpa_sql()
+
+
+KCENTER_PICKS = 6  # seed + 5 greedy farthest-point picks
+
+
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding table (Gonzalez 1985; Sener & Savarese 2018's diversity
+    baseline for data selection): starting from vec_id 0, each round
+    picks the point farthest (max min-distance) from the selected set
+    — the dist_sq of pick k IS the 2-approximate coverage radius of
+    the first k−1 centers, the number a data-curation plan reads to
+    size a diverse fine-tuning subset.
+
+    Exactness: coordinates are floor-quantized to integers (EMB_Q_SCALE
+    lattice), so every squared L2 distance, min, and argmax is exact
+    BIGINT arithmetic — the oracle replays the greedy loop as
+    {k}−1 unrolled LEAST/argmax CTE pairs and hash-matches exactly.
+    Scale shape: the quantized table is persisted once (one corpus
+    scan); each round is one full pass computing min-distance against
+    ≤{k} broadcast centers (the literal Sener-Savarese plan at cluster
+    scale) plus a 1-row TakeOrdered gather — K bounded driver scalars,
+    the bpe_merge_learning collect class."""
+    emb = _emb(spark, sf_dir)
+    qe = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(EMB_Q_SCALE))
+        ).cast("bigint"),
+    )
+    pts = _track_cached(emb.select("vec_id", qe.alias("qe")).persist())
+
+    def dist_to(center):
+        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in center])
+        return F.aggregate(
+            F.zip_with(F.col("qe"), arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    seed = pts.where(F.col("vec_id") == 0).select("qe").head()["qe"]
+    centers = [list(seed)]
+    picks = [(1, 0, 0)]
+    for k in range(2, KCENTER_PICKS + 1):
+        dists = [dist_to(c) for c in centers]
+        md = F.least(*dists) if len(dists) > 1 else dists[0]
+        row = (
+            pts.select("vec_id", md.alias("md"))
+            .orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .head()
+        )
+        picks.append((k, int(row["vec_id"]), int(row["md"])))
+        cvec = (
+            pts.where(F.col("vec_id") == int(row["vec_id"]))
+            .select("qe")
+            .head()["qe"]
+        )
+        centers.append(list(cvec))
+    return spark.createDataFrame(
+        picks, "pick_order bigint, vec_id bigint, dist_sq bigint"
+    ).orderBy("pick_order")
+
+
+def _kcenter_sql() -> str:
+    dist = lambda a, b: (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+    )
+    parts = [
+        f"""q AS (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(EMB_Q_SCALE)!r})
+                   AS BIGINT)) AS qe
+  FROM embeddings
+)""",
+        f"""m1 AS (
+  SELECT p.vec_id, {dist('p.qe', 'c.qe')} AS md
+  FROM q p CROSS JOIN (SELECT qe FROM q WHERE vec_id = 0) c
+)""",
+        "p1 AS (SELECT vec_id, md FROM m1 ORDER BY md DESC, vec_id LIMIT 1)",
+    ]
+    for k in range(2, KCENTER_PICKS):
+        parts.append(f"""m{k} AS (
+  SELECT m.vec_id, LEAST(m.md, {dist('p.qe', 'c.qe')}) AS md
+  FROM m{k - 1} m JOIN q p USING (vec_id)
+  CROSS JOIN (SELECT qe FROM q
+              WHERE vec_id = (SELECT vec_id FROM p{k - 1})) c
+)""")
+        parts.append(
+            f"p{k} AS (SELECT vec_id, md FROM m{k} "
+            f"ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS pick_order, "
+        "CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS dist_sq"
+    ]
+    for k in range(1, KCENTER_PICKS):
+        selects.append(
+            f"SELECT CAST({k + 1} AS BIGINT), "
+            f"(SELECT CAST(vec_id AS BIGINT) FROM p{k}), "
+            f"(SELECT CAST(md AS BIGINT) FROM p{k})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY pick_order"
+    )
+
+
+SQL_KCENTER_CORESET = _kcenter_sql()
+
+
+#: Fellegi-Sunter (1969) probabilistic record linkage over the customer
+#: dimension: blocked candidate pairs scored by Σ agreement log-ratios.
+#: m = P(field agrees | true match) are the model constants below;
+#: u = P(field agrees | random pair) is ESTIMATED EXACTLY from the
+#: table's own marginals as Σ n_v(n_v−1) / (N(N−1)), add-one smoothed.
+FS_M = (("nat", 0.95), ("seg", 0.90), ("bal", 0.80))
+FS_BLOCK_DIV = 50   # blocking key: floor(acctbal / 50)
+FS_BAL_DIV = 10     # comparison field: floor(acctbal / 10)
+FS_UPPER = 4.0      # weight ≥ 4 → 'match' band
+# weight < 0 → 'non-match'; between → 'possible'
+
+
+def q_fellegi_sunter_linkage(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage — the SCORING model
+    the fuzzy/sorted-neighborhood pair generators feed at production
+    scale: blocked candidate pairs (same acctbal block, custkey <) get
+    a match weight Σ_f [agree: ln(m_f/u_f), disagree:
+    ln((1−m_f)/(1−u_f))] over three comparison fields (nation, market
+    segment, acctbal decabucket), with u_f estimated exactly from the
+    table marginals; pairs roll up into match / possible / non-match
+    bands.
+
+    Exactness: every u_f is an add-one-smoothed exact integer ratio
+    (Σ n_v(n_v−1) + 1) / (N(N−1) + 2), so each of the six per-field
+    weights is ONE floor-lattice value computed in-plan from integer
+    aggregates (6 knife edges total); pair weights are BIGINT sums,
+    band predicates compare integers against ⌈threshold·LAT⌉, and the
+    reported min/max weights are lattice/1e9 doubles. Scale shape:
+    customer is scanned once into a persisted projection that feeds the
+    three marginal aggregates AND the blocked self-join (block key
+    bounds the pair fan-out — never a customers² product); the 1-row
+    stats frame rides broadcast."""
+    cust = _track_cached(
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("bigint").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") / FS_BAL_DIV).cast("bigint").alias("bal"),
+            F.floor(F.col("c_acctbal") / FS_BLOCK_DIV)
+            .cast("bigint")
+            .alias("bkey"),
+        )
+        .persist()
+    )
+
+    def agree_total(col, name):
+        return (
+            cust.groupBy(F.col(col).alias("v"))
+            .agg(F.count("*").cast("bigint").alias("nv"))
+            .agg(
+                F.sum(F.col("nv") * (F.col("nv") - 1))
+                .cast("bigint")
+                .alias(name)
+            )
+        )
+
+    stats = (
+        cust.agg(F.count("*").cast("bigint").alias("n"))
+        .crossJoin(agree_total("nat", "a_nat"))
+        .crossJoin(agree_total("seg", "a_seg"))
+        .crossJoin(agree_total("bal", "a_bal"))
+    )
+    a, b = cust.alias("a"), cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).crossJoin(F.broadcast(stats))
+    lat = F.lit(float(NLL_LATTICE))
+    np_ = (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    w = None
+    for f, m in FS_M:
+        agree = F.col(f"a.{f}") == F.col(f"b.{f}")
+        af = F.col(f"a_{f}").cast("double")
+        wa = F.floor(
+            F.log(F.lit(m) * (np_ + 2.0) / (af + 1.0)) * lat
+        ).cast("bigint")
+        wd = F.floor(
+            F.log(F.lit(1.0 - m) * (np_ + 2.0) / (np_ - af + 1.0)) * lat
+        ).cast("bigint")
+        term = F.when(agree, wa).otherwise(wd)
+        w = term if w is None else w + term
+    upper = int(FS_UPPER * NLL_LATTICE)
+    scored = pairs.select(
+        w.alias("w"),
+        F.when(w >= upper, "match")
+        .when(w < 0, "non-match")
+        .otherwise("possible")
+        .alias("fs_band"),
+    )
+    return scored.groupBy("fs_band").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.min(F.col("w").cast("double")) / lat, 6).alias("min_weight"),
+        F.round(F.max(F.col("w").cast("double")) / lat, 6).alias("max_weight"),
+    )
+
+
+def _fs_sql() -> str:
+    lat = float(NLL_LATTICE)
+    terms = []
+    for f, m in FS_M:
+        terms.append(
+            f"CASE WHEN a.{f} = b.{f} THEN "
+            f"CAST(FLOOR(LN({m!r} * (npairs + 2.0) / (a_{f} + 1.0)) "
+            f"* {lat!r}) AS BIGINT) ELSE "
+            f"CAST(FLOOR(LN({1.0 - m!r} * (npairs + 2.0) "
+            f"/ (npairs - a_{f} + 1.0)) * {lat!r}) AS BIGINT) END"
+        )
+    w = " + ".join(terms)
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / {FS_BAL_DIV}) AS BIGINT) AS bal,
+         CAST(FLOOR(c_acctbal / {FS_BLOCK_DIV}) AS BIGINT) AS bkey
+  FROM customer
+),
+a_nat AS (SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS a_nat FROM
+          (SELECT COUNT(*) AS nv FROM cust GROUP BY nat)),
+a_seg AS (SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS a_seg FROM
+          (SELECT COUNT(*) AS nv FROM cust GROUP BY seg)),
+a_bal AS (SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS a_bal FROM
+          (SELECT COUNT(*) AS nv FROM cust GROUP BY bal)),
+ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cust),
+stats AS (
+  SELECT CAST(n AS DOUBLE) * (n - 1) AS npairs,
+         CAST(a_nat AS DOUBLE) AS a_nat, CAST(a_seg AS DOUBLE) AS a_seg,
+         CAST(a_bal AS DOUBLE) AS a_bal
+  FROM ntot, a_nat, a_seg, a_bal
+),
+scored AS (
+  SELECT {w} AS w
+  FROM cust a JOIN cust b
+    ON a.bkey = b.bkey AND a.c_custkey < b.c_custkey, stats
+)
+SELECT CASE WHEN w >= {int(FS_UPPER * NLL_LATTICE)} THEN 'match'
+            WHEN w < 0 THEN 'non-match'
+            ELSE 'possible' END AS fs_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MIN(CAST(w AS DOUBLE)) / {lat!r}, 6) AS min_weight,
+       ROUND(MAX(CAST(w AS DOUBLE)) / {lat!r}, 6) AS max_weight
+FROM scored
+GROUP BY 1
+"""
+
+
+SQL_FELLEGI_SUNTER_LINKAGE = _fs_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -21607,6 +21951,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_closeness_audit": q_t_closeness_audit,
     "qlm_dirichlet_search": q_qlm_dirichlet_search,
     "doremi_domain_weights": q_doremi_domain_weights,
+    "label_propagation_communities": q_label_propagation_communities,
+    "kcenter_coreset": q_kcenter_coreset,
+    "fellegi_sunter_linkage": q_fellegi_sunter_linkage,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -21911,6 +22258,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "t_closeness_audit": SQL_T_CLOSENESS_AUDIT,
     "qlm_dirichlet_search": SQL_QLM_DIRICHLET_SEARCH,
     "doremi_domain_weights": SQL_DOREMI_DOMAIN_WEIGHTS,
+    "label_propagation_communities": SQL_LABEL_PROPAGATION_COMMUNITIES,
+    "kcenter_coreset": SQL_KCENTER_CORESET,
+    "fellegi_sunter_linkage": SQL_FELLEGI_SUNTER_LINKAGE,
 }
 
 
@@ -22415,6 +22765,9 @@ _R11_ADDED: list[str] = [
     "t_closeness_audit",
     "qlm_dirichlet_search",
     "doremi_domain_weights",
+    "label_propagation_communities",
+    "kcenter_coreset",
+    "fellegi_sunter_linkage",
 ]
 
 _HEAD = _R11_WINDOW

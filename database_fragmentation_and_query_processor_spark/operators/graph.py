@@ -232,3 +232,52 @@ def triangle_counts(
         .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
         .crossJoin(nodes.agg(F.count("*").cast("bigint").alias("n_nodes")))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected pair graph: every node starts labeled
+    with its own id; each round, every node adopts the label carried by
+    the PLURALITY of its neighbors, ties broken toward the smallest
+    label. Returns (node, label) after ``rounds`` synchronous updates.
+
+    Determinism: the update is an integer argmax — max neighbor-label
+    count, then min label — expressed as ``max(struct(count, -label))``
+    so the distributed aggregate is a total order with no float and no
+    arrival-order sensitivity; an unrolled SQL replay agrees exactly
+    (unlike the asynchronous textbook variant, whose result depends on
+    visit order). Scale design: each round is one edge⋈label join
+    (shuffle on node id) plus one (node, label) count — the Pregel plan
+    relationally, like pagerank_integer; lineage truncated per round."""
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    bidir = (
+        e.union(e.select(F.col("e_dst"), F.col("e_src")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = bidir.select(F.col("e_src").alias("node")).distinct().select(
+        "node", F.col("node").cast("bigint").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        counted = (
+            bidir.join(labels, bidir.e_src == labels.node)
+            .groupBy(F.col("e_dst").alias("node2"), "label")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        labels = (
+            counted.groupBy("node2")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(
+                F.col("node2").alias("node"),
+                (-F.col("m.nl")).cast("bigint").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -82,6 +82,7 @@ TRANSCENDENTAL_REGISTRY: dict[str, str] = {
     "data_constrained_effective_tokens": "lattice",  # per-source e^-R/R*
     "qlm_dirichlet_search": "lattice",  # per-(tf,cf) + per-dl floor(ln·1e9)
     "doremi_domain_weights": "lattice",  # per-word KL terms + per-source exp
+    "fellegi_sunter_linkage": "lattice",  # six per-field weight constants
     # legacy rounded-transcendental surfaces (pre-r11 conventions)
     "doc_char_entropy": "legacy-margin",
     "pmi_collocations": "legacy-margin",
@@ -361,6 +362,32 @@ def test_doremi_lattice_margins(con):
     kl = per["kl"].to_numpy() / (per["n_s"].to_numpy() * LAT)
     _assert_lattice_margins(
         "doremi_domain_weights[exp]", np.exp(EQ.DOREMI_ETA * kl) * LAT
+    )
+
+
+def test_fellegi_sunter_lattice_margins(con):
+    """fellegi_sunter_linkage's six floor-lattice weight constants
+    (agree/disagree per comparison field), recomputed from the table
+    marginals."""
+    vals = []
+    for f, m in EQ.FS_M:
+        col = {"nat": "c_nationkey", "seg": "c_mktsegment",
+               "bal": f"CAST(FLOOR(c_acctbal / {EQ.FS_BAL_DIV}) AS BIGINT)"}[f]
+        df = con.sql(
+            f"""
+            WITH g AS (SELECT COUNT(*) AS nv FROM customer GROUP BY {col}),
+            a AS (SELECT SUM(nv * (nv - 1)) AS af FROM g),
+            n AS (SELECT COUNT(*) AS n FROM customer)
+            SELECT CAST(af AS DOUBLE) AS af,
+                   CAST(n AS DOUBLE) * (n - 1) AS npairs
+            FROM a, n
+            """
+        ).df()
+        af, npairs = float(df["af"][0]), float(df["npairs"][0])
+        vals.append(math.log(m * (npairs + 2.0) / (af + 1.0)))
+        vals.append(math.log((1.0 - m) * (npairs + 2.0) / (npairs - af + 1.0)))
+    _assert_lattice_margins(
+        "fellegi_sunter_linkage", np.asarray(vals) * LAT
     )
 
 

@@ -136,6 +136,9 @@ def _canon(df):
         "t_closeness_audit",        # integer cross-products, decimal ratios
         "qlm_dirichlet_search",     # lattice ln terms, BIGINT sums
         "doremi_domain_weights",    # lattice KL terms, decimal weights
+        "label_propagation_communities",  # integer plurality argmax
+        "kcenter_coreset",          # quantized integer distances
+        "fellegi_sunter_linkage",   # lattice weights, integer bands
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

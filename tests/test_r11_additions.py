@@ -318,6 +318,116 @@ def test_wave4_plan_shapes(spark, sf_dir):
         assert "Window" not in plan, name
 
 
+def test_lpa_communities_coarsen_the_graph(spark, sf_dir):
+    """LPA invariants a shared bug could break silently: every
+    community label IS a node id of the graph; communities partition
+    the node set (Σ n_nodes over ALL communities = |V|, checked via the
+    underlying operator); min/max node bounds are consistent; and after
+    3 plurality rounds the graph has COARSENED (fewer labels than
+    nodes) — a no-op update that returns self-labels leaves every node
+    its own community and fails this while both engines agree."""
+    from database_fragmentation_and_query_processor_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rows = EQ._QUERIES_ALL["label_propagation_communities"](
+        spark, sf_dir
+    ).collect()
+    assert rows
+    edges = EQ._copurchase_edges(spark, sf_dir)
+    nodes = {
+        r["n"]
+        for r in edges.selectExpr("id_a AS n")
+        .union(edges.selectExpr("id_b AS n"))
+        .distinct()
+        .collect()
+    }
+    labels = label_propagation(edges, rounds=EQ.LPA_ROUNDS).collect()
+    assert len(labels) == len(nodes)
+    assert len({r["label"] for r in labels}) < len(nodes)
+    for r in rows:
+        assert r["community"] in nodes
+        assert r["min_node"] <= r["max_node"]
+        assert r["n_nodes"] >= 1
+    sizes = [r["n_nodes"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_kcenter_radii_decrease_and_picks_are_distinct(spark, sf_dir):
+    """The k-center greedy defining invariants: pick distances
+    (coverage radii) are non-increasing (adding a center can only
+    shrink the max min-distance), all picks are distinct points, the
+    seed row is (1, 0, 0), and every later pick's dist_sq is positive
+    on this corpus (no duplicate-of-center point is ever the farthest
+    while distinct points exist)."""
+    rows = EQ._QUERIES_ALL["kcenter_coreset"](spark, sf_dir).collect()
+    assert [r["pick_order"] for r in rows] == list(
+        range(1, EQ.KCENTER_PICKS + 1)
+    )
+    assert (rows[0]["vec_id"], rows[0]["dist_sq"]) == (0, 0)
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    radii = [r["dist_sq"] for r in rows[1:]]
+    assert all(d > 0 for d in radii)
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_fellegi_sunter_bands_are_consistent(spark, sf_dir):
+    """FS scoring sanity: the three bands respect their own weight
+    thresholds (a match row's min_weight ≥ 4, a non-match row's
+    max_weight < 0), pair accounting equals the blocked pair count,
+    and full-agreement pairs outscore full-disagreement ones by
+    construction (Σ ln(m/u) > Σ ln((1-m)/(1-u)) for u < m)."""
+    rows = EQ._QUERIES_ALL["fellegi_sunter_linkage"](spark, sf_dir).collect()
+    assert rows
+    n_pairs = sum(r["n_pairs"] for r in rows)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+        "c_custkey", f"CAST(FLOOR(c_acctbal / {EQ.FS_BLOCK_DIV}) AS BIGINT) AS bkey"
+    )
+    from pyspark.sql import functions as F
+
+    a, b = cust.alias("a"), cust.alias("b")
+    expected = a.join(
+        b,
+        (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).count()
+    assert n_pairs == expected and n_pairs > 0
+    for r in rows:
+        assert r["min_weight"] <= r["max_weight"]
+        if r["fs_band"] == "match":
+            assert r["min_weight"] >= EQ.FS_UPPER - 1e-6
+        elif r["fs_band"] == "non-match":
+            assert r["max_weight"] < 0.0
+        else:
+            assert 0.0 - 1e-6 <= r["min_weight"]
+            assert r["max_weight"] < EQ.FS_UPPER + 1e-6
+
+
+def test_wave5_plan_shapes(spark, sf_dir):
+    """Plan tripwires for the wave-5 trio. fellegi_sunter: the customer
+    projection is persisted ONCE and feeds the three marginal
+    aggregates AND the blocked self-join (≤1 parquet scan +
+    InMemoryTableScan in the returned plan); no per-row Python, no
+    window. label_propagation: the returned rollup reads the
+    checkpointed final label table — no Python eval anywhere in the
+    plan. (kcenter_coreset's result is a driver-assembled K-row frame —
+    its per-round jobs are covered by the oracle equality and the
+    radii invariants instead.)"""
+    plan = final_explain_formatted(
+        EQ._QUERIES_ALL["fellegi_sunter_linkage"](spark, sf_dir)
+    )
+    assert _distinct_parquet_scans(plan) <= 1, plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+    plan = final_explain_formatted(
+        EQ._QUERIES_ALL["label_propagation_communities"](spark, sf_dir)
+    )
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
