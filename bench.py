@@ -339,6 +339,9 @@ HEADLINE = [
     "label_propagation_communities",
     "kcenter_coreset",
     "fellegi_sunter_linkage",
+    "unimax_budget_allocation",
+    "packing_truncation_audit",
+    "coverage_greedy_selection",
 ]
 
 

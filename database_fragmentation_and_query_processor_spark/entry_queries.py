@@ -21616,6 +21616,357 @@ GROUP BY 1
 SQL_FELLEGI_SUNTER_LINKAGE = _fs_sql()
 
 
+#: no language repeats more than 5/2 epochs (cap = t·5 div 2 — kept
+#: rational so the cap actually BINDS against B = 2·total on a corpus
+#: with ~5 balanced languages; integer floor division in both engines)
+UNIMAX_CAP_NUM, UNIMAX_CAP_DEN = 5, 2
+UNIMAX_BUDGET_EPOCHS = 2  # training budget B = 2 × total corpus tokens
+
+
+def q_unimax_budget_allocation(spark, sf_dir):
+    """UniMax budget allocation (Chung et al. 2023) — the epoch-capped
+    uniform alternative to temperature_sampling_weights: spread the
+    token budget B as evenly as possible across languages, except no
+    language may repeat more than {c} epochs of its own data. The
+    waterfall has the classic water-filling closed form: language l
+    gets min(cap_l, θ) where θ is the level at which Σ min(cap_l, θ)
+    = B; l is capped iff, in ascending cap order at rank k,
+    cap_k·(n−k+1) ≤ B − Σ_(i<k) cap_i.
+
+    Exactness: caps, prefix sums, and the capping predicate are pure
+    integer/DECIMAL comparisons; θ = (B − Σ_capped cap)/(n −
+    n_capped) is one exact integer ratio evaluated identically in both
+    engines; every output is an integer or a rounded exact ratio.
+    Scale shape: one corpus scan → per-language token masses; ALL
+    remaining work (rank window, prefix sum, 1-row capped totals) runs
+    on the |languages| domain — constant-size at any corpus scale."""
+    docs = _docs(spark, sf_dir)
+    tl = _track_cached(
+        docs.select("lang", T.token_count(F.col("text")).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("bigint").alias("t"))
+        .persist()
+    )
+    tot = tl.agg(
+        F.sum("t").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    base = tl.select(
+        "lang",
+        "t",
+        F.expr(f"t * {UNIMAX_CAP_NUM} div {UNIMAX_CAP_DEN}")
+        .cast("bigint")
+        .alias("cap"),
+    ).crossJoin(F.broadcast(tot))
+    w = Window.orderBy(F.asc("cap"), F.asc("lang"))
+    ranked = base.withColumn(
+        "k", F.row_number().over(w).cast("bigint")
+    ).withColumn(
+        "prefix",
+        F.coalesce(
+            F.sum("cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+    b = (F.col("total") * UNIMAX_BUDGET_EPOCHS).cast("bigint")
+    dec = lambda e: e.cast("decimal(38,0)")
+    is_capped = (
+        dec(F.col("cap")) * (F.col("n_langs") - F.col("k") + 1)
+        <= dec(b - F.col("prefix"))
+    ).cast("bigint")
+    r2 = ranked.withColumn("is_capped", is_capped)
+    caps_tot = r2.agg(
+        F.sum(F.when(F.col("is_capped") == 1, F.col("cap")).otherwise(0))
+        .cast("bigint")
+        .alias("cap_sum"),
+        F.sum("is_capped").cast("bigint").alias("n_capped"),
+    )
+    j = r2.crossJoin(F.broadcast(caps_tot))
+    theta = (b - F.col("cap_sum")).cast("double") / (
+        F.col("n_langs") - F.col("n_capped")
+    ).cast("double")
+    alloc = F.when(
+        F.col("is_capped") == 1, F.col("cap").cast("double")
+    ).otherwise(theta)
+    return j.select(
+        "lang",
+        F.col("t").alias("lang_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        (F.col("is_capped") == 1).alias("capped"),
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("t").cast("double"), 6).alias("epochs"),
+        F.round(alloc / b.cast("double"), 6).alias("budget_share"),
+    )
+
+
+SQL_UNIMAX_BUDGET_ALLOCATION = f"""
+WITH tl AS (
+  SELECT lang, CAST(SUM(len({TOKENS_SQL})) AS BIGINT) AS t
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_langs FROM tl),
+ranked AS (
+  SELECT lang, t,
+         CAST(t * {UNIMAX_CAP_NUM} // {UNIMAX_CAP_DEN} AS BIGINT) AS cap,
+         total, n_langs,
+         CAST(row_number() OVER (
+              ORDER BY t * {UNIMAX_CAP_NUM} // {UNIMAX_CAP_DEN}, lang)
+              AS BIGINT) AS k,
+         CAST(COALESCE(SUM(t * {UNIMAX_CAP_NUM} // {UNIMAX_CAP_DEN}) OVER (
+              ORDER BY t * {UNIMAX_CAP_NUM} // {UNIMAX_CAP_DEN}, lang
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS prefix
+  FROM tl, tot
+),
+r2 AS (
+  SELECT *, CASE WHEN CAST(cap AS HUGEINT) * (n_langs - k + 1)
+                      <= CAST(total * {UNIMAX_BUDGET_EPOCHS} - prefix
+                              AS HUGEINT)
+                 THEN 1 ELSE 0 END AS is_capped
+  FROM ranked
+),
+ct AS (
+  SELECT CAST(SUM(CASE WHEN is_capped = 1 THEN cap ELSE 0 END) AS BIGINT)
+           AS cap_sum,
+         CAST(SUM(is_capped) AS BIGINT) AS n_capped
+  FROM r2
+)
+SELECT lang, t AS lang_tokens, cap AS cap_tokens,
+       is_capped = 1 AS capped,
+       ROUND(CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(total * {UNIMAX_BUDGET_EPOCHS} - cap_sum
+                            AS DOUBLE)
+                       / CAST(n_langs - n_capped AS DOUBLE) END, 6)
+         AS alloc_tokens,
+       ROUND(CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(total * {UNIMAX_BUDGET_EPOCHS} - cap_sum
+                            AS DOUBLE)
+                       / CAST(n_langs - n_capped AS DOUBLE) END
+             / CAST(t AS DOUBLE), 6) AS epochs,
+       ROUND(CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
+                  ELSE CAST(total * {UNIMAX_BUDGET_EPOCHS} - cap_sum
+                            AS DOUBLE)
+                       / CAST(n_langs - n_capped AS DOUBLE) END
+             / CAST(total * {UNIMAX_BUDGET_EPOCHS} AS DOUBLE), 6)
+         AS budget_share
+FROM r2, ct
+"""
+
+
+def q_packing_truncation_audit(spark, sf_dir):
+    """Truncation audit of the concat-and-split training layout
+    (Ding et al. 2024 measure fewer-truncations packing against exactly
+    this baseline): per language, how many documents the
+    sequence_packing layout SPLITS across a {L}-token boundary, how
+    many exceed a full sequence outright, the split rate, and the mean
+    pieces-per-doc — the numbers that justify (or not) moving to a
+    length-aware packer.
+
+    Exactness: offsets come from the same two-phase integer prefix sum
+    as sequence_packing; split/pieces/oversize are integer div
+    comparisons; rates are exact integer ratios rounded. Scale shape:
+    identical to sequence_packing (no corpus-wide window — deterministic
+    range buckets) plus one per-language rollup."""
+    from .operators.scaling import stable_prefix_sum
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = stable_prefix_sum(
+        docs, order_cols=["doc_id"], value_col="n_tokens",
+        group_cols=["lang"], out_col="start_tok",
+    )
+    first_seq = F.expr(f"start_tok div {SEQ_LEN}")
+    last_seq = F.expr(f"(start_tok + n_tokens - 1) div {SEQ_LEN}")
+    nonempty = F.col("n_tokens") >= 1
+    ann = packed.select(
+        "lang",
+        "n_tokens",
+        F.when(nonempty & (first_seq != last_seq), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("split"),
+        F.when(nonempty, last_seq - first_seq + 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("pieces"),
+        F.when(F.col("n_tokens") > SEQ_LEN, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("oversize"),
+    )
+    return ann.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("split").cast("bigint").alias("n_split_docs"),
+        F.sum("oversize").cast("bigint").alias("n_oversize_docs"),
+        (F.expr(f"(sum(n_tokens) + {SEQ_LEN} - 1) div {SEQ_LEN}"))
+        .cast("bigint")
+        .alias("seqs_used"),
+        F.round(
+            F.sum("split").cast("double") / F.count("*"), 6
+        ).alias("split_rate"),
+        F.round(
+            F.sum("pieces").cast("double") / F.count("*"), 6
+        ).alias("avg_pieces"),
+    )
+
+
+SQL_PACKING_TRUNCATION_AUDIT = f"""
+WITH d AS (
+  SELECT lang, doc_id, CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_tok
+  FROM d
+),
+ann AS (
+  SELECT lang, n_tokens,
+         CASE WHEN n_tokens >= 1
+                   AND start_tok // {SEQ_LEN}
+                       <> (start_tok + n_tokens - 1) // {SEQ_LEN}
+              THEN 1 ELSE 0 END AS split,
+         CASE WHEN n_tokens >= 1
+              THEN (start_tok + n_tokens - 1) // {SEQ_LEN}
+                   - start_tok // {SEQ_LEN} + 1
+              ELSE 0 END AS pieces,
+         CASE WHEN n_tokens > {SEQ_LEN} THEN 1 ELSE 0 END AS oversize
+  FROM c
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(split) AS BIGINT) AS n_split_docs,
+       CAST(SUM(oversize) AS BIGINT) AS n_oversize_docs,
+       CAST((SUM(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT)
+         AS seqs_used,
+       ROUND(CAST(SUM(split) AS DOUBLE) / COUNT(*), 6) AS split_rate,
+       ROUND(CAST(SUM(pieces) AS DOUBLE) / COUNT(*), 6) AS avg_pieces
+FROM ann GROUP BY lang
+"""
+
+
+COVERAGE_PICKS = 5
+
+
+def q_coverage_greedy_selection(spark, sf_dir):
+    """Greedy maximum-coverage data selection (the facility-location /
+    submodular-coverage baseline for instruction-diversity subset
+    picking, Nemhauser-style 1−1/e greedy): pick {k} documents, each
+    round taking the doc that covers the most NOT-YET-COVERED distinct
+    word BIGRAMS (the unigram vocabulary of this corpus is 31 words —
+    one doc covers it, so the meaningful coverage universe is the
+    bigram space). The phrase-coverage companion of kcenter_coreset's
+    geometric diversity.
+
+    Exactness: gains are integer distinct-bigram counts with a (gain
+    DESC, doc_id) total-order argmax; the oracle replays the loop as
+    {k} unrolled anti-join/argmax CTE pairs. Scale shape: the (doc,
+    bigram) distinct table is persisted once (one corpus scan, one
+    shuffle); each round is one anti-join against the covered set
+    (bounded by the picked docs' bigram vocabularies, broadcastable)
+    plus a 1-row TakeOrdered gather — K bounded driver scalars, the
+    bpe_merge_learning collect class; the covered set is
+    checkpoint-truncated per round."""
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    dw = _track_cached(
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("w"))
+        .distinct()
+        .persist()
+    )
+    covered = None
+    picks: list[tuple[int, int, int, int]] = []
+    cov_total = 0
+    for k in range(1, COVERAGE_PICKS + 1):
+        cand = dw if covered is None else dw.join(
+            F.broadcast(covered), "w", "left_anti"
+        )
+        row = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), F.asc("doc_id"))
+            .limit(1)
+            .head()
+        )
+        gain = int(row["c"])
+        cov_total += gain
+        picks.append((k, int(row["doc_id"]), gain, cov_total))
+        newcov = dw.where(F.col("doc_id") == int(row["doc_id"])).select("w")
+        covered = (
+            newcov
+            if covered is None
+            else covered.union(newcov).distinct()
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks,
+        "pick_order bigint, doc_id bigint, gain bigint, covered_total bigint",
+    ).orderBy("pick_order")
+
+
+def _coverage_sql() -> str:
+    parts = [
+        f"""toks AS (
+  SELECT doc_id, {TOKENS_SQL} AS a FROM documents
+  WHERE len({TOKENS_SQL}) >= 2
+),
+dw AS (
+  SELECT DISTINCT doc_id, a[i] || ' ' || a[i + 1] AS w
+  FROM toks, unnest(range(1, len(a))) AS u(i)
+)""",
+        "g1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM dw "
+        "GROUP BY doc_id)",
+        "p1 AS (SELECT doc_id, c FROM g1 ORDER BY c DESC, doc_id LIMIT 1)",
+        "cov1 AS (SELECT DISTINCT w FROM dw "
+        "WHERE doc_id = (SELECT doc_id FROM p1))",
+    ]
+    for k in range(2, COVERAGE_PICKS + 1):
+        parts.append(
+            f"g{k} AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM dw "
+            f"WHERE w NOT IN (SELECT w FROM cov{k - 1}) GROUP BY doc_id)"
+        )
+        parts.append(
+            f"p{k} AS (SELECT doc_id, c FROM g{k} "
+            f"ORDER BY c DESC, doc_id LIMIT 1)"
+        )
+        parts.append(
+            f"cov{k} AS (SELECT w FROM cov{k - 1} UNION "
+            f"SELECT w FROM dw WHERE doc_id = (SELECT doc_id FROM p{k}))"
+        )
+    selects = []
+    for k in range(1, COVERAGE_PICKS + 1):
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS pick_order, "
+            f"(SELECT CAST(doc_id AS BIGINT) FROM p{k}) AS doc_id, "
+            f"(SELECT c FROM p{k}) AS gain, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM cov{k}) AS covered_total"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY pick_order"
+    )
+
+
+SQL_COVERAGE_GREEDY_SELECTION = _coverage_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -21954,6 +22305,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation_communities": q_label_propagation_communities,
     "kcenter_coreset": q_kcenter_coreset,
     "fellegi_sunter_linkage": q_fellegi_sunter_linkage,
+    "unimax_budget_allocation": q_unimax_budget_allocation,
+    "packing_truncation_audit": q_packing_truncation_audit,
+    "coverage_greedy_selection": q_coverage_greedy_selection,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -22261,6 +22615,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "label_propagation_communities": SQL_LABEL_PROPAGATION_COMMUNITIES,
     "kcenter_coreset": SQL_KCENTER_CORESET,
     "fellegi_sunter_linkage": SQL_FELLEGI_SUNTER_LINKAGE,
+    "unimax_budget_allocation": SQL_UNIMAX_BUDGET_ALLOCATION,
+    "packing_truncation_audit": SQL_PACKING_TRUNCATION_AUDIT,
+    "coverage_greedy_selection": SQL_COVERAGE_GREEDY_SELECTION,
 }
 
 
@@ -22768,6 +23125,9 @@ _R11_ADDED: list[str] = [
     "label_propagation_communities",
     "kcenter_coreset",
     "fellegi_sunter_linkage",
+    "unimax_budget_allocation",
+    "packing_truncation_audit",
+    "coverage_greedy_selection",
 ]
 
 _HEAD = _R11_WINDOW

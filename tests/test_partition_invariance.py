@@ -139,6 +139,9 @@ def _canon(df):
         "label_propagation_communities",  # integer plurality argmax
         "kcenter_coreset",          # quantized integer distances
         "fellegi_sunter_linkage",   # lattice weights, integer bands
+        "unimax_budget_allocation", # integer caps, exact ratio level
+        "packing_truncation_audit", # integer offsets and div compares
+        "coverage_greedy_selection",# integer gains, total-order argmax
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -428,6 +428,110 @@ def test_wave5_plan_shapes(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_unimax_waterfill_invariants(spark, sf_dir):
+    """The water-filling definition: allocations conserve the budget
+    (Σ alloc = B up to rounding), capped languages get exactly their
+    cap, uncapped languages all share ONE level θ, θ is at least every
+    capped cap (else that language would be uncapped), no epochs exceed
+    the 5/2 cap, and on this corpus the cap actually BINDS (≥1 capped
+    AND ≥1 uncapped) — a constants regression that makes the waterfall
+    degenerate fails here while both engines still agree."""
+    rows = EQ._QUERIES_ALL["unimax_budget_allocation"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["budget_share"] for r in rows) - 1.0) < 1e-4
+    capped = [r for r in rows if r["capped"]]
+    uncapped = [r for r in rows if not r["capped"]]
+    assert capped and uncapped
+    cap_ratio = EQ.UNIMAX_CAP_NUM / EQ.UNIMAX_CAP_DEN
+    for r in rows:
+        assert r["epochs"] <= cap_ratio + 1e-6, r
+        assert r["alloc_tokens"] > 0.0
+    for r in capped:
+        assert abs(r["alloc_tokens"] - r["cap_tokens"]) < 1e-6, r
+    thetas = {r["alloc_tokens"] for r in uncapped}
+    assert len(thetas) == 1
+    theta = next(iter(thetas))
+    assert all(theta >= r["cap_tokens"] - 1e-6 for r in capped)
+
+
+def test_packing_truncation_accounting(spark, sf_dir):
+    """The audit must agree with the sequence_packing layout it
+    describes: per-language doc counts match the corpus; seqs_used is
+    exactly ceil(total/L); split counts equal a direct recount of
+    boundary-crossing docs from the packing query; pieces ≥ 1 per
+    nonempty doc implies avg_pieces ≥ split_rate + 1 on a corpus with
+    no empty docs — and some language must actually split at any SF
+    where a language holds more than one sequence."""
+    rows = {
+        r["lang"]: r
+        for r in EQ._QUERIES_ALL["packing_truncation_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    packed = EQ._QUERIES_ALL["sequence_packing"](spark, sf_dir).collect()
+    import collections
+
+    direct = collections.Counter()
+    for p in packed:
+        if p["n_tokens"] >= 1:
+            first = p["seq_id"]
+            last = (p["seq_offset"] + p["n_tokens"] - 1) // EQ.SEQ_LEN + first
+            if last != first:
+                direct[p["lang"]] += 1
+    for lang, r in rows.items():
+        assert r["n_split_docs"] == direct.get(lang, 0), lang
+        assert r["seqs_used"] == -(-r["total_tokens"] // EQ.SEQ_LEN)
+        assert 0.0 <= r["split_rate"] <= 1.0
+        assert r["avg_pieces"] >= 1.0
+    if any(r["seqs_used"] > 1 for r in rows.values()):
+        assert any(r["n_split_docs"] > 0 for r in rows.values())
+
+
+def test_coverage_greedy_gains_diminish(spark, sf_dir):
+    """Submodularity: greedy gains are non-increasing; covered_total is
+    the running gain sum; picks are distinct docs; and the first pick
+    is the doc with the most distinct bigrams (checked directly)."""
+    rows = EQ._QUERIES_ALL["coverage_greedy_selection"](spark, sf_dir).collect()
+    assert [r["pick_order"] for r in rows] == list(
+        range(1, EQ.COVERAGE_PICKS + 1)
+    )
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    gains = [r["gain"] for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert all(g > 0 for g in gains)
+    running = 0
+    for r in rows:
+        running += r["gain"]
+        assert r["covered_total"] == running
+    # first pick = doc with most distinct bigrams
+    from pyspark.sql import functions as F
+    from database_fragmentation_and_query_processor_spark.functions import (
+        text as T,
+    )
+
+    docs = EQ._docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    top = (
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+        .groupBy("doc_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("doc_id"))
+        .limit(1)
+        .head()
+    )
+    assert rows[0]["doc_id"] == top["doc_id"]
+    assert rows[0]["gain"] == top["count"]
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
