@@ -342,6 +342,7 @@ HEADLINE = [
     "unimax_budget_allocation",
     "packing_truncation_audit",
     "coverage_greedy_selection",
+    "wordpiece_learning",
 ]
 
 

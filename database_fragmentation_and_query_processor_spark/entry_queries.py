@@ -21967,6 +21967,182 @@ dw AS (
 SQL_COVERAGE_GREEDY_SELECTION = _coverage_sql()
 
 
+WORDPIECE_MERGES = 6
+#: WordPiece score quantum: score = cnt(ab)·1e12 div (cnt(a)·cnt(b)) —
+#: the likelihood-gain ratio as an exact integer floor division (Spark
+#: DECIMAL `div` truncates, DuckDB HUGEINT `//` floors; both exact and
+#: equal on positive values), so the argmax needs no floats at all.
+WORDPIECE_SCALE = 1_000_000_000_000
+
+
+def q_wordpiece_learning(spark, sf_dir):
+    """Distributed WordPiece merge learning (Schuster & Nakajima 2012;
+    the BERT tokenizer's training rule) — the LIKELIHOOD-scored sibling
+    of bpe_merge_learning: instead of adopting the most FREQUENT
+    adjacent pair, adopt the pair maximizing cnt(ab)/(cnt(a)·cnt(b)) —
+    the unigram-LM likelihood gain of the merge — which prefers
+    cohesive rare pairs over products of two already-common symbols.
+    Returns the merge table with each rule's pair count and quantized
+    score at selection time.
+
+    Cross-engine exactness: pair and symbol counts are integer sums;
+    the score is an exact integer floor division onto the 1e12 quantum
+    (see WORDPIECE_SCALE — no transcendental, no knife edge); the
+    argmax total order is (score DESC, left, right). Scale shape:
+    identical to bpe_merge_learning — corpus touched ONCE into the
+    word-frequency table; each of the K steps is one pair aggregate
+    plus one symbol aggregate over the vocabulary domain and a LIMIT-1
+    collect; state persisted one step deep, merges applied by JVM
+    string replace."""
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    base = wf.select(
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substring(F.col("w"), i, 1),
+                ),
+                "  ",
+            ),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    )
+    state = base.persist()
+    prev = None
+    merges: list[tuple[int, str, str, int, int]] = []
+    try:
+        for step in range(1, WORDPIECE_MERGES + 1):
+            sy = F.split(F.trim(F.col("s")), "  ")
+            symd = state.select(sy.alias("sy"), "freq")
+            pairs = (
+                symd.where(F.size("sy") >= 2)
+                .select(
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("sy") - 1),
+                            lambda i: F.struct(
+                                F.element_at("sy", i).alias("s1"),
+                                F.element_at("sy", i + 1).alias("s2"),
+                            ),
+                        )
+                    ).alias("p"),
+                    "freq",
+                )
+                .groupBy("p.s1", "p.s2")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            )
+            syms = (
+                symd.select(F.explode("sy").alias("sym"), "freq")
+                .groupBy("sym")
+                .agg(F.sum("freq").cast("bigint").alias("c"))
+            )
+            c1 = syms.select(F.col("sym").alias("s1"), F.col("c").alias("c1"))
+            c2 = syms.select(F.col("sym").alias("s2"), F.col("c").alias("c2"))
+            scored = (
+                pairs.join(F.broadcast(c1), "s1")
+                .join(F.broadcast(c2), "s2")
+                .select(
+                    "s1",
+                    "s2",
+                    "cnt",
+                    F.expr(
+                        f"CAST(cnt AS DECIMAL(38,0)) * {WORDPIECE_SCALE} "
+                        f"div (CAST(c1 AS DECIMAL(38,0)) * c2)"
+                    ).cast("bigint").alias("score_q"),
+                )
+            )
+            best = scored.orderBy(
+                F.desc("score_q"), F.asc("s1"), F.asc("s2")
+            ).limit(1).collect()
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not best:
+                break
+            a, b = best[0]["s1"], best[0]["s2"]
+            merges.append(
+                (step, a, b, int(best[0]["cnt"]), int(best[0]["score_q"]))
+            )
+            nxt = state.select(
+                F.replace(
+                    F.col("s"),
+                    F.lit(_bpe_wrap(a) + _bpe_wrap(b)),
+                    F.lit(_bpe_wrap(a + b)),
+                ).alias("s"),
+                "freq",
+            ).persist()
+            prev, state = state, nxt
+    finally:
+        state.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    out_schema = (
+        "step INT, left_sym STRING, right_sym STRING, merged STRING, "
+        "pair_count BIGINT, score_q BIGINT"
+    )
+    return spark.createDataFrame(
+        [(s, a, b, a + b, c, q) for s, a, b, c, q in merges], out_schema
+    )
+
+
+def _wordpiece_oracle_sql(k: int) -> str:
+    """K-step CTE replay of q_wordpiece_learning — the bpe oracle's
+    chain plus a per-step symbol-count table and the HUGEINT
+    floor-division score (MATERIALIZED for the same ~5^K reason)."""
+    parts = [
+        f"WITH toks AS (SELECT {TOKENS_SQL} AS t FROM documents),",
+        "wf AS (SELECT w, COUNT(*) AS freq FROM"
+        " (SELECT unnest(t) AS w FROM toks) GROUP BY w),",
+        "w0 AS (SELECT ' ' || array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> substr(w, i, 1)), '  ') || ' '"
+        " AS s, freq FROM wf)",
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f", sy{i} AS MATERIALIZED (SELECT"
+            f" string_split(trim(s, ' '), '  ') AS sy,"
+            f" freq FROM w{p} WHERE s IS NOT NULL)"
+            f", pr{i} AS MATERIALIZED (SELECT"
+            f" string_split(g, chr(9))[1] AS s1,"
+            f" string_split(g, chr(9))[2] AS s2, SUM(freq) AS cnt"
+            f" FROM (SELECT unnest(list_transform(range(1, len(sy)),"
+            f" j -> sy[j] || chr(9) || sy[j+1])) AS g, freq FROM sy{i}"
+            f" WHERE len(sy) >= 2) GROUP BY 1, 2)"
+            f", sc{i} AS MATERIALIZED (SELECT sym, SUM(freq) AS c FROM"
+            f" (SELECT unnest(sy) AS sym, freq FROM sy{i}) GROUP BY sym)"
+            f", b{i} AS MATERIALIZED (SELECT p.s1, p.s2, p.cnt,"
+            f" CAST(CAST(p.cnt AS HUGEINT) * {WORDPIECE_SCALE}"
+            f" // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_q"
+            f" FROM pr{i} p JOIN sc{i} a ON a.sym = p.s1"
+            f" JOIN sc{i} b ON b.sym = p.s2"
+            f" ORDER BY score_q DESC, p.s1, p.s2 LIMIT 1)"
+            f", w{i} AS MATERIALIZED (SELECT replace(s,"
+            f" ' ' || (SELECT s1 FROM b{i}) || '  ' ||"
+            f" (SELECT s2 FROM b{i}) || ' ',"
+            f" ' ' || (SELECT s1 FROM b{i}) ||"
+            f" (SELECT s2 FROM b{i}) || ' ') AS s, freq FROM w{p})"
+        )
+    selects = [
+        f"SELECT CAST({i} AS INT) AS step, s1 AS left_sym,"
+        f" s2 AS right_sym, s1 || s2 AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count, score_q FROM b{i}"
+        for i in range(1, k + 1)
+    ]
+    parts.append(" " + " UNION ALL ".join(selects))
+    return "\n".join(parts)
+
+
+SQL_WORDPIECE_LEARNING = _wordpiece_oracle_sql(WORDPIECE_MERGES)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -22308,6 +22484,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unimax_budget_allocation": q_unimax_budget_allocation,
     "packing_truncation_audit": q_packing_truncation_audit,
     "coverage_greedy_selection": q_coverage_greedy_selection,
+    "wordpiece_learning": q_wordpiece_learning,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -22618,6 +22795,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "unimax_budget_allocation": SQL_UNIMAX_BUDGET_ALLOCATION,
     "packing_truncation_audit": SQL_PACKING_TRUNCATION_AUDIT,
     "coverage_greedy_selection": SQL_COVERAGE_GREEDY_SELECTION,
+    "wordpiece_learning": SQL_WORDPIECE_LEARNING,
 }
 
 
@@ -23128,6 +23306,7 @@ _R11_ADDED: list[str] = [
     "unimax_budget_allocation",
     "packing_truncation_audit",
     "coverage_greedy_selection",
+    "wordpiece_learning",
 ]
 
 _HEAD = _R11_WINDOW

@@ -142,6 +142,7 @@ def _canon(df):
         "unimax_budget_allocation", # integer caps, exact ratio level
         "packing_truncation_audit", # integer offsets and div compares
         "coverage_greedy_selection",# integer gains, total-order argmax
+        "wordpiece_learning",       # integer counts, exact div scores
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

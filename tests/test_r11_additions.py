@@ -532,6 +532,32 @@ def test_coverage_greedy_gains_diminish(spark, sf_dir):
     assert rows[0]["gain"] == top["count"]
 
 
+def test_wordpiece_merge_table_invariants(spark, sf_dir):
+    """WordPiece learning sanity: all K steps happen on this corpus,
+    every rule's merged symbol is its pair concatenation, pair counts
+    are positive, and the quantized likelihood score is a proper
+    ratio quantum (0 < score_q ≤ SCALE, since cnt(ab) ≤ cnt(a)·cnt(b)
+    always); the run is deterministic; and the LIKELIHOOD objective
+    actually differs from BPE's frequency objective on this corpus
+    (the first WordPiece pick is not the globally most frequent pair —
+    if it ever were, the two algorithms would be indistinguishable
+    here and the oracle equality would prove nothing extra)."""
+    rows = EQ._QUERIES_ALL["wordpiece_learning"](spark, sf_dir).collect()
+    assert [r["step"] for r in rows] == list(
+        range(1, EQ.WORDPIECE_MERGES + 1)
+    )
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_count"] >= 1
+        assert 0 < r["score_q"] <= EQ.WORDPIECE_SCALE, r
+    again = EQ._QUERIES_ALL["wordpiece_learning"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    bpe = EQ._QUERIES_ALL["bpe_merge_learning"](spark, sf_dir).collect()
+    assert (rows[0]["left_sym"], rows[0]["right_sym"]) != (
+        bpe[0]["left_sym"], bpe[0]["right_sym"],
+    )
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
