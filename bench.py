@@ -343,6 +343,8 @@ HEADLINE = [
     "packing_truncation_audit",
     "coverage_greedy_selection",
     "wordpiece_learning",
+    "grid_density_clusters",
+    "tokenizer_compare_audit",
 ]
 
 

@@ -22143,6 +22143,307 @@ def _wordpiece_oracle_sql(k: int) -> str:
 SQL_WORDPIECE_LEARNING = _wordpiece_oracle_sql(WORDPIECE_MERGES)
 
 
+GRID_SCALE = 48        # grid cell edge = 1/48 in embedding coordinates
+GRID_DENSITY_FACTOR = 2  # core cell ⇔ cnt·n_occupied ≥ 2·N (2× mean)
+
+
+def q_grid_density_clusters(spark, sf_dir):
+    """Grid-based density clustering of the embedding cloud (the
+    GriDBSCAN/STING family — DBSCAN's scalable relational cousin):
+    quantize the first two embedding coordinates onto a 1/{s} grid,
+    call a cell CORE when its density is ≥ {f}× the mean occupied-cell
+    density (a scale-free integer cross-product, the rare_token_audit
+    convention), and merge core cells that touch (Chebyshev distance
+    ≤ 1) into clusters via connected components. Reports each density
+    cluster's cell count and point mass — the structure view next to
+    doc_topic_clusters' k-means assignment.
+
+    Exactness: cells, densities, the core predicate, and adjacency are
+    pure integers; cluster id = min encoded cell id in the component
+    (recursive-CTE transitive closure in the oracle, min-label
+    propagation in Spark — dedup_clusters' convention); isolated core
+    cells are their own single-cell clusters in both engines. Scale
+    shape: one embedding scan → one (cx, cy) aggregate (bounded by the
+    occupied-grid size, ≪ N); the core-cell self-join and the CC loop
+    run on the CORE-CELL domain only — constant-bounded by the grid,
+    never corpus-sized."""
+    from .operators.graph import connected_components
+
+    emb = _emb(spark, sf_dir)
+    cx = F.floor(F.element_at("embedding", 1).cast("double") * GRID_SCALE)
+    cy = F.floor(F.element_at("embedding", 2).cast("double") * GRID_SCALE)
+    cells = _track_cached(
+        emb.select(cx.cast("bigint").alias("cx"), cy.cast("bigint").alias("cy"))
+        .groupBy("cx", "cy")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    tot = cells.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("cnt") * F.col("m")
+            >= F.lit(GRID_DENSITY_FACTOR) * F.col("n")
+        )
+        .select(
+            "cx", "cy", "cnt",
+            ((F.col("cx") + 1000) * 100000 + F.col("cy") + 1000)
+            .cast("bigint")
+            .alias("cell_id"),
+        )
+    )
+    core = _track_cached(core.persist())
+    a, b = core.alias("a"), core.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.cell_id") < F.col("b.cell_id")),
+    ).select(
+        F.col("a.cell_id").alias("id_a"), F.col("b.cell_id").alias("id_b")
+    )
+    cc = connected_components(edges)
+    isolated = core.join(
+        cc.select(F.col("node").alias("cell_id")), "cell_id", "left_anti"
+    ).select(F.col("cell_id").alias("node"), F.col("cell_id").alias("label"))
+    labels = cc.unionByName(isolated)
+    j = core.join(labels, core.cell_id == labels.node)
+    return (
+        j.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("cnt").cast("bigint").alias("n_points"),
+        )
+        .select(F.col("cluster_id").cast("bigint").alias("cluster_id"),
+                "n_cells", "n_points")
+    )
+
+
+SQL_GRID_DENSITY_CLUSTERS = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * {GRID_SCALE}) AS BIGINT)
+           AS cx,
+         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * {GRID_SCALE}) AS BIGINT)
+           AS cy,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM embeddings GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS m FROM cells),
+core AS (
+  SELECT cx, cy, cnt,
+         CAST((cx + 1000) * 100000 + cy + 1000 AS BIGINT) AS cell_id
+  FROM cells, tot
+  WHERE cnt * m >= {GRID_DENSITY_FACTOR} * n
+),
+pairs AS (
+  SELECT a.cell_id AS id_a, b.cell_id AS id_b
+  FROM core a JOIN core b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND a.cell_id < b.cell_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst AS node, w.label
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.label < e.dst
+),
+cclabels AS (SELECT node, MIN(label) AS label FROM walk GROUP BY node),
+labels AS (
+  SELECT node, label FROM cclabels
+  UNION ALL
+  SELECT cell_id AS node, cell_id AS label FROM core
+  WHERE cell_id NOT IN (SELECT node FROM cclabels)
+)
+SELECT CAST(l.label AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(c.cnt) AS BIGINT) AS n_points
+FROM core c JOIN labels l ON l.node = c.cell_id
+GROUP BY l.label
+"""
+
+
+def _tokenizer_chain_sql(prefix: str, k: int, scored: bool) -> str:
+    """Shared K-step merge-chain CTE builder for the tokenizer-compare
+    oracle: ``scored=False`` replays BPE's frequency argmax,
+    ``scored=True`` replays WordPiece's quantized likelihood argmax —
+    same conventions as the standalone oracles, CTE names prefixed so
+    both chains live in one WITH clause."""
+    q = prefix
+    parts = [
+        f"{q}w0 AS (SELECT ' ' || array_to_string(list_transform("
+        "range(1, length(w) + 1), i -> substr(w, i, 1)), '  ') || ' '"
+        " AS s, freq FROM wf)"
+    ]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(
+            f"{q}sy{i} AS MATERIALIZED (SELECT"
+            f" string_split(trim(s, ' '), '  ') AS sy,"
+            f" freq FROM {q}w{p} WHERE s IS NOT NULL)"
+        )
+        parts.append(
+            f"{q}pr{i} AS MATERIALIZED (SELECT"
+            f" string_split(g, chr(9))[1] AS s1,"
+            f" string_split(g, chr(9))[2] AS s2, SUM(freq) AS cnt"
+            f" FROM (SELECT unnest(list_transform(range(1, len(sy)),"
+            f" j -> sy[j] || chr(9) || sy[j+1])) AS g, freq FROM {q}sy{i}"
+            f" WHERE len(sy) >= 2) GROUP BY 1, 2)"
+        )
+        if scored:
+            parts.append(
+                f"{q}sc{i} AS MATERIALIZED (SELECT sym, SUM(freq) AS c FROM"
+                f" (SELECT unnest(sy) AS sym, freq FROM {q}sy{i})"
+                f" GROUP BY sym)"
+            )
+            parts.append(
+                f"{q}b{i} AS MATERIALIZED (SELECT p.s1, p.s2,"
+                f" CAST(CAST(p.cnt AS HUGEINT) * {WORDPIECE_SCALE}"
+                f" // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score_q"
+                f" FROM {q}pr{i} p JOIN {q}sc{i} a ON a.sym = p.s1"
+                f" JOIN {q}sc{i} b ON b.sym = p.s2"
+                f" ORDER BY score_q DESC, p.s1, p.s2 LIMIT 1)"
+            )
+        else:
+            parts.append(
+                f"{q}b{i} AS MATERIALIZED (SELECT s1, s2, cnt FROM {q}pr{i}"
+                f" ORDER BY cnt DESC, s1, s2 LIMIT 1)"
+            )
+        parts.append(
+            f"{q}w{i} AS MATERIALIZED (SELECT replace(s,"
+            f" ' ' || (SELECT s1 FROM {q}b{i}) || '  ' ||"
+            f" (SELECT s2 FROM {q}b{i}) || ' ',"
+            f" ' ' || (SELECT s1 FROM {q}b{i}) ||"
+            f" (SELECT s2 FROM {q}b{i}) || ' ') AS s, freq FROM {q}w{p})"
+        )
+    return ", ".join(parts)
+
+
+def q_tokenizer_compare_audit(spark, sf_dir):
+    """Tokenizer-training bake-off: learn BPE (frequency merges) and
+    WordPiece (likelihood merges) with their registered settings, APPLY
+    each learned merge table to the corpus, and report the compression
+    each actually buys — symbols after merging vs base characters and
+    tokens-per-word — the number a tokenizer-budget decision reads
+    (bpe_token_stats/tokenizer_fertility measure a FIXED tokenizer;
+    this measures the two LEARNED ones side by side).
+
+    Exactness: merge tables come from the two integer-exact learners;
+    application is the same chained sentinel-wrapped replace; all
+    outputs are integer sums and exact integer ratios rounded. Scale
+    shape: each learner's documented loop (corpus scanned once per
+    learner into the word-frequency table, K vocabulary-domain steps),
+    then ONE extra vocabulary-domain aggregate per learner over the
+    K-fold replace expression — no additional corpus scan."""
+    rows = []
+    for algo, merges_df, k in (
+        ("bpe", q_bpe_merge_learning(spark, sf_dir), BPE_MERGES),
+        ("wordpiece", q_wordpiece_learning(spark, sf_dir), WORDPIECE_MERGES),
+    ):
+        merges = sorted(
+            merges_df.collect(), key=lambda r: r["step"]
+        )
+        docs = _docs(spark, sf_dir)
+        wf = (
+            docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").cast("bigint").alias("freq"))
+        )
+        s = F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substring(F.col("w"), i, 1),
+                ),
+                "  ",
+            ),
+            F.lit(" "),
+        )
+        for m in merges:
+            s = F.replace(
+                s,
+                F.lit(_bpe_wrap(m["left_sym"]) + _bpe_wrap(m["right_sym"])),
+                F.lit(_bpe_wrap(m["merged"])),
+            )
+        stats = wf.agg(
+            F.sum("freq").cast("bigint").alias("total_words"),
+            F.sum(F.col("freq") * F.length("w")).cast("bigint").alias(
+                "base_symbols"
+            ),
+            F.sum(
+                F.col("freq") * F.size(F.split(F.trim(s), "  "))
+            ).cast("bigint").alias("symbols_after"),
+        ).head()
+        rows.append(
+            (
+                algo,
+                len(merges),
+                int(stats["total_words"]),
+                int(stats["base_symbols"]),
+                int(stats["symbols_after"]),
+            )
+        )
+    out = spark.createDataFrame(
+        rows,
+        "algo STRING, n_merges BIGINT, total_words BIGINT, "
+        "base_symbols BIGINT, symbols_after BIGINT",
+    )
+    return out.select(
+        "algo", "n_merges", "total_words", "base_symbols", "symbols_after",
+        F.round(
+            F.col("symbols_after").cast("double")
+            / F.col("base_symbols").cast("double"),
+            6,
+        ).alias("compression_ratio"),
+        F.round(
+            F.col("symbols_after").cast("double")
+            / F.col("total_words").cast("double"),
+            6,
+        ).alias("tokens_per_word"),
+    )
+
+
+SQL_TOKENIZER_COMPARE_AUDIT = f"""
+WITH toks AS (SELECT {TOKENS_SQL} AS t FROM documents),
+wf AS (SELECT w, COUNT(*) AS freq FROM
+ (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+{_tokenizer_chain_sql('bp', BPE_MERGES, scored=False)},
+{_tokenizer_chain_sql('wp', WORDPIECE_MERGES, scored=True)},
+stats AS (
+  SELECT 'bpe' AS algo, CAST({BPE_MERGES} AS BIGINT) AS n_merges,
+         CAST(SUM(freq) AS BIGINT) AS total_words,
+         CAST(SUM(freq * len(string_split(trim(s, ' '), '  ')))
+              AS BIGINT) AS symbols_after
+  FROM bpw{BPE_MERGES}
+  UNION ALL
+  SELECT 'wordpiece', CAST({WORDPIECE_MERGES} AS BIGINT),
+         CAST(SUM(freq) AS BIGINT),
+         CAST(SUM(freq * len(string_split(trim(s, ' '), '  '))) AS BIGINT)
+  FROM wpw{WORDPIECE_MERGES}
+),
+base AS (
+  SELECT CAST(SUM(freq * length(w)) AS BIGINT) AS base_symbols FROM wf
+)
+SELECT algo, n_merges, total_words, base_symbols, symbols_after,
+       ROUND(CAST(symbols_after AS DOUBLE) / CAST(base_symbols AS DOUBLE), 6)
+         AS compression_ratio,
+       ROUND(CAST(symbols_after AS DOUBLE) / CAST(total_words AS DOUBLE), 6)
+         AS tokens_per_word
+FROM stats, base
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -22485,6 +22786,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packing_truncation_audit": q_packing_truncation_audit,
     "coverage_greedy_selection": q_coverage_greedy_selection,
     "wordpiece_learning": q_wordpiece_learning,
+    "grid_density_clusters": q_grid_density_clusters,
+    "tokenizer_compare_audit": q_tokenizer_compare_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -22796,6 +23099,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "packing_truncation_audit": SQL_PACKING_TRUNCATION_AUDIT,
     "coverage_greedy_selection": SQL_COVERAGE_GREEDY_SELECTION,
     "wordpiece_learning": SQL_WORDPIECE_LEARNING,
+    "grid_density_clusters": SQL_GRID_DENSITY_CLUSTERS,
+    "tokenizer_compare_audit": SQL_TOKENIZER_COMPARE_AUDIT,
 }
 
 
@@ -23307,6 +23612,8 @@ _R11_ADDED: list[str] = [
     "packing_truncation_audit",
     "coverage_greedy_selection",
     "wordpiece_learning",
+    "grid_density_clusters",
+    "tokenizer_compare_audit",
 ]
 
 _HEAD = _R11_WINDOW

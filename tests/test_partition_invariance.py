@@ -143,6 +143,8 @@ def _canon(df):
         "packing_truncation_audit", # integer offsets and div compares
         "coverage_greedy_selection",# integer gains, total-order argmax
         "wordpiece_learning",       # integer counts, exact div scores
+        "grid_density_clusters",    # integer cells, min-label components
+        "tokenizer_compare_audit",  # integer merge replay and sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

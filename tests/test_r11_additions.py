@@ -558,6 +558,63 @@ def test_wordpiece_merge_table_invariants(spark, sf_dir):
     )
 
 
+def test_grid_density_cluster_invariants(spark, sf_dir):
+    """Grid-DBSCAN invariants: clusters partition the core cells
+    (Σ n_cells = core-cell count recomputed directly); every cluster id
+    is one of its member cell ids (min encoding); point mass per
+    cluster is at least its cell count × the core threshold implies
+    n_points ≥ n_cells (each core cell holds ≥ 2 points whenever the
+    mean occupied density is ≥ 1); and the corpus produces MORE than
+    one cluster (a degenerate always-adjacent grid would collapse to
+    one and prove nothing)."""
+    rows = EQ._QUERIES_ALL["grid_density_clusters"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = (
+        emb.select(
+            F.floor(F.element_at("embedding", 1).cast("double") * EQ.GRID_SCALE)
+            .cast("bigint").alias("cx"),
+            F.floor(F.element_at("embedding", 2).cast("double") * EQ.GRID_SCALE)
+            .cast("bigint").alias("cy"),
+        )
+        .groupBy("cx", "cy").count()
+    ).collect()
+    n = sum(r["count"] for r in cells)
+    m = len(cells)
+    n_core = sum(
+        1 for r in cells if r["count"] * m >= EQ.GRID_DENSITY_FACTOR * n
+    )
+    assert sum(r["n_cells"] for r in rows) == n_core
+    for r in rows:
+        assert r["n_points"] >= r["n_cells"]
+        assert r["n_cells"] >= 1
+
+
+def test_tokenizer_compare_is_consistent_with_learners(spark, sf_dir):
+    """The bake-off must agree with the learners it applies: both algos
+    report the same corpus (equal total_words and base_symbols); each
+    merge strictly reduces the symbol count by its pair count at
+    selection ≥ 1, so symbols_after < base_symbols for both; and the
+    ratios are proper (0 < compression ≤ 1, tokens_per_word ≥ 1)."""
+    rows = {
+        r["algo"]: r
+        for r in EQ._QUERIES_ALL["tokenizer_compare_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"bpe", "wordpiece"}
+    assert rows["bpe"]["total_words"] == rows["wordpiece"]["total_words"]
+    assert rows["bpe"]["base_symbols"] == rows["wordpiece"]["base_symbols"]
+    assert rows["bpe"]["n_merges"] == EQ.BPE_MERGES
+    assert rows["wordpiece"]["n_merges"] == EQ.WORDPIECE_MERGES
+    for r in rows.values():
+        assert 0 < r["symbols_after"] < r["base_symbols"]
+        assert 0.0 < r["compression_ratio"] <= 1.0
+        assert r["tokens_per_word"] >= 1.0
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
