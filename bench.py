@@ -345,6 +345,7 @@ HEADLINE = [
     "wordpiece_learning",
     "grid_density_clusters",
     "tokenizer_compare_audit",
+    "burrows_delta_stylometry",
 ]
 
 

@@ -22444,6 +22444,129 @@ FROM stats, base
 """
 
 
+DELTA_TOP_WORDS = 15  # Burrows' classic "most frequent words" basis
+DELTA_TOPK = 15       # most-similar source pairs reported
+
+
+def q_burrows_delta_stylometry(spark, sf_dir):
+    """Burrows' Delta stylometry (Burrows 2002) between sources — the
+    authorship/style-drift audit of a multi-source corpus: z-score each
+    source's relative frequency of the corpus's top-{w} words against
+    the across-source mean/std, then Delta(A,B) = mean_w |z_A − z_B|;
+    near-zero Delta between two "different" sources flags duplicated
+    provenance or a shared generator. Reports the {k} most similar
+    pairs.
+
+    Exactness without a lattice: every arithmetic step is IEEE-exact
+    and order-free — relative frequencies are exact-integer-ratio
+    doubles; across-source moments and the per-pair |Δz| sums are
+    DECIMAL(38,18) sums of identical doubles (order-independent); σ is
+    IEEE sqrt (correctly rounded, bit-identical across engines).
+    Scale shape: one corpus scan → (source, word) counts persisted;
+    the top-word basis, the zero-filled |S|×{w} frequency frame, the
+    per-word moments, and the pair join all live on the
+    sources×top-words domain — constant-bounded at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    sw = _track_cached(
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .persist()
+    )
+    top = (
+        sw.groupBy("w")
+        .agg(F.sum("cnt").cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(DELTA_TOP_WORDS)
+        .select("w")
+    )
+    ns = sw.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n_s"))
+    grid = ns.crossJoin(F.broadcast(top))
+    freq = grid.join(sw, ["source", "w"], "left").select(
+        "source",
+        "w",
+        (
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+            / F.col("n_s").cast("double")
+        ).alias("f"),
+    )
+    freq = _track_cached(freq.persist())
+    dec = lambda e: F.sum(e.cast("decimal(38,18)")).cast("double")
+    stats = freq.groupBy("w").agg(
+        F.count("*").cast("double").alias("k"),
+        dec(F.col("f")).alias("sf"),
+        dec(F.col("f") * F.col("f")).alias("sff"),
+    )
+    mu = F.col("sf") / F.col("k")
+    sigma = F.sqrt(F.col("sff") / F.col("k") - mu * mu)
+    z = freq.join(F.broadcast(stats), "w").select(
+        "source", "w", ((F.col("f") - mu) / sigma).alias("z")
+    )
+    a, b = z.alias("a"), z.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.source") < F.col("b.source")),
+    ).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.abs(F.col("a.z") - F.col("b.z")).alias("dz"),
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(
+            F.round(
+                F.sum(F.col("dz").cast("decimal(38,18)")).cast("double")
+                / F.lit(float(DELTA_TOP_WORDS)),
+                6,
+            ).alias("delta")
+        )
+        .orderBy(F.asc("delta"), "src_a", "src_b")
+        .limit(DELTA_TOPK)
+    )
+
+
+SQL_BURROWS_DELTA_STYLOMETRY = f"""
+WITH sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest({TOKENS_SQL}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT w FROM (SELECT w, SUM(cnt) AS c FROM sw GROUP BY w)
+  ORDER BY c DESC, w LIMIT {DELTA_TOP_WORDS}
+),
+ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s FROM sw
+       GROUP BY source),
+freq AS (
+  SELECT ns.source, top.w,
+         CAST(COALESCE(sw.cnt, 0) AS DOUBLE) / CAST(ns.n_s AS DOUBLE) AS f
+  FROM ns CROSS JOIN top
+  LEFT JOIN sw ON sw.source = ns.source AND sw.w = top.w
+),
+stats AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(CAST(f AS DECIMAL(38,18))) AS DOUBLE) AS sf,
+         CAST(SUM(CAST(f * f AS DECIMAL(38,18))) AS DOUBLE) AS sff
+  FROM freq GROUP BY w
+),
+z AS (
+  SELECT source, w,
+         (f - sf / k) / sqrt(sff / k - (sf / k) * (sf / k)) AS z
+  FROM freq JOIN stats USING (w)
+),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, ABS(a.z - b.z) AS dz
+  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+)
+SELECT src_a, src_b,
+       ROUND(CAST(SUM(CAST(dz AS DECIMAL(38,18))) AS DOUBLE)
+             / {float(DELTA_TOP_WORDS)!r}, 6) AS delta
+FROM pairs GROUP BY src_a, src_b
+ORDER BY delta ASC, src_a, src_b LIMIT {DELTA_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -22788,6 +22911,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wordpiece_learning": q_wordpiece_learning,
     "grid_density_clusters": q_grid_density_clusters,
     "tokenizer_compare_audit": q_tokenizer_compare_audit,
+    "burrows_delta_stylometry": q_burrows_delta_stylometry,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -23101,6 +23225,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "wordpiece_learning": SQL_WORDPIECE_LEARNING,
     "grid_density_clusters": SQL_GRID_DENSITY_CLUSTERS,
     "tokenizer_compare_audit": SQL_TOKENIZER_COMPARE_AUDIT,
+    "burrows_delta_stylometry": SQL_BURROWS_DELTA_STYLOMETRY,
 }
 
 
@@ -23614,6 +23739,7 @@ _R11_ADDED: list[str] = [
     "wordpiece_learning",
     "grid_density_clusters",
     "tokenizer_compare_audit",
+    "burrows_delta_stylometry",
 ]
 
 _HEAD = _R11_WINDOW

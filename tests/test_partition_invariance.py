@@ -145,6 +145,7 @@ def _canon(df):
         "wordpiece_learning",       # integer counts, exact div scores
         "grid_density_clusters",    # integer cells, min-label components
         "tokenizer_compare_audit",  # integer merge replay and sums
+        "burrows_delta_stylometry", # IEEE-exact doubles, decimal sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -615,6 +615,26 @@ def test_tokenizer_compare_is_consistent_with_learners(spark, sf_dir):
         assert r["tokens_per_word"] >= 1.0
 
 
+def test_burrows_delta_metric_properties(spark, sf_dir):
+    """Delta is a proper dissimilarity: nonnegative, symmetric by
+    construction (pairs emitted once with src_a < src_b), finite (σ of
+    a top word across sources is never 0 on this corpus — a
+    degenerate basis word would blow the z-scores to inf), and the
+    most-similar list comes back ordered ascending; determinism across
+    a re-run pins the IEEE-exact no-lattice float path."""
+    import math
+
+    rows = EQ._QUERIES_ALL["burrows_delta_stylometry"](spark, sf_dir).collect()
+    assert len(rows) == EQ.DELTA_TOPK
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["delta"] >= 0.0 and math.isfinite(r["delta"])
+    ds = [r["delta"] for r in rows]
+    assert ds == sorted(ds)
+    again = EQ._QUERIES_ALL["burrows_delta_stylometry"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
