@@ -32,6 +32,10 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # the single shared session survives ~900 tests; the default
+        # 1g driver heap eventually OOMs on accumulated plan/cache
+        # metadata (observed once at the 880-test mark)
+        .config("spark.driver.memory", "6g")
         .getOrCreate()
     )
     yield s
