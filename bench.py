@@ -346,6 +346,9 @@ HEADLINE = [
     "grid_density_clusters",
     "tokenizer_compare_audit",
     "burrows_delta_stylometry",
+    "dunning_g2_keyness",
+    "jsd_source_divergence",
+    "rbo_rank_agreement",
 ]
 
 

@@ -22567,6 +22567,367 @@ ORDER BY delta ASC, src_a, src_b LIMIT {DELTA_TOPK}
 """
 
 
+G2_TOPK = 20
+
+
+def q_dunning_g2_keyness(spark, sf_dir):
+    """Dunning log-likelihood keyness (Dunning 1993 — the corpus-
+    linguistics standard for "which words characterize this source"):
+    per (source, word), the G² statistic of the 2×2 contingency (word
+    in source vs word in rest), signed by direction (over- vs
+    under-represented), top-{k} by G². The distribution-free companion
+    of chi_square_lang_source for SMALL expected counts — exactly the
+    regime a multi-source corpus audit lives in.
+
+    Exactness: all four O·ln(O/E) terms have exact-integer-ratio
+    arguments floor-quantized onto the NLL_LATTICE and integer-count
+    weights summed in DECIMAL; zero cells contribute 0 by definition
+    (guarded CASE, not a NaN); the direction test is an integer
+    cross-product. Scale shape: one token explode → one persisted
+    (source, word) aggregate; the G² arithmetic runs on the
+    sources×vocabulary domain; top-k via TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    sw = _track_cached(
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("a"))
+        .persist()
+    )
+    gw = sw.groupBy("w").agg(F.sum("a").cast("bigint").alias("g"))
+    ns = sw.groupBy("source").agg(F.sum("a").cast("bigint").alias("n_s"))
+    tot = ns.agg(F.sum("n_s").cast("bigint").alias("n"))
+    j = (
+        sw.join(gw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    lat = F.lit(float(NLL_LATTICE))
+    dbl = lambda e: e.cast("double")
+
+    def term(obs, row_tot, col_tot):
+        # obs·ln(obs·N / (row_tot·col_tot)), lattice-quantized; 0 if obs=0
+        arg = dbl(obs) * dbl(F.col("n")) / (dbl(row_tot) * dbl(col_tot))
+        l = F.floor(F.log(arg) * lat).cast("bigint")
+        return F.when(
+            obs > 0, obs.cast("decimal(38,0)") * l
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+
+    o11 = F.col("a")
+    o12 = F.col("n_s") - F.col("a")
+    o21 = F.col("g") - F.col("a")
+    o22 = F.col("n") - F.col("n_s") - F.col("g") + F.col("a")
+    g2_lat = (
+        term(o11, F.col("n_s"), F.col("g"))
+        + term(o12, F.col("n_s"), F.col("n") - F.col("g"))
+        + term(o21, F.col("n") - F.col("n_s"), F.col("g"))
+        + term(o22, F.col("n") - F.col("n_s"), F.col("n") - F.col("g"))
+    ).cast("decimal(38,0)")
+    over = (
+        F.col("a").cast("decimal(38,0)") * F.col("n")
+        > F.col("g").cast("decimal(38,0)") * F.col("n_s")
+    )
+    scored = j.select(
+        "source",
+        "w",
+        F.round(2.0 * g2_lat.cast("double") / lat, 6).alias("g2"),
+        F.when(over, "over").otherwise("under").alias("direction"),
+    )
+    return scored.orderBy(F.desc("g2"), "source", "w").limit(G2_TOPK)
+
+
+SQL_DUNNING_G2_KEYNESS = f"""
+WITH sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+  FROM (SELECT source, unnest({TOKENS_SQL}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+gw AS (SELECT w, CAST(SUM(a) AS BIGINT) AS g FROM sw GROUP BY w),
+ns AS (SELECT source, CAST(SUM(a) AS BIGINT) AS n_s FROM sw GROUP BY source),
+tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ns),
+j AS (
+  SELECT source, w, a, g, n_s, n,
+         n_s - a AS o12, g - a AS o21, n - n_s - g + a AS o22
+  FROM sw JOIN gw USING (w) JOIN ns USING (source), tot
+),
+terms AS (
+  SELECT source, w, a, g, n_s, n,
+    (CASE WHEN a > 0 THEN CAST(a AS HUGEINT)
+      * CAST(FLOOR(LN(CAST(a AS DOUBLE) * n / (CAST(n_s AS DOUBLE) * g))
+             * {float(NLL_LATTICE)!r}) AS BIGINT) ELSE 0 END)
+    + (CASE WHEN o12 > 0 THEN CAST(o12 AS HUGEINT)
+      * CAST(FLOOR(LN(CAST(o12 AS DOUBLE) * n
+                      / (CAST(n_s AS DOUBLE) * (n - g)))
+             * {float(NLL_LATTICE)!r}) AS BIGINT) ELSE 0 END)
+    + (CASE WHEN o21 > 0 THEN CAST(o21 AS HUGEINT)
+      * CAST(FLOOR(LN(CAST(o21 AS DOUBLE) * n
+                      / (CAST(n - n_s AS DOUBLE) * g))
+             * {float(NLL_LATTICE)!r}) AS BIGINT) ELSE 0 END)
+    + (CASE WHEN o22 > 0 THEN CAST(o22 AS HUGEINT)
+      * CAST(FLOOR(LN(CAST(o22 AS DOUBLE) * n
+                      / (CAST(n - n_s AS DOUBLE) * (n - g)))
+             * {float(NLL_LATTICE)!r}) AS BIGINT) ELSE 0 END) AS g2_lat
+  FROM j
+)
+SELECT source, w,
+       ROUND(2.0 * CAST(g2_lat AS DOUBLE) / {float(NLL_LATTICE)!r}, 6) AS g2,
+       CASE WHEN CAST(a AS HUGEINT) * n > CAST(g AS HUGEINT) * n_s
+            THEN 'over' ELSE 'under' END AS direction
+FROM terms
+ORDER BY g2 DESC, source, w LIMIT {G2_TOPK}
+"""
+
+
+JSD_TOPK = 15
+
+
+def q_jsd_source_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the SYMMETRIC, bounded companion of
+    unigram_kl_divergence and the distributional cross-check of
+    burrows_delta_stylometry: JS(p,q) = ½Σp·ln(p/m) + ½Σq·ln(q/m)
+    with m the midpoint; near-zero JS between two sources flags
+    duplicated provenance. Reports the {k} most similar pairs.
+
+    Exactness: each ln argument is the exact integer ratio
+    2·a·n_b/(a·n_b + b·n_a) (products cast to double inside the ln —
+    identical expression both engines), floor-quantized onto the
+    NLL_LATTICE, weighted by integer counts into DECIMAL sums; the
+    final value is a ratio of exact integers. Missing words contribute
+    their full ln 2 weight via the same quantized constant. Scale
+    shape: one persisted (source, word) aggregate; the pair join runs
+    on the sources²×vocabulary domain (bounded by |S|²·V, never
+    corpus-sized)."""
+    docs = _docs(spark, sf_dir)
+    sw = _track_cached(
+        docs.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
+    ns = sw.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    swn = sw.join(F.broadcast(ns), "source")
+    a, b = swn.alias("a"), swn.alias("b")
+    # full outer on the word within each source pair: build via the
+    # pair-of-sources grid joined to each side, then merge
+    pairs = (
+        ns.alias("x")
+        .join(ns.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("sa"), F.col("x.n").alias("na"),
+            F.col("y.source").alias("sb"), F.col("y.n").alias("nb"),
+        )
+    )
+    ja = pairs.join(
+        a, (F.col("sa") == F.col("a.source")), "inner"
+    ).select(
+        "sa", "sb", "na", "nb", F.col("a.w").alias("w"),
+        F.col("a.c").alias("ca"),
+    )
+    jb = pairs.join(
+        b, (F.col("sb") == F.col("b.source")), "inner"
+    ).select(
+        "sa", "sb", "na", "nb", F.col("b.w").alias("w"),
+        F.col("b.c").alias("cb"),
+    )
+    grid = ja.join(
+        jb, ["sa", "sb", "na", "nb", "w"], "full_outer"
+    ).select(
+        "sa", "sb", "na", "nb",
+        F.coalesce(F.col("ca"), F.lit(0)).cast("bigint").alias("ca"),
+        F.coalesce(F.col("cb"), F.lit(0)).cast("bigint").alias("cb"),
+    )
+    lat = F.lit(float(NLL_LATTICE))
+    dbl = lambda e: e.cast("double")
+    arg_a = (
+        F.lit(2.0) * dbl(F.col("ca")) * dbl(F.col("nb"))
+        / (dbl(F.col("ca")) * dbl(F.col("nb")) + dbl(F.col("cb")) * dbl(F.col("na")))
+    )
+    arg_b = (
+        F.lit(2.0) * dbl(F.col("cb")) * dbl(F.col("na"))
+        / (dbl(F.col("ca")) * dbl(F.col("nb")) + dbl(F.col("cb")) * dbl(F.col("na")))
+    )
+    la = F.when(
+        F.col("ca") > 0,
+        F.col("ca").cast("decimal(38,0)")
+        * F.floor(F.log(arg_a) * lat).cast("bigint"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    lb = F.when(
+        F.col("cb") > 0,
+        F.col("cb").cast("decimal(38,0)")
+        * F.floor(F.log(arg_b) * lat).cast("bigint"),
+    ).otherwise(F.lit(0).cast("decimal(38,0)"))
+    agg = grid.groupBy("sa", "sb", "na", "nb").agg(
+        F.sum(la).cast("decimal(38,0)").alias("sla"),
+        F.sum(lb).cast("decimal(38,0)").alias("slb"),
+    )
+    jsd = (
+        F.col("sla").cast("double") / (F.col("na").cast("double") * lat)
+        + F.col("slb").cast("double") / (F.col("nb").cast("double") * lat)
+    ) / 2.0
+    return (
+        agg.select(
+            F.col("sa").alias("src_a"), F.col("sb").alias("src_b"),
+            F.round(jsd, 6).alias("jsd"),
+        )
+        .orderBy(F.asc("jsd"), "src_a", "src_b")
+        .limit(JSD_TOPK)
+    )
+
+
+SQL_JSD_SOURCE_DIVERGENCE = f"""
+WITH sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest({TOKENS_SQL}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sw GROUP BY source),
+pairs AS (
+  SELECT x.source AS sa, x.n AS na, y.source AS sb, y.n AS nb
+  FROM ns x JOIN ns y ON x.source < y.source
+),
+ja AS (
+  SELECT p.sa, p.sb, p.na, p.nb, s.w, s.c AS ca
+  FROM pairs p JOIN sw s ON s.source = p.sa
+),
+jb AS (
+  SELECT p.sa, p.sb, p.na, p.nb, s.w, s.c AS cb
+  FROM pairs p JOIN sw s ON s.source = p.sb
+),
+grid AS (
+  SELECT COALESCE(ja.sa, jb.sa) AS sa, COALESCE(ja.sb, jb.sb) AS sb,
+         COALESCE(ja.na, jb.na) AS na, COALESCE(ja.nb, jb.nb) AS nb,
+         COALESCE(ja.ca, 0) AS ca, COALESCE(jb.cb, 0) AS cb
+  FROM ja FULL OUTER JOIN jb
+    ON ja.sa = jb.sa AND ja.sb = jb.sb AND ja.w = jb.w
+),
+agg AS (
+  SELECT sa, sb, na, nb,
+         SUM(CASE WHEN ca > 0 THEN CAST(ca AS HUGEINT)
+             * CAST(FLOOR(LN(2.0 * ca * CAST(nb AS DOUBLE)
+                 / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+               * {float(NLL_LATTICE)!r}) AS BIGINT) ELSE 0 END) AS sla,
+         SUM(CASE WHEN cb > 0 THEN CAST(cb AS HUGEINT)
+             * CAST(FLOOR(LN(2.0 * cb * CAST(na AS DOUBLE)
+                 / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+               * {float(NLL_LATTICE)!r}) AS BIGINT) ELSE 0 END) AS slb
+  FROM grid GROUP BY 1, 2, 3, 4
+)
+SELECT sa AS src_a, sb AS src_b,
+       ROUND((CAST(sla AS DOUBLE) / (CAST(na AS DOUBLE)
+                                     * {float(NLL_LATTICE)!r})
+              + CAST(slb AS DOUBLE) / (CAST(nb AS DOUBLE)
+                                       * {float(NLL_LATTICE)!r})) / 2.0, 6)
+         AS jsd
+FROM agg
+ORDER BY jsd ASC, src_a, src_b LIMIT {JSD_TOPK}
+"""
+
+
+#: RBO persistence p = 9/10, kept rational so every depth weight
+#: (1−p)·p^{d−1} = 9^{d−1}/10^d is an exact integer ratio.
+RBO_P_NUM, RBO_P_DEN = 9, 10
+
+
+def q_rbo_rank_agreement(spark, sf_dir):
+    """Rank-Biased Overlap (Webber et al. 2010) between the engine's
+    two retrieval rankings — bm25_search (probabilistic-relevance,
+    conjunctive) and qlm_dirichlet_search (language-model,
+    disjunctive) on the same query terms: RBO@k = Σ_d X_d·9^{d−1}/
+    (10^d·d) with X_d the prefix-overlap at depth d. The
+    retrieval-consistency audit a search migration reads before
+    swapping ranking functions.
+
+    Exactness: ranks and prefix overlaps are integers; each depth's
+    weight is an exact integer ratio (9^{d−1} and 10^d·d are BIGINT
+    literals baked per depth), each term one identical double,
+    decimal-cast summed (order-free). Scale shape: both rankings are
+    top-k frames (driver-small); everything after them is
+    constant-size arithmetic on ≤k² rows."""
+    k = min(BM25_TOPK, QLM_TOPK)
+    bm = q_bm25_search(spark, sf_dir)
+    ql = q_qlm_dirichlet_search(spark, sf_dir)
+    # rank re-derived from the VALUES (score desc, doc_id) — never from
+    # physical row order, which a re-computed plan need not preserve
+    ra = bm.withColumn(
+        "ra",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).where(F.col("ra") <= k).select("doc_id", "ra")
+    rb = ql.withColumn(
+        "rb",
+        F.row_number().over(
+            Window.orderBy(F.desc("qlm_score"), F.asc("doc_id"))
+        ),
+    ).where(F.col("rb") <= k).select("doc_id", "rb")
+    joint = ra.join(rb, "doc_id").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("m")
+    )
+    depths = joint.select(
+        F.explode(F.sequence(F.col("m"), F.lit(k))).alias("d")
+    ).groupBy("d").agg(F.count("*").cast("bigint").alias("x"))
+    weights = spark.createDataFrame(
+        [
+            (d, RBO_P_NUM ** (d - 1), (RBO_P_DEN ** d) * d)
+            for d in range(1, k + 1)
+        ],
+        "d INT, wn BIGINT, wd BIGINT",
+    )
+    terms = depths.join(F.broadcast(weights), "d").select(
+        (
+            (F.col("x") * F.col("wn")).cast("double")
+            / F.col("wd").cast("double")
+        ).cast("decimal(38,18)").alias("t"),
+        "x", "d",
+    )
+    return terms.agg(
+        F.lit(k).cast("bigint").alias("depth"),
+        F.max(F.when(F.col("d") == k, F.col("x"))).cast("bigint").alias(
+            "overlap_at_k"
+        ),
+        F.round(F.sum("t").cast("double"), 6).alias("rbo"),
+    )
+
+
+def _rbo_sql() -> str:
+    k = min(BM25_TOPK, QLM_TOPK)
+    weights = ", ".join(
+        f"({d}, {RBO_P_NUM ** (d - 1)}, {(RBO_P_DEN ** d) * d})"
+        for d in range(1, k + 1)
+    )
+    return f"""
+WITH bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+  FROM ({SQL_BM25_SEARCH}) t
+),
+ql AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY qlm_score DESC, doc_id) AS rb
+  FROM ({SQL_QLM_DIRICHLET_SEARCH}) t
+),
+joint AS (
+  SELECT GREATEST(ra, rb) AS m FROM bm JOIN ql USING (doc_id)
+),
+depths AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS x
+  FROM joint, unnest(range(m, {k} + 1)) AS u(d)
+  GROUP BY d
+),
+weights(d, wn, wd) AS (VALUES {weights}),
+terms AS (
+  SELECT CAST(CAST(x * wn AS DOUBLE) / CAST(wd AS DOUBLE)
+              AS DECIMAL(38,18)) AS t, x, d
+  FROM depths JOIN weights USING (d)
+)
+SELECT CAST({k} AS BIGINT) AS depth,
+       CAST(MAX(CASE WHEN d = {k} THEN x END) AS BIGINT) AS overlap_at_k,
+       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS rbo
+FROM terms
+"""
+
+
+SQL_RBO_RANK_AGREEMENT = _rbo_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -22912,6 +23273,9 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_density_clusters": q_grid_density_clusters,
     "tokenizer_compare_audit": q_tokenizer_compare_audit,
     "burrows_delta_stylometry": q_burrows_delta_stylometry,
+    "dunning_g2_keyness": q_dunning_g2_keyness,
+    "jsd_source_divergence": q_jsd_source_divergence,
+    "rbo_rank_agreement": q_rbo_rank_agreement,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -23226,6 +23590,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "grid_density_clusters": SQL_GRID_DENSITY_CLUSTERS,
     "tokenizer_compare_audit": SQL_TOKENIZER_COMPARE_AUDIT,
     "burrows_delta_stylometry": SQL_BURROWS_DELTA_STYLOMETRY,
+    "dunning_g2_keyness": SQL_DUNNING_G2_KEYNESS,
+    "jsd_source_divergence": SQL_JSD_SOURCE_DIVERGENCE,
+    "rbo_rank_agreement": SQL_RBO_RANK_AGREEMENT,
 }
 
 
@@ -23740,6 +24107,9 @@ _R11_ADDED: list[str] = [
     "grid_density_clusters",
     "tokenizer_compare_audit",
     "burrows_delta_stylometry",
+    "dunning_g2_keyness",
+    "jsd_source_divergence",
+    "rbo_rank_agreement",
 ]
 
 _HEAD = _R11_WINDOW

@@ -83,6 +83,11 @@ TRANSCENDENTAL_REGISTRY: dict[str, str] = {
     "qlm_dirichlet_search": "lattice",  # per-(tf,cf) + per-dl floor(ln·1e9)
     "doremi_domain_weights": "lattice",  # per-word KL terms + per-source exp
     "fellegi_sunter_linkage": "lattice",  # six per-field weight constants
+    "dunning_g2_keyness": "lattice",  # four O·ln(O/E) lattice terms
+    "jsd_source_divergence": "lattice",  # per-(pair,word) midpoint lns
+    # rbo's transcendental lineage is bm25's rounded score (already
+    # margin-checked there); ranks re-derive from the rounded values
+    "rbo_rank_agreement": "legacy-margin",
     # legacy rounded-transcendental surfaces (pre-r11 conventions)
     "doc_char_entropy": "legacy-margin",
     "pmi_collocations": "legacy-margin",
@@ -388,6 +393,71 @@ def test_fellegi_sunter_lattice_margins(con):
         vals.append(math.log((1.0 - m) * (npairs + 2.0) / (npairs - af + 1.0)))
     _assert_lattice_margins(
         "fellegi_sunter_linkage", np.asarray(vals) * LAT
+    )
+
+
+def test_dunning_and_jsd_lattice_margins(con):
+    """The wave-7 keyness/divergence floor arguments: Dunning G²'s four
+    O·ln(O·N/(row·col)) terms over the (source, word) contingency and
+    JSD's midpoint-ratio lns over the (source-pair, word) grid."""
+    df = con.sql(
+        f"""
+        WITH sw AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a
+          FROM (SELECT source, unnest({EQ.TOKENS_SQL}) AS w FROM documents)
+          GROUP BY 1, 2
+        ),
+        gw AS (SELECT w, SUM(a) AS g FROM sw GROUP BY w),
+        ns AS (SELECT source, SUM(a) AS n_s FROM sw GROUP BY source),
+        tot AS (SELECT SUM(n_s) AS n FROM ns)
+        SELECT CAST(a AS BIGINT) AS a, CAST(g AS BIGINT) AS g,
+               CAST(n_s AS BIGINT) AS n_s, CAST(n AS BIGINT) AS n
+        FROM sw JOIN gw USING (w) JOIN ns USING (source), tot
+        """
+    ).df()
+    a = df["a"].to_numpy(dtype=np.float64)
+    g = df["g"].to_numpy(dtype=np.float64)
+    ns_ = df["n_s"].to_numpy(dtype=np.float64)
+    n = df["n"].to_numpy(dtype=np.float64)
+    args = []
+    for obs, rt, ct in (
+        (a, ns_, g),
+        (ns_ - a, ns_, n - g),
+        (g - a, n - ns_, g),
+        (n - ns_ - g + a, n - ns_, n - g),
+    ):
+        mask = obs > 0
+        args.append(np.log(obs[mask] * n[mask] / (rt[mask] * ct[mask])))
+    _assert_lattice_margins(
+        "dunning_g2_keyness", np.concatenate(args) * LAT
+    )
+    # jsd: midpoint ratios over every source pair sharing a word
+    df2 = con.sql(
+        f"""
+        WITH sw AS (
+          SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT source, unnest({EQ.TOKENS_SQL}) AS w FROM documents)
+          GROUP BY 1, 2
+        ),
+        ns AS (SELECT source, SUM(c) AS n FROM sw GROUP BY source)
+        SELECT a.c AS ca, CAST(x.n AS BIGINT) AS na,
+               COALESCE(b.c, 0) AS cb, CAST(y.n AS BIGINT) AS nb
+        FROM sw a JOIN ns x ON x.source = a.source
+        JOIN ns y ON y.source > a.source
+        LEFT JOIN sw b ON b.source = y.source AND b.w = a.w
+        """
+    ).df()
+    ca = df2["ca"].to_numpy(dtype=np.float64)
+    cb = df2["cb"].to_numpy(dtype=np.float64)
+    na = df2["na"].to_numpy(dtype=np.float64)
+    nb = df2["nb"].to_numpy(dtype=np.float64)
+    den = ca * nb + cb * na
+    m1 = ca > 0
+    argl = np.log(2.0 * ca[m1] * nb[m1] / den[m1])
+    m2 = cb > 0
+    argr = np.log(2.0 * cb[m2] * na[m2] / den[m2])
+    _assert_lattice_margins(
+        "jsd_source_divergence", np.concatenate([argl, argr]) * LAT
     )
 
 

