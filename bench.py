@@ -349,6 +349,8 @@ HEADLINE = [
     "dunning_g2_keyness",
     "jsd_source_divergence",
     "rbo_rank_agreement",
+    "adamic_adar_linkpred",
+    "degree_distribution_audit",
 ]
 
 

@@ -22928,6 +22928,221 @@ FROM terms
 SQL_RBO_RANK_AGREEMENT = _rbo_sql()
 
 
+AA_TOPK = 20
+
+
+def q_adamic_adar_linkpred(spark, sf_dir):
+    """Adamic-Adar link prediction on the co-purchase graph (Adamic &
+    Adar 2003 — the classic common-neighbor score, rare shared
+    neighbors weighted higher): for every NON-adjacent user pair with
+    ≥1 common neighbor, AA(a,b) = Σ_{z∈Γ(a)∩Γ(b)} 1/ln(deg z); top-{k}
+    predicted links. Completes the graph family's missing category
+    (components, PageRank, triangles, BFS, communities → link
+    prediction).
+
+    Exactness: each common neighbor contributes the ONE lattice value
+    floor(1e9/ln(deg_z)) — deg_z ≥ 2 by construction (z sees both
+    endpoints), so ln > 0; sums are BIGINT; the argmax order is
+    (aa DESC, id_a, id_b). Scale shape: the wedge plan —
+    bidirectional edge list joined to itself through the center z
+    (fan-out bounded by degree), minus existing edges via one
+    left-anti join; degree is one aggregate; everything shuffles on
+    node keys, never a users² product."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    bidir = e.union(e.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
+    deg = bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
+    lat = F.lit(float(NLL_LATTICE))
+    # only deg ≥ 2 nodes can be a common neighbor (z sees both a and
+    # b), and the filter also keeps ln(deg) > 0 under ANSI division
+    w = deg.where(F.col("deg") >= 2).select(
+        F.col("src").alias("z"),
+        F.floor(lat / F.log(F.col("deg").cast("double")))
+        .cast("bigint")
+        .alias("wz"),
+    )
+    za = bidir.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    zb = bidir.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wedges = za.join(zb, "z").where(F.col("a") < F.col("b"))
+    scored = (
+        wedges.join(F.broadcast(w), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.sum("wz").cast("bigint").alias("aa_lat"),
+            F.count("*").cast("bigint").alias("common_neighbors"),
+        )
+    )
+    non_edges = scored.join(
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        non_edges.select(
+            F.col("a").cast("bigint").alias("id_a"),
+            F.col("b").cast("bigint").alias("id_b"),
+            "common_neighbors",
+            F.round(F.col("aa_lat").cast("double") / lat, 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "id_a", "id_b")
+        .limit(AA_TOPK)
+    )
+
+
+SQL_ADAMIC_ADAR_LINKPRED = f"""
+WITH {_COPURCHASE_EDGES_CTE},
+bidir AS (
+  SELECT id_a AS src, id_b AS dst FROM e
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM e
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY src),
+w AS (
+  SELECT src AS z,
+         CAST(FLOOR({float(NLL_LATTICE)!r} / LN(CAST(deg AS DOUBLE)))
+              AS BIGINT) AS wz
+  FROM deg WHERE deg >= 2
+),
+wedges AS (
+  SELECT za.dst AS a, zb.dst AS b, za.src AS z
+  FROM bidir za JOIN bidir zb ON za.src = zb.src AND za.dst < zb.dst
+),
+scored AS (
+  SELECT a, b, CAST(SUM(wz) AS BIGINT) AS aa_lat,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM wedges JOIN w USING (z)
+  GROUP BY a, b
+),
+non_edges AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN e ON e.id_a = s.a AND e.id_b = s.b
+  WHERE e.id_a IS NULL
+)
+SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+       common_neighbors,
+       ROUND(CAST(aa_lat AS DOUBLE) / {float(NLL_LATTICE)!r}, 6) AS aa_score
+FROM non_edges
+ORDER BY aa_score DESC, id_a, id_b LIMIT {AA_TOPK}
+"""
+
+
+def q_degree_distribution_audit(spark, sf_dir):
+    """Degree-distribution audit of the co-purchase graph: the degree
+    histogram's log-log CCDF slope (heavy-tail exponent — the graph
+    twin of zipf_slope; a slope near 0 or a truncated tail flags a
+    synthetic or clipped interaction graph) plus the summary moments a
+    capacity plan reads (max degree, mean degree, P(deg=1)).
+
+    Exactness: degrees and histogram counts are integers; the OLS
+    points are floor-quantized lattice logs per DISTINCT degree
+    (degree-domain knife edges, the heaps_law_fit convention); moments
+    are exact integer ratios. Scale shape: one edge scan → one degree
+    aggregate → one histogram aggregate; the OLS runs on the distinct-
+    degree domain."""
+    edges = _copurchase_edges(spark, sf_dir)
+    e = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    bidir = e.union(e.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
+    deg = bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    hist = _track_cached(
+        deg.groupBy("d").agg(F.count("*").cast("bigint").alias("cnt")).persist()
+    )
+    tot = hist.agg(
+        F.sum("cnt").cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * F.col("cnt")).cast("bigint").alias("sum_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+        F.sum(F.when(F.col("d") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_deg1"),
+    )
+    # CCDF: nodes with degree ≥ d, via the two-phase prefix sum over
+    # the DISTINCT-degree domain (descending)
+    from .operators.scaling import stable_prefix_sum
+
+    pre = stable_prefix_sum(
+        hist.withColumn("negd", -F.col("d")),
+        order_cols=["negd"], value_col="cnt", group_cols=[],
+        out_col="above",
+    ).select("d", (F.col("above") + F.col("cnt")).alias("ccdf_cnt"))
+    lat = F.lit(float(NLL_LATTICE))
+    x = F.floor(F.log(F.col("d").cast("double")) * lat).cast("bigint").cast(
+        "double"
+    ) / lat
+    y = F.floor(F.log(F.col("ccdf_cnt").cast("double")) * lat).cast(
+        "bigint"
+    ).cast("double") / lat
+    pts = pre.where(F.col("d") >= 1).select(x.alias("x"), y.alias("y"))
+    dec = lambda col: F.sum(col.cast("decimal(38,18)")).cast("double")
+    ols = pts.agg(
+        F.count("*").cast("double").alias("k"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return ols.crossJoin(F.broadcast(tot)).select(
+        "n_nodes",
+        "max_deg",
+        F.round(
+            F.col("sum_deg").cast("double") / F.col("n_nodes").cast("double"),
+            6,
+        ).alias("mean_deg"),
+        F.round(
+            F.col("n_deg1").cast("double") / F.col("n_nodes").cast("double"),
+            6,
+        ).alias("deg1_share"),
+        F.round(slope, 6).alias("ccdf_slope"),
+    )
+
+
+SQL_DEGREE_DISTRIBUTION_AUDIT = f"""
+WITH {_COPURCHASE_EDGES_CTE},
+bidir AS (
+  SELECT id_a AS src, id_b AS dst FROM e
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM e
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM bidir GROUP BY src),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY d),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_nodes,
+         CAST(SUM(d * cnt) AS BIGINT) AS sum_deg,
+         CAST(MAX(d) AS BIGINT) AS max_deg,
+         CAST(SUM(CASE WHEN d = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_deg1
+  FROM hist
+),
+pre AS (
+  SELECT d, SUM(cnt) OVER (ORDER BY d DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccdf_cnt
+  FROM hist
+),
+pts AS (
+  SELECT CAST(FLOOR(LN(CAST(d AS DOUBLE)) * {float(NLL_LATTICE)!r})
+              AS BIGINT) / {float(NLL_LATTICE)!r} AS x,
+         CAST(FLOOR(LN(CAST(ccdf_cnt AS DOUBLE)) * {float(NLL_LATTICE)!r})
+              AS BIGINT) / {float(NLL_LATTICE)!r} AS y
+  FROM pre WHERE d >= 1
+),
+ols AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT n_nodes, max_deg,
+       ROUND(CAST(sum_deg AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+         AS mean_deg,
+       ROUND(CAST(n_deg1 AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+         AS deg1_share,
+       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS ccdf_slope
+FROM ols, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -23276,6 +23491,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dunning_g2_keyness": q_dunning_g2_keyness,
     "jsd_source_divergence": q_jsd_source_divergence,
     "rbo_rank_agreement": q_rbo_rank_agreement,
+    "adamic_adar_linkpred": q_adamic_adar_linkpred,
+    "degree_distribution_audit": q_degree_distribution_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -23593,6 +23810,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "dunning_g2_keyness": SQL_DUNNING_G2_KEYNESS,
     "jsd_source_divergence": SQL_JSD_SOURCE_DIVERGENCE,
     "rbo_rank_agreement": SQL_RBO_RANK_AGREEMENT,
+    "adamic_adar_linkpred": SQL_ADAMIC_ADAR_LINKPRED,
+    "degree_distribution_audit": SQL_DEGREE_DISTRIBUTION_AUDIT,
 }
 
 
@@ -24110,6 +24329,8 @@ _R11_ADDED: list[str] = [
     "dunning_g2_keyness",
     "jsd_source_divergence",
     "rbo_rank_agreement",
+    "adamic_adar_linkpred",
+    "degree_distribution_audit",
 ]
 
 _HEAD = _R11_WINDOW

@@ -88,6 +88,8 @@ TRANSCENDENTAL_REGISTRY: dict[str, str] = {
     # rbo's transcendental lineage is bm25's rounded score (already
     # margin-checked there); ranks re-derive from the rounded values
     "rbo_rank_agreement": "legacy-margin",
+    "adamic_adar_linkpred": "lattice",  # per-degree floor(1e9/ln deg)
+    "degree_distribution_audit": "lattice",  # degree-domain log points
     # legacy rounded-transcendental surfaces (pre-r11 conventions)
     "doc_char_entropy": "legacy-margin",
     "pmi_collocations": "legacy-margin",

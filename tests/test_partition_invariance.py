@@ -149,6 +149,8 @@ def _canon(df):
         "dunning_g2_keyness",       # lattice contingency terms
         "jsd_source_divergence",    # lattice midpoint terms
         "rbo_rank_agreement",       # integer overlaps, exact weights
+        "adamic_adar_linkpred",     # lattice degree weights, int sums
+        "degree_distribution_audit",# integer histogram, lattice OLS
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

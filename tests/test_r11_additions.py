@@ -710,6 +710,48 @@ def test_rbo_bounds_and_consistency(spark, sf_dir):
         assert 0.0 <= row["rbo"] <= max_rbo + 1e-6
 
 
+def test_adamic_adar_predicts_only_non_edges(spark, sf_dir):
+    """AA invariants: every predicted pair is canonical (id_a < id_b)
+    and NOT an existing edge (checked directly against the edge list);
+    scores are positive and ordered; and the score is bounded above by
+    common_neighbors / ln 2 (each neighbor contributes at most
+    1/ln 2)."""
+    import math
+
+    rows = EQ._QUERIES_ALL["adamic_adar_linkpred"](spark, sf_dir).collect()
+    assert rows
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in EQ._copurchase_edges(spark, sf_dir).collect()
+    }
+    scores = [r["aa_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) not in edges
+        assert r["common_neighbors"] >= 1
+        assert 0.0 < r["aa_score"] <= r["common_neighbors"] / math.log(2.0) + 1e-6
+
+
+def test_degree_distribution_audit_moments(spark, sf_dir):
+    """The audit's moments must match a direct recount of the
+    bidirectional degree table, and the CCDF slope of a heavy-ish
+    tail is negative (CCDF decreases in degree by definition)."""
+    row = EQ._QUERIES_ALL["degree_distribution_audit"](spark, sf_dir).head()
+    from pyspark.sql import functions as F
+
+    edges = EQ._copurchase_edges(spark, sf_dir)
+    bidir = edges.selectExpr("id_a AS s", "id_b AS d").union(
+        edges.selectExpr("id_b AS s", "id_a AS d")
+    )
+    deg = bidir.groupBy("s").count().collect()
+    n = len(deg)
+    assert row["n_nodes"] == n
+    assert row["max_deg"] == max(r["count"] for r in deg)
+    assert abs(row["mean_deg"] - sum(r["count"] for r in deg) / n) < 1e-5
+    assert row["ccdf_slope"] < 0.0
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
