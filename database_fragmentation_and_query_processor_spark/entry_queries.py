@@ -21392,9 +21392,9 @@ def q_kcenter_coreset(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
-    seed = pts.where(F.col("vec_id") == 0).select("qe").head()["qe"]
-    centers = [list(seed)]
-    picks = [(1, 0, 0)]
+    seed_row = pts.orderBy(F.asc("vec_id")).limit(1).head()
+    centers = [list(seed_row["qe"])]
+    picks = [(1, int(seed_row["vec_id"]), 0)]
     for k in range(2, KCENTER_PICKS + 1):
         dists = [dist_to(c) for c in centers]
         md = F.least(*dists) if len(dists) > 1 else dists[0]
@@ -21430,7 +21430,8 @@ def _kcenter_sql() -> str:
 )""",
         f"""m1 AS (
   SELECT p.vec_id, {dist('p.qe', 'c.qe')} AS md
-  FROM q p CROSS JOIN (SELECT qe FROM q WHERE vec_id = 0) c
+  FROM q p CROSS JOIN (SELECT qe FROM q
+                       WHERE vec_id = (SELECT MIN(vec_id) FROM q)) c
 )""",
         "p1 AS (SELECT vec_id, md FROM m1 ORDER BY md DESC, vec_id LIMIT 1)",
     ]
@@ -21447,7 +21448,8 @@ def _kcenter_sql() -> str:
         )
     selects = [
         "SELECT CAST(1 AS BIGINT) AS pick_order, "
-        "CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS dist_sq"
+        "(SELECT CAST(MIN(vec_id) AS BIGINT) FROM q) AS vec_id, "
+        "CAST(0 AS BIGINT) AS dist_sq"
     ]
     for k in range(1, KCENTER_PICKS):
         selects.append(
@@ -21903,6 +21905,12 @@ def q_coverage_greedy_selection(spark, sf_dir):
             .limit(1)
             .head()
         )
+        if row is None:
+            # coverage exhausted: the oracle's p{k} is empty, so its
+            # scalar subqueries emit (k, NULL, NULL, covered_total) —
+            # mirror that exactly
+            picks.append((k, None, None, cov_total))
+            continue
         gain = int(row["c"])
         cov_total += gain
         picks.append((k, int(row["doc_id"]), gain, cov_total))
@@ -22205,7 +22213,10 @@ def q_grid_density_clusters(spark, sf_dir):
     ).select(
         F.col("a.cell_id").alias("id_a"), F.col("b.cell_id").alias("id_b")
     )
-    cc = connected_components(edges)
+    # cell chains on a fine grid can exceed the default 20-round cap;
+    # the oracle's recursive closure is exact, so match it (the loop
+    # still exits early on convergence — clusters are few rounds deep)
+    cc = connected_components(edges, max_iter=256)
     isolated = core.join(
         cc.select(F.col("node").alias("cell_id")), "cell_id", "left_anti"
     ).select(F.col("cell_id").alias("node"), F.col("cell_id").alias("label"))
@@ -22321,10 +22332,11 @@ def _tokenizer_chain_sql(prefix: str, k: int, scored: bool) -> str:
             )
         parts.append(
             f"{q}w{i} AS MATERIALIZED (SELECT replace(s,"
-            f" ' ' || (SELECT s1 FROM {q}b{i}) || '  ' ||"
-            f" (SELECT s2 FROM {q}b{i}) || ' ',"
-            f" ' ' || (SELECT s1 FROM {q}b{i}) ||"
-            f" (SELECT s2 FROM {q}b{i}) || ' ') AS s, freq FROM {q}w{p})"
+            f" COALESCE(' ' || (SELECT s1 FROM {q}b{i}) || '  ' ||"
+            f" (SELECT s2 FROM {q}b{i}) || ' ', chr(1)),"
+            f" COALESCE(' ' || (SELECT s1 FROM {q}b{i}) ||"
+            f" (SELECT s2 FROM {q}b{i}) || ' ', '')) AS s,"
+            f" freq FROM {q}w{p})"
         )
     return ", ".join(parts)
 
@@ -22414,6 +22426,15 @@ def q_tokenizer_compare_audit(spark, sf_dir):
     )
 
 
+#: merges that actually happened per chain (an exhausted step's b{i}
+#: is empty) — must match the Spark side's len(merges)
+_BPE_STEP_COUNT_SQL = " + ".join(
+    f"(SELECT COUNT(*) FROM bpb{i})" for i in range(1, BPE_MERGES + 1)
+)
+_WP_STEP_COUNT_SQL = " + ".join(
+    f"(SELECT COUNT(*) FROM wpb{i})" for i in range(1, WORDPIECE_MERGES + 1)
+)
+
 SQL_TOKENIZER_COMPARE_AUDIT = f"""
 WITH toks AS (SELECT {TOKENS_SQL} AS t FROM documents),
 wf AS (SELECT w, COUNT(*) AS freq FROM
@@ -22421,13 +22442,14 @@ wf AS (SELECT w, COUNT(*) AS freq FROM
 {_tokenizer_chain_sql('bp', BPE_MERGES, scored=False)},
 {_tokenizer_chain_sql('wp', WORDPIECE_MERGES, scored=True)},
 stats AS (
-  SELECT 'bpe' AS algo, CAST({BPE_MERGES} AS BIGINT) AS n_merges,
+  SELECT 'bpe' AS algo,
+         CAST({_BPE_STEP_COUNT_SQL} AS BIGINT) AS n_merges,
          CAST(SUM(freq) AS BIGINT) AS total_words,
          CAST(SUM(freq * len(string_split(trim(s, ' '), '  ')))
               AS BIGINT) AS symbols_after
   FROM bpw{BPE_MERGES}
   UNION ALL
-  SELECT 'wordpiece', CAST({WORDPIECE_MERGES} AS BIGINT),
+  SELECT 'wordpiece', CAST({_WP_STEP_COUNT_SQL} AS BIGINT),
          CAST(SUM(freq) AS BIGINT),
          CAST(SUM(freq * len(string_split(trim(s, ' '), '  '))) AS BIGINT)
   FROM wpw{WORDPIECE_MERGES}
@@ -22498,7 +22520,13 @@ def q_burrows_delta_stylometry(spark, sf_dir):
         dec(F.col("f") * F.col("f")).alias("sff"),
     )
     mu = F.col("sf") / F.col("k")
-    sigma = F.sqrt(F.col("sff") / F.col("k") - mu * mu)
+    # clamp: decimal-summed sff/k and mu² can cancel to a tiny negative
+    # (DuckDB's sqrt RAISES on negatives while Spark returns NaN);
+    # zero-variance words carry no style signal and would divide by 0,
+    # so they leave the basis in BOTH engines identically
+    var = F.greatest(F.col("sff") / F.col("k") - mu * mu, F.lit(0.0))
+    stats = stats.withColumn("var", var).where(F.col("var") > 0.0)
+    sigma = F.sqrt(F.col("var"))
     z = freq.join(F.broadcast(stats), "w").select(
         "source", "w", ((F.col("f") - mu) / sigma).alias("z")
     )
@@ -22517,7 +22545,7 @@ def q_burrows_delta_stylometry(spark, sf_dir):
         .agg(
             F.round(
                 F.sum(F.col("dz").cast("decimal(38,18)")).cast("double")
-                / F.lit(float(DELTA_TOP_WORDS)),
+                / F.count("*").cast("double"),
                 6,
             ).alias("delta")
         )
@@ -22545,14 +22573,17 @@ freq AS (
   LEFT JOIN sw ON sw.source = ns.source AND sw.w = top.w
 ),
 stats AS (
-  SELECT w, CAST(COUNT(*) AS DOUBLE) AS k,
-         CAST(SUM(CAST(f AS DECIMAL(38,18))) AS DOUBLE) AS sf,
-         CAST(SUM(CAST(f * f AS DECIMAL(38,18))) AS DOUBLE) AS sff
-  FROM freq GROUP BY w
+  SELECT w, k, sf, sff,
+         GREATEST(sff / k - (sf / k) * (sf / k), 0.0) AS var
+  FROM (
+    SELECT w, CAST(COUNT(*) AS DOUBLE) AS k,
+           CAST(SUM(CAST(f AS DECIMAL(38,18))) AS DOUBLE) AS sf,
+           CAST(SUM(CAST(f * f AS DECIMAL(38,18))) AS DOUBLE) AS sff
+    FROM freq GROUP BY w
+  ) WHERE GREATEST(sff / k - (sf / k) * (sf / k), 0.0) > 0.0
 ),
 z AS (
-  SELECT source, w,
-         (f - sf / k) / sqrt(sff / k - (sf / k) * (sf / k)) AS z
+  SELECT source, w, (f - sf / k) / sqrt(var) AS z
   FROM freq JOIN stats USING (w)
 ),
 pairs AS (
@@ -22561,7 +22592,7 @@ pairs AS (
 )
 SELECT src_a, src_b,
        ROUND(CAST(SUM(CAST(dz AS DECIMAL(38,18))) AS DOUBLE)
-             / {float(DELTA_TOP_WORDS)!r}, 6) AS delta
+             / CAST(COUNT(*) AS DOUBLE), 6) AS delta
 FROM pairs GROUP BY src_a, src_b
 ORDER BY delta ASC, src_a, src_b LIMIT {DELTA_TOPK}
 """
@@ -22948,9 +22979,11 @@ def q_adamic_adar_linkpred(spark, sf_dir):
     (fan-out bounded by degree), minus existing edges via one
     left-anti join; degree is one aggregate; everything shuffles on
     node keys, never a users² product."""
+    from .operators.graph import bidirectional
+
     edges = _copurchase_edges(spark, sf_dir)
     e = edges.select("id_a", "id_b").localCheckpoint(eager=True)
-    bidir = e.union(e.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
+    bidir = bidirectional(e).toDF("src", "dst")
     deg = bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
     lat = F.lit(float(NLL_LATTICE))
     # only deg ≥ 2 nodes can be a common neighbor (z sees both a and
@@ -23039,9 +23072,10 @@ def q_degree_distribution_audit(spark, sf_dir):
     are exact integer ratios. Scale shape: one edge scan → one degree
     aggregate → one histogram aggregate; the OLS runs on the distinct-
     degree domain."""
+    from .operators.graph import bidirectional
+
     edges = _copurchase_edges(spark, sf_dir)
-    e = edges.select("id_a", "id_b").localCheckpoint(eager=True)
-    bidir = e.union(e.select(F.col("id_b"), F.col("id_a"))).toDF("src", "dst")
+    bidir = bidirectional(edges).toDF("src", "dst")
     deg = bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
     hist = _track_cached(
         deg.groupBy("d").agg(F.count("*").cast("bigint").alias("cnt")).persist()

@@ -27,6 +27,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def bidirectional(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Canonical (e_src, e_dst) bidirectional mirror of an undirected
+    pair list, materialized before the double reference (an
+    unmaterialized edge plan — e.g. a whole MinHash-LSH pipeline —
+    would otherwise execute once per reference) and checkpointed so
+    iterative callers start from truncated lineage. Shared by every
+    graph operator; keep edge-materialization fixes HERE, not in the
+    callers."""
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
+    return (
+        e.union(e.select(F.col("e_dst"), F.col("e_src")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -36,17 +56,7 @@ def connected_components(
     """(node, label) for every node in ``edges``; label = min node id
     reachable — i.e. the component's canonical id. Deterministic for
     any edge order."""
-    # materialize the edge list ONCE before mirroring: the union below
-    # references ``edges`` twice, and an unmaterialized edge plan (e.g.
-    # the whole MinHash-LSH pipeline) would execute per reference
-    edges = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint(eager=True)
-    bidir = (
-        edges.union(edges.select(F.col("e_dst"), F.col("e_src")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    bidir = bidirectional(edges, src, dst)
     labels = (
         bidir.select(F.col("e_src").alias("node"))
         .distinct()
@@ -115,11 +125,7 @@ def pagerank_integer(
     node — the GraphX/Pregel plan expressed relationally. Lineage is
     truncated per round (localCheckpoint), so the plan stays
     constant-size at any iteration count. Degree is computed once."""
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint(eager=True)
-    bidir = e.union(e.select(F.col("e_dst"), F.col("e_src"))).distinct()
-    bidir = bidir.localCheckpoint(eager=True)
+    bidir = bidirectional(edges, src, dst)
     deg = bidir.groupBy("e_src").agg(F.count("*").alias("deg"))
     # rank table: (node, rank); start uniform at `scale`
     ranks = deg.select(
@@ -166,14 +172,7 @@ def bfs_hops(
     that makes relational BFS viable on a 100 TB edge list. Lineage is
     truncated per round (localCheckpoint), and the loop exits early on
     an empty frontier."""
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint(eager=True)
-    bidir = (
-        e.union(e.select(F.col("e_dst"), F.col("e_src")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    bidir = bidirectional(edges, src, dst)
     settled = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
@@ -254,14 +253,7 @@ def label_propagation(
     visit order). Scale design: each round is one edge⋈label join
     (shuffle on node id) plus one (node, label) count — the Pregel plan
     relationally, like pagerank_integer; lineage truncated per round."""
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint(eager=True)
-    bidir = (
-        e.union(e.select(F.col("e_dst"), F.col("e_src")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    bidir = bidirectional(edges, src, dst)
     labels = bidir.select(F.col("e_src").alias("node")).distinct().select(
         "node", F.col("node").cast("bigint").alias("label")
     ).localCheckpoint(eager=True)
