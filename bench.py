@@ -351,6 +351,8 @@ HEADLINE = [
     "rbo_rank_agreement",
     "adamic_adar_linkpred",
     "degree_distribution_audit",
+    "rrf_fusion_topk",
+    "association_rules_lift",
 ]
 
 

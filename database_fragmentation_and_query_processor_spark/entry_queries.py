@@ -23177,6 +23177,199 @@ FROM ols, tot
 """
 
 
+RRF_K = 60        # the standard reciprocal-rank-fusion constant
+RRF_TOPK = 10
+
+
+def q_rrf_fusion_topk(spark, sf_dir):
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    hybrid-search combiner) of the engine's two retrieval rankings:
+    RRF(d) = Σ_systems 1/(K + rank_d), summed over bm25_search and
+    qlm_dirichlet_search; a doc absent from one ranking just
+    contributes that system's 0. The ACTIONABLE companion of
+    rbo_rank_agreement: RBO measures how much the rankings agree, RRF
+    is what you ship when they usefully disagree.
+
+    Exactness: ranks are integers re-derived from (score DESC, doc_id);
+    each reciprocal is one IEEE division of integer-valued doubles
+    (deterministic, identical expression both engines) and the 2-term
+    sum has a fixed evaluation order — no lattice needed. Scale shape:
+    both rankings are top-k frames; fusion is a full-outer join and a
+    TakeOrdered on ≤2k rows."""
+    k = min(BM25_TOPK, QLM_TOPK)
+    bm = q_bm25_search(spark, sf_dir)
+    ql = q_qlm_dirichlet_search(spark, sf_dir)
+    ra = bm.withColumn(
+        "ra",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).where(F.col("ra") <= k).select("doc_id", "ra")
+    rb = ql.withColumn(
+        "rb",
+        F.row_number().over(
+            Window.orderBy(F.desc("qlm_score"), F.asc("doc_id"))
+        ),
+    ).where(F.col("rb") <= k).select("doc_id", "rb")
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("ra").cast("bigint").alias("bm25_rank"),
+        F.col("rb").cast("bigint").alias("qlm_rank"),
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("ra")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rb")), F.lit(0.0)
+            )
+        ).alias("s"),
+    )
+    return (
+        fused.select(
+            "doc_id", "bm25_rank", "qlm_rank",
+            F.round("s", 6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOPK)
+    )
+
+
+SQL_RRF_FUSION_TOPK = f"""
+WITH bm AS (
+  SELECT doc_id, ra FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS ra
+    FROM ({SQL_BM25_SEARCH}) t
+  ) WHERE ra <= {min(BM25_TOPK, QLM_TOPK)}
+),
+ql AS (
+  SELECT doc_id, rb FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY qlm_score DESC, doc_id) AS rb
+    FROM ({SQL_QLM_DIRICHLET_SEARCH}) t
+  ) WHERE rb <= {min(BM25_TOPK, QLM_TOPK)}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, ql.doc_id) AS doc_id,
+         CAST(bm.ra AS BIGINT) AS bm25_rank,
+         CAST(ql.rb AS BIGINT) AS qlm_rank,
+         COALESCE(1.0 / ({RRF_K}.0 + bm.ra), 0.0)
+           + COALESCE(1.0 / ({RRF_K}.0 + ql.rb), 0.0) AS s
+  FROM bm FULL OUTER JOIN ql ON bm.doc_id = ql.doc_id
+)
+SELECT doc_id, bm25_rank, qlm_rank, ROUND(s, 6) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
+"""
+
+
+RULES_MIN_PAIR = 3  # min co-purchase count for a rule to be considered
+RULES_TOPK = 20
+
+
+def q_association_rules_lift(spark, sf_dir):
+    """Market-basket association rules (Agrawal & Srikant's
+    support/confidence plus lift) over per-order item sets — the
+    DIRECTED-rule layer above item_cooccurrence_topk's symmetric
+    cosine: for item pairs co-purchased ≥ {m} times, both directed
+    rules i→j with support = c_ij/N, confidence = c_ij/c_i, and
+    lift = c_ij·N/(c_i·c_j); top-{k} by (lift, confidence) — lift > 1
+    is the actionable "bought together beyond chance" signal.
+
+    Exactness: all three measures are exact integer ratios rounded,
+    and the ordering tie-breaks on the integer ids. Scale shape: the
+    basket self-join is keyed on the ORDER (quadratic only in basket
+    size, with the same fail-fast mega-basket contract as the cosine
+    query); item counts join back as plain shuffle joins; N rides a
+    broadcast 1-row frame; output is a TakeOrdered top-k."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = _track_cached(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+        ).distinct().persist()
+    )
+    oversized = (
+        items.groupBy("ok")
+        .agg(F.count("*").alias("n_items"))
+        .where(F.col("n_items") > COOC_MAX_BASKET)
+        .limit(5)
+        .collect()
+    )
+    if oversized:
+        worst = ", ".join(f"{r['ok']}={r['n_items']}" for r in oversized)
+        raise ValueError(
+            f"association_rules_lift: basket(s) exceed COOC_MAX_BASKET="
+            f"{COOC_MAX_BASKET} ({worst})"
+        )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("lhs"), F.col("b.item").alias("rhs")
+        )
+        .agg(F.count("*").cast("bigint").alias("c_ij"))
+        .where(F.col("c_ij") >= RULES_MIN_PAIR)
+    )
+    cnt = items.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    n_orders = items.agg(
+        F.countDistinct("ok").cast("bigint").alias("n")
+    )
+    j = (
+        pairs.join(cnt.select(F.col("item").alias("lhs"), F.col("c").alias("c_lhs")), "lhs")
+        .join(cnt.select(F.col("item").alias("rhs"), F.col("c").alias("c_rhs")), "rhs")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    dbl = lambda e: e.cast("double")
+    return (
+        j.select(
+            F.col("lhs").cast("bigint").alias("lhs"),
+            F.col("rhs").cast("bigint").alias("rhs"),
+            "c_ij",
+            F.round(dbl(F.col("c_ij")) / dbl(F.col("n")), 6).alias("support"),
+            F.round(
+                dbl(F.col("c_ij")) / dbl(F.col("c_lhs")), 6
+            ).alias("confidence"),
+            F.round(
+                dbl(F.col("c_ij")) * dbl(F.col("n"))
+                / (dbl(F.col("c_lhs")) * dbl(F.col("c_rhs"))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("confidence"), "lhs", "rhs")
+        .limit(RULES_TOPK)
+    )
+
+
+SQL_ASSOCIATION_RULES_LIFT = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+),
+pairs AS (
+  SELECT a.item AS lhs, b.item AS rhs, CAST(COUNT(*) AS BIGINT) AS c_ij
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item <> b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {RULES_MIN_PAIR}
+),
+cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items
+        GROUP BY item),
+n_orders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items)
+SELECT CAST(lhs AS BIGINT) AS lhs, CAST(rhs AS BIGINT) AS rhs, c_ij,
+       ROUND(CAST(c_ij AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+       ROUND(CAST(c_ij AS DOUBLE) / CAST(cl.c AS DOUBLE), 6) AS confidence,
+       ROUND(CAST(c_ij AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN cnt cl ON cl.item = pairs.lhs
+JOIN cnt cr ON cr.item = pairs.rhs
+CROSS JOIN n_orders
+ORDER BY lift DESC, confidence DESC, lhs, rhs LIMIT {RULES_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -23527,6 +23720,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rbo_rank_agreement": q_rbo_rank_agreement,
     "adamic_adar_linkpred": q_adamic_adar_linkpred,
     "degree_distribution_audit": q_degree_distribution_audit,
+    "rrf_fusion_topk": q_rrf_fusion_topk,
+    "association_rules_lift": q_association_rules_lift,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -23846,6 +24041,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "rbo_rank_agreement": SQL_RBO_RANK_AGREEMENT,
     "adamic_adar_linkpred": SQL_ADAMIC_ADAR_LINKPRED,
     "degree_distribution_audit": SQL_DEGREE_DISTRIBUTION_AUDIT,
+    "rrf_fusion_topk": SQL_RRF_FUSION_TOPK,
+    "association_rules_lift": SQL_ASSOCIATION_RULES_LIFT,
 }
 
 
@@ -24365,6 +24562,8 @@ _R11_ADDED: list[str] = [
     "rbo_rank_agreement",
     "adamic_adar_linkpred",
     "degree_distribution_audit",
+    "rrf_fusion_topk",
+    "association_rules_lift",
 ]
 
 _HEAD = _R11_WINDOW

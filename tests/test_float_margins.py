@@ -90,6 +90,9 @@ TRANSCENDENTAL_REGISTRY: dict[str, str] = {
     "rbo_rank_agreement": "legacy-margin",
     "adamic_adar_linkpred": "lattice",  # per-degree floor(1e9/ln deg)
     "degree_distribution_audit": "lattice",  # degree-domain log points
+    # rrf, like rbo, only inherits bm25/qlm's transcendental lineage
+    # through their rounded, margin-checked scores
+    "rrf_fusion_topk": "legacy-margin",
     # legacy rounded-transcendental surfaces (pre-r11 conventions)
     "doc_char_entropy": "legacy-margin",
     "pmi_collocations": "legacy-margin",

@@ -151,6 +151,8 @@ def _canon(df):
         "rbo_rank_agreement",       # integer overlaps, exact weights
         "adamic_adar_linkpred",     # lattice degree weights, int sums
         "degree_distribution_audit",# integer histogram, lattice OLS
+        "rrf_fusion_topk",          # integer ranks, IEEE reciprocals
+        "association_rules_lift",   # exact integer ratios
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

