@@ -353,6 +353,7 @@ HEADLINE = [
     "degree_distribution_audit",
     "rrf_fusion_topk",
     "association_rules_lift",
+    "seasonal_decomposition_audit",
 ]
 
 

@@ -23370,6 +23370,134 @@ ORDER BY lift DESC, confidence DESC, lhs, rhs LIMIT {RULES_TOPK}
 """
 
 
+SEASONAL_MA = 7  # centered weekly moving average (classical decomposition)
+
+
+def q_seasonal_decomposition_audit(spark, sf_dir):
+    """Classical additive seasonal decomposition of daily revenue —
+    the DECOMPOSITION companion of dow_seasonality's detection and
+    mase_seasonal_naive's evaluation: trend = centered {m}-day moving
+    average, seasonal = mean detrended value per day-of-week, and the
+    Hyndman seasonal-strength statistic
+    1 − Var(remainder)/Var(detrended) — the one number that says
+    whether a weekly pattern is real structure or noise.
+
+    Exactness: daily revenue is integer cents; the trend is an exact
+    integer ratio (window sum / {m}); day-of-week comes from epoch-day
+    modulo (identical integer arithmetic — the engines' native
+    dayofweek conventions differ); the detrended doubles are identical
+    expressions accumulated with DECIMAL(38,18) order-free sums, and
+    strength is a ratio of those moments. Scale shape: one orders scan
+    → a daily aggregate (the DAY domain, thousands of rows at any SF);
+    the moving-average window, the DOW rollup, and the strength
+    moments all live on that domain."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice").cast("double") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    half = SEASONAL_MA // 2
+    wma = Window.orderBy("day").rowsBetween(-half, half)
+    ann = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(wma).cast("bigint").alias("tsum"),
+        F.count("rev").over(wma).cast("bigint").alias("tcnt"),
+    ).where(F.col("tcnt") == SEASONAL_MA)
+    # work in 1e6-cent units: the DECIMAL(38,18) moment sums overflow
+    # on raw cents² at sf0.1+ (Σd² ~ 1e21); strength is scale-invariant
+    # and the seasonal component scales back at the end
+    detr = (
+        F.col("rev").cast("double")
+        - F.col("tsum").cast("double") / F.lit(float(SEASONAL_MA))
+    ) / F.lit(1e6)
+    dowi = (
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7
+    ).cast("bigint")
+    base = ann.select(dowi.alias("dow_idx"), detr.alias("d"))
+    dec = lambda e: F.sum(e.cast("decimal(38,18)")).cast("double")
+    per = base.groupBy("dow_idx").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        dec(F.col("d")).alias("sd"),
+        dec(F.col("d") * F.col("d")).alias("sdd"),
+    )
+    tot = per.agg(
+        F.sum("n_days").cast("double").alias("n"),
+        F.sum(F.col("sd").cast("decimal(38,18)")).cast("double").alias("tsd"),
+        F.sum(F.col("sdd").cast("decimal(38,18)")).cast("double").alias("tsdd"),
+        F.sum(
+            (
+                F.col("sd") * F.col("sd") / F.col("n_days").cast("double")
+            ).cast("decimal(38,18)")
+        ).cast("double").alias("sdow"),
+    )
+    var_det = F.col("tsdd") - F.col("tsd") * F.col("tsd") / F.col("n")
+    strength = (F.col("sdow") - F.col("tsd") * F.col("tsd") / F.col("n")) / var_det
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "dow_idx",
+            "n_days",
+            F.round(
+                F.col("sd") * F.lit(1e6) / F.col("n_days").cast("double"), 6
+            ).alias("seasonal_cents"),
+            F.round(strength, 6).alias("seasonal_strength"),
+        )
+        .orderBy("dow_idx")
+    )
+
+
+SQL_SEASONAL_DECOMPOSITION_AUDIT = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(FLOOR(CAST(o_totalprice AS DOUBLE) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+ann AS (
+  SELECT day, rev,
+         CAST(SUM(rev) OVER w AS BIGINT) AS tsum,
+         CAST(COUNT(rev) OVER w AS BIGINT) AS tcnt
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {SEASONAL_MA // 2} PRECEDING
+               AND {SEASONAL_MA // 2} FOLLOWING)
+),
+base AS (
+  SELECT CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow_idx,
+         (CAST(rev AS DOUBLE)
+          - CAST(tsum AS DOUBLE) / {float(SEASONAL_MA)!r}) / 1e6 AS d
+  FROM ann WHERE tcnt = {SEASONAL_MA}
+),
+per AS (
+  SELECT dow_idx, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(CAST(d AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+         CAST(SUM(CAST(d * d AS DECIMAL(38,18))) AS DOUBLE) AS sdd
+  FROM base GROUP BY dow_idx
+),
+tot AS (
+  SELECT CAST(SUM(n_days) AS DOUBLE) AS n,
+         CAST(SUM(CAST(sd AS DECIMAL(38,18))) AS DOUBLE) AS tsd,
+         CAST(SUM(CAST(sdd AS DECIMAL(38,18))) AS DOUBLE) AS tsdd,
+         CAST(SUM(CAST(sd * sd / CAST(n_days AS DOUBLE)
+                       AS DECIMAL(38,18))) AS DOUBLE) AS sdow
+  FROM per
+)
+SELECT dow_idx, n_days,
+       ROUND(sd * 1e6 / CAST(n_days AS DOUBLE), 6) AS seasonal_cents,
+       ROUND((sdow - tsd * tsd / n) / (tsdd - tsd * tsd / n), 6)
+         AS seasonal_strength
+FROM per, tot
+ORDER BY dow_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -23722,6 +23850,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "degree_distribution_audit": q_degree_distribution_audit,
     "rrf_fusion_topk": q_rrf_fusion_topk,
     "association_rules_lift": q_association_rules_lift,
+    "seasonal_decomposition_audit": q_seasonal_decomposition_audit,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -24043,6 +24172,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "degree_distribution_audit": SQL_DEGREE_DISTRIBUTION_AUDIT,
     "rrf_fusion_topk": SQL_RRF_FUSION_TOPK,
     "association_rules_lift": SQL_ASSOCIATION_RULES_LIFT,
+    "seasonal_decomposition_audit": SQL_SEASONAL_DECOMPOSITION_AUDIT,
 }
 
 
@@ -24564,6 +24694,7 @@ _R11_ADDED: list[str] = [
     "degree_distribution_audit",
     "rrf_fusion_topk",
     "association_rules_lift",
+    "seasonal_decomposition_audit",
 ]
 
 _HEAD = _R11_WINDOW

@@ -153,6 +153,7 @@ def _canon(df):
         "degree_distribution_audit",# integer histogram, lattice OLS
         "rrf_fusion_topk",          # integer ranks, IEEE reciprocals
         "association_rules_lift",   # exact integer ratios
+        "seasonal_decomposition_audit",  # integer cents, decimal moments
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

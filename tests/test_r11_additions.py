@@ -802,6 +802,27 @@ def test_association_rules_measures_cohere(spark, sf_dir):
     assert abs(top["lift"] - expect_lift) < 1e-3
 
 
+def test_seasonal_decomposition_identities(spark, sf_dir):
+    """Decomposition identities: exactly 7 day-of-week rows; the
+    day-count-weighted seasonal components sum to ~0 (the detrended
+    series has mean ≈ its DOW means' weighted mean by construction);
+    seasonal strength is a proper variance share in [0, 1]; and every
+    row reports the same strength scalar."""
+    rows = EQ._QUERIES_ALL["seasonal_decomposition_audit"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 7
+    assert sorted(r["dow_idx"] for r in rows) == list(range(7))
+    weighted = sum(r["seasonal_cents"] * r["n_days"] for r in rows)
+    total = sum(r["n_days"] for r in rows)
+    mean_rev = sum(abs(r["seasonal_cents"]) for r in rows) / 7 + 1.0
+    assert abs(weighted / total) < mean_rev * 0.5 + 1e-3
+    strengths = {r["seasonal_strength"] for r in rows}
+    assert len(strengths) == 1
+    s = next(iter(strengths))
+    assert -1e-6 <= s <= 1.0 + 1e-6
+
+
 def test_bcubed_scores_the_twin_structure(spark, sf_dir):
     """B³ sanity: scores are proper probabilities; the corpus count
     matches the dup-extended corpus; truth clusters = distinct
