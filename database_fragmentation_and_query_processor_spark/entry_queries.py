@@ -18092,9 +18092,16 @@ def q_line_quality_filter(spark, sf_dir):
     per-line nll is the integer sum of q, the corpus-entropy side is
     the integer Σ c·q, the keep decision is the integer cross-product
     lq·n_total·DEN <= NUM·hq·n_toks (LINE_NLL_MULT as an exact
-    fraction), and mean_line_nll is a decimal-cast sum of per-line
-    ratios of exact integers (each < 2^53, so the per-line double is
-    bit-identical in both engines) divided by an integer count. No
+    fraction), and mean_line_nll_q is the ALL-INTEGER mean lattice
+    (Σ_line ((lq·10⁶) div n_toks)) div n_lines — truncating integer
+    division on non-negative operands in both engines, so NO double
+    arithmetic and NO round(double) reaches the hashed output at all
+    (rebuilt again after CORRECTNESS_r11: the previous round-6 double
+    mean of decimal-cast per-line ratios still sat on a 6dp HALF_UP
+    boundary on the driver's corpus — the round itself was the last
+    engine-divergent surface, so it is gone). The per-line numerator
+    lq·10⁶ stays < 2^63 (lq ≤ LINE_TOKENS · ln(n_total)·1e9), and the
+    per-doc sum rides decimal(38,0)/HUGEINT before the final div. No
     engine-evaluated transcendental ever reaches the hashed output
     (the pr_auc_by_source convention). The rewrite is emitted as md5
     of the kept-line concatenation (rows stay O(1) wide, same
@@ -18139,9 +18146,6 @@ def q_line_quality_filter(spark, sf_dir):
         )
     )
     jl = lx.join(keep, ["doc_id", "line_idx"])
-    line_nll = F.col("lq").cast("double") / (
-        F.col("n_toks") * F.lit(NLL_LATTICE)
-    ).cast("double")
     return jl.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_lines"),
         F.sum(F.col("kept").cast("bigint")).cast("bigint").alias("n_kept"),
@@ -18166,11 +18170,12 @@ def q_line_quality_filter(spark, sf_dir):
                 ),
             )
         ).alias("rewrite_md5"),
-        F.round(
-            F.sum(line_nll.cast("decimal(38,18)")).cast("double")
-            / F.count("*").cast("double"),
-            6,
-        ).alias("mean_line_nll"),
+        F.expr(
+            "sum(cast((cast(lq as decimal(38,0)) * 1000000) div n_toks"
+            " as decimal(38,0))) div count(*)"
+        )
+        .cast("bigint")
+        .alias("mean_line_nll_q"),
     )
 
 
@@ -18223,10 +18228,8 @@ SELECT lx.doc_id,
        md5(COALESCE(string_agg(
          CASE WHEN kept THEN array_to_string(lt, ' ') END,
          ' ' ORDER BY lx.line_idx), '')) AS rewrite_md5,
-       ROUND(CAST(SUM(CAST(CAST(lq AS DOUBLE)
-                           / CAST(n_toks * {NLL_LATTICE} AS DOUBLE)
-                      AS DECIMAL(38,18))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_line_nll
+       CAST(SUM(CAST(lq AS HUGEINT) * 1000000 // n_toks)
+            // COUNT(*) AS BIGINT) AS mean_line_nll_q
 FROM lx JOIN keep USING (doc_id, line_idx)
 GROUP BY lx.doc_id
 """
