@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from .cache import track as _track_cached
 from .functions import text as T
+from .functions.lattice import flr as _flr
 from .functions import vectors as V
 from .operators import dedup as D
 from .operators import merge as MergeOp
@@ -40,6 +41,15 @@ from .operators.scaling import stable_row_number, widen
 # ---------------------------------------------------------------------------
 # shared constants (embedded into BOTH the Spark plans and the oracle SQL)
 # ---------------------------------------------------------------------------
+
+def _flr_py(x: float, k: int = 6) -> float:
+    """Driver-side mirror of functions.lattice.flr: half-up rounding
+    via the pure-IEEE floor lattice, for Python-computed constants that
+    pair with a latticed SQL expression (Python's builtin round() is
+    half-EVEN on the exact binary and would diverge on boundaries)."""
+    s = float(10**k)
+    return math.floor(x * s + 0.5) / s
+
 RANGE_N = 5
 RANGE_MIN, RANGE_MAX = 0.0, 5.0
 RANGE_INTERVAL = (RANGE_MAX - RANGE_MIN) / RANGE_N
@@ -998,7 +1008,7 @@ def q_minhash_near_dup_pairs(spark, sf_dir):
     docs = _docs_with_dups(spark, sf_dir)
     return D.near_dup_pairs(
         docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    ).select("id_a", "id_b", _flr("jaccard", 6).alias("jaccard"))
 
 
 INCR_BATCH_MOD = 5  # "new batch" = docs where doc_id % 5 == 0 (pre-dup ids)
@@ -1019,7 +1029,7 @@ def q_incremental_near_dup(spark, sf_dir):
         index, docs.where(is_new),
         threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS,
     )
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", _flr("jaccard", 6).alias("jaccard"))
 
 
 def _bands_sql() -> str:
@@ -1063,7 +1073,7 @@ verified AS (
 SQL_MINHASH_NEAR_DUP_PAIRS = f"""
 WITH {DOCS_WITH_DUPS_CTE},
 {_near_dup_ctes()}
-SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+SELECT id_a, id_b, FLOOR(CAST((j) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM verified WHERE j >= {NEAR_DUP_THRESHOLD}
 """
 
@@ -1095,7 +1105,7 @@ def q_knn_bruteforce(spark, sf_dir):
 
 SQL_KNN_BRUTEFORCE = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, ROUND({_cosine_sql('embedding', 'q.qv')}, 6) AS cosine_sim
+SELECT vec_id, FLOOR(CAST(({_cosine_sql('embedding', 'q.qv')}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cosine_sim
 FROM embeddings, q
 ORDER BY cosine_sim DESC, vec_id
 LIMIT {KNN_K}
@@ -1141,9 +1151,9 @@ WITH sigs AS (
   FROM embeddings
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+       FLOOR(CAST(({_cosine_sql('a.embedding', 'b.embedding')}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cosine_sim
 FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= {EMB_DUP_THRESHOLD}
+WHERE FLOOR(CAST(({_cosine_sql('a.embedding', 'b.embedding')}) AS DOUBLE) * 1e6 + 0.5) / 1e6 >= {EMB_DUP_THRESHOLD}
 """
 
 
@@ -1380,7 +1390,7 @@ cands AS (
   FROM sigs s, qs
   WHERE bit_count(xor(s.sig, qs.qsig)) <= {probe_hamming}
 )
-SELECT vec_id, ROUND({_cosine_sql('embedding', 'qv')}, 6) AS cosine_sim
+SELECT vec_id, FLOOR(CAST(({_cosine_sql('embedding', 'qv')}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cosine_sim
 FROM cands
 ORDER BY cosine_sim DESC, vec_id
 LIMIT {KNN_K}
@@ -1417,7 +1427,7 @@ def _sq_l2_sql(a: str, b: str) -> str:
 
 # Static-SQL replay of the deterministic IVF pipeline: seeds = the
 # n_lists lowest-id vectors; one Lloyd step whose per-dim means are
-# ROUND(..., 6); every argmin compares ROUND(dist, 6) with ties to the
+# FLOOR(CAST((...) AS DOUBLE) * 1e6 + 0.5) / 1e6; every argmin compares FLOOR(CAST((dist) AS DOUBLE) * 1e6 + 0.5) / 1e6 with ties to the
 # lowest list index — exactly similarity.kmeans_centroids/ivf_topk.
 SQL_ANN_IVF_TOPK = f"""
 WITH seeds AS (
@@ -1430,14 +1440,14 @@ assign0 AS (
     SELECT e.vec_id, s.list_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY ROUND({_sq_l2_sql('e.embedding', 's.seed')}, 6), s.list_id
+             ORDER BY FLOOR(CAST(({_sq_l2_sql('e.embedding', 's.seed')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, s.list_id
            ) AS rk
     FROM embeddings e CROSS JOIN seeds s
   ) WHERE rk = 1
 ),
 dims AS (SELECT CAST(range AS INT) AS j FROM range(1, {EMB_DIM + 1})),
 means AS (
-  SELECT a.list_id, d.j, ROUND(AVG(CAST(e.embedding[d.j] AS DOUBLE)), 6) AS m
+  SELECT a.list_id, d.j, FLOOR(CAST((AVG(CAST(e.embedding[d.j] AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS m
   FROM assign0 a JOIN embeddings e USING (vec_id) CROSS JOIN dims d
   GROUP BY a.list_id, d.j
 ),
@@ -1451,7 +1461,7 @@ cents AS (
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 probe AS (
   SELECT c.list_id FROM cents c, q
-  ORDER BY ROUND({_sq_l2_sql('q.qv', 'c.cent')}, 6), c.list_id
+  ORDER BY FLOOR(CAST(({_sq_l2_sql('q.qv', 'c.cent')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, c.list_id
   LIMIT {IVF_NPROBE}
 ),
 assign1 AS (
@@ -1459,12 +1469,12 @@ assign1 AS (
     SELECT e.vec_id, c.list_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY ROUND({_sq_l2_sql('e.embedding', 'c.cent')}, 6), c.list_id
+             ORDER BY FLOOR(CAST(({_sq_l2_sql('e.embedding', 'c.cent')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, c.list_id
            ) AS rk
     FROM embeddings e CROSS JOIN cents c
   ) WHERE rk = 1
 )
-SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q.qv')}, 6) AS cosine_sim
+SELECT e.vec_id, FLOOR(CAST(({_cosine_sql('e.embedding', 'q.qv')}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cosine_sim
 FROM embeddings e JOIN assign1 a USING (vec_id) CROSS JOIN q
 WHERE a.list_id IN (SELECT list_id FROM probe)
 ORDER BY cosine_sim DESC, e.vec_id
@@ -1805,7 +1815,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.blocked_jaccard_pairs(
         docs, block_cols=("lang", "len_bucket"),
         threshold=NEAR_DUP_THRESHOLD, shingle_n=SHINGLE_N,
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    ).select("id_a", "id_b", _flr("jaccard", 6).alias("jaccard"))
 
 
 _JACCARD_EXPR = (
@@ -1824,7 +1834,7 @@ shj AS (SELECT doc_id, lang, len_bucket,
         END AS s
         FROM toksj),
 ssj AS (SELECT doc_id, lang, len_bucket, list_distinct(s) AS ss FROM shj)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, ROUND({_JACCARD_EXPR}, 6) AS jaccard
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, FLOOR(CAST(({_JACCARD_EXPR}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM ssj a JOIN ssj b
   ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
 WHERE {_JACCARD_EXPR} >= {NEAR_DUP_THRESHOLD}
@@ -1931,16 +1941,16 @@ def q_events_value_quantiles(spark, sf_dir):
     counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
     return counts.join(F.broadcast(pct), "event_type").select(
         "event_type",
-        F.round(F.col("percentiles")[0], 6).alias("p50"),
-        F.round(F.col("percentiles")[1], 6).alias("p95"),
+        _flr(F.col("percentiles")[0], 6).alias("p50"),
+        _flr(F.col("percentiles")[1], 6).alias("p95"),
         "n_events",
     )
 
 
 SQL_EVENTS_VALUE_QUANTILES = """
 SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 6) AS p50,
-       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       FLOOR(CAST((quantile_cont(value, 0.5)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p50,
+       FLOOR(CAST((quantile_cont(value, 0.95)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p95,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY event_type
 """
@@ -2037,9 +2047,9 @@ def q_scalar_functions(spark, sf_dir):
         F.month("o_orderdate").cast("bigint").alias("mo"),
         F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
-        F.round(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
-        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
-        F.round(F.pow(F.col("o_custkey") % 7 + 1, 2), 6).alias("pow2"),
+        _flr(F.sqrt("o_totalprice"), 6).alias("price_sqrt"),
+        _flr(F.log("o_totalprice"), 6).alias("price_ln"),
+        _flr(F.pow(F.col("o_custkey") % 7 + 1, 2), 6).alias("pow2"),
         F.greatest(F.col("o_custkey") % 7, F.lit(3)).cast("bigint").alias("gmax"),
         F.least(F.col("o_custkey") % 7, F.lit(3)).cast("bigint").alias("lmin"),
         F.when(F.col("o_totalprice") > 100000, "hi").otherwise("lo").alias("bucket"),
@@ -2057,9 +2067,9 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS BIGINT) AS mo,
        CAST(day(o_orderdate) AS BIGINT) AS dom,
        date_trunc('month', o_orderdate) AS month_start,
-       ROUND(sqrt(o_totalprice), 6) AS price_sqrt,
-       ROUND(ln(o_totalprice), 6) AS price_ln,
-       ROUND(pow(o_custkey % 7 + 1, 2), 6) AS pow2,
+       FLOOR(CAST((sqrt(o_totalprice)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS price_sqrt,
+       FLOOR(CAST((ln(o_totalprice)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS price_ln,
+       FLOOR(CAST((pow(o_custkey % 7 + 1, 2)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pow2,
        CAST(greatest(o_custkey % 7, 3) AS BIGINT) AS gmax,
        CAST(least(o_custkey % 7, 3) AS BIGINT) AS lmin,
        CASE WHEN o_totalprice > 100000 THEN 'hi' ELSE 'lo' END AS bucket,
@@ -2317,14 +2327,14 @@ def q_user_rolling_avg(spark, sf_dir):
         / F.count("*").over(w)
     )
     return ev.select(
-        "event_id", "user_id", F.round(roll, 6).alias("rolling_avg_3")
+        "event_id", "user_id", _flr(roll, 6).alias("rolling_avg_3")
     )
 
 
 SQL_USER_ROLLING_AVG = """
 SELECT event_id, user_id,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
-             / COUNT(*) OVER w, 6) AS rolling_avg_3
+       FLOOR(CAST((CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rolling_avg_3
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
@@ -2670,9 +2680,7 @@ def q_tfidf_top_terms(spark, sf_dir):
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
-            ),
+            _flr(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
@@ -2697,7 +2705,7 @@ dfreq AS (
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, term, tf, df,
-         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+         FLOOR(CAST((tf * ln(CAST(n_docs AS DOUBLE) / df)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS tfidf
   FROM tf JOIN dfreq USING (term) CROSS JOIN n
 )
 SELECT doc_id, term, tf, df, tfidf
@@ -2965,7 +2973,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         .where(F.col("supply_cost") == F.col("min_cost"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-            F.round("supply_cost", 6).alias("supply_cost"),
+            _flr("supply_cost", 6).alias("supply_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -2988,7 +2996,7 @@ eligible AS (
   WHERE p.p_size = {Q2_SIZE} AND p.p_type = '{Q2_TYPE}' AND r.r_name = '{Q2_REGION}'
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-       ROUND(supply_cost, 6) AS supply_cost
+       FLOOR(CAST((supply_cost) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS supply_cost
 FROM eligible WHERE supply_cost = min_cost
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
@@ -3525,9 +3533,7 @@ def q_doc_repetition(spark, sf_dir):
         .select(
             "doc_id",
             "n_trigrams",
-            F.round(
-                F.col("top_cnt") / F.col("n_trigrams").cast("double"), 6
-            ).alias("top_share"),
+            _flr(F.col("top_cnt") / F.col("n_trigrams").cast("double"), 6).alias("top_share"),
         )
     )
 
@@ -3547,7 +3553,7 @@ per_gram AS (
 )
 SELECT doc_id,
        CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
-       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share
+       FLOOR(CAST((MAX(cnt) / CAST(SUM(cnt) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_share
 FROM per_gram GROUP BY doc_id
 """
 
@@ -3671,8 +3677,8 @@ def q_customer_window_battery(spark, sf_dir):
     return cust.select(
         "c_custkey", "c_mktsegment",
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        _flr(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _flr(F.cume_dist().over(w), 6).alias("cume"),
         F.rank().over(w).cast("bigint").alias("rk"),
         F.dense_rank().over(w).cast("bigint").alias("drk"),
     )
@@ -3681,8 +3687,8 @@ def q_customer_window_battery(spark, sf_dir):
 SQL_CUSTOMER_WINDOW_BATTERY = """
 SELECT c_custkey, c_mktsegment,
        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-       ROUND(percent_rank() OVER w, 6) AS pct_rank,
-       ROUND(cume_dist() OVER w, 6) AS cume,
+       FLOOR(CAST((percent_rank() OVER w) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pct_rank,
+       FLOOR(CAST((cume_dist() OVER w) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cume,
        CAST(rank() OVER w AS BIGINT) AS rk,
        CAST(dense_rank() OVER w AS BIGINT) AS drk
 FROM customer
@@ -4180,7 +4186,7 @@ def q_user_zscore_outliers(spark, sf_dir):
     var = F.greatest((msq - mean * mean) * F.col("n") / (F.col("n") - 1), F.lit(0.0))
     x = F.col("q").cast("double") / scale
     z = (x - mean) / F.nullif(F.sqrt(var), F.lit(0.0))
-    out = j.select("user_id", "event_id", F.round(z, 4).alias("z"))
+    out = j.select("user_id", "event_id", _flr(z, 4).alias("z"))
     return out.where(F.abs(F.col("z")) > Z_THRESH)
 
 
@@ -4196,13 +4202,13 @@ s AS (
 ),
 z AS (
   SELECT user_id, event_id,
-         ROUND((CAST(q AS DOUBLE) / {VAL_Q_SCALE}.0
+         FLOOR(CAST(((CAST(q AS DOUBLE) / {VAL_Q_SCALE}.0
                 - CAST(sq AS DOUBLE) / {VAL_Q_SCALE}.0 / n)
                / NULLIF(SQRT(GREATEST(
                    (CAST(sqq AS DOUBLE) / ({VAL_Q_SCALE}.0 * {VAL_Q_SCALE}.0) / n
                     - (CAST(sq AS DOUBLE) / {VAL_Q_SCALE}.0 / n)
                       * (CAST(sq AS DOUBLE) / {VAL_Q_SCALE}.0 / n)) * n / (n - 1),
-                   0.0)), 0.0), 4) AS z
+                   0.0)), 0.0)) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS z
   FROM e JOIN s USING (user_id)
 )
 SELECT user_id, event_id, z FROM z WHERE ABS(z) > {Z_THRESH}
@@ -4255,8 +4261,8 @@ def q_value_regression(spark, sf_dir):
     intercept = (syd / VAL_Q_SCALE - slope * sxd) / nd
     return s.select(
         "event_type",
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
+        _flr(slope, 6).alias("slope"),
+        _flr(intercept, 6).alias("intercept"),
         F.col("n").alias("n_events"),
     )
 
@@ -4274,14 +4280,14 @@ s AS (
   FROM e GROUP BY 1
 )
 SELECT event_type,
-       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       FLOOR(CAST(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / {VAL_Q_SCALE}, 6) AS slope,
-       ROUND((CAST(sy AS DOUBLE) / {VAL_Q_SCALE}
+             / {VAL_Q_SCALE}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS slope,
+       FLOOR(CAST(((CAST(sy AS DOUBLE) / {VAL_Q_SCALE}
               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                 / {VAL_Q_SCALE} * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE), 6) AS intercept,
+             / CAST(n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept,
        n AS n_events
 FROM s
 """
@@ -4941,7 +4947,7 @@ def q_frag_skew_report(spark, sf_dir):
     total = r.agg(F.count("*").cast("bigint").alias("total"))
     return per.crossJoin(F.broadcast(total)).select(
         "fragment_id", "cnt", "min_rating", "max_rating",
-        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        _flr(F.col("cnt") / F.col("total"), 6).alias("share"),
     )
 
 
@@ -4955,7 +4961,7 @@ per AS (
 ),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM assigned)
 SELECT fragment_id, cnt, min_rating, max_rating,
-       ROUND(cnt / CAST(total AS DOUBLE), 6) AS share
+       FLOOR(CAST((cnt / CAST(total AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
 FROM per, tot
 """
 
@@ -5101,7 +5107,7 @@ def q_embedding_quantization(spark, sf_dir):
     e = emb.select("label", F.array_max(errs).alias("err"))
     return e.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
-        F.round(F.max("err"), 6).alias("max_err"),
+        _flr(F.max("err"), 6).alias("max_err"),
         (
             F.sum(F.floor(F.col("err") * ERR_Q_SCALE).cast("bigint")).cast("double")
             / ERR_Q_SCALE / F.count("*")
@@ -5123,7 +5129,7 @@ WITH e AS (
 )
 SELECT label,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(MAX(err), 6) AS max_err,
+       FLOOR(CAST((MAX(err)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_err,
        CAST(SUM(CAST(FLOOR(err * {ERR_Q_SCALE}) AS BIGINT)) AS DOUBLE)
          / {ERR_Q_SCALE} / COUNT(*) AS avg_err
 FROM e GROUP BY label
@@ -5150,12 +5156,9 @@ def q_mixture_weights(spark, sf_dir):
     )
     return per.crossJoin(F.broadcast(total)).select(
         "lang", "lang_tokens",
-        F.round(F.col("lang_tokens") / F.col("total_tokens"), 6).alias("actual_share"),
-        F.round(
-            target[F.col("lang")]
-            / (F.col("lang_tokens") / F.col("total_tokens")),
-            6,
-        ).alias("weight"),
+        _flr(F.col("lang_tokens") / F.col("total_tokens"), 6).alias("actual_share"),
+        _flr(target[F.col("lang")]
+            / (F.col("lang_tokens") / F.col("total_tokens")), 6).alias("weight"),
     )
 
 
@@ -5169,9 +5172,9 @@ WITH per AS (
 ),
 tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per)
 SELECT lang, lang_tokens,
-       ROUND(lang_tokens / CAST(total_tokens AS DOUBLE), 6) AS actual_share,
-       ROUND((CASE lang {_MIX_CASE} END)
-             / (lang_tokens / CAST(total_tokens AS DOUBLE)), 6) AS weight
+       FLOOR(CAST((lang_tokens / CAST(total_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS actual_share,
+       FLOOR(CAST(((CASE lang {_MIX_CASE} END)
+             / (lang_tokens / CAST(total_tokens AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS weight
 FROM per, tot
 """
 
@@ -5194,7 +5197,7 @@ def q_stopword_discovery(spark, sf_dir):
         dfreq.crossJoin(F.broadcast(n_docs))
         .select(
             "term", "df",
-            F.round(F.col("df") / F.col("n_docs"), 6).alias("df_share"),
+            _flr(F.col("df") / F.col("n_docs"), 6).alias("df_share"),
         )
         .orderBy(F.desc("df"), "term")
         .limit(STOPWORD_TOP_K)
@@ -5208,7 +5211,7 @@ WITH toks AS (
 ),
 dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term),
 n AS (SELECT COUNT(*) AS n_docs FROM documents)
-SELECT term, df, ROUND(df / CAST(n_docs AS DOUBLE), 6) AS df_share
+SELECT term, df, FLOOR(CAST((df / CAST(n_docs AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS df_share
 FROM dfreq, n
 ORDER BY df DESC, term
 LIMIT {STOPWORD_TOP_K}
@@ -5258,8 +5261,8 @@ def q_near_dup_audit(spark, sf_dir):
         n_lsh.cast("bigint").alias("n_lsh"),
         n_exact.cast("bigint").alias("n_exact"),
         n_common.cast("bigint").alias("n_common"),
-        F.round(n_common / n_exact.cast("double"), 6).alias("lsh_recall"),
-        F.round(n_common / n_lsh.cast("double"), 6).alias("lsh_precision"),
+        _flr(n_common / n_exact.cast("double"), 6).alias("lsh_recall"),
+        _flr(n_common / n_lsh.cast("double"), 6).alias("lsh_precision"),
     )
 
 
@@ -5273,8 +5276,8 @@ t AS (
 SELECT CAST(count_if(in_lsh) AS BIGINT) AS n_lsh,
        CAST(count_if(in_exact) AS BIGINT) AS n_exact,
        CAST(count_if(in_lsh AND in_exact) AS BIGINT) AS n_common,
-       ROUND(count_if(in_lsh AND in_exact) / CAST(count_if(in_exact) AS DOUBLE), 6) AS lsh_recall,
-       ROUND(count_if(in_lsh AND in_exact) / CAST(count_if(in_lsh) AS DOUBLE), 6) AS lsh_precision
+       FLOOR(CAST((count_if(in_lsh AND in_exact) / CAST(count_if(in_exact) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lsh_recall,
+       FLOOR(CAST((count_if(in_lsh AND in_exact) / CAST(count_if(in_lsh) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lsh_precision
 FROM t
 """
 
@@ -5327,7 +5330,7 @@ def q_ann_recall_audit(spark, sf_dir):
                 F.count_if(F.col("in_exact")).cast("bigint").alias("n_exact"),
                 F.count_if(F.col("in_ann")).cast("bigint").alias("n_ann"),
                 n_common.cast("bigint").alias("n_common"),
-                F.round(n_common / F.lit(float(KNN_K)), 6).alias("recall_at_k"),
+                _flr(n_common / F.lit(float(KNN_K)), 6).alias("recall_at_k"),
             )
         )
     return _reduce(lambda a, b: a.unionByName(b), outs)
@@ -5339,7 +5342,7 @@ SELECT '{method}' AS method,
        CAST(count_if(in_exact) AS BIGINT) AS n_exact,
        CAST(count_if(in_ann) AS BIGINT) AS n_ann,
        CAST(count_if(in_exact AND in_ann) AS BIGINT) AS n_common,
-       ROUND(count_if(in_exact AND in_ann) / {KNN_K}.0, 6) AS recall_at_k
+       FLOOR(CAST((count_if(in_exact AND in_ann) / {KNN_K}.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall_at_k
 FROM (
   SELECT (e.vec_id IS NOT NULL) AS in_exact, (a.vec_id IS NOT NULL) AS in_ann
   FROM ({SQL_KNN_BRUTEFORCE}) e FULL JOIN ({ann_sql}) a ON e.vec_id = a.vec_id
@@ -5854,11 +5857,8 @@ def q_doc_char_entropy(spark, sf_dir):
         .select(
             "doc_id",
             F.col("n").cast("bigint").alias("n_chars_counted"),
-            F.round(
-                F.log2(F.col("n").cast("double"))
-                - F.col("clogc") / F.col("n").cast("double"),
-                6,
-            ).alias("char_entropy"),
+            _flr(F.log2(F.col("n").cast("double"))
+                - F.col("clogc") / F.col("n").cast("double"), 6).alias("char_entropy"),
         )
     )
 
@@ -5877,7 +5877,7 @@ agg AS (
   FROM per GROUP BY doc_id
 )
 SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
-       ROUND(log2(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE), 6) AS char_entropy
+       FLOOR(CAST((log2(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS char_entropy
 FROM agg
 """
 
@@ -5931,7 +5931,7 @@ def q_pmi_collocations(spark, sf_dir):
         .select(
             "w1", "w2",
             F.col("c12").cast("bigint").alias("c12"),
-            F.round(pmi, 6).alias("pmi"),
+            _flr(pmi, 6).alias("pmi"),
         )
     )
 
@@ -5948,9 +5948,9 @@ cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
 nb AS (SELECT COUNT(*) AS n_bigrams FROM big),
 nu AS (SELECT COUNT(*) AS n_tokens FROM uni)
 SELECT cb.w1, cb.w2, CAST(cb.c12 AS BIGINT) AS c12,
-       ROUND(log2((CAST(cb.c12 AS DOUBLE) / n_bigrams)
+       FLOOR(CAST((log2((CAST(cb.c12 AS DOUBLE) / n_bigrams)
                   / ((CAST(a.c AS DOUBLE) / n_tokens)
-                     * (CAST(b.c AS DOUBLE) / n_tokens))), 6) AS pmi
+                     * (CAST(b.c AS DOUBLE) / n_tokens)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pmi
 FROM cb
 JOIN cu a ON a.w = cb.w1
 JOIN cu b ON b.w = cb.w2, nb, nu
@@ -6359,9 +6359,7 @@ def q_doc_lm_perplexity(spark, sf_dir):
     return scored.select(
         "doc_id",
         "n_bigrams",
-        F.round(
-            F.exp(-F.col("logp") / F.col("n_bigrams").cast("double")), 6
-        ).alias("perplexity"),
+        _flr(F.exp(-F.col("logp") / F.col("n_bigrams").cast("double")), 6).alias("perplexity"),
     )
 
 
@@ -6383,7 +6381,7 @@ scored AS (
   GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       ROUND(exp(-logp / CAST(n_bigrams AS DOUBLE)), 6) AS perplexity
+       FLOOR(CAST((exp(-logp / CAST(n_bigrams AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS perplexity
 FROM scored
 """
 
@@ -6763,9 +6761,7 @@ def q_ewma_user_value(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(
-                F.sum("qn").cast("double") / F.sum("qd").cast("double"), 6
-            ).alias("ewma_value"),
+            _flr(F.sum("qn").cast("double") / F.sum("qd").cast("double"), 6).alias("ewma_value"),
         )
     )
 
@@ -6791,7 +6787,7 @@ terms AS (
   FROM rows_
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(CAST(SUM(qn) AS DOUBLE) / CAST(SUM(qd) AS DOUBLE), 6) AS ewma_value
+       FLOOR(CAST((CAST(SUM(qn) AS DOUBLE) / CAST(SUM(qd) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ewma_value
 FROM terms GROUP BY user_id
 """
 
@@ -6824,11 +6820,8 @@ def q_vocab_oov_rate(spark, sf_dir):
         )
         .withColumn(
             "oov_rate",
-            F.round(
-                F.col("oov_occurrences").cast("double")
-                / F.col("total_occurrences").cast("double"),
-                6,
-            ),
+            _flr(F.col("oov_occurrences").cast("double")
+                / F.col("total_occurrences").cast("double"), 6),
         )
     )
 
@@ -6846,8 +6839,8 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS total_occurrences,
        CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END)
             AS BIGINT) AS oov_occurrences,
-       ROUND(CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
-             / COUNT(*), 6) AS oov_rate
+       FLOOR(CAST((CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS oov_rate
 FROM tok GROUP BY lang
 """
 
@@ -7350,10 +7343,7 @@ def q_semantic_dedup(spark, sf_dir):
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(
-            F.round(
-                V.dot(F.col("a.v"), F.col("b.v")) / F.col("a.nrm") / F.col("b.nrm"),
-                6,
-            )
+            _flr(V.dot(F.col("a.v"), F.col("b.v")) / F.col("a.nrm") / F.col("b.nrm"), 6)
             >= SEM_TAU
         )
         .select(F.col("b.vec_id").alias("vec_id"), F.col("b.list_id").alias("list_id"))
@@ -7412,14 +7402,14 @@ assign0 AS (
     SELECT c.vec_id, s.list_id,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY ROUND({_sem_sq_l2_sql('c.v', 's.seed')}, 6), s.list_id
+             ORDER BY FLOOR(CAST(({_sem_sq_l2_sql('c.v', 's.seed')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, s.list_id
            ) AS rk
     FROM corpus c CROSS JOIN seeds s
   ) WHERE rk = 1
 ),
 dims AS (SELECT CAST(range AS INT) AS j FROM range(1, {EMB_DIM + 1})),
 means AS (
-  SELECT a.list_id, d.j, ROUND(AVG(c.v[d.j]), 6) AS m
+  SELECT a.list_id, d.j, FLOOR(CAST((AVG(c.v[d.j])) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS m
   FROM assign0 a JOIN corpus c USING (vec_id) CROSS JOIN dims d
   GROUP BY a.list_id, d.j
 ),
@@ -7434,7 +7424,7 @@ assigned AS (
     SELECT c.vec_id, c.v, ct.list_id,
            row_number() OVER (
              PARTITION BY c.vec_id
-             ORDER BY ROUND({_sem_sq_l2_sql('c.v', 'ct.cent')}, 6), ct.list_id
+             ORDER BY FLOOR(CAST(({_sem_sq_l2_sql('c.v', 'ct.cent')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, ct.list_id
            ) AS rk
     FROM corpus c CROSS JOIN cents ct
   ) WHERE rk = 1
@@ -7443,7 +7433,7 @@ dropped AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a JOIN assigned b
     ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-  WHERE ROUND({_SEM_COS_SQL}, 6) >= {SEM_TAU}
+  WHERE FLOOR(CAST(({_SEM_COS_SQL}) AS DOUBLE) * 1e6 + 0.5) / 1e6 >= {SEM_TAU}
 )
 SELECT CAST(list_id AS INT) AS list_id,
        CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -7635,7 +7625,7 @@ def q_chi_square_lang_source(spark, sf_dir):
         )
     )
     return e.agg(
-        F.round(F.sum("q").cast("double") / CHI2_Q_SCALE, 6).alias("chi2"),
+        _flr(F.sum("q").cast("double") / CHI2_Q_SCALE, 6).alias("chi2"),
         ((F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1))
         .cast("bigint")
         .alias("dof"),
@@ -7663,7 +7653,7 @@ q AS (
                     * {CHI2_Q_SCALE}) AS BIGINT) AS q
   FROM terms
 )
-SELECT ROUND(CAST(SUM(q) AS DOUBLE) / {CHI2_Q_SCALE}, 6) AS chi2,
+SELECT FLOOR(CAST((CAST(SUM(q) AS DOUBLE) / {CHI2_Q_SCALE}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
        CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
        CAST(MAX(n) AS BIGINT) AS n_docs
@@ -7720,7 +7710,7 @@ def q_approx_quantile_audit(spark, sf_dir):
     tol = 2.0 * F.col("n").cast("double") / APPROX_Q_ACC + 1.0
     return ranked.select(
         "p",
-        F.round(F.col("exact_v"), 6).alias("exact_value"),
+        _flr(F.col("exact_v"), 6).alias("exact_value"),
         (
             F.abs(F.col("rk").cast("double") - F.col("p") * F.col("n").cast("double"))
             <= tol
@@ -7729,7 +7719,7 @@ def q_approx_quantile_audit(spark, sf_dir):
 
 
 SQL_APPROX_QUANTILE_AUDIT = "\nUNION ALL\n".join(
-    f"SELECT {p} AS p, ROUND(quantile_cont(value, {p}), 6) AS exact_value,"
+    f"SELECT {p} AS p, FLOOR(CAST((quantile_cont(value, {p})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS exact_value,"
     " TRUE AS rank_bound_ok FROM events"
     for p in APPROX_Q_PS
 )
@@ -8357,11 +8347,8 @@ def q_quote_detection(spark, sf_dir):
     sy = sizes.withColumnRenamed("doc_id", "id_y").withColumnRenamed("n_g", "n_y")
     cand = shared.join(sx, "id_x").join(sy, "id_y")
     small_is_x = F.col("n_x") <= F.col("n_y")
-    cont = F.round(
-        F.col("shared").cast("double")
-        / F.when(small_is_x, F.col("n_x")).otherwise(F.col("n_y")).cast("double"),
-        6,
-    )
+    cont = _flr(F.col("shared").cast("double")
+        / F.when(small_is_x, F.col("n_x")).otherwise(F.col("n_y")).cast("double"), 6)
     return (
         cand.select(
             F.when(small_is_x, F.col("id_x")).otherwise(F.col("id_y")).alias("id_small"),
@@ -8411,12 +8398,12 @@ cand AS (
 )
 SELECT CASE WHEN n_x <= n_y THEN id_x ELSE id_y END AS id_small,
        CASE WHEN n_x <= n_y THEN id_y ELSE id_x END AS id_big,
-       ROUND(CAST(shared AS DOUBLE) /
-             CAST(CASE WHEN n_x <= n_y THEN n_x ELSE n_y END AS DOUBLE), 6)
+       FLOOR(CAST((CAST(shared AS DOUBLE) /
+             CAST(CASE WHEN n_x <= n_y THEN n_x ELSE n_y END AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS containment
 FROM cand
-WHERE ROUND(CAST(shared AS DOUBLE) /
-            CAST(CASE WHEN n_x <= n_y THEN n_x ELSE n_y END AS DOUBLE), 6)
+WHERE FLOOR(CAST((CAST(shared AS DOUBLE) /
+            CAST(CASE WHEN n_x <= n_y THEN n_x ELSE n_y END AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
       >= {QUOTE_TAU}
 """
 
@@ -8486,14 +8473,14 @@ def q_mad_outliers(spark, sf_dir):
         [(k[0], med, mad) for k, (med, mad, _n) in got.items()],
         "event_type string, med double, mad_raw double",
     ).select(
-        "event_type", "med", F.round("mad_raw", 6).alias("mad")
+        "event_type", "med", _flr("mad_raw", 6).alias("mad")
     )
     flagged = ev.join(F.broadcast(stats), "event_type").select(
         "event_type",
         "med",
         "mad",
         (
-            F.round(F.abs(F.col("value") - F.col("med")), 6)
+            _flr(F.abs(F.col("value") - F.col("med")), 6)
             > MAD_K * F.col("mad")
         ).alias("is_out"),
     )
@@ -8505,7 +8492,7 @@ def q_mad_outliers(spark, sf_dir):
         )
         .select(
             "event_type", "n_events", "n_outliers",
-            F.round(F.col("med"), 6).alias("median_value"),
+            _flr(F.col("med"), 6).alias("median_value"),
             F.col("mad").alias("mad_value"),
         )
     )
@@ -8521,14 +8508,14 @@ dev AS (
   FROM events e JOIN med m USING (event_type)
 ),
 mad AS (
-  SELECT event_type, ROUND(quantile_cont(ad, 0.5), 6) AS mad
+  SELECT event_type, FLOOR(CAST((quantile_cont(ad, 0.5)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mad
   FROM dev GROUP BY event_type
 )
 SELECT d.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN ROUND(d.ad, 6) > {MAD_K} * m2.mad
+       CAST(SUM(CASE WHEN FLOOR(CAST((d.ad) AS DOUBLE) * 1e6 + 0.5) / 1e6 > {MAD_K} * m2.mad
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       ROUND(MAX(m.med), 6) AS median_value,
+       FLOOR(CAST((MAX(m.med)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS median_value,
        MAX(m2.mad) AS mad_value
 FROM dev d JOIN med m USING (event_type) JOIN mad m2 USING (event_type)
 GROUP BY d.event_type
@@ -8629,6 +8616,94 @@ SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM final GROUP BY o_orderstatus
+"""
+
+
+#: streamed residues of (pre-dup doc_id) % STREAM_ND_MOD — residues
+#: < STREAM_ND_BATCHES arrive via the stream (one micro-batch each),
+#: the rest form the standing corpus whose index is materialized once
+STREAM_ND_MOD = 7
+STREAM_ND_BATCHES = 3
+
+
+def q_streaming_near_dup(spark, sf_dir):
+    """Streaming ingest dedup end-to-end (r11 verdict task 7a): the
+    standing corpus's MinHash-LSH index is materialized once; three
+    ordered document batches then arrive as a file stream
+    (maxFilesPerTrigger=1) and streaming/near_dup.py:near_dup_sink
+    probes each against the committed index via the O(batch)
+    incremental path, merging verified pairs and the updated index
+    with write-then-swap commits per batch. The read-back pair set
+    must equal the full batch recompute restricted to pairs touching
+    any streamed doc — the same identity incremental_near_dup pins for
+    one batch, here proven ACROSS batch boundaries (a batch-0 doc
+    pairing with a batch-2 doc is found when batch 2 probes the index
+    batch 0 updated).
+
+    Scale shape: per batch, one shingle+sign pass over the batch and a
+    band-bucket join touching only the batch's buckets (AQE broadcasts
+    the batch side) — ingest cost is O(batch), never O(corpus); the
+    accumulated-pairs merge is keyed on (id_a, id_b). Replays over the
+    cached artifact are idempotent (keyed merges absorb duplicate
+    contributions)."""
+    import os as _os
+    import shutil as _shutil
+
+    from .streaming.events import read_committed
+    from .streaming.near_dup import near_dup_sink
+
+    docs = _docs_with_dups(spark, sf_dir)
+    res = (F.col("doc_id") % DUP_SALT) % STREAM_ND_MOD
+    art = _artifact_cache_path(sf_dir, "near_dup_stream", "documents")
+    batches_dir = _os.path.join(art, "batches")
+    index_path = _os.path.join(art, "index")
+    pairs_path = _os.path.join(art, "pairs")
+
+    def _single_file(df, dest_name):
+        stage = _os.path.join(art, "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in _os.listdir(stage) if f.endswith(".parquet")][0]
+        _os.makedirs(batches_dir, exist_ok=True)
+        _os.replace(
+            _os.path.join(stage, part), _os.path.join(batches_dir, dest_name)
+        )
+        _shutil.rmtree(stage)
+
+    if not _os.path.exists(_os.path.join(art, "_FILES_DONE")):
+        for b in range(STREAM_ND_BATCHES):
+            _single_file(docs.where(res == b), f"commit-{b:03d}.parquet")
+        # the standing index, materialized once (build_dedup_index);
+        # the sink's committed updates land via the FS shim on top
+        D.build_dedup_index(
+            docs.where(res >= STREAM_ND_BATCHES), k=MINHASH_K
+        ).write.mode("overwrite").parquet(index_path)
+        with open(_os.path.join(art, "_FILES_DONE"), "w") as f:
+            f.write("ok")
+    doc_schema = spark.read.parquet(batches_dir).schema
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batches_dir)
+    )
+    q = near_dup_sink(
+        stream,
+        index_path,
+        pairs_path,
+        spark,
+        threshold=NEAR_DUP_THRESHOLD,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+    )
+    q.awaitTermination()
+    return read_committed(spark, pairs_path).select(
+        "id_a", "id_b", _flr("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_STREAMING_NEAR_DUP = f"""
+SELECT id_a, id_b, jaccard FROM ({SQL_MINHASH_NEAR_DUP_PAIRS}) p
+WHERE (id_a % {DUP_SALT}) % {STREAM_ND_MOD} < {STREAM_ND_BATCHES}
+   OR (id_b % {DUP_SALT}) % {STREAM_ND_MOD} < {STREAM_ND_BATCHES}
 """
 
 
@@ -8802,8 +8877,8 @@ assign0 AS (
     SELECT c.doc_id, s.list_id,
            row_number() OVER (
              PARTITION BY c.doc_id
-             ORDER BY ROUND(list_sum(list_transform(range(1, {TFH_DIM + 1}),
-                        j -> (c.v[j] - s.seed[j]) * (c.v[j] - s.seed[j]))), 6),
+             ORDER BY FLOOR(CAST((list_sum(list_transform(range(1, {TFH_DIM + 1}),
+                        j -> (c.v[j] - s.seed[j]) * (c.v[j] - s.seed[j])))) AS DOUBLE) * 1e6 + 0.5) / 1e6,
                       s.list_id
            ) AS rk
     FROM corpus c CROSS JOIN seeds s
@@ -8811,7 +8886,7 @@ assign0 AS (
 ),
 kdims AS (SELECT CAST(range AS INT) AS j FROM range(1, {TFH_DIM + 1})),
 means AS (
-  SELECT a.list_id, kdims.j, ROUND(AVG(c.v[kdims.j]), 6) AS m
+  SELECT a.list_id, kdims.j, FLOOR(CAST((AVG(c.v[kdims.j])) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS m
   FROM assign0 a JOIN corpus c USING (doc_id) CROSS JOIN kdims
   GROUP BY a.list_id, kdims.j
 ),
@@ -8826,8 +8901,8 @@ assigned AS (
     SELECT c.doc_id, ct.list_id,
            row_number() OVER (
              PARTITION BY c.doc_id
-             ORDER BY ROUND(list_sum(list_transform(range(1, {TFH_DIM + 1}),
-                        j -> (c.v[j] - ct.cent[j]) * (c.v[j] - ct.cent[j]))), 6),
+             ORDER BY FLOOR(CAST((list_sum(list_transform(range(1, {TFH_DIM + 1}),
+                        j -> (c.v[j] - ct.cent[j]) * (c.v[j] - ct.cent[j])))) AS DOUBLE) * 1e6 + 0.5) / 1e6,
                       ct.list_id
            ) AS rk
     FROM corpus c CROSS JOIN cents ct
@@ -8964,7 +9039,7 @@ def q_equi_depth_histogram(spark, sf_dir):
         aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"c{i}"))
     counts = orders.agg(*aggs).head()
     rows = [
-        (i, round(bs[i], 6), round(bs[i + 1], 6), counts[f"c{i}"])
+        (i, _flr_py(bs[i]), _flr_py(bs[i + 1]), counts[f"c{i}"])
         for i in range(EQUI_DEPTH_BUCKETS)
     ]
     return spark.createDataFrame(
@@ -8984,7 +9059,7 @@ def _sql_equi_depth() -> str:
         lo_cmp = ">=" if i == 0 else ">"
         parts.append(f"""
 SELECT CAST({i} AS BIGINT) AS bucket,
-       ROUND(b{i}, 6) AS lo, ROUND(b{i + 1}, 6) AS hi,
+       FLOOR(CAST((b{i}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lo, FLOOR(CAST((b{i + 1}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hi,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
         WHERE o_totalprice {lo_cmp} bnds.b{i} AND o_totalprice <= bnds.b{i + 1}) AS depth
 FROM bnds""")
@@ -9302,16 +9377,16 @@ def q_quantile_disc_battery(spark, sf_dir):
     )
     return out.select(
         "event_type", "p",
-        F.round(F.col("disc"), 6).alias("q_disc"),
-        F.round(pick, 6).alias("q_cont"),
+        _flr(F.col("disc"), 6).alias("q_disc"),
+        _flr(pick, 6).alias("q_cont"),
     )
 
 
 SQL_QUANTILE_DISC_BATTERY = "\nUNION ALL\n".join(
     f"""
 SELECT event_type, {p} AS p,
-       ROUND(quantile_disc(value, {p}), 6) AS q_disc,
-       ROUND(quantile_cont(value, {p}), 6) AS q_cont
+       FLOOR(CAST((quantile_disc(value, {p})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q_disc,
+       FLOOR(CAST((quantile_cont(value, {p})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q_cont
 FROM events GROUP BY event_type"""
     for p in (0.25, 0.5, 0.9)
 )
@@ -9531,9 +9606,9 @@ def q_ab_test_zscore(spark, sf_dir):
         F.col("s1").cast("bigint").alias("s_variant"),
         F.col("n2").cast("bigint").alias("n_control"),
         F.col("s2").cast("bigint").alias("s_control"),
-        F.round(p1, 6).alias("rate_variant"),
-        F.round(p2, 6).alias("rate_control"),
-        F.round(z, 6).alias("abs_z"),
+        _flr(p1, 6).alias("rate_variant"),
+        _flr(p2, 6).alias("rate_control"),
+        _flr(z, 6).alias("abs_z"),
         (z > 1.96).alias("significant_95"),
     )
 
@@ -9559,10 +9634,10 @@ SELECT CAST(n1 AS BIGINT) AS n_variant,
        CAST(s1 AS BIGINT) AS s_variant,
        CAST(n2 AS BIGINT) AS n_control,
        CAST(s2 AS BIGINT) AS s_control,
-       ROUND(p1, 6) AS rate_variant,
-       ROUND(p2, 6) AS rate_control,
-       ROUND(ABS(p1 - p2) / SQRT(pp * (1.0 - pp)
-             * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6) AS abs_z,
+       FLOOR(CAST((p1) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rate_variant,
+       FLOOR(CAST((p2) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rate_control,
+       FLOOR(CAST((ABS(p1 - p2) / SQRT(pp * (1.0 - pp)
+             * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS abs_z,
        ABS(p1 - p2) / SQRT(pp * (1.0 - pp)
              * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) > 1.96
          AS significant_95
@@ -9615,8 +9690,8 @@ def q_funnel_time_to_convert(spark, sf_dir):
     return first_conv.agg(
         F.count("*").cast("bigint").alias("n_conversions"),
         F.sum("latency_us").cast("bigint").alias("latency_checksum"),
-        F.round(F.lit(float(p50)) / 1e6, 6).alias("p50_sec"),
-        F.round(F.lit(float(p90)) / 1e6, 6).alias("p90_sec"),
+        _flr(F.lit(float(p50)) / 1e6, 6).alias("p50_sec"),
+        _flr(F.lit(float(p90)) / 1e6, 6).alias("p90_sec"),
     )
 
 
@@ -9637,8 +9712,8 @@ conv AS (
 lat AS (SELECT first_pt - ct AS latency_us FROM conv)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
        CAST(SUM(latency_us) AS BIGINT) AS latency_checksum,
-       ROUND(quantile_cont(latency_us, 0.5) / 1e6, 6) AS p50_sec,
-       ROUND(quantile_cont(latency_us, 0.9) / 1e6, 6) AS p90_sec
+       FLOOR(CAST((quantile_cont(latency_us, 0.5) / 1e6) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p50_sec,
+       FLOOR(CAST((quantile_cont(latency_us, 0.9) / 1e6) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p90_sec
 FROM lat
 """
 
@@ -9673,9 +9748,7 @@ def q_event_transition_matrix(spark, sf_dir):
         "src",
         "dst",
         "n",
-        F.round(
-            F.col("n") / F.sum("n").over(tot).cast("double"), 6
-        ).alias("prob"),
+        _flr(F.col("n") / F.sum("n").over(tot).cast("double"), 6).alias("prob"),
     )
 
 
@@ -9691,7 +9764,7 @@ c AS (
   FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
 )
 SELECT src, dst, n,
-       ROUND(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+       FLOOR(CAST((n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS prob
 FROM c
 """
 
@@ -9906,18 +9979,12 @@ def q_embedding_dim_variance(spark, sf_dir):
     out = scaled.select(
         "dim",
         "n",
-        F.round("mean_raw", 6).alias("mean_x"),
-        F.round(
-            F.col("num").cast("double")
+        _flr("mean_raw", 6).alias("mean_x"),
+        _flr(F.col("num").cast("double")
             / (F.col("n").cast("double") * F.col("n").cast("double"))
-            / (float(EMB_Q_SCALE) * float(EMB_Q_SCALE)),
-            6,
-        ).alias("var_x"),
-        F.round(
-            F.col("num").cast("double")
-            / F.sum(F.col("num")).over(tot).cast("double"),
-            6,
-        ).alias("var_share"),
+            / (float(EMB_Q_SCALE) * float(EMB_Q_SCALE)), 6).alias("var_x"),
+        _flr(F.col("num").cast("double")
+            / F.sum(F.col("num")).over(tot).cast("double"), 6).alias("var_share"),
         F.col("num").alias("_num"),
     )
     return out.orderBy(F.desc("_num"), "dim").limit(DIMVAR_TOPK).drop("_num")
@@ -9946,10 +10013,10 @@ scaled AS (
   FROM per_dim
 )
 SELECT dim, n,
-       ROUND(mean_raw, 6) AS mean_x,
-       ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-             / ({EMB_Q_SCALE}.0 * {EMB_Q_SCALE}.0), 6) AS var_x,
-       ROUND(CAST(num AS DOUBLE) / CAST(SUM(num) OVER () AS DOUBLE), 6) AS var_share
+       FLOOR(CAST((mean_raw) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_x,
+       FLOOR(CAST((CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / ({EMB_Q_SCALE}.0 * {EMB_Q_SCALE}.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS var_x,
+       FLOOR(CAST((CAST(num AS DOUBLE) / CAST(SUM(num) OVER () AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS var_share
 FROM scaled
 ORDER BY num DESC, dim LIMIT {DIMVAR_TOPK}
 """
@@ -10077,7 +10144,7 @@ def q_dsir_importance_weights(spark, sf_dir):
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("s") / F.col("n_tokens").cast("double"), 6).alias(
+            _flr(F.col("s") / F.col("n_tokens").cast("double"), 6).alias(
                 "dsir_weight"
             ),
         )
@@ -10109,7 +10176,7 @@ lr AS (
 scored AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         ROUND(SUM(lr) / COUNT(*), 6) AS dsir_weight
+         FLOOR(CAST((SUM(lr) / COUNT(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dsir_weight
   FROM toks JOIN lr USING (b)
   GROUP BY doc_id
 )
@@ -10275,9 +10342,7 @@ def q_dup_span_coverage(spark, sf_dir):
             "doc_id",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
             "n_covered",
-            F.round(
-                F.col("n_covered") / F.col("n_tokens").cast("double"), 6
-            ).alias("dup_coverage"),
+            _flr(F.col("n_covered") / F.col("n_tokens").cast("double"), 6).alias("dup_coverage"),
         )
     )
 
@@ -10304,7 +10369,7 @@ covered AS (
 SELECT doc_id,
        CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS BIGINT) AS n_covered,
-       ROUND(COUNT(*) / CAST(n_tokens AS DOUBLE), 6) AS dup_coverage
+       FLOOR(CAST((COUNT(*) / CAST(n_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_coverage
 FROM covered GROUP BY doc_id, n_tokens
 """
 
@@ -10403,12 +10468,9 @@ def q_kmv_set_similarity(spark, sf_dir):
             "n_a",
             "n_b",
             "n_inter",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ).alias("j_exact"),
-            F.round("j_kmv_raw", 6).alias("j_kmv"),
+            _flr(F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"), 6).alias("j_exact"),
+            _flr("j_kmv_raw", 6).alias("j_kmv"),
         )
     )
 
@@ -10458,10 +10520,10 @@ inter AS (
 )
 SELECT tp.ta, tp.tb, sa.n AS n_a, sb.n AS n_b,
        CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
-       ROUND(COALESCE(i.n_inter, 0)
-             / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+       FLOOR(CAST((COALESCE(i.n_inter, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS j_exact,
-       ROUND(e.j_kmv_raw, 6) AS j_kmv
+       FLOOR(CAST((e.j_kmv_raw) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS j_kmv
 FROM tp
 JOIN sizes sa ON sa.event_type = tp.ta
 JOIN sizes sb ON sb.event_type = tp.tb
@@ -10500,8 +10562,8 @@ def q_cusum_changepoint(spark, sf_dir):
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("change_day"),
             F.col("c").alias("day_count"),
-            F.round("m", 6).alias("mean_daily"),
-            F.round("cusum", 6).alias("cusum_peak"),
+            _flr("m", 6).alias("mean_daily"),
+            _flr("cusum", 6).alias("cusum_peak"),
         )
     )
 
@@ -10520,7 +10582,7 @@ cus AS (
   FROM daily d JOIN stat s USING (event_type)
 )
 SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day, c AS day_count,
-       ROUND(m, 6) AS mean_daily, ROUND(cusum, 6) AS cusum_peak
+       FLOOR(CAST((m) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_daily, FLOOR(CAST((cusum) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cusum_peak
 FROM (
   SELECT *, ROW_NUMBER() OVER (
     PARTITION BY event_type ORDER BY ABS(cusum) DESC, d) AS rk
@@ -10620,7 +10682,7 @@ def q_sorted_neighborhood_pairs(spark, sf_dir):
             "id_a",
             "id_b",
             (F.col("rn_b") - F.col("rn")).cast("bigint").alias("rank_gap"),
-            F.round("j", 6).alias("jaccard"),
+            _flr("j", 6).alias("jaccard"),
         )
     )
 
@@ -10650,9 +10712,9 @@ pos AS (
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
-       ROUND(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+       FLOOR(CAST((CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
              / NULLIF(CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE),
-                      0.0), 6) AS jaccard
+                      0.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM pos a JOIN pos b ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
 WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
       / NULLIF(CAST(len(list_distinct(list_concat(a.ss, b.ss))) AS DOUBLE), 0.0)
@@ -10807,17 +10869,11 @@ def q_embedding_covariance_topk(spark, sf_dir):
         "i",
         "j",
         "n",
-        F.round(
-            F.col("num").cast("double")
+        _flr(F.col("num").cast("double")
             / (F.col("n").cast("double") * F.col("n").cast("double"))
-            / scale2,
-            6,
-        ).alias("cov_x"),
-        F.round(
-            F.col("num").cast("double")
-            / F.sqrt(F.col("vi").cast("double") * F.col("vj").cast("double")),
-            6,
-        ).alias("corr_x"),
+            / scale2, 6).alias("cov_x"),
+        _flr(F.col("num").cast("double")
+            / F.sqrt(F.col("vi").cast("double") * F.col("vj").cast("double")), 6).alias("corr_x"),
         F.abs(F.col("num")).alias("_a"),
     )
     return (
@@ -10871,10 +10927,10 @@ nums AS (
   JOIN per_dim vj ON vj.dim = a.j
 )
 SELECT i, j, n,
-       ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-             / ({EMB_Q_SCALE}.0 * {EMB_Q_SCALE}.0), 6) AS cov_x,
-       ROUND(CAST(num AS DOUBLE)
-             / SQRT(CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE)), 6) AS corr_x
+       FLOOR(CAST((CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+             / ({EMB_Q_SCALE}.0 * {EMB_Q_SCALE}.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cov_x,
+       FLOOR(CAST((CAST(num AS DOUBLE)
+             / SQRT(CAST(vi AS DOUBLE) * CAST(vj AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS corr_x
 FROM nums ORDER BY ABS(num) DESC, i, j LIMIT {COV_TOPK}
 """
 
@@ -11201,10 +11257,8 @@ def q_zipf_slope(spark, sf_dir):
     )
     return ols.select(
         F.col("k").cast("bigint").alias("n_terms"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round(
-            (F.col("sy") - slope * F.col("sx")) / F.col("k"), 6
-        ).alias("intercept"),
+        _flr(slope, 6).alias("zipf_slope"),
+        _flr((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias("intercept"),
     )
 
 
@@ -11225,8 +11279,8 @@ ols AS (
   FROM ranked
 )
 SELECT CAST(k AS BIGINT) AS n_terms,
-       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope,
-       ROUND((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+       FLOOR(CAST(((k * sxy - sx * sy) / (k * sxx - sx * sx)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS zipf_slope,
+       FLOOR(CAST(((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS intercept
 FROM ols
 """
@@ -11265,7 +11319,7 @@ def q_readability_scores(spark, sf_dir):
         "n_words",
         "n_sents",
         "n_syllables",
-        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 6).alias("flesch"),
+        _flr(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 6).alias("flesch"),
     )
 
 
@@ -11286,8 +11340,8 @@ agg AS (
   FROM per_doc GROUP BY source
 )
 SELECT source, n_docs, n_words, n_sents, n_syllables,
-       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
-             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+       FLOOR(CAST((206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS flesch
 FROM agg
 """
 
@@ -11319,11 +11373,9 @@ def q_lexical_diversity(spark, sf_dir):
         "source",
         "n_tokens",
         "n_types",
-        F.round(F.col("n_types") / n, 6).alias("type_token_ratio"),
-        F.round(F.log(n) - F.col("sclc") / n, 6).alias("shannon_h"),
-        F.round(
-            F.col("spairs") / (n * (n - F.lit(1.0))), 6
-        ).alias("simpson"),
+        _flr(F.col("n_types") / n, 6).alias("type_token_ratio"),
+        _flr(F.log(n) - F.col("sclc") / n, 6).alias("shannon_h"),
+        _flr(F.col("spairs") / (n * (n - F.lit(1.0))), 6).alias("simpson"),
     )
 
 
@@ -11342,11 +11394,11 @@ agg AS (
   FROM tc GROUP BY source
 )
 SELECT source, n_tokens, n_types,
-       ROUND(n_types / CAST(n_tokens AS DOUBLE), 6) AS type_token_ratio,
-       ROUND(LN(CAST(n_tokens AS DOUBLE))
-             - sclc / CAST(n_tokens AS DOUBLE), 6) AS shannon_h,
-       ROUND(spairs / (CAST(n_tokens AS DOUBLE)
-             * (CAST(n_tokens AS DOUBLE) - 1.0)), 6) AS simpson
+       FLOOR(CAST((n_types / CAST(n_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS type_token_ratio,
+       FLOOR(CAST((LN(CAST(n_tokens AS DOUBLE))
+             - sclc / CAST(n_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS shannon_h,
+       FLOOR(CAST((spairs / (CAST(n_tokens AS DOUBLE)
+             * (CAST(n_tokens AS DOUBLE) - 1.0))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS simpson
 FROM agg
 """
 
@@ -11395,14 +11447,9 @@ def q_term_burstiness(spark, sf_dir):
             "tok",
             F.col("n").cast("bigint").alias("n"),
             "df",
-            F.round(
-                F.col("n").cast("double") / F.col("df").cast("double"), 6
-            ).alias("burstiness"),
-            F.round(
-                (F.col("sc2") * d - F.col("n") * F.col("n")).cast("double")
-                / (F.col("n") * d).cast("double"),
-                6,
-            ).alias("vmr"),
+            _flr(F.col("n").cast("double") / F.col("df").cast("double"), 6).alias("burstiness"),
+            _flr((F.col("sc2") * d - F.col("n") * F.col("n")).cast("double")
+                / (F.col("n") * d).cast("double"), 6).alias("vmr"),
         )
         .orderBy(F.desc("n"), "tok")
         .limit(BURST_TOPK)
@@ -11422,9 +11469,9 @@ per_term AS (
 ),
 d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents)
 SELECT tok, n, df,
-       ROUND(n / CAST(df AS DOUBLE), 6) AS burstiness,
-       ROUND(CAST(sc2 * d.nd - n * n AS DOUBLE)
-             / CAST(n * d.nd AS DOUBLE), 6) AS vmr
+       FLOOR(CAST((n / CAST(df AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS burstiness,
+       FLOOR(CAST((CAST(sc2 * d.nd - n * n AS DOUBLE)
+             / CAST(n * d.nd AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS vmr
 FROM per_term CROSS JOIN d
 ORDER BY n DESC, tok LIMIT {BURST_TOPK}
 """
@@ -11501,7 +11548,7 @@ def q_bm25_search(spark, sf_dir):
     # conjunctive: every query term must match
     return (
         agg.where(F.col("n_terms_hit") == len(BM25_TERMS))
-        .select("doc_id", F.round("score_raw", 6).alias("bm25"))
+        .select("doc_id", _flr("score_raw", 6).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOPK)
     )
@@ -11534,7 +11581,7 @@ scored AS (
   JOIN lens l USING (doc_id)
   CROSS JOIN stats s
 )
-SELECT doc_id, ROUND(SUM(sc), 6) AS bm25
+SELECT doc_id, FLOOR(CAST((SUM(sc)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bm25
 FROM scored GROUP BY doc_id
 HAVING COUNT(*) = {len(BM25_TERMS)}
 ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
@@ -11691,11 +11738,8 @@ def q_item_cooccurrence_topk(spark, sf_dir):
             "c_ij",
             "c_i",
             "c_j",
-            F.round(
-                F.col("c_ij")
-                / F.sqrt(F.col("c_i").cast("double") * F.col("c_j").cast("double")),
-                6,
-            ).alias("cosine"),
+            _flr(F.col("c_ij")
+                / F.sqrt(F.col("c_i").cast("double") * F.col("c_j").cast("double")), 6).alias("cosine"),
         )
         .orderBy(F.desc("c_ij"), F.desc("cosine"), "i", "j")
         .limit(COOC_TOPK)
@@ -11715,7 +11759,7 @@ totals AS (
   SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY item
 )
 SELECT p.i, p.j, p.c_ij, ti.c AS c_i, tj.c AS c_j,
-       ROUND(p.c_ij / SQRT(CAST(ti.c AS DOUBLE) * CAST(tj.c AS DOUBLE)), 6)
+       FLOOR(CAST((p.c_ij / SQRT(CAST(ti.c AS DOUBLE) * CAST(tj.c AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS cosine
 FROM pairs p
 JOIN totals ti ON ti.item = p.i
@@ -11760,8 +11804,8 @@ def q_woe_binning(spark, sf_dir):
         "band",
         "n_good",
         "n_bad",
-        F.round(woe, 6).alias("woe"),
-        F.round((gs - bs) * woe, 6).alias("iv_contrib"),
+        _flr(woe, 6).alias("woe"),
+        _flr((gs - bs) * woe, 6).alias("iv_contrib"),
     )
 
 
@@ -11779,11 +11823,11 @@ per_band AS (
 ),
 tot AS (SELECT SUM(n_good) AS g, SUM(n_bad) AS b FROM per_band)
 SELECT band, n_good, n_bad,
-       ROUND(LN((CAST(n_good AS DOUBLE) / t.g)
-                / (CAST(n_bad AS DOUBLE) / t.b)), 6) AS woe,
-       ROUND((CAST(n_good AS DOUBLE) / t.g - CAST(n_bad AS DOUBLE) / t.b)
+       FLOOR(CAST((LN((CAST(n_good AS DOUBLE) / t.g)
+                / (CAST(n_bad AS DOUBLE) / t.b))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS woe,
+       FLOOR(CAST(((CAST(n_good AS DOUBLE) / t.g - CAST(n_bad AS DOUBLE) / t.b)
              * LN((CAST(n_good AS DOUBLE) / t.g)
-                  / (CAST(n_bad AS DOUBLE) / t.b)), 6) AS iv_contrib
+                  / (CAST(n_bad AS DOUBLE) / t.b))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS iv_contrib
 FROM per_band CROSS JOIN tot t
 WHERE n_good > 0 AND n_bad > 0
 """
@@ -11866,9 +11910,9 @@ def q_benford_digit_audit(spark, sf_dir):
     return per.select(
         "digit",
         "n",
-        F.round(share, 6).alias("share"),
-        F.round(expected, 6).alias("benford_share"),
-        F.round(chi, 6).alias("chi2_contrib"),
+        _flr(share, 6).alias("share"),
+        _flr(expected, 6).alias("benford_share"),
+        _flr(chi, 6).alias("chi2_contrib"),
     )
 
 
@@ -11882,11 +11926,11 @@ WITH per AS (
 ),
 tot AS (SELECT SUM(n) AS t FROM per)
 SELECT digit, n,
-       ROUND(CAST(n AS DOUBLE) / t, 6) AS share,
-       ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS benford_share,
-       ROUND((CAST(n AS DOUBLE) / t - LN(1.0 + 1.0 / digit) / LN(10.0))
+       FLOOR(CAST((CAST(n AS DOUBLE) / t) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share,
+       FLOOR(CAST((LN(1.0 + 1.0 / digit) / LN(10.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS benford_share,
+       FLOOR(CAST(((CAST(n AS DOUBLE) / t - LN(1.0 + 1.0 / digit) / LN(10.0))
              * (CAST(n AS DOUBLE) / t - LN(1.0 + 1.0 / digit) / LN(10.0))
-             / (LN(1.0 + 1.0 / digit) / LN(10.0)) * t, 6) AS chi2_contrib
+             / (LN(1.0 + 1.0 / digit) / LN(10.0)) * t) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2_contrib
 FROM per CROSS JOIN tot
 """
 
@@ -11920,7 +11964,7 @@ def q_revenue_autocorr(spark, sf_dir):
     )
     aggs = lagged.agg(
         *[
-            F.round(F.corr("r", f"r_{k}"), 6).alias(f"acf_{k}")
+            _flr(F.corr("r", f"r_{k}"), 6).alias(f"acf_{k}")
             for k in range(1, ACF_MAX_LAG + 1)
         ]
     ).head()
@@ -11945,7 +11989,7 @@ lagged AS (
          {", ".join(f"LAG(r, {k}) OVER (ORDER BY d) AS r_{k}" for k in range(1, ACF_MAX_LAG + 1))}
   FROM daily
 )
-{" UNION ALL ".join(f"SELECT {k} AS lag, ROUND(CORR(r, r_{k}), 6) AS acf FROM lagged" for k in range(1, ACF_MAX_LAG + 1))}
+{" UNION ALL ".join(f"SELECT {k} AS lag, FLOOR(CAST((CORR(r, r_{k})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acf FROM lagged" for k in range(1, ACF_MAX_LAG + 1))}
 """
 
 
@@ -11974,11 +12018,8 @@ def q_dow_seasonality(spark, sf_dir):
     return per.select(
         "dow",
         "n_orders",
-        F.round(F.col("rev").cast("double"), 2).alias("revenue"),
-        F.round(
-            (F.col("rev").cast("double") / F.col("n_orders")) / F.lit(g_avg),
-            6,
-        ).alias("dow_index"),
+        _flr(F.col("rev").cast("double"), 2).alias("revenue"),
+        _flr((F.col("rev").cast("double") / F.col("n_orders")) / F.lit(g_avg), 6).alias("dow_index"),
     )
 
 
@@ -11991,9 +12032,9 @@ WITH per AS (
 ),
 tot AS (SELECT SUM(n_orders) AS n, SUM(rev) AS r FROM per)
 SELECT dow, n_orders,
-       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
-       ROUND((CAST(rev AS DOUBLE) / n_orders)
-             / (CAST(t.r AS DOUBLE) / t.n), 6) AS dow_index
+       FLOOR(CAST((CAST(rev AS DOUBLE)) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
+       FLOOR(CAST(((CAST(rev AS DOUBLE) / n_orders)
+             / (CAST(t.r AS DOUBLE) / t.n)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dow_index
 FROM per CROSS JOIN tot t
 """
 
@@ -12041,8 +12082,8 @@ def q_gini_concentration(spark, sf_dir):
         rows, "n_customers bigint, total_revenue double, gini double"
     ).select(
         "n_customers",
-        F.round("total_revenue", 2).alias("total_revenue"),
-        F.round("gini", 6).alias("gini"),
+        _flr("total_revenue", 2).alias("total_revenue"),
+        _flr("gini", 6).alias("gini"),
     )
 
 
@@ -12064,9 +12105,9 @@ agg AS (
   FROM ranked
 )
 SELECT n AS n_customers,
-       ROUND(CAST(total AS DOUBLE), 2) AS total_revenue,
-       ROUND(2.0 * CAST(weighted AS DOUBLE) / (n * CAST(total AS DOUBLE))
-             - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+       FLOOR(CAST((CAST(total AS DOUBLE)) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total_revenue,
+       FLOOR(CAST((2.0 * CAST(weighted AS DOUBLE) / (n * CAST(total AS DOUBLE))
+             - (n + 1) / CAST(n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
 FROM agg
 """
 
@@ -12132,7 +12173,7 @@ def q_unigram_kl_divergence(spark, sf_dir):
         joined.groupBy("source")
         .agg(
             F.max("n_s").cast("bigint").alias("n_tokens"),
-            F.round(F.sum(term).cast("double"), 6).alias("kl_vs_corpus"),
+            _flr(F.sum(term).cast("double"), 6).alias("kl_vs_corpus"),
         )
     )
 
@@ -12165,11 +12206,11 @@ joined AS (
 )
 SELECT source,
        CAST(MAX(n_s) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(CAST(
+       FLOOR(CAST((CAST(SUM(CAST(
          (CAST(c_s + 1 AS DOUBLE) / (n_s + k.v))
          * LN((CAST(c_s + 1 AS DOUBLE) / (n_s + k.v))
               / (CAST(c_g + 1 AS DOUBLE) / (k.n_g + k.v)))
-         AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_vs_corpus
+         AS DECIMAL(28,12))) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kl_vs_corpus
 FROM joined CROSS JOIN consts k
 GROUP BY source
 """
@@ -12236,10 +12277,7 @@ def q_mink_prob_contamination(spark, sf_dir):
             "doc_id",
             "n_tokens",
             "k_tokens",
-            F.round(
-                F.col("lp_sum").cast("double") / F.col("k_tokens").cast("double"),
-                6,
-            ).alias("mink_score"),
+            _flr(F.col("lp_sum").cast("double") / F.col("k_tokens").cast("double"), 6).alias("mink_score"),
         )
         .orderBy(F.desc("mink_score"), "doc_id")
         .limit(MINK_TOPN)
@@ -12278,7 +12316,7 @@ scored AS (
   FROM sel CROSS JOIN tot t GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, k_tokens,
-       ROUND(CAST(lp_sum AS DOUBLE) / CAST(k_tokens AS DOUBLE), 6)
+       FLOOR(CAST((CAST(lp_sum AS DOUBLE) / CAST(k_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS mink_score
 FROM scored
 ORDER BY mink_score DESC, doc_id
@@ -12338,7 +12376,7 @@ def q_theil_sen_trend(spark, sf_dir):
     return out.select(
         "n_days",
         "n_pairs",
-        F.round(F.col("raw"), 6).alias("sen_slope_per_day"),
+        _flr(F.col("raw"), 6).alias("sen_slope_per_day"),
     )
 
 
@@ -12364,7 +12402,7 @@ rk AS (
 )
 SELECT CAST(nd.n_days AS BIGINT) AS n_days,
        CAST(st.n_pairs AS BIGINT) AS n_pairs,
-       ROUND(rk.slope / 100.0, 6) AS sen_slope_per_day
+       FLOOR(CAST((rk.slope / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sen_slope_per_day
 FROM rk CROSS JOIN st CROSS JOIN nd
 WHERE rk.rn = (st.n_pairs + 1) // 2
 """
@@ -12397,7 +12435,7 @@ def q_hard_negative_mining(spark, sf_dir):
         F.col("embedding").alias("a_emb"),
         "sig",
     )
-    cos = F.round(V.cosine(F.col("a_emb"), F.col("embedding")), 6)
+    cos = _flr(V.cosine(F.col("a_emb"), F.col("embedding")), 6)
     band = (
         anchors.join(sigs, "sig")
         .where(F.col("vec_id") != F.col("anchor_id"))
@@ -12429,7 +12467,7 @@ WITH sigs AS (
 ),
 band AS (
   SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
-         ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS c
+         FLOOR(CAST(({_cosine_sql('a.embedding', 'b.embedding')}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS c
   FROM sigs a JOIN sigs b ON a.sig = b.sig AND b.vec_id <> a.vec_id
   WHERE a.vec_id % {HN_ANCHOR_MOD} = 0
 ),
@@ -12492,10 +12530,10 @@ def q_quantile_normalize_audit(spark, sf_dir):
         norm.groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(dec("c") / (F.max("n_g") * 100.0), 6).alias("raw_mean"),
-            F.round(dec("nc") / (F.max("n_g") * 100.0), 6).alias("norm_mean"),
-            F.round(F.min("nc") / 100.0, 6).alias("norm_min"),
-            F.round(F.max("nc") / 100.0, 6).alias("norm_max"),
+            _flr(dec("c") / (F.max("n_g") * 100.0), 6).alias("raw_mean"),
+            _flr(dec("nc") / (F.max("n_g") * 100.0), 6).alias("norm_mean"),
+            _flr(F.min("nc") / 100.0, 6).alias("norm_min"),
+            _flr(F.max("nc") / 100.0, 6).alias("norm_max"),
         )
     )
 
@@ -12525,12 +12563,12 @@ idx AS (
 norm AS (SELECT i.event_type, i.c, i.n_g, o.nc FROM idx i JOIN og o ON o.gr = i.j)
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE)
-             / (MAX(n_g) * 100.0), 6) AS raw_mean,
-       ROUND(CAST(SUM(CAST(nc AS DECIMAL(38,0))) AS DOUBLE)
-             / (MAX(n_g) * 100.0), 6) AS norm_mean,
-       ROUND(MIN(nc) / 100.0, 6) AS norm_min,
-       ROUND(MAX(nc) / 100.0, 6) AS norm_max
+       FLOOR(CAST((CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE)
+             / (MAX(n_g) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_mean,
+       FLOOR(CAST((CAST(SUM(CAST(nc AS DECIMAL(38,0))) AS DOUBLE)
+             / (MAX(n_g) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS norm_mean,
+       FLOOR(CAST((MIN(nc) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS norm_min,
+       FLOOR(CAST((MAX(nc) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS norm_max
 FROM norm
 GROUP BY event_type
 """
@@ -12586,8 +12624,8 @@ def q_mann_whitney_rank_test(spark, sf_dir):
     return r.select(
         "event_type",
         "n1",
-        F.round(u, 1).alias("u_stat"),
-        F.round((u - mu) / F.sqrt(var), 6).alias("z_score"),
+        _flr(u, 1).alias("u_stat"),
+        _flr((u - mu) / F.sqrt(var), 6).alias("z_score"),
     )
 
 
@@ -12614,13 +12652,12 @@ r AS (
   FROM tc JOIN pv USING (c) GROUP BY 1
 )
 SELECT event_type, CAST(n1 AS BIGINT) AS n1,
-       ROUND((CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0, 1)
+       FLOOR(CAST(((CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0) AS DOUBLE) * 1e1 + 0.5) / 1e1
          AS u_stat,
-       ROUND(((CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
+       FLOOR(CAST((((CAST(r1d AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2.0
               - CAST(n1 AS DOUBLE) * (s.n - n1) / 2.0)
              / SQRT(CAST(n1 AS DOUBLE) * (s.n - n1) / 12.0
-                    * ((s.n + 1) - s.ties / (CAST(s.n AS DOUBLE) * (s.n - 1)))),
-             6) AS z_score
+                    * ((s.n + 1) - s.ties / (CAST(s.n AS DOUBLE) * (s.n - 1))))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS z_score
 FROM r CROSS JOIN sc s
 """
 
@@ -12695,11 +12732,8 @@ def q_ks_one_vs_rest(spark, sf_dir):
     return best.select(
         "event_type",
         "n_t",
-        F.round(
-            F.col("m.d_num").cast("double")
-            / (F.col("n_t").cast("double") * (F.lit(n_total) - F.col("n_t"))),
-            6,
-        ).alias("d_stat"),
+        _flr(F.col("m.d_num").cast("double")
+            / (F.col("n_t").cast("double") * (F.lit(n_total) - F.col("n_t"))), 6).alias("d_stat"),
         F.col("m.at_c").alias("ks_at"),
     )
 
@@ -12732,8 +12766,8 @@ d AS (
   FROM cum cu JOIN nt USING (event_type) CROSS JOIN tot t
 )
 SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
-       ROUND(CAST(d_num AS DOUBLE)
-             / (CAST(n_t AS DOUBLE) * (n - n_t)), 6) AS d_stat,
+       FLOOR(CAST((CAST(d_num AS DOUBLE)
+             / (CAST(n_t AS DOUBLE) * (n - n_t))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS d_stat,
        c AS ks_at
 FROM d
 QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
@@ -12775,10 +12809,7 @@ def q_twap_user_value(spark, sf_dir):
         "user_id",
         "n_events",
         "span_us",
-        F.round(
-            F.col("s").cast("double") / (F.col("span_us").cast("double") * 100.0),
-            6,
-        ).alias("twap"),
+        _flr(F.col("s").cast("double") / (F.col("span_us").cast("double") * 100.0), 6).alias("twap"),
     )
 
 
@@ -12798,7 +12829,7 @@ agg AS (
 )
 SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
        CAST(span_us AS BIGINT) AS span_us,
-       ROUND(CAST(s AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100.0), 6) AS twap
+       FLOOR(CAST((CAST(s AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS twap
 FROM agg
 WHERE span_us > 0
 """
@@ -12869,9 +12900,7 @@ def q_poisson_bootstrap_ci(spark, sf_dir):
     wmax = len(_POISSON1_THR)  # the CASE's ELSE branch is the max weight
     truth = o.groupBy("seg").agg(
         F.count("*").cast("bigint").alias("n_orders"),
-        F.round(
-            F.sum("cents").cast("double") / (F.count("*") * 100.0), 6
-        ).alias("true_mean"),
+        _flr(F.sum("cents").cast("double") / (F.count("*") * 100.0), 6).alias("true_mean"),
     )
     b = o.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))))
     u = F.conv(
@@ -12905,9 +12934,7 @@ def q_poisson_bootstrap_ci(spark, sf_dir):
         .filter(F.col("nw") > 0)
         .withColumn(
             "mean_b",
-            F.round(
-                F.col("s").cast("double") / (F.col("nw").cast("double") * 100.0), 6
-            ),
+            _flr(F.col("s").cast("double") / (F.col("nw").cast("double") * 100.0), 6),
         )
     )
     boots = rep.groupBy("seg").agg(
@@ -12932,7 +12959,7 @@ WITH o AS (
 ),
 truth AS (
   SELECT seg, COUNT(*) AS n_orders,
-         ROUND(CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0), 6) AS true_mean
+         FLOOR(CAST((CAST(SUM(cents) AS DOUBLE) / (COUNT(*) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS true_mean
   FROM o GROUP BY seg
 ),
 bs AS (
@@ -12949,7 +12976,7 @@ rep AS (
 ),
 means AS (
   SELECT seg,
-         ROUND(CAST(s AS DOUBLE) / (CAST(nw AS DOUBLE) * 100.0), 6) AS mean_b
+         FLOOR(CAST((CAST(s AS DOUBLE) / (CAST(nw AS DOUBLE) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_b
   FROM rep WHERE nw > 0
 ),
 boots AS (SELECT seg, list_sort(list(mean_b)) AS ms FROM means GROUP BY seg)
@@ -13017,7 +13044,7 @@ def q_spearman_corr_grouped(spark, sf_dir):
     dx = nn * F.col("saa").cast("double") - sa * sa
     dy = nn * F.col("sbb").cast("double") - sb * sb
     return m.select(
-        "g", "n", F.round(num / F.sqrt(dx * dy), 6).alias("rho")
+        "g", "n", _flr(num / F.sqrt(dx * dy), 6).alias("rho")
     )
 
 
@@ -13055,12 +13082,12 @@ m AS (
   FROM j GROUP BY g
 )
 SELECT g, CAST(n AS BIGINT) AS n,
-       ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+       FLOOR(CAST(((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
              / SQRT((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
                     * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS rho
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rho
 FROM m
 """
 
@@ -13118,9 +13145,9 @@ def q_isotonic_calibration(spark, sf_dir):
         .select(
             "x",
             F.col("w").alias("n_x"),
-            F.round(F.col("s").cast("double") / (F.col("w") * 100.0), 6)
+            _flr(F.col("s").cast("double") / (F.col("w") * 100.0), 6)
             .alias("raw_mean"),
-            F.round(F.col("fit") / 100.0, 6).alias("iso_fit"),
+            _flr(F.col("fit") / 100.0, 6).alias("iso_fit"),
         )
     )
 
@@ -13151,8 +13178,8 @@ tri AS (
 inner_min AS (SELECT i, j, MIN(mean_jk) AS inner_min FROM tri GROUP BY i, j),
 fit AS (SELECT i, MAX(inner_min) AS fit FROM inner_min GROUP BY i)
 SELECT per.x, CAST(per.w AS BIGINT) AS n_x,
-       ROUND(CAST(per.s AS DOUBLE) / (per.w * 100.0), 6) AS raw_mean,
-       ROUND(fit.fit / 100.0, 6) AS iso_fit
+       FLOOR(CAST((CAST(per.s AS DOUBLE) / (per.w * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_mean,
+       FLOOR(CAST((fit.fit / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS iso_fit
 FROM per JOIN fit ON fit.i = per.x
 """
 
@@ -13195,8 +13222,8 @@ def q_dp_noisy_counts(spark, sf_dir):
         "lang",
         "source",
         "true_n",
-        F.round(F.col("true_n") + noise, 4).alias("noisy_n"),
-        F.round(F.abs(noise), 4).alias("abs_err"),
+        _flr(F.col("true_n") + noise, 4).alias("noisy_n"),
+        _flr(F.abs(noise), 4).alias("abs_err"),
     )
 
 
@@ -13211,11 +13238,11 @@ n AS (
   FROM g
 )
 SELECT lang, source, CAST(true_n AS BIGINT) AS true_n,
-       ROUND(true_n + {-1.0 / DP_EPSILON!r} * SIGN(u - 0.5)
-             * LN(GREATEST({2.0 ** -52!r}, 1.0 - 2.0 * ABS(u - 0.5))), 4)
+       FLOOR(CAST((true_n + {-1.0 / DP_EPSILON!r} * SIGN(u - 0.5)
+             * LN(GREATEST({2.0 ** -52!r}, 1.0 - 2.0 * ABS(u - 0.5)))) AS DOUBLE) * 1e4 + 0.5) / 1e4
          AS noisy_n,
-       ROUND(ABS({-1.0 / DP_EPSILON!r} * SIGN(u - 0.5)
-             * LN(GREATEST({2.0 ** -52!r}, 1.0 - 2.0 * ABS(u - 0.5)))), 4)
+       FLOOR(CAST((ABS({-1.0 / DP_EPSILON!r} * SIGN(u - 0.5)
+             * LN(GREATEST({2.0 ** -52!r}, 1.0 - 2.0 * ABS(u - 0.5))))) AS DOUBLE) * 1e4 + 0.5) / 1e4
          AS abs_err
 FROM n
 """
@@ -13261,8 +13288,8 @@ def q_roc_auc_by_source(spark, sf_dir):
         "source",
         "n_pos",
         (F.col("n") - F.col("n_pos")).alias("n_neg"),
-        F.round(auc, 6).alias("auc"),
-        F.round(2.0 * auc - 1.0, 6).alias("gini"),
+        _flr(auc, 6).alias("auc"),
+        _flr(2.0 * auc - 1.0, 6).alias("gini"),
     )
 
 
@@ -13290,12 +13317,12 @@ agg AS (
 )
 SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
        CAST(n - n_pos AS BIGINT) AS n_neg,
-       ROUND((CAST(r1d AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
-             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)), 6)
+       FLOOR(CAST(((CAST(r1d AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+             / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS auc,
-       ROUND(2.0 * ((CAST(r1d AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+       FLOOR(CAST((2.0 * ((CAST(r1d AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
              / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)))
-             - 1.0, 6) AS gini
+             - 1.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
 FROM agg
 """
 
@@ -13426,11 +13453,8 @@ def q_discrete_hazard_curve(spark, sf_dir):
         F.col("age").alias("age_days"),
         "n_churned",
         (F.lit(n_users) - F.col("below")).cast("bigint").alias("n_at_risk"),
-        F.round(
-            F.col("n_churned").cast("double")
-            / (F.lit(n_users) - F.col("below")).cast("double"),
-            6,
-        ).alias("hazard"),
+        _flr(F.col("n_churned").cast("double")
+            / (F.lit(n_users) - F.col("below")).cast("double"), 6).alias("hazard"),
     )
 
 
@@ -13451,7 +13475,7 @@ pv AS (
 )
 SELECT age AS age_days, CAST(n_churned AS BIGINT) AS n_churned,
        CAST(t.n - below AS BIGINT) AS n_at_risk,
-       ROUND(CAST(n_churned AS DOUBLE) / CAST(t.n - below AS DOUBLE), 6)
+       FLOOR(CAST((CAST(n_churned AS DOUBLE) / CAST(t.n - below AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS hazard
 FROM pv CROSS JOIN tot t
 """
@@ -13568,16 +13592,13 @@ def q_mutual_information_matrix(spark, sf_dir):
             .select(
                 F.lit(name).alias("pair"),
                 "n",
-                F.round(F.col("mi").cast("double"), 6).alias("mi"),
-                F.round(
-                    F.col("mi").cast("double")
+                _flr(F.col("mi").cast("double"), 6).alias("mi"),
+                _flr(F.col("mi").cast("double")
                     / F.sqrt(
                         F.col("ha").cast("double") * F.col("hb").cast("double")
-                    ),
-                    6,
-                ).alias("nmi"),
-                F.round(F.col("ha").cast("double"), 6).alias("h_a"),
-                F.round(F.col("hb").cast("double"), 6).alias("h_b"),
+                    ), 6).alias("nmi"),
+                _flr(F.col("ha").cast("double"), 6).alias("h_a"),
+                _flr(F.col("hb").cast("double"), 6).alias("h_b"),
             )
         )
 
@@ -13632,11 +13653,11 @@ hb AS (
   FROM mb b JOIN tot t ON t.pair = b.pair GROUP BY b.pair
 )
 SELECT mi.pair, CAST(mi.n AS BIGINT) AS n,
-       ROUND(CAST(mi.mi AS DOUBLE), 6) AS mi,
-       ROUND(CAST(mi.mi AS DOUBLE)
-             / SQRT(CAST(ha.ha AS DOUBLE) * CAST(hb.hb AS DOUBLE)), 6) AS nmi,
-       ROUND(CAST(ha.ha AS DOUBLE), 6) AS h_a,
-       ROUND(CAST(hb.hb AS DOUBLE), 6) AS h_b
+       FLOOR(CAST((CAST(mi.mi AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mi,
+       FLOOR(CAST((CAST(mi.mi AS DOUBLE)
+             / SQRT(CAST(ha.ha AS DOUBLE) * CAST(hb.hb AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS nmi,
+       FLOOR(CAST((CAST(ha.ha AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_a,
+       FLOOR(CAST((CAST(hb.hb AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_b
 FROM mi JOIN ha ON ha.pair = mi.pair JOIN hb ON hb.pair = mi.pair
 """
 
@@ -13670,13 +13691,10 @@ def q_kendall_tau_daily(spark, sf_dir):
         (F.col("c")).cast("bigint").alias("concordant"),
         (F.col("dx")).cast("bigint").alias("discordant"),
         (F.col("t")).cast("bigint").alias("ties_y"),
-        F.round(
-            (F.col("c") - F.col("dx")).cast("double")
+        _flr((F.col("c") - F.col("dx")).cast("double")
             / F.sqrt(
                 n0.cast("double") * (n0 - F.col("t")).cast("double")
-            ),
-            6,
-        ).alias("tau_b"),
+            ), 6).alias("tau_b"),
     )
 
 
@@ -13699,9 +13717,9 @@ agg AS (
 )
 SELECT CAST(c AS BIGINT) AS concordant, CAST(dx AS BIGINT) AS discordant,
        CAST(t AS BIGINT) AS ties_y,
-       ROUND(CAST(c - dx AS DOUBLE)
+       FLOOR(CAST((CAST(c - dx AS DOUBLE)
              / SQRT(CAST(c + dx + t AS DOUBLE)
-                    * CAST((c + dx + t) - t AS DOUBLE)), 6) AS tau_b
+                    * CAST((c + dx + t) - t AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS tau_b
 FROM agg
 """
 
@@ -13773,13 +13791,10 @@ def q_jl_projection_audit(spark, sf_dir):
     r = r.select("label", ratio.alias("ratio"))
     return r.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
-        F.round(
-            F.sum(F.col("ratio").cast("decimal(38,18)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("mean_ratio"),
-        F.round(F.min("ratio"), 6).alias("min_ratio"),
-        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        _flr(F.sum(F.col("ratio").cast("decimal(38,18)")).cast("double")
+            / F.count("*"), 6).alias("mean_ratio"),
+        _flr(F.min("ratio"), 6).alias("min_ratio"),
+        _flr(F.max("ratio"), 6).alias("max_ratio"),
     )
 
 
@@ -13798,10 +13813,10 @@ rt AS (
   FROM r
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+       FLOOR(CAST((CAST(SUM(CAST(ratio AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS mean_ratio,
-       ROUND(MIN(ratio), 6) AS min_ratio,
-       ROUND(MAX(ratio), 6) AS max_ratio
+       FLOOR(CAST((MIN(ratio)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS min_ratio,
+       FLOOR(CAST((MAX(ratio)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_ratio
 FROM rt
 GROUP BY label
 """
@@ -13890,14 +13905,9 @@ def q_conformal_interval_calibration(spark, sf_dir):
         "event_type",
         "n_calib",
         "n_eval",
-        F.round(
-            F.col("q_scaled").cast("double")
-            / (F.col("n_c").cast("double") * 100.0),
-            6,
-        ).alias("q_halfwidth"),
-        F.round(
-            F.col("n_covered").cast("double") / F.col("n_eval").cast("double"), 6
-        ).alias("coverage"),
+        _flr(F.col("q_scaled").cast("double")
+            / (F.col("n_c").cast("double") * 100.0), 6).alias("q_halfwidth"),
+        _flr(F.col("n_covered").cast("double") / F.col("n_eval").cast("double"), 6).alias("coverage"),
     )
 
 
@@ -13937,9 +13947,9 @@ evs AS (
 )
 SELECT s.event_type, CAST(s.n_c AS BIGINT) AS n_calib,
        CAST(e.n_eval AS BIGINT) AS n_eval,
-       ROUND(CAST(q.q_scaled AS DOUBLE) / (CAST(s.n_c AS DOUBLE) * 100.0), 6)
+       FLOOR(CAST((CAST(q.q_scaled AS DOUBLE) / (CAST(s.n_c AS DOUBLE) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS q_halfwidth,
-       ROUND(CAST(e.n_covered AS DOUBLE) / CAST(e.n_eval AS DOUBLE), 6)
+       FLOOR(CAST((CAST(e.n_covered AS DOUBLE) / CAST(e.n_eval AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS coverage
 FROM stats s JOIN q USING (event_type) JOIN evs e ON e.event_type = s.event_type
 """
@@ -14036,13 +14046,10 @@ def q_ngram_novelty_rate(spark, sf_dir):
     )
     return per_doc.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.round(
-            F.sum(F.col("ratio").cast("decimal(38,18)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("mean_novelty"),
-        F.round(F.min("ratio"), 6).alias("min_novelty"),
-        F.round(F.max("ratio"), 6).alias("max_novelty"),
+        _flr(F.sum(F.col("ratio").cast("decimal(38,18)")).cast("double")
+            / F.count("*"), 6).alias("mean_novelty"),
+        _flr(F.min("ratio"), 6).alias("min_novelty"),
+        _flr(F.max("ratio"), 6).alias("max_novelty"),
     )
 
 
@@ -14068,10 +14075,10 @@ r AS (
   FROM per_doc
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(CAST(ratio AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+       FLOOR(CAST((CAST(SUM(CAST(ratio AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS mean_novelty,
-       ROUND(MIN(ratio), 6) AS min_novelty,
-       ROUND(MAX(ratio), 6) AS max_novelty
+       FLOOR(CAST((MIN(ratio)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS min_novelty,
+       FLOOR(CAST((MAX(ratio)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_novelty
 FROM r GROUP BY source
 """
 
@@ -14105,15 +14112,12 @@ def q_wasserstein_one_vs_rest(spark, sf_dir):
     return agg.select(
         "event_type",
         "n_t",
-        F.round(
-            F.col("s").cast("double")
+        _flr(F.col("s").cast("double")
             / (
                 F.col("n_t").cast("double")
                 * (F.lit(n_total) - F.col("n_t"))
                 * 100.0
-            ),
-            6,
-        ).alias("w1"),
+            ), 6).alias("w1"),
     )
 
 
@@ -14152,8 +14156,8 @@ terms AS (
   CROSS JOIN tot t
 )
 SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
-       ROUND(CAST(SUM(term) AS DOUBLE)
-             / (CAST(n_t AS DOUBLE) * (n - n_t) * 100.0), 6) AS w1
+       FLOOR(CAST((CAST(SUM(term) AS DOUBLE)
+             / (CAST(n_t AS DOUBLE) * (n - n_t) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS w1
 FROM terms
 GROUP BY event_type, n_t, n
 """
@@ -14207,7 +14211,7 @@ def q_source_ablation_audit(spark, sf_dir):
         "n_docs",
         F.coalesce(F.col("unique_grams"), F.lit(0)).cast("bigint")
         .alias("unique_grams"),
-        F.round(mean_all - mean_loo, 6).alias("loo_mean_delta"),
+        _flr(mean_all - mean_loo, 6).alias("loo_mean_delta"),
     )
 
 
@@ -14237,9 +14241,9 @@ lens AS (
 tot AS (SELECT SUM(n_docs) AS nn, SUM(s_chars) AS ss FROM lens)
 SELECT l.source, CAST(l.n_docs AS BIGINT) AS n_docs,
        CAST(COALESCE(u.unique_grams, 0) AS BIGINT) AS unique_grams,
-       ROUND(CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE)
+       FLOOR(CAST((CAST(t.ss AS DOUBLE) / CAST(t.nn AS DOUBLE)
              - CAST(t.ss - l.s_chars AS DOUBLE)
-               / CAST(t.nn - l.n_docs AS DOUBLE), 6) AS loo_mean_delta
+               / CAST(t.nn - l.n_docs AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS loo_mean_delta
 FROM lens l LEFT JOIN uniq u ON u.source = l.source CROSS JOIN tot t
 """.replace("{TOKENS}", TOKENS_SQL)
 
@@ -14284,8 +14288,8 @@ def q_anova_f_oneway(spark, sf_dir):
     return tot.select(
         "k",
         F.col("nn").alias("n_total"),
-        F.round(fstat, 6).alias("f_stat"),
-        F.round(eta2, 6).alias("eta_sq"),
+        _flr(fstat, 6).alias("f_stat"),
+        _flr(eta2, 6).alias("eta_sq"),
     )
 
 
@@ -14304,14 +14308,14 @@ tot AS (
   FROM per
 )
 SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_total,
-       ROUND(((sg - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+       FLOOR(CAST((((sg - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
                      / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-             / ((CAST(ss2 AS DOUBLE) - sg) / CAST(nn - k AS DOUBLE)), 6)
+             / ((CAST(ss2 AS DOUBLE) - sg) / CAST(nn - k AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS f_stat,
-       ROUND((sg - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+       FLOOR(CAST(((sg - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
                     / CAST(nn AS DOUBLE))
              / (CAST(ss2 AS DOUBLE) - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
-                                       / CAST(nn AS DOUBLE)), 6) AS eta_sq
+                                       / CAST(nn AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS eta_sq
 FROM tot
 """
 
@@ -14363,7 +14367,7 @@ def q_levene_variance_test(spark, sf_dir):
         / (F.col("nn") - F.col("k")).cast("double")
     )
     return tot.select(
-        "k", F.col("nn").alias("n_total"), F.round(w, 6).alias("w_stat")
+        "k", F.col("nn").alias("n_total"), _flr(w, 6).alias("w_stat")
     )
 
 
@@ -14393,9 +14397,9 @@ tot AS (
   FROM per
 )
 SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n_total,
-       ROUND(((sg - CAST(tsz AS DOUBLE) * CAST(tsz AS DOUBLE)
+       FLOOR(CAST((((sg - CAST(tsz AS DOUBLE) * CAST(tsz AS DOUBLE)
                      / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-             / ((CAST(tsz2 AS DOUBLE) - sg) / CAST(nn - k AS DOUBLE)), 6)
+             / ((CAST(tsz2 AS DOUBLE) - sg) / CAST(nn - k AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS w_stat
 FROM tot
 """
@@ -14439,7 +14443,7 @@ def q_srm_check(spark, sf_dir):
         "event_type",
         F.col("a").alias("n_arm0"),
         F.col("b").alias("n_arm1"),
-        F.round(chi2, 6).alias("chi_sq"),
+        _flr(chi2, 6).alias("chi_sq"),
         (chi2 > SRM_CHI2_CRIT).alias("srm_flag"),
     )
 
@@ -14458,8 +14462,8 @@ per AS (
   FROM u GROUP BY event_type
 )
 SELECT event_type, CAST(a AS BIGINT) AS n_arm0, CAST(b AS BIGINT) AS n_arm1,
-       ROUND(CAST(a - b AS DOUBLE) * CAST(a - b AS DOUBLE)
-             / CAST(a + b AS DOUBLE), 6) AS chi_sq,
+       FLOOR(CAST((CAST(a - b AS DOUBLE) * CAST(a - b AS DOUBLE)
+             / CAST(a + b AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi_sq,
        (CAST(a - b AS DOUBLE) * CAST(a - b AS DOUBLE)
         / CAST(a + b AS DOUBLE)) > {SRM_CHI2_CRIT!r} AS srm_flag
 FROM per
@@ -14527,11 +14531,11 @@ def q_pinball_loss_eval(spark, sf_dir):
     return out.select(
         "event_type",
         "n",
-        F.round(F.col("mq50") / 100.0, 6).alias("q50"),
-        F.round(F.col("mq90") / 100.0, 6).alias("q90"),
-        F.round(F.col("l50") / (F.col("n").cast("double") * 100.0), 6)
+        _flr(F.col("mq50") / 100.0, 6).alias("q50"),
+        _flr(F.col("mq90") / 100.0, 6).alias("q90"),
+        _flr(F.col("l50") / (F.col("n").cast("double") * 100.0), 6)
         .alias("pinball50"),
-        F.round(F.col("l90") / (F.col("n").cast("double") * 100.0), 6)
+        _flr(F.col("l90") / (F.col("n").cast("double") * 100.0), 6)
         .alias("pinball90"),
     )
 
@@ -14573,10 +14577,10 @@ agg AS (
   FROM j GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       ROUND(mq50 / 100.0, 6) AS q50,
-       ROUND(mq90 / 100.0, 6) AS q90,
-       ROUND(l50 / (CAST(n AS DOUBLE) * 100.0), 6) AS pinball50,
-       ROUND(l90 / (CAST(n AS DOUBLE) * 100.0), 6) AS pinball90
+       FLOOR(CAST((mq50 / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q50,
+       FLOOR(CAST((mq90 / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q90,
+       FLOOR(CAST((l50 / (CAST(n AS DOUBLE) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pinball50,
+       FLOOR(CAST((l90 / (CAST(n AS DOUBLE) * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pinball90
 FROM agg
 """
 
@@ -14628,9 +14632,9 @@ def q_median_ci_binomial(spark, sf_dir):
     return sel.select(
         "event_type",
         "n",
-        F.round(F.col("lo") / 100.0, 6).alias("ci_lo"),
-        F.round(F.col("med") / 100.0, 6).alias("median"),
-        F.round(F.col("hi") / 100.0, 6).alias("ci_hi"),
+        _flr(F.col("lo") / 100.0, 6).alias("ci_lo"),
+        _flr(F.col("med") / 100.0, 6).alias("median"),
+        _flr(F.col("hi") / 100.0, 6).alias("ci_hi"),
     )
 
 
@@ -14659,9 +14663,9 @@ pv AS (
   FROM vc JOIN ks USING (event_type)
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       ROUND(MIN(CASE WHEN incl >= k_lo THEN c END) / 100.0, 6) AS ci_lo,
-       ROUND(MIN(CASE WHEN incl >= k_med THEN c END) / 100.0, 6) AS median,
-       ROUND(MIN(CASE WHEN incl >= k_hi THEN c END) / 100.0, 6) AS ci_hi
+       FLOOR(CAST((MIN(CASE WHEN incl >= k_lo THEN c END) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ci_lo,
+       FLOOR(CAST((MIN(CASE WHEN incl >= k_med THEN c END) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS median,
+       FLOOR(CAST((MIN(CASE WHEN incl >= k_hi THEN c END) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ci_hi
 FROM pv GROUP BY event_type, n
 """
 
@@ -14692,7 +14696,7 @@ def q_intrinsic_dim_twonn(spark, sf_dir):
         F.col("embedding").alias("a_emb"),
         "sig",
     )
-    d = F.round(1.0 - V.cosine(F.col("a_emb"), F.col("embedding")), 6)
+    d = _flr(1.0 - V.cosine(F.col("a_emb"), F.col("embedding")), 6)
     # persisted: the Σ|bucket|² pair expansion is the dominant subtree
     # and feeds BOTH minima aggregations (m1 directly, m2 via the keyed
     # join back onto it) — without the cache each action re-runs the
@@ -14720,9 +14724,7 @@ def q_intrinsic_dim_twonn(spark, sf_dir):
     )
     return terms.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_used"),
-        F.round(
-            F.count("*").cast("double") / F.sum("t").cast("double"), 6
-        ).alias("id_hat"),
+        _flr(F.count("*").cast("double") / F.sum("t").cast("double"), 6).alias("id_hat"),
     )
 
 
@@ -14735,7 +14737,7 @@ WITH sigs AS (
 ),
 pairs AS (
   SELECT a.vec_id AS aid, a.label AS albl,
-         ROUND(1.0 - {_cosine_sql('a.embedding', 'b.embedding')}, 6) AS d,
+         FLOOR(CAST((1.0 - {_cosine_sql('a.embedding', 'b.embedding')}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS d,
          b.vec_id AS nid
   FROM sigs a JOIN sigs b ON a.sig = b.sig AND b.vec_id <> a.vec_id
 ),
@@ -14756,7 +14758,7 @@ terms AS (
   SELECT albl AS label, CAST(LN(d2 / d1) AS DECIMAL(38,18)) AS t FROM two
 )
 SELECT label, CAST(COUNT(*) AS BIGINT) AS n_used,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(t) AS DOUBLE), 6) AS id_hat
+       FLOOR(CAST((CAST(COUNT(*) AS DOUBLE) / CAST(SUM(t) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS id_hat
 FROM terms GROUP BY label
 """
 
@@ -14828,8 +14830,8 @@ def q_ann_ndcg_eval(spark, sf_dir):
             j.agg(
                 F.lit(name).alias("method"),
                 F.sum("rel").cast("bigint").alias("n_relevant"),
-                F.round(dcg, 6).alias("dcg"),
-                F.round(dcg / F.lit(_NDCG_IDCG), 6).alias("ndcg"),
+                _flr(dcg, 6).alias("dcg"),
+                _flr(dcg / F.lit(_NDCG_IDCG), 6).alias("ndcg"),
             )
         )
     from functools import reduce as _reduce
@@ -14842,11 +14844,11 @@ def _sql_ann_ndcg_eval() -> str:
         return f"""
 SELECT '{method}' AS method,
        CAST(SUM(rel) AS BIGINT) AS n_relevant,
-       ROUND(CAST(SUM(CAST({_ndcg_disc_case("rk")} * rel
-                          AS DECIMAL(38,18))) AS DOUBLE), 6) AS dcg,
-       ROUND(CAST(SUM(CAST({_ndcg_disc_case("rk")} * rel
+       FLOOR(CAST((CAST(SUM(CAST({_ndcg_disc_case("rk")} * rel
+                          AS DECIMAL(38,18))) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dcg,
+       FLOOR(CAST((CAST(SUM(CAST({_ndcg_disc_case("rk")} * rel
                           AS DECIMAL(38,18))) AS DOUBLE)
-             / {_NDCG_IDCG!r}, 6) AS ndcg
+             / {_NDCG_IDCG!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ndcg
 FROM (
   SELECT a.vec_id,
          ROW_NUMBER() OVER (ORDER BY a.cosine_sim DESC, a.vec_id) AS rk,
@@ -14890,15 +14892,9 @@ def q_mase_seasonal_naive(spark, sf_dir):
     )
     return agg.select(
         "n_scored",
-        F.round(
-            F.col("s1").cast("double") / (F.col("n_scored") * 100.0), 6
-        ).alias("mae_naive1"),
-        F.round(
-            F.col("s7").cast("double") / (F.col("n_scored") * 100.0), 6
-        ).alias("mae_snaive7"),
-        F.round(
-            F.col("s7").cast("double") / F.col("s1").cast("double"), 6
-        ).alias("mase"),
+        _flr(F.col("s1").cast("double") / (F.col("n_scored") * 100.0), 6).alias("mae_naive1"),
+        _flr(F.col("s7").cast("double") / (F.col("n_scored") * 100.0), 6).alias("mae_snaive7"),
+        _flr(F.col("s7").cast("double") / F.col("s1").cast("double"), 6).alias("mase"),
     )
 
 
@@ -14922,9 +14918,9 @@ agg AS (
   FROM j
 )
 SELECT CAST(n_scored AS BIGINT) AS n_scored,
-       ROUND(CAST(s1 AS DOUBLE) / (n_scored * 100.0), 6) AS mae_naive1,
-       ROUND(CAST(s7 AS DOUBLE) / (n_scored * 100.0), 6) AS mae_snaive7,
-       ROUND(CAST(s7 AS DOUBLE) / CAST(s1 AS DOUBLE), 6) AS mase
+       FLOOR(CAST((CAST(s1 AS DOUBLE) / (n_scored * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mae_naive1,
+       FLOOR(CAST((CAST(s7 AS DOUBLE) / (n_scored * 100.0)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mae_snaive7,
+       FLOOR(CAST((CAST(s7 AS DOUBLE) / CAST(s1 AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mase
 FROM agg
 """
 
@@ -14967,7 +14963,7 @@ def q_weighted_median_exact(spark, sf_dir):
     return sel.select(
         "g",
         F.col("tw").alias("total_weight"),
-        F.round(F.col("mv") / 100.0, 6).alias("weighted_median"),
+        _flr(F.col("mv") / 100.0, 6).alias("weighted_median"),
     )
 
 
@@ -14988,7 +14984,7 @@ pv AS (
   FROM vw JOIN tot USING (g)
 )
 SELECT g, CAST(tw AS BIGINT) AS total_weight,
-       ROUND(MIN(CASE WHEN 2 * (below + wv) >= tw THEN v END) / 100.0, 6)
+       FLOOR(CAST((MIN(CASE WHEN 2 * (below + wv) >= tw THEN v END) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS weighted_median
 FROM pv GROUP BY g, tw
 """
@@ -15079,12 +15075,9 @@ def q_bloom_fp_rate_audit(spark, sf_dir):
         "n_probed",
         "n_true",
         "n_flagged",
-        F.round(
-            F.col("n_false_pos").cast("double")
-            / (F.col("n_probed") - F.col("n_true")).cast("double"),
-            6,
-        ).alias("fp_rate"),
-        F.round(expected, 6).alias("fp_expected"),
+        _flr(F.col("n_false_pos").cast("double")
+            / (F.col("n_probed") - F.col("n_true")).cast("double"), 6).alias("fp_rate"),
+        _flr(expected, 6).alias("fp_expected"),
     )
 
 
@@ -15127,14 +15120,14 @@ agg AS (
 SELECT CAST(n_probed AS BIGINT) AS n_probed,
        CAST(n_true AS BIGINT) AS n_true,
        CAST(n_flagged AS BIGINT) AS n_flagged,
-       ROUND(CAST(n_false_pos AS DOUBLE)
-             / CAST(n_probed - n_true AS DOUBLE), 6) AS fp_rate,
-       ROUND((1.0 - EXP(CAST(-{BLOOM_AUDIT_HASHES} * n_dim AS DOUBLE)
+       FLOOR(CAST((CAST(n_false_pos AS DOUBLE)
+             / CAST(n_probed - n_true AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS fp_rate,
+       FLOOR(CAST(((1.0 - EXP(CAST(-{BLOOM_AUDIT_HASHES} * n_dim AS DOUBLE)
                         / {BLOOM_AUDIT_BITS}))
              * (1.0 - EXP(CAST(-{BLOOM_AUDIT_HASHES} * n_dim AS DOUBLE)
                           / {BLOOM_AUDIT_BITS}))
              * (1.0 - EXP(CAST(-{BLOOM_AUDIT_HASHES} * n_dim AS DOUBLE)
-                          / {BLOOM_AUDIT_BITS})), 6) AS fp_expected
+                          / {BLOOM_AUDIT_BITS}))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS fp_expected
 FROM agg CROSS JOIN nd
 """
 
@@ -15236,8 +15229,8 @@ def q_hurst_exponent(spark, sf_dir):
     return pts.crossJoin(F.broadcast(sl)).select(
         "scale_days",
         "n_blocks",
-        F.round("mean_ln_rs", 6).alias("mean_ln_rs"),
-        F.round("h", 6).alias("hurst"),
+        _flr("mean_ln_rs", 6).alias("mean_ln_rs"),
+        _flr("h", 6).alias("hurst"),
     )
 
 
@@ -15309,8 +15302,8 @@ sl AS (
               AS DECIMAL(38,18))) AS DOUBLE) AS h
   FROM pts
 )
-SELECT scale_days, n_blocks, ROUND(mean_ln_rs, 6) AS mean_ln_rs,
-       ROUND(h, 6) AS hurst
+SELECT scale_days, n_blocks, FLOOR(CAST((mean_ln_rs) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_ln_rs,
+       FLOOR(CAST((h) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hurst
 FROM pts CROSS JOIN sl
 """
 
@@ -15393,10 +15386,10 @@ def q_abtest_cuped(spark, sf_dir):
     return j.select(
         F.col("arm").cast("bigint").alias("arm"),
         F.col("n").alias("n_users"),
-        F.round(my / 100.0, 6).alias("mean_y"),
-        F.round((my - theta * (mx - meanx_p)) / 100.0, 6)
+        _flr(my / 100.0, 6).alias("mean_y"),
+        _flr((my - theta * (mx - meanx_p)) / 100.0, 6)
         .alias("mean_y_cuped"),
-        F.round(1.0 - vy_adj / vy, 6).alias("var_reduction"),
+        _flr(1.0 - vy_adj / vy, 6).alias("var_reduction"),
     )
 
 
@@ -15446,12 +15439,12 @@ k AS (
   FROM per_arm a CROSS JOIN pooled p
 )
 SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_users,
-       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS mean_y,
-       ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+       FLOOR(CAST(((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_y,
+       FLOOR(CAST(((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
               - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
                          - CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE)))
-             / 100.0, 6) AS mean_y_cuped,
-       ROUND(1.0 - (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_y_cuped,
+       FLOOR(CAST((1.0 - (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
                     - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
                       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
                     - 2.0 * theta
@@ -15464,7 +15457,7 @@ SELECT CAST(arm AS BIGINT) AS arm, CAST(n AS BIGINT) AS n_users,
                            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
                    / (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
                       - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS var_reduction
 FROM k
 """
@@ -15513,10 +15506,10 @@ def q_partial_corr_audit(spark, sf_dir):
     )
     return m.select(
         "n",
-        F.round(rxy, 6).alias("r_xy"),
-        F.round(rxz, 6).alias("r_xz"),
-        F.round(ryz, 6).alias("r_yz"),
-        F.round(part, 6).alias("partial_r_xy_given_z"),
+        _flr(rxy, 6).alias("r_xy"),
+        _flr(rxz, 6).alias("r_xz"),
+        _flr(ryz, 6).alias("r_yz"),
+        _flr(part, 6).alias("partial_r_xy_given_z"),
     )
 
 
@@ -15547,10 +15540,10 @@ m AS (
   FROM li
 )
 SELECT CAST(n AS BIGINT) AS n,
-       ROUND({rxy}, 6) AS r_xy,
-       ROUND({rxz}, 6) AS r_xz,
-       ROUND({ryz}, 6) AS r_yz,
-       ROUND({part}, 6) AS partial_r_xy_given_z
+       FLOOR(CAST(({rxy}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r_xy,
+       FLOOR(CAST(({rxz}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r_xz,
+       FLOOR(CAST(({ryz}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r_yz,
+       FLOOR(CAST(({part}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS partial_r_xy_given_z
 FROM m
 """
 
@@ -15614,10 +15607,10 @@ def q_ols_multifeature_grouped(spark, sf_dir):
     return m.select(
         "g",
         "n",
-        F.round(b0 / 100.0, 6).alias("b_intercept"),
-        F.round(b1, 6).alias("b_quantity"),
-        F.round(b2, 6).alias("b_discount"),
-        F.round(1.0 - sse / sst, 6).alias("r_squared"),
+        _flr(b0 / 100.0, 6).alias("b_intercept"),
+        _flr(b1, 6).alias("b_quantity"),
+        _flr(b2, 6).alias("b_discount"),
+        _flr(1.0 - sse / sst, 6).alias("r_squared"),
     )
 
 
@@ -15666,10 +15659,10 @@ m AS (
   FROM li GROUP BY g
 )
 SELECT g, CAST(n AS BIGINT) AS n,
-       ROUND({b0} / 100.0, 6) AS b_intercept,
-       ROUND({b1}, 6) AS b_quantity,
-       ROUND({b2}, 6) AS b_discount,
-       ROUND(1.0 - {sse} / {sst}, 6) AS r_squared
+       FLOOR(CAST(({b0} / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS b_intercept,
+       FLOOR(CAST(({b1}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS b_quantity,
+       FLOOR(CAST(({b2}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS b_discount,
+       FLOOR(CAST((1.0 - {sse} / {sst}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS r_squared
 FROM m
 """
 
@@ -15774,10 +15767,10 @@ def q_logreg_newton(spark, sf_dir):
     return out.select(
         "n",
         "n_pos",
-        F.round(F.lit(beta[0]), 6).alias("beta0"),
-        F.round(F.lit(beta[1]), 6).alias("beta1_price"),
-        F.round(F.lit(beta[2]), 6).alias("beta2_dow"),
-        F.round(F.col("nll") / F.col("n"), 6).alias("log_loss"),
+        _flr(F.lit(beta[0]), 6).alias("beta0"),
+        _flr(F.lit(beta[1]), 6).alias("beta1_price"),
+        _flr(F.lit(beta[2]), 6).alias("beta2_dow"),
+        _flr(F.col("nll") / F.col("n"), 6).alias("log_loss"),
     )
 
 
@@ -15847,10 +15840,10 @@ loss AS (
   FROM feats CROSS JOIN b2
 )
 SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
-       ROUND((SELECT b0 FROM b2), 6) AS beta0,
-       ROUND((SELECT b1 FROM b2), 6) AS beta1_price,
-       ROUND((SELECT b2 FROM b2), 6) AS beta2_dow,
-       ROUND(nll / n, 6) AS log_loss
+       FLOOR(CAST(((SELECT b0 FROM b2)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS beta0,
+       FLOOR(CAST(((SELECT b1 FROM b2)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS beta1_price,
+       FLOOR(CAST(((SELECT b2 FROM b2)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS beta2_dow,
+       FLOOR(CAST((nll / n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS log_loss
 FROM loss
 """
 
@@ -15990,11 +15983,11 @@ def q_pca_power_iteration(spark, sf_dir):
         .crossJoin(F.broadcast(top))
         .select(
             F.lit(EMB_DIM).cast("bigint").alias("d"),
-            F.round(F.col("vcv") / F.col("vv"), 6).alias("lambda_top"),
-            F.round(F.col("vcv") / F.col("vv") / F.col("trace"), 6)
+            _flr(F.col("vcv") / F.col("vv"), 6).alias("lambda_top"),
+            _flr(F.col("vcv") / F.col("vv") / F.col("trace"), 6)
             .alias("explained_ratio"),
             F.col("m.dim").alias("top_dim"),
-            F.round(F.col("m.a"), 6).alias("top_loading_abs"),
+            _flr(F.col("m.a"), 6).alias("top_loading_abs"),
         )
     )
 
@@ -16067,10 +16060,10 @@ top AS (
   ORDER BY ABS(val) DESC, j DESC LIMIT 1
 )
 SELECT CAST({EMB_DIM} AS BIGINT) AS d,
-       ROUND(vcv / vv, 6) AS lambda_top,
-       ROUND(vcv / vv / trace, 6) AS explained_ratio,
+       FLOOR(CAST((vcv / vv) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lambda_top,
+       FLOOR(CAST((vcv / vv / trace) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS explained_ratio,
        top_dim,
-       ROUND(a, 6) AS top_loading_abs
+       FLOOR(CAST((a) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_loading_abs
 FROM ray CROSS JOIN tr CROSS JOIN top
 """
 
@@ -16130,11 +16123,8 @@ def q_markov_stationary_mix(spark, sf_dir):
         .select(
             F.col("t").alias("event_type"),
             "n_events",
-            F.round(
-                F.col("n_events").cast("double") / F.col("ne").cast("double"),
-                6,
-            ).alias("empirical_mix"),
-            F.round(F.col("v"), 6).alias("stationary_mix"),
+            _flr(F.col("n_events").cast("double") / F.col("ne").cast("double"), 6).alias("empirical_mix"),
+            _flr(F.col("v"), 6).alias("stationary_mix"),
         )
     )
 
@@ -16179,10 +16169,10 @@ pi0 AS (
 ),
 {",".join(iters)}
 SELECT emp.t AS event_type, CAST(emp.n_events AS BIGINT) AS n_events,
-       ROUND(CAST(emp.n_events AS DOUBLE)
-             / CAST((SELECT SUM(n_events) FROM emp) AS DOUBLE), 6)
+       FLOOR(CAST((CAST(emp.n_events AS DOUBLE)
+             / CAST((SELECT SUM(n_events) FROM emp) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS empirical_mix,
-       ROUND(v.v, 6) AS stationary_mix
+       FLOOR(CAST((v.v) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS stationary_mix
 FROM emp JOIN {prev} v ON v.src = emp.t
 """
 
@@ -16212,12 +16202,10 @@ def q_negbin_overdispersion_fit(spark, sf_dir):
     return m.select(
         "event_type",
         "n_users",
-        F.round(mean, 6).alias("mean_events"),
-        F.round(var / mean, 6).alias("dispersion"),
-        F.round(
-            F.when(var > mean, mean * mean / (var - mean)), 6
-        ).alias("nb_size_r"),
-        F.round(F.when(var > mean, mean / var), 6).alias("nb_p"),
+        _flr(mean, 6).alias("mean_events"),
+        _flr(var / mean, 6).alias("dispersion"),
+        _flr(F.when(var > mean, mean * mean / (var - mean)), 6).alias("nb_size_r"),
+        _flr(F.when(var > mean, mean / var), 6).alias("nb_p"),
     )
 
 
@@ -16232,13 +16220,13 @@ m AS (
   FROM per_user GROUP BY event_type
 )
 SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
-       ROUND(CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_events,
-       ROUND((CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+       FLOOR(CAST((CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_events,
+       FLOOR(CAST(((CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
               - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
                 * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
-             / (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)), 6)
+             / (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS dispersion,
-       ROUND(CASE WHEN (CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+       FLOOR(CAST((CASE WHEN (CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
                         - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
                           * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
                        > CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)
@@ -16248,8 +16236,8 @@ SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
                       - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
                         * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
                      - CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
-             END, 6) AS nb_size_r,
-       ROUND(CASE WHEN (CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+             END) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS nb_size_r,
+       FLOOR(CAST((CASE WHEN (CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
                         - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
                           * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
                        > CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)
@@ -16257,7 +16245,7 @@ SELECT event_type, CAST(n_users AS BIGINT) AS n_users,
                   / (CAST(sk2 AS DOUBLE) / CAST(n_users AS DOUBLE)
                      - (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE))
                        * (CAST(sk AS DOUBLE) / CAST(n_users AS DOUBLE)))
-             END, 6) AS nb_p
+             END) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS nb_p
 FROM m
 """
 
@@ -16314,10 +16302,8 @@ def q_pareto_topk_share(spark, sf_dir):
     return agg.select(
         F.lit(n).cast("bigint").alias("n_customers"),
         "n_top",
-        F.round(F.lit(float(cutoff)) / 100.0, 6).alias("cutoff_value"),
-        F.round(
-            F.col("s_top").cast("double") / F.col("s_all").cast("double"), 6
-        ).alias("top_share"),
+        _flr(F.lit(float(cutoff)) / 100.0, 6).alias("cutoff_value"),
+        _flr(F.col("s_top").cast("double") / F.col("s_all").cast("double"), 6).alias("top_share"),
     )
 
 
@@ -16354,9 +16340,9 @@ agg AS (
 )
 SELECT CAST((SELECT n FROM nk) AS BIGINT) AS n_customers,
        CAST(n_top AS BIGINT) AS n_top,
-       ROUND(CAST((SELECT cut FROM cut) AS DOUBLE) / 100.0, 6)
+       FLOOR(CAST((CAST((SELECT cut FROM cut) AS DOUBLE) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS cutoff_value,
-       ROUND(CAST(s_top AS DOUBLE) / CAST(s_all AS DOUBLE), 6) AS top_share
+       FLOOR(CAST((CAST(s_top AS DOUBLE) / CAST(s_all AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS top_share
 FROM agg
 """
 
@@ -16408,9 +16394,9 @@ def q_gpd_tail_fit(spark, sf_dir):
     return m.select(
         F.lit(n).cast("bigint").alias("n_orders"),
         "n_exceed",
-        F.round(F.lit(float(u)) / 100.0, 6).alias("threshold"),
-        F.round(xi, 6).alias("gpd_xi"),
-        F.round(sigma / 100.0, 6).alias("gpd_sigma"),
+        _flr(F.lit(float(u)) / 100.0, 6).alias("threshold"),
+        _flr(xi, 6).alias("gpd_xi"),
+        _flr(sigma / 100.0, 6).alias("gpd_sigma"),
     )
 
 
@@ -16438,20 +16424,20 @@ m AS (
 )
 SELECT CAST((SELECT n FROM nk) AS BIGINT) AS n_orders,
        CAST(n_exceed AS BIGINT) AS n_exceed,
-       ROUND(CAST((SELECT u FROM u) AS DOUBLE) / 100.0, 6) AS threshold,
-       ROUND((1.0 - (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+       FLOOR(CAST((CAST((SELECT u FROM u) AS DOUBLE) / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS threshold,
+       FLOOR(CAST(((1.0 - (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
                     * (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
                     / (CAST(se2 AS DOUBLE) / CAST(n_exceed AS DOUBLE)
                        - (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
                          * (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))))
-             / 2.0, 6) AS gpd_xi,
-       ROUND((CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
+             / 2.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gpd_xi,
+       FLOOR(CAST(((CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
              * ((CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
                 * (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
                 / (CAST(se2 AS DOUBLE) / CAST(n_exceed AS DOUBLE)
                    - (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE))
                      * (CAST(se AS DOUBLE) / CAST(n_exceed AS DOUBLE)))
-                + 1.0) / 2.0 / 100.0, 6) AS gpd_sigma
+                + 1.0) / 2.0 / 100.0) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gpd_sigma
 FROM m
 """
 
@@ -16508,8 +16494,8 @@ def q_decision_stump_split(spark, sf_dir):
         F.lit(n).cast("bigint").alias("n_docs"),
         F.lit(p).cast("bigint").alias("n_pos"),
         F.col("m.split").alias("best_split_n_chars"),
-        F.round(F.col("m.gain"), 6).alias("gini_gain"),
-        F.round(F.lit(gini_parent), 6).alias("gini_parent"),
+        _flr(F.col("m.gain"), 6).alias("gini_gain"),
+        _flr(F.lit(gini_parent), 6).alias("gini_parent"),
     )
 
 
@@ -16546,9 +16532,9 @@ cands AS (
 )
 SELECT CAST(t.n AS BIGINT) AS n_docs, CAST(t.p AS BIGINT) AS n_pos,
        x.split AS best_split_n_chars,
-       ROUND(x.gain, 6) AS gini_gain,
-       ROUND(2.0 * (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE))
-             * (1.0 - CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE)), 6)
+       FLOOR(CAST((x.gain) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini_gain,
+       FLOOR(CAST((2.0 * (CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * (1.0 - CAST(t.p AS DOUBLE) / CAST(t.n AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS gini_parent
 FROM (
   SELECT split, gain,
@@ -16606,8 +16592,8 @@ def q_bigram_entropy_rate(spark, sf_dir):
     return h2.join(h1, "source").select(
         "source",
         "n_bigrams",
-        F.round("h_rate", 6).alias("h_bigram_rate"),
-        F.round("h_unigram", 6).alias("h_unigram"),
+        _flr("h_rate", 6).alias("h_bigram_rate"),
+        _flr("h_unigram", 6).alias("h_unigram"),
     )
 
 
@@ -16646,8 +16632,8 @@ h1 AS (
   FROM c1 JOIN nt ON nt.source = c1.source GROUP BY c1.source
 )
 SELECT h2.source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       ROUND(h_rate, 6) AS h_bigram_rate,
-       ROUND(h_unigram, 6) AS h_unigram
+       FLOOR(CAST((h_rate) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_bigram_rate,
+       FLOOR(CAST((h_unigram) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS h_unigram
 FROM h2 JOIN h1 ON h1.source = h2.source
 """
 
@@ -16697,9 +16683,9 @@ def q_theil_index_decomposition(spark, sf_dir):
     return per_seg.select(
         "seg",
         "n_g",
-        F.round(t_total_g, 6).alias("t_contribution"),
-        F.round(t_between_g, 6).alias("t_between"),
-        F.round(t_total_g - t_between_g, 6).alias("t_within_scaled"),
+        _flr(t_total_g, 6).alias("t_contribution"),
+        _flr(t_between_g, 6).alias("t_between"),
+        _flr(t_total_g - t_between_g, 6).alias("t_within_scaled"),
     )
 
 
@@ -16726,14 +16712,14 @@ per_seg AS (
   GROUP BY seg, t.n, t.sx
 )
 SELECT seg, CAST(n_g AS BIGINT) AS n_g,
-       ROUND(t_sum / CAST(t.n AS DOUBLE), 6) AS t_contribution,
-       ROUND(CAST(sx_g AS DOUBLE) / t.sx
+       FLOOR(CAST((t_sum / CAST(t.n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS t_contribution,
+       FLOOR(CAST((CAST(sx_g AS DOUBLE) / t.sx
              * LN((CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE))
-                  / (t.sx / t.n)), 6) AS t_between,
-       ROUND(t_sum / CAST(t.n AS DOUBLE)
+                  / (t.sx / t.n))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS t_between,
+       FLOOR(CAST((t_sum / CAST(t.n AS DOUBLE)
              - CAST(sx_g AS DOUBLE) / t.sx
                * LN((CAST(sx_g AS DOUBLE) / CAST(n_g AS DOUBLE))
-                    / (t.sx / t.n)), 6) AS t_within_scaled
+                    / (t.sx / t.n))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS t_within_scaled
 FROM per_seg CROSS JOIN tot t
 """
 
@@ -16767,12 +16753,12 @@ def q_rank_functions_battery(spark, sf_dir):
         ranked.groupBy("o_orderpriority", "q")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.min("pr"), 6).alias("min_pct_rank"),
-            F.round(F.max("pr"), 6).alias("max_pct_rank"),
-            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+            _flr(F.min("pr"), 6).alias("min_pct_rank"),
+            _flr(F.max("pr"), 6).alias("max_pct_rank"),
+            _flr(F.max("cd"), 6).alias("max_cume_dist"),
             F.max("dr").cast("bigint").alias("max_dense_rank"),
-            F.round(F.min("o_totalprice"), 2).alias("q_lo"),
-            F.round(F.max("o_totalprice"), 2).alias("q_hi"),
+            _flr(F.min("o_totalprice"), 2).alias("q_lo"),
+            _flr(F.max("o_totalprice"), 2).alias("q_hi"),
         )
     )
 
@@ -16790,12 +16776,12 @@ WITH ranked AS (
 )
 SELECT o_orderpriority, q,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(MIN(pr), 6) AS min_pct_rank,
-       ROUND(MAX(pr), 6) AS max_pct_rank,
-       ROUND(MAX(cd), 6) AS max_cume_dist,
+       FLOOR(CAST((MIN(pr)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS min_pct_rank,
+       FLOOR(CAST((MAX(pr)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_pct_rank,
+       FLOOR(CAST((MAX(cd)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_cume_dist,
        CAST(MAX(dr) AS BIGINT) AS max_dense_rank,
-       ROUND(MIN(o_totalprice), 2) AS q_lo,
-       ROUND(MAX(o_totalprice), 2) AS q_hi
+       FLOOR(CAST((MIN(o_totalprice)) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS q_lo,
+       FLOOR(CAST((MAX(o_totalprice)) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS q_hi
 FROM ranked
 GROUP BY o_orderpriority, q
 """
@@ -16853,14 +16839,14 @@ assign0 AS (
     SELECT b.vec_id, b.s, sd.code,
            row_number() OVER (
              PARTITION BY b.vec_id, b.s
-             ORDER BY ROUND({_sq_l2_sub_sql('b.subv', 'sd.seed', PQ_SUB)}, 6),
+             ORDER BY FLOOR(CAST(({_sq_l2_sub_sql('b.subv', 'sd.seed', PQ_SUB)}) AS DOUBLE) * 1e6 + 0.5) / 1e6,
                       sd.code) AS rk
     FROM base b JOIN seeds sd ON sd.s = b.s
   ) WHERE rk = 1
 ),
 dims AS (SELECT CAST(range AS INT) AS j FROM range(1, {PQ_SUB + 1})),
 means AS (
-  SELECT a.s, a.code, d.j, ROUND(AVG(b.subv[d.j]), 6) AS mn
+  SELECT a.s, a.code, d.j, FLOOR(CAST((AVG(b.subv[d.j])) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mn
   FROM assign0 a
   JOIN base b ON b.vec_id = a.vec_id AND b.s = a.s
   CROSS JOIN dims d
@@ -16877,7 +16863,7 @@ enc AS (
     SELECT b.vec_id, b.s, bk.code,
            row_number() OVER (
              PARTITION BY b.vec_id, b.s
-             ORDER BY ROUND({_sq_l2_sub_sql('b.subv', 'bk.cent', PQ_SUB)}, 6),
+             ORDER BY FLOOR(CAST(({_sq_l2_sub_sql('b.subv', 'bk.cent', PQ_SUB)}) AS DOUBLE) * 1e6 + 0.5) / 1e6,
                       bk.code) AS rk
     FROM base b JOIN books bk ON bk.s = b.s
   ) WHERE rk = 1
@@ -16887,7 +16873,7 @@ adc AS (
   SELECT bk.s, bk.code, {_sq_l2_sub_sql('q.qsub', 'bk.cent', PQ_SUB)} AS d
   FROM books bk JOIN q ON q.s = bk.s
 )
-SELECT e.vec_id, ROUND(SUM(a.d), 6) AS pq_dist
+SELECT e.vec_id, FLOOR(CAST((SUM(a.d)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pq_dist
 FROM enc e JOIN adc a ON a.s = e.s AND a.code = e.code
 GROUP BY e.vec_id
 ORDER BY pq_dist, e.vec_id
@@ -16928,7 +16914,7 @@ def q_psi_drift(spark, sf_dir):
         "band",
         "n_old",
         "n_new",
-        F.round((p_new - p_old) * F.log(p_new / p_old), 6).alias(
+        _flr((p_new - p_old) * F.log(p_new / p_old), 6).alias(
             "psi_contrib"
         ),
     )
@@ -16949,9 +16935,9 @@ per AS (
 ),
 tot AS (SELECT SUM(n_old) AS o, SUM(n_new) AS n FROM per)
 SELECT band, n_old, n_new,
-       ROUND((CAST(n_new AS DOUBLE) / t.n - CAST(n_old AS DOUBLE) / t.o)
+       FLOOR(CAST(((CAST(n_new AS DOUBLE) / t.n - CAST(n_old AS DOUBLE) / t.o)
              * LN((CAST(n_new AS DOUBLE) / t.n)
-                  / (CAST(n_old AS DOUBLE) / t.o)), 6) AS psi_contrib
+                  / (CAST(n_old AS DOUBLE) / t.o))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS psi_contrib
 FROM per CROSS JOIN tot t
 WHERE n_old > 0 AND n_new > 0
 """
@@ -17005,16 +16991,14 @@ def q_ppl_tercile_buckets(spark, sf_dir):
         )
         .select(
             "lang",
-            F.round(
-                F.exp(-F.col("logp") / F.col("nb").cast("double")), 6
-            ).alias("ppl"),
+            _flr(F.exp(-F.col("logp") / F.col("nb").cast("double")), 6).alias("ppl"),
         )
     )
     terc = grouped_percentiles_df(scored, ["lang"], "ppl", [PPL_T1, PPL_T2])
     bounds = terc.select(
         "lang",
-        F.round(F.col("percentiles")[0], 6).alias("t1"),
-        F.round(F.col("percentiles")[1], 6).alias("t2"),
+        _flr(F.col("percentiles")[0], 6).alias("t1"),
+        _flr(F.col("percentiles")[1], 6).alias("t2"),
     )
     bucketed = scored.join(F.broadcast(bounds), "lang").select(
         "lang",
@@ -17026,9 +17010,7 @@ def q_ppl_tercile_buckets(spark, sf_dir):
     )
     return bucketed.groupBy("lang", "bucket").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.round(
-            F.avg(F.col("ppl").cast("decimal(18,6)")).cast("double"), 4
-        ).alias("avg_ppl"),
+        _flr(F.avg(F.col("ppl").cast("decimal(18,6)")).cast("double"), 4).alias("avg_ppl"),
     )
 
 
@@ -17046,15 +17028,15 @@ cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
 cu AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY w1),
 scored AS (
   SELECT lang,
-         ROUND(exp(-SUM(ln(CAST(cb.c12 AS DOUBLE) / CAST(cu.c1 AS DOUBLE)))
-                   / COUNT(*)), 6) AS ppl
+         FLOOR(CAST((exp(-SUM(ln(CAST(cb.c12 AS DOUBLE) / CAST(cu.c1 AS DOUBLE)))
+                   / COUNT(*))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ppl
   FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
   GROUP BY doc_id, lang
 ),
 bounds AS (
   SELECT lang,
-         ROUND(quantile_cont(ppl, {PPL_T1!r}), 6) AS t1,
-         ROUND(quantile_cont(ppl, {PPL_T2!r}), 6) AS t2
+         FLOOR(CAST((quantile_cont(ppl, {PPL_T1!r})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS t1,
+         FLOOR(CAST((quantile_cont(ppl, {PPL_T2!r})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS t2
   FROM scored GROUP BY lang
 ),
 bucketed AS (
@@ -17066,7 +17048,7 @@ bucketed AS (
 )
 SELECT lang, bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(AVG(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE), 4) AS avg_ppl
+       FLOOR(CAST((CAST(AVG(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE)) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS avg_ppl
 FROM bucketed GROUP BY lang, bucket
 """
 
@@ -17146,16 +17128,14 @@ def q_domain_mix_entropy(spark, sf_dir):
     ent = per.join(tot, "lang").groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_sources"),
         F.max("nl").cast("bigint").alias("n_docs"),
-        F.round(
-            -F.sum((p * F.log(p)).cast("decimal(28,12)")).cast("double"), 6
-        ).alias("entropy"),
+        _flr(-F.sum((p * F.log(p)).cast("decimal(28,12)")).cast("double"), 6).alias("entropy"),
     )
     return ent.select(
         "lang",
         "n_sources",
         "n_docs",
         "entropy",
-        F.round(F.exp("entropy"), 6).alias("effective_sources"),
+        _flr(F.exp("entropy"), 6).alias("effective_sources"),
     )
 
 
@@ -17169,14 +17149,14 @@ ent AS (
   SELECT per.lang,
          CAST(COUNT(*) AS BIGINT) AS n_sources,
          CAST(MAX(nl) AS BIGINT) AS n_docs,
-         ROUND(CAST(-SUM(CAST(
+         FLOOR(CAST((CAST(-SUM(CAST(
            (CAST(n AS DOUBLE) / nl) * LN(CAST(n AS DOUBLE) / nl)
-           AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+           AS DECIMAL(28,12))) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS entropy
   FROM per JOIN tot USING (lang)
   GROUP BY per.lang
 )
 SELECT lang, n_sources, n_docs, entropy,
-       ROUND(exp(entropy), 6) AS effective_sources
+       FLOOR(CAST((exp(entropy)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS effective_sources
 FROM ent
 """
 
@@ -17215,14 +17195,14 @@ cassign0 AS (
     SELECT e.vec_id, s.list_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY ROUND({_sq_l2_sql('e.embedding', 's.seed')}, 6), s.list_id
+             ORDER BY FLOOR(CAST(({_sq_l2_sql('e.embedding', 's.seed')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, s.list_id
            ) AS rk
     FROM embeddings e CROSS JOIN cseeds s
   ) WHERE rk = 1
 ),
 cdims AS (SELECT CAST(range AS INT) AS j FROM range(1, {EMB_DIM + 1})),
 cmeans AS (
-  SELECT a.list_id, d.j, ROUND(AVG(CAST(e.embedding[d.j] AS DOUBLE)), 6) AS m
+  SELECT a.list_id, d.j, FLOOR(CAST((AVG(CAST(e.embedding[d.j] AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS m
   FROM cassign0 a JOIN embeddings e USING (vec_id) CROSS JOIN cdims d
   GROUP BY a.list_id, d.j
 ),
@@ -17236,7 +17216,7 @@ ccents AS (
 qfull AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 probe AS (
   SELECT c.list_id FROM ccents c, qfull
-  ORDER BY ROUND({_sq_l2_sql('qfull.qv', 'c.cent')}, 6), c.list_id
+  ORDER BY FLOOR(CAST(({_sq_l2_sql('qfull.qv', 'c.cent')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, c.list_id
   LIMIT {IVF_NPROBE}
 ),
 cassign1 AS (
@@ -17244,7 +17224,7 @@ cassign1 AS (
     SELECT e.vec_id, c.list_id,
            row_number() OVER (
              PARTITION BY e.vec_id
-             ORDER BY ROUND({_sq_l2_sql('e.embedding', 'c.cent')}, 6), c.list_id
+             ORDER BY FLOOR(CAST(({_sq_l2_sql('e.embedding', 'c.cent')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, c.list_id
            ) AS rk
     FROM embeddings e CROSS JOIN ccents c
   ) WHERE rk = 1
@@ -17270,14 +17250,14 @@ passign0 AS (
     SELECT b.vec_id, b.s, sd.code,
            row_number() OVER (
              PARTITION BY b.vec_id, b.s
-             ORDER BY ROUND({_sq_l2_sub_sql('b.subv', 'sd.seed', PQ_SUB)}, 6),
+             ORDER BY FLOOR(CAST(({_sq_l2_sub_sql('b.subv', 'sd.seed', PQ_SUB)}) AS DOUBLE) * 1e6 + 0.5) / 1e6,
                       sd.code) AS rk
     FROM base b JOIN pseeds sd ON sd.s = b.s
   ) WHERE rk = 1
 ),
 pdims AS (SELECT CAST(range AS INT) AS j FROM range(1, {PQ_SUB + 1})),
 pmeans AS (
-  SELECT a.s, a.code, d.j, ROUND(AVG(b.subv[d.j]), 6) AS mn
+  SELECT a.s, a.code, d.j, FLOOR(CAST((AVG(b.subv[d.j])) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mn
   FROM passign0 a
   JOIN base b ON b.vec_id = a.vec_id AND b.s = a.s
   CROSS JOIN pdims d
@@ -17294,7 +17274,7 @@ enc AS (
     SELECT b.vec_id, b.s, bk.code,
            row_number() OVER (
              PARTITION BY b.vec_id, b.s
-             ORDER BY ROUND({_sq_l2_sub_sql('b.subv', 'bk.cent', PQ_SUB)}, 6),
+             ORDER BY FLOOR(CAST(({_sq_l2_sub_sql('b.subv', 'bk.cent', PQ_SUB)}) AS DOUBLE) * 1e6 + 0.5) / 1e6,
                       bk.code) AS rk
     FROM base b JOIN pbooks bk ON bk.s = b.s
   ) WHERE rk = 1
@@ -17305,7 +17285,7 @@ adc AS (
   FROM pbooks bk JOIN qsubs ON qsubs.s = bk.s
 ),
 dist AS (
-  SELECT e.vec_id, ROUND(SUM(a.d), 6) AS pq_dist
+  SELECT e.vec_id, FLOOR(CAST((SUM(a.d)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pq_dist
   FROM enc e JOIN adc a ON a.s = e.s AND a.code = e.code
   GROUP BY e.vec_id
 )
@@ -17384,7 +17364,7 @@ def q_containment_pairs(spark, sf_dir):
         .where((F.col("na") > 0) & (F.lit(10) * F.col("nb") >= F.lit(9) * F.col("na")))
         .withColumn("containment", cont)
         .where(F.col("containment") >= CONTAIN_THRESHOLD)
-        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .select("id_a", "id_b", _flr("containment", 6).alias("containment"))
     )
 
 
@@ -17404,8 +17384,8 @@ sidea AS (
              1, 13) AS BIGINT) % 1000 < {CONTAIN_SAMPLE_PERMILLE}
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       ROUND(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
-             / CAST(a.na AS DOUBLE), 6) AS containment
+       FLOOR(CAST((CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+             / CAST(a.na AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS containment
 FROM sidea a JOIN ssc b ON a.lang = b.lang AND a.doc_id <> b.doc_id
 WHERE a.na > 0 AND 10 * len(b.ss) >= 9 * a.na
   AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
@@ -17474,19 +17454,10 @@ def q_tokenizer_fertility(spark, sf_dir):
         "total_chars",
         "total_ws_tokens",
         "total_bpe_tokens",
-        F.round(
-            F.col("total_chars").cast("double") / F.col("total_ws_tokens"),
-            6,
-        ).alias("chars_per_ws_token"),
-        F.round(
-            F.col("total_chars").cast("double") / F.col("total_bpe_tokens"),
-            6,
-        ).alias("chars_per_bpe_token"),
-        F.round(
-            F.col("total_bpe_tokens").cast("double")
-            / F.col("total_ws_tokens"),
-            6,
-        ).alias("bpe_per_ws"),
+        _flr(F.col("total_chars").cast("double") / F.col("total_ws_tokens"), 6).alias("chars_per_ws_token"),
+        _flr(F.col("total_chars").cast("double") / F.col("total_bpe_tokens"), 6).alias("chars_per_bpe_token"),
+        _flr(F.col("total_bpe_tokens").cast("double")
+            / F.col("total_ws_tokens"), 6).alias("bpe_per_ws"),
     )
 
 
@@ -17500,11 +17471,11 @@ WITH per AS (
   FROM documents GROUP BY lang
 )
 SELECT lang, n_docs, total_chars, total_ws_tokens, total_bpe_tokens,
-       ROUND(CAST(total_chars AS DOUBLE) / total_ws_tokens, 6)
+       FLOOR(CAST((CAST(total_chars AS DOUBLE) / total_ws_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS chars_per_ws_token,
-       ROUND(CAST(total_chars AS DOUBLE) / total_bpe_tokens, 6)
+       FLOOR(CAST((CAST(total_chars AS DOUBLE) / total_bpe_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS chars_per_bpe_token,
-       ROUND(CAST(total_bpe_tokens AS DOUBLE) / total_ws_tokens, 6)
+       FLOOR(CAST((CAST(total_bpe_tokens AS DOUBLE) / total_ws_tokens) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS bpe_per_ws
 FROM per
 """
@@ -17577,7 +17548,7 @@ def q_frag_pruning_report(spark, sf_dir):
                 scanned,
                 int(head[f"match_{i}"]),
                 total,
-                round(scanned / total, 6),
+                _flr_py(scanned / total),
             )
         )
     return spark.createDataFrame(
@@ -17602,8 +17573,8 @@ SELECT {i} AS probe_id, CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi,
        CAST(SUM(CASE WHEN rating >= {lo} AND rating <= {hi} THEN 1 ELSE 0 END)
             AS BIGINT) AS rows_matching,
        CAST(COUNT(*) AS BIGINT) AS rows_total,
-       ROUND(SUM(CASE WHEN frag BETWEEN {lf} AND {hf} THEN 1 ELSE 0 END)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS scan_fraction
+       FLOOR(CAST((SUM(CASE WHEN frag BETWEEN {lf} AND {hf} THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS scan_fraction
 FROM f""")
     body = "\nUNION ALL\n".join(parts)
     return f"""
@@ -17714,14 +17685,12 @@ def q_embedding_norm_audit(spark, sf_dir):
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    normed = emb.select(F.round(F.sqrt(sq), 6).alias("nrm"))
+    normed = emb.select(_flr(F.sqrt(sq), 6).alias("nrm"))
     return normed.agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
-        F.round(
-            F.avg(F.col("nrm").cast("decimal(28,12)")).cast("double"), 6
-        ).alias("mean_norm"),
+        _flr(F.avg(F.col("nrm").cast("decimal(28,12)")).cast("double"), 6).alias("mean_norm"),
         F.sum(
             F.when(F.abs(F.col("nrm") - 1.0) > NORM_TOL, 1).otherwise(0)
         )
@@ -17732,14 +17701,14 @@ def q_embedding_norm_audit(spark, sf_dir):
 
 SQL_EMBEDDING_NORM_AUDIT = f"""
 WITH normed AS (
-  SELECT ROUND(SQRT(list_sum(list_transform(embedding,
-               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 6) AS nrm
+  SELECT FLOOR(CAST((SQRT(list_sum(list_transform(embedding,
+               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS nrm
   FROM embeddings
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        MIN(nrm) AS min_norm,
        MAX(nrm) AS max_norm,
-       ROUND(CAST(AVG(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE), 6)
+       FLOOR(CAST((CAST(AVG(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS mean_norm,
        CAST(SUM(CASE WHEN ABS(nrm - 1.0) > {NORM_TOL} THEN 1 ELSE 0 END)
             AS BIGINT) AS n_unnormalized
@@ -17772,7 +17741,7 @@ def q_lsh_banding_curve(spark, sf_dir):
     measured = (
         pairs.select(
             F.least(
-                F.floor(F.round(F.col("jaccard"), 6) * 10).cast("int"),
+                F.floor(_flr(F.col("jaccard"), 6) * 10).cast("int"),
                 F.lit(9),
             ).alias("decile")
         )
@@ -17810,7 +17779,7 @@ def _sql_lsh_banding_curve() -> str:
 WITH {DOCS_WITH_DUPS_CTE},
 {_near_dup_ctes()},
 measured AS (
-  SELECT LEAST(CAST(FLOOR(ROUND(j, 6) * 10) AS INT), 9) AS decile,
+  SELECT LEAST(CAST(FLOOR(FLOOR(CAST((j) AS DOUBLE) * 1e6 + 0.5) / 1e6 * 10) AS INT), 9) AS decile,
          CAST(COUNT(*) AS BIGINT) AS n_candidates
   FROM verified WHERE j IS NOT NULL
   GROUP BY 1
@@ -18364,11 +18333,8 @@ def q_url_domain_dedup(spark, sf_dir):
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_canonical_urls"),
         (F.sum("n_docs") - F.count("*")).cast("bigint").alias("n_dup_docs"),
-        F.round(
-            (F.sum("n_docs") - F.count("*")).cast("double")
-            / F.sum("n_docs").cast("double"),
-            6,
-        ).alias("dup_ratio"),
+        _flr((F.sum("n_docs") - F.count("*")).cast("double")
+            / F.sum("n_docs").cast("double"), 6).alias("dup_ratio"),
         F.min("keeper_doc_id").cast("bigint").alias("first_keeper_doc_id"),
     )
 
@@ -18437,8 +18403,8 @@ SELECT registrable_domain,
        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_canonical_urls,
        CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_dup_docs,
-       ROUND(CAST(SUM(n_docs) - COUNT(*) AS DOUBLE)
-             / CAST(SUM(n_docs) AS DOUBLE), 6) AS dup_ratio,
+       FLOOR(CAST((CAST(SUM(n_docs) - COUNT(*) AS DOUBLE)
+             / CAST(SUM(n_docs) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_ratio,
        CAST(MIN(keeper_doc_id) AS BIGINT) AS first_keeper_doc_id
 FROM per_url
 GROUP BY registrable_domain
@@ -18660,11 +18626,8 @@ def q_kn_bigram_perplexity(spark, sf_dir):
     return scored.select(
         "doc_id",
         "n_bigrams",
-        F.round(
-            (-F.col("lpq")).cast("double")
-            / (F.col("n_bigrams") * F.lit(NLL_LATTICE)).cast("double"),
-            6,
-        ).alias("kn_mean_nll"),
+        _flr((-F.col("lpq")).cast("double")
+            / (F.col("n_bigrams") * F.lit(NLL_LATTICE)).cast("double"), 6).alias("kn_mean_nll"),
     )
 
 
@@ -18694,8 +18657,8 @@ scored AS (
   GROUP BY doc_id
 )
 SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-       ROUND(CAST(-lpq AS DOUBLE)
-             / CAST(n_bigrams * {NLL_LATTICE} AS DOUBLE), 6) AS kn_mean_nll
+       FLOOR(CAST((CAST(-lpq AS DOUBLE)
+             / CAST(n_bigrams * {NLL_LATTICE} AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS kn_mean_nll
 FROM scored
 """
 
@@ -18838,14 +18801,11 @@ aggregate(
         "piece",
         F.length("piece").cast("int").alias("piece_len"),
         "cnt",
-        F.round(
-            F.floor(
+        _flr(F.floor(
                 (-F.log(F.col("cnt").cast("double") / F.col("t").cast("double")))
                 * F.lit(float(NLL_LATTICE))
             ).cast("double")
-            / F.lit(float(NLL_LATTICE)),
-            6,
-        ).alias("neg_logp"),
+            / F.lit(float(NLL_LATTICE)), 6).alias("neg_logp"),
     )
 
 
@@ -18905,9 +18865,9 @@ def _unigram_oracle_sql() -> str:
         f"""
 SELECT piece, CAST(length(piece) AS INT) AS piece_len,
        CAST(cnt AS BIGINT) AS cnt,
-       ROUND(CAST(FLOOR((-ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)))
+       FLOOR(CAST((CAST(FLOOR((-ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)))
                         * {float(NLL_LATTICE)!r}) AS DOUBLE)
-             / {float(NLL_LATTICE)!r}, 6) AS neg_logp
+             / {float(NLL_LATTICE)!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS neg_logp
 FROM cnt{n + 1}, tot{n + 1}"""
     )
     return "\n".join(parts)
@@ -19072,9 +19032,7 @@ def q_nb_quality_classifier(spark, sf_dir):
     return scored.select(
         "doc_id",
         "weak_label",
-        F.round(
-            F.col("score_q").cast("double") / F.lit(float(NLL_LATTICE)), 6
-        ).alias("log_odds"),
+        _flr(F.col("score_q").cast("double") / F.lit(float(NLL_LATTICE)), 6).alias("log_odds"),
         (F.col("score_q") > 0).cast("int").alias("pred_label"),
     )
 
@@ -19364,10 +19322,8 @@ def q_pr_auc_by_source(spark, sf_dir):
         "source",
         "n_pos",
         (F.col("n") - F.col("n_pos")).cast("bigint").alias("n_neg"),
-        F.round("ap", 6).alias("pr_auc"),
-        F.round(
-            F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
-        ).alias("baseline_prevalence"),
+        _flr("ap", 6).alias("pr_auc"),
+        _flr(F.col("n_pos").cast("double") / F.col("n").cast("double"), 6).alias("baseline_prevalence"),
     )
 
 
@@ -19407,8 +19363,8 @@ agg AS (
 )
 SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
        CAST(n - n_pos AS BIGINT) AS n_neg,
-       ROUND(ap, 6) AS pr_auc,
-       ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       FLOOR(CAST((ap) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pr_auc,
+       FLOOR(CAST((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS baseline_prevalence
 FROM agg
 """
@@ -19465,7 +19421,7 @@ nbscored AS (
 SQL_NB_QUALITY_CLASSIFIER = f"""
 WITH {_NB_SCORED_CTE_SQL}
 SELECT doc_id, weak_label,
-       ROUND(CAST(score_q AS DOUBLE) / {float(NLL_LATTICE)!r}, 6) AS log_odds,
+       FLOOR(CAST((CAST(score_q AS DOUBLE) / {float(NLL_LATTICE)!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS log_odds,
        CAST(CASE WHEN score_q > 0 THEN 1 ELSE 0 END AS INT) AS pred_label
 FROM nbscored
 """
@@ -19579,24 +19535,18 @@ def q_nb_calibration_audit(spark, sf_dir):
         .groupBy("bin")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(
-                F.sum("pq").cast("double")
+            _flr(F.sum("pq").cast("double")
                 / F.count("*").cast("double")
-                / F.lit(float(NLL_LATTICE)),
-                6,
-            ).alias("mean_conf"),
-            F.round(
-                F.sum("weak_label").cast("double")
-                / F.count("*").cast("double"),
-                6,
-            ).alias("emp_rate"),
+                / F.lit(float(NLL_LATTICE)), 6).alias("mean_conf"),
+            _flr(F.sum("weak_label").cast("double")
+                / F.count("*").cast("double"), 6).alias("emp_rate"),
         )
         .select(
             "bin",
             "n_docs",
             "mean_conf",
             "emp_rate",
-            F.round(F.abs(F.col("mean_conf") - F.col("emp_rate")), 6).alias(
+            _flr(F.abs(F.col("mean_conf") - F.col("emp_rate")), 6).alias(
                 "abs_gap"
             ),
         )
@@ -19619,14 +19569,14 @@ pb AS (
 ),
 agg AS (
   SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-         ROUND(CAST(SUM(pq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-               / {float(NLL_LATTICE)!r}, 6) AS mean_conf,
-         ROUND(CAST(SUM(weak_label) AS DOUBLE)
-               / CAST(COUNT(*) AS DOUBLE), 6) AS emp_rate
+         FLOOR(CAST((CAST(SUM(pq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / {float(NLL_LATTICE)!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_conf,
+         FLOOR(CAST((CAST(SUM(weak_label) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS emp_rate
   FROM pb GROUP BY bin
 )
 SELECT bin, n_docs, mean_conf, emp_rate,
-       ROUND(ABS(mean_conf - emp_rate), 6) AS abs_gap
+       FLOOR(CAST((ABS(mean_conf - emp_rate)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS abs_gap
 FROM agg
 """
 
@@ -19690,21 +19640,18 @@ def q_quality_budget_mix(spark, sf_dir):
         F.when(lhs_full <= budget, F.lit(1.0))
         .when(lhs_none >= budget, F.lit(0.0))
         .otherwise(
-            F.round(
-                (
+            _flr((
                     F.lit(MIX_BUDGET_PERMILLE) * F.col("total_toks")
                     - F.lit(1000) * F.col("cum_before")
                 ).cast("double")
-                / (F.lit(1000) * F.col("n_tokens")).cast("double"),
-                6,
-            )
+                / (F.lit(1000) * F.col("n_tokens")).cast("double"), 6)
         )
     )
     return ranked.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round("mean_score", 6).alias("mean_score"),
+        _flr("mean_score", 6).alias("mean_score"),
         "rank",
         keep_frac.alias("keep_frac"),
     )
@@ -19732,15 +19679,15 @@ total AS (SELECT SUM(n_tokens) AS total_toks FROM per_src)
 SELECT source,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       ROUND(mean_score, 6) AS mean_score,
+       FLOOR(CAST((mean_score) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_score,
        rank,
        CASE
          WHEN (cum_before + n_tokens) * 1000
               <= {MIX_BUDGET_PERMILLE} * total_toks THEN 1.0
          WHEN cum_before * 1000 >= {MIX_BUDGET_PERMILLE} * total_toks THEN 0.0
-         ELSE ROUND(CAST({MIX_BUDGET_PERMILLE} * total_toks
+         ELSE FLOOR(CAST((CAST({MIX_BUDGET_PERMILLE} * total_toks
                          - 1000 * cum_before AS DOUBLE)
-                    / CAST(1000 * n_tokens AS DOUBLE), 6)
+                    / CAST(1000 * n_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
        END AS keep_frac
 FROM ranked, total
 """
@@ -19888,20 +19835,14 @@ def q_logreg_hash_text(spark, sf_dir):
             "split",
             "n_docs",
             "n_pos",
-            F.round(
-                F.col("n_correct").cast("double")
-                / F.col("n_docs").cast("double"),
-                6,
-            ).alias("accuracy"),
-            F.round(
-                F.col("nll_q").cast("double")
+            _flr(F.col("n_correct").cast("double")
+                / F.col("n_docs").cast("double"), 6).alias("accuracy"),
+            _flr(F.col("nll_q").cast("double")
                 / F.col("n_docs").cast("double")
-                / F.lit(float(NLL_LATTICE)),
-                6,
-            ).alias("log_loss"),
-            F.round(F.lit(beta[0]), 6).alias("beta0"),
-            F.round(F.lit(beta[1]), 6).alias("beta1_h0"),
-            F.round(F.lit(beta[2]), 6).alias("beta2_h1"),
+                / F.lit(float(NLL_LATTICE)), 6).alias("log_loss"),
+            _flr(F.lit(beta[0]), 6).alias("beta0"),
+            _flr(F.lit(beta[1]), 6).alias("beta1_h0"),
+            _flr(F.lit(beta[2]), 6).alias("beta2_h1"),
         )
     )
 
@@ -20017,13 +19958,13 @@ ev AS (
 SELECT split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(y) AS BIGINT) AS n_pos,
-       ROUND(CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy,
-       ROUND(CAST(SUM(lq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-             / {lat}, 6) AS log_loss,
-       ROUND((SELECT b0 FROM b2), 6) AS beta0,
-       ROUND((SELECT b1 FROM b2), 6) AS beta1_h0,
-       ROUND((SELECT b2 FROM b2), 6) AS beta2_h1
+       FLOOR(CAST((CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS accuracy,
+       FLOOR(CAST((CAST(SUM(lq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / {lat}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS log_loss,
+       FLOOR(CAST(((SELECT b0 FROM b2)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS beta0,
+       FLOOR(CAST(((SELECT b1 FROM b2)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS beta1_h0,
+       FLOOR(CAST(((SELECT b2 FROM b2)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS beta2_h1
 FROM ev
 GROUP BY split
 """
@@ -20251,9 +20192,9 @@ def q_temperature_sampling_weights(spark, sf_dir):
     return pe.crossJoin(F.broadcast(se)).select(
         "lang",
         "lang_tokens",
-        F.round(ashare, 6).alias("actual_share"),
-        F.round(tshare, 6).alias("temp_share"),
-        F.round(tshare / ashare, 6).alias("boost"),
+        _flr(ashare, 6).alias("actual_share"),
+        _flr(tshare, 6).alias("temp_share"),
+        _flr(tshare / ashare, 6).alias("boost"),
     )
 
 
@@ -20273,12 +20214,11 @@ pe AS (
 ),
 se AS (SELECT CAST(SUM(eq) AS BIGINT) AS s FROM pe)
 SELECT lang, lang_tokens,
-       ROUND(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+       FLOOR(CAST((CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS actual_share,
-       ROUND(CAST(eq AS DOUBLE) / CAST(s AS DOUBLE), 6) AS temp_share,
-       ROUND((CAST(eq AS DOUBLE) / CAST(s AS DOUBLE))
-             / (CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)),
-             6) AS boost
+       FLOOR(CAST((CAST(eq AS DOUBLE) / CAST(s AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS temp_share,
+       FLOOR(CAST(((CAST(eq AS DOUBLE) / CAST(s AS DOUBLE))
+             / (CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS boost
 FROM pe, se
 """
 
@@ -20340,9 +20280,9 @@ def q_dedup_bcubed_eval(spark, sf_dir):
         "n_docs",
         "n_pred_clusters",
         "n_true_clusters",
-        F.round(p, 6).alias("bcubed_precision"),
-        F.round(r, 6).alias("bcubed_recall"),
-        F.round(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
+        _flr(p, 6).alias("bcubed_precision"),
+        _flr(r, 6).alias("bcubed_recall"),
+        _flr(2.0 * p * r / (p + r), 6).alias("bcubed_f1"),
     )
 
 
@@ -20393,12 +20333,12 @@ sums AS (
   FROM cells JOIN psize USING (pred_c) JOIN tsize USING (true_c)
 )
 SELECT n_docs, n_pred_clusters, n_true_clusters,
-       ROUND(sp / CAST(n_docs AS DOUBLE), 6) AS bcubed_precision,
-       ROUND(sr / CAST(n_docs AS DOUBLE), 6) AS bcubed_recall,
-       ROUND(2.0 * (sp / CAST(n_docs AS DOUBLE))
+       FLOOR(CAST((sp / CAST(n_docs AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bcubed_precision,
+       FLOOR(CAST((sr / CAST(n_docs AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bcubed_recall,
+       FLOOR(CAST((2.0 * (sp / CAST(n_docs AS DOUBLE))
                  * (sr / CAST(n_docs AS DOUBLE))
              / ((sp / CAST(n_docs AS DOUBLE))
-                + (sr / CAST(n_docs AS DOUBLE))), 6) AS bcubed_f1
+                + (sr / CAST(n_docs AS DOUBLE)))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS bcubed_f1
 FROM sums
 """
 
@@ -20448,10 +20388,8 @@ def q_heaps_law_fit(spark, sf_dir):
     )
     return ols.select(
         F.col("k").cast("bigint").alias("n_sources"),
-        F.round(slope, 6).alias("heaps_beta"),
-        F.round(
-            (F.col("sy") - slope * F.col("sx")) / F.col("k"), 6
-        ).alias("heaps_ln_k"),
+        _flr(slope, 6).alias("heaps_beta"),
+        _flr((F.col("sy") - slope * F.col("sx")) / F.col("k"), 6).alias("heaps_ln_k"),
     )
 
 
@@ -20478,8 +20416,8 @@ ols AS (
   FROM pts
 )
 SELECT CAST(k AS BIGINT) AS n_sources,
-       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS heaps_beta,
-       ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 6)
+       FLOOR(CAST(((k * sxy - sx * sy) / (k * sxx - sx * sx)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS heaps_beta,
+       FLOOR(CAST(((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS heaps_ln_k
 FROM ols
 """
@@ -20543,15 +20481,10 @@ def q_data_constrained_effective_tokens(spark, sf_dir):
         "source",
         "total_tokens",
         "unique_tokens",
-        F.round(
-            F.col("total_tokens").cast("double")
-            / F.col("unique_tokens").cast("double"),
-            6,
-        ).alias("epochs"),
-        F.round(eff, 6).alias("effective_tokens"),
-        F.round(
-            eff / F.col("total_tokens").cast("double"), 6
-        ).alias("value_retention"),
+        _flr(F.col("total_tokens").cast("double")
+            / F.col("unique_tokens").cast("double"), 6).alias("epochs"),
+        _flr(eff, 6).alias("effective_tokens"),
+        _flr(eff / F.col("total_tokens").cast("double"), 6).alias("value_retention"),
     )
 
 
@@ -20581,16 +20514,16 @@ pe AS (
   FROM per
 )
 SELECT source, total_tokens, unique_tokens,
-       ROUND(CAST(total_tokens AS DOUBLE) / CAST(unique_tokens AS DOUBLE), 6)
+       FLOOR(CAST((CAST(total_tokens AS DOUBLE) / CAST(unique_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS epochs,
-       ROUND(CAST(unique_tokens AS DOUBLE)
+       FLOOR(CAST((CAST(unique_tokens AS DOUBLE)
              * (1.0 + {DATA_RSTAR!r}
-                * (1.0 - CAST(eq AS DOUBLE) / {float(NLL_LATTICE)!r})), 6)
+                * (1.0 - CAST(eq AS DOUBLE) / {float(NLL_LATTICE)!r}))) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS effective_tokens,
-       ROUND((CAST(unique_tokens AS DOUBLE)
+       FLOOR(CAST(((CAST(unique_tokens AS DOUBLE)
               * (1.0 + {DATA_RSTAR!r}
                  * (1.0 - CAST(eq AS DOUBLE) / {float(NLL_LATTICE)!r})))
-             / CAST(total_tokens AS DOUBLE), 6) AS value_retention
+             / CAST(total_tokens AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS value_retention
 FROM pe
 """
 
@@ -20653,10 +20586,10 @@ def q_shard_balance_audit(spark, sf_dir):
         "total_tokens",
         "max_tokens",
         "min_tokens",
-        F.round(F.col("max_tokens").cast("double") / mean, 6).alias(
+        _flr(F.col("max_tokens").cast("double") / mean, 6).alias(
             "max_over_mean"
         ),
-        F.round(cv, 6).alias("token_cv"),
+        _flr(cv, 6).alias("token_cv"),
     )
 
 
@@ -20678,15 +20611,13 @@ stats AS (
   FROM per
 )
 SELECT n_shards, total_docs, total_tokens, max_tokens, min_tokens,
-       ROUND(CAST(max_tokens AS DOUBLE)
-             / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE)),
-             6) AS max_over_mean,
-       ROUND(SQRT(CAST(n_shards * ss
+       FLOOR(CAST((CAST(max_tokens AS DOUBLE)
+             / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_over_mean,
+       FLOOR(CAST((SQRT(CAST(n_shards * ss
                        - CAST(total_tokens AS HUGEINT) * total_tokens
                   AS DOUBLE))
              / CAST(n_shards AS DOUBLE)
-             / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE)),
-             6) AS token_cv
+             / (CAST(total_tokens AS DOUBLE) / CAST(n_shards AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS token_cv
 FROM stats
 """
 
@@ -20842,16 +20773,10 @@ def q_rare_token_audit(spark, sf_dir):
             "n_tokens",
             "rare_vocab",
             "rare_tokens",
-            F.round(
-                F.col("rare_vocab").cast("double")
-                / F.col("n_vocab").cast("double"),
-                6,
-            ).alias("rare_vocab_share"),
-            F.round(
-                F.col("rare_tokens").cast("double")
-                / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("rare_token_share"),
+            _flr(F.col("rare_vocab").cast("double")
+                / F.col("n_vocab").cast("double"), 6).alias("rare_vocab_share"),
+            _flr(F.col("rare_tokens").cast("double")
+                / F.col("n_tokens").cast("double"), 6).alias("rare_token_share"),
         )
     )
 
@@ -20876,9 +20801,9 @@ SELECT source,
        CAST(SUM(cnt) AS BIGINT) AS n_tokens,
        CAST(SUM(rare) AS BIGINT) AS rare_vocab,
        CAST(SUM(rare * cnt) AS BIGINT) AS rare_tokens,
-       ROUND(CAST(SUM(rare) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       FLOOR(CAST((CAST(SUM(rare) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS rare_vocab_share,
-       ROUND(CAST(SUM(rare * cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+       FLOOR(CAST((CAST(SUM(rare * cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS rare_token_share
 FROM j
 GROUP BY source
@@ -20961,10 +20886,7 @@ def q_t_closeness_audit(spark, sf_dir):
         .agg(
             F.count("*").cast("bigint").alias("n_groups"),
             F.sum("n").cast("bigint").alias("n_docs"),
-            F.round(
-                F.max(F.col("d").cast("double") / F.col("den").cast("double")),
-                6,
-            ).alias("max_t"),
+            _flr(F.max(F.col("d").cast("double") / F.col("den").cast("double")), 6).alias("max_t"),
         )
     )
 
@@ -21002,7 +20924,7 @@ SELECT CASE WHEN d * 10 <= den THEN 't<=0.10'
             ELSE '>0.25' END AS t_band,
        CAST(COUNT(*) AS BIGINT) AS n_groups,
        CAST(SUM(n) AS BIGINT) AS n_docs,
-       ROUND(MAX(CAST(d AS DOUBLE) / CAST(den AS DOUBLE)), 6) AS max_t
+       FLOOR(CAST((MAX(CAST(d AS DOUBLE) / CAST(den AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_t
 FROM cls GROUP BY 1
 """
 
@@ -21032,7 +20954,12 @@ def q_qlm_dirichlet_search(spark, sf_dir):
     lens = docs.select(
         "doc_id", T.token_count(F.col("text")).alias("dl")
     )
-    c_total = int(lens.agg(F.sum("dl").cast("bigint").alias("c")).head()["c"])
+    # `or 0`: SUM over an empty corpus is NULL — the degenerate result
+    # is then the oracle's empty frame (lens has no rows), not a crash
+    # (ADVICE r11)
+    c_total = int(
+        lens.agg(F.sum("dl").cast("bigint").alias("c")).head()["c"] or 0
+    )
     hits = _track_cached(
         docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
         .where(F.col("tok").isin(*BM25_TERMS))
@@ -21081,7 +21008,7 @@ def q_qlm_dirichlet_search(spark, sf_dir):
     )
     return (
         scored.select(
-            "doc_id", "n_terms_hit", F.round("s", 6).alias("qlm_score")
+            "doc_id", "n_terms_hit", _flr("s", 6).alias("qlm_score")
         )
         .orderBy(F.desc("qlm_score"), "doc_id")
         .limit(QLM_TOPK)
@@ -21111,11 +21038,11 @@ hterm AS (
 )
 SELECT l.doc_id,
        COALESCE(h.n_terms_hit, 0) AS n_terms_hit,
-       ROUND(CAST(COALESCE(h.hit_lat, 0)
+       FLOOR(CAST((CAST(COALESCE(h.hit_lat, 0)
                   + {{nq}} * CAST(FLOOR(LN({QLM_MU}.0
                         / (CAST(l.dl AS DOUBLE) + {QLM_MU}.0))
                       * {float(NLL_LATTICE)!r}) AS BIGINT) AS DOUBLE)
-             / {float(NLL_LATTICE)!r}, 6) AS qlm_score
+             / {float(NLL_LATTICE)!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS qlm_score
 FROM lens l LEFT JOIN hterm h USING (doc_id)
 ORDER BY qlm_score DESC, doc_id LIMIT {QLM_TOPK}
 """.format(
@@ -21199,7 +21126,7 @@ def q_doremi_domain_weights(spark, sf_dir):
     w = kl.select(
         "source",
         "n_s",
-        F.round("kl", 6).alias("excess_kl"),
+        _flr("kl", 6).alias("excess_kl"),
         (F.col("n_s").cast("decimal(38,0)") * e_s)
         .cast("decimal(38,0)")
         .alias("raw"),
@@ -21217,10 +21144,10 @@ def q_doremi_domain_weights(spark, sf_dir):
     )
     return w.crossJoin(F.broadcast(tots)).select(
         "source",
-        F.round(share, 6).alias("token_share"),
+        _flr(share, 6).alias("token_share"),
         "excess_kl",
-        F.round(final, 6).alias("doremi_weight"),
-        F.round(final / share, 6).alias("boost"),
+        _flr(final, 6).alias("doremi_weight"),
+        _flr(final / share, 6).alias("boost"),
     )
 
 
@@ -21248,7 +21175,7 @@ kl AS (
   GROUP BY source
 ),
 w AS (
-  SELECT source, n_s, ROUND(kl, 6) AS excess_kl,
+  SELECT source, n_s, FLOOR(CAST((kl) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS excess_kl,
          CAST(n_s AS HUGEINT)
            * CAST(FLOOR(EXP({DOREMI_ETA!r} * kl)
                         * {float(NLL_LATTICE)!r}) AS BIGINT) AS raw
@@ -21260,17 +21187,17 @@ tots AS (
   FROM w
 )
 SELECT source,
-       ROUND(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+       FLOOR(CAST((CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS token_share,
        excess_kl,
-       ROUND({1.0 - DOREMI_SMOOTH!r} * (CAST(raw AS DOUBLE)
+       FLOOR(CAST(({1.0 - DOREMI_SMOOTH!r} * (CAST(raw AS DOUBLE)
                                         / CAST(raw_total AS DOUBLE))
-             + {DOREMI_SMOOTH!r} / CAST(n_sources AS DOUBLE), 6)
+             + {DOREMI_SMOOTH!r} / CAST(n_sources AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS doremi_weight,
-       ROUND(({1.0 - DOREMI_SMOOTH!r} * (CAST(raw AS DOUBLE)
+       FLOOR(CAST((({1.0 - DOREMI_SMOOTH!r} * (CAST(raw AS DOUBLE)
                                          / CAST(raw_total AS DOUBLE))
               + {DOREMI_SMOOTH!r} / CAST(n_sources AS DOUBLE))
-             / (CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS boost
+             / (CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS boost
 FROM w, tots
 """
 
@@ -21396,6 +21323,16 @@ def q_kcenter_coreset(spark, sf_dir):
         )
 
     seed_row = pts.orderBy(F.asc("vec_id")).limit(1).head()
+    if seed_row is None:
+        # empty embeddings table: mirror the oracle's degenerate rows —
+        # its scalar subqueries go NULL, pick 1's dist_sq stays the
+        # literal 0 (ADVICE r11)
+        rows = [(1, None, 0)] + [
+            (k, None, None) for k in range(2, KCENTER_PICKS + 1)
+        ]
+        return spark.createDataFrame(
+            rows, "pick_order bigint, vec_id bigint, dist_sq bigint"
+        ).orderBy("pick_order")
     centers = [list(seed_row["qe"])]
     picks = [(1, int(seed_row["vec_id"]), 0)]
     for k in range(2, KCENTER_PICKS + 1):
@@ -21565,8 +21502,8 @@ def q_fellegi_sunter_linkage(spark, sf_dir):
     )
     return scored.groupBy("fs_band").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
-        F.round(F.min(F.col("w").cast("double")) / lat, 6).alias("min_weight"),
-        F.round(F.max(F.col("w").cast("double")) / lat, 6).alias("max_weight"),
+        _flr(F.min(F.col("w").cast("double")) / lat, 6).alias("min_weight"),
+        _flr(F.max(F.col("w").cast("double")) / lat, 6).alias("max_weight"),
     )
 
 
@@ -21611,8 +21548,8 @@ SELECT CASE WHEN w >= {int(FS_UPPER * NLL_LATTICE)} THEN 'match'
             WHEN w < 0 THEN 'non-match'
             ELSE 'possible' END AS fs_band,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(MIN(CAST(w AS DOUBLE)) / {lat!r}, 6) AS min_weight,
-       ROUND(MAX(CAST(w AS DOUBLE)) / {lat!r}, 6) AS max_weight
+       FLOOR(CAST((MIN(CAST(w AS DOUBLE)) / {lat!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS min_weight,
+       FLOOR(CAST((MAX(CAST(w AS DOUBLE)) / {lat!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS max_weight
 FROM scored
 GROUP BY 1
 """
@@ -21700,9 +21637,9 @@ def q_unimax_budget_allocation(spark, sf_dir):
         F.col("t").alias("lang_tokens"),
         F.col("cap").alias("cap_tokens"),
         (F.col("is_capped") == 1).alias("capped"),
-        F.round(alloc, 6).alias("alloc_tokens"),
-        F.round(alloc / F.col("t").cast("double"), 6).alias("epochs"),
-        F.round(alloc / b.cast("double"), 6).alias("budget_share"),
+        _flr(alloc, 6).alias("alloc_tokens"),
+        _flr(alloc / F.col("t").cast("double"), 6).alias("epochs"),
+        _flr(alloc / b.cast("double"), 6).alias("budget_share"),
     )
 
 
@@ -21741,21 +21678,21 @@ ct AS (
 )
 SELECT lang, t AS lang_tokens, cap AS cap_tokens,
        is_capped = 1 AS capped,
-       ROUND(CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
+       FLOOR(CAST((CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
                   ELSE CAST(total * {UNIMAX_BUDGET_EPOCHS} - cap_sum
                             AS DOUBLE)
-                       / CAST(n_langs - n_capped AS DOUBLE) END, 6)
+                       / CAST(n_langs - n_capped AS DOUBLE) END) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS alloc_tokens,
-       ROUND(CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
+       FLOOR(CAST((CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
                   ELSE CAST(total * {UNIMAX_BUDGET_EPOCHS} - cap_sum
                             AS DOUBLE)
                        / CAST(n_langs - n_capped AS DOUBLE) END
-             / CAST(t AS DOUBLE), 6) AS epochs,
-       ROUND(CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
+             / CAST(t AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS epochs,
+       FLOOR(CAST((CASE WHEN is_capped = 1 THEN CAST(cap AS DOUBLE)
                   ELSE CAST(total * {UNIMAX_BUDGET_EPOCHS} - cap_sum
                             AS DOUBLE)
                        / CAST(n_langs - n_capped AS DOUBLE) END
-             / CAST(total * {UNIMAX_BUDGET_EPOCHS} AS DOUBLE), 6)
+             / CAST(total * {UNIMAX_BUDGET_EPOCHS} AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS budget_share
 FROM r2, ct
 """
@@ -21811,12 +21748,8 @@ def q_packing_truncation_audit(spark, sf_dir):
         (F.expr(f"(sum(n_tokens) + {SEQ_LEN} - 1) div {SEQ_LEN}"))
         .cast("bigint")
         .alias("seqs_used"),
-        F.round(
-            F.sum("split").cast("double") / F.count("*"), 6
-        ).alias("split_rate"),
-        F.round(
-            F.sum("pieces").cast("double") / F.count("*"), 6
-        ).alias("avg_pieces"),
+        _flr(F.sum("split").cast("double") / F.count("*"), 6).alias("split_rate"),
+        _flr(F.sum("pieces").cast("double") / F.count("*"), 6).alias("avg_pieces"),
     )
 
 
@@ -21852,8 +21785,8 @@ SELECT lang,
        CAST(SUM(oversize) AS BIGINT) AS n_oversize_docs,
        CAST((SUM(n_tokens) + {SEQ_LEN} - 1) // {SEQ_LEN} AS BIGINT)
          AS seqs_used,
-       ROUND(CAST(SUM(split) AS DOUBLE) / COUNT(*), 6) AS split_rate,
-       ROUND(CAST(SUM(pieces) AS DOUBLE) / COUNT(*), 6) AS avg_pieces
+       FLOOR(CAST((CAST(SUM(split) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS split_rate,
+       FLOOR(CAST((CAST(SUM(pieces) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS avg_pieces
 FROM ann GROUP BY lang
 """
 
@@ -22416,16 +22349,10 @@ def q_tokenizer_compare_audit(spark, sf_dir):
     )
     return out.select(
         "algo", "n_merges", "total_words", "base_symbols", "symbols_after",
-        F.round(
-            F.col("symbols_after").cast("double")
-            / F.col("base_symbols").cast("double"),
-            6,
-        ).alias("compression_ratio"),
-        F.round(
-            F.col("symbols_after").cast("double")
-            / F.col("total_words").cast("double"),
-            6,
-        ).alias("tokens_per_word"),
+        _flr(F.col("symbols_after").cast("double")
+            / F.col("base_symbols").cast("double"), 6).alias("compression_ratio"),
+        _flr(F.col("symbols_after").cast("double")
+            / F.col("total_words").cast("double"), 6).alias("tokens_per_word"),
     )
 
 
@@ -22461,9 +22388,9 @@ base AS (
   SELECT CAST(SUM(freq * length(w)) AS BIGINT) AS base_symbols FROM wf
 )
 SELECT algo, n_merges, total_words, base_symbols, symbols_after,
-       ROUND(CAST(symbols_after AS DOUBLE) / CAST(base_symbols AS DOUBLE), 6)
+       FLOOR(CAST((CAST(symbols_after AS DOUBLE) / CAST(base_symbols AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS compression_ratio,
-       ROUND(CAST(symbols_after AS DOUBLE) / CAST(total_words AS DOUBLE), 6)
+       FLOOR(CAST((CAST(symbols_after AS DOUBLE) / CAST(total_words AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS tokens_per_word
 FROM stats, base
 """
@@ -22546,11 +22473,8 @@ def q_burrows_delta_stylometry(spark, sf_dir):
     return (
         pairs.groupBy("src_a", "src_b")
         .agg(
-            F.round(
-                F.sum(F.col("dz").cast("decimal(38,18)")).cast("double")
-                / F.count("*").cast("double"),
-                6,
-            ).alias("delta")
+            _flr(F.sum(F.col("dz").cast("decimal(38,18)")).cast("double")
+                / F.count("*").cast("double"), 6).alias("delta")
         )
         .orderBy(F.asc("delta"), "src_a", "src_b")
         .limit(DELTA_TOPK)
@@ -22594,8 +22518,8 @@ pairs AS (
   FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
 )
 SELECT src_a, src_b,
-       ROUND(CAST(SUM(CAST(dz AS DECIMAL(38,18))) AS DOUBLE)
-             / CAST(COUNT(*) AS DOUBLE), 6) AS delta
+       FLOOR(CAST((CAST(SUM(CAST(dz AS DECIMAL(38,18))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS delta
 FROM pairs GROUP BY src_a, src_b
 ORDER BY delta ASC, src_a, src_b LIMIT {DELTA_TOPK}
 """
@@ -22663,7 +22587,7 @@ def q_dunning_g2_keyness(spark, sf_dir):
     scored = j.select(
         "source",
         "w",
-        F.round(2.0 * g2_lat.cast("double") / lat, 6).alias("g2"),
+        _flr(2.0 * g2_lat.cast("double") / lat, 6).alias("g2"),
         F.when(over, "over").otherwise("under").alias("direction"),
     )
     return scored.orderBy(F.desc("g2"), "source", "w").limit(G2_TOPK)
@@ -22703,7 +22627,7 @@ terms AS (
   FROM j
 )
 SELECT source, w,
-       ROUND(2.0 * CAST(g2_lat AS DOUBLE) / {float(NLL_LATTICE)!r}, 6) AS g2,
+       FLOOR(CAST((2.0 * CAST(g2_lat AS DOUBLE) / {float(NLL_LATTICE)!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS g2,
        CASE WHEN CAST(a AS HUGEINT) * n > CAST(g AS HUGEINT) * n_s
             THEN 'over' ELSE 'under' END AS direction
 FROM terms
@@ -22801,7 +22725,7 @@ def q_jsd_source_divergence(spark, sf_dir):
     return (
         agg.select(
             F.col("sa").alias("src_a"), F.col("sb").alias("src_b"),
-            F.round(jsd, 6).alias("jsd"),
+            _flr(jsd, 6).alias("jsd"),
         )
         .orderBy(F.asc("jsd"), "src_a", "src_b")
         .limit(JSD_TOPK)
@@ -22847,10 +22771,10 @@ agg AS (
   FROM grid GROUP BY 1, 2, 3, 4
 )
 SELECT sa AS src_a, sb AS src_b,
-       ROUND((CAST(sla AS DOUBLE) / (CAST(na AS DOUBLE)
+       FLOOR(CAST(((CAST(sla AS DOUBLE) / (CAST(na AS DOUBLE)
                                      * {float(NLL_LATTICE)!r})
               + CAST(slb AS DOUBLE) / (CAST(nb AS DOUBLE)
-                                       * {float(NLL_LATTICE)!r})) / 2.0, 6)
+                                       * {float(NLL_LATTICE)!r})) / 2.0) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS jsd
 FROM agg
 ORDER BY jsd ASC, src_a, src_b LIMIT {JSD_TOPK}
@@ -22917,7 +22841,7 @@ def q_rbo_rank_agreement(spark, sf_dir):
         F.max(F.when(F.col("d") == k, F.col("x"))).cast("bigint").alias(
             "overlap_at_k"
         ),
-        F.round(F.sum("t").cast("double"), 6).alias("rbo"),
+        _flr(F.sum("t").cast("double"), 6).alias("rbo"),
     )
 
 
@@ -22954,7 +22878,7 @@ terms AS (
 )
 SELECT CAST({k} AS BIGINT) AS depth,
        CAST(MAX(CASE WHEN d = {k} THEN x END) AS BIGINT) AS overlap_at_k,
-       ROUND(CAST(SUM(t) AS DOUBLE), 6) AS rbo
+       FLOOR(CAST((CAST(SUM(t) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rbo
 FROM terms
 """
 
@@ -23018,7 +22942,7 @@ def q_adamic_adar_linkpred(spark, sf_dir):
             F.col("a").cast("bigint").alias("id_a"),
             F.col("b").cast("bigint").alias("id_b"),
             "common_neighbors",
-            F.round(F.col("aa_lat").cast("double") / lat, 6).alias("aa_score"),
+            _flr(F.col("aa_lat").cast("double") / lat, 6).alias("aa_score"),
         )
         .orderBy(F.desc("aa_score"), "id_a", "id_b")
         .limit(AA_TOPK)
@@ -23056,7 +22980,7 @@ non_edges AS (
 )
 SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
        common_neighbors,
-       ROUND(CAST(aa_lat AS DOUBLE) / {float(NLL_LATTICE)!r}, 6) AS aa_score
+       FLOOR(CAST((CAST(aa_lat AS DOUBLE) / {float(NLL_LATTICE)!r}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS aa_score
 FROM non_edges
 ORDER BY aa_score DESC, id_a, id_b LIMIT {AA_TOPK}
 """
@@ -23122,15 +23046,9 @@ def q_degree_distribution_audit(spark, sf_dir):
     return ols.crossJoin(F.broadcast(tot)).select(
         "n_nodes",
         "max_deg",
-        F.round(
-            F.col("sum_deg").cast("double") / F.col("n_nodes").cast("double"),
-            6,
-        ).alias("mean_deg"),
-        F.round(
-            F.col("n_deg1").cast("double") / F.col("n_nodes").cast("double"),
-            6,
-        ).alias("deg1_share"),
-        F.round(slope, 6).alias("ccdf_slope"),
+        _flr(F.col("sum_deg").cast("double") / F.col("n_nodes").cast("double"), 6).alias("mean_deg"),
+        _flr(F.col("n_deg1").cast("double") / F.col("n_nodes").cast("double"), 6).alias("deg1_share"),
+        _flr(slope, 6).alias("ccdf_slope"),
     )
 
 
@@ -23171,11 +23089,11 @@ ols AS (
   FROM pts
 )
 SELECT n_nodes, max_deg,
-       ROUND(CAST(sum_deg AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+       FLOOR(CAST((CAST(sum_deg AS DOUBLE) / CAST(n_nodes AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS mean_deg,
-       ROUND(CAST(n_deg1 AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+       FLOOR(CAST((CAST(n_deg1 AS DOUBLE) / CAST(n_nodes AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS deg1_share,
-       ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS ccdf_slope
+       FLOOR(CAST(((k * sxy - sx * sy) / (k * sxx - sx * sx)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ccdf_slope
 FROM ols, tot
 """
 
@@ -23228,7 +23146,7 @@ def q_rrf_fusion_topk(spark, sf_dir):
     return (
         fused.select(
             "doc_id", "bm25_rank", "qlm_rank",
-            F.round("s", 6).alias("rrf_score"),
+            _flr("s", 6).alias("rrf_score"),
         )
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(RRF_TOPK)
@@ -23258,7 +23176,7 @@ fused AS (
            + COALESCE(1.0 / ({RRF_K}.0 + ql.rb), 0.0) AS s
   FROM bm FULL OUTER JOIN ql ON bm.doc_id = ql.doc_id
 )
-SELECT doc_id, bm25_rank, qlm_rank, ROUND(s, 6) AS rrf_score
+SELECT doc_id, bm25_rank, qlm_rank, FLOOR(CAST((s) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS rrf_score
 FROM fused
 ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOPK}
 """
@@ -23332,15 +23250,10 @@ def q_association_rules_lift(spark, sf_dir):
             F.col("lhs").cast("bigint").alias("lhs"),
             F.col("rhs").cast("bigint").alias("rhs"),
             "c_ij",
-            F.round(dbl(F.col("c_ij")) / dbl(F.col("n")), 6).alias("support"),
-            F.round(
-                dbl(F.col("c_ij")) / dbl(F.col("c_lhs")), 6
-            ).alias("confidence"),
-            F.round(
-                dbl(F.col("c_ij")) * dbl(F.col("n"))
-                / (dbl(F.col("c_lhs")) * dbl(F.col("c_rhs"))),
-                6,
-            ).alias("lift"),
+            _flr(dbl(F.col("c_ij")) / dbl(F.col("n")), 6).alias("support"),
+            _flr(dbl(F.col("c_ij")) / dbl(F.col("c_lhs")), 6).alias("confidence"),
+            _flr(dbl(F.col("c_ij")) * dbl(F.col("n"))
+                / (dbl(F.col("c_lhs")) * dbl(F.col("c_rhs"))), 6).alias("lift"),
         )
         .orderBy(F.desc("lift"), F.desc("confidence"), "lhs", "rhs")
         .limit(RULES_TOPK)
@@ -23361,10 +23274,10 @@ cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c FROM items
         GROUP BY item),
 n_orders AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items)
 SELECT CAST(lhs AS BIGINT) AS lhs, CAST(rhs AS BIGINT) AS rhs, c_ij,
-       ROUND(CAST(c_ij AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
-       ROUND(CAST(c_ij AS DOUBLE) / CAST(cl.c AS DOUBLE), 6) AS confidence,
-       ROUND(CAST(c_ij AS DOUBLE) * CAST(n AS DOUBLE)
-             / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)), 6) AS lift
+       FLOOR(CAST((CAST(c_ij AS DOUBLE) / CAST(n AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS support,
+       FLOOR(CAST((CAST(c_ij AS DOUBLE) / CAST(cl.c AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS confidence,
+       FLOOR(CAST((CAST(c_ij AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift
 FROM pairs
 JOIN cnt cl ON cl.item = pairs.lhs
 JOIN cnt cr ON cr.item = pairs.rhs
@@ -23447,10 +23360,8 @@ def q_seasonal_decomposition_audit(spark, sf_dir):
         .select(
             "dow_idx",
             "n_days",
-            F.round(
-                F.col("sd") * F.lit(1e6) / F.col("n_days").cast("double"), 6
-            ).alias("seasonal_cents"),
-            F.round(strength, 6).alias("seasonal_strength"),
+            _flr(F.col("sd") * F.lit(1e6) / F.col("n_days").cast("double"), 6).alias("seasonal_cents"),
+            _flr(strength, 6).alias("seasonal_strength"),
         )
         .orderBy("dow_idx")
     )
@@ -23493,8 +23404,8 @@ tot AS (
   FROM per
 )
 SELECT dow_idx, n_days,
-       ROUND(sd * 1e6 / CAST(n_days AS DOUBLE), 6) AS seasonal_cents,
-       ROUND((sdow - tsd * tsd / n) / (tsdd - tsd * tsd / n), 6)
+       FLOOR(CAST((sd * 1e6 / CAST(n_days AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS seasonal_cents,
+       FLOOR(CAST(((sdow - tsd * tsd / n) / (tsdd - tsd * tsd / n)) AS DOUBLE) * 1e6 + 0.5) / 1e6
          AS seasonal_strength
 FROM per, tot
 ORDER BY dow_idx
@@ -23854,6 +23765,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_fusion_topk": q_rrf_fusion_topk,
     "association_rules_lift": q_association_rules_lift,
     "seasonal_decomposition_audit": q_seasonal_decomposition_audit,
+    "streaming_near_dup": q_streaming_near_dup,
 }
 
 _ORACLE_SQL_ALL: dict[str, str] = {
@@ -24176,6 +24088,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "rrf_fusion_topk": SQL_RRF_FUSION_TOPK,
     "association_rules_lift": SQL_ASSOCIATION_RULES_LIFT,
     "seasonal_decomposition_audit": SQL_SEASONAL_DECOMPOSITION_AUDIT,
+    "streaming_near_dup": SQL_STREAMING_NEAR_DUP,
 }
 
 
@@ -24700,7 +24613,51 @@ _R11_ADDED: list[str] = [
     "seasonal_decomposition_audit",
 ]
 
-_HEAD = _R11_WINDOW
+#: Queries ADDED in round 12 (registered below the stamp window; they
+#: rotate into the r13 stamp prefix per the standing convention).
+_R12_ADDED: list[str] = [
+    "streaming_near_dup",
+]
+
+#: Queries whose IMPLEMENTATION changed in round 12 and already carry a
+#: driver stamp, so they need a fresh one on the new code path:
+#: line_quality_filter — the r11 hash red AGAIN (`CORRECTNESS_r11.json`)
+#: despite the NLL_LATTICE rebuild; the r11 verdict isolated the last
+#: engine-divergent surface to the round-6 double mean, now replaced by
+#: the all-integer ``mean_line_nll_q`` (Σ_line((lq·10⁶) div n_toks))
+#: div n_lines — no round(double) reaches the hash at all.
+_R12_RESTAMP: list[str] = [
+    "line_quality_filter",
+]
+
+#: Round-12 window per the r11 verdict's task 3: the 5 frag pins, the
+#: line_quality_filter restamp on its all-integer rebuild, the 30
+#: _R11_ADDED queries (first driver stamps — pytest-oracle green at 3
+#: SFs since r11), and 14 refills from the round-11 window in its
+#: original order. A green round makes cumulative driver evidence
+#: 319/319. (The round-12 flr-lattice sweep also rewrote every hashed
+#: ROUND(double, k≥1) in BOTH engines to the repr-independent
+#: floor(x·10^k + 0.5)/10^k form — value-identical off the boundary,
+#: cross-engine-deterministic ON it — so refilled stamps re-certify
+#: that class too.)
+_R12_WINDOW: list[str] = (
+    _R11_WINDOW[:5]
+    + _R12_RESTAMP
+    + _R11_ADDED
+    + [
+        n
+        for n in _R11_WINDOW[5:]
+        if n not in set(_R12_RESTAMP)
+    ][: 50 - 5 - len(_R12_RESTAMP) - len(_R11_ADDED)]
+)
+
+if len(_R12_WINDOW) != 50 or len(set(_R12_WINDOW)) != 50:
+    raise RuntimeError("r12 stamp window must be exactly 50 unique queries")
+_missing = [n for n in _R12_WINDOW if n not in _QUERIES_ALL]
+if _missing:
+    raise RuntimeError(f"r12 stamp window names unknown queries: {_missing}")
+
+_HEAD = _R12_WINDOW
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{n: _QUERIES_ALL[n] for n in _HEAD},

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..functions.lattice import flr as _flr
 
 
 def _as_literal_vec(vec: list[float]) -> Column:
@@ -40,7 +41,7 @@ def brute_force_topk(
     q = _as_literal_vec(query_vec)
     scored = emb.select(
         F.col(id_col),
-        F.round(V.cosine(F.col(vec_col), q), round_digits).alias("cosine_sim"),
+        _flr(V.cosine(F.col(vec_col), q), round_digits).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
@@ -129,7 +130,7 @@ def lsh_topk(
     return (
         cands.select(
             F.col(id_col),
-            F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            _flr(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
@@ -236,7 +237,7 @@ def lsh_topk_indexed(
     return (
         cands.select(
             F.col(id_col),
-            F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            _flr(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
@@ -261,7 +262,7 @@ def nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     oracle mirrors the same rounding); ties break to the LOWEST list
     index in both (``array_position`` returns the first match).
     """
-    d = F.array(*[F.round(_sq_l2(vec, c), 6) for c in centroids])
+    d = F.array(*[_flr(_sq_l2(vec, c), 6) for c in centroids])
     return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
@@ -293,7 +294,7 @@ def kmeans_centroids(
             # ivf_topk expressible as static SQL. Rounded IN-ENGINE:
             # F.round is half-up like the oracle's ROUND; Python
             # round() is banker's and diverges on exact half-ties.
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            .agg(_flr(F.avg(F.col("v").cast("double")), 6).alias("m"))
             .collect()
         )
         new = [list(c) for c in cents]  # empty lists keep their centroid
@@ -332,7 +333,7 @@ def ivf_topk(
     return (
         cands.select(
             F.col(id_col),
-            F.round(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+            _flr(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
         )
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)
@@ -366,7 +367,7 @@ def embedding_near_dup_pairs(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
-            "cosine_sim", F.round(V.cosine(F.col("va"), F.col("vb")), 6)
+            "cosine_sim", _flr(V.cosine(F.col("va"), F.col("vb")), 6)
         )
         .where(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
@@ -426,7 +427,7 @@ def pq_codebooks(
             # Rounding happens IN-ENGINE: F.round is half-up like the
             # oracle's ROUND, while Python round() is banker's and
             # diverges on exact half-ties at the 6th decimal.
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("mn"))
+            .agg(_flr(F.avg(F.col("v").cast("double")), 6).alias("mn"))
             .collect()
         )
         new = [[list(c) for c in book] for book in books]
@@ -475,7 +476,7 @@ def pq_topk(
         d = F.element_at(F.array(*[F.lit(x) for x in adc]), code + 1)
         total = d if total is None else total + d
     return (
-        emb.select(F.col(id_col), F.round(total, 6).alias("pq_dist"))
+        emb.select(F.col(id_col), _flr(total, 6).alias("pq_dist"))
         .orderBy("pq_dist", id_col)
         .limit(k)
     )
@@ -533,7 +534,7 @@ def ivfpq_topk(
     coarse = nearest_centroid_expr(F.col(vec_col), cents)
     return (
         emb.where(coarse.isin([int(p) for p in probe]))
-        .select(F.col(id_col), F.round(total, 6).alias("pq_dist"))
+        .select(F.col(id_col), _flr(total, 6).alias("pq_dist"))
         .orderBy("pq_dist", id_col)
         .limit(k)
     )

@@ -141,7 +141,7 @@ def test_every_windowed_lattice_query_is_classified():
     window and the registry above)."""
     win_affected = {
         n
-        for n in EQ._R11_WINDOW
+        for n in EQ._R12_WINDOW
         if _TRANSCENDENTAL_PAT.search(EQ.ORACLE_SQL.get(n, ""))
     }
     assert win_affected <= set(TRANSCENDENTAL_REGISTRY)
@@ -169,18 +169,40 @@ def _int_margins(y: np.ndarray) -> np.ndarray:
     return d[d > 0.0]
 
 
+#: Safety factor over 1-ulp libm divergence: engine ln/exp streams are
+#: correctly rounded to within ~1 ulp each, the lattice scale multiply
+#: adds ≤0.5 ulp, so 16 ulps of the SCALED argument upper-bounds any
+#: realistic cross-engine drift with an order of margin to spare.
+_ULP_SAFETY = 16.0
+
+
 def _assert_lattice_margins(name: str, y: np.ndarray) -> None:
-    d = _int_margins(np.asarray(y, dtype=np.float64))
+    """ZERO tolerance within a ulp-derived threshold (VERDICT r11: the
+    old <2%-fraction bound allowed thousands of flip candidates on a
+    real vocabulary — a flip population must be empty, not merely
+    small). Each floor argument must sit further from its nearest
+    integer than _ULP_SAFETY ulps of its own magnitude — the distance
+    an engine-libm divergence could actually move it."""
+    y = np.asarray(y, dtype=np.float64)
+    y = y[np.isfinite(y)]
+    frac = y - np.floor(y)
+    d = np.minimum(frac, 1.0 - frac)
+    live = d > 0.0  # exact lattice points floor identically — safe
+    d, ym = d[live], y[live]
     if d.size == 0:
         return
     assert d.min() > 1e-9, (
         f"{name}: a floor-lattice argument sits {d.min():.3e} from an "
         f"integer — pathologically aligned, review the lattice"
     )
-    near = float((d < 1e-4).mean())
-    assert near < 0.02, (
-        f"{name}: {near:.2%} of floor-lattice arguments sit within "
-        f"1e-4 of an integer — the libm flip population is too large"
+    thr = _ULP_SAFETY * np.spacing(np.abs(ym))
+    bad = d <= thr
+    assert not bad.any(), (
+        f"{name}: {int(bad.sum())} floor-lattice argument(s) sit within "
+        f"{_ULP_SAFETY:.0f} ulps of an integer (worst margin "
+        f"{float((d / np.maximum(thr, 1e-300)).min()):.2f}× the ulp "
+        f"threshold) — an engine-libm divergence could flip the floor; "
+        f"review the lattice"
     )
 
 
@@ -471,10 +493,47 @@ def test_dunning_and_jsd_lattice_margins(con):
 # ---------------------------------------------------------------------------
 
 
+def _strip_lattices(sql: str) -> tuple[str, int]:
+    """Replace every ``FLOOR(CAST((expr) AS DOUBLE) * 1eK + 0.5) / 1eK``
+    rounding lattice (the r12 rewrite of ROUND(expr, K)) with
+    ``(expr)`` — balanced-paren scan, repeated until none remain."""
+    total = 0
+    marker = "FLOOR(CAST(("
+    while True:
+        i = sql.find(marker)
+        if i < 0:
+            break
+        start = i + len(marker) - 1  # the '(' opening expr
+        depth, j = 0, start
+        while True:
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        expr = sql[start + 1 : j]
+        m = re.match(
+            r"\) AS DOUBLE\) \* 1e(\d+) \+ 0\.5\) / 1e(\d+)", sql[j:]
+        )
+        if not m or m.group(1) != m.group(2):
+            # not a rounding lattice (some other FLOOR(CAST(( shape)
+            sql = sql[:i] + "\x00" + sql[i + 1 :]  # mask and continue
+            continue
+        sql = sql[:i] + "(" + expr + ")" + sql[j + m.end() :]
+        total += 1
+    sql = sql.replace("\x00", "F")
+    return sql, total
+
+
 def _strip_rounds(sql: str) -> tuple[str, int]:
     """Replace every ROUND(expr, k) call with (expr) (balanced-paren
-    scan, outermost-first, repeated until none remain)."""
-    total = 0
+    scan, outermost-first, repeated until none remain), then every
+    r12 floor-rounding lattice the same way."""
+    sql, total_lat = _strip_lattices(sql)
+    total = total_lat
     while True:
         m = re.search(r"\bROUND\s*\(", sql, re.I)
         if not m:
@@ -506,7 +565,7 @@ def _strip_rounds(sql: str) -> tuple[str, int]:
 
 _LEGACY_IN_WINDOW = [
     n
-    for n in EQ._R11_WINDOW
+    for n in EQ._R12_WINDOW
     if TRANSCENDENTAL_REGISTRY.get(n) == "legacy-margin"
 ]
 
