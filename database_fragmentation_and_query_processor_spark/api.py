@@ -314,3 +314,7 @@ def delete_tables(spark: SparkSession, table_or_all: str, warehouse: str) -> Non
         _hash_path(warehouse, table_or_all),
     ):
         wfs.delete(p, recursive=True)
+        # also drop old-/staged siblings: a surviving marked stage
+        # after a drop is the target-missing-no-old state in which
+        # recovery would resurrect stale data for the next reader
+        fslib.purge_siblings(wfs, p)

@@ -343,6 +343,7 @@ def commit_staged(
         )
     if fs.atomic_rename:
         recover_interrupted_commit(fs, target, exclude=staged)
+        committed_key = _token_key(posixpath.basename(staged.rstrip("/")))
         if fs.exists(target):
             old = begin_swap(fs, staged, target)
             fs.rename(staged, target)
@@ -351,13 +352,16 @@ def commit_staged(
             fs.rename(staged, target)
         # the breadcrumb travelled into target with the rename; and a
         # live target means every remaining old- sibling is a
-        # superseded version some earlier crash left behind — GC both
-        # (single-writer model, the lock is held on this path)
+        # superseded version some earlier crash left behind, while any
+        # staged sibling OLDER than the stage that just landed is an
+        # abandoned write that must not outlive the data superseding
+        # it — GC both (single-writer model, the lock is held on this
+        # path)
         try:
             fs.delete(join(target, INTENT_FILE))
         except Exception:
             pass
-        _prune_old_siblings(fs, target)
+        _prune_old_siblings(fs, target, staged_older_than=committed_key)
         return target
     gen_name = posixpath.basename(staged)
     fs.write_text_atomic(join(target, POINTER_FILE), gen_name)
@@ -411,14 +415,28 @@ def _read_intent(fs, staged: str) -> str | None:
     return None
 
 
-def _prune_old_siblings(fs, target: str) -> None:
+def _prune_old_siblings(
+    fs, target: str, staged_older_than: tuple[int, int] | None = None
+) -> None:
     """GC parked ``target.old-*`` siblings once ``target`` is live
     again. A crash between the swap's second rename and the delete
     leaves one behind forever otherwise, and every survivor enlarges
     the candidate set future recoveries must reason about. Safe under
     the documented single-writer model: with the dataset present, any
     old- sibling is a superseded version (only commit_staged creates
-    them, and its own delete runs before this)."""
+    them, and its own delete runs before this).
+
+    ``staged_older_than`` (the :func:`_token_key` of the stage that
+    just committed) additionally GCs ABANDONED STAGED siblings with a
+    strictly older token — the ADVICE r10-medium closure: a marked
+    stage whose writer died before ever calling commit_staged must not
+    linger past the next successful commit, or a later
+    target-missing-no-old recovery (external loss, drop that missed
+    siblings) would resurrect its stale content over data that
+    superseded it. Token-bounded so a hypothetical in-flight stage
+    minted after this commit's own stage is never touched; a slow
+    pre-dating stager loses its dir and fails its eventual commit
+    LOUDLY (rename of a missing source), never silently."""
     base = posixpath.basename(target.rstrip("/"))
     parent = posixpath.dirname(target.rstrip("/"))
     try:
@@ -426,7 +444,36 @@ def _prune_old_siblings(fs, target: str) -> None:
     except Exception:
         return
     for p, is_dir, _sz, _mt in listing:
-        if is_dir and posixpath.basename(p).startswith(base + ".old-"):
+        name = posixpath.basename(p)
+        if not is_dir or not name.startswith(base + "."):
+            continue
+        token = name[len(base) + 1:]
+        stale = token.startswith("old-") or (
+            staged_older_than is not None
+            and _token_key(name) < staged_older_than
+        )
+        if stale:
+            try:
+                fs.delete(p, recursive=True)
+            except Exception:
+                pass
+
+
+def purge_siblings(fs, target: str) -> None:
+    """Delete EVERY ``target.*`` sibling dir — old- parks and staged
+    dirs alike. The drop path must call this alongside deleting the
+    dataset itself: a dropped dataset with a surviving marked stage is
+    exactly the target-missing-no-old state in which
+    :func:`recover_interrupted_commit`'s first-commit-liveness branch
+    would resurrect the stale stage for the next reader."""
+    base = posixpath.basename(target.rstrip("/"))
+    parent = posixpath.dirname(target.rstrip("/"))
+    try:
+        listing = list(fs.list_status(parent))
+    except Exception:
+        return
+    for p, is_dir, _sz, _mt in listing:
+        if is_dir and posixpath.basename(p).startswith(base + "."):
             try:
                 fs.delete(p, recursive=True)
             except Exception:

@@ -487,9 +487,10 @@ def test_recovery_never_promotes_an_abandoned_stage_over_newer_data(
     got = fslib.recover_interrupted_commit(fs, target)
     assert got == target
     assert fs.read_text(fslib.join(target, "part-0.txt")) == "v1-committed"
-    # the abandoned stage is untouched (never promoted, never deleted —
-    # it may belong to a writer we cannot prove dead)
-    assert fs.read_text(fslib.join(s_dead, "part-0.txt")) == "stale-abandoned"
+    # the abandoned stage was GC'd by the superseding v1 commit
+    # (token-bounded prune, ADVICE r10-medium closure) — it can never
+    # reappear in a later recovery's candidate set
+    assert not fs.exists(s_dead)
 
 
 def test_commit_prunes_stale_old_siblings(tmp_path):
@@ -530,3 +531,79 @@ def test_next_commit_self_heals_interrupted_predecessor(tmp_path):
     fs.write_text_atomic(fslib.join(s2, "_SUCCESS"), "")
     assert fslib.commit_staged(fs, s2, target, require_marker=True) == target
     assert fs.read_text(fslib.join(target, "part-0.txt")) == "v2"
+
+
+def test_stale_stage_cannot_resurrect_after_target_loss(tmp_path):
+    """Crash-injection repro of the ADVICE r10-medium residue: before
+    the token-bounded stage GC, a marked stage abandoned after the
+    first commit SURVIVED every later successful commit, and any
+    target-missing-no-old state (external loss, a drop that missed
+    siblings) let recovery's first-commit-liveness branch promote it —
+    silently reverting the dataset to stale data. With the GC, the
+    superseding commit removes the abandoned stage, so the same
+    recovery finds nothing to promote and reports the dataset gone."""
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    # abandoned marked stage: writer died after its Spark write,
+    # before commit_staged
+    s_dead = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s_dead, "stale-abandoned")
+    fs.write_text_atomic(fslib.join(s_dead, "_SUCCESS"), "")
+    # a newer version commits normally — this must GC s_dead
+    s1 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s1, "v1-committed")
+    fs.write_text_atomic(fslib.join(s1, "_SUCCESS"), "")
+    fslib.commit_staged(fs, s1, target, require_marker=True)
+    assert not fs.exists(s_dead)
+    # the dataset is lost without an old- park (the no-old state)
+    fs.delete(target, recursive=True)
+    assert fslib.recover_interrupted_commit(fs, target) is None
+    assert not fs.exists(target)
+
+
+def test_stage_gc_is_token_bounded(tmp_path):
+    """The stage GC must never eat a stage minted AFTER the committing
+    writer's own (a hypothetical in-flight successor): only strictly
+    older staged siblings are pruned."""
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    s1 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s1, "v1")
+    fs.write_text_atomic(fslib.join(s1, "_SUCCESS"), "")
+    # an in-flight successor stages AFTER s1 (newer token)
+    s_next = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s_next, "v2-in-flight")
+    fslib.commit_staged(fs, s1, target, require_marker=True)
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "v1"
+    assert fs.exists(s_next)  # newer stage untouched
+    # ...and the successor's own commit then lands normally
+    fs.write_text_atomic(fslib.join(s_next, "_SUCCESS"), "")
+    fslib.commit_staged(fs, s_next, target, require_marker=True)
+    assert fs.read_text(fslib.join(target, "part-0.txt")) == "v2-in-flight"
+
+
+def test_drop_purges_siblings(tmp_path):
+    """delete_tables must remove old-/staged siblings with the dataset:
+    a dropped table with a surviving marked stage would otherwise be
+    resurrected by the next reader's recovery pass."""
+    fs = fslib.LocalFS()
+    target = str(tmp_path / "ds")
+    s0 = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s0, "v0")
+    fslib.commit_staged(fs, s0, target)
+    s_dead = fslib.stage_path(fs, target, "v")
+    _write_marker_dir(fs, s_dead, "stale")
+    fs.write_text_atomic(fslib.join(s_dead, "_SUCCESS"), "")
+    stale_old = f"{target}.old-{fslib.new_token('x')[2:]}"
+    fs.makedirs(stale_old)
+    fs.delete(target, recursive=True)
+    fslib.purge_siblings(fs, target)
+    assert not fs.exists(s_dead)
+    assert not fs.exists(stale_old)
+    assert fslib.recover_interrupted_commit(fs, target) is None
