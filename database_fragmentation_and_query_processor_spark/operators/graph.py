@@ -63,6 +63,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             bidir.join(labels, bidir.e_dst == labels.node)
@@ -88,6 +89,19 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed > 0:
+        # exiting via max_iter with labels still moving means the
+        # result is PARTIALLY propagated — callers compare against
+        # exact-closure oracles (grid_density_clusters), so a
+        # non-converged frame must never be returned silently
+        # (ADVICE r11)
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            f"iterations ({changed} labels still changing) — raise "
+            f"max_iter; label propagation halves the effective "
+            f"diameter per round, so this indicates a chain-shaped "
+            f"component far beyond the configured bound"
+        )
     return labels
 
 
