@@ -354,6 +354,7 @@ HEADLINE = [
     "rrf_fusion_topk",
     "association_rules_lift",
     "seasonal_decomposition_audit",
+    "streaming_near_dup",
 ]
 
 
@@ -369,9 +370,16 @@ HEADLINE = [
 #: contended window).
 QUIET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "QUIET_LINES.json")
-RETIME_FACTOR = 3.0
-RETIME_FLOOR_SEC = 0.5  # ignore sub-floor lines: 3x of 0.1s is noise
-RETIME_EXTRA_CAP = 20   # bound the extra pass under a fully contended run
+RETIME_FACTOR = 2.0  # r11 verdict task 6: catch ANY >2x-quiet spike
+RETIME_FLOOR_SEC = 0.5  # ignore sub-floor lines: 2x of 0.1s is noise
+RETIME_EXTRA_CAP = 40   # bound the extra pass under a fully contended run
+
+#: The unchanged-since-r1 query used as the ambient-load canary
+#: (BASELINE.md's canary-paired protocol): timed cold at the start,
+#: mid-pass, and after the retime pass. Three ~quiet canary readings
+#: certify the window; an inflated reading marks which third of the
+#: run was contended — in-band, no post-hoc adjudication needed.
+CANARY = "q1_pricing_summary"
 
 
 def load_quiet(sf: float) -> dict[str, float]:
@@ -438,8 +446,9 @@ def compact_summary(out: dict) -> dict:
     (tests/test_bench_contract.py pins it)."""
     timings = out["queries"]
     retimed = out.get("retimed", {})
+    first_pass = out.get("first_pass", {})
     slowest = {
-        k: [v, retimed.get(k)]
+        k: [first_pass.get(k, v), retimed.get(k)]
         for k, v in sorted(
             ((k, v) for k, v in timings.items() if isinstance(v, float)),
             key=lambda kv: -kv[1],
@@ -448,6 +457,8 @@ def compact_summary(out: dict) -> dict:
     compact = {
         k: out[k] for k in ("metric", "value", "unit", "errors", "sf", "cpus")
     }
+    if "canary" in out:
+        compact["canary"] = out["canary"]
     compact["n_queries"] = len(timings)
     for k in ("r1_subset_total", "r1_subset_n"):
         if k in out:
@@ -502,10 +513,13 @@ def main() -> None:
 
     timings: dict[str, float | str] = {}
     errors = 0
-    for name in HEADLINE:
+    canary: list[float | str] = [run_once(spark, sf_dir, CANARY)]
+    for i, name in enumerate(HEADLINE):
         timings[name] = run_once(spark, sf_dir, name)
         if isinstance(timings[name], str):
             errors += 1
+        if i == len(HEADLINE) // 2:
+            canary.append(run_once(spark, sf_dir, CANARY))
 
     # Noise-isolation retime: this sandbox's ambient load attaches
     # multi-x inflation to whichever query occupies a contended window
@@ -520,6 +534,18 @@ def main() -> None:
     retimed: dict[str, float | str] = {}
     for name in retime_candidates(timings, quiet):
         retimed[name] = run_once(spark, sf_dir, name)
+    canary.append(run_once(spark, sf_dir, CANARY))
+
+    # Official per-line value = min(first pass, retime): the isolated
+    # re-measurement IS the adjudication (a line that collapses on
+    # retime was ambient load, not code — BASELINE.md's rule), baked
+    # into the reported line instead of applied post hoc (r11 verdict
+    # task 6). First-pass values stay recoverable in ``first_pass``.
+    first_pass: dict[str, float | str] = dict(timings)
+    for name, rv in retimed.items():
+        fv = timings.get(name)
+        if isinstance(rv, float) and isinstance(fv, float):
+            timings[name] = min(fv, rv)
 
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     out = {
@@ -531,6 +557,8 @@ def main() -> None:
         "sf": sf,
         "cpus": int(cpus),
         "retimed": retimed,
+        "first_pass": {k: first_pass[k] for k in retimed},
+        "canary": canary,
     }
     # apples-to-apples vs the round-1 baseline (52.738s / 53 queries):
     # the headline list has since grown, so also report the total over

@@ -35,17 +35,16 @@ def _stamped_through(last_round: int) -> set[str]:
 
 
 def test_stamp_window_composition():
-    """R11 window (the rotation the r10 verdict prescribed) = 5 pinned
-    frag rows, the 10 _R10_ADDED queries (first driver stamps — every
-    float surface among them lattice-hardened before first contact),
-    the line_quality_filter restamp (the r10 hash red, rebuilt on the
-    NLL_LATTICE integer quantization), and 34 refills from the
-    round-10 window in its original order."""
+    """R12 window (the rotation the r11 verdict's task 3 prescribed) =
+    5 pinned frag rows, the line_quality_filter restamp (the r11 hash
+    red, rebuilt ALL-INTEGER — mean_line_nll_q replaces the round-6
+    double mean), the 30 _R11_ADDED queries (first driver stamps), and
+    14 refills from the round-11 window in its original order."""
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
-    assert names[5:15] == EQ._R10_ADDED
-    assert names[15:16] == EQ._R11_RESTAMP == ["line_quality_filter"]
-    assert names[:50] == EQ._R11_WINDOW
+    assert names[5:6] == EQ._R12_RESTAMP == ["line_quality_filter"]
+    assert names[6:36] == EQ._R11_ADDED
+    assert names[:50] == EQ._R12_WINDOW
     assert len(names) == len(set(names))
 
 
