@@ -355,6 +355,7 @@ HEADLINE = [
     "association_rules_lift",
     "seasonal_decomposition_audit",
     "streaming_near_dup",
+    "crosslingual_dedup",
 ]
 
 

@@ -154,6 +154,8 @@ def _canon(df):
         "rrf_fusion_topk",          # integer ranks, IEEE reciprocals
         "association_rules_lift",   # exact integer ratios
         "seasonal_decomposition_audit",  # integer cents, decimal moments
+        # round-12 additions:
+        "crosslingual_dedup",       # decimal-exact means, ordered dots
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
