@@ -99,5 +99,5 @@ def test_quiet_record_covers_the_registry():
     quiet = bench.load_quiet(0.1)
     known = set(quiet)
     registered = set(EQ.QUERIES)
-    missing = registered - known - set(getattr(EQ, "_R11_ADDED", []))
+    missing = registered - known - set(getattr(EQ, "_R12_ADDED", []))
     assert not missing, missing

@@ -261,4 +261,7 @@ def test_r10_additions_followed_the_add_then_rotate_lifecycle():
         assert names.index(n) < 50  # rotated INTO the r11 stamp window
     for n in EQ._R11_ADDED:
         assert n in EQ.QUERIES and n in EQ.ORACLE_SQL
-        assert names.index(n) >= 50  # below the window until r12
+        assert names.index(n) < 50  # rotated INTO the r12 stamp window
+    for n in EQ._R12_ADDED:
+        assert n in EQ.QUERIES and n in EQ.ORACLE_SQL
+        assert names.index(n) >= 50  # below the window until r13

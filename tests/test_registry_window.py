@@ -76,23 +76,23 @@ def test_r8_split_covered_all_r7_additions():
 
 
 def test_window_closes_the_evidence_gap():
-    """After the r11 rotation, every query registered through r10 has a
-    stamp OR sits inside the current window: the only pre-r11 entries
-    without a driver row through r10 are the 10 _R10_ADDED, all of
-    which the r11 window front-loads — a green round makes cumulative
-    driver evidence 289/289 (new _R11_ADDED queries register BELOW the
+    """After the r12 rotation, every query registered through r11 has a
+    stamp OR sits inside the current window: the only pre-r12 entries
+    without a driver row through r11 are the 30 _R11_ADDED, all of
+    which the r12 window front-loads — a green round makes cumulative
+    driver evidence 319/319 (new _R12_ADDED queries register BELOW the
     window and rotate in next round, per the standing convention)."""
-    stamped = _stamped_through(10)
+    stamped = _stamped_through(11)
     if not stamped:  # correctness files absent (fresh checkout)
         return
     names = list(EQ.QUERIES)
     window = set(names[:50])
     never_stamped = {
         n for n in names if n not in stamped and n not in set(
-            getattr(EQ, "_R11_ADDED", [])
+            getattr(EQ, "_R12_ADDED", [])
         )
     }
-    assert never_stamped == set(EQ._R10_ADDED)
+    assert never_stamped == set(EQ._R11_ADDED)
     assert never_stamped <= window
 
 
