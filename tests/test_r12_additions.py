@@ -11,7 +11,6 @@ convergence, pure-streaming bootstrap, and replay idempotence.
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from database_fragmentation_and_query_processor_spark.operators import dedup as D
