@@ -22,18 +22,19 @@ Three tripwires:
 
 2. **Lattice floor-argument margins** — for the latticed families, the
    only cross-engine knife edge left is the floor argument sitting
-   within libm-divergence distance (~ulps of the 1e9-scaled value,
-   ≈1e-5) of an integer. We assert (a) no argument is pathologically
-   ON an integer-adjacent knife edge (min distance > 1e-9 — catches
-   exact/systematic alignment), and (b) the near-boundary population
-   (distance < 1e-4) stays below 2% of rows — a flip moves a hashed
-   6dp-rounded output by ~1e-12 per affected row, so a bounded flip
-   population keeps the output hash safe by 5+ orders of magnitude.
+   within libm-divergence distance of an integer. The r11 verdict
+   retired the old <2%-near-boundary-fraction bound (thousands of flip
+   candidates on a real vocabulary): the check is now ZERO tolerance —
+   every floor argument must sit further from its nearest integer than
+   _ULP_SAFETY (16) ulps of its own magnitude, the distance an engine
+   libm divergence could actually move it, plus an absolute 1e-9 floor
+   against pathological alignment.
 
-3. **Legacy round-boundary margins** — window queries that still hash
-   rounded doubles with engine-transcendental lineage (all stamped
-   green in the driver environment in r10) get the verdict's literal
-   check: strip every ROUND(x, k) from the oracle, recompute, and
+3. **Legacy round-boundary margins** — window queries whose hashed
+   floats carry engine-transcendental lineage get the verdict's
+   literal check: strip every rounding (both legacy ROUND(x, k) and
+   the r12 ``FLOOR(CAST((x) AS DOUBLE) * 1eK + 0.5) / 1eK`` lattice —
+   the boundary is the same half-point either way), recompute, and
    assert each float output sits > 1e-9 from its rounding boundary —
    i.e. an engine-ln divergence at the observed 1.5e-10 scale cannot
    flip the hashed value.
