@@ -50,6 +50,35 @@ def _flr_py(x: float, k: int = 6) -> float:
     s = float(10**k)
     return math.floor(x * s + 0.5) / s
 
+
+class EmptyInputError(ValueError):
+    """A query's driver-side sizing/seed pre-pass found an empty
+    corpus, and its degenerate output is a non-trivial row shape the
+    oracle materializes from constants. Raised DELIBERATELY (r12
+    empty-input sweep) so the failure mode is a named contract, never
+    an accidental TypeError off a ``head()`` that returned None."""
+
+
+def _empty_result(spark: SparkSession, schema: str) -> DataFrame:
+    """Zero-row frame with the query's output column names — the
+    degenerate result for queries whose oracle returns an empty set on
+    empty input (top-k over nothing, GROUP BY over nothing). The
+    driver's compare only needs names + zero rows to hash-match."""
+    return spark.createDataFrame([], schema)
+
+
+def _nonempty(value, query: str):
+    """Guard for a collected driver-side scalar/row: raise the named
+    degenerate-input error instead of letting int(None)/None[...]
+    surface as a TypeError three frames later."""
+    if value is None:
+        raise EmptyInputError(
+            f"{query}: input table is empty — this query's output is "
+            f"derived from a driver-side pre-pass that needs at least "
+            f"one row"
+        )
+    return value
+
 RANGE_N = 5
 RANGE_MIN, RANGE_MAX = 0.0, 5.0
 RANGE_INTERVAL = (RANGE_MAX - RANGE_MIN) / RANGE_N
@@ -5261,8 +5290,12 @@ def q_near_dup_audit(spark, sf_dir):
         n_lsh.cast("bigint").alias("n_lsh"),
         n_exact.cast("bigint").alias("n_exact"),
         n_common.cast("bigint").alias("n_common"),
-        _flr(n_common / n_exact.cast("double"), 6).alias("lsh_recall"),
-        _flr(n_common / n_lsh.cast("double"), 6).alias("lsh_precision"),
+        # nullif: a dup-free (or empty) corpus yields 0 pairs on either
+        # side — the oracle's x/0 is NULL, ANSI Spark's would throw
+        _flr(n_common / F.nullif(n_exact.cast("double"), F.lit(0.0)), 6)
+        .alias("lsh_recall"),
+        _flr(n_common / F.nullif(n_lsh.cast("double"), F.lit(0.0)), 6)
+        .alias("lsh_precision"),
     )
 
 
@@ -5273,9 +5306,9 @@ t AS (
   SELECT (l.id_a IS NOT NULL) AS in_lsh, (e.id_a IS NOT NULL) AS in_exact
   FROM lsh l FULL JOIN exact e ON l.id_a = e.id_a AND l.id_b = e.id_b
 )
-SELECT CAST(count_if(in_lsh) AS BIGINT) AS n_lsh,
-       CAST(count_if(in_exact) AS BIGINT) AS n_exact,
-       CAST(count_if(in_lsh AND in_exact) AS BIGINT) AS n_common,
+SELECT CAST(COALESCE(count_if(in_lsh), 0) AS BIGINT) AS n_lsh,
+       CAST(COALESCE(count_if(in_exact), 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(count_if(in_lsh AND in_exact), 0) AS BIGINT) AS n_common,
        FLOOR(CAST((count_if(in_lsh AND in_exact) / CAST(count_if(in_exact) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lsh_recall,
        FLOOR(CAST((count_if(in_lsh AND in_exact) / CAST(count_if(in_lsh) AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lsh_precision
 FROM t
@@ -24022,6 +24055,165 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_near_dup": q_streaming_near_dup,
     "crosslingual_dedup": q_crosslingual_dedup,
 }
+
+
+# ---------------------------------------------------------------------------
+# degenerate (empty-input) contract — r12 empty-input sweep
+# ---------------------------------------------------------------------------
+
+#: Queries whose driver-side pre-pass (seed vector, domain bounds,
+#: corpus totals) needs at least one input row. Found by running every
+#: registry entry against a warehouse of empty tables
+#: (scripts/empty_input_sweep.py). Value = the output schema to mirror
+#: when the ORACLE returns an empty result on empty input (top-k over
+#: nothing, GROUP BY over nothing — names are what the hash compare
+#: needs at zero rows); None = the oracle materializes constant rows
+#: from scalar subqueries, and the contract is the NAMED
+#: :class:`EmptyInputError` instead of an accidental TypeError.
+_DEGENERATE_EMPTY: dict[str, str | None] = {
+    "abtest_cuped": (
+        "arm string, n_users bigint, mean_y double, mean_y_cuped double,"
+        " var_reduction double"
+    ),
+    "ann_ivf_topk": "vec_id bigint, cosine_sim double",
+    "ann_ivfpq_topk": "vec_id bigint, pq_dist double",
+    "ann_lsh_indexed": "vec_id bigint, cosine_sim double",
+    "ann_lsh_topk": "vec_id bigint, cosine_sim double",
+    "ann_pq_topk": "vec_id bigint, pq_dist double",
+    "benford_digit_audit": (
+        "digit int, n bigint, share double, benford_share double,"
+        " chi2_contrib double"
+    ),
+    "bm25_search": "doc_id bigint, bm25 double",
+    "decision_stump_split": (
+        "n_docs bigint, n_pos bigint, best_split_n_chars bigint,"
+        " gini_gain double, gini_parent double"
+    ),
+    "discrete_hazard_curve": (
+        "age_days bigint, n_churned bigint, n_at_risk bigint, hazard double"
+    ),
+    "doc_topic_clusters": "list_id int, n_docs bigint, id_checksum bigint",
+    "dow_seasonality": (
+        "dow int, n_orders bigint, revenue double, dow_index double"
+    ),
+    "dsir_importance_weights": (
+        "doc_id bigint, n_tokens bigint, dsir_weight double"
+    ),
+    "epoch_mixture_sample": (
+        "source string, n_docs bigint, permille bigint, n_kept bigint,"
+        " kept_id_checksum bigint"
+    ),
+    "events_time_pruned": "day date, n_events bigint, sum_value double",
+    "knn_bruteforce": "vec_id bigint, cosine_sim double",
+    "logreg_hash_text": (
+        "split string, n_docs bigint, n_pos bigint, accuracy double,"
+        " log_loss double, beta0 double, beta1_h0 double, beta2_h1 double"
+    ),
+    "mad_outliers": (
+        "event_type string, n_events bigint, n_outliers bigint,"
+        " median_value double, mad_value double"
+    ),
+    "mann_whitney_rank_test": (
+        "event_type string, n1 bigint, u_stat double, z_score double"
+    ),
+    "markov_stationary_mix": (
+        "event_type string, n_events bigint, empirical_mix double,"
+        " stationary_mix double"
+    ),
+    "mink_prob_contamination": (
+        "doc_id bigint, n_tokens bigint, k_tokens bigint, mink_score double"
+    ),
+    "psi_drift": "band int, n_old bigint, n_new bigint, psi_contrib double",
+    "rfm_segments": (
+        "r_q int, f_q int, m_q int, n_users bigint, seg_mon_c bigint"
+    ),
+    "rrf_fusion_topk": (
+        "doc_id bigint, bm25_rank int, qlm_rank int, rrf_score double"
+    ),
+    "skyline_orders": "price double, order_day int",
+    "theil_index_decomposition": (
+        "seg string, n_g bigint, t_contribution double, t_between double,"
+        " t_within_scaled double"
+    ),
+    "theil_sen_trend": (
+        "n_days bigint, n_pairs bigint, sen_slope_per_day double"
+    ),
+    "unigram_kl_divergence": (
+        "source string, n_tokens bigint, kl_vs_corpus double"
+    ),
+    "woe_binning": (
+        "band int, n_good bigint, n_bad bigint, woe double, iv_contrib double"
+    ),
+    # oracle materializes constant rows → named error, not a mirror
+    "ann_ndcg_eval": None,
+    "ann_recall_audit": None,
+    "equi_depth_histogram": None,
+    "frag_pruning_report": None,
+    "funnel_time_to_convert": None,
+    "gini_concentration": None,
+    "gpd_tail_fit": None,
+    "lineitem_zorder_skip": None,
+    "logreg_newton": None,
+    "pareto_topk_share": None,
+    "rbo_rank_agreement": None,
+    "streaming_louter_attribution": None,
+    "tokenizer_compare_audit": None,
+}
+
+#: fact tables whose joint emptiness defines the degenerate world; the
+#: guard only translates an exception when ALL of them are empty (a
+#: partially-empty warehouse keeps the raw exception — uncontracted)
+_DEGENERATE_FACTS = (
+    "documents",
+    "embeddings",
+    "events",
+    "orders",
+    "lineitem",
+    "customer",
+)
+
+
+def _all_facts_empty(spark: SparkSession, sf_dir: str) -> bool:
+    try:
+        return all(
+            _t(spark, sf_dir, t).limit(1).head() is None
+            for t in _DEGENERATE_FACTS
+        )
+    except Exception:
+        return False
+
+
+def _degenerate_guard(name: str, fn, schema: str | None):
+    """Exception-path-only empty-input contract: the happy path is the
+    original builder untouched (no extra jobs); when the builder's
+    driver-side pre-pass trips over an empty corpus (TypeError off a
+    None row, IndexError off an empty collect, a schema-inference
+    ValueError), verify the warehouse really is empty and then either
+    mirror the oracle's empty result or raise the named error."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        try:
+            return fn(spark, sf_dir)
+        except (TypeError, IndexError, KeyError, ValueError) as exc:
+            if isinstance(exc, EmptyInputError):
+                raise
+            if not _all_facts_empty(spark, sf_dir):
+                raise
+            if schema is None:
+                raise EmptyInputError(
+                    f"{name}: input tables are empty — this query's "
+                    f"output is derived from driver-side pre-pass "
+                    f"scalars that need at least one row"
+                ) from exc
+            return _empty_result(spark, schema)
+
+    return wrapped
+
+
+for _n, _s in _DEGENERATE_EMPTY.items():
+    _QUERIES_ALL[_n] = _degenerate_guard(_n, _QUERIES_ALL[_n], _s)
 
 _ORACLE_SQL_ALL: dict[str, str] = {
     "frag_insert_routing": SQL_FRAG_INSERT_ROUTING,
