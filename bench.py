@@ -356,6 +356,7 @@ HEADLINE = [
     "seasonal_decomposition_audit",
     "streaming_near_dup",
     "crosslingual_dedup",
+    "crosslingual_mate_retrieval",
 ]
 
 

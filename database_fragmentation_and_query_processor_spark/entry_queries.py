@@ -7447,6 +7447,64 @@ def q_crosslingual_dedup(spark, sf_dir):
     pass for the means (320-row aggregate, broadcast back), one
     map-side signature pass, a self-join that shuffles on (band, key)
     buckets — never all-pairs — and a per-candidate verify."""
+    cen = _xl_centered(spark, sf_dir)
+    planes = S.deterministic_planes(EMB_DIM, XL_BANDS * (ANN_PLANES // XL_BANDS))
+    rows_per_band = ANN_PLANES // XL_BANDS
+    band_keys = F.array(
+        *[
+            V.sign_bits(
+                F.col("c"), planes[b * rows_per_band : (b + 1) * rows_per_band]
+            )
+            for b in range(XL_BANDS)
+        ]
+    )
+    banded = cen.select(
+        "vec_id", "lang", F.posexplode(band_keys).alias("band", "key")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = cen.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("c").alias("ca"),
+        F.col("nrm").alias("na"),
+    )
+    b = cen.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("c").alias("cb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine_sim",
+            _flr(V.dot(F.col("ca"), F.col("cb")) / F.col("na") / F.col("nb"), 6),
+        )
+        .where(F.col("cosine_sim") >= XL_TAU)
+        .select("id_a", "id_b", "lang_a", "lang_b", "cosine_sim")
+    )
+
+
+def _xl_centered(spark, sf_dir) -> DataFrame:
+    """The cross-lingual family's shared substrate: the synthesized
+    language-biased corpus + translated clones, per-language
+    mean-centered — (vec_id, lang, c, nrm), localCheckpointed because
+    every consumer reads it at least twice (see q_crosslingual_dedup's
+    docstring for the construction and exactness story)."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     emb = _emb(spark, sf_dir)
     base = emb.join(docs, emb.vec_id == docs.doc_id).select(
@@ -7509,7 +7567,7 @@ def q_crosslingual_dedup(spark, sf_dir):
             ).alias("marr")
         )
     )
-    cen = (
+    return (
         corpus.join(F.broadcast(means), "lang")
         .select(
             "vec_id",
@@ -7519,85 +7577,21 @@ def q_crosslingual_dedup(spark, sf_dir):
         .withColumn("nrm", V.norm(F.col("c")))
         .localCheckpoint(eager=True)
     )
-    planes = S.deterministic_planes(EMB_DIM, XL_BANDS * (ANN_PLANES // XL_BANDS))
-    rows_per_band = ANN_PLANES // XL_BANDS
-    band_keys = F.array(
-        *[
-            V.sign_bits(
-                F.col("c"), planes[b * rows_per_band : (b + 1) * rows_per_band]
-            )
-            for b in range(XL_BANDS)
-        ]
-    )
-    banded = cen.select(
-        "vec_id", "lang", F.posexplode(band_keys).alias("band", "key")
-    )
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (F.col("a.lang") != F.col("b.lang")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
-        )
-        .distinct()
-    )
-    a = cen.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("c").alias("ca"),
-        F.col("nrm").alias("na"),
-    )
-    b = cen.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("c").alias("cb"),
-        F.col("nrm").alias("nb"),
-    )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
-            "cosine_sim",
-            _flr(V.dot(F.col("ca"), F.col("cb")) / F.col("na") / F.col("nb"), 6),
-        )
-        .where(F.col("cosine_sim") >= XL_TAU)
-        .select("id_a", "id_b", "lang_a", "lang_b", "cosine_sim")
-    )
 
 
-def _xl_sql() -> str:
+def _xl_cen_ctes() -> str:
+    """The cross-lingual family's shared CTE chain (mirror of
+    ``_xl_centered``): biased corpus + translated clones, per-language
+    DECIMAL-exact means, centered vectors with norms as ``cn``."""
     lang_case = " ".join(
         f"WHEN '{lang}' THEN {i}" for i, lang in enumerate(XL_LANGS)
     )
     rot_arr = "[" + ", ".join(f"'{lang}'" for lang in XL_LANGS) + "]"
-    planes = S.deterministic_planes(EMB_DIM, ANN_PLANES)
-    rows_per_band = ANN_PLANES // XL_BANDS
-    band_cases = []
-    for bnd in range(XL_BANDS):
-        terms = []
-        for i in range(rows_per_band):
-            p = planes[bnd * rows_per_band + i]
-            dot = (
-                f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
-                f"j -> c[j] * ({_plane_literal(p)})[j]))"
-            )
-            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
-        band_cases.append(f"WHEN {bnd} THEN CAST(" + " + ".join(terms) + " AS BIGINT)")
-    cos = (
-        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> a.c[j] * b.c[j]))"
-        f" / a.nrm / b.nrm"
-    )
     nrm = (
         f"sqrt(list_sum(list_transform(range(1, {EMB_DIM + 1}),"
         " j -> c[j] * c[j])))"
     )
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT e.vec_id, d.lang,
          CASE d.lang {lang_case} END AS li,
          list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -7636,7 +7630,32 @@ cen AS (
          list_transform(range(1, {EMB_DIM + 1}), j -> w[j] - marr[j]) AS c
   FROM corpus JOIN marrs USING (lang)
 ),
-cn AS (SELECT vec_id, lang, c, {nrm} AS nrm FROM cen),
+cn AS (SELECT vec_id, lang, c, {nrm} AS nrm FROM cen)"""
+
+
+_XL_COS_SQL = (
+    f"list_sum(list_transform(range(1, {EMB_DIM + 1}), j -> a.c[j] * b.c[j]))"
+    f" / a.nrm / b.nrm"
+)
+
+
+def _xl_sql() -> str:
+    planes = S.deterministic_planes(EMB_DIM, ANN_PLANES)
+    rows_per_band = ANN_PLANES // XL_BANDS
+    band_cases = []
+    for bnd in range(XL_BANDS):
+        terms = []
+        for i in range(rows_per_band):
+            p = planes[bnd * rows_per_band + i]
+            dot = (
+                f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+                f"j -> c[j] * ({_plane_literal(p)})[j]))"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+        band_cases.append(f"WHEN {bnd} THEN CAST(" + " + ".join(terms) + " AS BIGINT)")
+    cos = _XL_COS_SQL
+    return f"""
+WITH {_xl_cen_ctes()},
 banded AS (
   SELECT vec_id, lang, bnd.band,
          CASE bnd.band {" ".join(band_cases)} END AS key
@@ -7652,6 +7671,120 @@ SELECT id_a, id_b, a.lang AS lang_a, b.lang AS lang_b,
        FLOOR(CAST(({cos}) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cosine_sim
 FROM cand JOIN cn a ON a.vec_id = id_a JOIN cn b ON b.vec_id = id_b
 WHERE FLOOR(CAST(({cos}) AS DOUBLE) * 1e6 + 0.5) / 1e6 >= {XL_TAU}
+"""
+
+
+def q_crosslingual_mate_retrieval(spark, sf_dir):
+    """Mate-retrieval (bitext-mining) evaluation for the cross-lingual
+    family — the audit layer that grades crosslingual_dedup's centered
+    space the way ann_recall_audit grades the ANN indexes: for every
+    translated clone, retrieve the top-1 centered-cosine neighbor among
+    ALL base vectors of the clone's SOURCE language; P@1 = the fraction
+    whose retrieved vector is the true mate (clone_id − XL_SALT). The
+    Tatoeba/BUCC evaluation shape, per (source_lang → clone_lang) pair,
+    with an id checksum pinning exactly WHICH mates were retrieved.
+
+    The exact per-language-block search is the audit's ground truth by
+    design (the same contract as near_dup_audit's blocked exact side):
+    cost is |queries|·|lang block|, bounded here by the fixed corpus; a
+    100 TB run samples the query side (the declared knob) — the
+    production retrieval path stays the banded-LSH candidates of
+    crosslingual_dedup. Top-1 is a total-order argmax (lattice cosine
+    desc, vec_id asc) via one max_by struct per query — no window over
+    an unbounded partition. All hashed outputs are integers."""
+    cen = _xl_centered(spark, sf_dir)
+    base = cen.where(F.col("vec_id") < XL_SALT)
+    qs = cen.where(F.col("vec_id") >= XL_SALT).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lang").alias("dst_lang"),
+        F.col("c").alias("qc"),
+        F.col("nrm").alias("qn"),
+    )
+    src = base.select(
+        F.col("vec_id").alias("mate_id"), F.col("lang").alias("src_lang")
+    )
+    qs = qs.join(
+        F.broadcast(src), qs.qid - XL_SALT == src.mate_id
+    )
+    pool = base.select(
+        F.col("vec_id").alias("pid"),
+        F.col("lang").alias("src_lang"),
+        F.col("c").alias("pc"),
+        F.col("nrm").alias("pn"),
+    )
+    cos_q = F.floor(
+        V.dot(F.col("qc"), F.col("pc"))
+        / F.col("qn")
+        / F.col("pn")
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    top1 = (
+        qs.join(pool, "src_lang")
+        .groupBy("qid", "src_lang", "dst_lang", "mate_id")
+        .agg(
+            F.max(
+                F.struct(
+                    cos_q.alias("cq"), (-F.col("pid")).alias("npid")
+                )
+            ).alias("best")
+        )
+        .select(
+            "src_lang",
+            "dst_lang",
+            "qid",
+            "mate_id",
+            (-F.col("best.npid")).alias("retrieved_id"),
+        )
+    )
+    return top1.groupBy("src_lang", "dst_lang").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum((F.col("retrieved_id") == F.col("mate_id")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.sum(
+            F.when(
+                F.col("retrieved_id") == F.col("mate_id"),
+                F.col("retrieved_id"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("correct_id_checksum"),
+    )
+
+
+def _xl_mate_sql() -> str:
+    cos_q = (
+        f"CAST(FLOOR(list_sum(list_transform(range(1, {EMB_DIM + 1}),"
+        f" j -> q.c[j] * p.c[j])) / q.nrm / p.nrm * 1e6 + 0.5) AS BIGINT)"
+    )
+    return f"""
+WITH {_xl_cen_ctes()},
+qs AS (
+  SELECT q.vec_id AS qid, q.lang AS dst_lang, q.c, q.nrm,
+         s.vec_id AS mate_id, s.lang AS src_lang
+  FROM cn q JOIN cn s ON s.vec_id = q.vec_id - {XL_SALT}
+  WHERE q.vec_id >= {XL_SALT}
+),
+scored AS (
+  SELECT qs.qid, qs.src_lang, qs.dst_lang, qs.mate_id,
+         p.vec_id AS pid, {cos_q.replace('q.c', 'qs.c').replace('q.nrm', 'qs.nrm')} AS cq
+  FROM qs JOIN cn p ON p.lang = qs.src_lang AND p.vec_id < {XL_SALT}
+),
+top1 AS (
+  SELECT qid, src_lang, dst_lang, mate_id, pid AS retrieved_id
+  FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY qid ORDER BY cq DESC, pid ASC
+  ) = 1
+)
+SELECT src_lang, dst_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN retrieved_id = mate_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN retrieved_id = mate_id THEN retrieved_id
+                ELSE 0 END) AS BIGINT) AS correct_id_checksum
+FROM top1 GROUP BY src_lang, dst_lang
 """
 
 
@@ -24054,6 +24187,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_decomposition_audit": q_seasonal_decomposition_audit,
     "streaming_near_dup": q_streaming_near_dup,
     "crosslingual_dedup": q_crosslingual_dedup,
+    "crosslingual_mate_retrieval": q_crosslingual_mate_retrieval,
 }
 
 
@@ -24537,6 +24671,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "seasonal_decomposition_audit": SQL_SEASONAL_DECOMPOSITION_AUDIT,
     "streaming_near_dup": SQL_STREAMING_NEAR_DUP,
     "crosslingual_dedup": _xl_sql(),
+    "crosslingual_mate_retrieval": _xl_mate_sql(),
 }
 
 
@@ -25066,6 +25201,7 @@ _R11_ADDED: list[str] = [
 _R12_ADDED: list[str] = [
     "streaming_near_dup",
     "crosslingual_dedup",
+    "crosslingual_mate_retrieval",
 ]
 
 #: Queries whose IMPLEMENTATION changed in round 12 and already carry a

@@ -156,6 +156,7 @@ def _canon(df):
         "seasonal_decomposition_audit",  # integer cents, decimal moments
         # round-12 additions:
         "crosslingual_dedup",       # decimal-exact means, ordered dots
+        "crosslingual_mate_retrieval",  # lattice-cosine total-order argmax
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
