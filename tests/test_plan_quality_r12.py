@@ -39,7 +39,7 @@ def test_crosslingual_means_are_broadcast(spark, sf_dir):
     join and check the join strategy."""
     import inspect
 
-    src = inspect.getsource(EQ.q_crosslingual_dedup)
+    src = inspect.getsource(EQ._xl_centered)  # the family's substrate
     assert "F.broadcast(means)" in src
     # and the checkpoint bounds recompute of the shared centered frame
     assert "localCheckpoint" in src
