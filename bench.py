@@ -375,6 +375,8 @@ QUIET_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 RETIME_FACTOR = 2.0  # r11 verdict task 6: catch ANY >2x-quiet spike
 RETIME_FLOOR_SEC = 0.5  # ignore sub-floor lines: 2x of 0.1s is noise
 RETIME_EXTRA_CAP = 40   # bound the extra pass under a fully contended run
+RETIME_ATTEMPTS = 3     # max readings per suspect line (retry-until-quiet)
+RETIME_BUDGET = 30      # total EXTRA attempts across all lines (2nd/3rd reads)
 
 #: The unchanged-since-r1 query used as the ambient-load canary
 #: (BASELINE.md's canary-paired protocol): timed cold at the start,
@@ -534,8 +536,28 @@ def main() -> None:
     # after two rounds where a spike survived the global-top-10 net).
     quiet = load_quiet(sf)
     retimed: dict[str, float | str] = {}
+    # Retry-until-quiet (r12 verdict task 4): a single retime can land
+    # in the SAME contended window as the first pass (r12's canary read
+    # 18.4s at the retime stage, and events_value_quantiles' retime
+    # stayed inflated two rounds running). Each candidate re-runs up to
+    # RETIME_ATTEMPTS times, stopping as soon as a reading lands within
+    # RETIME_FACTOR x its historical quiet value — so the min is taken
+    # over at least one reading with a real chance of a quiet slot,
+    # with the extra passes bounded by RETIME_BUDGET total attempts.
+    budget = RETIME_BUDGET
     for name in retime_candidates(timings, quiet):
-        retimed[name] = run_once(spark, sf_dir, name)
+        best: float | str = run_once(spark, sf_dir, name)
+        q = quiet.get(name)
+        for _ in range(RETIME_ATTEMPTS - 1):
+            if budget <= 0 or not isinstance(best, float):
+                break
+            if q is None or best <= RETIME_FACTOR * q or best < RETIME_FLOOR_SEC:
+                break
+            budget -= 1
+            again = run_once(spark, sf_dir, name)
+            if isinstance(again, float):
+                best = min(best, again)
+        retimed[name] = best
     canary.append(run_once(spark, sf_dir, CANARY))
 
     # Official per-line value = min(first pass, retime): the isolated

@@ -7408,6 +7408,14 @@ XL_PERTURB = 0.02   # translation noise on dim 11
 XL_TAU = 0.9        # verified cross-lingual duplicate threshold
 XL_BANDS = 4        # banded sign-LSH: 4 bands x 4 planes (ANN_PLANES=16)
 XL_LANGS = ("de", "en", "es", "fr", "zh")  # sorted; index = bias dim (0-based)
+#: Fail-fast ceiling on a language block in the EXACT mate-retrieval
+#: audit (q_crosslingual_mate_retrieval): the ground-truth side is
+#: |queries per lang| x |lang block| by design, so a block past this
+#: bound means "sample the query side" (the declared 100 TB knob — the
+#: production retrieval path stays crosslingual_dedup's banded LSH),
+#: not "launch the quadratic join anyway". Same contract shape as
+#: COOC_MAX_BASKET / blocked_jaccard_pairs' max_block_docs.
+XL_MATE_MAX_BLOCK = 65536
 
 
 def _xl_rot(lang_idx):
@@ -7686,14 +7694,32 @@ def q_crosslingual_mate_retrieval(spark, sf_dir):
 
     The exact per-language-block search is the audit's ground truth by
     design (the same contract as near_dup_audit's blocked exact side):
-    cost is |queries|·|lang block|, bounded here by the fixed corpus; a
-    100 TB run samples the query side (the declared knob) — the
-    production retrieval path stays the banded-LSH candidates of
-    crosslingual_dedup. Top-1 is a total-order argmax (lattice cosine
+    cost is |queries|·|lang block|, and the ``XL_MATE_MAX_BLOCK``
+    contract fails fast BEFORE launching the per-block join when any
+    base-language block exceeds it — at 100 TB the knob is query-side
+    sampling (the production retrieval path stays the banded-LSH
+    candidates of crosslingual_dedup); past the cap this audit refuses
+    rather than degrades. Top-1 is a total-order argmax (lattice cosine
     desc, vec_id asc) via one max_by struct per query — no window over
     an unbounded partition. All hashed outputs are integers."""
     cen = _xl_centered(spark, sf_dir)
     base = cen.where(F.col("vec_id") < XL_SALT)
+    oversized = (
+        base.groupBy("lang")
+        .agg(F.count("*").alias("n_vecs"))
+        .where(F.col("n_vecs") > XL_MATE_MAX_BLOCK)
+        .limit(5)
+        .collect()
+    )
+    if oversized:
+        worst = ", ".join(f"{r['lang']}={r['n_vecs']}" for r in oversized)
+        raise ValueError(
+            f"crosslingual_mate_retrieval: language block(s) exceed "
+            f"XL_MATE_MAX_BLOCK={XL_MATE_MAX_BLOCK} base vectors ({worst}); "
+            f"the exact ground-truth search is |queries| x |block| per "
+            f"language — sample the query side or use the banded-LSH "
+            f"path (crosslingual_dedup) instead"
+        )
     qs = cen.where(F.col("vec_id") >= XL_SALT).select(
         F.col("vec_id").alias("qid"),
         F.col("lang").alias("dst_lang"),
@@ -18612,8 +18638,8 @@ keep AS (
 )
 SELECT lx.doc_id,
        COUNT(*) AS n_lines,
-       SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN kept THEN len(lt) ELSE 0 END) AS kept_tokens,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN len(lt) ELSE 0 END) AS BIGINT) AS kept_tokens,
        md5(COALESCE(string_agg(
          CASE WHEN kept THEN array_to_string(lt, ' ') END,
          ' ' ORDER BY lx.line_idx), '')) AS rewrite_md5,

@@ -4,6 +4,7 @@ canonicalize values, compare as multisets."""
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -20,28 +21,37 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(v):
+    # Type-TAGGED canonicalization: the driver's value hash is typed, so
+    # 4 (bigint) and 4.0 (float64 from an un-cast DuckDB HUGEINT) must NOT
+    # compare equal here either.  Python's `4 == 4.0` hid exactly that
+    # drift for three rounds (line_quality_filter, r10-r12).
     if v is None:
         return None
     if isinstance(v, bool):
-        return bool(v)
+        return ("b", bool(v))
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return float(v)
+            return ("f", "NaN")
+        return ("f", float(v))
     if isinstance(v, int):
-        return int(v)
+        return ("i", int(v))
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
     if hasattr(v, "isoformat"):  # datetime/date
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    return str(v)
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("a", tuple(_canon(x) for x in v))
+    return ("s", str(v))
 
 
 def _rows(df_pandas) -> list[tuple]:
     cols = sorted(df_pandas.columns)
     out = []
     for rec in df_pandas[cols].itertuples(index=False, name=None):
-        out.append(tuple(_canon(v.item() if hasattr(v, "item") else v) for v in rec))
+        out.append(tuple(
+            _canon(v.item() if hasattr(v, "item") and not hasattr(v, "__len__") else v)
+            for v in rec
+        ))
     return sorted(out, key=repr)
 
 

@@ -73,6 +73,10 @@ _PARITY_EXTRA = [
     "kcenter_coreset",       # explicit NULL-pick degenerate rows
     "line_quality_filter",   # all-integer path, empty-safe throughout
     "crosslingual_dedup",    # empty means table → empty pair set
+    # r12 additions, pinned in r13 (the 0-row parity was previously an
+    # ad-hoc check noted in BASELINE.md; VERDICT r12 task 7)
+    "crosslingual_mate_retrieval",  # empty blocks pass the cap guard → 0 rows
+    "streaming_near_dup",           # zero-file AvailableNow drain → empty pairs
 ]
 
 
