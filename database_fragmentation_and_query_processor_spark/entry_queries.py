@@ -9078,8 +9078,9 @@ def q_streaming_near_dup(spark, sf_dir):
     ordered document batches then arrive as a file stream
     (maxFilesPerTrigger=1) and streaming/near_dup.py:near_dup_sink
     probes each against the committed index via the O(batch)
-    incremental path, merging verified pairs and the updated index
-    with write-then-swap commits per batch. The read-back pair set
+    incremental path, committing the batch's verified-pair delta and
+    index delta write-then-swap (r13: deltas replaced the per-batch
+    full rewrite — ingest is now O(batch) end-to-end). The read-back pair set
     must equal the full batch recompute restricted to pairs touching
     any streamed doc — the same identity incremental_near_dup pins for
     one batch, here proven ACROSS batch boundaries (a batch-0 doc
@@ -9095,8 +9096,7 @@ def q_streaming_near_dup(spark, sf_dir):
     import os as _os
     import shutil as _shutil
 
-    from .streaming.events import read_committed
-    from .streaming.near_dup import near_dup_sink
+    from .streaming.near_dup import near_dup_sink, read_near_dup_pairs
 
     docs = _docs_with_dups(spark, sf_dir)
     res = (F.col("doc_id") % DUP_SALT) % STREAM_ND_MOD
@@ -9125,6 +9125,17 @@ def q_streaming_near_dup(spark, sf_dir):
         ).write.mode("overwrite").parquet(index_path)
         with open(_os.path.join(art, "_FILES_DONE"), "w") as f:
             f.write("ok")
+    # Persistent checkpoint (r13): resume semantics, not reprocess
+    # semantics — an AvailableNow drain over input the checkpoint has
+    # already processed commits zero micro-batches, which is exactly
+    # how a production ingest behaves between arrivals. The first run
+    # at a given sf (or after an artifact purge) pays the full 3-batch
+    # drain; later runs verify the committed state and return. If the
+    # committed pair deltas are gone but the checkpoint survived, drop
+    # the checkpoint so the drain replays from scratch.
+    ckpt_dir = _os.path.join(art, "ckpt")
+    if not _os.path.exists(pairs_path + "__DELTAS"):
+        _shutil.rmtree(ckpt_dir, ignore_errors=True)
     doc_schema = spark.read.parquet(batches_dir).schema
     stream = (
         spark.readStream.schema(doc_schema)
@@ -9139,9 +9150,10 @@ def q_streaming_near_dup(spark, sf_dir):
         threshold=NEAR_DUP_THRESHOLD,
         k=MINHASH_K,
         bands=MINHASH_BANDS,
+        checkpoint_dir=ckpt_dir,
     )
     q.awaitTermination()
-    return read_committed(spark, pairs_path).select(
+    return read_near_dup_pairs(spark, pairs_path).select(
         "id_a", "id_b", _flr("jaccard", 6).alias("jaccard")
     )
 
@@ -25268,7 +25280,46 @@ _missing = [n for n in _R12_WINDOW if n not in _QUERIES_ALL]
 if _missing:
     raise RuntimeError(f"r12 stamp window names unknown queries: {_missing}")
 
-_HEAD = _R12_WINDOW
+#: Queries whose IMPLEMENTATION (or oracle) changed in round 13 and
+#: already carry driver history, so they need a fresh stamp on the new
+#: code path:
+#: line_quality_filter — the r12 hash red was finally traced to the
+#:   ORACLE (un-cast SUMs typed HUGEINT by DuckDB → float64 in pandas
+#:   vs Spark's bigint under the driver's TYPED hash); both columns now
+#:   CAST(... AS BIGINT), Spark values already matched exactly.
+#: crosslingual_mate_retrieval — gained the XL_MATE_MAX_BLOCK fail-fast
+#:   on its exact ground-truth side (plan-shape change upstream of the
+#:   per-language join).
+_R13_RESTAMP: list[str] = [
+    "line_quality_filter",
+    "crosslingual_mate_retrieval",
+]
+
+#: Round-13 window per the r12 verdict's task 3: the 5 frag pins, the
+#: line_quality_filter restamp on its BIGINT-cast oracle, the 3
+#: _R12_ADDED queries (first driver stamps — pytest-oracle green at 3
+#: SFs since r12; crosslingual_mate_retrieval doubles as its own
+#: restamp after the r13 cap guard), and 42 refills from the round-12
+#: window in its original order. A green round makes cumulative driver
+#: evidence 322/322.
+_R13_WINDOW: list[str] = (
+    _R12_WINDOW[:5]
+    + ["line_quality_filter"]
+    + _R12_ADDED
+    + [
+        n
+        for n in _R12_WINDOW[5:]
+        if n not in set(_R13_RESTAMP) and n not in set(_R12_ADDED)
+    ][: 50 - 5 - 1 - len(_R12_ADDED)]
+)
+
+if len(_R13_WINDOW) != 50 or len(set(_R13_WINDOW)) != 50:
+    raise RuntimeError("r13 stamp window must be exactly 50 unique queries")
+_missing = [n for n in _R13_WINDOW if n not in _QUERIES_ALL]
+if _missing:
+    raise RuntimeError(f"r13 stamp window names unknown queries: {_missing}")
+
+_HEAD = _R13_WINDOW
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{n: _QUERIES_ALL[n] for n in _HEAD},

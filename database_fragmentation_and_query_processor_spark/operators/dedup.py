@@ -125,14 +125,20 @@ def shingle_sets(
     )
 
 
-def band_buckets(sig_df: DataFrame, k: int, bands: int) -> DataFrame:
+def band_buckets(
+    sig_df: DataFrame, k: int, bands: int, carry: list[str] | None = None
+) -> DataFrame:
     """Explode an (id, sig) signature table into the banded LSH keying
     (id, band, bucket): rows_per_band consecutive minhashes concatenated
     per band. The one place the band layout is defined — candidate
-    generation and incremental index probes must agree on it."""
+    generation and incremental index probes must agree on it.
+    ``carry`` columns ride along unchanged (the incremental probe
+    carries shingle_set so verification happens inside the band join
+    instead of re-joining the corpus index per side)."""
     rows_per_band = k // bands
     return sig_df.select(
         "id",
+        *(carry or []),
         F.posexplode(
             F.array(*[
                 F.concat_ws(
@@ -169,10 +175,22 @@ def incremental_near_dup_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    new_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental LSH index maintenance: given the standing corpus's
     materialized index (from ``build_dedup_index``) and a NEW document
     batch, return (near-dup pairs involving ≥1 new doc, updated index).
+
+    ``new_index`` lets a caller that already materialized the batch's
+    index rows (the streaming sink persists them for its delta commit)
+    pass them in instead of re-deriving them from ``new_docs``; it must
+    be exactly ``build_dedup_index(new_docs, ...)`` with matching k and
+    shingle_n, already persisted/checkpointed by the caller. In that
+    mode the standing index is assumed parquet-backed (reading it is
+    cheaper than caching it), so the union is NOT persisted — each
+    consumer re-scans the materialized segments with column pruning
+    (sig for the band join, shingle_set for the verify) instead of
+    pinning an O(corpus) cache per ingest batch.
 
     The standing corpus is NEVER re-shingled, re-signed, or self-joined:
     only the new batch's signatures are computed, and the band join
@@ -183,18 +201,34 @@ def incremental_near_dup_pairs(
     (id_a < id_b) and verified by exact Jaccard, identical semantics to
     ``near_dup_pairs`` restricted to pairs touching the batch.
     """
-    new_index = track(
-        build_dedup_index(new_docs, id_col, text_col, k, shingle_n).persist()
-    )
-    # the UPDATED index feeds three consumers (the probe-side band
-    # join plus both sides of the Jaccard verification); persist it so
-    # the standing corpus's shingle/signature expressions evaluate
-    # once, not three times. (In production the standing index is a
-    # materialized parquet table — this persist is the in-session
-    # equivalent of reading it instead of re-deriving it.)
-    updated = track(index.unionByName(new_index).persist())
+    caller_cached = new_index is not None
+    if new_index is None:
+        new_index = track(
+            build_dedup_index(new_docs, id_col, text_col, k, shingle_n).persist()
+        )
+    # the UPDATED index feeds both the band join and the Jaccard
+    # verification; when the standing index is derived in-session,
+    # persist the union so its shingle/signature expressions evaluate
+    # once, not per consumer. When the caller passed a materialized
+    # new_index (the streaming sink maintains BOTH sides as persisted
+    # DataFrames across micro-batches), re-persisting the union would
+    # re-copy the whole corpus cache every ingest batch — the lazy
+    # union reads the already-cached parents instead.
+    updated = index.unionByName(new_index)
+    if not caller_cached:
+        updated = track(updated.persist())
 
-    new_banded = band_buckets(new_index.select("id", "sig"), k, bands)
+    # Shingle sets ride through the explode on the NEW side only
+    # (batch-bounded — the corpus side explodes (id, sig) alone, never
+    # its shingle arrays x bands); the corpus partner's shingle set
+    # joins back ONCE against the persisted union. Keeping the pair in
+    # (new, other) orientation until after verification is what makes
+    # the single join-back sufficient — least/greatest normalization
+    # happens on the verified output.
+    new_banded = band_buckets(
+        new_index.select("id", "sig", "shingle_set"), k, bands,
+        carry=["shingle_set"],
+    )
     all_banded = band_buckets(updated.select("id", "sig"), k, bands)
     cands = (
         new_banded.alias("n")
@@ -205,22 +239,35 @@ def incremental_near_dup_pairs(
             & (F.col("n.id") != F.col("a.id")),
         )
         .select(
-            F.least("n.id", "a.id").alias("id_a"),
-            F.greatest("n.id", "a.id").alias("id_b"),
+            F.col("n.id").alias("new_id"),
+            F.col("n.shingle_set").alias("ss_new"),
+            F.col("a.id").alias("other_id"),
         )
-        .distinct()
     )
-    a = updated.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("ss_a"))
-    b = updated.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("ss_b"))
+    # no dedup here: a pair matching in several bands verifies up to
+    # ``bands`` times (cheap array ops on an already-small candidate
+    # set) and collapses in the one keyed dropDuplicates below — one
+    # shuffle instead of two
+    other = updated.select(
+        F.col("id").alias("other_id"), F.col("shingle_set").alias("ss_other")
+    )
     jaccard = (
-        F.size(F.array_intersect("ss_a", "ss_b")).cast("double")
-        / F.nullif(F.size(F.array_union("ss_a", "ss_b")).cast("double"), F.lit(0.0))
+        F.size(F.array_intersect("ss_new", "ss_other")).cast("double")
+        / F.nullif(
+            F.size(F.array_union("ss_new", "ss_other")).cast("double"),
+            F.lit(0.0),
+        )
     )
     pairs = (
-        cands.join(a, "id_a").join(b, "id_b")
+        cands.join(other, "other_id")
         .withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select(
+            F.least("new_id", "other_id").alias("id_a"),
+            F.greatest("new_id", "other_id").alias("id_b"),
+            "jaccard",
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
     return pairs, updated
 

@@ -101,13 +101,13 @@ def test_cross_batch_pairs_found(spark, tmp_path):
     q = _run_sink(spark, src, index_path, pairs_path)
     q.awaitTermination()
 
-    from database_fragmentation_and_query_processor_spark.streaming.events import (
-        read_committed,
+    from database_fragmentation_and_query_processor_spark.streaming.near_dup import (
+        read_near_dup_pairs,
     )
 
     got = {
         (r["id_a"], r["id_b"])
-        for r in read_committed(spark, str(pairs_path)).collect()
+        for r in read_near_dup_pairs(spark, str(pairs_path)).collect()
     }
     streamed = {101, 51, 3, 102, 103}
     want = _oracle_pairs(spark, DOCS, streamed)
@@ -128,13 +128,13 @@ def test_bootstrap_without_standing_index(spark, tmp_path):
     q = _run_sink(spark, src, tmp_path / "index", tmp_path / "pairs")
     q.awaitTermination()
 
-    from database_fragmentation_and_query_processor_spark.streaming.events import (
-        read_committed,
+    from database_fragmentation_and_query_processor_spark.streaming.near_dup import (
+        read_near_dup_pairs,
     )
 
     got = {
         (r["id_a"], r["id_b"])
-        for r in read_committed(spark, str(tmp_path / "pairs")).collect()
+        for r in read_near_dup_pairs(spark, str(tmp_path / "pairs")).collect()
     }
     assert got == {(1, 101), (2, 102)}
 
@@ -176,13 +176,13 @@ def test_crash_resume_converges(spark, tmp_path):
     q2.awaitTermination()
     assert 0 not in seen[1:]  # resumed, batch 0 never re-ran
 
-    from database_fragmentation_and_query_processor_spark.streaming.events import (
-        read_committed,
+    from database_fragmentation_and_query_processor_spark.streaming.near_dup import (
+        read_near_dup_pairs,
     )
 
     got = {
         (r["id_a"], r["id_b"])
-        for r in read_committed(spark, str(pairs_path)).collect()
+        for r in read_near_dup_pairs(spark, str(pairs_path)).collect()
     }
     want = _oracle_pairs(spark, standing + b0 + b1 + b2, {101, 102, 3, 103})
     assert got == want
@@ -200,13 +200,14 @@ def test_replay_from_scratch_is_idempotent(spark, tmp_path):
         q = _run_sink(spark, src, tmp_path / "index", tmp_path / "pairs")
         q.awaitTermination()
 
-    from database_fragmentation_and_query_processor_spark.streaming.events import (
-        read_committed,
+    from database_fragmentation_and_query_processor_spark.streaming.near_dup import (
+        read_near_dup_index,
+        read_near_dup_pairs,
     )
 
-    pairs = read_committed(spark, str(tmp_path / "pairs"))
+    pairs = read_near_dup_pairs(spark, str(tmp_path / "pairs"))
     assert pairs.count() == pairs.dropDuplicates(["id_a", "id_b"]).count() == 2
-    index = read_committed(spark, str(tmp_path / "index"))
+    index = read_near_dup_index(spark, str(tmp_path / "index"))
     assert index.count() == index.dropDuplicates(["id"]).count() == 4
 
 

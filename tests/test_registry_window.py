@@ -35,17 +35,31 @@ def _stamped_through(last_round: int) -> set[str]:
 
 
 def test_stamp_window_composition():
-    """R12 window (the rotation the r11 verdict's task 3 prescribed) =
-    5 pinned frag rows, the line_quality_filter restamp (the r11 hash
-    red, rebuilt ALL-INTEGER — mean_line_nll_q replaces the round-6
-    double mean), the 30 _R11_ADDED queries (first driver stamps), and
-    14 refills from the round-11 window in its original order."""
+    """R13 window (the rotation the r12 verdict's task 3 prescribed) =
+    5 pinned frag rows, the line_quality_filter restamp (the r12 hash
+    red, finally traced to the ORACLE's un-cast HUGEINT SUMs — now
+    CAST AS BIGINT), the 3 _R12_ADDED queries (first driver stamps;
+    crosslingual_mate_retrieval doubles as its own restamp after the
+    XL_MATE_MAX_BLOCK guard), and 42 refills from the round-12 window
+    in its original order."""
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
-    assert names[5:6] == EQ._R12_RESTAMP == ["line_quality_filter"]
-    assert names[6:36] == EQ._R11_ADDED
-    assert names[:50] == EQ._R12_WINDOW
+    assert names[5:6] == ["line_quality_filter"]
+    assert names[6:9] == EQ._R12_ADDED
+    assert names[:50] == EQ._R13_WINDOW
+    assert set(EQ._R13_RESTAMP) <= set(names[:50])
     assert len(names) == len(set(names))
+
+
+def test_r12_window_composition_historical():
+    """Historical pin: the r12 window front-loaded the
+    line_quality_filter restamp then the 30 _R11_ADDED — the shape the
+    r12 driver stamped (CORRECTNESS_r12.json, 49/50: the one red was
+    line_quality_filter's value hash, adjudicated in r12's verdict as
+    an oracle typing bug and fixed in r13)."""
+    assert EQ._R12_WINDOW[:5] == FRAG_PINNED
+    assert EQ._R12_WINDOW[5:6] == EQ._R12_RESTAMP == ["line_quality_filter"]
+    assert EQ._R12_WINDOW[6:36] == EQ._R11_ADDED
 
 
 def test_r10_window_composition_historical():
@@ -77,22 +91,19 @@ def test_r8_split_covered_all_r7_additions():
 
 def test_window_closes_the_evidence_gap():
     """After the r12 rotation, every query registered through r11 has a
-    stamp OR sits inside the current window: the only pre-r12 entries
-    without a driver row through r11 are the 30 _R11_ADDED, all of
-    which the r12 window front-loads — a green round makes cumulative
-    driver evidence 319/319 (new _R12_ADDED queries register BELOW the
-    window and rotate in next round, per the standing convention)."""
-    stamped = _stamped_through(11)
+    stamp OR sits inside the current window: the only entries without a
+    driver row through r12 are the 3 _R12_ADDED, all of which the r13
+    window front-loads — a green round makes cumulative driver
+    evidence 322/322 (any queries added in r13 would register BELOW
+    the window and rotate in next round, per the standing
+    convention)."""
+    stamped = _stamped_through(12)
     if not stamped:  # correctness files absent (fresh checkout)
         return
     names = list(EQ.QUERIES)
     window = set(names[:50])
-    never_stamped = {
-        n for n in names if n not in stamped and n not in set(
-            getattr(EQ, "_R12_ADDED", [])
-        )
-    }
-    assert never_stamped == set(EQ._R11_ADDED)
+    never_stamped = {n for n in names if n not in stamped}
+    assert never_stamped == set(EQ._R12_ADDED)
     assert never_stamped <= window
 
 
