@@ -36,6 +36,74 @@ def test_xl_mate_cap_documented_for_scale():
     assert "100 TB" in doc
 
 
+def test_near_dup_deltas_are_batch_sized(spark, tmp_path):
+    """The r13 commit layout must be O(batch): each committed index
+    delta holds exactly its batch's doc ids — never a rewrite of the
+    standing corpus (the pre-r13 sink rewrote the full index every
+    micro-batch)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from database_fragmentation_and_query_processor_spark.operators import dedup as D
+    from database_fragmentation_and_query_processor_spark.streaming.near_dup import (
+        DELTA_SEP,
+        near_dup_sink,
+        read_near_dup_index,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    standing = [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")]
+    batches = [
+        [(101, "alpha beta gamma delta epsilon zeta")],
+        [(102, "one two three four five six"), (103, "seven eight nine ten eleven twelve")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = [p for p in stage.iterdir() if p.name.endswith(".parquet")][0]
+        part.rename(src / f"commit-{i:03d}.parquet")
+    index_path = tmp_path / "index"
+    pairs_path = tmp_path / "pairs"
+    spark.createDataFrame(standing, schema).transform(
+        lambda df: D.build_dedup_index(df, k=16)
+    ).write.mode("overwrite").parquet(str(index_path))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = near_dup_sink(
+        stream, str(index_path), str(pairs_path), spark,
+        threshold=0.6, k=16, bands=4,
+    )
+    q.awaitTermination()
+
+    for b, rows in enumerate(batches):
+        delta = f"{index_path}{DELTA_SEP}{b:06d}"
+        got = {r["id"] for r in spark.read.parquet(delta).collect()}
+        assert got == {r[0] for r in rows}, (b, got)
+    # and the assembled view is base + deltas, disjoint
+    idx = read_near_dup_index(spark, str(index_path))
+    assert idx.count() == idx.dropDuplicates(["id"]).count() == 5
+
+
+def test_near_dup_manifest_add_is_idempotent(spark, tmp_path):
+    from database_fragmentation_and_query_processor_spark import fs as fslib
+    from database_fragmentation_and_query_processor_spark.streaming import near_dup as ND
+
+    wfs = fslib.fs_for(str(tmp_path), spark)
+    base = str(tmp_path / "ds")
+    ND._add_to_manifest(wfs, base, "000001")
+    ND._add_to_manifest(wfs, base, "000001")
+    ND._add_to_manifest(wfs, base, "000000")
+    assert ND._read_manifest(wfs, base) == ["000000", "000001"]
+
+
 def test_xl_mate_runs_under_cap(spark, sf_dir):
     """At the test SF every language block is far under the cap; the
     audit must still produce one row per (src_lang, dst_lang) pair."""
