@@ -92,6 +92,88 @@ def test_near_dup_deltas_are_batch_sized(spark, tmp_path):
     assert idx.count() == idx.dropDuplicates(["id"]).count() == 5
 
 
+def test_near_dup_crash_between_pairs_and_index_commits(spark, tmp_path, monkeypatch):
+    """The module docstring's reconvergence claim, pinned at its
+    narrowest window: a crash AFTER the batch's pairs delta commits
+    but BEFORE its index delta commits must replay the batch on resume
+    and converge to the same committed state (pair delta overwritten
+    with identical content, manifest add idempotent)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from database_fragmentation_and_query_processor_spark.operators import dedup as D
+    from database_fragmentation_and_query_processor_spark.streaming import near_dup as ND
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    standing = [(1, "alpha beta gamma delta epsilon zeta")]
+    batches = [
+        [(101, "alpha beta gamma delta epsilon zeta")],
+        [(102, "alpha beta gamma delta epsilon zeta plus")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = [p for p in stage.iterdir() if p.name.endswith(".parquet")][0]
+        part.rename(src / f"commit-{i:03d}.parquet")
+    index_path = tmp_path / "index"
+    pairs_path = tmp_path / "pairs"
+    spark.createDataFrame(standing, schema).transform(
+        lambda df: D.build_dedup_index(df, k=16)
+    ).write.mode("overwrite").parquet(str(index_path))
+
+    real_commit = ND._commit_delta
+    state = {"armed": True}
+
+    def flaky_commit(fs, df, path, name):
+        real_commit(fs, df, path, name)
+        # crash exactly once, right after batch 1's PAIRS delta lands
+        if state["armed"] and str(path) == str(pairs_path) and name == "000001":
+            state["armed"] = False
+            raise RuntimeError("injected crash between the two commits")
+
+    monkeypatch.setattr(ND, "_commit_delta", flaky_commit)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        return ND.near_dup_sink(
+            stream, str(index_path), str(pairs_path), spark,
+            threshold=0.6, k=16, bands=4, checkpoint_dir=str(ckpt),
+        )
+
+    ckpt = tmp_path / "ckpt"
+    q = run(ckpt)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # pairs delta 000001 committed, index delta 000001 absent
+    wfs = __import__(
+        "database_fragmentation_and_query_processor_spark.fs",
+        fromlist=["fs_for"],
+    ).fs_for(str(index_path), spark)
+    from database_fragmentation_and_query_processor_spark import fs as fslib
+
+    assert fslib.dataset_exists(wfs, f"{pairs_path}{ND.DELTA_SEP}000001")
+    assert not fslib.dataset_exists(wfs, f"{index_path}{ND.DELTA_SEP}000001")
+
+    q2 = run(ckpt)  # resume: batch 1 replays against the pre-batch state
+    q2.awaitTermination()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ND.read_near_dup_pairs(spark, str(pairs_path)).collect()
+    }
+    assert got == {(1, 101), (1, 102), (101, 102)}
+    idx = ND.read_near_dup_index(spark, str(index_path))
+    assert idx.count() == idx.dropDuplicates(["id"]).count() == 3
+
+
 def test_near_dup_manifest_add_is_idempotent(spark, tmp_path):
     from database_fragmentation_and_query_processor_spark import fs as fslib
     from database_fragmentation_and_query_processor_spark.streaming import near_dup as ND
