@@ -9165,6 +9165,39 @@ WHERE (id_a % {DUP_SALT}) % {STREAM_ND_MOD} < {STREAM_ND_BATCHES}
 """
 
 
+def q_streaming_near_dup_compaction(spark, sf_dir):
+    """The maintenance half of the r13 delta-commit layout: run (or
+    resume) the streaming ingest, FOLD the accumulated index deltas
+    back into the base segment (streaming/near_dup.py:
+    compact_near_dup_index — write-then-swap union, atomic manifest
+    clear, cache invalidation via refreshByPath, delta GC), then
+    return the pair set read through the post-compaction segments.
+    Identical output to streaming_near_dup by construction — what the
+    entry certifies is that compaction is LOSSLESS and leaves a
+    single-segment index that still serves the same committed state.
+
+    Scale shape: ingest appends O(batch) deltas; without periodic
+    compaction the probe's multi-path read degrades into thousands of
+    tiny segments at 100 TB. Compaction is one scan + one write of the
+    index (linear, amortized across the ingests it folds), crash-safe
+    at every step (base-first commit order; a reader racing the
+    manifest clear sees duplicate rows that the keyed reads absorb)."""
+    import os as _os
+
+    from .streaming.near_dup import (
+        compact_near_dup_index,
+        read_near_dup_pairs,
+    )
+
+    q_streaming_near_dup(spark, sf_dir)  # ensure the ingest is committed
+    art = _artifact_cache_path(sf_dir, "near_dup_stream", "documents")
+    compact_near_dup_index(spark, _os.path.join(art, "index"))
+    pairs_path = _os.path.join(art, "pairs")
+    return read_near_dup_pairs(spark, pairs_path).select(
+        "id_a", "id_b", _flr("jaccard", 6).alias("jaccard")
+    )
+
+
 SKYLINE_BUCKETS = 64
 
 
@@ -24226,6 +24259,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_near_dup": q_streaming_near_dup,
     "crosslingual_dedup": q_crosslingual_dedup,
     "crosslingual_mate_retrieval": q_crosslingual_mate_retrieval,
+    "streaming_near_dup_compaction": q_streaming_near_dup_compaction,
 }
 
 
@@ -24710,6 +24744,9 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "streaming_near_dup": SQL_STREAMING_NEAR_DUP,
     "crosslingual_dedup": _xl_sql(),
     "crosslingual_mate_retrieval": _xl_mate_sql(),
+    # compaction is lossless by contract: the post-compaction pair set
+    # equals streaming_near_dup's, so it shares the oracle
+    "streaming_near_dup_compaction": SQL_STREAMING_NEAR_DUP,
 }
 
 
@@ -25318,6 +25355,12 @@ if len(_R13_WINDOW) != 50 or len(set(_R13_WINDOW)) != 50:
 _missing = [n for n in _R13_WINDOW if n not in _QUERIES_ALL]
 if _missing:
     raise RuntimeError(f"r13 stamp window names unknown queries: {_missing}")
+
+#: Queries ADDED in round 13 (registered below the stamp window; they
+#: rotate into the r14 stamp prefix per the standing convention).
+_R13_ADDED: list[str] = [
+    "streaming_near_dup_compaction",
+]
 
 _HEAD = _R13_WINDOW
 

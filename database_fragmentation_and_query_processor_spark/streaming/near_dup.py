@@ -104,14 +104,18 @@ def _commit_delta(fs, df: DataFrame, path: str, name: str) -> None:
 def read_near_dup_index(
     spark: SparkSession, index_path: str, fs=None
 ) -> DataFrame:
-    """The committed index: base segment + all committed deltas."""
+    """The committed index: base segment + all committed deltas,
+    deduplicated on id — segments are disjoint in steady state, but a
+    reader racing a compaction (new base committed, manifest not yet
+    cleared) sees a delta's rows twice; the rows are identical, so the
+    keyed dedup makes the race harmless."""
     from .. import fs as fslib
 
     wfs = fs if fs is not None else fslib.fs_for(index_path, spark)
     dirs = _segment_dirs(wfs, index_path)
     if not dirs:
         raise FileNotFoundError(f"no committed index at {index_path}")
-    return spark.read.parquet(*dirs)
+    return spark.read.parquet(*dirs).dropDuplicates(["id"])
 
 
 def read_near_dup_pairs(
@@ -129,6 +133,61 @@ def read_near_dup_pairs(
     if not dirs:
         raise FileNotFoundError(f"no committed pairs at {pairs_path}")
     return spark.read.parquet(*dirs).dropDuplicates(["id_a", "id_b"])
+
+
+def compact_near_dup_index(
+    spark: SparkSession, index_path: str, fs=None
+) -> int:
+    """Fold the committed deltas back into the base segment — the
+    maintenance half of the delta layout's lifecycle (ingest appends
+    O(batch) deltas; a periodic compaction bounds segment count so the
+    probe's multi-path read never degrades into thousands of tiny
+    files at 100 TB). Returns the number of deltas folded.
+
+    Commit order and crash safety:
+
+    1. write-then-swap the UNION (base + deltas) as the new base —
+       after this commit every row is in the base, and a reader that
+       still sees the old manifest reads some rows twice (identical
+       rows; ``read_near_dup_index`` dedups on id,
+       ``read_near_dup_pairs`` already dedups on the pair key);
+    2. atomically clear the manifest — readers now see the base alone;
+    3. best-effort delete the delta datasets — stale dirs left by a
+       crash here are invisible (readers only resolve manifest-listed
+       deltas) and a later ingest with the same batch id overwrites.
+
+    A crash BEFORE step 2 leaves base ⊇ deltas with both visible
+    (deduped reads stay correct); re-running compaction converges.
+    Pairs deltas are NOT compacted here: the pair set is append-only
+    results, not probe state — compact it by the same recipe if read
+    amplification ever matters.
+    """
+    from .. import fs as fslib
+
+    wfs = fs if fs is not None else fslib.fs_for(index_path, spark)
+    names = _read_manifest(wfs, index_path)
+    if not names:
+        return 0
+    full = read_near_dup_index(spark, index_path, fs=wfs)
+    staged = fslib.stage_path(wfs, index_path, "nd-compact")
+    full.write.mode("overwrite").parquet(staged)
+    fslib.commit_staged(wfs, staged, index_path, require_marker=True)
+    wfs.write_text_atomic(_manifest_path(index_path), "")
+    # Invalidate this session's cached plan fragments over the swapped
+    # paths: a still-persisted probe DataFrame from a prior sink run is
+    # a cached relation over parquet(index_path), and Spark's
+    # CacheManager SUBSTITUTES it into any later identical-path read —
+    # without the refresh, post-compaction readers in the same session
+    # get the pre-compaction rows back even though the files on disk
+    # are correct (observed, pinned in tests/test_r13_additions.py).
+    spark.catalog.refreshByPath(index_path)
+    for name in names:
+        spark.catalog.refreshByPath(_delta_path(index_path, name))
+        try:
+            wfs.delete(_delta_path(index_path, name), recursive=True)
+        except Exception:
+            pass  # stale dirs are unreferenced; next ingest overwrites
+    return len(names)
 
 
 def near_dup_sink(

@@ -99,5 +99,7 @@ def test_quiet_record_covers_the_registry():
     quiet = bench.load_quiet(0.1)
     known = set(quiet)
     registered = set(EQ.QUERIES)
-    missing = registered - known - set(getattr(EQ, "_R12_ADDED", []))
+    # newest additions gain their quiet line on the first bench run
+    # after registration; exclude only the CURRENT below-window batch
+    missing = registered - known - set(getattr(EQ, "_R13_ADDED", []))
     assert not missing, missing

@@ -77,6 +77,7 @@ _PARITY_EXTRA = [
     # ad-hoc check noted in BASELINE.md; VERDICT r12 task 7)
     "crosslingual_mate_retrieval",  # empty blocks pass the cap guard → 0 rows
     "streaming_near_dup",           # zero-file AvailableNow drain → empty pairs
+    "streaming_near_dup_compaction",  # compacting empty deltas → empty pairs
 ]
 
 

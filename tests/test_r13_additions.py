@@ -174,6 +174,86 @@ def test_near_dup_crash_between_pairs_and_index_commits(spark, tmp_path, monkeyp
     assert idx.count() == idx.dropDuplicates(["id"]).count() == 3
 
 
+def test_near_dup_compaction_lifecycle(spark, tmp_path):
+    """compact_near_dup_index folds deltas into the base: content
+    identical before/after, manifest cleared, delta dirs gone, and a
+    LATER ingest (resumed checkpoint) probes the compacted base and
+    still finds its cross pairs. Re-compaction with no deltas is a
+    no-op returning 0."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from database_fragmentation_and_query_processor_spark.operators import dedup as D
+    from database_fragmentation_and_query_processor_spark.streaming.near_dup import (
+        DELTA_SEP,
+        compact_near_dup_index,
+        near_dup_sink,
+        read_near_dup_index,
+        read_near_dup_pairs,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    standing = [(1, "alpha beta gamma delta epsilon zeta")]
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def add_batch(i, rows):
+        df = spark.createDataFrame(rows, schema)
+        stage = tmp_path / f"stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = [p for p in stage.iterdir() if p.name.endswith(".parquet")][0]
+        part.rename(src / f"commit-{i:03d}.parquet")
+
+    add_batch(0, [(101, "alpha beta gamma delta epsilon zeta")])
+    add_batch(1, [(102, "one two three four five six seven")])
+    index_path = tmp_path / "index"
+    pairs_path = tmp_path / "pairs"
+    spark.createDataFrame(standing, schema).transform(
+        lambda df: D.build_dedup_index(df, k=16)
+    ).write.mode("overwrite").parquet(str(index_path))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = near_dup_sink(
+            stream, str(index_path), str(pairs_path), spark,
+            threshold=0.6, k=16, bands=4,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+    drain()
+    before = sorted(
+        map(tuple, read_near_dup_index(spark, str(index_path))
+            .select("id").collect())
+    )
+    n = compact_near_dup_index(spark, str(index_path))
+    assert n == 2
+    after = sorted(
+        map(tuple, read_near_dup_index(spark, str(index_path))
+            .select("id").collect())
+    )
+    assert after == before == [(1,), (101,), (102,)]
+    import os
+
+    siblings = os.listdir(tmp_path)
+    assert not any(DELTA_SEP.lstrip("_") in s and s.startswith("index__delta") for s in siblings), siblings
+    assert compact_near_dup_index(spark, str(index_path)) == 0
+
+    # a later ingest probes the COMPACTED base: twin of standing doc 2
+    add_batch(2, [(103, "one two three four five six seven")])
+    drain()
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in read_near_dup_pairs(spark, str(pairs_path)).collect()
+    }
+    assert (102, 103) in got and (1, 101) in got
+
+
 def test_near_dup_manifest_add_is_idempotent(spark, tmp_path):
     from database_fragmentation_and_query_processor_spark import fs as fslib
     from database_fragmentation_and_query_processor_spark.streaming import near_dup as ND
