@@ -9186,6 +9186,7 @@ def q_streaming_near_dup_compaction(spark, sf_dir):
 
     from .streaming.near_dup import (
         compact_near_dup_index,
+        compact_near_dup_pairs,
         read_near_dup_pairs,
     )
 
@@ -9193,6 +9194,7 @@ def q_streaming_near_dup_compaction(spark, sf_dir):
     art = _artifact_cache_path(sf_dir, "near_dup_stream", "documents")
     compact_near_dup_index(spark, _os.path.join(art, "index"))
     pairs_path = _os.path.join(art, "pairs")
+    compact_near_dup_pairs(spark, pairs_path)
     return read_near_dup_pairs(spark, pairs_path).select(
         "id_a", "id_b", _flr("jaccard", 6).alias("jaccard")
     )

@@ -135,22 +135,16 @@ def read_near_dup_pairs(
     return spark.read.parquet(*dirs).dropDuplicates(["id_a", "id_b"])
 
 
-def compact_near_dup_index(
-    spark: SparkSession, index_path: str, fs=None
-) -> int:
-    """Fold the committed deltas back into the base segment — the
-    maintenance half of the delta layout's lifecycle (ingest appends
-    O(batch) deltas; a periodic compaction bounds segment count so the
-    probe's multi-path read never degrades into thousands of tiny
-    files at 100 TB). Returns the number of deltas folded.
+def _compact_segmented(spark, path: str, reader, tag: str, fs=None) -> int:
+    """Fold a segmented dataset's committed deltas back into its base.
 
     Commit order and crash safety:
 
-    1. write-then-swap the UNION (base + deltas) as the new base —
-       after this commit every row is in the base, and a reader that
-       still sees the old manifest reads some rows twice (identical
-       rows; ``read_near_dup_index`` dedups on id,
-       ``read_near_dup_pairs`` already dedups on the pair key);
+    1. write-then-swap the keyed-deduped UNION (base + deltas, via
+       ``reader``) as the new base — after this commit every row is in
+       the base, and a reader that still sees the old manifest reads
+       some rows twice (identical rows; both readers dedup on their
+       keys);
     2. atomically clear the manifest — readers now see the base alone;
     3. best-effort delete the delta datasets — stale dirs left by a
        crash here are invisible (readers only resolve manifest-listed
@@ -158,36 +152,60 @@ def compact_near_dup_index(
 
     A crash BEFORE step 2 leaves base ⊇ deltas with both visible
     (deduped reads stay correct); re-running compaction converges.
-    Pairs deltas are NOT compacted here: the pair set is append-only
-    results, not probe state — compact it by the same recipe if read
-    amplification ever matters.
     """
     from .. import fs as fslib
 
-    wfs = fs if fs is not None else fslib.fs_for(index_path, spark)
-    names = _read_manifest(wfs, index_path)
+    wfs = fs if fs is not None else fslib.fs_for(path, spark)
+    names = _read_manifest(wfs, path)
     if not names:
         return 0
-    full = read_near_dup_index(spark, index_path, fs=wfs)
-    staged = fslib.stage_path(wfs, index_path, "nd-compact")
+    full = reader(spark, path, fs=wfs)
+    staged = fslib.stage_path(wfs, path, tag)
     full.write.mode("overwrite").parquet(staged)
-    fslib.commit_staged(wfs, staged, index_path, require_marker=True)
-    wfs.write_text_atomic(_manifest_path(index_path), "")
+    fslib.commit_staged(wfs, staged, path, require_marker=True)
+    wfs.write_text_atomic(_manifest_path(path), "")
     # Invalidate this session's cached plan fragments over the swapped
     # paths: a still-persisted probe DataFrame from a prior sink run is
-    # a cached relation over parquet(index_path), and Spark's
-    # CacheManager SUBSTITUTES it into any later identical-path read —
-    # without the refresh, post-compaction readers in the same session
-    # get the pre-compaction rows back even though the files on disk
-    # are correct (observed, pinned in tests/test_r13_additions.py).
-    spark.catalog.refreshByPath(index_path)
+    # a cached relation over parquet(path), and Spark's CacheManager
+    # SUBSTITUTES it into any later identical-path read — without the
+    # refresh, post-compaction readers in the same session get the
+    # pre-compaction rows back even though the files on disk are
+    # correct (observed, pinned in tests/test_r13_additions.py).
+    spark.catalog.refreshByPath(path)
     for name in names:
-        spark.catalog.refreshByPath(_delta_path(index_path, name))
+        spark.catalog.refreshByPath(_delta_path(path, name))
         try:
-            wfs.delete(_delta_path(index_path, name), recursive=True)
+            wfs.delete(_delta_path(path, name), recursive=True)
         except Exception:
             pass  # stale dirs are unreferenced; next ingest overwrites
     return len(names)
+
+
+def compact_near_dup_index(
+    spark: SparkSession, index_path: str, fs=None
+) -> int:
+    """Fold the committed index deltas back into the base segment —
+    the maintenance half of the delta layout's lifecycle (ingest
+    appends O(batch) deltas; a periodic compaction bounds segment
+    count so the probe's multi-path read never degrades into thousands
+    of tiny files at 100 TB). Returns the number of deltas folded.
+    Crash-safety contract in :func:`_compact_segmented`."""
+    return _compact_segmented(
+        spark, index_path, read_near_dup_index, "nd-compact", fs=fs
+    )
+
+
+def compact_near_dup_pairs(
+    spark: SparkSession, pairs_path: str, fs=None
+) -> int:
+    """Same recipe for the accumulated pair set: the pair deltas are
+    append-only RESULTS (one per ingest batch), so their read
+    amplification grows with ingest count just like the index's;
+    compaction folds them into one keyed-deduped base. Returns the
+    number of deltas folded."""
+    return _compact_segmented(
+        spark, pairs_path, read_near_dup_pairs, "ndp-compact", fs=fs
+    )
 
 
 def near_dup_sink(

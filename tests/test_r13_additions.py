@@ -244,6 +244,23 @@ def test_near_dup_compaction_lifecycle(spark, tmp_path):
     assert not any(DELTA_SEP.lstrip("_") in s and s.startswith("index__delta") for s in siblings), siblings
     assert compact_near_dup_index(spark, str(index_path)) == 0
 
+    # pairs compact by the same recipe, losslessly
+    from database_fragmentation_and_query_processor_spark.streaming.near_dup import (
+        compact_near_dup_pairs,
+    )
+
+    pairs_before = {
+        (r["id_a"], r["id_b"])
+        for r in read_near_dup_pairs(spark, str(pairs_path)).collect()
+    }
+    assert compact_near_dup_pairs(spark, str(pairs_path)) == 2
+    pairs_after = {
+        (r["id_a"], r["id_b"])
+        for r in read_near_dup_pairs(spark, str(pairs_path)).collect()
+    }
+    assert pairs_after == pairs_before
+    assert not any(s.startswith("pairs__delta") for s in os.listdir(tmp_path))
+
     # a later ingest probes the COMPACTED base: twin of standing doc 2
     add_batch(2, [(103, "one two three four five six seven")])
     drain()
