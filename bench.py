@@ -357,6 +357,7 @@ HEADLINE = [
     "streaming_near_dup",
     "crosslingual_dedup",
     "crosslingual_mate_retrieval",
+    "streaming_near_dup_compaction",
 ]
 
 
