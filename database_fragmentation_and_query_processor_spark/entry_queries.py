@@ -7508,11 +7508,29 @@ def q_crosslingual_dedup(spark, sf_dir):
 
 
 def _xl_centered(spark, sf_dir) -> DataFrame:
-    """The cross-lingual family's shared substrate: the synthesized
+    """The cross-lingual family's shared substrate: (vec_id, lang, c,
+    nrm), build-once / probe-many via the content-keyed artifact cache
+    (the lsh_index precedent) — three registry queries consume it, and
+    rebuilding the biased corpus + decimal-exact means per run was pure
+    rework. ALL runs, including the building one, read the parquet
+    artifact back, so every consumer ever sees the identical
+    roundtripped doubles (parquet roundtrips IEEE doubles losslessly;
+    serving one path removes even the theoretical cold/warm split)."""
+    import os as _os
+
+    art = _artifact_cache_path(sf_dir, "xl_centered", "documents", "embeddings")
+    if not _os.path.exists(_os.path.join(art, "_SUCCESS")):
+        _xl_centered_build(spark, sf_dir).write.mode("overwrite").parquet(art)
+    return spark.read.parquet(art)
+
+
+def _xl_centered_build(spark, sf_dir) -> DataFrame:
+    """Construction of the cross-lingual substrate: the synthesized
     language-biased corpus + translated clones, per-language
     mean-centered — (vec_id, lang, c, nrm), localCheckpointed because
-    every consumer reads it at least twice (see q_crosslingual_dedup's
-    docstring for the construction and exactness story)."""
+    the artifact write reads it once per output partition (see
+    q_crosslingual_dedup's docstring for the construction and
+    exactness story)."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     emb = _emb(spark, sf_dir)
     base = emb.join(docs, emb.vec_id == docs.doc_id).select(

@@ -39,10 +39,15 @@ def test_crosslingual_means_are_broadcast(spark, sf_dir):
     join and check the join strategy."""
     import inspect
 
-    src = inspect.getsource(EQ._xl_centered)  # the family's substrate
+    src = inspect.getsource(EQ._xl_centered_build)  # the substrate build
     assert "F.broadcast(means)" in src
     # and the checkpoint bounds recompute of the shared centered frame
     assert "localCheckpoint" in src
+    # r13: the build is behind the content-keyed artifact cache — every
+    # consumer (cold AND warm) reads the same parquet back
+    wrapper = inspect.getsource(EQ._xl_centered)
+    assert "_artifact_cache_path" in wrapper
+    assert "read.parquet" in wrapper
 
 
 def test_incremental_probe_keys_on_band_bucket(spark, sf_dir):
