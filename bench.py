@@ -492,6 +492,26 @@ def main() -> None:
 
     # warmup: JIT + codegen + filesystem metadata, not measured
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).count()
+    # percentile-path codegen warm-up (r13 verdict task 4): the
+    # histogram-bisection conditional aggregates behind
+    # grouped_percentiles_df compile lazily, and across r11-r13 that
+    # one-time session cost landed in events_value_quantiles' timed
+    # slot (>2x its 0.586s quiet line in the official artifact while
+    # quiet-parity showed the plan itself unchanged). One tiny untimed
+    # probe compiles the same expressions so the timed line measures
+    # the plan, not the JIT.
+    try:
+        from database_fragmentation_and_query_processor_spark.operators.stats import (
+            grouped_percentiles_df,
+        )
+
+        _ev_warm = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2048)
+        grouped_percentiles_df(
+            _ev_warm, ["event_type"], "value", [0.5, 0.95]
+        ).collect()
+        spark.catalog.clearCache()
+    except Exception as exc:  # warm-up must never fail the bench
+        print(f"bench: percentile warm-up skipped: {exc}", file=sys.stderr)
 
     # Fault-isolated: one broken query must never cost the whole run's
     # measurement — errors are recorded as "ERR <type>" and skipped in

@@ -140,6 +140,91 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return widen(_t(spark, sf_dir, "embeddings"), key="vec_id")
 
 
+def _ann_quantizers(spark: SparkSession, sf_dir: str):
+    """Build-once quantizer artifacts shared by the whole ANN family:
+    the IVF coarse centroids (kmeans_centroids, IVF_N_LISTS lists) and
+    the PQ codebooks (pq_codebooks, PQ_M x PQ_CODES), trained once per
+    embeddings corpus and cached as JSON content-keyed on the parquet
+    (same _artifact_cache_path mechanism that took
+    crosslingual_mate_retrieval from 3.75s to 0.86s in r13). Both
+    trainers are deterministic round-6 arithmetic, so the cached copy
+    is bit-identical to a re-derivation — the five ANN queries keep
+    their static-SQL oracles unchanged. This is also the honest
+    100 TB serving shape: the quantizer is corpus metadata built at
+    index time (n_lists·dim + m·n_codes·(dim/m) scalars), not
+    something a probe re-trains."""
+    import json
+    import os
+
+    path = _artifact_cache_path(sf_dir, "ann_quant", "embeddings")
+    fname = os.path.join(path, "quantizers.json")
+    if os.path.exists(fname):
+        with open(fname) as fh:
+            d = json.load(fh)
+        return d["cents"], d["books"]
+    emb = _emb(spark, sf_dir)
+    cents = S.kmeans_centroids(emb, n_lists=IVF_N_LISTS)
+    books = S.pq_codebooks(emb, m=PQ_M, n_codes=PQ_CODES, dim=EMB_DIM)
+    os.makedirs(path, exist_ok=True)
+    tmp = fname + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"cents": cents, "books": books}, fh)
+    os.replace(tmp, fname)  # atomic: racing bench workers see all-or-nothing
+    return cents, books
+
+
+def _merge_cache_file(sf_dir: str, algo: str) -> str:
+    import os
+
+    return os.path.join(
+        _artifact_cache_path(sf_dir, f"merges_{algo}", "documents"),
+        "merges.json",
+    )
+
+
+def _store_merge_rows(sf_dir: str, algo: str, rows: list[dict]) -> None:
+    """Persist a learner's K-row merge table as the build-once artifact
+    (atomic JSON write; rows sorted by step, ready to chain)."""
+    import json
+    import os
+
+    fname = _merge_cache_file(sf_dir, algo)
+    os.makedirs(os.path.dirname(fname), exist_ok=True)
+    tmp = fname + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(rows, key=lambda r: r["step"]), fh)
+    os.replace(tmp, fname)
+
+
+def _learned_merge_rows(spark: SparkSession, sf_dir: str, algo: str):
+    """Build-once learned-tokenizer merge table: the K-row result of
+    the registered deterministic learner (q_bpe_merge_learning /
+    q_wordpiece_learning), cached as JSON content-keyed on
+    documents.parquet — consumers like tokenizer_compare_audit apply
+    the merges without re-paying the corpus-scanning training loop
+    (r13 verdict task 3; same mechanism as _ann_quantizers). The
+    learners themselves populate the cache as a free side effect
+    (their merge rows are already driver-held), so in any run where a
+    learner preceded the audit this is a pure file read; cold
+    audit-first sessions pay the learning once here instead."""
+    import json
+    import os
+
+    fname = _merge_cache_file(sf_dir, algo)
+    if os.path.exists(fname):
+        with open(fname) as fh:
+            return json.load(fh)
+    learner = {
+        "bpe": q_bpe_merge_learning,
+        "wordpiece": q_wordpiece_learning,
+    }[algo]
+    rows = [r.asDict() for r in learner(spark, sf_dir).collect()]
+    rows.sort(key=lambda r: r["step"])
+    if not os.path.exists(fname):  # learner side-effect store is primary
+        _store_merge_rows(sf_dir, algo, rows)
+    return rows
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-adaptive events loader. The fixture's physical ``ts``
     encoding has drifted across generations (TIMESTAMP(NANOS) readable
@@ -1438,11 +1523,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     probe, exact re-rank (operators/similarity.py:ivf_topk). The whole
     pipeline — seeds, round-6 Lloyd means, round-6 distance argmins —
     is deterministic arithmetic, so the DuckDB oracle replays it as
-    static SQL (SQL_ANN_IVF_TOPK)."""
+    static SQL (SQL_ANN_IVF_TOPK). The quantizer comes from the shared
+    build-once artifact (_ann_quantizers) — bit-identical to an inline
+    re-derivation, paid once per corpus across the ANN family."""
     emb = _emb(spark, sf_dir)
+    cents, _ = _ann_quantizers(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.ivf_topk(
-        emb, list(qvec), k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE
+        emb, list(qvec), k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE,
+        cents=cents,
     )
 
 
@@ -5341,7 +5430,8 @@ def q_ann_recall_audit(spark, sf_dir):
     _track_cached(exact)
     methods = {
         "ivf": S.ivf_topk(
-            emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE
+            emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE,
+            cents=_ann_quantizers(spark, sf_dir)[0],
         ),
         "lsh_h2": S.lsh_topk(
             emb, qvec, k=KNN_K, n_planes=ANN_PLANES,
@@ -8182,8 +8272,11 @@ def q_approx_quantile_audit(spark, sf_dir):
     )
 
 
+# CAST the percentile literal: a bare 0.5 is DECIMAL(2,1) to DuckDB,
+# which only matched Spark's double column through .df()'s silent
+# float64 coercion (r13 ADVICE — the type tripwire now bans DECIMAL).
 SQL_APPROX_QUANTILE_AUDIT = "\nUNION ALL\n".join(
-    f"SELECT {p} AS p, FLOOR(CAST((quantile_cont(value, {p})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS exact_value,"
+    f"SELECT CAST({p} AS DOUBLE) AS p, FLOOR(CAST((quantile_cont(value, {p})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS exact_value,"
     " TRUE AS rank_bound_ok FROM events"
     for p in APPROX_Q_PS
 )
@@ -9114,7 +9207,14 @@ def q_streaming_near_dup(spark, sf_dir):
     import os as _os
     import shutil as _shutil
 
-    from .streaming.near_dup import near_dup_sink, read_near_dup_pairs
+    from . import fs as _fslib
+    from .streaming.near_dup import (
+        MissingDeltaError,
+        _manifest_path,
+        _segment_dirs,
+        near_dup_sink,
+        read_near_dup_pairs,
+    )
 
     docs = _docs_with_dups(spark, sf_dir)
     res = (F.col("doc_id") % DUP_SALT) % STREAM_ND_MOD
@@ -9150,9 +9250,25 @@ def q_streaming_near_dup(spark, sf_dir):
     # at a given sf (or after an artifact purge) pays the full 3-batch
     # drain; later runs verify the committed state and return. If the
     # committed pair deltas are gone but the checkpoint survived, drop
-    # the checkpoint so the drain replays from scratch.
+    # the checkpoint so the drain replays from scratch — BOTH when the
+    # manifest file itself is missing and when a manifest-LISTED delta
+    # was lost (e.g. a tmp reaper pruned the delta dirs while the
+    # manifest survived; _segment_dirs raises MissingDeltaError rather
+    # than silently serving a partial union).
     ckpt_dir = _os.path.join(art, "ckpt")
-    if not _os.path.exists(pairs_path + "__DELTAS"):
+    _replay = not _os.path.exists(_manifest_path(pairs_path))
+    if not _replay:
+        _wfs = _fslib.fs_for(pairs_path, spark)
+        try:
+            _segment_dirs(_wfs, pairs_path)
+            _segment_dirs(_wfs, index_path)
+        except MissingDeltaError:
+            _replay = True
+            # the surviving manifests describe lost data; clear them so
+            # the replayed sink rebuilds the segmented state cleanly
+            _wfs.write_text_atomic(_manifest_path(pairs_path), "")
+            _wfs.write_text_atomic(_manifest_path(index_path), "")
+    if _replay:
         _shutil.rmtree(ckpt_dir, ignore_errors=True)
     doc_schema = spark.read.parquet(batches_dir).schema
     stream = (
@@ -9895,7 +10011,7 @@ def q_quantile_disc_battery(spark, sf_dir):
 
 SQL_QUANTILE_DISC_BATTERY = "\nUNION ALL\n".join(
     f"""
-SELECT event_type, {p} AS p,
+SELECT event_type, CAST({p} AS DOUBLE) AS p,
        FLOOR(CAST((quantile_disc(value, {p})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q_disc,
        FLOOR(CAST((quantile_cont(value, {p})) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q_cont
 FROM events GROUP BY event_type"""
@@ -15319,7 +15435,8 @@ def q_ann_ndcg_eval(spark, sf_dir):
     _track_cached(exact)
     methods = {
         "ivf": S.ivf_topk(
-            emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE
+            emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE,
+            cents=_ann_quantizers(spark, sf_dir)[0],
         ),
         "lsh_h2": S.lsh_topk(
             emb, qvec, k=KNN_K, n_planes=ANN_PLANES,
@@ -17312,11 +17429,14 @@ def q_ann_pq_topk(spark, sf_dir):
     The whole pipeline (lowest-id seeds, fused one-step Lloyd with
     round-6 means, round-6 argmin encoding) is deterministic
     arithmetic, so the DuckDB oracle replays it as static SQL
-    (operators/similarity.py:pq_codebooks/pq_topk)."""
+    (operators/similarity.py:pq_codebooks/pq_topk). Codebooks come
+    from the shared build-once artifact (_ann_quantizers)."""
     emb = _emb(spark, sf_dir)
+    _, books = _ann_quantizers(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.pq_topk(
-        emb, [float(v) for v in qvec], k=KNN_K, m=PQ_M, n_codes=PQ_CODES
+        emb, [float(v) for v in qvec], k=KNN_K, m=PQ_M, n_codes=PQ_CODES,
+        books=books,
     )
 
 
@@ -17681,8 +17801,10 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     probe filter + ADC sum, no join. Both quantizers are the
     deterministic round-6 k-means of ivf_topk/pq_topk, so the oracle
     replays the full composition as static SQL
-    (operators/similarity.py:ivfpq_topk)."""
+    (operators/similarity.py:ivfpq_topk). Both quantizers come from
+    the shared build-once artifact (_ann_quantizers)."""
     emb = _emb(spark, sf_dir)
+    cents, books = _ann_quantizers(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.ivfpq_topk(
         emb,
@@ -17692,6 +17814,8 @@ def q_ann_ivfpq_topk(spark, sf_dir):
         nprobe=IVF_NPROBE,
         m=PQ_M,
         n_codes=PQ_CODES,
+        cents=cents,
+        books=books,
     )
 
 
@@ -18460,6 +18584,18 @@ def q_bpe_merge_learning(spark, sf_dir):
     out_schema = (
         "step INT, left_sym STRING, right_sym STRING, merged STRING, "
         "pair_count BIGINT"
+    )
+    # free side effect: the merge table is already driver-held, so
+    # persist it as the build-once artifact tokenizer_compare_audit
+    # consumes (r13 verdict task 3)
+    _store_merge_rows(
+        sf_dir,
+        "bpe",
+        [
+            {"step": s, "left_sym": a, "right_sym": b,
+             "merged": a + b, "pair_count": c}
+            for s, a, b, c in merges
+        ],
     )
     return spark.createDataFrame(
         [(s, a, b, a + b, c) for s, a, b, c in merges], out_schema
@@ -22542,6 +22678,17 @@ def q_wordpiece_learning(spark, sf_dir):
         "step INT, left_sym STRING, right_sym STRING, merged STRING, "
         "pair_count BIGINT, score_q BIGINT"
     )
+    # free side effect: persist the driver-held merge table as the
+    # build-once artifact tokenizer_compare_audit consumes
+    _store_merge_rows(
+        sf_dir,
+        "wordpiece",
+        [
+            {"step": s, "left_sym": a, "right_sym": b, "merged": a + b,
+             "pair_count": c, "score_q": q}
+            for s, a, b, c, q in merges
+        ],
+    )
     return spark.createDataFrame(
         [(s, a, b, a + b, c, q) for s, a, b, c, q in merges], out_schema
     )
@@ -22803,15 +22950,20 @@ def q_tokenizer_compare_audit(spark, sf_dir):
     shape: each learner's documented loop (corpus scanned once per
     learner into the word-frequency table, K vocabulary-domain steps),
     then ONE extra vocabulary-domain aggregate per learner over the
-    K-fold replace expression — no additional corpus scan."""
+    K-fold replace expression — no additional corpus scan. The merge
+    tables come from the build-once artifact cache (_learned_merge_rows
+    — K-row results of the deterministic learners, content-keyed on
+    the corpus), so the audit never re-pays BPE + WordPiece training
+    the standalone learner queries already ran."""
     rows = []
-    for algo, merges_df, k in (
-        ("bpe", q_bpe_merge_learning(spark, sf_dir), BPE_MERGES),
-        ("wordpiece", q_wordpiece_learning(spark, sf_dir), WORDPIECE_MERGES),
+    for algo, merges, k in (
+        ("bpe", _learned_merge_rows(spark, sf_dir, "bpe"), BPE_MERGES),
+        (
+            "wordpiece",
+            _learned_merge_rows(spark, sf_dir, "wordpiece"),
+            WORDPIECE_MERGES,
+        ),
     ):
-        merges = sorted(
-            merges_df.collect(), key=lambda r: r["step"]
-        )
         docs = _docs(spark, sf_dir)
         wf = (
             docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
@@ -25356,7 +25508,7 @@ _R13_RESTAMP: list[str] = [
 #: line_quality_filter restamp on its BIGINT-cast oracle, the 3
 #: _R12_ADDED queries (first driver stamps — pytest-oracle green at 3
 #: SFs since r12; crosslingual_mate_retrieval doubles as its own
-#: restamp after the r13 cap guard), and 42 refills from the round-12
+#: restamp after the r13 cap guard), and 41 refills from the round-12
 #: window in its original order. A green round makes cumulative driver
 #: evidence 322/322.
 _R13_WINDOW: list[str] = (
@@ -25382,7 +25534,60 @@ _R13_ADDED: list[str] = [
     "streaming_near_dup_compaction",
 ]
 
-_HEAD = _R13_WINDOW
+#: Queries whose IMPLEMENTATION (or oracle) changed in round 14 and
+#: already carry driver history, so they need a fresh stamp on the new
+#: code path:
+#: approx_quantile_audit / quantile_disc_battery — oracle literals
+#:   CAST({p} AS DOUBLE): a bare 0.5 is DECIMAL(2,1) to DuckDB and only
+#:   matched Spark's double through .df()'s silent float64 coercion
+#:   (the type tripwire now bans DECIMAL outputs; values identical).
+#: ann_* (5) — the IVF centroids / PQ codebooks now come from the
+#:   build-once _ann_quantizers artifact instead of per-query
+#:   re-derivation (bit-identical by determinism; r13 verdict task 2).
+#: bpe_merge_learning / wordpiece_learning — store their driver-held
+#:   merge tables as the artifact (side effect only; plan unchanged).
+#: tokenizer_compare_audit — consumes the cached merge tables instead
+#:   of re-running both learners inline (r13 verdict task 3).
+#: streaming_near_dup — durable-rooted probe growth, MissingDeltaError
+#:   replay guard, and the compact_threshold policy (r13 ADVICE +
+#:   verdict task 5).
+_R14_RESTAMP: list[str] = [
+    "approx_quantile_audit",
+    "quantile_disc_battery",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_recall_audit",
+    "ann_ndcg_eval",
+    "bpe_merge_learning",
+    "wordpiece_learning",
+    "tokenizer_compare_audit",
+    "streaming_near_dup",
+]
+
+#: Round-14 window per the r13 verdict's task 1: the 5 frag pins,
+#: streaming_near_dup_compaction's FIRST driver stamp (the only
+#: registry entry with zero driver evidence — a green row makes
+#: cumulative driver evidence 323/323), the 11 r14 restamps, and 33
+#: refills from the round-13 window in its original order.
+_R14_WINDOW: list[str] = (
+    _R13_WINDOW[:5]
+    + _R13_ADDED
+    + _R14_RESTAMP
+    + [
+        n
+        for n in _R13_WINDOW[5:]
+        if n not in set(_R14_RESTAMP)
+    ][: 50 - 5 - len(_R13_ADDED) - len(_R14_RESTAMP)]
+)
+
+if len(_R14_WINDOW) != 50 or len(set(_R14_WINDOW)) != 50:
+    raise RuntimeError("r14 stamp window must be exactly 50 unique queries")
+_missing = [n for n in _R14_WINDOW if n not in _QUERIES_ALL]
+if _missing:
+    raise RuntimeError(f"r14 stamp window names unknown queries: {_missing}")
+
+_HEAD = _R14_WINDOW
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **{n: _QUERIES_ALL[n] for n in _HEAD},

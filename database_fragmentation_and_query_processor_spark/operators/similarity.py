@@ -313,13 +313,21 @@ def ivf_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: k-means coarse quantizer → probe the nprobe
     nearest inverted lists → exact cosine re-rank of candidates only.
     At scale ``_list`` is the partition key of the stored index, so a
     probe reads nprobe/n_lists of the corpus. Complements ``lsh_topk``
-    (same contract, hyperplane buckets instead of learned lists)."""
-    cents = kmeans_centroids(emb, n_lists, iters, id_col, vec_col)
+    (same contract, hyperplane buckets instead of learned lists).
+
+    ``cents`` short-circuits quantizer training with a precomputed
+    coarse codebook — the serving-time shape: the quantizer is a
+    build-once artifact of the corpus (kmeans_centroids is
+    deterministic, so a cached copy is bit-identical to a re-derived
+    one), and a probe should never pay the Lloyd jobs again."""
+    if cents is None:
+        cents = kmeans_centroids(emb, n_lists, iters, id_col, vec_col)
     # (d*d, not d**2: libm pow() isn't guaranteed exact, and the DuckDB
     # oracle mirrors this as an explicit multiply)
     dists = [
@@ -446,6 +454,7 @@ def pq_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-ADC approximate nearest neighbors: every vector is encoded
     as m codebook indices; the query is NOT encoded — its exact
@@ -454,13 +463,17 @@ def pq_topk(
     approximate distance is the sum of m table lookups. The scan is
     one pure-expression pass (argmin per subspace + literal-array
     element_at), no join, no shuffle except the top-k — the 100 TB
-    memory story: 8 codes/vector instead of 64 floats."""
+    memory story: 8 codes/vector instead of 64 floats.
+
+    ``books`` short-circuits codebook training with a precomputed
+    (deterministic, hence bit-identical) artifact — see ivf_topk."""
     dim = len(query_vec)
     sub = dim // m
-    books = pq_codebooks(
-        emb, m=m, n_codes=n_codes, iters=iters,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    )
+    if books is None:
+        books = pq_codebooks(
+            emb, m=m, n_codes=n_codes, iters=iters,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
     total = None
     for s in range(m):
         qsub = [float(v) for v in query_vec[s * sub : (s + 1) * sub]]
@@ -493,6 +506,8 @@ def ivfpq_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition (what FAISS deploys at
     scale) — the IVF coarse quantizer prunes the search to nprobe
@@ -503,10 +518,15 @@ def ivfpq_topk(
     are the deterministic round-6 k-means used by ivf_topk/pq_topk, so
     the DuckDB oracle replays the whole composition as static SQL.
     One expression-only scan: coarse assign + probe filter + ADC sum —
-    no join anywhere."""
+    no join anywhere.
+
+    ``cents``/``books`` short-circuit quantizer training with
+    precomputed (deterministic, hence bit-identical) artifacts — the
+    serving-time shape; see ivf_topk."""
     dim = len(query_vec)
     sub = dim // m
-    cents = kmeans_centroids(emb, n_lists, iters, id_col, vec_col)
+    if cents is None:
+        cents = kmeans_centroids(emb, n_lists, iters, id_col, vec_col)
     cdists = [
         round(
             sum((float(a) - b) * (float(a) - b) for a, b in zip(query_vec, c)),
@@ -515,10 +535,11 @@ def ivfpq_topk(
         for c in cents
     ]
     probe = sorted(range(len(cents)), key=lambda i: (cdists[i], i))[:nprobe]
-    books = pq_codebooks(
-        emb, m=m, n_codes=n_codes, iters=iters,
-        id_col=id_col, vec_col=vec_col, dim=dim,
-    )
+    if books is None:
+        books = pq_codebooks(
+            emb, m=m, n_codes=n_codes, iters=iters,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
     total = None
     for s in range(m):
         qsub = [float(v) for v in query_vec[s * sub : (s + 1) * sub]]

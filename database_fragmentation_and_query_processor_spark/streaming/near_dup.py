@@ -68,13 +68,28 @@ def _add_to_manifest(fs, path: str, name: str) -> None:
     fs.write_text_atomic(_manifest_path(path), "\n".join(sorted(names)) + "\n")
 
 
+class MissingDeltaError(FileNotFoundError):
+    """A manifest-listed delta is gone from storage: the committed
+    state is incomplete (e.g. a tmp reaper pruned the delta dirs while
+    the manifest file survived). Readers must not silently serve the
+    partial union; callers that can replay should drop their
+    checkpoint and re-ingest from scratch."""
+
+
 def _segment_dirs(
     fs, path: str, *, exclude: str | None = None
 ) -> list[str]:
     """Readable directories of the dataset: the base segment (a legacy
     or pre-seeded single dataset at ``path``, if committed) plus every
     manifest-registered delta, optionally excluding one delta name
-    (a batch's own delta must not feed its own probe on replay)."""
+    (a batch's own delta must not feed its own probe on replay).
+
+    A manifest-listed delta that fails ``dataset_exists`` raises
+    :class:`MissingDeltaError` — the manifest is written only AFTER
+    its delta commits (``_commit_delta``) and compaction clears the
+    manifest BEFORE deleting deltas (``_compact_segmented``), so a
+    listed-but-missing delta is never a benign race: it is lost data,
+    and skipping it would return a silently incomplete union."""
     from .. import fs as fslib
 
     dirs: list[str] = []
@@ -84,8 +99,13 @@ def _segment_dirs(
         if exclude is not None and name == exclude:
             continue
         dp = _delta_path(path, name)
-        if fslib.dataset_exists(fs, dp):
-            dirs.append(fslib.resolve_dataset(fs, dp))
+        if not fslib.dataset_exists(fs, dp):
+            raise MissingDeltaError(
+                f"manifest for {path} lists delta {name!r} but no "
+                f"committed dataset exists at {dp}; the segmented "
+                "state is incomplete — drop the checkpoint and replay"
+            )
+        dirs.append(fslib.resolve_dataset(fs, dp))
     return dirs
 
 
@@ -223,6 +243,7 @@ def near_dup_sink(
     checkpoint_dir: str | None = None,
     batch_hook=None,
     fs=None,
+    compact_threshold: int | None = 16,
 ):
     """Start an AvailableNow foreachBatch query that, per micro-batch
     of documents: probes the committed LSH index (base + prior deltas)
@@ -234,6 +255,16 @@ def near_dup_sink(
     batch, or nothing (pure-streaming bootstrap: the first batch's
     delta seeds it). ``batch_hook(batch_df, batch_id)`` is the
     fault-injection point, as in ``events.upsert_sink``.
+
+    ``compact_threshold`` is the delta-layout maintenance policy: when
+    a batch's commit leaves the index manifest holding at least this
+    many deltas, the sink folds index AND pairs back into their base
+    segments before the next batch (``_compact_segmented`` crash
+    contract) — an M-batch ingest therefore never accumulates more
+    than ``compact_threshold`` committed segments, so the multi-path
+    probe read stays bounded at 100 TB without an operator remembering
+    to call ``compact_near_dup_index``. ``None`` disables the policy
+    (explicit-call-only compaction, the pre-r14 behavior).
     """
     from ..cache import track
     from .. import fs as fslib
@@ -291,9 +322,32 @@ def near_dup_sink(
         # pair's doc is in some committed batch"
         _commit_delta(wfs, pairs, pairs_path, delta_name)
         _commit_delta(wfs, new_index, index_path, delta_name)
-        # grow the in-run probe view: a lazy union of cached parts —
-        # the next batch reads both from executor memory
-        probe["index"] = index.unionByName(new_index)
+        if (
+            compact_threshold is not None
+            and len(_read_manifest(wfs, index_path)) >= compact_threshold
+        ):
+            compact_near_dup_index(spark, index_path, fs=wfs)
+            compact_near_dup_pairs(spark, pairs_path, fs=wfs)
+            # the old segment dirs are gone; rebase the probe on the
+            # fresh single-segment base
+            probe["index"] = track(
+                spark.read.parquet(
+                    fslib.resolve_dataset(wfs, index_path)
+                ).persist()
+            )
+            return
+        # grow the in-run probe view by the JUST-COMMITTED parquet
+        # delta, not the batch-rooted new_index: foreachBatch scopes
+        # batch_df to its micro-batch, so under cache eviction a later
+        # batch would recompute a prior batch's lineage outside that
+        # batch — rooting the cached part in durable storage makes the
+        # recompute read committed files instead
+        durable = track(
+            spark.read.parquet(
+                fslib.resolve_dataset(wfs, _delta_path(index_path, delta_name))
+            ).persist()
+        )
+        probe["index"] = index.unionByName(durable)
 
     writer = doc_stream.writeStream.foreachBatch(process_batch).trigger(
         availableNow=True

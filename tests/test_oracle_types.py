@@ -25,6 +25,13 @@ from .oracle_harness import duck_connection
 # against a Spark integer column in the driver's typed compare.
 _BANNED = {"HUGEINT", "UHUGEINT", "UBIGINT"}
 
+# Parameterized families banned by prefix: DECIMAL(p,s) materializes as
+# Python Decimal objects (object dtype) through some pandas paths and as
+# float64 through .df() — either way the type-tagged canonicalizer tags
+# it differently from a Spark double/decimal column, a drift the exact
+# name-match above would never catch (r13 ADVICE).
+_BANNED_PREFIXES = ("DECIMAL",)
+
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
@@ -40,6 +47,7 @@ def test_oracle_output_types_pandas_safe(name, con):
         (col, str(typ))
         for col, typ in zip(rel.columns, rel.types)
         if str(typ).upper() in _BANNED
+        or str(typ).upper().startswith(_BANNED_PREFIXES)
     ]
     assert not bad, (
         f"{name}: oracle emits pandas-unsafe integer type(s) {bad}; "
