@@ -358,6 +358,8 @@ HEADLINE = [
     "crosslingual_dedup",
     "crosslingual_mate_retrieval",
     "streaming_near_dup_compaction",
+    # round-14 additions
+    "multimodal_real_resize",
 ]
 
 

@@ -141,15 +141,18 @@ def sql_render(args):
 
 def main():
     base = "/root/repo/database_fragmentation_and_query_processor_spark"
-    # entry_queries.py: both python and SQL sites
-    p = f"{base}/entry_queries.py"
-    src = open(p).read()
-    src, n1, sk1 = rewrite(src, "F.round(", py_render)
-    src, n2, sk2 = rewrite(src, "ROUND(", sql_render)
-    open(p, "w").write(src)
-    print(f"entry_queries.py: {n1} python rewrites, {n2} SQL rewrites")
-    for s in sk1 + sk2:
-        print("  SKIP:", s)
+    # registry modules (entry_queries.py split into queries/ in r14):
+    # both python and SQL sites
+    import glob
+
+    for p in sorted(glob.glob(f"{base}/queries/*.py")):
+        src = open(p).read()
+        src, n1, sk1 = rewrite(src, "F.round(", py_render)
+        src, n2, sk2 = rewrite(src, "ROUND(", sql_render)
+        open(p, "w").write(src)
+        print(f"{p.rsplit('/', 1)[-1]}: {n1} python rewrites, {n2} SQL rewrites")
+        for s in sk1 + sk2:
+            print("  SKIP:", s)
     # similarity.py: python sites only (its oracles live in entry_queries)
     p = f"{base}/operators/similarity.py"
     src = open(p).read()

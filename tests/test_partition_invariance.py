@@ -157,6 +157,8 @@ def _canon(df):
         # round-12 additions:
         "crosslingual_dedup",       # decimal-exact means, ordered dots
         "crosslingual_mate_retrieval",  # lattice-cosine total-order argmax
+        # round-14 additions:
+        "multimodal_real_resize",   # row-local decode/resize, keyed by id
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
@@ -165,7 +167,13 @@ def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
     results must be identical tuples."""
     base = _canon(EQ.QUERIES[name](spark, sf_dir))
 
-    real_t, real_events = EQ._t, EQ._events
+    # patch the IMPLEMENTATION delegates in queries.common: the family
+    # modules each hold a copied binding of _t/_events (the namespace
+    # fold), but every copy is one function object whose body resolves
+    # _t_impl/_events_impl in common's globals at call time
+    from database_fragmentation_and_query_processor_spark.queries import common as CQ
+
+    real_t, real_events = CQ._t_impl, CQ._events_impl
 
     def scramble(df):
         # different partition count AND different intra-partition order
@@ -173,13 +181,13 @@ def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
             F.md5(F.concat_ws("|", *df.columns))
         )
 
-    monkeypatch.setattr(EQ, "_t", lambda s, d, table: scramble(real_t(s, d, table)))
-    monkeypatch.setattr(EQ, "_events", lambda s, d: scramble(real_events(s, d)))
+    monkeypatch.setattr(CQ, "_t_impl", lambda s, d, table: scramble(real_t(s, d, table)))
+    monkeypatch.setattr(CQ, "_events_impl", lambda s, d: scramble(real_events(s, d)))
     try:
         again = _canon(EQ.QUERIES[name](spark, sf_dir))
     finally:
-        monkeypatch.setattr(EQ, "_t", real_t)
-        monkeypatch.setattr(EQ, "_events", real_events)
+        monkeypatch.setattr(CQ, "_t_impl", real_t)
+        monkeypatch.setattr(CQ, "_events_impl", real_events)
     assert base == again, f"{name} is partition-order sensitive"
 
 

@@ -297,14 +297,15 @@ def test_pr_auc_is_exactly_one_for_a_perfect_predictor(spark):
     outranks every negative, AP must be exactly 1; when every score is
     tied, AP must equal the prevalence."""
     import database_fragmentation_and_query_processor_spark.entry_queries as eq
+    from database_fragmentation_and_query_processor_spark.queries import common as cq
 
     def run(rows):
         df = spark.createDataFrame(
             rows, "doc_id long, source string, lang string, n_chars long"
         )
-        real = eq._t
+        real = cq._t_impl
         try:
-            eq._t = lambda s, d, t: df
+            cq._t_impl = lambda s, d, t: df
             return {
                 r["source"]: r
                 for r in eq._QUERIES_ALL["pr_auc_by_source"](
@@ -312,7 +313,7 @@ def test_pr_auc_is_exactly_one_for_a_perfect_predictor(spark):
                 ).collect()
             }
         finally:
-            eq._t = real
+            cq._t_impl = real
 
     perfect = [(i, "s", "en" if i < 5 else "de", 1000 - i) for i in range(10)]
     out = run(perfect)

@@ -16,7 +16,9 @@ from database_fragmentation_and_query_processor_spark import entry_queries as EQ
 def test_xl_mate_block_cap_fails_fast(spark, sf_dir, monkeypatch):
     """With the cap set below the fixture's language-block sizes the
     query must raise BEFORE launching the per-block exact join."""
-    monkeypatch.setattr(EQ, "XL_MATE_MAX_BLOCK", 3)
+    from database_fragmentation_and_query_processor_spark.queries import docops
+
+    monkeypatch.setattr(docops, "XL_MATE_MAX_BLOCK", 3)
     with pytest.raises(ValueError, match="XL_MATE_MAX_BLOCK"):
         EQ.q_crosslingual_mate_retrieval(spark, sf_dir)
 

@@ -184,3 +184,50 @@ def test_segmented_read_invariant_to_input_order(spark, tmp_path):
     ND.compact_near_dup_pairs(spark, str(tmp_path / "perm" / "pairs"))
     ND.compact_near_dup_index(spark, str(tmp_path / "perm" / "index"))
     assert _pairs(spark, tmp_path / "perm" / "pairs") == results["fwd"]
+
+
+def test_real_resize_pixels_match_driver_replay(spark):
+    """multimodal_real_resize's distributed output (generate → vendored
+    decode → bilinear resize inside mapInPandas) must byte-match a
+    driver-side numpy replay of the same path — actual pixels, not
+    plumbing shapes (r13 verdict task 7)."""
+    import hashlib
+    import zlib
+
+    from database_fragmentation_and_query_processor_spark.multimodal.codecs import (
+        decode_ppm,
+        encode_ppm,
+        resize_rgb,
+    )
+    from database_fragmentation_and_query_processor_spark.queries import curation as CU
+
+    rows = {
+        r["media_id"]: r
+        for r in CU.q_multimodal_real_resize(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert len(rows) == CU.RP_N_IMAGES
+    for i in (0, 3, 7, 15):
+        raw = resize_rgb(
+            decode_ppm(encode_ppm(CU._rp_pixels(i))), CU.RP_OUT_W, CU.RP_OUT_H
+        ).tobytes()
+        assert rows[i]["n_bytes"] == len(raw) == CU.RP_OUT_W * CU.RP_OUT_H * 3
+        assert rows[i]["crc"] == zlib.crc32(raw)
+        assert rows[i]["digest"] == hashlib.md5(raw).hexdigest()
+
+
+def test_builtin_codec_rejects_garbage_payload(spark):
+    """The real-decode path must fail loudly on a non-image payload —
+    never silently stride bytes like the stub."""
+    import pytest as _pytest
+
+    from database_fragmentation_and_query_processor_spark.multimodal.binary_ops import (
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image at all"))], "media_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="unsupported image container"):
+        resize_images(df, width=4, height=4, codec="builtin").collect()

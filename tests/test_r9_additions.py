@@ -136,17 +136,18 @@ def test_url_domain_dedup_canonicalization_collapses_variants(spark, sf_dir):
         ]
     )
     import database_fragmentation_and_query_processor_spark.entry_queries as eq
+    from database_fragmentation_and_query_processor_spark.queries import common as cq
 
-    real = eq._docs
+    real = cq._docs_impl
     try:
-        eq._docs = lambda s, d: docs
+        cq._docs_impl = lambda s, d: docs
         out = {
             r["registrable_domain"]: r
             for r in eq._QUERIES_ALL["url_domain_dedup"](spark, sf_dir)
             .collect()
         }
     finally:
-        eq._docs = real
+        cq._docs_impl = real
     r = out["srcx.com"]
     # 120 and 240 agree on every class the canonical depends on —
     # scheme (%3), tld (%7), kept port (%11), query presence (%9),
