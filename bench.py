@@ -360,6 +360,7 @@ HEADLINE = [
     "streaming_near_dup_compaction",
     # round-14 additions
     "multimodal_real_resize",
+    "multimodal_real_audio",
 ]
 
 

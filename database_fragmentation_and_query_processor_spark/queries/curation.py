@@ -663,6 +663,131 @@ FROM sel JOIN lit USING (media_id)
 """
 
 
+#: real-audio fixtures (r14, the audio twin of the real-pixel path):
+#: RA_N_AUDIO deterministic 16-bit PCM RIFF/WAV payloads — id-varied
+#: length and channel count, every sample a pure integer formula of
+#: (id, t, channel) — decoded by the stdlib-wave REAL path and framed
+#: by the prefix-sum overlapping-RMS operator.
+RA_N_AUDIO = 12
+RA_FRAME, RA_HOP = 256, 128
+RA_RATE = 8000
+
+
+def _ra_pcm(i: int):
+    import numpy as np
+
+    n = 600 + (i % 4) * 150
+    n_ch = 1 + (i % 2)
+    t = np.arange(n, dtype=np.int64)[:, None]
+    c = np.arange(n_ch, dtype=np.int64)[None, :]
+    return (((i * 7 + t * 13 + c * 5) % 4096) - 2048).astype("<i2")
+
+
+def _ra_wav_bytes(i: int) -> bytes:
+    import io
+    import wave
+
+    pcm = _ra_pcm(i)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(pcm.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(RA_RATE)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def q_multimodal_real_audio(spark, sf_dir):
+    """REAL decoded audio end-to-end — the registry's non-stub audio
+    path (closes the r13 'real decode stays out of the registry' gap
+    beside multimodal_real_resize): deterministic 16-bit PCM WAV
+    payloads are generated per media id inside an Arrow batch, decoded
+    by the stdlib-wave path (multimodal/binary_ops.py:decode_wav), and
+    framed into overlapping RMS windows by the vectorized prefix-sum
+    operator (wav_frame_rms — the STFT front-end shape on actual
+    samples). The oracle carries frame RMS values replayed through the
+    SAME decode + prefix-sum code at import: actual decoded samples
+    are pinned, not plumbing shapes.
+
+    Scale shape: decode + framing are row-local Arrow-batched work
+    (one cumsum per payload, never one slice per frame); no shuffle.
+    At 100 TB the identical plan reads payloads from a binary source
+    instead of generating them."""
+    from ..multimodal.binary_ops import wav_frame_rms
+
+    ids = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("media_id"))
+        .orderBy("media_id")
+        .limit(RA_N_AUDIO)
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": [
+                        _ra_wav_bytes(int(i)) for i in pdf["media_id"]
+                    ],
+                }
+            )
+
+    media = ids.mapInPandas(_gen, "media_id bigint, payload binary")
+    out = wav_frame_rms(media, frame=RA_FRAME, hop=RA_HOP)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "start_frame",
+        _flr(F.col("rms"), 6).alias("rms"),
+    )
+
+
+def _ra_expected_rows() -> list[tuple[int, int, int, float]]:
+    """Driver-side replay of decode + prefix-sum framing for the oracle
+    literals — the identical numpy arithmetic wav_frame_rms runs in its
+    Arrow batches (bit-identical doubles, then the shared half-up
+    lattice round)."""
+    import numpy as np
+
+    from ..multimodal.binary_ops import decode_wav
+
+    rows = []
+    for i in range(RA_N_AUDIO):
+        _sr, _n_ch, pcm = decode_wav(_ra_wav_bytes(i))
+        mono = pcm.astype(np.float64).mean(axis=1)
+        n = mono.size
+        n_f = max((max(n - RA_FRAME, 0) + RA_HOP - 1) // RA_HOP, 0) + 1
+        sq = np.concatenate((np.zeros(1), np.cumsum(mono * mono)))
+        s = np.arange(n_f, dtype=np.int64) * RA_HOP
+        if s[-1] >= n:
+            s = s[s < n]
+            n_f = int(s.size)
+        e = np.minimum(s + RA_FRAME, n)
+        counts = np.maximum(e - s, 1)
+        vals = np.sqrt((sq[e] - sq[np.minimum(s, n)]) / counts)
+        for k in range(n_f):
+            rows.append((i, k, int(s[k]), _flr_py(float(vals[k]), 6)))
+    return rows
+
+
+SQL_MULTIMODAL_REAL_AUDIO = f"""
+WITH sel AS (
+  SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT {RA_N_AUDIO}
+),
+lit(media_id, frame_idx, start_frame, rms) AS (
+  VALUES {', '.join(f"({i}, {k}, {s}, {v!r})" for i, k, s, v in _ra_expected_rows())}
+)
+SELECT sel.media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(start_frame AS BIGINT) AS start_frame,
+       CAST(rms AS DOUBLE) AS rms
+FROM sel JOIN lit USING (media_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus curation II: centroids, chunk dedup, masking, profiling, gates
 # ---------------------------------------------------------------------------

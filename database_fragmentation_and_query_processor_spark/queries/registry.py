@@ -39,6 +39,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_real_resize": q_multimodal_real_resize,
+    "multimodal_real_audio": q_multimodal_real_audio,
     "data_profile": q_data_profile,
     "heavy_hitters_salted": q_heavy_hitters_salted,
     "user_zscore_outliers": q_user_zscore_outliers,
@@ -617,6 +618,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "multimodal_real_resize": SQL_MULTIMODAL_REAL_RESIZE,
+    "multimodal_real_audio": SQL_MULTIMODAL_REAL_AUDIO,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "term_masking": SQL_TERM_MASKING,
@@ -1528,6 +1530,7 @@ if _missing:
 #: rotate into the r15 stamp prefix per the standing convention).
 _R14_ADDED: list[str] = [
     "multimodal_real_resize",
+    "multimodal_real_audio",
 ]
 
 _HEAD = _R14_WINDOW

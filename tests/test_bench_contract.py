@@ -100,6 +100,11 @@ def test_quiet_record_covers_the_registry():
     known = set(quiet)
     registered = set(EQ.QUERIES)
     # newest additions gain their quiet line on the first bench run
-    # after registration; exclude only the CURRENT below-window batch
-    missing = registered - known - set(getattr(EQ, "_R13_ADDED", []))
+    # after registration; exclude only the CURRENT below-window batches
+    missing = (
+        registered
+        - known
+        - set(getattr(EQ, "_R13_ADDED", []))
+        - set(getattr(EQ, "_R14_ADDED", []))
+    )
     assert not missing, missing

@@ -159,6 +159,7 @@ def _canon(df):
         "crosslingual_mate_retrieval",  # lattice-cosine total-order argmax
         # round-14 additions:
         "multimodal_real_resize",   # row-local decode/resize, keyed by id
+        "multimodal_real_audio",    # row-local decode + prefix-sum framing
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -58,16 +58,21 @@ def test_emb_qstats_scans_once_per_session_and_dataset(spark, sf_dir):
     amortizes that to one (at 100 TB a redundant full read is real
     money). Keyed by (applicationId, sf_dir) so a different dataset or
     a restarted session still measures its own bounds."""
+    # read the LIVE counter from the defining module (queries.curation):
+    # the facade's copy is an import-time snapshot of the int, while the
+    # shared dict object is the same either way
+    from database_fragmentation_and_query_processor_spark.queries import curation as CU
+
     key = (spark.sparkContext.applicationId, str(sf_dir))
-    EQ._EMB_QSTATS_CACHE.pop(key, None)
-    before = EQ._EMB_QSTATS_MISSES
+    CU._EMB_QSTATS_CACHE.pop(key, None)
+    before = CU._EMB_QSTATS_MISSES
     EQ._QUERIES_ALL["embedding_dim_variance"](spark, sf_dir)
     EQ._QUERIES_ALL["embedding_covariance_topk"](spark, sf_dir)
     EQ._QUERIES_ALL["pca_power_iteration"](spark, sf_dir)
-    assert EQ._EMB_QSTATS_MISSES == before + 1
-    assert key in EQ._EMB_QSTATS_CACHE
+    assert CU._EMB_QSTATS_MISSES == before + 1
+    assert key in CU._EMB_QSTATS_CACHE
     # and the memo returns the measured triple, not a stale default
-    nv, qmax, d = EQ._EMB_QSTATS_CACHE[key]
+    nv, qmax, d = CU._EMB_QSTATS_CACHE[key]
     assert nv > 0 and qmax >= 1 and d > 0
 
 

@@ -231,3 +231,35 @@ def test_builtin_codec_rejects_garbage_payload(spark):
     )
     with _pytest.raises(Exception, match="unsupported image container"):
         resize_images(df, width=4, height=4, codec="builtin").collect()
+
+
+def test_real_audio_rms_matches_driver_replay(spark):
+    """multimodal_real_audio's distributed frame RMS (stdlib-wave
+    decode + prefix-sum framing inside mapInPandas) must match a
+    driver-side replay on the same deterministic PCM — and hand-checked
+    frame geometry: frame i covers [i*hop, i*hop+frame)."""
+    import numpy as np
+
+    from database_fragmentation_and_query_processor_spark.queries import curation as CU
+
+    rows = [
+        ((r["media_id"], r["frame_idx"]), (r["start_frame"], r["rms"]))
+        for r in CU.q_multimodal_real_audio(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+    got = dict(rows)
+    assert len(got) == len(rows)  # (id, frame) keys unique
+    # geometry + a brute-force RMS for a spot of frames: the operator
+    # emits ceil((n - frame)/hop) + 1 frames (starts 0, hop, 2·hop, …;
+    # the last may be partial), never a trailing sliver beyond that
+    for i in (0, 5, 11):
+        pcm = CU._ra_pcm(i).astype(np.float64).mean(axis=1)
+        n = pcm.size
+        n_f = (max(n - CU.RA_FRAME, 0) + CU.RA_HOP - 1) // CU.RA_HOP + 1
+        for k in range(n_f):
+            s = k * CU.RA_HOP
+            w = pcm[s : s + CU.RA_FRAME]
+            expect = CU._flr_py(float(np.sqrt(np.mean(w * w))), 6)
+            assert got[(i, k)] == (s, expect), (i, k, got.get((i, k)))
+        assert (i, n_f) not in got
