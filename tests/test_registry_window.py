@@ -35,20 +35,30 @@ def _stamped_through(last_round: int) -> set[str]:
 
 
 def test_stamp_window_composition():
-    """R13 window (the rotation the r12 verdict's task 3 prescribed) =
-    5 pinned frag rows, the line_quality_filter restamp (the r12 hash
-    red, finally traced to the ORACLE's un-cast HUGEINT SUMs — now
-    CAST AS BIGINT), the 3 _R12_ADDED queries (first driver stamps;
-    crosslingual_mate_retrieval doubles as its own restamp after the
-    XL_MATE_MAX_BLOCK guard), and 42 refills from the round-12 window
-    in its original order."""
+    """R14 window (the rotation the r13 verdict's task 1 prescribed) =
+    5 pinned frag rows, streaming_near_dup_compaction's FIRST driver
+    stamp (the only entry with zero driver evidence — green makes the
+    cumulative record 323/323 of the r13 surface), the 11 r14 restamps
+    (DECIMAL-cast oracles, the build-once ANN/tokenizer artifact
+    consumers, the delta-layout policy changes), and 33 refills from
+    the round-13 window in its original order."""
     names = list(EQ.QUERIES)
     assert names[:5] == FRAG_PINNED
-    assert names[5:6] == ["line_quality_filter"]
-    assert names[6:9] == EQ._R12_ADDED
-    assert names[:50] == EQ._R13_WINDOW
-    assert set(EQ._R13_RESTAMP) <= set(names[:50])
+    assert names[5:6] == EQ._R13_ADDED == ["streaming_near_dup_compaction"]
+    assert names[6:17] == EQ._R14_RESTAMP
+    assert names[:50] == EQ._R14_WINDOW
     assert len(names) == len(set(names))
+
+
+def test_r13_window_composition_historical():
+    """Historical pin: the r13 window front-loaded the
+    line_quality_filter restamp (the r12 hash red, traced to the
+    ORACLE's un-cast HUGEINT SUMs) then the 3 _R12_ADDED — the shape
+    the r13 driver stamped (CORRECTNESS_r13.json, 50/50 green)."""
+    assert EQ._R13_WINDOW[:5] == FRAG_PINNED
+    assert EQ._R13_WINDOW[5:6] == ["line_quality_filter"]
+    assert EQ._R13_WINDOW[6:9] == EQ._R12_ADDED
+    assert set(EQ._R13_RESTAMP) <= set(EQ._R13_WINDOW)
 
 
 def test_r12_window_composition_historical():
@@ -90,24 +100,24 @@ def test_r8_split_covered_all_r7_additions():
 
 
 def test_window_closes_the_evidence_gap():
-    """After the r12 rotation, every query registered through r11 has a
-    stamp OR sits inside the current window: the only entries without a
-    driver row through r12 are the 3 _R12_ADDED, all of which the r13
-    window front-loads — a green round makes cumulative driver
-    evidence 322/322 (any queries added in r13 would register BELOW
-    the window and rotate in next round, per the standing
-    convention)."""
-    stamped = _stamped_through(12)
+    """After the r13 rotation, every query registered through r13 has a
+    stamp OR sits inside the current window: the only r13-surface entry
+    without a driver row through r13 is streaming_near_dup_compaction,
+    which the r14 window front-loads — a green round makes cumulative
+    driver evidence 323/323 of that surface (the _R14_ADDED queries
+    register BELOW the window and rotate in next round, per the
+    standing convention)."""
+    stamped = _stamped_through(13)
     if not stamped:  # correctness files absent (fresh checkout)
         return
     names = list(EQ.QUERIES)
     window = set(names[:50])
     never_stamped = {
         n for n in names if n not in stamped and n not in set(
-            getattr(EQ, "_R13_ADDED", [])
+            getattr(EQ, "_R14_ADDED", [])
         )
     }
-    assert never_stamped == set(EQ._R12_ADDED)
+    assert never_stamped == set(EQ._R13_ADDED)
     assert never_stamped <= window
 
 
