@@ -348,6 +348,169 @@ def ivf_topk(
     )
 
 
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF-PQ ANN index: vectors + their coarse list
+    assignment + their PQ codes, written ``partitionBy(_list)`` — the
+    learned-quantizer twin of ``write_lsh_index``.
+
+    This is the production serving shape FAISS deploys: quantizers are
+    trained once (``kmeans_centroids``/``pq_codebooks``, here passed in
+    as the build-once artifacts), every vector is assigned and encoded
+    ONCE at index-build time, and a probe reads only its nprobe list
+    directories (Catalyst partition-prunes the rest at file-listing
+    time) and scores candidates from the precomputed codes. The
+    assignment/encoding expressions — argmin over n_lists literal
+    centroids, m argmins over n_codes literal sub-centroids — are the
+    expensive part of the PLAN as well as the scan, so paying their
+    codegen once at build time is what makes the probe plans small.
+    Assignment and codes are the same deterministic round-6 arithmetic
+    as the inline operators, so indexed probes are result-identical."""
+    m = len(books)
+    dim = len(cents[0])
+    sub = dim // m
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array(
+            *[
+                nearest_centroid_expr(
+                    F.slice(F.col(vec_col), s * sub + 1, sub), books[s]
+                )
+                for s in range(m)
+            ]
+        ).alias("pq_codes"),
+        nearest_centroid_expr(F.col(vec_col), cents).alias("_list"),
+    )
+    # one writer per list directory (same rationale as write_lsh_index)
+    assigned.repartition(F.col("_list")).write.mode(mode).partitionBy(
+        "_list"
+    ).parquet(path)
+
+
+def _probe_lists(
+    query_vec: list[float], cents: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side nprobe nearest inverted lists (round-6 distances,
+    ties to the lowest index — identical to ivf_topk's inline order)."""
+    dists = [
+        round(
+            sum((float(a) - b) * (float(a) - b) for a, b in zip(query_vec, c)),
+            6,
+        )
+        for c in cents
+    ]
+    return [
+        int(i)
+        for i in sorted(range(len(cents)), key=lambda i: (dists[i], i))[:nprobe]
+    ]
+
+
+def _adc_expr(
+    query_vec: list[float], books: list[list[list[float]]], codes_col: str
+) -> Column:
+    """PQ asymmetric-distance from MATERIALIZED codes: the query's
+    exact L2 to every codebook entry forms literal lookup tables
+    (driver-side, m·n_codes scalars) and the distance is m element_at
+    lookups on the stored code array — no argmin in the probe plan."""
+    m = len(books)
+    sub = len(query_vec) // m
+    total = None
+    for s in range(m):
+        qsub = [float(v) for v in query_vec[s * sub : (s + 1) * sub]]
+        adc = [
+            sum((a - b) * (a - b) for a, b in zip(qsub, c)) for c in books[s]
+        ]
+        d = F.element_at(
+            F.array(*[F.lit(x) for x in adc]),
+            F.element_at(F.col(codes_col), s + 1) + 1,
+        )
+        total = d if total is None else total + d
+    return total
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    cents: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Partition-pruned IVF probe against a ``write_ivfpq_index``
+    layout: read only the nprobe list directories (isin on the
+    partition column → PartitionFilters), exact cosine re-rank.
+    Result-identical to ``ivf_topk`` with the same quantizer."""
+    probe = _probe_lists(query_vec, cents, nprobe)
+    idx = spark.read.parquet(index_path).where(F.col("_list").isin(probe))
+    q = _as_literal_vec(query_vec)
+    return (
+        idx.select(
+            F.col(id_col),
+            _flr(V.cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    books: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC top-k from materialized codes: one scan of (id, codes)
+    with m table lookups per row — the probe plan carries no codebook
+    argmin at all. Result-identical to ``pq_topk`` with the same
+    codebooks."""
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.select(
+            F.col(id_col),
+            _flr(_adc_expr(query_vec, books, "pq_codes"), 6).alias("pq_dist"),
+        )
+        .orderBy("pq_dist", id_col)
+        .limit(k)
+    )
+
+
+def ivfpq_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe against the materialized index: partition-pruned
+    list read + ADC from stored codes. Result-identical to
+    ``ivfpq_topk`` with the same quantizers."""
+    probe = _probe_lists(query_vec, cents, nprobe)
+    idx = spark.read.parquet(index_path).where(F.col("_list").isin(probe))
+    return (
+        idx.select(
+            F.col(id_col),
+            _flr(_adc_expr(query_vec, books, "pq_codes"), 6).alias("pq_dist"),
+        )
+        .orderBy("pq_dist", id_col)
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

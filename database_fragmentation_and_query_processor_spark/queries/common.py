@@ -192,6 +192,52 @@ def _ann_quantizers(spark: SparkSession, sf_dir: str):
     return cents, books
 
 
+def _ann_ivfpq_index(spark: SparkSession, sf_dir: str):
+    """Build-once MATERIALIZED IVF-PQ index (similarity.
+    write_ivfpq_index: vectors + coarse list assignment + PQ codes,
+    partitioned by list) on top of the cached quantizers — the probe
+    side of the whole ANN family reads this instead of re-running the
+    literal-centroid assignment expressions per query. Returns
+    ``(index_path, cents, books)``. Content-keyed like every artifact;
+    assignment is deterministic, so indexed probes are result-identical
+    to the inline operators (pinned in tests/test_r14_additions.py)."""
+    import os
+
+    cents, books = _ann_quantizers(spark, sf_dir)
+    path = _artifact_cache_path(sf_dir, "ivfpq_index", "embeddings")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        S.write_ivfpq_index(_emb(spark, sf_dir), path, cents, books)
+    return path, cents, books
+
+
+#: sign-LSH signature width, shared by the ANN family and the
+#: materialized-index helpers (hoisted from the families module so
+#: common's helpers never forward-reference)
+ANN_PLANES = 16
+
+#: prefix width of the materialized sign-LSH index: 6 bits (64 bucket
+#: dirs; a radius-2 ball reads 22) fits the test corpus — at 100 TB
+#: raise it so each bucket stays a few hundred MB
+LSH_INDEX_PREFIX_BITS = 6
+
+
+def _ann_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once materialized sign-LSH index (similarity.
+    write_lsh_index → partitionBy(sig_prefix)), shared by
+    ann_lsh_indexed and the recall/NDCG audits' probe methods.
+    Signatures are deterministic, so indexed probes are
+    result-identical to the on-the-fly lsh_topk at the same radius."""
+    import os
+
+    path = _artifact_cache_path(sf_dir, "lsh_index", "embeddings")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        S.write_lsh_index(
+            _emb(spark, sf_dir), path, n_planes=ANN_PLANES,
+            prefix_bits=LSH_INDEX_PREFIX_BITS, dim=EMB_DIM,
+        )
+    return path
+
+
 def _merge_cache_file(sf_dir: str, algo: str) -> str:
     import os
 

@@ -2254,18 +2254,24 @@ def q_ann_recall_audit(spark, sf_dir):
         "in_exact", F.lit(True)
     ).persist()
     _track_cached(exact)
+    # every method probes its MATERIALIZED index (result-identical to
+    # the on-the-fly operators at the same parameters — the indexed
+    # variants' documented contract); the exact side stays a raw scan
+    ivf_path, cents, _books = _ann_ivfpq_index(spark, sf_dir)
+    lsh_path = _ann_lsh_index(spark, sf_dir)
     methods = {
-        "ivf": S.ivf_topk(
-            emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE,
-            cents=_ann_quantizers(spark, sf_dir)[0],
+        "ivf": S.ivf_topk_indexed(
+            spark, ivf_path, qvec, cents, k=KNN_K, nprobe=IVF_NPROBE
         ),
-        "lsh_h2": S.lsh_topk(
-            emb, qvec, k=KNN_K, n_planes=ANN_PLANES,
-            probe_hamming=ANN_PROBE_HAMMING, dim=EMB_DIM,
+        "lsh_h2": S.lsh_topk_indexed(
+            spark, lsh_path, qvec, k=KNN_K, n_planes=ANN_PLANES,
+            probe_hamming=ANN_PROBE_HAMMING,
+            prefix_bits=LSH_INDEX_PREFIX_BITS, dim=EMB_DIM,
         ),
-        "lsh_h4": S.lsh_topk(
-            emb, qvec, k=KNN_K, n_planes=ANN_PLANES,
-            probe_hamming=ANN_AUDIT_WIDE_HAMMING, dim=EMB_DIM,
+        "lsh_h4": S.lsh_topk_indexed(
+            spark, lsh_path, qvec, k=KNN_K, n_planes=ANN_PLANES,
+            probe_hamming=ANN_AUDIT_WIDE_HAMMING,
+            prefix_bits=LSH_INDEX_PREFIX_BITS, dim=EMB_DIM,
         ),
     }
     outs = []

@@ -916,7 +916,6 @@ LIMIT {KNN_K}
 """
 
 
-ANN_PLANES = 16
 EMB_DUP_PLANES = 12
 
 
@@ -1159,26 +1158,18 @@ def q_ann_lsh_indexed(spark, sf_dir):
     enumerates the Hamming-ball bucket values, so the parquet scan is
     partition-pruned (PartitionFilters, asserted in
     tests/test_plan_quality.py) — result-identical to ann_lsh_topk."""
-    import os as _os
-
     emb = _emb(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     # build-once, probe-many: the index is the durable artifact (like
-    # the fragment warehouse); rebuild only when absent. The path is
-    # content-keyed on the source parquet (_artifact_cache_path), so a
-    # fixture regen forces a rebuild instead of serving stale buckets.
-    # prefix_bits sizes the bucket directory count: 6 bits (64 dirs,
-    # radius-2 ball reads 22) fits the test corpus; at 100 TB raise it
-    # so each bucket stays a few hundred MB — pruning ratio improves
-    # with every bit.
-    idx_path = _artifact_cache_path(sf_dir, "lsh_index", "embeddings")
-    if not _os.path.exists(_os.path.join(idx_path, "_SUCCESS")):
-        S.write_lsh_index(
-            emb, idx_path, n_planes=ANN_PLANES, prefix_bits=6, dim=EMB_DIM
-        )
+    # the fragment warehouse); rebuild only when absent, shared with
+    # the recall/NDCG audits (_ann_lsh_index). At 100 TB raise
+    # LSH_INDEX_PREFIX_BITS so each bucket stays a few hundred MB —
+    # pruning ratio improves with every bit.
+    idx_path = _ann_lsh_index(spark, sf_dir)
     return S.lsh_topk_indexed(
         spark, idx_path, list(qvec), k=KNN_K, n_planes=ANN_PLANES,
-        probe_hamming=ANN_PROBE_HAMMING, prefix_bits=6, dim=EMB_DIM,
+        probe_hamming=ANN_PROBE_HAMMING, prefix_bits=LSH_INDEX_PREFIX_BITS,
+        dim=EMB_DIM,
     )
 
 
@@ -1210,15 +1201,16 @@ def q_ann_ivf_topk(spark, sf_dir):
     probe, exact re-rank (operators/similarity.py:ivf_topk). The whole
     pipeline — seeds, round-6 Lloyd means, round-6 distance argmins —
     is deterministic arithmetic, so the DuckDB oracle replays it as
-    static SQL (SQL_ANN_IVF_TOPK). The quantizer comes from the shared
-    build-once artifact (_ann_quantizers) — bit-identical to an inline
-    re-derivation, paid once per corpus across the ANN family."""
+    static SQL (SQL_ANN_IVF_TOPK). The probe runs against the
+    build-once MATERIALIZED index (_ann_ivfpq_index → partition-pruned
+    nprobe-list read), result-identical to the inline operator with
+    the same cached quantizer — and the honest 100 TB serving shape:
+    assignment happens once at index-build time, never per probe."""
     emb = _emb(spark, sf_dir)
-    cents, _ = _ann_quantizers(spark, sf_dir)
+    idx_path, cents, _books = _ann_ivfpq_index(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.ivf_topk(
-        emb, list(qvec), k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE,
-        cents=cents,
+    return S.ivf_topk_indexed(
+        spark, idx_path, list(qvec), cents, k=KNN_K, nprobe=IVF_NPROBE
     )
 
 

@@ -1482,7 +1482,11 @@ _R13_ADDED: list[str] = [
 #:   (the type tripwire now bans DECIMAL outputs; values identical).
 #: ann_* (5) — the IVF centroids / PQ codebooks now come from the
 #:   build-once _ann_quantizers artifact instead of per-query
-#:   re-derivation (bit-identical by determinism; r13 verdict task 2).
+#:   re-derivation, and probes run against the MATERIALIZED indexes
+#:   (similarity.write_ivfpq_index: partition-pruned nprobe-list reads
+#:   + stored PQ codes; the audits' LSH probes against the shared
+#:   write_lsh_index artifact) — all bit-identical by determinism
+#:   (r13 verdict task 2; parity pinned in tests/test_r14_additions).
 #: bpe_merge_learning / wordpiece_learning — store their driver-held
 #:   merge tables as the artifact (side effect only; plan unchanged).
 #: tokenizer_compare_audit — consumes the cached merge tables instead

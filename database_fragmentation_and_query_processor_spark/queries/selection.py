@@ -1945,14 +1945,15 @@ def q_ann_pq_topk(spark, sf_dir):
     The whole pipeline (lowest-id seeds, fused one-step Lloyd with
     round-6 means, round-6 argmin encoding) is deterministic
     arithmetic, so the DuckDB oracle replays it as static SQL
-    (operators/similarity.py:pq_codebooks/pq_topk). Codebooks come
-    from the shared build-once artifact (_ann_quantizers)."""
+    (operators/similarity.py:pq_codebooks/pq_topk). The scan reads the
+    MATERIALIZED codes from the build-once index (_ann_ivfpq_index):
+    the probe plan is m table lookups per row, no codebook argmin —
+    result-identical to the inline operator with the same codebooks."""
     emb = _emb(spark, sf_dir)
-    _, books = _ann_quantizers(spark, sf_dir)
+    idx_path, _cents, books = _ann_ivfpq_index(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.pq_topk(
-        emb, [float(v) for v in qvec], k=KNN_K, m=PQ_M, n_codes=PQ_CODES,
-        books=books,
+    return S.pq_topk_indexed(
+        spark, idx_path, [float(v) for v in qvec], books, k=KNN_K
     )
 
 
@@ -2317,21 +2318,21 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     probe filter + ADC sum, no join. Both quantizers are the
     deterministic round-6 k-means of ivf_topk/pq_topk, so the oracle
     replays the full composition as static SQL
-    (operators/similarity.py:ivfpq_topk). Both quantizers come from
-    the shared build-once artifact (_ann_quantizers)."""
+    (operators/similarity.py:ivfpq_topk). The probe runs against the
+    build-once MATERIALIZED index: partition-pruned nprobe-list read +
+    ADC from stored codes — FAISS's deployed shape end-to-end, and
+    result-identical to the inline operator with the same quantizers."""
     emb = _emb(spark, sf_dir)
-    cents, books = _ann_quantizers(spark, sf_dir)
+    idx_path, cents, books = _ann_ivfpq_index(spark, sf_dir)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.ivfpq_topk(
-        emb,
+    return S.ivfpq_topk_indexed(
+        spark,
+        idx_path,
         [float(v) for v in qvec],
+        cents,
+        books,
         k=KNN_K,
-        n_lists=IVF_N_LISTS,
         nprobe=IVF_NPROBE,
-        m=PQ_M,
-        n_codes=PQ_CODES,
-        cents=cents,
-        books=books,
     )
 
 

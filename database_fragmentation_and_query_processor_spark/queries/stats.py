@@ -2983,14 +2983,17 @@ def q_ann_ndcg_eval(spark, sf_dir):
         .persist()
     )
     _track_cached(exact)
+    # both methods probe their materialized indexes (result-identical
+    # to the on-the-fly operators; see ann_recall_audit)
+    ivf_path, cents, _books = _ann_ivfpq_index(spark, sf_dir)
     methods = {
-        "ivf": S.ivf_topk(
-            emb, qvec, k=KNN_K, n_lists=IVF_N_LISTS, nprobe=IVF_NPROBE,
-            cents=_ann_quantizers(spark, sf_dir)[0],
+        "ivf": S.ivf_topk_indexed(
+            spark, ivf_path, qvec, cents, k=KNN_K, nprobe=IVF_NPROBE
         ),
-        "lsh_h2": S.lsh_topk(
-            emb, qvec, k=KNN_K, n_planes=ANN_PLANES,
-            probe_hamming=ANN_PROBE_HAMMING, dim=EMB_DIM,
+        "lsh_h2": S.lsh_topk_indexed(
+            spark, _ann_lsh_index(spark, sf_dir), qvec, k=KNN_K,
+            n_planes=ANN_PLANES, probe_hamming=ANN_PROBE_HAMMING,
+            prefix_bits=LSH_INDEX_PREFIX_BITS, dim=EMB_DIM,
         ),
     }
     outs = []

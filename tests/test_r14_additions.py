@@ -263,3 +263,59 @@ def test_real_audio_rms_matches_driver_replay(spark):
             expect = CU._flr_py(float(np.sqrt(np.mean(w * w))), 6)
             assert got[(i, k)] == (s, expect), (i, k, got.get((i, k)))
         assert (i, n_f) not in got
+
+
+def test_indexed_ann_probes_match_inline_operators(spark):
+    """The materialized IVF-PQ index's documented contract: indexed
+    probes are result-identical to the inline operators with the same
+    (deterministic) quantizers — assignment and codes are computed once
+    at build time by the same round-6 arithmetic."""
+    sf = "/root/testdata/sf0.001"
+    from database_fragmentation_and_query_processor_spark.operators import (
+        similarity as S,
+    )
+    from database_fragmentation_and_query_processor_spark.queries import common as CQ
+
+    emb = CQ._emb(spark, sf)
+    qvec = [float(v) for v in
+            emb.where("vec_id = 0").select("embedding").head()[0]]
+    path, cents, books = CQ._ann_ivfpq_index(spark, sf)
+
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    assert rows(
+        S.ivf_topk_indexed(spark, path, qvec, cents, k=10, nprobe=4)
+    ) == rows(S.ivf_topk(emb, qvec, k=10, n_lists=16, nprobe=4, cents=cents))
+    assert rows(S.pq_topk_indexed(spark, path, qvec, books, k=10)) == rows(
+        S.pq_topk(emb, qvec, k=10, m=4, n_codes=8, books=books)
+    )
+    assert rows(
+        S.ivfpq_topk_indexed(spark, path, qvec, cents, books, k=10, nprobe=4)
+    ) == rows(
+        S.ivfpq_topk(
+            emb, qvec, k=10, n_lists=16, nprobe=4, m=4, n_codes=8,
+            cents=cents, books=books,
+        )
+    )
+
+
+def test_ivfpq_index_probe_is_partition_pruned(spark):
+    """The nprobe-list read must reach the scan as PartitionFilters on
+    the _list partition column — the storage-level pruning that makes
+    the probe touch nprobe/n_lists of a 100 TB corpus."""
+    sf = "/root/testdata/sf0.001"
+    from database_fragmentation_and_query_processor_spark.operators import (
+        similarity as S,
+    )
+    from database_fragmentation_and_query_processor_spark.queries import common as CQ
+
+    emb = CQ._emb(spark, sf)
+    qvec = [float(v) for v in
+            emb.where("vec_id = 0").select("embedding").head()[0]]
+    path, cents, _books = CQ._ann_ivfpq_index(spark, sf)
+    plan = (
+        S.ivf_topk_indexed(spark, path, qvec, cents, k=10, nprobe=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "_list" in plan, plan
