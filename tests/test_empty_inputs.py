@@ -78,6 +78,9 @@ _PARITY_EXTRA = [
     "crosslingual_mate_retrieval",  # empty blocks pass the cap guard → 0 rows
     "streaming_near_dup",           # zero-file AvailableNow drain → empty pairs
     "streaming_near_dup_compaction",  # compacting empty deltas → empty pairs
+    # r14 additions
+    "multimodal_real_resize",  # 0 lowest-ids → 0 generated payloads → 0 rows
+    "multimodal_real_audio",   # same: row-local path over an empty id set
 ]
 
 
