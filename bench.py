@@ -361,6 +361,7 @@ HEADLINE = [
     # round-14 additions
     "multimodal_real_resize",
     "multimodal_real_audio",
+    "ann_index_balance_audit",
 ]
 
 

@@ -1279,6 +1279,97 @@ LIMIT {KNN_K}
 """
 
 
+def q_ann_index_balance_audit(spark, sf_dir):
+    """IVF index health audit over the MATERIALIZED index: per-list
+    vector count, corpus share, and load factor (n·n_lists/total — 1.0
+    is perfectly balanced). List skew is THE operational failure mode
+    of IVF at 100 TB: a hot list turns the nprobe partition-pruned
+    read into a near-full scan, and this audit is what a reindexing
+    decision reads. One groupBy over the index's partition column plus
+    a broadcast one-row total — no raw-vector arithmetic at all (the
+    assignment was paid at index-build time). The oracle replays the
+    deterministic assignment statically (the SQL_ANN_IVF_TOPK CTE
+    chain) and aggregates the same counts."""
+    idx_path, _cents, _books = _ann_ivfpq_index(spark, sf_dir)
+    idx = spark.read.parquet(idx_path)
+    counts = idx.groupBy(
+        F.col("_list").cast("int").alias("list_id")
+    ).agg(F.count("*").cast("bigint").alias("n_vectors"))
+    tot = counts.agg(F.sum("n_vectors").cast("bigint").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "list_id",
+            "n_vectors",
+            _flr(
+                F.col("n_vectors").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("share"),
+            _flr(
+                F.col("n_vectors").cast("double")
+                * F.lit(float(IVF_N_LISTS))
+                / F.col("_tot").cast("double"),
+                6,
+            ).alias("load_factor"),
+        )
+        .orderBy("list_id")
+    )
+
+
+#: static replay of the deterministic one-Lloyd-step assignment (the
+#: same seeds/assign0/means/cents/assign1 chain as SQL_ANN_IVF_TOPK,
+#: minus the query-probe half), aggregated to per-list counts.
+SQL_ANN_INDEX_BALANCE_AUDIT = f"""
+WITH seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         embedding AS seed
+  FROM embeddings ORDER BY vec_id LIMIT {IVF_N_LISTS}
+),
+assign0 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, s.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY FLOOR(CAST(({_sq_l2_sql('e.embedding', 's.seed')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, s.list_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rk = 1
+),
+dims AS (SELECT CAST(range AS INT) AS j FROM range(1, {EMB_DIM + 1})),
+means AS (
+  SELECT a.list_id, d.j, FLOOR(CAST((AVG(CAST(e.embedding[d.j] AS DOUBLE))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS m
+  FROM assign0 a JOIN embeddings e USING (vec_id) CROSS JOIN dims d
+  GROUP BY a.list_id, d.j
+),
+cents AS (
+  SELECT s.list_id,
+         COALESCE(mm.c, list_transform(s.seed, v -> CAST(v AS DOUBLE))) AS cent
+  FROM seeds s LEFT JOIN (
+    SELECT list_id, list(m ORDER BY j) AS c FROM means GROUP BY list_id
+  ) mm USING (list_id)
+),
+assign1 AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY FLOOR(CAST(({_sq_l2_sql('e.embedding', 'c.cent')}) AS DOUBLE) * 1e6 + 0.5) / 1e6, c.list_id
+           ) AS rk
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+counts AS (
+  SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assign1 GROUP BY list_id
+),
+tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS t FROM counts)
+SELECT list_id, n_vectors,
+       FLOOR(CAST((CAST(n_vectors AS DOUBLE) / CAST(t AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share,
+       FLOOR(CAST((CAST(n_vectors AS DOUBLE) * {float(IVF_N_LISTS)} / CAST(t AS DOUBLE)) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS load_factor
+FROM counts CROSS JOIN tot
+ORDER BY list_id
+"""
+
+
 def q_sessionization(spark, sf_dir):
     """Gap-based sessionization (batch form): lag + cumulative-sum
     session ids, per-user session stats. The streaming form of the same

@@ -40,6 +40,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_real_resize": q_multimodal_real_resize,
     "multimodal_real_audio": q_multimodal_real_audio,
+    "ann_index_balance_audit": q_ann_index_balance_audit,
     "data_profile": q_data_profile,
     "heavy_hitters_salted": q_heavy_hitters_salted,
     "user_zscore_outliers": q_user_zscore_outliers,
@@ -390,6 +391,9 @@ _DEGENERATE_EMPTY: dict[str, str | None] = {
         "arm string, n_users bigint, mean_y double, mean_y_cuped double,"
         " var_reduction double"
     ),
+    "ann_index_balance_audit": (
+        "list_id int, n_vectors bigint, share double, load_factor double"
+    ),
     "ann_ivf_topk": "vec_id bigint, cosine_sim double",
     "ann_ivfpq_topk": "vec_id bigint, pq_dist double",
     "ann_lsh_indexed": "vec_id bigint, cosine_sim double",
@@ -619,6 +623,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "multimodal_real_resize": SQL_MULTIMODAL_REAL_RESIZE,
     "multimodal_real_audio": SQL_MULTIMODAL_REAL_AUDIO,
+    "ann_index_balance_audit": SQL_ANN_INDEX_BALANCE_AUDIT,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "term_masking": SQL_TERM_MASKING,
@@ -1535,6 +1540,7 @@ if _missing:
 _R14_ADDED: list[str] = [
     "multimodal_real_resize",
     "multimodal_real_audio",
+    "ann_index_balance_audit",
 ]
 
 _HEAD = _R14_WINDOW

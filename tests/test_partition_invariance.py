@@ -160,6 +160,7 @@ def _canon(df):
         # round-14 additions:
         "multimodal_real_resize",   # row-local decode/resize, keyed by id
         "multimodal_real_audio",    # row-local decode + prefix-sum framing
+        "ann_index_balance_audit",  # keyed counts over the stored index
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
