@@ -5028,3 +5028,112 @@ ORDER BY dow_idx
 
 
 # ---------------------------------------------------------------------------
+
+
+# round-14 batch (second wave): sequence packing
+# ---------------------------------------------------------------------------
+
+SEQ_PACK_LEN = 128  # tokens per training sequence (block)
+
+
+def q_sequence_packing_audit(spark, sf_dir):
+    """Concat-and-chop sequence-packing audit — the standard LLM
+    pretraining layout (concatenate every document in a shard in a
+    deterministic order, chop the token stream into fixed
+    SEQ_PACK_LEN-token training sequences) measured per shard
+    (``source``): document/token volume, how many training sequences
+    the shard yields, how many documents straddle a sequence boundary
+    (the cross-document attention-contamination count that motivates
+    boundary-aware attention masks), and the padding wasted in each
+    shard's final partial block. Companion of ``sequence_packing``
+    (batteries.py — the per-document seq_id/offset layout): this is the
+    shard-level efficiency rollup a data-loader team reads before
+    choosing sequence length and shard granularity.
+
+    Scale shape: the token offsets come from
+    ``operators/scaling.stable_prefix_sum`` — the bucketed two-phase
+    prefix sum, NOT a per-source ORDER BY window (a handful of sources
+    over 100 TB would serialize into a handful of single-task sorts) —
+    followed by one keyed aggregate. Integer arithmetic end to end
+    except the final pad-share ratio."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    from ..operators.scaling import stable_prefix_sum
+
+    packed = stable_prefix_sum(
+        docs,
+        order_cols=["doc_id"],
+        value_col="n_tokens",
+        group_cols=["source"],
+        out_col="tok_start",
+    )
+    first_blk = F.expr(f"tok_start div {SEQ_PACK_LEN}")
+    last_blk = F.expr(f"(tok_start + n_tokens - 1) div {SEQ_PACK_LEN}")
+    crossing = (F.col("n_tokens") > 0) & (first_blk != last_blk)
+    agg = packed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(crossing.cast("int")).cast("bigint").alias("crossing_docs"),
+    )
+    n_blocks = F.expr(
+        f"(total_tokens + {SEQ_PACK_LEN - 1}) div {SEQ_PACK_LEN}"
+    ).cast("bigint")
+    withb = agg.withColumn("n_blocks", n_blocks).withColumn(
+        "tail_pad_tokens",
+        (F.col("n_blocks") * SEQ_PACK_LEN - F.col("total_tokens")).cast("bigint"),
+    )
+    pad_share = F.when(F.col("n_blocks") == 0, F.lit(0.0)).otherwise(
+        F.col("tail_pad_tokens").cast("double")
+        / (F.col("n_blocks") * SEQ_PACK_LEN).cast("double")
+    )
+    return withb.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_blocks",
+        "crossing_docs",
+        "tail_pad_tokens",
+        _flr(pad_share, 6).alias("pad_share"),
+    ).orderBy("source")
+
+
+SQL_SEQUENCE_PACKING_AUDIT = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST(len({TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+  FROM toks
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN n_tokens > 0
+                        AND tok_start // {SEQ_PACK_LEN}
+                            != (tok_start + n_tokens - 1) // {SEQ_PACK_LEN}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS crossing_docs
+  FROM packed GROUP BY source
+),
+blk AS (
+  SELECT *,
+         CAST((total_tokens + {SEQ_PACK_LEN - 1}) // {SEQ_PACK_LEN} AS BIGINT)
+           AS n_blocks
+  FROM agg
+)
+SELECT source, n_docs, total_tokens, n_blocks, crossing_docs,
+       CAST(n_blocks * {SEQ_PACK_LEN} - total_tokens AS BIGINT)
+         AS tail_pad_tokens,
+       CASE WHEN n_blocks = 0 THEN 0.0
+            ELSE FLOOR(CAST(n_blocks * {SEQ_PACK_LEN} - total_tokens AS DOUBLE)
+                       / CAST(n_blocks * {SEQ_PACK_LEN} AS DOUBLE)
+                       * 1e6 + 0.5) / 1e6
+       END AS pad_share
+FROM blk
+ORDER BY source
+"""

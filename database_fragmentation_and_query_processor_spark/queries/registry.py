@@ -60,6 +60,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall_audit": q_ann_recall_audit,
     "frame_semantics_battery": q_frame_semantics_battery,
     "sequence_packing": q_sequence_packing,
+    "sequence_packing_audit": q_sequence_packing_audit,
     "doc_sample_weighted": q_doc_sample_weighted,
     "benchmark_decontamination": q_benchmark_decontamination,
     "incremental_near_dup": q_incremental_near_dup,
@@ -655,6 +656,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "frag_hash_counts": SQL_FRAG_HASH_COUNTS,
     "frame_semantics_battery": SQL_FRAME_SEMANTICS_BATTERY,
     "sequence_packing": SQL_SEQUENCE_PACKING,
+    "sequence_packing_audit": SQL_SEQUENCE_PACKING_AUDIT,
     "doc_sample_weighted": SQL_DOC_SAMPLE_WEIGHTED,
     "benchmark_decontamination": SQL_BENCHMARK_DECONTAMINATION,
     "incremental_near_dup": SQL_INCREMENTAL_NEAR_DUP,
@@ -1541,6 +1543,7 @@ _R14_ADDED: list[str] = [
     "multimodal_real_resize",
     "multimodal_real_audio",
     "ann_index_balance_audit",
+    "sequence_packing_audit",
 ]
 
 _HEAD = _R14_WINDOW
