@@ -526,10 +526,12 @@ def main() -> None:
         from database_fragmentation_and_query_processor_spark.queries.common import (
             _ann_ivfpq_index,
             _ann_lsh_index,
+            _sq8_minmax,
         )
 
         _ann_ivfpq_index(spark, sf_dir)
         _ann_lsh_index(spark, sf_dir)
+        _sq8_minmax(spark, sf_dir)
         spark.catalog.clearCache()
     except Exception as exc:  # warm-up must never fail the bench
         print(f"bench: ANN index warm-up skipped: {exc}", file=sys.stderr)

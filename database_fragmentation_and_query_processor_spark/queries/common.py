@@ -210,6 +210,47 @@ def _ann_ivfpq_index(spark: SparkSession, sf_dir: str):
     return path, cents, books
 
 
+def _sq8_minmax(spark: SparkSession, sf_dir: str):
+    """Build-once per-dimension (min, max) for SQ8 scalar quantization
+    — the third quantizer family next to IVF (coarse) and PQ
+    (subvector): each dimension is affinely mapped to a uint8 level,
+    4x compression at full dimensionality. The min/max table is
+    EMB_DIM pairs of corpus metadata built at index time (same
+    ``_artifact_cache_path`` contract as ``_ann_quantizers``); a probe
+    never rescans the corpus for it. Returns ``(mins, maxs)`` as
+    Python double lists — exact float32→double widenings, so the
+    DuckDB oracle's MIN/MAX(CAST(embedding[j] AS DOUBLE)) reproduces
+    them bit-for-bit."""
+    import json
+    import os
+
+    path = _artifact_cache_path(sf_dir, "sq8_minmax", "embeddings")
+    fname = os.path.join(path, "minmax.json")
+    if os.path.exists(fname):
+        with open(fname) as fh:
+            d = json.load(fh)
+        return d["mins"], d["maxs"]
+    rows = (
+        _emb(spark, sf_dir)
+        .select(F.posexplode("embedding").alias("j", "v"))
+        .groupBy("j")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .collect()  # bounded: EMB_DIM rows
+    )
+    by_j = {int(r["j"]): (float(r["mn"]), float(r["mx"])) for r in rows}
+    mins = [by_j[j][0] for j in sorted(by_j)]
+    maxs = [by_j[j][1] for j in sorted(by_j)]
+    os.makedirs(path, exist_ok=True)
+    tmp = fname + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"mins": mins, "maxs": maxs}, fh)
+    os.replace(tmp, fname)  # atomic: racing bench workers see all-or-nothing
+    return mins, maxs
+
+
 #: sign-LSH signature width, shared by the ANN family and the
 #: materialized-index helpers (hoisted from the families module so
 #: common's helpers never forward-reference)

@@ -1892,3 +1892,85 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+
+
+# round-14 second wave: SQ8 scalar-quantized ANN
+# ---------------------------------------------------------------------------
+
+SQ8_LEVELS = 255  # uint8 code range: 0..255
+
+
+def q_ann_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN top-k — the third quantizer family
+    next to IVF (coarse) and PQ (subvector): every dimension is
+    affinely mapped to a uint8 level by the corpus per-dim (min, max),
+    giving 4x compression at full dimensionality with no codebook
+    training. Scoring is ASYMMETRIC (full-precision query against
+    decoded codes), the standard SQ serving arrangement. The (min,
+    max) table is build-once corpus metadata (common._sq8_minmax,
+    the `_artifact_cache_path` contract); the scan itself is one
+    stateless projection + top-k — at 100 TB the codes column is what
+    sits on disk and the decode is expression-level arithmetic inside
+    whole-stage codegen, no Python anywhere. Every step (affine code,
+    decode, round-6 cosine) is deterministic IEEE arithmetic, so the
+    DuckDB oracle replays it statically."""
+    emb = _emb(spark, sf_dir)
+    qrow = _nonempty(
+        emb.where(F.col("vec_id") == 0).select("embedding").head(),
+        "ann_sq8_topk",
+    )
+    qvec = [float(v) for v in qrow[0]]
+    mins, maxs = _sq8_minmax(spark, sf_dir)
+    spans = [(mx - mn) / float(SQ8_LEVELS) for mn, mx in zip(mins, maxs)]
+    mins_arr = F.array(*[F.lit(float(m)).cast("double") for m in mins])
+    spans_arr = F.array(*[F.lit(float(s)).cast("double") for s in spans])
+    diff = F.zip_with(
+        F.col("embedding").cast("array<double>"), mins_arr, lambda v, m: v - m
+    )
+    codes = F.zip_with(
+        diff,
+        spans_arr,
+        lambda d, s: F.when(s == F.lit(0.0), F.lit(0.0)).otherwise(
+            F.floor(d / s + F.lit(0.5)).cast("double")
+        ),
+    )
+    vhat = F.zip_with(
+        F.zip_with(codes, spans_arr, lambda c, s: c * s),
+        mins_arr,
+        lambda x, m: x + m,
+    )
+    qlit = F.array(*[F.lit(v).cast("double") for v in qvec])
+    scored = emb.select(
+        "vec_id", _flr(V.cosine(vhat, qlit), 6).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col("vec_id")).limit(KNN_K)
+
+
+SQL_ANN_SQ8_TOPK = f"""
+WITH dims AS (SELECT CAST(range AS INT) AS j FROM range(1, {EMB_DIM + 1})),
+mm AS (
+  SELECT d.j, MIN(CAST(e.embedding[d.j] AS DOUBLE)) AS mn,
+         MAX(CAST(e.embedding[d.j] AS DOUBLE)) AS mx
+  FROM embeddings e CROSS JOIN dims d GROUP BY d.j
+),
+meta AS (
+  SELECT list(mn ORDER BY j) AS mins,
+         list((mx - mn) / {float(SQ8_LEVELS)!r} ORDER BY j) AS spans
+  FROM mm
+),
+dec AS (
+  SELECT e.vec_id,
+         list_transform(range(1, {EMB_DIM + 1}), i ->
+           meta.mins[i] + (CASE WHEN meta.spans[i] = 0.0 THEN 0.0
+             ELSE FLOOR((CAST(e.embedding[i] AS DOUBLE) - meta.mins[i])
+                        / meta.spans[i] + 0.5) END) * meta.spans[i]) AS vh
+  FROM embeddings e CROSS JOIN meta
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT d.vec_id,
+       FLOOR(CAST(({_cosine_sql('d.vh', 'q.qv')}) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS cosine_sim
+FROM dec d CROSS JOIN q
+ORDER BY cosine_sim DESC, d.vec_id
+LIMIT {KNN_K}
+"""

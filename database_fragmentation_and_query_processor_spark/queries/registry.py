@@ -41,6 +41,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_real_resize": q_multimodal_real_resize,
     "multimodal_real_audio": q_multimodal_real_audio,
     "ann_index_balance_audit": q_ann_index_balance_audit,
+    "ann_sq8_topk": q_ann_sq8_topk,
     "data_profile": q_data_profile,
     "heavy_hitters_salted": q_heavy_hitters_salted,
     "user_zscore_outliers": q_user_zscore_outliers,
@@ -396,6 +397,7 @@ _DEGENERATE_EMPTY: dict[str, str | None] = {
         "list_id int, n_vectors bigint, share double, load_factor double"
     ),
     "ann_ivf_topk": "vec_id bigint, cosine_sim double",
+    "ann_sq8_topk": "vec_id bigint, cosine_sim double",
     "ann_ivfpq_topk": "vec_id bigint, pq_dist double",
     "ann_lsh_indexed": "vec_id bigint, cosine_sim double",
     "ann_lsh_topk": "vec_id bigint, cosine_sim double",
@@ -625,6 +627,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "multimodal_real_resize": SQL_MULTIMODAL_REAL_RESIZE,
     "multimodal_real_audio": SQL_MULTIMODAL_REAL_AUDIO,
     "ann_index_balance_audit": SQL_ANN_INDEX_BALANCE_AUDIT,
+    "ann_sq8_topk": SQL_ANN_SQ8_TOPK,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "term_masking": SQL_TERM_MASKING,
@@ -1544,6 +1547,7 @@ _R14_ADDED: list[str] = [
     "multimodal_real_audio",
     "ann_index_balance_audit",
     "sequence_packing_audit",
+    "ann_sq8_topk",
 ]
 
 _HEAD = _R14_WINDOW
