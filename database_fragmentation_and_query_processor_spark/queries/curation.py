@@ -2693,3 +2693,118 @@ GROUP BY r.source
 
 
 # ---------------------------------------------------------------------------
+
+
+# round-14 second wave: MCV (most-common-values) optimizer statistics
+# ---------------------------------------------------------------------------
+
+MCV_K = 3  # MCVs kept per column
+MCV_SALT_BUCKETS = 16  # phase-1 fan-out of the decomposed top-k
+
+
+def q_mcv_stats_audit(spark, sf_dir):
+    """Most-common-values statistics per column — the MCV sketch a
+    cost-based optimizer keeps next to NDV/null-fraction (``data_profile``
+    covers those in one pass; selectivity estimation of equality
+    predicates additionally needs the top value frequencies, which a
+    single-pass aggregate cannot produce). For each profiled lineitem
+    column: the MCV_K most frequent values with occurrence count and
+    frequency share, ties broken on the value string.
+
+    Scale shape: one unpivot scan (``stack`` — a generate, no Python),
+    one keyed aggregate to per-(column, value) counts with map-side
+    combine, then a DECOMPOSED top-k: phase 1 takes a local top-k per
+    (column, value-hash salt bucket) so no column's full value
+    histogram ever sorts in a single task (a billion-NDV column is a
+    billion-row window partition otherwise), phase 2 re-ranks the
+    column's ≤ MCV_SALT_BUCKETS·MCV_K survivors — exact because top-k
+    under a total order is bucket-decomposable. The salt never reaches
+    the result, so any deterministic hash works; the oracle ranks
+    directly."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = ", ".join(
+        f"'{c}', CAST({e} AS STRING)"
+        for c, e in [
+            ("l_returnflag", "l_returnflag"),
+            ("l_linestatus", "l_linestatus"),
+            ("l_shipdate", "CAST(l_shipdate AS DATE)"),
+            ("l_suppkey", "l_suppkey"),
+            ("l_partkey", "l_partkey"),
+        ]
+    )
+    vals = li.select(
+        F.expr(f"stack(5, {pairs}) AS (column_name, val)")
+    ).where(F.col("val").isNotNull())
+    per_val = vals.groupBy("column_name", "val").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = per_val.groupBy("column_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows")
+    )
+    w_local = Window.partitionBy("column_name", "_salt").orderBy(
+        F.desc("c"), F.asc("val")
+    )
+    survivors = (
+        per_val.withColumn(
+            "_salt", F.pmod(F.xxhash64("val"), F.lit(MCV_SALT_BUCKETS))
+        )
+        .withColumn("_rk", F.row_number().over(w_local))
+        .where(F.col("_rk") <= MCV_K)
+        .drop("_rk", "_salt")
+    )
+    w = Window.partitionBy("column_name").orderBy(F.desc("c"), F.asc("val"))
+    top = (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= MCV_K)
+    )
+    return (
+        top.join(F.broadcast(tot), "column_name")
+        .select(
+            "column_name",
+            "rk",
+            F.col("val").alias("value"),
+            F.col("c").alias("n_occurrences"),
+            _flr(
+                F.col("c").cast("double") / F.col("n_rows").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("column_name", "rk")
+    )
+
+
+_MCV_VALS_SQL = "\n  UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, CAST({e} AS VARCHAR) AS val FROM lineitem"
+    for c, e in [
+        ("l_returnflag", "l_returnflag"),
+        ("l_linestatus", "l_linestatus"),
+        ("l_shipdate", "CAST(l_shipdate AS DATE)"),
+        ("l_suppkey", "l_suppkey"),
+        ("l_partkey", "l_partkey"),
+    ]
+)
+
+SQL_MCV_STATS_AUDIT = f"""
+WITH vals AS (
+  {_MCV_VALS_SQL}
+),
+per_val AS (
+  SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS c
+  FROM vals WHERE val IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT column_name, CAST(SUM(c) AS BIGINT) AS n_rows
+  FROM per_val GROUP BY 1
+),
+ranked AS (
+  SELECT column_name, val, c,
+         CAST(row_number() OVER (
+           PARTITION BY column_name ORDER BY c DESC, val) AS INT) AS rk
+  FROM per_val
+)
+SELECT r.column_name, r.rk, r.val AS value, r.c AS n_occurrences,
+       FLOOR(CAST(r.c AS DOUBLE) / CAST(t.n_rows AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS share
+FROM ranked r JOIN tot t USING (column_name)
+WHERE r.rk <= {MCV_K}
+ORDER BY column_name, rk
+"""

@@ -43,6 +43,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_index_balance_audit": q_ann_index_balance_audit,
     "ann_sq8_topk": q_ann_sq8_topk,
     "data_profile": q_data_profile,
+    "mcv_stats_audit": q_mcv_stats_audit,
     "heavy_hitters_salted": q_heavy_hitters_salted,
     "user_zscore_outliers": q_user_zscore_outliers,
     "quality_gate_funnel": q_quality_gate_funnel,
@@ -632,6 +633,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "term_masking": SQL_TERM_MASKING,
     "data_profile": SQL_DATA_PROFILE,
+    "mcv_stats_audit": SQL_MCV_STATS_AUDIT,
     "heavy_hitters_salted": SQL_HEAVY_HITTERS_SALTED,
     "user_zscore_outliers": SQL_USER_ZSCORE_OUTLIERS,
     "value_regression": SQL_VALUE_REGRESSION,
@@ -1548,6 +1550,7 @@ _R14_ADDED: list[str] = [
     "ann_index_balance_audit",
     "sequence_packing_audit",
     "ann_sq8_topk",
+    "mcv_stats_audit",
 ]
 
 _HEAD = _R14_WINDOW
