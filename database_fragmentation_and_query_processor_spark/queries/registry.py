@@ -144,6 +144,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateral_ordinality_battery": q_lateral_ordinality_battery,
     "signed_divmod_battery": q_signed_divmod_battery,
     "ab_test_zscore": q_ab_test_zscore,
+    "sprt_ab_monitor": q_sprt_ab_monitor,
     "funnel_time_to_convert": q_funnel_time_to_convert,
     # -- stamped green in r1/r2/r3 (evidence on file) --
     "multimodal_features": q_multimodal_features,
@@ -728,6 +729,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "lateral_ordinality_battery": SQL_LATERAL_ORDINALITY_BATTERY,
     "signed_divmod_battery": SQL_SIGNED_DIVMOD_BATTERY,
     "ab_test_zscore": SQL_AB_TEST_ZSCORE,
+    "sprt_ab_monitor": SQL_SPRT_AB_MONITOR,
     "funnel_time_to_convert": SQL_FUNNEL_TIME_TO_CONVERT,
     "event_transition_matrix": SQL_EVENT_TRANSITION_MATRIX,
     "user_path_topk": SQL_USER_PATH_TOPK,
@@ -1551,6 +1553,7 @@ _R14_ADDED: list[str] = [
     "sequence_packing_audit",
     "ann_sq8_topk",
     "mcv_stats_audit",
+    "sprt_ab_monitor",
 ]
 
 _HEAD = _R14_WINDOW

@@ -2126,3 +2126,136 @@ WHERE n_good > 0 AND n_bad > 0
 
 
 # ---------------------------------------------------------------------------
+
+
+# round-14 second wave: sequential hypothesis testing (SPRT)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+SPRT_CUT = 35.0  # success = event value at/above this (≈ fixture median)
+SPRT_P0, SPRT_P1 = 0.4, 0.6  # H0 / H1 success rates
+SPRT_ALPHA = SPRT_BETA = 0.05
+#: per-observation LLR increments and Wald decision boundaries — Python
+#: double literals embedded in BOTH plans, so each engine evaluates the
+#: identical IEEE expression s·C1 + f·C2 over exact integer counts
+SPRT_C1 = _math.log(SPRT_P1 / SPRT_P0)
+SPRT_C2 = _math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+SPRT_LOG_A = _math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+SPRT_LOG_B = _math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+
+
+def q_sprt_ab_monitor(spark, sf_dir):
+    """Wald SPRT sequential monitor per event stream — the always-valid
+    alternative to the fixed-horizon tests (``ab_test_zscore``,
+    ``abtest_cuped``): walk each event_type's stream in time order,
+    accumulate the Bernoulli log-likelihood ratio of H1 (p=0.6) vs H0
+    (p=0.4) for success := value ≥ SPRT_CUT, and stop at the FIRST
+    crossing of the Wald boundaries ±ln(19) (α=β=0.05). Reports the
+    decision, how many observations it took, the success count at the
+    stopping point, and the terminal LLR — the dashboard row a
+    peeking-safe experiment monitor shows.
+
+    Determinism + scale: the LLR at step i is s·C1 + (i−s)·C2 — a pure
+    function of the integer prefix counts, never a running float sum —
+    and both prefixes (observation index, success count) come from the
+    bucketed two-phase ``stable_prefix_sum``, not a per-type ORDER BY
+    window (5 event types over 100 TB = 5 single-task sorts
+    otherwise). First-crossing is one min-struct aggregate; no
+    driver-side walking anywhere."""
+    from ..operators.scaling import stable_prefix_sum
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "tsn",
+        "event_id",
+        F.when(F.col("value") >= SPRT_CUT, 1).otherwise(0).alias("succ"),
+        F.lit(1).alias("one"),
+    )
+    with_s = stable_prefix_sum(
+        ev, order_cols=["tsn", "event_id"], value_col="succ",
+        group_cols=["event_type"], out_col="s_excl",
+    )
+    with_i = stable_prefix_sum(
+        with_s, order_cols=["tsn", "event_id"], value_col="one",
+        group_cols=["event_type"], out_col="i_excl",
+    )
+    scored = with_i.select(
+        "event_type",
+        (F.col("i_excl") + 1).cast("bigint").alias("i"),
+        (F.col("s_excl") + F.col("succ")).cast("bigint").alias("s"),
+    ).withColumn(
+        "llr",
+        F.col("s").cast("double") * F.lit(SPRT_C1)
+        + (F.col("i") - F.col("s")).cast("double") * F.lit(SPRT_C2),
+    )
+    firsts = (
+        scored.where(
+            (F.col("llr") >= SPRT_LOG_A) | (F.col("llr") <= SPRT_LOG_B)
+        )
+        .groupBy("event_type")
+        .agg(F.min(F.struct(F.col("i"), F.col("s"))).alias("m"))
+        .select("event_type", F.col("m.i").alias("i_dec"), F.col("m.s").alias("s_dec"))
+    )
+    tot = scored.groupBy("event_type").agg(
+        F.max("i").alias("n"), F.max("s").alias("s_tot")
+    )
+    joined = tot.join(firsts, "event_type", "left").select(
+        "event_type",
+        F.coalesce(F.col("i_dec"), F.col("n")).alias("n_at_decision"),
+        F.coalesce(F.col("s_dec"), F.col("s_tot")).alias("successes"),
+        F.col("i_dec").isNull().alias("_open"),
+    )
+    llr_at = F.col("successes").cast("double") * F.lit(SPRT_C1) + (
+        F.col("n_at_decision") - F.col("successes")
+    ).cast("double") * F.lit(SPRT_C2)
+    return joined.select(
+        "event_type",
+        F.when(F.col("_open"), F.lit("continue"))
+        .when(llr_at >= SPRT_LOG_A, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.col("n_at_decision").cast("bigint").alias("n_at_decision"),
+        F.col("successes").cast("bigint").alias("successes"),
+        _flr(llr_at, 6).alias("llr"),
+    ).orderBy("event_type")
+
+
+SQL_SPRT_AB_MONITOR = f"""
+WITH seq AS (
+  SELECT event_type,
+         CAST(row_number() OVER w AS BIGINT) AS i,
+         CAST(SUM(CASE WHEN value >= {SPRT_CUT!r} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+),
+scored AS (
+  SELECT event_type, i, s,
+         CAST(s AS DOUBLE) * {SPRT_C1!r}
+           + CAST(i - s AS DOUBLE) * {SPRT_C2!r} AS llr
+  FROM seq
+),
+firsts AS (
+  SELECT event_type, MIN(i) AS i_dec
+  FROM scored
+  WHERE llr >= {SPRT_LOG_A!r} OR llr <= {SPRT_LOG_B!r}
+  GROUP BY 1
+),
+tot AS (
+  SELECT event_type, MAX(i) AS n, MAX(s) AS s_tot FROM scored GROUP BY 1
+)
+SELECT t.event_type,
+       CASE WHEN f.i_dec IS NULL THEN 'continue'
+            WHEN sc.llr >= {SPRT_LOG_A!r} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       CAST(COALESCE(f.i_dec, t.n) AS BIGINT) AS n_at_decision,
+       CAST(sc.s AS BIGINT) AS successes,
+       FLOOR(CAST(sc.llr AS DOUBLE) * 1e6 + 0.5) / 1e6 AS llr
+FROM tot t
+LEFT JOIN firsts f USING (event_type)
+JOIN scored sc
+  ON sc.event_type = t.event_type AND sc.i = COALESCE(f.i_dec, t.n)
+ORDER BY t.event_type
+"""
