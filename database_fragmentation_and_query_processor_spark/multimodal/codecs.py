@@ -123,3 +123,28 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB → binary P6 bytes (test/fixture helper)."""
     h, w = arr.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def split_ppm_stream(raw: bytes) -> list[bytes]:
+    """Concatenated P6 payloads → list of single-frame P6 payloads —
+    the minimal multi-frame "video" container the vendored codec can
+    carve without external libs. Each P6 frame is self-describing
+    (header declares w, h), so the stream splits by walking
+    header + w·h·3 pixel bytes per frame; any misaligned boundary
+    fails loudly rather than resynchronizing."""
+    frames: list[bytes] = []
+    pos, n = 0, len(raw)
+    while pos < n:
+        if raw[pos : pos + 2] != b"P6":
+            raise ValueError(
+                f"frame boundary at byte {pos} is not a P6 magic"
+            )
+        (w, h, maxval), off = _ppm_tokens(raw[pos:], 3)
+        if maxval <= 0 or maxval > 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        end = pos + off + w * h * 3
+        if end > n:
+            raise ValueError(f"truncated frame at byte {pos}")
+        frames.append(raw[pos:end])
+        pos = end
+    return frames

@@ -2808,3 +2808,140 @@ FROM ranked r JOIN tot t USING (column_name)
 WHERE r.rk <= {MCV_K}
 ORDER BY column_name, rk
 """
+
+
+#: real-frames fixtures (the video twin of the real-pixel/real-audio
+#: paths): RF_N_MEDIA deterministic concatenated-P6 "animations" with
+#: id-varied frame counts and dims; every pixel a pure integer formula
+#: of (id, frame, y, x, channel).
+RF_N_MEDIA = 8
+RF_K = 3  # sampled frames per payload
+
+
+def _rf_dims(i: int) -> tuple[int, int]:
+    return 12 + (i % 3) * 4, 8 + (i % 2) * 4  # (w, h)
+
+
+def _rf_n_frames(i: int) -> int:
+    return 4 + (i % 3)  # 4..6 frames
+
+
+def _rf_frame_pixels(i: int, f: int):
+    import numpy as np
+
+    w, h = _rf_dims(i)
+    return np.fromfunction(
+        lambda y, x, c: (i * 37 + f * 17 + y * 11 + x * 5 + c * 3) % 256,
+        (h, w, 3),
+        dtype=np.int64,
+    ).astype("uint8")
+
+
+def _rf_payload(i: int) -> bytes:
+    from ..multimodal.codecs import encode_ppm
+
+    return b"".join(
+        encode_ppm(_rf_frame_pixels(i, f)) for f in range(_rf_n_frames(i))
+    )
+
+
+def q_multimodal_real_frames(spark, sf_dir):
+    """REAL decoded video frames end-to-end — completes the non-stub
+    coverage of all three media modalities (image:
+    multimodal_real_resize, audio: multimodal_real_audio, frames:
+    here): deterministic concatenated-P6 animations are generated per
+    media id inside an Arrow batch, carved into frames by the vendored
+    stream splitter (codecs.split_ppm_stream), uniformly
+    temporally sampled (first/last always included), DECODED to raw
+    RGB (multimodal/binary_ops.py:sample_frames_real), and
+    checksummed JVM-side. The oracle carries per-frame pixel
+    checksums replayed through the SAME splitter + codec at import —
+    actual decoded frame pixels are pinned exactly.
+
+    Scale shape: generation/split/decode are row-local Arrow work with
+    a 1→k fan-out and no shuffle; only sampled frames decode. At
+    100 TB the identical plan reads payloads from a binary source."""
+    from ..multimodal.binary_ops import sample_frames_real
+
+    ids = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("media_id"))
+        .orderBy("media_id")
+        .limit(RF_N_MEDIA)
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": [_rf_payload(int(i)) for i in pdf["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(_gen, "media_id bigint, payload binary")
+    out = sample_frames_real(media, k=RF_K)
+    return out.select(
+        "media_id",
+        "slot",
+        "src_frame",
+        "width",
+        "height",
+        F.length("frame_rgb").cast("bigint").alias("n_bytes"),
+        F.crc32("frame_rgb").alias("crc"),
+        F.md5("frame_rgb").alias("digest"),
+    )
+
+
+def _rf_expected_rows() -> list[tuple[int, int, int, int, int, int, int, str]]:
+    """Driver-side replay of generate → split → sample → decode →
+    checksum for the oracle literals (a few thousand pixels per
+    frame, microseconds at import)."""
+    import hashlib
+    import zlib
+
+    from ..multimodal.codecs import decode_image_rgb, split_ppm_stream
+
+    rows = []
+    for i in range(RF_N_MEDIA):
+        frames = split_ppm_stream(_rf_payload(i))
+        nf = len(frames)
+        kk = min(RF_K, nf)
+        for j in range(kk):
+            src = 0 if kk == 1 else j * (nf - 1) // (kk - 1)
+            arr = decode_image_rgb(frames[src])
+            raw = arr.tobytes()
+            rows.append(
+                (
+                    i,
+                    j,
+                    src,
+                    int(arr.shape[1]),
+                    int(arr.shape[0]),
+                    len(raw),
+                    zlib.crc32(raw),
+                    hashlib.md5(raw).hexdigest(),
+                )
+            )
+    return rows
+
+
+SQL_MULTIMODAL_REAL_FRAMES = f"""
+WITH sel AS (
+  SELECT doc_id AS media_id FROM documents ORDER BY doc_id LIMIT {RF_N_MEDIA}
+),
+lit(media_id, slot, src_frame, width, height, n_bytes, crc, digest) AS (
+  VALUES {', '.join(f"({i}, {j}, {s}, {w}, {h}, {n}, {c}, '{d}')" for i, j, s, w, h, n, c, d in _rf_expected_rows())}
+)
+SELECT sel.media_id,
+       CAST(slot AS BIGINT) AS slot,
+       CAST(src_frame AS BIGINT) AS src_frame,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(crc AS BIGINT) AS crc,
+       digest
+FROM sel JOIN lit USING (media_id)
+"""

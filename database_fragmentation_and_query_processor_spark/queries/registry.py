@@ -40,6 +40,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_real_resize": q_multimodal_real_resize,
     "multimodal_real_audio": q_multimodal_real_audio,
+    "multimodal_real_frames": q_multimodal_real_frames,
     "ann_index_balance_audit": q_ann_index_balance_audit,
     "ann_sq8_topk": q_ann_sq8_topk,
     "data_profile": q_data_profile,
@@ -628,6 +629,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
     "multimodal_real_resize": SQL_MULTIMODAL_REAL_RESIZE,
     "multimodal_real_audio": SQL_MULTIMODAL_REAL_AUDIO,
+    "multimodal_real_frames": SQL_MULTIMODAL_REAL_FRAMES,
     "ann_index_balance_audit": SQL_ANN_INDEX_BALANCE_AUDIT,
     "ann_sq8_topk": SQL_ANN_SQ8_TOPK,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
@@ -1554,6 +1556,7 @@ _R14_ADDED: list[str] = [
     "ann_sq8_topk",
     "mcv_stats_audit",
     "sprt_ab_monitor",
+    "multimodal_real_frames",
 ]
 
 _HEAD = _R14_WINDOW
