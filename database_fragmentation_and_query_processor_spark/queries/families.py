@@ -1915,11 +1915,12 @@ def q_ann_sq8_topk(spark, sf_dir):
     decode, round-6 cosine) is deterministic IEEE arithmetic, so the
     DuckDB oracle replays it statically."""
     emb = _emb(spark, sf_dir)
-    qrow = _nonempty(
-        emb.where(F.col("vec_id") == 0).select("embedding").head(),
-        "ann_sq8_topk",
-    )
-    qvec = [float(v) for v in qrow[0]]
+    # empty corpus: None[0] trips the registry's degenerate guard, the
+    # same contract as the other ANN top-k entries
+    qvec = [
+        float(v)
+        for v in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
     mins, maxs = _sq8_minmax(spark, sf_dir)
     spans = [(mx - mn) / float(SQ8_LEVELS) for mn, mx in zip(mins, maxs)]
     mins_arr = F.array(*[F.lit(float(m)).cast("double") for m in mins])

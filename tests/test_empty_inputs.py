@@ -81,6 +81,11 @@ _PARITY_EXTRA = [
     # r14 additions
     "multimodal_real_resize",  # 0 lowest-ids → 0 generated payloads → 0 rows
     "multimodal_real_audio",   # same: row-local path over an empty id set
+    # r14 second wave
+    "multimodal_real_frames",   # row-local 1→k fan-out over an empty id set
+    "sequence_packing_audit",   # empty-safe prefix sum → GROUP BY nothing
+    "mcv_stats_audit",          # unpivot of zero rows → empty rank
+    "sprt_ab_monitor",          # empty stream → no totals, no crossings
 ]
 
 

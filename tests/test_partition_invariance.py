@@ -161,6 +161,12 @@ def _canon(df):
         "multimodal_real_resize",   # row-local decode/resize, keyed by id
         "multimodal_real_audio",    # row-local decode + prefix-sum framing
         "ann_index_balance_audit",  # keyed counts over the stored index
+        # round-14 second wave:
+        "sequence_packing_audit",   # bucketed prefix sums, keyed rollup
+        "ann_sq8_topk",             # order-free min/max, total-order top-k
+        "mcv_stats_audit",          # decomposed top-k under a total order
+        "sprt_ab_monitor",          # prefix counts on a unique time order
+        "multimodal_real_frames",   # row-local split/decode, keyed by id
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
