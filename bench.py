@@ -362,6 +362,12 @@ HEADLINE = [
     "multimodal_real_resize",
     "multimodal_real_audio",
     "ann_index_balance_audit",
+    # round-14 second wave
+    "sequence_packing_audit",
+    "ann_sq8_topk",
+    "mcv_stats_audit",
+    "sprt_ab_monitor",
+    "multimodal_real_frames",
 ]
 
 

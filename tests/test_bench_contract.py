@@ -64,6 +64,14 @@ def test_headline_is_subset_of_registry():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
 
 
+def test_every_registry_query_is_benched():
+    """Reverse containment: a registry addition that forgets the
+    HEADLINE append runs un-timed — exactly how the r14 second wave
+    initially missed its first full-bench pass. Keep both sets equal."""
+    unbenched = set(EQ.QUERIES) - set(bench.HEADLINE)
+    assert not unbenched, unbenched
+
+
 def test_retime_candidates_adds_per_line_quiet_trigger():
     """R10: the retime set = global slowest-10 ∪ any line >3x its own
     historical quiet value (≥ the absolute floor) — the per-line
