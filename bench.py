@@ -368,6 +368,8 @@ HEADLINE = [
     "mcv_stats_audit",
     "sprt_ab_monitor",
     "multimodal_real_frames",
+    "phrase_search_positional",
+    "frag_consistent_hash_ring",
 ]
 
 

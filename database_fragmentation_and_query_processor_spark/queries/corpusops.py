@@ -5137,3 +5137,89 @@ SELECT source, n_docs, total_tokens, n_blocks, crossing_docs,
 FROM blk
 ORDER BY source
 """
+
+
+# round-14 wave 3: positional phrase / proximity search
+# ---------------------------------------------------------------------------
+
+PHRASE_A, PHRASE_B = "table", "scan"
+PHRASE_PROX_W = 5  # proximity window (positions) for the near count
+PHRASE_TOP_K = 50
+
+
+def q_phrase_search_positional(spark, sf_dir):
+    """Positional-postings phrase and proximity search — the IR
+    operator the bag-of-words retrieval stack (BM25 / QL / boolean
+    aggregates) cannot express: find documents where PHRASE_A is
+    IMMEDIATELY followed by PHRASE_B (exact phrase via the positional
+    adjacency join pos_b = pos_a + 1), plus the looser
+    within-PHRASE_PROX_W proximity count, and the first phrase
+    position per document. This is the classic positional inverted
+    index probe: postings carry (doc, position), phrase matching is a
+    self-join on doc with a position predicate.
+
+    Scale shape: the two term filters prune the postings to the query
+    terms BEFORE the join (term-selective, like reading two postings
+    lists), the join keys on doc_id, and the per-doc pair fan-out is
+    bounded by within-document term frequency — never corpus-sized.
+    One keyed aggregate, total-order top-k."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.lower(F.col("text")))).alias("pos0", "term"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = toks.where(F.col("term") == PHRASE_A).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = toks.where(F.col("term") == PHRASE_B).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    is_phrase = F.col("pb") == F.col("pa") + 1
+    is_near = (
+        F.abs(F.col("pb") - F.col("pa")) <= PHRASE_PROX_W
+    )
+    per = (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(is_phrase.cast("int")).cast("bigint").alias("n_phrase"),
+            F.sum(is_near.cast("int")).cast("bigint").alias("n_near"),
+            F.min(F.when(is_phrase, F.col("pa"))).cast("bigint").alias(
+                "first_phrase_pos"
+            ),
+        )
+    )
+    return (
+        per.where((F.col("n_phrase") > 0) | (F.col("n_near") > 0))
+        .orderBy(
+            F.desc("n_phrase"), F.desc("n_near"), F.asc("doc_id")
+        )
+        .limit(PHRASE_TOP_K)
+    )
+
+
+SQL_PHRASE_SEARCH_POSITIONAL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           regexp_split_to_array(trim(lower(text)), '\\s+'),
+           (x, i) -> struct_pack(term := x, pos := i)), recursive := true)
+  FROM documents WHERE length(trim(text)) > 0
+),
+a AS (SELECT doc_id, pos AS pa FROM toks WHERE term = '{PHRASE_A}'),
+b AS (SELECT doc_id, pos AS pb FROM toks WHERE term = '{PHRASE_B}'),
+per AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN b.pb = a.pa + 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_phrase,
+         CAST(SUM(CASE WHEN ABS(b.pb - a.pa) <= {PHRASE_PROX_W}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+         CAST(MIN(CASE WHEN b.pb = a.pa + 1 THEN a.pa END) AS BIGINT)
+           AS first_phrase_pos
+  FROM a JOIN b USING (doc_id) GROUP BY a.doc_id
+)
+SELECT doc_id, n_phrase, n_near, first_phrase_pos
+FROM per WHERE n_phrase > 0 OR n_near > 0
+ORDER BY n_phrase DESC, n_near DESC, doc_id
+LIMIT {PHRASE_TOP_K}
+"""

@@ -2945,3 +2945,83 @@ SELECT sel.media_id,
        digest
 FROM sel JOIN lit USING (media_id)
 """
+
+
+# round-14 wave 3: consistent-hash ring fragmentation
+# ---------------------------------------------------------------------------
+
+CHASH_OLD_NODES = 5
+CHASH_NEW_NODES = 6  # the elastic-scaling event: node 5 joins the ring
+CHASH_VNODES = 8  # virtual nodes per physical node
+
+
+def _chash_ring(n_nodes: int) -> list[tuple[int, int]]:
+    """(position, node) vnode ring — md5-derived 52-bit positions on
+    the same portable hash convention the routing expression uses, so
+    the ring is reproducible from the node count alone."""
+    import hashlib
+
+    ring = [
+        (int(hashlib.md5(f"node{node}:v{v}".encode()).hexdigest()[:13], 16), node)
+        for node in range(n_nodes)
+        for v in range(CHASH_VNODES)
+    ]
+    ring.sort()
+    if len({p for p, _ in ring}) != len(ring):  # 48 draws from 2^52
+        raise RuntimeError("vnode position collision — pick a new salt")
+    return ring
+
+
+def _chash_case(n_nodes: int, key_expr: str) -> str:
+    """Clockwise ring lookup as a pure CASE expression (first vnode at
+    or after the key position, wrapping to the ring start) — routing
+    is map-side scalar arithmetic in BOTH engines, never a join."""
+    ring = _chash_ring(n_nodes)
+    branches = " ".join(
+        f"WHEN {key_expr} <= {pos} THEN {node}" for pos, node in ring
+    )
+    return f"(CASE {branches} ELSE {ring[0][1]} END)"
+
+
+_CHASH_KEY_SPARK = (
+    "CAST(conv(substring(md5(CAST(userid AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+)
+_CHASH_KEY_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(userid AS VARCHAR)), 1, 13)) AS BIGINT)"
+)
+
+
+def q_frag_consistent_hash_ring(spark, sf_dir):
+    """[EXT] Consistent-hash ring fragmentation — the FOURTH scheme
+    next to the reference's range/round-robin and the r-earlier hash
+    (mod-N) scheme, and the one elastic clusters actually use: keys
+    hash onto a 52-bit ring holding CHASH_VNODES virtual nodes per
+    physical node; a key belongs to the first vnode clockwise. The
+    query costs the scale-out event (5 → 6 nodes) as a movement
+    matrix, like ``frag_rebalance`` does for range re-bucketing. The
+    consistent-hashing contract — visible in the result — is that
+    every moved key lands on the ADDED node (old ≠ new ⇒ new = 5) and
+    the moved share is ≈ 1/(n+1), where mod-N re-hashing would move
+    ≈ n/(n+1) of all keys. Routing is a generated literal CASE over
+    the sorted vnode positions — map-side scalar arithmetic in both
+    engines (the ring is cluster metadata, never a join), the exact
+    portable-md5 convention of ``frag_hash_counts``."""
+    r = _ratings(spark, sf_dir)
+    old_node = F.expr(_chash_case(CHASH_OLD_NODES, _CHASH_KEY_SPARK))
+    new_node = F.expr(_chash_case(CHASH_NEW_NODES, _CHASH_KEY_SPARK))
+    return (
+        r.withColumn("old_node", old_node.cast("int"))
+        .withColumn("new_node", new_node.cast("int"))
+        .groupBy("old_node", "new_node")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .orderBy("old_node", "new_node")
+    )
+
+
+SQL_FRAG_CONSISTENT_HASH_RING = f"""
+WITH {{RATINGS_CTE}}
+SELECT CAST({_chash_case(CHASH_OLD_NODES, _CHASH_KEY_DUCK)} AS INTEGER) AS old_node,
+       CAST({_chash_case(CHASH_NEW_NODES, _CHASH_KEY_DUCK)} AS INTEGER) AS new_node,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ratings GROUP BY 1, 2 ORDER BY 1, 2
+""".format(RATINGS_CTE=RATINGS_CTE)

@@ -192,6 +192,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "term_masking": q_term_masking,
     "frag_hash_counts": q_frag_hash_counts,
+    "frag_consistent_hash_ring": q_frag_consistent_hash_ring,
     "frag_rebalance": q_frag_rebalance,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_revenue_orders": q3_top_revenue_orders,
@@ -254,6 +255,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lexical_diversity": q_lexical_diversity,
     "term_burstiness": q_term_burstiness,
     "bm25_search": q_bm25_search,
+    "phrase_search_positional": q_phrase_search_positional,
     "referential_integrity_audit": q_referential_integrity_audit,
     "item_cooccurrence_topk": q_item_cooccurrence_topk,
     "woe_binning": q_woe_binning,
@@ -662,6 +664,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "near_dup_audit": SQL_NEAR_DUP_AUDIT,
     "ann_recall_audit": SQL_ANN_RECALL_AUDIT,
     "frag_hash_counts": SQL_FRAG_HASH_COUNTS,
+    "frag_consistent_hash_ring": SQL_FRAG_CONSISTENT_HASH_RING,
     "frame_semantics_battery": SQL_FRAME_SEMANTICS_BATTERY,
     "sequence_packing": SQL_SEQUENCE_PACKING,
     "sequence_packing_audit": SQL_SEQUENCE_PACKING_AUDIT,
@@ -755,6 +758,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "lexical_diversity": SQL_LEXICAL_DIVERSITY,
     "term_burstiness": SQL_TERM_BURSTINESS,
     "bm25_search": SQL_BM25_SEARCH,
+    "phrase_search_positional": SQL_PHRASE_SEARCH_POSITIONAL,
     "referential_integrity_audit": SQL_REFERENTIAL_INTEGRITY_AUDIT,
     "item_cooccurrence_topk": SQL_ITEM_COOCCURRENCE_TOPK,
     "woe_binning": SQL_WOE_BINNING,
@@ -1557,6 +1561,8 @@ _R14_ADDED: list[str] = [
     "mcv_stats_audit",
     "sprt_ab_monitor",
     "multimodal_real_frames",
+    "phrase_search_positional",
+    "frag_consistent_hash_ring",
 ]
 
 _HEAD = _R14_WINDOW

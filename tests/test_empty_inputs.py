@@ -86,6 +86,8 @@ _PARITY_EXTRA = [
     "sequence_packing_audit",   # empty-safe prefix sum → GROUP BY nothing
     "mcv_stats_audit",          # unpivot of zero rows → empty rank
     "sprt_ab_monitor",          # empty stream → no totals, no crossings
+    "phrase_search_positional", # empty postings → empty join
+    "frag_consistent_hash_ring",  # empty ratings → empty matrix
 ]
 
 

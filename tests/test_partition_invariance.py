@@ -167,6 +167,8 @@ def _canon(df):
         "mcv_stats_audit",          # decomposed top-k under a total order
         "sprt_ab_monitor",          # prefix counts on a unique time order
         "multimodal_real_frames",   # row-local split/decode, keyed by id
+        "phrase_search_positional", # keyed postings join, total-order top-k
+        "frag_consistent_hash_ring",  # map-side scalar routing, keyed agg
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -190,3 +190,27 @@ def test_sequence_packing_audit_identities(spark, sf_dir):
         # contiguous layout: at most one document straddles any given
         # block boundary, so crossings never exceed boundary count
         assert r["crossing_docs"] <= max(r["n_blocks"] - 1, 0)
+
+
+def test_consistent_hash_moves_only_to_added_node(spark, sf_dir):
+    """The consistent-hashing contract: scaling 5 → 6 nodes moves keys
+    ONLY onto the added node (old ≠ new ⇒ new = 5), and the moved
+    share stays near 1/6 — the minimality that makes ring hashing the
+    elastic scheme (mod-N would remap ~5/6 of all keys)."""
+    rows = EQ._QUERIES_ALL["frag_consistent_hash_ring"](spark, sf_dir).collect()
+    moved = [r for r in rows if r["old_node"] != r["new_node"]]
+    assert moved, "a 6th node must claim some ring ranges"
+    assert all(r["new_node"] == 5 for r in moved)
+    total = sum(r["cnt"] for r in rows)
+    moved_n = sum(r["cnt"] for r in moved)
+    assert moved_n / total < 2 / 6  # ≈1/6 expected; generous noise bound
+
+
+def test_phrase_counts_bounded_by_proximity(spark, sf_dir):
+    """An adjacent pair is also a within-window pair, so n_phrase ≤
+    n_near on every row, and any phrase hit pins a first position."""
+    rows = EQ._QUERIES_ALL["phrase_search_positional"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_phrase"] <= r["n_near"]
+        assert (r["first_phrase_pos"] is not None) == (r["n_phrase"] > 0)
