@@ -370,6 +370,7 @@ HEADLINE = [
     "multimodal_real_frames",
     "phrase_search_positional",
     "frag_consistent_hash_ring",
+    "bitmap_index_intersection",
 ]
 
 

@@ -5223,3 +5223,132 @@ FROM per WHERE n_phrase > 0 OR n_near > 0
 ORDER BY n_phrase DESC, n_near DESC, doc_id
 LIMIT {PHRASE_TOP_K}
 """
+
+
+# round-14 wave 3: bitmap-index intersection
+# ---------------------------------------------------------------------------
+
+BMAP_TERMS = ("merge", "scan", "table")  # indexed terms (sorted)
+BMAP_BLOCK = 32  # docs per bitmap word (bits 0..31 — safe bigint shifts)
+
+
+def q_bitmap_index_intersection(spark, sf_dir):
+    """Bitmap-index term intersection — the OLAP indexing technique
+    relational engines use for multi-predicate membership: each term's
+    posting set is packed into per-block machine words (block =
+    doc_id div 32, one bit per doc via BIT_OR), and a two-term
+    co-occurrence count is a block-equi-join + bitwise AND + popcount
+    sum — word-at-a-time set intersection instead of a row-at-a-time
+    postings join. The audit emits, per term pair, the bitmap count,
+    the direct postings-join count (provably equal — the correctness
+    of the packed representation), and how many blocks the AND
+    touches (the bitmap's pruning measure).
+
+    Scale shape: words live on the (term, block) domain — 32x fewer
+    rows than postings; the pair join keys on block; popcount
+    aggregation is one keyed sum. All integer bit arithmetic, portable
+    across engines (bit_or / & / bit_count)."""
+    docs = _docs(spark, sf_dir)
+    presence = (
+        docs.select(
+            "doc_id",
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .where(F.col("term").isin(*BMAP_TERMS))
+        .distinct()
+    )
+    words = (
+        presence.select(
+            "term",
+            F.expr(f"doc_id div {BMAP_BLOCK}").alias("block"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(doc_id % {BMAP_BLOCK} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("term", "block")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    wa, wb = words.alias("wa"), words.alias("wb")
+    anded = wa.join(
+        wb,
+        (F.col("wa.block") == F.col("wb.block"))
+        & (F.col("wa.term") < F.col("wb.term")),
+    ).select(
+        F.col("wa.term").alias("term_a"),
+        F.col("wb.term").alias("term_b"),
+        (F.col("wa.word").bitwiseAND(F.col("wb.word"))).alias("and_word"),
+    )
+    via_bitmap = anded.groupBy("term_a", "term_b").agg(
+        F.sum(F.expr("bit_count(and_word)")).cast("bigint").alias("n_docs_bitmap"),
+        F.sum((F.col("and_word") != 0).cast("int")).cast("bigint").alias(
+            "n_blocks_hit"
+        ),
+    )
+    pa, pb = presence.alias("pa"), presence.alias("pb")
+    direct = (
+        pa.join(
+            pb,
+            (F.col("pa.doc_id") == F.col("pb.doc_id"))
+            & (F.col("pa.term") < F.col("pb.term")),
+        )
+        .groupBy(
+            F.col("pa.term").alias("term_a"), F.col("pb.term").alias("term_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_docs_direct"))
+    )
+    return (
+        via_bitmap.join(direct, ["term_a", "term_b"], "left")
+        .select(
+            "term_a",
+            "term_b",
+            "n_docs_bitmap",
+            F.coalesce("n_docs_direct", F.lit(0)).cast("bigint").alias(
+                "n_docs_direct"
+            ),
+            "n_blocks_hit",
+        )
+        .orderBy("term_a", "term_b")
+    )
+
+
+_BMAP_TERMS_SQL = ", ".join(f"'{t}'" for t in BMAP_TERMS)
+
+SQL_BITMAP_INDEX_INTERSECTION = f"""
+WITH presence AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE term IN ({_BMAP_TERMS_SQL})
+),
+words AS (
+  SELECT term, doc_id // {BMAP_BLOCK} AS block,
+         bit_or(CAST(1 AS BIGINT) << CAST(doc_id % {BMAP_BLOCK} AS INTEGER))
+           AS word
+  FROM presence GROUP BY 1, 2
+),
+anded AS (
+  SELECT wa.term AS term_a, wb.term AS term_b, wa.word & wb.word AS and_word
+  FROM words wa JOIN words wb
+    ON wa.block = wb.block AND wa.term < wb.term
+),
+via_bitmap AS (
+  SELECT term_a, term_b,
+         CAST(SUM(bit_count(and_word)) AS BIGINT) AS n_docs_bitmap,
+         CAST(SUM(CASE WHEN and_word != 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blocks_hit
+  FROM anded GROUP BY 1, 2
+),
+direct AS (
+  SELECT pa.term AS term_a, pb.term AS term_b,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_direct
+  FROM presence pa JOIN presence pb
+    ON pa.doc_id = pb.doc_id AND pa.term < pb.term
+  GROUP BY 1, 2
+)
+SELECT v.term_a, v.term_b, v.n_docs_bitmap,
+       CAST(COALESCE(d.n_docs_direct, 0) AS BIGINT) AS n_docs_direct,
+       v.n_blocks_hit
+FROM via_bitmap v LEFT JOIN direct d USING (term_a, term_b)
+ORDER BY term_a, term_b
+"""

@@ -256,6 +256,7 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_burstiness": q_term_burstiness,
     "bm25_search": q_bm25_search,
     "phrase_search_positional": q_phrase_search_positional,
+    "bitmap_index_intersection": q_bitmap_index_intersection,
     "referential_integrity_audit": q_referential_integrity_audit,
     "item_cooccurrence_topk": q_item_cooccurrence_topk,
     "woe_binning": q_woe_binning,
@@ -759,6 +760,7 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "term_burstiness": SQL_TERM_BURSTINESS,
     "bm25_search": SQL_BM25_SEARCH,
     "phrase_search_positional": SQL_PHRASE_SEARCH_POSITIONAL,
+    "bitmap_index_intersection": SQL_BITMAP_INDEX_INTERSECTION,
     "referential_integrity_audit": SQL_REFERENTIAL_INTEGRITY_AUDIT,
     "item_cooccurrence_topk": SQL_ITEM_COOCCURRENCE_TOPK,
     "woe_binning": SQL_WOE_BINNING,
@@ -1563,6 +1565,7 @@ _R14_ADDED: list[str] = [
     "multimodal_real_frames",
     "phrase_search_positional",
     "frag_consistent_hash_ring",
+    "bitmap_index_intersection",
 ]
 
 _HEAD = _R14_WINDOW

@@ -88,6 +88,7 @@ _PARITY_EXTRA = [
     "sprt_ab_monitor",          # empty stream → no totals, no crossings
     "phrase_search_positional", # empty postings → empty join
     "frag_consistent_hash_ring",  # empty ratings → empty matrix
+    "bitmap_index_intersection",  # empty postings → empty word join
 ]
 
 

@@ -169,6 +169,7 @@ def _canon(df):
         "multimodal_real_frames",   # row-local split/decode, keyed by id
         "phrase_search_positional", # keyed postings join, total-order top-k
         "frag_consistent_hash_ring",  # map-side scalar routing, keyed agg
+        "bitmap_index_intersection",  # pure integer bit algebra
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):
