@@ -371,6 +371,8 @@ HEADLINE = [
     "phrase_search_positional",
     "frag_consistent_hash_ring",
     "bitmap_index_intersection",
+    "neyman_allocation_audit",
+    "soft_dedup_weights",
 ]
 
 

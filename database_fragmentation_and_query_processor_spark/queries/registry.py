@@ -257,6 +257,8 @@ _QUERIES_ALL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "phrase_search_positional": q_phrase_search_positional,
     "bitmap_index_intersection": q_bitmap_index_intersection,
+    "neyman_allocation_audit": q_neyman_allocation_audit,
+    "soft_dedup_weights": q_soft_dedup_weights,
     "referential_integrity_audit": q_referential_integrity_audit,
     "item_cooccurrence_topk": q_item_cooccurrence_topk,
     "woe_binning": q_woe_binning,
@@ -761,6 +763,8 @@ _ORACLE_SQL_ALL: dict[str, str] = {
     "bm25_search": SQL_BM25_SEARCH,
     "phrase_search_positional": SQL_PHRASE_SEARCH_POSITIONAL,
     "bitmap_index_intersection": SQL_BITMAP_INDEX_INTERSECTION,
+    "neyman_allocation_audit": SQL_NEYMAN_ALLOCATION_AUDIT,
+    "soft_dedup_weights": SQL_SOFT_DEDUP_WEIGHTS,
     "referential_integrity_audit": SQL_REFERENTIAL_INTEGRITY_AUDIT,
     "item_cooccurrence_topk": SQL_ITEM_COOCCURRENCE_TOPK,
     "woe_binning": SQL_WOE_BINNING,
@@ -1566,6 +1570,8 @@ _R14_ADDED: list[str] = [
     "phrase_search_positional",
     "frag_consistent_hash_ring",
     "bitmap_index_intersection",
+    "neyman_allocation_audit",
+    "soft_dedup_weights",
 ]
 
 _HEAD = _R14_WINDOW

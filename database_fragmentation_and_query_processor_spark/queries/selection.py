@@ -2945,3 +2945,69 @@ FROM spine s LEFT JOIN measured m ON m.decile = s.decile
 
 
 # ---------------------------------------------------------------------------
+
+
+# round-14 wave 4: duplicate-aware loss weighting
+# ---------------------------------------------------------------------------
+
+
+def q_soft_dedup_weights(spark, sf_dir):
+    """Soft dedup — down-weight duplicates instead of dropping them:
+    every document gets training weight 1/c where c is its exact-dup
+    cluster size, so each cluster contributes exactly one effective
+    document and repeated text stops dominating the loss while unique
+    phrasing inside near-identical sources survives. The per-source
+    report is the dilution view a mixture designer reads next to the
+    hard-dedup retention numbers: raw docs, duplicated docs, effective
+    docs Σ(1/c), and effective retention.
+
+    Exactness: 1/c is an identical double per row and the per-source
+    totals are decimal-cast before summing (order-free exact decimal
+    addition — the house pattern for float sums over unordered
+    groups). Scale: one hash aggregate for cluster sizes, one keyed
+    join back, one rollup."""
+    docs = _docs_with_dups(spark, sf_dir).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    csize = docs.groupBy("h").agg(F.count("*").cast("bigint").alias("c"))
+    j = docs.join(csize, "h")
+    w = F.lit(1.0) / F.col("c").cast("double")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("c") > 1).cast("int")).cast("bigint").alias("n_dup_docs"),
+            F.sum(w.cast("decimal(38,18)")).cast("double").alias("_eff"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            _flr(F.col("_eff"), 6).alias("effective_docs"),
+            _flr(F.col("_eff") / F.col("n_docs").cast("double"), 6).alias(
+                "effective_retention"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SOFT_DEDUP_WEIGHTS = f"""
+WITH {DOCS_WITH_DUPS_CTE},
+hashed AS (SELECT doc_id, source, md5(text) AS h FROM corpus),
+csize AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY h),
+j AS (SELECT hashed.source, csize.c FROM hashed JOIN csize USING (h)),
+per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         CAST(SUM(CAST(1.0 / CAST(c AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+           AS eff
+  FROM j GROUP BY source
+)
+SELECT source, n_docs, n_dup_docs,
+       FLOOR(eff * 1e6 + 0.5) / 1e6 AS effective_docs,
+       FLOOR(eff / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS effective_retention
+FROM per ORDER BY source
+"""

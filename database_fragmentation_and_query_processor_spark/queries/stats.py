@@ -3046,3 +3046,107 @@ FROM (
     )
 
 
+
+
+# round-14 wave 4: survey-sampling design
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 100  # total sample size to allocate across strata
+
+
+def q_neyman_allocation_audit(spark, sf_dir):
+    """Neyman (variance-optimal) stratified-sampling allocation — the
+    survey-design companion of the proportional samplers
+    (``doc_sample_stratified`` draws a sample; THIS query decides how
+    big each stratum's sample should be): allocate NEYMAN_BUDGET draws
+    across ``source`` strata ∝ N_h·S_h, which minimizes the variance
+    of the stratified mean estimator for a fixed budget; the
+    proportional allocation (∝ N_h) rides along so the read shows
+    where variance-optimal and size-proportional disagree (high-spread
+    strata get oversampled).
+
+    Exactness: S_h comes from exact DECIMAL(38,0) Σy/Σy² sufficient
+    statistics (one keyed aggregate over the corpus), the per-stratum
+    N_h·S_h terms are identical doubles decimal-cast before the
+    order-free total, and both allocations use the shared half-up
+    lattice. Scale shape: one groupBy + a broadcast one-row total —
+    the classic two-level aggregate."""
+    docs = _docs(spark, sf_dir).select(
+        "source", F.col("n_chars").cast("decimal(38,0)").alias("y")
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_docs").cast("double")
+    sy_d = F.col("sy").cast("double")
+    var = (F.col("syy").cast("double") - sy_d * sy_d / n) / (n - F.lit(1.0))
+    std = F.when(F.col("n_docs") > 1, F.sqrt(var)).otherwise(F.lit(0.0))
+    strata = per.withColumn("ns", n * std)
+    tot = strata.agg(
+        F.sum(F.col("n_docs")).cast("bigint").alias("n_total"),
+        F.sum(F.col("ns").cast("decimal(38,18)")).cast("double").alias("ns_total"),
+    )
+    neyman = F.floor(
+        F.lit(float(NEYMAN_BUDGET)) * F.col("ns") / F.col("ns_total") * 1e0
+        + F.lit(0.5)
+    ).cast("bigint")
+    prop = F.floor(
+        F.lit(float(NEYMAN_BUDGET))
+        * F.col("n_docs").cast("double")
+        / F.col("n_total").cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            _flr(std, 6).alias("std_chars"),
+            neyman.alias("neyman_n"),
+            prop.alias("proportional_n"),
+            _flr(
+                neyman.cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("sampling_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_NEYMAN_ALLOCATION_AUDIT = f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(n_chars AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))) AS syy
+  FROM documents GROUP BY source
+),
+strata AS (
+  SELECT source, n_docs,
+         CASE WHEN n_docs > 1 THEN sqrt(
+           (CAST(syy AS DOUBLE)
+            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           / (CAST(n_docs AS DOUBLE) - 1.0))
+         ELSE 0.0 END AS std_chars_raw
+  FROM per
+),
+ns AS (SELECT *, CAST(n_docs AS DOUBLE) * std_chars_raw AS ns FROM strata),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+         CAST(SUM(CAST(ns AS DECIMAL(38,18))) AS DOUBLE) AS ns_total
+  FROM ns
+)
+SELECT s.source, s.n_docs,
+       FLOOR(CAST(s.std_chars_raw AS DOUBLE) * 1e6 + 0.5) / 1e6 AS std_chars,
+       CAST(FLOOR({float(NEYMAN_BUDGET)!r} * s.ns / t.ns_total * 1e0 + 0.5)
+            AS BIGINT) AS neyman_n,
+       CAST(FLOOR({float(NEYMAN_BUDGET)!r} * CAST(s.n_docs AS DOUBLE)
+                  / CAST(t.n_total AS DOUBLE) + 0.5) AS BIGINT)
+         AS proportional_n,
+       FLOOR(CAST(FLOOR({float(NEYMAN_BUDGET)!r} * s.ns / t.ns_total * 1e0 + 0.5)
+                  AS DOUBLE)
+             / CAST(s.n_docs AS DOUBLE) * 1e6 + 0.5) / 1e6 AS sampling_rate
+FROM ns s CROSS JOIN tot t
+ORDER BY s.source
+"""

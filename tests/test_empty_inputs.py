@@ -89,6 +89,8 @@ _PARITY_EXTRA = [
     "phrase_search_positional", # empty postings → empty join
     "frag_consistent_hash_ring",  # empty ratings → empty matrix
     "bitmap_index_intersection",  # empty postings → empty word join
+    "neyman_allocation_audit",  # GROUP BY over nothing → empty strata
+    "soft_dedup_weights",       # empty corpus → empty clusters
 ]
 
 

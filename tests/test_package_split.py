@@ -39,7 +39,7 @@ def test_registry_surface_identical_through_facade():
     assert EQ.QUERIES is registry.QUERIES
     assert EQ.ORACLE_SQL is registry.ORACLE_SQL
     assert set(EQ.QUERIES) == set(EQ.ORACLE_SQL)
-    assert len(EQ.QUERIES) == 334
+    assert len(EQ.QUERIES) == 336
     head = list(EQ.QUERIES)[:50]
     assert head == registry._R14_WINDOW
     assert len(set(head)) == 50

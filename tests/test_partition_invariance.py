@@ -170,6 +170,8 @@ def _canon(df):
         "phrase_search_positional", # keyed postings join, total-order top-k
         "frag_consistent_hash_ring",  # map-side scalar routing, keyed agg
         "bitmap_index_intersection",  # pure integer bit algebra
+        "neyman_allocation_audit",  # decimal moments, order-free totals
+        "soft_dedup_weights",       # integer cluster sizes, decimal sums
     ],
 )
 def test_result_survives_repartition(spark, sf_dir, name, monkeypatch):

@@ -214,3 +214,28 @@ def test_phrase_counts_bounded_by_proximity(spark, sf_dir):
     for r in rows:
         assert r["n_phrase"] <= r["n_near"]
         assert (r["first_phrase_pos"] is not None) == (r["n_phrase"] > 0)
+
+
+def test_neyman_allocation_spends_the_budget(spark, sf_dir):
+    """Rounded per-stratum allocations sum to the budget within the
+    half-up rounding slack, and a stratum with higher N·S than another
+    never receives fewer Neyman draws."""
+    rows = EQ._QUERIES_ALL["neyman_allocation_audit"](spark, sf_dir).collect()
+    assert rows
+    total = sum(r["neyman_n"] for r in rows)
+    assert abs(total - EQ.NEYMAN_BUDGET) <= len(rows) / 2 + 1
+    ranked = sorted(rows, key=lambda r: r["n_docs"] * r["std_chars"])
+    alloc = [r["neyman_n"] for r in ranked]
+    assert all(a <= b + 1 for a, b in zip(alloc, alloc[1:]))  # monotone ± rounding
+
+
+def test_soft_dedup_weights_identities(spark, sf_dir):
+    rows = EQ._QUERIES_ALL["soft_dedup_weights"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["effective_docs"] <= r["n_docs"] + 1e-6
+        assert 0.0 < r["effective_retention"] <= 1.0 + 1e-9
+        if r["n_dup_docs"] == 0:
+            assert abs(r["effective_docs"] - r["n_docs"]) < 1e-6
+    # the synthesized twins (doc_id % 7) guarantee dilution somewhere
+    assert any(r["n_dup_docs"] > 0 for r in rows)
