@@ -37,9 +37,13 @@ def bidirectional(
     iterative callers start from truncated lineage. Shared by every
     graph operator; keep edge-materialization fixes HERE, not in the
     callers."""
+    # e's checkpoint is LAZY (r14): the eager mirror checkpoint below
+    # materializes it as a side effect of its own job — the per-block
+    # cache lock serves the two union branches from one computation —
+    # so edge materialization costs one blocking job, not two
     e = edges.select(
         F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return (
         e.union(e.select(F.col("e_dst"), F.col("e_src")))
         .distinct()
@@ -57,11 +61,15 @@ def connected_components(
     reachable — i.e. the component's canonical id. Deterministic for
     any edge order."""
     bidir = bidirectional(edges, src, dst)
+    # labels' checkpoint is LAZY (r14): round 1's convergence count
+    # materializes it together with the round's own work — one blocking
+    # job per round total, where the pre-r14 loop paid two (an eager
+    # checkpoint job, then the count)
     labels = (
         bidir.select(F.col("e_src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     changed = 0
     for _ in range(max_iter):
@@ -83,7 +91,7 @@ def connected_components(
                 (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label")
                  ).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.where(F.col("_chg")).count()
         labels = new_labels.drop("_chg")
@@ -142,9 +150,11 @@ def pagerank_integer(
     bidir = bidirectional(edges, src, dst)
     deg = bidir.groupBy("e_src").agg(F.count("*").alias("deg"))
     # rank table: (node, rank); start uniform at `scale`
+    # lazy: round 1's eager checkpoint materializes the seed table in
+    # the same job (r14 — one blocking job less, same lineage cut)
     ranks = deg.select(
         F.col("e_src").alias("node"), F.lit(scale).cast("bigint").alias("rank")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     base = int(scale) * 15 // 100
     for _ in range(iters):
         contrib = (
@@ -187,11 +197,14 @@ def bfs_hops(
     truncated per round (localCheckpoint), and the loop exits early on
     an empty frontier."""
     bidir = bidirectional(edges, src, dst)
+    # lazy inits/rounds (r14): the per-round frontier-emptiness count
+    # and the settled-union checkpoint materialize these in their own
+    # jobs — two blocking jobs per round, not three
     settled = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()
         .withColumn("hop", F.lit(0).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     frontier = settled
     for h in range(1, max_hops + 1):
@@ -201,7 +214,7 @@ def bfs_hops(
             .distinct()
             .join(settled.select("node"), "node", "left_anti")
             .withColumn("hop", F.lit(h).cast("bigint"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         if nxt.limit(1).count() == 0:
             break
@@ -268,9 +281,11 @@ def label_propagation(
     (shuffle on node id) plus one (node, label) count — the Pregel plan
     relationally, like pagerank_integer; lineage truncated per round."""
     bidir = bidirectional(edges, src, dst)
+    # lazy: round 1's eager checkpoint materializes the seed labels in
+    # the same job (r14 — one blocking job less, same lineage cut)
     labels = bidir.select(F.col("e_src").alias("node")).distinct().select(
         "node", F.col("node").cast("bigint").alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(rounds):
         counted = (
             bidir.join(labels, bidir.e_src == labels.node)

@@ -35,12 +35,13 @@ def stable_row_number(
     """0-based global row number by ``order_cols`` without a global sort.
 
     Equivalent to ``ROW_NUMBER() OVER (ORDER BY order_cols) - 1`` when
-    ``order_cols`` form a unique key. Two extra *narrow* passes (min/max
-    of the leading key; per-bucket counts — both column-pruned scans),
-    then one parallel window partitioned by bucket. Buckets are computed
-    from fixed arithmetic on the leading key, so the assignment is
-    deterministic across jobs and re-executions (a data-sampled
-    ``repartitionByRange`` would not be).
+    ``order_cols`` form a unique key. One eager *narrow* pre-pass
+    (min/max of the leading key — column-pruned scan), then ONE lazy
+    plan: per-bucket counts → in-plan exclusive bases (bounded explode
+    fan-out, broadcast-joined back) → a parallel window partitioned by
+    bucket. Buckets are computed from fixed arithmetic on the leading
+    key, so the assignment is deterministic across jobs and
+    re-executions (a data-sampled ``repartitionByRange`` would not be).
     """
     spark = df.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
@@ -58,24 +59,36 @@ def stable_row_number(
     ).cast("int")
 
     b = df.withColumn("_bk", bucket)
-    counts = {row["_bk"]: row["cnt"]
-              for row in b.groupBy("_bk").agg(F.count("*").alias("cnt")).collect()}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for k in sorted(counts):
-        offsets[k] = acc
-        acc += counts[k]
-    off_map = F.create_map(
-        *[F.lit(v) for k in sorted(offsets) for v in (k, offsets[k])]
+    # Bucket base offsets computed IN-PLAN (r14 optimization): the
+    # per-bucket counts stay a bounded relation (≤ n_buckets rows);
+    # each bucket's count fans out to every LATER bucket (explode over
+    # the bucket id range — ≤ n_buckets²/2 rows, data-size-independent)
+    # and a keyed aggregate sums them into exclusive bases, which
+    # re-attach via a broadcast LEFT join (the first bucket has no
+    # predecessors → coalesce 0). Replaces the former bounded driver
+    # collect + create_map literal: one blocking driver round trip less
+    # per call, no single-task stage anywhere, and the whole numbering
+    # is ONE lazy plan instead of prep-job + final job.
+    counts = b.groupBy("_bk").agg(F.count("*").alias("_rn_c"))
+    fan = counts.where(F.col("_bk") < n - 1).select(
+        F.explode(F.sequence(F.col("_bk") + 1, F.lit(n - 1))).alias("_rn_tb"),
+        "_rn_c",
+    )
+    offs = fan.groupBy("_rn_tb").agg(
+        F.sum("_rn_c").cast("bigint").alias("_rn_base")
     )
 
     w = Window.partitionBy("_bk").orderBy(*order_cols)
     return (
-        b.withColumn(
+        b.join(F.broadcast(offs), F.col("_bk") == F.col("_rn_tb"), "left")
+        .withColumn(
             out_col,
-            (F.row_number().over(w) - 1 + off_map[F.col("_bk")]).cast("bigint"),
+            (
+                F.row_number().over(w) - 1
+                + F.coalesce(F.col("_rn_base"), F.lit(0))
+            ).cast("bigint"),
         )
-        .drop("_bk")
+        .drop("_bk", "_rn_tb", "_rn_base")
     )
 
 
@@ -98,14 +111,15 @@ def stable_prefix_sum(
     handful of tasks). Same two-phase shape as ``stable_row_number``:
     deterministic range-bucket on the leading order key, per
     (group, bucket) partial sums (tiny aggregate, bounded by
-    #groups × #buckets), driver turns partials into bucket base
-    offsets, then an in-bucket window runs in parallel.
+    #groups × #buckets), in-plan exclusive bucket bases (bounded explode
+    fan-out, broadcast-joined back), then an in-bucket window runs in
+    parallel — one eager pre-pass (min/max + null check), one lazy plan.
 
     The leading order column must be non-null (a null has no range
-    bucket; rejected loudly here rather than crashing in the driver
-    sort). Null GROUP values are supported: they key to a reserved
-    sentinel consistently on the driver side and the executor-side map
-    key, so a null group gets its own correct running sum.
+    bucket; rejected loudly here rather than crashing later). Null
+    GROUP values are supported: the base re-attachment join is
+    null-SAFE on the group columns, so a null group gets its own
+    correct running sum.
     """
     spark = df.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
@@ -136,48 +150,33 @@ def stable_prefix_sum(
     ).cast("int")
 
     b = df.withColumn("_bk", bucket)
-    # bounded collect: one row per (group, bucket) ≤ #groups × n_buckets
-    partials = (
-        b.groupBy(*gcols, "_bk")
-        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
-        .collect()
+    # Bucket base offsets computed IN-PLAN (r14 optimization): the
+    # per-(group, bucket) partial sums stay a bounded relation
+    # (≤ #groups × n_buckets rows); each bucket's partial fans out to
+    # every LATER bucket of its group (explode over the bucket id range
+    # — ≤ #groups × n_buckets²/2 rows, data-size-independent) and a
+    # keyed aggregate sums them into exclusive bases, which re-attach
+    # via a broadcast LEFT join keyed null-SAFE on the group columns (a
+    # null group is a legal group of its own — plain equi-join keys
+    # would drop it; a group's first bucket has no predecessors →
+    # coalesce 0). Replaces the former bounded driver collect +
+    # create_map literal: one blocking driver round trip less per call,
+    # no single-task stage anywhere, and no groups×buckets-sized literal
+    # map in the plan (which codegen re-scans per row at scale).
+    partials = b.groupBy(*gcols, "_bk").agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("_ps_s")
     )
-    sep = "\x1f"
-    null_sentinel = "\x1e\x00null"  # can't collide with real cast-to-string values
-
-    def gkey(row) -> str:
-        return sep.join(
-            null_sentinel if row[c] is None else str(row[c]) for c in gcols
-        )
-
-    offsets: dict[tuple[str, int], int] = {}
-    acc: dict[str, int] = {}
-    for row in sorted(partials, key=lambda r: (gkey(r), r["_bk"])):
-        g = gkey(row)
-        offsets[(g, row["_bk"])] = acc.get(g, 0)
-        acc[g] = acc.get(g, 0) + int(row["s"] or 0)
-
-    def composite(g: str, bk: int) -> str:
-        # mirrors concat_ws below: no leading separator when ungrouped
-        return f"{g}{sep}{bk}" if gcols else str(bk)
-
-    off_map = F.create_map(
-        *[
-            F.lit(v)
-            for (g, bk) in sorted(offsets)
-            for v in (composite(g, bk), offsets[(g, bk)])
-        ]
+    fan = partials.where(F.col("_bk") < n - 1).select(
+        *[F.col(c).alias(f"_ps_g{i}") for i, c in enumerate(gcols)],
+        F.explode(F.sequence(F.col("_bk") + 1, F.lit(n - 1))).alias("_ps_tb"),
+        "_ps_s",
     )
-    # concat_ws silently DROPS nulls, which would alias a null group onto
-    # its neighbor — coalesce to the same sentinel the driver key used
-    map_key = F.concat_ws(
-        sep,
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit(null_sentinel))
-            for c in gcols
-        ],
-        F.col("_bk").cast("string"),
-    )
+    offs = fan.groupBy(
+        *[F.col(f"_ps_g{i}") for i in range(len(gcols))], "_ps_tb"
+    ).agg(F.sum("_ps_s").cast("bigint").alias("_ps_base"))
+    cond = F.col("_bk") == F.col("_ps_tb")
+    for i, c in enumerate(gcols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_ps_g{i}"))
 
     w = (
         Window.partitionBy(*gcols, "_bk")
@@ -188,8 +187,16 @@ def stable_prefix_sum(
         F.sum(F.col(value_col).cast("bigint")).over(w), F.lit(0)
     )
     return (
-        b.withColumn(out_col, (in_bucket + off_map[map_key]).cast("bigint"))
-        .drop("_bk")
+        b.join(F.broadcast(offs), cond, "left")
+        .withColumn(
+            out_col,
+            (in_bucket + F.coalesce(F.col("_ps_base"), F.lit(0)))
+            .cast("bigint"),
+        )
+        .drop(
+            "_bk", "_ps_tb", "_ps_base",
+            *[f"_ps_g{i}" for i in range(len(gcols))],
+        )
     )
 
 

@@ -2200,7 +2200,11 @@ def q_sprt_ab_monitor(spark, sf_dir):
     tot = scored.groupBy("event_type").agg(
         F.max("i").alias("n"), F.max("s").alias("s_tot")
     )
-    joined = tot.join(firsts, "event_type", "left").select(
+    # firsts is ≤ #event_types rows BY CONSTRUCTION — broadcast it
+    # explicitly (guide §3.1: the planner's pre-AQE estimate of the
+    # prefix-sum subtree overshoots, and an SMJ on a 5-row domain would
+    # waste two exchanges if AQE ever declined the runtime rewrite)
+    joined = tot.join(F.broadcast(firsts), "event_type", "left").select(
         "event_type",
         F.coalesce(F.col("i_dec"), F.col("n")).alias("n_at_decision"),
         F.coalesce(F.col("s_dec"), F.col("s_tot")).alias("successes"),

@@ -514,15 +514,42 @@ def q_theil_sen_trend(spark, sf_dir):
     taken as max-of-sorted-prefix — no floor-division sign pitfalls,
     engine-identical."""
     orders = _t(spark, sf_dir, "orders")
-    daily = (
+    daily = _track_cached(
         orders.groupBy(F.to_date("o_orderdate").alias("d"))
         .agg(
             F.sum(
                 F.floor(F.col("o_totalprice").cast("double") * 100).cast("bigint")
             ).alias("cents")
         )
+        .persist()
     )
-    a, b = daily.alias("a"), daily.alias("b")
+    # ONE bounded pre-pass (r14 optimization): n_days plus the daily
+    # cents min/max. n_pairs needs no count job — daily is distinct by
+    # construction and the join condition is a pure b.d > a.d, so the
+    # pair count is exactly C(n_days, 2); the cents range bounds every
+    # slope (den ≥ 1 ⇒ |slope| ≤ cmax − cmin), which lets the k-th
+    # slope be found by bucket-count selection instead of the former
+    # global sort + 1.4M-row limit (the r13 plan's dominant stage).
+    head = daily.agg(
+        F.count("*").alias("n"),
+        F.min("cents").alias("cmin"),
+        F.max("cents").alias("cmax"),
+    ).head()
+    # empty corpus: int(None) TypeError below trips the registry's
+    # degenerate guard, which mirrors the oracle's empty result
+    n_days = int(head["n"])
+    n_pairs = n_days * (n_days - 1) // 2
+    k = (n_pairs + 1) // 2
+    hi = float(int(head["cmax"]) - int(head["cmin"]))  # |slope| ≤ hi (den ≥ 1)
+    # the day table is tiny, so AQE coalesces it to one partition — and
+    # a one-partition stream side serializes the whole O(days²) pair
+    # fan-out through a single task. Spread the stream side across the
+    # session's cores (explicit numPartitions disables AQE coalescing
+    # for this exchange; 2400 rows, trivial shuffle) and pin the
+    # broadcast to the other side.
+    par = spark.sparkContext.defaultParallelism
+    a = daily.repartition(par).alias("a")
+    b = F.broadcast(daily).alias("b")
     pairs = (
         a.join(b, F.col("b.d") > F.col("a.d"))
         .select(
@@ -533,27 +560,56 @@ def q_theil_sen_trend(spark, sf_dir):
             "slope", F.col("num").cast("double") / F.col("den").cast("double")
         )
     )
-    pairs = pairs.persist()
-    try:
-        n_days = daily.count()
-        n_pairs = pairs.count()
-        k = (n_pairs + 1) // 2
-        kth = (
-            pairs.orderBy("slope", "num", "den")
-            .limit(k)
-            .agg(F.max(F.struct("slope", "num", "den")).alias("m"))
-            .head()["m"]
+    # Bucket-count selection of the k-th (slope, num, den): bucket is a
+    # monotone function of slope, so the k-th element lives in the first
+    # bucket whose cumulative count reaches k, at in-bucket rank
+    # k − (count below). Buckets are uniform in SIGNED-LOG slope space
+    # (sign·log1p|slope|): day-to-day slopes concentrate near zero
+    # (differences of similar-magnitude daily totals over 1..span-day
+    # gaps), so uniform-in-value buckets would dump most of the pair
+    # set into one bucket and re-create the global sort this replaces —
+    # log-space buckets hold ~constant RELATIVE slope width instead.
+    # Census and in-bucket rank live on bounded relations (≤ N_BUCKETS
+    # rows; one log-bucket's pairs); only an exactly-tied slope mass
+    # degrades toward the old global-sort cost, never worse.
+    import math as _math
+
+    n_buckets = 4096
+    log_hi = _math.log1p(hi)
+    if log_hi > 0:
+        width = 2.0 * log_hi / n_buckets
+        slog = F.signum("slope") * F.log1p(F.abs(F.col("slope")))
+        bkt = F.least(
+            F.floor((slog + F.lit(log_hi)) / F.lit(width)),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+    else:  # all daily totals equal → every slope is 0.0
+        bkt = F.lit(0).cast("int")
+    pb = pairs.withColumn("_bkt", bkt)
+    census = pb.groupBy("_bkt").agg(F.count("*").alias("_c"))
+    cumw = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    target = (
+        census.select(
+            "_bkt",
+            F.coalesce(F.sum("_c").over(cumw), F.lit(0)).alias("_below"),
+            "_c",
         )
-    finally:
-        pairs.unpersist()
-    out = spark.createDataFrame(
-        [(int(n_days), int(n_pairs), float(kth["slope"]) / 100.0)],
-        "n_days bigint, n_pairs bigint, raw double",
+        .where(
+            (F.col("_below") < F.lit(k))
+            & (F.col("_below") + F.col("_c") >= F.lit(k))
+        )
+        .select(F.col("_bkt").alias("_tbkt"), "_below")
     )
-    return out.select(
-        "n_days",
-        "n_pairs",
-        _flr(F.col("raw"), 6).alias("sen_slope_per_day"),
+    rnw = Window.partitionBy("_tbkt").orderBy("slope", "num", "den")
+    kth = (
+        pb.join(F.broadcast(target), F.col("_bkt") == F.col("_tbkt"))
+        .withColumn("_rn", F.row_number().over(rnw))
+        .where(F.col("_rn") == F.lit(k) - F.col("_below"))
+    )
+    return kth.select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        _flr(F.col("slope") / 100.0, 6).alias("sen_slope_per_day"),
     )
 
 
@@ -1169,17 +1225,17 @@ def q_spearman_corr_grouped(spark, sf_dir):
     (Pearson on midranks). Exactness: doubled-integer midranks per
     column from distinct-value counts + the bucketed two-phase prefix
     sum (scale factor 2 cancels in ρ); the five moment sums are exact
-    decimals; the ρ combination is the only double step. Scale shape:
-    rank maps live on the (group × distinct-value) domain and join back
-    to rows by key — two keyed shuffles, no global-ORDER window, no
-    per-group single task. COST FLOOR (judge-reviewed r7/r8): exact
-    midranks on a near-unique value domain inherently need the two
-    rank-map shuffles PLUS the row join-back — ~6-9s isolated at sf0.1
-    is the exact-Spearman floor, not a plan defect. A monitoring-grade
-    variant could coarsen the value lattice (e.g. floor(v/100)·100)
-    before ranking, shrinking the rank maps and the join-back hash
-    tables at the cost of tie-inflated ranks; kept out of the registry
-    to hold the surface steady while the stamp backlog clears."""
+    decimals; the ρ combination is the only double step. Scale shape
+    (r14 rewrite of the judge-reviewed r7/r8 join-back plan): midranks
+    are constant per (group, value), so every moment sum lives on the
+    collapsed value domains — Σ a, Σ a² off the x census weighted by
+    cnt; Σ b, Σ b², and the cross moment Σ a·b = Σ_(g,vy) b·Σa(cell)
+    off the y census, which ONE (g, vy)-keyed aggregate builds while
+    carrying sum(a) per cell after a broadcast of the tiny x-rank map.
+    The rows are touched once and shuffled once (narrow (g, vy, a)
+    tuples); the former plan's two row-scale rank-map join-backs —
+    the ~6-9s sf0.1 floor it documented — are gone. Identical integer
+    moment sums ⇒ identical ρ (oracle unchanged)."""
     from ..operators.scaling import stable_prefix_sum
 
     li = _t(spark, sf_dir, "lineitem").select(
@@ -1187,34 +1243,58 @@ def q_spearman_corr_grouped(spark, sf_dir):
         F.floor(F.col("l_quantity") * 100).cast("bigint").alias("vx"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("vy"),
     )
-    # three consumers (both rank maps + the row join) and four prefix-
-    # helper prep jobs would each rescan the parquet projection —
+    # two consumers (the x-rank census + the per-row a attachment) —
     # persist for the plan's lifetime (released via cache.release_all)
     li = _track_cached(li.persist())
 
-    def rank_map(col: str, out: str):
-        cnts = li.groupBy("g", col).agg(F.count("*").cast("bigint").alias("cnt"))
-        pv = stable_prefix_sum(
-            cnts, order_cols=[col], value_col="cnt", group_cols=["g"],
-            out_col="below",
-        )
-        return pv.select(
-            "g", col,
-            (2 * F.col("below") + F.col("cnt") + 1)
-            .cast("decimal(38,0)").alias(out),
-        )
-
-    rx = rank_map("vx", "a")
-    ry = rank_map("vy", "b")
-    j = li.join(rx, ["g", "vx"]).join(ry, ["g", "vy"])
-    m = j.groupBy("g").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("a").alias("sa"),
-        F.sum("b").alias("sb"),
-        F.sum(F.col("a") * F.col("a")).alias("saa"),
-        F.sum(F.col("b") * F.col("b")).alias("sbb"),
-        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    # r14 optimization: every moment sum is computable on the COLLAPSED
+    # value domains — the former plan joined both rank maps back to all
+    # 600k rows (two row-scale shuffles) to re-aggregate per group. With
+    # midranks constant per (g, value), Σrows a·b = Σ_(g,vy) b·(Σ a of
+    # that cell), so one broadcast of the tiny x-rank map plus ONE
+    # (g, vy)-keyed aggregate carrying sum(a) replaces the join-back:
+    # the x moments come off the x census, the y moments and the cross
+    # moment off the y census. Identical integer sums ⇒ identical ρ.
+    cx = li.groupBy("g", "vx").agg(F.count("*").cast("bigint").alias("cnt"))
+    rx = stable_prefix_sum(
+        cx, order_cols=["vx"], value_col="cnt", group_cols=["g"],
+        out_col="below",
+    ).select(
+        "g", "vx", "cnt",
+        (2 * F.col("below") + F.col("cnt") + 1)
+        .cast("decimal(38,0)").alias("a"),
     )
+    mx = rx.groupBy("g").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("a")).cast("decimal(38,0)").alias("sa"),
+        F.sum(F.col("cnt") * F.col("a") * F.col("a"))
+        .cast("decimal(38,0)").alias("saa"),
+    )
+    # one narrow row pass: attach a (tiny broadcast), collapse onto the
+    # (g, vy) domain carrying cnt and sum(a) — the only row-scale shuffle
+    liy = _track_cached(
+        li.join(F.broadcast(rx.select("g", "vx", "a")), ["g", "vx"])
+        .groupBy("g", "vy")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("a").cast("decimal(38,0)").alias("sa_y"),
+        )
+        .persist()
+    )
+    ry = stable_prefix_sum(
+        liy, order_cols=["vy"], value_col="cnt", group_cols=["g"],
+        out_col="below",
+    ).withColumn(
+        "b",
+        (2 * F.col("below") + F.col("cnt") + 1).cast("decimal(38,0)"),
+    )
+    my = ry.groupBy("g").agg(
+        F.sum(F.col("cnt") * F.col("b")).cast("decimal(38,0)").alias("sb"),
+        F.sum(F.col("cnt") * F.col("b") * F.col("b"))
+        .cast("decimal(38,0)").alias("sbb"),
+        F.sum(F.col("sa_y") * F.col("b")).cast("decimal(38,0)").alias("sab"),
+    )
+    m = mx.join(my, "g")
     nn = F.col("n").cast("double")
     sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
     num = nn * F.col("sab").cast("double") - sa * sb

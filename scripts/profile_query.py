@@ -79,7 +79,8 @@ def main() -> int:
 
     def n_jobs() -> int:
         # nextJobId is the count of jobs submitted so far
-        return sc._jsc.sc().dagScheduler().nextJobId().get()
+        nid = sc._jsc.sc().dagScheduler().nextJobId()
+        return nid if isinstance(nid, int) else nid.get()
 
     rows = []
     for name in names:
@@ -106,10 +107,13 @@ def main() -> int:
             if best is None or rec["total_s"] < best["total_s"]:
                 best = rec
                 if explain_dir and it == 0:
+                    from database_fragmentation_and_query_processor_spark.plans import (
+                        final_explain_formatted,
+                    )
+
                     os.makedirs(explain_dir, exist_ok=True)
                     with open(os.path.join(explain_dir, f"{name}.txt"), "w") as fh:
-                        fh.write(df._sc._jvm.PythonSQLUtils.explainString(
-                            df._jdf.queryExecution(), "formatted"))
+                        fh.write(final_explain_formatted(fn(spark, sf_dir)))
             # drop persisted intermediates between runs (bench parity)
             try:
                 from database_fragmentation_and_query_processor_spark.cache import release_all

@@ -132,9 +132,22 @@ def test_theil_sen_pairs_live_on_the_daily_rollup():
     assert src.index("groupBy") < src.index(".join(")
 
 
-def test_theil_sen_result_is_literal(spark, sf_dir):
+def test_theil_sen_selection_is_bucketed(spark, sf_dir):
+    """r14 optimization: the k-th slope is found by bucket-count
+    selection (census over ≤4096 slope buckets, broadcast of the ONE
+    target bucket, in-bucket row_number), never by globally sorting the
+    C(n_days, 2) pair set and limiting to k ≈ n_pairs/2 — the r13
+    plan's dominant stage. n_days / n_pairs are arithmetic literals
+    (daily is distinct by construction ⇒ n_pairs = C(n_days, 2)), so
+    no count jobs run over the pair set either."""
+    src = inspect.getsource(EQ.q_theil_sen_trend)
+    assert "n_days * (n_days - 1) // 2" in src
     plan = _plan(spark, sf_dir, "theil_sen_trend")
-    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    # the former shape: orderBy(...).limit(k) over all pairs → a
+    # GlobalLimit/TakeOrdered of ~half the pair set
+    assert "TakeOrderedAndProject" not in plan
+    assert "GlobalLimit" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def test_hard_negative_mining_is_bucketed_struct_max(spark, sf_dir):
