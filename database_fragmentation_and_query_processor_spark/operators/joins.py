@@ -193,7 +193,12 @@ def bloom_semi_join(
     words = [0] * n_words
     for r in word_rows:
         words[r["w"]] = r["bits"]
-    bitset = F.array(*[F.lit(x).cast("bigint") for x in words])
+    # a TRUE array literal (r14): F.array(*lits) builds a CreateArray
+    # expression that codegen re-evaluates PER PROBE ROW — 1024 element
+    # writes per fact row at the default geometry. F.lit(list) embeds
+    # one constant ArrayType literal instead; probe cost drops to the
+    # two intended ops (array index + bit test).
+    bitset = F.lit(words).cast("array<bigint>")
 
     pre = fact.withColumn("_bs", bitset)
     cond = None

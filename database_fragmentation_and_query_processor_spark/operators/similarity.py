@@ -26,7 +26,10 @@ from ..functions.lattice import flr as _flr
 
 
 def _as_literal_vec(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vec])
+    # a TRUE array literal (r14): F.array(*lits) is a CreateArray that
+    # codegen re-evaluates per row — one 64-element array build per row
+    # per reference; F.lit(list) embeds one constant
+    return F.lit([float(v) for v in vec]).cast("array<double>")
 
 
 def brute_force_topk(
@@ -245,7 +248,7 @@ def lsh_topk_indexed(
 
 
 def _sq_l2(vec: Column, cent: list[float]) -> Column:
-    c = F.array(*[F.lit(float(v)) for v in cent])
+    c = F.lit([float(v) for v in cent]).cast("array<double>")  # constant, not per-row CreateArray
     return F.aggregate(
         F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
         F.lit(0.0),
@@ -429,7 +432,7 @@ def _adc_expr(
             sum((a - b) * (a - b) for a, b in zip(qsub, c)) for c in books[s]
         ]
         d = F.element_at(
-            F.array(*[F.lit(x) for x in adc]),
+            F.lit([float(x) for x in adc]).cast("array<double>"),
             F.element_at(F.col(codes_col), s + 1) + 1,
         )
         total = d if total is None else total + d
@@ -649,7 +652,9 @@ def pq_topk(
         code = nearest_centroid_expr(
             F.slice(F.col(vec_col), s * sub + 1, sub), books[s]
         )
-        d = F.element_at(F.array(*[F.lit(x) for x in adc]), code + 1)
+        d = F.element_at(
+            F.lit([float(x) for x in adc]).cast("array<double>"), code + 1
+        )
         total = d if total is None else total + d
     return (
         emb.select(F.col(id_col), _flr(total, 6).alias("pq_dist"))
@@ -713,7 +718,9 @@ def ivfpq_topk(
         code = nearest_centroid_expr(
             F.slice(F.col(vec_col), s * sub + 1, sub), books[s]
         )
-        d = F.element_at(F.array(*[F.lit(x) for x in adc]), code + 1)
+        d = F.element_at(
+            F.lit([float(x) for x in adc]).cast("array<double>"), code + 1
+        )
         total = d if total is None else total + d
     coarse = nearest_centroid_expr(F.col(vec_col), cents)
     return (

@@ -326,14 +326,21 @@ flatten(transform(sequence(1, {UNI_MAXLEN}), L ->
               s -> struct(CAST(s AS INT) AS s, substring(w, s, L) AS piece))
   ELSE CAST(array() AS array<struct<s:int,piece:string>>) END))
 """
+    # r14: only length ≥ 2 substrings are persisted — the vocabulary is
+    # seeded from the len≥2 mass table and every later consumer joins
+    # subs against a vocab whose pieces are len≥2 by construction (the
+    # greedy walk's single-char fallback comes from the walk expression
+    # itself, never from this table), so the len-1 rows — one per
+    # character position of every word — were cached and re-joined K+1
+    # times without ever surviving a join
     subs = _track_cached(
         wf.select("w", "freq", F.explode(F.expr(subs_expr)).alias("sp"))
         .select("w", "freq", F.col("sp.s").alias("s"), F.col("sp.piece").alias("piece"))
+        .where(F.length("piece") >= 2)
         .persist()
     )
     mass = _track_cached(
-        subs.where(F.length("piece") >= 2)
-        .groupBy("piece")
+        subs.groupBy("piece")
         .agg(F.sum("freq").cast("bigint").alias("cnt"))
         .persist()
     )
@@ -2914,7 +2921,7 @@ def q_kcenter_coreset(spark, sf_dir):
     pts = _track_cached(emb.select("vec_id", qe.alias("qe")).persist())
 
     def dist_to(center):
-        arr = F.array(*[F.lit(int(v)).cast("bigint") for v in center])
+        arr = F.lit([int(v) for v in center]).cast("array<bigint>")  # constant, not per-row CreateArray
         return F.aggregate(
             F.zip_with(F.col("qe"), arr, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
@@ -2937,19 +2944,18 @@ def q_kcenter_coreset(spark, sf_dir):
     for k in range(2, KCENTER_PICKS + 1):
         dists = [dist_to(c) for c in centers]
         md = F.least(*dists) if len(dists) > 1 else dists[0]
+        # the argmax row CARRIES the picked center's quantized vector
+        # (r14): one TakeOrdered job per round instead of argmax + a
+        # second lookup job — the extra payload is EMB_DIM bigints on a
+        # single gathered row
         row = (
-            pts.select("vec_id", md.alias("md"))
+            pts.select("vec_id", "qe", md.alias("md"))
             .orderBy(F.desc("md"), F.asc("vec_id"))
             .limit(1)
             .head()
         )
         picks.append((k, int(row["vec_id"]), int(row["md"])))
-        cvec = (
-            pts.where(F.col("vec_id") == int(row["vec_id"]))
-            .select("qe")
-            .head()["qe"]
-        )
-        centers.append(list(cvec))
+        centers.append(list(row["qe"]))
     return spark.createDataFrame(
         picks, "pick_order bigint, vec_id bigint, dist_sq bigint"
     ).orderBy("pick_order")
@@ -3454,7 +3460,7 @@ def q_coverage_greedy_selection(spark, sf_dir):
             newcov
             if covered is None
             else covered.union(newcov).distinct()
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # next round's head() materializes it
     return spark.createDataFrame(
         picks,
         "pick_order bigint, doc_id bigint, gain bigint, covered_total bigint",
@@ -4524,7 +4530,7 @@ def q_adamic_adar_linkpred(spark, sf_dir):
     from ..operators.graph import bidirectional
 
     edges = _copurchase_edges(spark, sf_dir)
-    e = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    e = edges.select("id_a", "id_b").localCheckpoint(eager=False)  # bidirectional's own eager checkpoint materializes it
     bidir = bidirectional(e).toDF("src", "dst")
     deg = bidir.groupBy("src").agg(F.count("*").cast("bigint").alias("deg"))
     lat = F.lit(float(NLL_LATTICE))

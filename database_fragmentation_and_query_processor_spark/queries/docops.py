@@ -1606,7 +1606,10 @@ def q_semantic_dedup(spark, sf_dir):
     assigned = (
         corpus.withColumn("list_id", S.nearest_centroid_expr(F.col("v"), cents))
         .withColumn("nrm", V.norm(F.col("v")))
-        .localCheckpoint(eager=True)
+        # lazy (r14): the consuming action materializes it once under
+        # the block-manager's partition locks — same single evaluation,
+        # one blocking build job less
+        .localCheckpoint(eager=False)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
@@ -2396,9 +2399,9 @@ def q_approx_quantile_audit(spark, sf_dir):
     ).select(
         F.posexplode(
             F.arrays_zip(
-                F.array(*[F.lit(p) for p in ps]).alias("p"),
+                F.lit([float(p) for p in ps]).cast("array<double>").alias("p"),
                 F.col("av").alias("av"),
-                F.array(*[F.lit(float(v)) for v in evals]).alias("ev"),
+                F.lit([float(v) for v in evals]).cast("array<double>").alias("ev"),
             )
         ).alias("i", "z"),
         "n",

@@ -1923,8 +1923,8 @@ def q_ann_sq8_topk(spark, sf_dir):
     ]
     mins, maxs = _sq8_minmax(spark, sf_dir)
     spans = [(mx - mn) / float(SQ8_LEVELS) for mn, mx in zip(mins, maxs)]
-    mins_arr = F.array(*[F.lit(float(m)).cast("double") for m in mins])
-    spans_arr = F.array(*[F.lit(float(s)).cast("double") for s in spans])
+    mins_arr = F.lit([float(m) for m in mins]).cast("array<double>")
+    spans_arr = F.lit([float(s) for s in spans]).cast("array<double>")
     diff = F.zip_with(
         F.col("embedding").cast("array<double>"), mins_arr, lambda v, m: v - m
     )
@@ -1940,7 +1940,7 @@ def q_ann_sq8_topk(spark, sf_dir):
         mins_arr,
         lambda x, m: x + m,
     )
-    qlit = F.array(*[F.lit(v).cast("double") for v in qvec])
+    qlit = F.lit([float(v) for v in qvec]).cast("array<double>")
     scored = emb.select(
         "vec_id", _flr(V.cosine(vhat, qlit), 6).alias("cosine_sim")
     )

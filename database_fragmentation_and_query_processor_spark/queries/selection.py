@@ -868,6 +868,11 @@ def q_logreg_newton(spark, sf_dir):
             ).cast("bigint") % 7
         ).cast("double").alias("x2"),
     ).withColumn("x2", F.col("x2") / 7.0)
+    # persisted (r14): LOGREG_STEPS+1 sequential full-pass aggregates
+    # consume the same 3-column projection — cache it once instead of
+    # re-scanning the parquet (and re-deriving the feature chains) per
+    # Newton step
+    o = _track_cached(o.persist())
 
     def step_moments(b0, b1, b2):
         z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
