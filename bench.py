@@ -488,6 +488,33 @@ def compact_summary(out: dict) -> dict:
     return compact
 
 
+def scan_split_bytes(sf_dir: str, cpus: int) -> int:
+    """Scale-ADAPTIVE parquet split size (guide §6.1 + §2.2, r14): aim
+    for ~2 scan waves per core over the warehouse's total bytes, clamped
+    to [1 MB, 128 MB]. At test scale the default 128 MB split makes
+    every table a SINGLE scan task (lineitem at sf0.1 is 11 MB), so all
+    scan-stage map work — md5 fans, shingling, explodes, partial
+    aggregates — serialized on one core; at warehouse scale the formula
+    saturates at the stock 128 MB, so cluster plans are unchanged. A
+    derived value, not a local-mode constant: the same formula yields
+    the production default on production inputs."""
+    total = 0
+    try:
+        for name in os.listdir(sf_dir):
+            p = os.path.join(sf_dir, name)
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+            elif os.path.isdir(p):
+                for f in os.listdir(p):
+                    fp = os.path.join(p, f)
+                    if os.path.isfile(fp):
+                        total += os.path.getsize(fp)
+    except OSError:
+        return 128 * 1024 * 1024
+    per_task = total // max(2 * cpus, 1)
+    return max(1024 * 1024, min(per_task, 128 * 1024 * 1024))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -499,6 +526,8 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes",
+                str(scan_split_bytes(sf_dir, int(cpus))))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -1135,7 +1135,15 @@ def q_poisson_bootstrap_ci(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_orders"),
         _flr(F.sum("cents").cast("double") / (F.count("*") * 100.0), 6).alias("true_mean"),
     )
-    b = o.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))))
+    # widen before the 32-way replicate fan-out (r14): the md5-lattice
+    # weight is the query's CPU kernel (B md5+conv per order) and runs
+    # in the SCAN stage — a few-split orders scan would serialize it on
+    # a few cores; no-op on cluster-scale scans (operators/scaling.py)
+    from ..operators.scaling import widen
+
+    b = widen(o, key="o_orderkey").withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1)))
+    )
     u = F.conv(
         F.substring(
             F.md5(

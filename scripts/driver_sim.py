@@ -35,11 +35,15 @@ def main() -> int:
     from oracle_harness import compare, duck_connection
 
     aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
+    from bench import scan_split_bytes  # same adaptive split as the bench
+
     spark = (
         SparkSession.builder.appName("dfqp-driver-sim")
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.files.maxPartitionBytes",
+                str(scan_split_bytes(sf_dir, int(cpus))))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -45,6 +45,7 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    from bench import scan_split_bytes
     from database_fragmentation_and_query_processor_spark import entry_queries as EQ
 
     spark = (
@@ -54,6 +55,8 @@ def main() -> int:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes",
+                str(scan_split_bytes(sf_dir, int(cpus))))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

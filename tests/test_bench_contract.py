@@ -116,3 +116,26 @@ def test_quiet_record_covers_the_registry():
         - set(getattr(EQ, "_R14_ADDED", []))
     )
     assert not missing, missing
+
+
+def test_scan_split_bytes_is_scale_adaptive(tmp_path):
+    """r14: the bench derives the parquet split size from the
+    warehouse's total bytes (≈2 scan waves per core, clamped to
+    [1 MB, 128 MB]) — small fixtures parallelize their scan-stage map
+    work, while at warehouse scale the formula returns the stock
+    128 MB so cluster plans are untouched."""
+    import bench
+
+    mb = 1024 * 1024
+    # tiny fixture → floor clamp
+    (tmp_path / "t.parquet").write_bytes(b"x" * 1000)
+    assert bench.scan_split_bytes(str(tmp_path), 32) == mb
+    # mid-size: total/(2*cpus), inside the clamp band
+    (tmp_path / "big.parquet").write_bytes(b"x" * (256 * mb))
+    got = bench.scan_split_bytes(str(tmp_path), 32)
+    assert mb <= got <= 128 * mb
+    assert got == (256 * mb + 1000) // 64
+    # huge warehouse (simulated by cpus=1) → ceiling clamp = stock 128 MB
+    assert bench.scan_split_bytes(str(tmp_path), 1) == 128 * mb
+    # unreadable dir → stock default, never an exception
+    assert bench.scan_split_bytes(str(tmp_path / "nope"), 32) == 128 * mb
