@@ -1987,9 +1987,15 @@ def q_item_cooccurrence_topk(spark, sf_dir):
     top-k. All counts are exact integers; the cosine is the only
     float, rounded, with (i, j) tie-breaks."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # persisted (r14, matching association_rules_lift): the distinct
+    # basket table feeds the guard, BOTH self-join sides, and the item
+    # totals — unpersisted, each consumer re-paid the lineitem scan +
+    # distinct shuffle
+    items = _track_cached(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+        ).distinct().persist()
+    )
     oversized = (
         items.groupBy("ok")
         .agg(F.count("*").alias("n_items"))
