@@ -488,31 +488,95 @@ def compact_summary(out: dict) -> dict:
     return compact
 
 
+def _largest_row_group_bytes(sf_dir: str) -> int:
+    """Largest parquet row-group (compressed bytes) across the
+    warehouse — footer metadata only, no data read. A scan split
+    smaller than a row group cannot add parallelism: Spark assigns each
+    row group whole to the one split owning its midpoint, so sub-group
+    splits only add empty tasks (and, on Python-boundary scans, idle
+    worker launches). Returns 0 when pyarrow or the footers are
+    unavailable — callers fall back to their own floor."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return 0
+    largest = 0
+    for dirpath, _dirs, files in os.walk(sf_dir):
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(dirpath, name)).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    largest = max(
+                        largest,
+                        sum(
+                            rg.column(j).total_compressed_size
+                            for j in range(rg.num_columns)
+                        ),
+                    )
+            except Exception:
+                continue
+    return largest
+
+
 def scan_split_bytes(sf_dir: str, cpus: int) -> int:
-    """Scale-ADAPTIVE parquet split size (guide §6.1 + §2.2, r14): aim
-    for ~2 scan waves per core over the warehouse's total bytes, clamped
-    to [1 MB, 128 MB]. At test scale the default 128 MB split makes
-    every table a SINGLE scan task (lineitem at sf0.1 is 11 MB), so all
-    scan-stage map work — md5 fans, shingling, explodes, partial
-    aggregates — serialized on one core; at warehouse scale the formula
-    saturates at the stock 128 MB, so cluster plans are unchanged. A
-    derived value, not a local-mode constant: the same formula yields
-    the production default on production inputs."""
+    """Scale-ADAPTIVE parquet split size (guide §6.1 + §2.2, r14;
+    r15 adds the row-group floor the r14 verdict ordered): aim for ~2
+    scan waves per core over the warehouse's total bytes, clamped to
+    [row-group floor, 128 MB].
+
+    The floor (r15): never split below the warehouse's largest parquet
+    row group. r14's flat 1 MB floor over-fragmented single-row-group
+    tables — a split below the row-group size cannot parallelize the
+    scan (the one split owning the group's midpoint reads ALL rows; the
+    rest are empty tasks), and the r15 A/B showed the empty tasks are
+    pure regression on Python-boundary and blob/text-decode scans
+    (multimodal_audio_windows 1.30s @1 MB vs 0.83s @128 MB;
+    containment_pairs 6.70s vs 3.62s — min of 3, c32). Multi-FILE
+    directories (warehouse fragments, artifact dirs) keep their
+    per-file parallelism at any floor ≤ openCostInBytes-packing size.
+    At warehouse scale total/(2·cores) saturates at the stock 128 MB
+    before any footer is read, so cluster plans are unchanged — a
+    derived value, not a local-mode constant."""
+    stock = 128 * 1024 * 1024
     total = 0
     try:
-        for name in os.listdir(sf_dir):
-            p = os.path.join(sf_dir, name)
-            if os.path.isfile(p):
-                total += os.path.getsize(p)
-            elif os.path.isdir(p):
-                for f in os.listdir(p):
-                    fp = os.path.join(p, f)
-                    if os.path.isfile(fp):
-                        total += os.path.getsize(fp)
+        for dirpath, _dirs, files in os.walk(sf_dir):
+            for name in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, name))
+                except OSError:
+                    continue
+        if not os.path.isdir(sf_dir):
+            return stock
     except OSError:
-        return 128 * 1024 * 1024
+        return stock
     per_task = total // max(2 * cpus, 1)
-    return max(1024 * 1024, min(per_task, 128 * 1024 * 1024))
+    if per_task >= stock:
+        return stock  # warehouse scale: stock split, skip footer walk
+    floor = max(1024 * 1024, min(_largest_row_group_bytes(sf_dir), stock))
+    return max(floor, min(per_task, stock))
+
+
+def _current_round(repo_dir: str) -> int:
+    """The round currently being benched = 1 + the highest round whose
+    driver artifact (BENCH_r<N>*.json) is already committed at the repo
+    root. Derived, not configured: the driver writes BENCH_r<N>.json
+    AFTER the round's bench runs, so during round N the max on disk is
+    N-1."""
+    import re
+
+    best = 0
+    try:
+        for name in os.listdir(repo_dir):
+            m = re.match(r"BENCH_r(\d+)", name)
+            if m:
+                best = max(best, int(m.group(1)))
+    except OSError:
+        pass
+    return best + 1
 
 
 def main() -> None:
@@ -682,14 +746,23 @@ def main() -> None:
         pass
     update_quiet(sf, timings, retimed)
     print(json.dumps(out))
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_FULL.json")
-    try:
-        with open(full_path, "w") as f:
-            json.dump(out, f)
-            f.write("\n")
-    except OSError as exc:
-        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+    # Full per-query record, twice (r14 verdict task 2 — the PERF
+    # per_query comparison came back empty because the c8 run CLOBBERED
+    # the c32 run's BENCH_FULL.json): the legacy un-suffixed file keeps
+    # existing consumers working, and a per-round, core-count-suffixed
+    # copy (BENCH_FULL_r<N>_c<cpus>.json) survives multi-core-count
+    # driver runs so rounds stay diffable per query.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_FULL.json",
+                  f"BENCH_FULL_r{_current_round(repo)}_c{int(cpus)}.json"):
+        full_path = os.path.join(repo, fname)
+        try:
+            with open(full_path, "w") as f:
+                json.dump(out, f)
+                f.write("\n")
+        except OSError as exc:
+            print(f"bench: could not write {full_path}: {exc}",
+                  file=sys.stderr)
     print(json.dumps(compact_summary(out)))
     spark.stop()
 

@@ -325,6 +325,7 @@ def near_dup_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard — the standard
     generate-then-verify near-dup pipeline.
@@ -334,8 +335,17 @@ def near_dup_pairs(
     the shingle expression per join side, which multiplies both runtime
     and codegen cost). At scale the persisted set df is O(corpus
     tokens) but streams from disk; the band join only ever shuffles
-    (id, band, bucket) tuples."""
-    base = track(shingle_sets(df, id_col, text_col, shingle_n).persist())
+    (id, band, bucket) tuples.
+
+    ``shingle_df`` (r15): a caller that ALSO needs the shingle sets —
+    near_dup_audit's exact ground-truth side shares the identical
+    substrate — passes its own (id, shingle_set) frame (must be exactly
+    ``shingle_sets(df, id_col, text_col, shingle_n)``, extra columns
+    ignored, already persisted by the caller) so the corpus is shingled
+    once per query instead of once per consumer."""
+    base = (shingle_df.select("id", "shingle_set")
+            if shingle_df is not None
+            else track(shingle_sets(df, id_col, text_col, shingle_n).persist()))
     cands = minhash_lsh_candidates(df, id_col, text_col, k, bands, shingle_df=base)
     a = base.select(F.col("id").alias("id_a"), F.col("shingle_set").alias("ss_a"))
     b = base.select(F.col("id").alias("id_b"), F.col("shingle_set").alias("ss_b"))
@@ -360,11 +370,19 @@ def blocked_jaccard_pairs(
     shingle_n: int = 3,
     sample_frac: float | None = None,
     max_block_docs: int | None = None,
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup with cheap blocking (no LSH): all
     pairs *within a blocking key* are verified, so recall is total
     inside a block and zero across blocks. Complements MinHash-LSH
     (probabilistic recall, no blocking assumption).
+
+    ``shingle_df`` (r15): a precomputed, persisted (id, *block_cols,
+    shingle_set) substrate — must be exactly the aliased id, the block
+    columns, and ``array_distinct(shingles(text, shingle_n))``. Lets
+    near_dup_audit share ONE shingle computation between its LSH and
+    exact sides instead of re-shingling the corpus per consumer (and,
+    unpersisted, once per self-join side).
 
     The self-join shuffles on the blocking key — pick keys whose group
     sizes stay bounded as the corpus grows (language alone is fine for
@@ -391,11 +409,18 @@ def blocked_jaccard_pairs(
     pass ``sample_frac``. Failing fast here costs one metadata-sized
     job; failing slow costs a corpus-squared shuffle.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("ss"),
-    )
+    if shingle_df is not None:
+        base = shingle_df.select(
+            "id",
+            *[F.col(c) for c in block_cols],
+            F.col("shingle_set").alias("ss"),
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in block_cols],
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("ss"),
+        )
     if sample_frac is not None:
         if not 0.0 < sample_frac <= 1.0:
             raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")

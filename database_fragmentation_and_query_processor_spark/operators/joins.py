@@ -193,11 +193,11 @@ def bloom_semi_join(
     words = [0] * n_words
     for r in word_rows:
         words[r["w"]] = r["bits"]
-    # a TRUE array literal (r14): F.array(*lits) builds a CreateArray
-    # expression that codegen re-evaluates PER PROBE ROW — 1024 element
-    # writes per fact row at the default geometry. F.lit(list) embeds
-    # one constant ArrayType literal instead; probe cost drops to the
-    # two intended ops (array index + bit test).
+    # array literal via F.lit(list) (r14; comment corrected per r14
+    # ADVICE): PySpark expands lit(list) to array(*[lit(x)…]) and
+    # Catalyst constant-folds BOTH forms to the same ArrayType literal,
+    # so this is equivalent to F.array(*lits) after optimization — kept
+    # as the clearer spelling of "one constant array", not a perf fix.
     bitset = F.lit(words).cast("array<bigint>")
 
     pre = fact.withColumn("_bs", bitset)

@@ -26,6 +26,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _reject_reserved(df: DataFrame, names: tuple[str, ...]) -> None:
+    """These operators inject temporary columns mid-plan; an input
+    frame already carrying one would alias-collide into ambiguous
+    references or a wrong join condition (r14 ADVICE) — fail loudly."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with reserved temporaries "
+            f"{list(names)}; rename them before calling"
+        )
+
+
 def stable_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -42,7 +54,13 @@ def stable_row_number(
     bucket. Buckets are computed from fixed arithmetic on the leading
     key, so the assignment is deterministic across jobs and
     re-executions (a data-sampled ``repartitionByRange`` would not be).
+
+    Reserved column names (r14 ADVICE): the plan temporarily injects
+    ``_bk``, ``_rn_c``, ``_rn_tb``, ``_rn_base`` into the caller's
+    frame; an input already carrying one of these would alias-collide,
+    so it is rejected loudly here.
     """
+    _reject_reserved(df, ("_bk", "_rn_c", "_rn_tb", "_rn_base"))
     spark = df.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
     lead = order_cols[0]
@@ -120,7 +138,17 @@ def stable_prefix_sum(
     GROUP values are supported: the base re-attachment join is
     null-SAFE on the group columns, so a null group gets its own
     correct running sum.
+
+    Reserved column names (r14 ADVICE): the plan temporarily injects
+    ``_bk``, ``_ps_s``, ``_ps_tb``, ``_ps_base`` and ``_ps_g<i>`` (one
+    per group column) into the caller's frame; inputs carrying any of
+    these are rejected loudly.
     """
+    _reject_reserved(
+        df,
+        ("_bk", "_ps_s", "_ps_tb", "_ps_base")
+        + tuple(f"_ps_g{i}" for i in range(len(group_cols or []))),
+    )
     spark = df.sparkSession
     n = n_buckets or spark.sparkContext.defaultParallelism
     gcols = list(group_cols or [])

@@ -26,9 +26,10 @@ from ..functions.lattice import flr as _flr
 
 
 def _as_literal_vec(vec: list[float]) -> Column:
-    # a TRUE array literal (r14): F.array(*lits) is a CreateArray that
-    # codegen re-evaluates per row — one 64-element array build per row
-    # per reference; F.lit(list) embeds one constant
+    # F.lit(list) (r14; comment corrected per r14 ADVICE): PySpark
+    # expands this to array(*[lit(x)…]) and Catalyst constant-folds
+    # both spellings to the identical array literal — equivalent to
+    # F.array(*lits), kept as the clearer one-constant spelling
     return F.lit([float(v) for v in vec]).cast("array<double>")
 
 
@@ -248,7 +249,7 @@ def lsh_topk_indexed(
 
 
 def _sq_l2(vec: Column, cent: list[float]) -> Column:
-    c = F.lit([float(v) for v in cent]).cast("array<double>")  # constant, not per-row CreateArray
+    c = F.lit([float(v) for v in cent]).cast("array<double>")  # constant-folded array literal
     return F.aggregate(
         F.zip_with(vec, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
         F.lit(0.0),

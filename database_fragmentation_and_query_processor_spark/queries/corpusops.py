@@ -1617,14 +1617,17 @@ def q_exact_substr_incremental(spark, sf_dir):
             ),
         ).select("doc_id", "pos", T.token_hash(F.col("gram")).alias("h"))
 
+    # The standing-corpus index feeds exactly ONE consumer (the left
+    # join into `u`), so it is NOT persisted (r15; guide §5 — the r14
+    # persist materialized an O(corpus-windows) cache for a single
+    # read). What IS persisted is `probed` below — the batch-sized
+    # frame both downstream branches (removed spans, stolen spans)
+    # consume — so the whole corpus-scan → index-agg → join pipeline
+    # runs once instead of once per branch.
     _, wins_old = _wins(docs.where(~is_new))
-    index = _track_cached(
-        wins_old.groupBy("h")
-        .agg(
-            F.count("*").cast("bigint").alias("c_old"),
-            F.min(F.struct("doc_id", "pos")).alias("first_old"),
-        )
-        .persist()
+    index = wins_old.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("c_old"),
+        F.min(F.struct("doc_id", "pos")).alias("first_old"),
     )
     batch_base0, wins_new0 = _wins(docs.where(is_new))
     batch_base = _track_cached(batch_base0.persist())
@@ -1647,7 +1650,7 @@ def q_exact_substr_incremental(spark, sf_dir):
         .otherwise(F.col("first_old"))
         .alias("first_tot"),
     )
-    probed = wins_new.join(u, "h")
+    probed = _track_cached(wins_new.join(u, "h").persist())
     removed = (
         probed.where(
             (F.col("c_tot") >= 2)
@@ -2921,7 +2924,7 @@ def q_kcenter_coreset(spark, sf_dir):
     pts = _track_cached(emb.select("vec_id", qe.alias("qe")).persist())
 
     def dist_to(center):
-        arr = F.lit([int(v) for v in center]).cast("array<bigint>")  # constant, not per-row CreateArray
+        arr = F.lit([int(v) for v in center]).cast("array<bigint>")  # constant-folded array literal
         return F.aggregate(
             F.zip_with(F.col("qe"), arr, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("bigint"),
@@ -3720,15 +3723,25 @@ def q_grid_density_clusters(spark, sf_dir):
 
     Exactness: cells, densities, the core predicate, and adjacency are
     pure integers; cluster id = min encoded cell id in the component
-    (recursive-CTE transitive closure in the oracle, min-label
-    propagation in Spark — dedup_clusters' convention); isolated core
-    cells are their own single-cell clusters in both engines. Scale
-    shape: one embedding scan → one (cx, cy) aggregate (bounded by the
-    occupied-grid size, ≪ N); the core-cell self-join and the CC loop
-    run on the CORE-CELL domain only — constant-bounded by the grid,
-    never corpus-sized."""
-    from ..operators.graph import connected_components
+    (recursive-CTE transitive closure in the oracle, a bounded
+    union-find here — identical min-id labels); isolated core cells are
+    their own single-cell clusters in both engines. Scale shape: one
+    embedding scan → one (cx, cy) aggregate (bounded by the
+    occupied-grid size, ≪ N); the component merge runs on the
+    CORE-CELL domain only — constant-bounded by the grid, never
+    corpus-sized.
 
+    Component labels via ONE bounded driver pre-pass (r15): the r14
+    shape ran min-label propagation over the core-cell adjacency —
+    adjacent cells form LONG GRID CHAINS, so convergence took ~100
+    driver-blocking rounds (O(diameter), ~50 Spark jobs of pure
+    per-round overhead on a few-hundred-row table). The core-cell
+    domain is the query's own declared scale contract (grid-bounded,
+    corpus-size-FREE — the same class as the kmeans quantizer's
+    n_lists×dim driver state), so the closure is solved exactly once:
+    collect (cell_id, cx, cy), union-find with min-root labels, ship
+    the (node, label) table back. Guarded loudly if the domain ever
+    stops being grid-bounded."""
     emb = _emb(spark, sf_dir)
     cx = F.floor(F.element_at("embedding", 1).cast("double") * GRID_SCALE)
     cy = F.floor(F.element_at("embedding", 2).cast("double") * GRID_SCALE)
@@ -3756,24 +3769,46 @@ def q_grid_density_clusters(spark, sf_dir):
         )
     )
     core = _track_cached(core.persist())
-    a, b = core.alias("a"), core.alias("b")
-    edges = a.join(
-        b,
-        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-        & (F.col("a.cell_id") < F.col("b.cell_id")),
-    ).select(
-        F.col("a.cell_id").alias("id_a"), F.col("b.cell_id").alias("id_b")
+    # bounded union-find on the grid domain (r15; replaces the r14
+    # O(diameter)-round relational CC loop AND its O(core²) non-equi
+    # adjacency self-join): adjacency probes the 8 neighbor coordinates
+    # of each cell in a dict — O(9·core) integer lookups, one driver
+    # pass, exact min-id component labels
+    core_rows = core.select("cell_id", "cx", "cy").collect()
+    if len(core_rows) > (1 << 18):
+        raise RuntimeError(
+            f"grid_density_clusters: {len(core_rows)} core cells exceed "
+            f"the grid-bounded domain contract (GRID_SCALE={GRID_SCALE} "
+            f"⇒ the occupied grid, not the corpus, bounds this set) — "
+            f"the embedding coordinates are no longer range-bounded; "
+            f"re-derive the bound before raising the guard"
+        )
+    by_pos = {(r["cx"], r["cy"]): r["cell_id"] for r in core_rows}
+    parent = {cid: cid for cid in by_pos.values()}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (gx, gy), cid in by_pos.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = by_pos.get((gx + dx, gy + dy))
+                if nb is not None and nb != cid:
+                    ra, rb = _find(cid), _find(nb)
+                    if ra != rb:
+                        # min root wins ⇒ every root IS its component's
+                        # min id — the oracle's label convention
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra
+    labels = spark.createDataFrame(
+        [(cid, _find(cid)) for cid in sorted(parent)],
+        "node bigint, label bigint",
     )
-    # cell chains on a fine grid can exceed the default 20-round cap;
-    # the oracle's recursive closure is exact, so match it (the loop
-    # still exits early on convergence — clusters are few rounds deep)
-    cc = connected_components(edges, max_iter=256)
-    isolated = core.join(
-        cc.select(F.col("node").alias("cell_id")), "cell_id", "left_anti"
-    ).select(F.col("cell_id").alias("node"), F.col("cell_id").alias("label"))
-    labels = cc.unionByName(isolated)
-    j = core.join(labels, core.cell_id == labels.node)
+    j = core.join(F.broadcast(labels), core.cell_id == labels.node)
     return (
         j.groupBy(F.col("label").alias("cluster_id"))
         .agg(

@@ -1583,7 +1583,9 @@ def q_streaming_attribution(spark, sf_dir):
     purchases = s.where(F.col("event_type") == "purchase")
     return run_available_now_append(
         stream_stream_attribution(clicks, purchases), spark,
-        state_partitions=STREAM_STATE_SHARDS,
+        # join-specific shard sizing (r15): a stream-stream join opens
+        # 4 state stores per shard per batch — see _stream_join_shards
+        state_partitions=_stream_join_shards(sf_dir),
     )
 
 
@@ -2187,21 +2189,38 @@ def q_near_dup_audit(spark, sf_dir):
     is quadratic WITHIN a block, so the query asserts (cheap pre-agg)
     that no (lang, len_bucket) block exceeds the cap before launching
     the pair join — at corpus scale the operator must pass a
-    ``sample_frac`` stratum instead of loosening the cap."""
+    ``sample_frac`` stratum instead of loosening the cap.
+
+    Substrate sharing (r15, guide §2.3/§5): the LSH side and the exact
+    side consume the IDENTICAL shingle sets, so ONE persisted
+    (id, lang, len_bucket, shingle_set) frame feeds both — previously
+    the corpus was shingled three times (once persisted for LSH, once
+    per exact self-join side)."""
     docs = _docs_with_dups(spark, sf_dir)
+    d2 = docs.withColumn("len_bucket", F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)))
+    base = _track_cached(
+        d2.select(
+            F.col("doc_id").alias("id"),
+            "lang",
+            "len_bucket",
+            F.array_distinct(
+                D.shingles(F.col("text"), SHINGLE_N)
+            ).alias("shingle_set"),
+        ).persist()
+    )
     lsh = (
         D.near_dup_pairs(
-            docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K, bands=MINHASH_BANDS
+            docs, threshold=NEAR_DUP_THRESHOLD, k=MINHASH_K,
+            bands=MINHASH_BANDS, shingle_df=base,
         )
         .select("id_a", "id_b")
         .withColumn("in_lsh", F.lit(True))
     )
-    d2 = docs.withColumn("len_bucket", F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)))
     exact = (
         D.blocked_jaccard_pairs(
             d2, block_cols=("lang", "len_bucket"),
             threshold=NEAR_DUP_THRESHOLD, shingle_n=SHINGLE_N,
-            max_block_docs=AUDIT_MAX_BLOCK_DOCS,
+            max_block_docs=AUDIT_MAX_BLOCK_DOCS, shingle_df=base,
         )
         .select("id_a", "id_b")
         .withColumn("in_exact", F.lit(True))

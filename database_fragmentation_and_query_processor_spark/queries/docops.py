@@ -2661,7 +2661,9 @@ def q_streaming_louter_attribution(spark, sf_dir):
     rows = run_available_now_append(
         stream_stream_attribution_outer(clicks, purchases),
         spark,
-        state_partitions=STREAM_STATE_SHARDS,
+        # join-specific shard sizing (r15): a stream-stream join opens
+        # 4 state stores per shard per batch — see _stream_join_shards
+        state_partitions=_stream_join_shards(sf_dir),
     ).where(F.col("user_id") >= 0)
     return rows.agg(
         F.count("*").cast("bigint").alias("n_rows"),
@@ -3612,7 +3614,12 @@ def q_doc_topic_clusters(spark, sf_dir):
         "doc_id",
         F.array_repeat(F.lit(0.0), TFH_DIM).alias("v"),
     )
-    corpus = vec.unionByName(zeros)
+    # persisted (r15, guide §5): the feature-hash substrate is consumed
+    # THREE times — the quantizer's seed collect, its Lloyd-step means
+    # collect, and the final assignment scan — and each consumption
+    # otherwise re-runs the token explode + two shuffles + the
+    # zero-vector anti-join from the parquet
+    corpus = _track_cached(vec.unionByName(zeros).persist())
     cents = S.kmeans_centroids(
         corpus, n_lists=TFH_LISTS, iters=1, id_col="doc_id", vec_col="v"
     )

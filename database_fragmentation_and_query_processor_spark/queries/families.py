@@ -1492,6 +1492,28 @@ GROUP BY band_name
 STREAM_STATE_SHARDS = 8
 
 
+def _stream_join_shards(sf_dir: str) -> int:
+    """State shards for stream-stream JOIN replays, derived from the
+    events fixture's row count (parquet FOOTER read — no Spark job).
+
+    A stream-stream join opens FOUR state stores per shard per
+    micro-batch (two sides × keyed/value stores), so its per-shard init
+    cost is ~4× an aggregation's and the break-even shard size is
+    correspondingly larger: one shard per ~50k source rows, floor 2
+    (never serialize below two tasks), cap 256 (the r15 A/B at sf0.1 —
+    100k events — read 3.55s@2 / 4.70s@8 / 5.96s@16 on the louter
+    replay, while the AGGREGATION replays were flat-to-worse below 8,
+    so only the join queries use this). A derived value: at warehouse
+    scale the same rule yields hundreds of shards."""
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    except Exception:
+        return STREAM_STATE_SHARDS
+    return max(2, min(256, n // 50_000))
+
+
 def q_streaming_hourly(spark, sf_dir):
     """Structured Streaming (AvailableNow) hourly rollup — must equal
     the batch hourly aggregate (same oracle as events_hourly)."""

@@ -868,11 +868,13 @@ def q_logreg_newton(spark, sf_dir):
             ).cast("bigint") % 7
         ).cast("double").alias("x2"),
     ).withColumn("x2", F.col("x2") / 7.0)
-    # persisted (r14): LOGREG_STEPS+1 sequential full-pass aggregates
-    # consume the same 3-column projection — cache it once instead of
-    # re-scanning the parquet (and re-deriving the feature chains) per
-    # Newton step
-    o = _track_cached(o.persist())
+    # NOT persisted (r15, reverting r14; verdict task 6): the isolated
+    # same-session A/B read 3.89s persisted vs 3.39s unpersisted (min
+    # of 4, c32, sf0.1) — at this width the cache materialization costs
+    # more than three column-pruned parquet re-scans of the 3-column
+    # projection, and each Newton aggregate is map-side-combinable
+    # anyway. At 100 TB the same holds: the scan is the cheap part of
+    # a decimal-sum aggregate pass.
 
     def step_moments(b0, b1, b2):
         z = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")

@@ -114,7 +114,15 @@ def q_bpe_merge_learning(spark, sf_dir):
         ).alias("s"),
         "freq",
     )
-    state = base.persist()
+    # Singleton words never re-enter the merge selection: a state
+    # string with ONE symbol has no adjacent pair (pairs already filter
+    # size≥2) and no future replace can split it — so they leave the
+    # iterated state entirely (r15, guide §2.3: shuffle/persist fewer
+    # bytes per step). BPE's argmax reads pair counts only, so the
+    # merge table is identical; the multi-symbol filter is a cheap
+    # contains() on the two-space separator.
+    multi = F.col("s").contains("  ")
+    state = base.where(multi).persist()
     prev = None  # predecessor frontier: released only AFTER the next
     # step's collect has materialized its successor (no count() jobs)
     merges: list[tuple[int, str, str, int]] = []
@@ -158,7 +166,7 @@ def q_bpe_merge_learning(spark, sf_dir):
                     F.lit(_bpe_wrap(a + b)),
                 ).alias("s"),
                 "freq",
-            ).persist()
+            ).where(multi).persist()
             prev, state = state, nxt
     finally:
         state.unpersist()

@@ -80,32 +80,39 @@ def main() -> int:
     except Exception as exc:
         print(f"profile: ANN warm-up skipped: {exc}", file=sys.stderr)
 
-    def n_jobs() -> int:
-        # nextJobId is the count of jobs submitted so far
-        nid = sc._jsc.sc().dagScheduler().nextJobId()
-        return nid if isinstance(nid, int) else nid.get()
+    # Job counting via the PUBLIC StatusTracker + job-group API (r14
+    # ADVICE: the former sc._jsc.sc().dagScheduler().nextJobId() is a
+    # private JVM internal — version-fragile and racy under concurrent
+    # submission). Each phase runs under its own job group; the phase's
+    # job count is the group's job-id list length.
+    tracker = sc.statusTracker()
+
+    def jobs_in(group: str) -> int:
+        ids = tracker.getJobIdsForGroup(group)
+        return len(ids) if ids is not None else 0
 
     rows = []
     for name in names:
         fn = EQ.QUERIES[name]
         best = None
         for it in range(repeat):
-            sc.setJobDescription(f"profile:{name}")
-            j0 = n_jobs()
+            gb = f"profile:{name}:build:{it}"
+            ge = f"profile:{name}:exec:{it}"
+            sc.setJobGroup(gb, f"profile:{name} build")
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             t1 = time.perf_counter()
-            j1 = n_jobs()
+            sc.setJobGroup(ge, f"profile:{name} exec")
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
-            j2 = n_jobs()
+            sc.setJobGroup(None, None)
             rec = {
                 "query": name,
                 "build_s": round(t1 - t0, 3),
                 "exec_s": round(t2 - t1, 3),
                 "total_s": round(t2 - t0, 3),
-                "build_jobs": j1 - j0,
-                "exec_jobs": j2 - j1,
+                "build_jobs": jobs_in(gb),
+                "exec_jobs": jobs_in(ge),
             }
             if best is None or rec["total_s"] < best["total_s"]:
                 best = rec

@@ -139,3 +139,32 @@ def test_scan_split_bytes_is_scale_adaptive(tmp_path):
     assert bench.scan_split_bytes(str(tmp_path), 1) == 128 * mb
     # unreadable dir → stock default, never an exception
     assert bench.scan_split_bytes(str(tmp_path / "nope"), 32) == 128 * mb
+
+
+def test_scan_split_bytes_floors_at_row_group(tmp_path):
+    """r15 (r14 verdict task 1): the split never drops below the
+    warehouse's largest parquet row group — a sub-row-group split adds
+    only empty scan tasks (the group is read whole by one split), which
+    the r15 A/B measured as pure regression on blob/text scans."""
+    import bench
+    import pytest
+
+    pa = pytest.importorskip("pyarrow")
+    pq = pytest.importorskip("pyarrow.parquet")
+
+    mb = 1024 * 1024
+    # one ~3 MB single-row-group parquet table (incompressible payload)
+    import random
+
+    rnd = random.Random(7)
+    payload = [bytes(rnd.getrandbits(8) for _ in range(3000)) for _ in range(1024)]
+    t = pa.table({"b": payload})
+    pq.write_table(t, tmp_path / "blob.parquet", row_group_size=1 << 20,
+                   compression="none")
+    rg = bench._largest_row_group_bytes(str(tmp_path))
+    assert rg > 2 * mb  # the single row group really is multi-MB
+    # total/(2*32) ≈ 48 KB — WITHOUT the floor the clamp would return
+    # 1 MB; with it, the split covers the whole row group
+    got = bench.scan_split_bytes(str(tmp_path), 32)
+    assert got >= rg
+    assert got <= 128 * mb
